@@ -1,0 +1,122 @@
+"""Prompt construction for the IE / ET / LP stages (operator E12 in SURVEY §2.2).
+
+The reference renders Jinja templates from disk
+(reference ctinexus/prompts/ie.jinja, et.jinja, link.jinja;
+ctinexus/llm_processor.py:1149-1175). Here the templates are package data
+(authored for this engine, same information contract: few-shot demos + query
+for IE, taxonomy + triples for ET, context + node pair for LP) rendered with
+jinja2 loaded once per actor.
+
+The entity-class contracts are part of the data model and match the
+reference exactly:
+  * IE inline classes (reference ctinexus/prompts/ie.jinja:3)
+  * ET taxonomy incl. hierarchical Indicator / Malware Characteristic
+    subclasses (reference ctinexus/prompts/et.jinja:1-37)
+"""
+
+from __future__ import annotations
+
+import json
+
+from jinja2 import Environment
+
+# IE stage: classes allowed inline as "(Class)" suffixes (quirk Q6).
+IE_CLASSES = (
+    "Malware Type", "Malware", "Application", "Campaign", "System",
+    "System Feature", "Orginzation", "Time", "Threat Actor", "Location",
+    "Indicator Type", "Indicator", "Attack Pattern", "Vulnerability Type",
+    "Vulnerability", "Report",
+)
+
+# ET stage taxonomy; hierarchical classes are flattened downstream as
+# "Parent:Child" (reference ctinexus/cti_processor.py:197-198).
+ET_TAXONOMY = (
+    "Account", "Credential", "Tool", "Attacker", "Event", "Exploit Target",
+    "Indicator", "Information", "Location", "Malware",
+    "Malware Characteristic", "Organization", "Infrastructure", "Time",
+    "Vulnerability",
+    "This entity cannot be classified into any of the existing types",
+)
+
+INDICATOR_SUBCLASSES = (
+    "File", "IP", "URL", "Domain", "Registry Key", "Hash", "Mutex",
+    "User Agent", "Email", "Yara Rule", "SSL Certificate",
+)
+
+MALWARE_CHARACTERISTIC_SUBCLASSES = (
+    "Behavior", "Capability", "Feature", "Payload", "Variants",
+)
+
+_ENV = Environment(autoescape=False, keep_trailing_newline=False)
+
+_IE_TEMPLATE = _ENV.from_string(
+    """You are a security analyst extracting subject-relation-object triplets \
+from cyber threat intelligence reports.
+Each triplet must be JSON of the form \
+{"subject": "...(entity class)", "relation": "...", "object": "...(entity class)"}.
+Subjects and objects must belong to one of these entity classes: {{ classes }}.
+Respond with a JSON object: {"triplets": [...]} and nothing else.
+---------------------{% for demo in demos %}
+Example {{ loop.index }}:
+
+'CTI': {{ demo.text }}
+
+'triplets': {{ demo.triplets }}
+---------------------{% endfor %}
+Target report:
+
+"CTI": {{ query }}
+
+\"\"\"insert your answer here\"\"\""""
+)
+
+_ET_TEMPLATE = _ENV.from_string(
+    """Classify the subject and object of each triple below into this CTI taxonomy:
+{{ taxonomy }}
+Hierarchical classes: Indicator has subclasses {{ indicator_subclasses }}; \
+Malware Characteristic has subclasses {{ mc_subclasses }}.
+Respond with JSON only: {"typed_triplets": [{"subject": {"text": ..., "class": ...}, \
+"relation": ..., "object": {"text": ..., "class": ...}}, ...]}.
+
+Triples:
+{{ triples }}"""
+)
+
+_LINK_TEMPLATE = _ENV.from_string(
+    """Given the report context below, predict the relationship linking two entities.
+
+"Context": {{ cti }}
+
+"Question": What do you think is the relationship between entity "{{ main_node }}" \
+and entity "{{ topic_node }}"?
+
+Respond with JSON only: {"predicted_triple": {"subject": ..., "relation": ..., "object": ...}}.
+The predicted subject and object must be chosen from entity "{{ main_node }}" and \
+entity "{{ topic_node }}"; do not invent new entities."""
+)
+
+
+def build_ie_prompt(query_text: str, demos: list[dict]) -> str:
+    """demos: [{"text": str, "triplets": list[dict]}] selected by the
+    retriever (constant per corpus — quirk Q1)."""
+    rendered = [
+        {"text": d["text"], "triplets": json.dumps(d["triplets"])} for d in demos
+    ]
+    return _IE_TEMPLATE.render(
+        classes=", ".join(IE_CLASSES), demos=rendered, query=query_text
+    )
+
+
+def build_et_prompt(triples: list[dict]) -> str:
+    return _ET_TEMPLATE.render(
+        taxonomy=json.dumps(list(ET_TAXONOMY)),
+        indicator_subclasses=", ".join(INDICATOR_SUBCLASSES),
+        mc_subclasses=", ".join(MALWARE_CHARACTERISTIC_SUBCLASSES),
+        triples=json.dumps(triples),
+    )
+
+
+def build_link_prompt(cti_text: str, main_node_text: str, topic_node_text: str) -> str:
+    return _LINK_TEMPLATE.render(
+        cti=cti_text, main_node=main_node_text, topic_node=topic_node_text
+    )
