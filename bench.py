@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""Benchmark harness for the headline pipelines.
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
+
+    {"metric": "total_wall_sec", "value": <sum>, "unit": "sec",
+     "queries": {...per-query seconds...}, "sf": "...", "num_cpus": N,
+     "kg_docs_per_sec": ...}
+
+``--scaling``: run the KG pipeline twice in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 over the same input (the sandbox stand-in for
+N- vs 4N-node clusters) and report both throughputs + scaling efficiency;
+also records the result in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+
+def _config(num_cpus: int):
+    from ctinexus_ray.config import PipelineConfig
+
+    # size the fused KG actor pool to the session: leave a few CPUs for the
+    # read/extract/explode task pools
+    pool_max = max(2, num_cpus - 2)
+    return PipelineConfig(llm_concurrency=(2, pool_max), llm_num_cpus=1.0)
+
+
+def bench_kg(sf_dir: str, num_cpus: int) -> dict:
+    """Headline: CC-shaped docs -> extract -> IE/ET/EA/LP -> triples +
+    canonical nodes, written to parquet (streaming consumption)."""
+    import shutil
+
+    import ray
+
+    from ctinexus_ray.pipelines.kg import run_kg_to_parquet
+    from ctinexus_ray.sources.documents import read_testdata_as_cc
+
+    cfg = _config(num_cpus)
+    docs = read_testdata_as_cc(sf_dir)
+    n_docs = docs.count()
+
+    out_dir = Path("/tmp/bench_kg_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    start = time.perf_counter()
+    paths = run_kg_to_parquet(docs, str(out_dir), cfg)
+    n_triples = ray.data.read_parquet(paths["triples"]).count()
+    elapsed = time.perf_counter() - start
+    return {
+        "sec": elapsed,
+        "docs": n_docs,
+        "triples": n_triples,
+        "docs_per_sec": n_docs / elapsed,
+    }
+
+
+def bench_dedup(sf_dir: str, num_cpus: int) -> dict:
+    from ctinexus_ray.ops.dedup import minhash_candidate_pairs, simhash_signatures
+    from ctinexus_ray.sources.documents import read_testdata_documents
+
+    docs = read_testdata_documents(sf_dir, columns=["doc_id", "text"])
+    start = time.perf_counter()
+    n_pairs = minhash_candidate_pairs(docs).count()
+    n_sigs = simhash_signatures(docs).count()
+    return {"sec": time.perf_counter() - start, "pairs": n_pairs, "sigs": n_sigs}
+
+
+def bench_simsearch(sf_dir: str, num_cpus: int) -> dict:
+    from ctinexus_ray.ops.simsearch import self_topk
+    from ctinexus_ray.sources.documents import read_testdata_embeddings
+
+    emb = read_testdata_embeddings(sf_dir)
+    start = time.perf_counter()
+    n = self_topk(emb, n_queries=100, k=10).count()
+    return {"sec": time.perf_counter() - start, "rows": n}
+
+
+def bench_textstats(sf_dir: str, num_cpus: int) -> dict:
+    from ctinexus_ray.ops.textstats import langid_batch, quality_batch
+    from ctinexus_ray.sources.documents import read_testdata_documents
+
+    docs = read_testdata_documents(sf_dir, columns=["doc_id", "text"])
+    start = time.perf_counter()
+    n1 = docs.map_batches(quality_batch, batch_format="pyarrow").count()
+    n2 = docs.map_batches(langid_batch, batch_format="pyarrow").count()
+    return {"sec": time.perf_counter() - start, "rows": n1 + n2}
+
+
+def run_all(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
+    _init_ray(num_cpus)
+    benches = {
+        "kg_pipeline": bench_kg,
+        "dedup": bench_dedup,
+        "simsearch": bench_simsearch,
+        "textstats": bench_textstats,
+    }
+    if only:
+        benches = {only: benches[only]}
+    queries: dict[str, float] = {}
+    extra: dict = {}
+    for name, fn in benches.items():
+        result = fn(sf_dir, num_cpus)
+        queries[name] = round(result["sec"], 3)
+        if name == "kg_pipeline":
+            extra["kg_docs_per_sec"] = round(result["docs_per_sec"], 2)
+            extra["kg_docs"] = result["docs"]
+            extra["kg_triples"] = result["triples"]
+    return {
+        "metric": "total_wall_sec",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        **extra,
+    }
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same KG job in fresh processes at 8 vs 32 CPUs; efficiency =
+    (rate_32 / rate_8) / 4."""
+    rates = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--cpus", str(cpus), "--only", "kg_pipeline"],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+            check=True,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        result = json.loads(line)
+        rates[cpus] = result["kg_docs_per_sec"]
+    efficiency = (rates[32] / rates[8]) / 4.0
+    summary = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(efficiency, 3),
+        "unit": "ratio",
+        "docs_per_sec_8cpu": rates[8],
+        "docs_per_sec_32cpu": rates[32],
+        "sf": sf_dir,
+    }
+    bench_dir = Path(__file__).parent / "BENCH"
+    bench_dir.mkdir(exist_ok=True)
+    (bench_dir / "BASELINE.md").write_text(
+        "# BENCH scaling result (sandbox stand-in for N vs 4N nodes)\n\n"
+        "Same KG job (extract -> IE/ET/EA/LP -> triples -> canonical nodes)\n"
+        "over the same input in fresh `ray.init(address=\"local\")` sessions.\n\n"
+        "| num_cpus | docs/sec |\n|---|---|\n"
+        f"| 8 | {rates[8]} |\n| 32 | {rates[32]} |\n\n"
+        f"**Scaling efficiency (8 -> 32 CPUs): {round(efficiency, 3)}** "
+        "(target >= 0.8 per BASELINE.json).\n"
+    )
+    return summary
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scaling", action="store_true")
+    parser.add_argument("--cpus", type=int, default=NUM_CPUS)
+    parser.add_argument("--sf-dir", default=SF_DIR)
+    parser.add_argument("--only", default=None)
+    args = parser.parse_args()
+
+    if args.scaling:
+        result = run_scaling(args.sf_dir)
+    else:
+        result = run_all(args.sf_dir, args.cpus, args.only)
+
+    print(json.dumps(result))
+
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

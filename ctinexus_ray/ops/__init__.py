@@ -1,0 +1,2 @@
+"""Corpus-level training-data operators: dedup, similarity search, text
+analysis, multimodal plumbing."""

@@ -1,0 +1,250 @@
+"""Corpus-scale KG construction pipeline (SURVEY §3.4 restated on Ray Data).
+
+    read_parquet(documents)                    # S1, column-pruned
+      -> map_batches(extract_batch)            # E0-E3, stateless, drops html
+      -> map_batches(KGDocStage, concurrency)  # IE+ET+EA+LP fused actor pool
+      -> map_batches(explode_triples_batch)    # nested -> flat triples
+      -> [entity partials -> groupby(entity_key) -> nodes]   # THE wide shuffle
+      -> write_parquet(triples/nodes/edges)
+
+Everything streams; nothing materializes the corpus. The only all-to-all
+exchange is the canonicalization groupby, fed by map-side-combined partials
+(one row per (doc, entity)) — see SURVEY §7.3 for the skew rationale.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import ray.data
+
+from ctinexus_ray.config import PipelineConfig
+from ctinexus_ray.sources.demos import select_demos
+from ctinexus_ray.sources.synth import make_demo_corpus
+from ctinexus_ray.stages.extract import extract_batch
+from ctinexus_ray.stages.kg import KGDocStage
+from ctinexus_ray.stages.triples import (
+    edges_batch,
+    entity_partials_batch,
+    explode_triples_batch,
+)
+
+DOCUMENT_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
+
+
+def read_documents(paths: str | list[str], columns: list[str] | None = None) -> ray.data.Dataset:
+    """Column-pruned parquet read of the Common-Crawl-shaped corpus."""
+    return ray.data.read_parquet(paths, columns=columns or DOCUMENT_COLUMNS)
+
+
+def default_demos(config: PipelineConfig) -> list[dict]:
+    """Driver-side demo selection — constant per corpus (quirk Q1), shipped
+    to IE actors as a constructor argument (broadcast once per actor)."""
+    return select_demos(
+        make_demo_corpus(), shot=config.shot, permutation=config.permutation
+    )
+
+
+def extract_documents(ds: ray.data.Dataset, config: PipelineConfig) -> ray.data.Dataset:
+    """E0-E3: html -> extracted/normalized/focused text; html dropped."""
+    return ds.map_batches(
+        extract_batch, batch_format="pyarrow", batch_size=config.cpu_batch_size
+    )
+
+
+def run_kg_stage(
+    ds: ray.data.Dataset,
+    config: PipelineConfig,
+    demos: list[dict] | None = None,
+) -> ray.data.Dataset:
+    """Fused IE->ET->EA->LP actor pool over extracted documents."""
+    return ds.map_batches(
+        KGDocStage,
+        fn_constructor_kwargs={
+            "config": config,
+            "demos": demos if demos is not None else default_demos(config),
+        },
+        batch_format="pyarrow",
+        batch_size=config.doc_batch_size,
+        concurrency=config.llm_concurrency,
+        num_cpus=config.llm_num_cpus,
+    )
+
+
+def triples_dataset(kg_ds: ray.data.Dataset, config: PipelineConfig) -> ray.data.Dataset:
+    """Flat triples table (one row per aligned or predicted triple)."""
+    return kg_ds.select_columns(
+        ["url", "kg_aligned_json", "kg_links_json"]
+    ).map_batches(
+        explode_triples_batch,
+        batch_format="pyarrow",
+        batch_size=config.cpu_batch_size,
+    )
+
+
+def _reduce_entity_group(group: pd.DataFrame) -> pd.DataFrame:
+    """Reduce one entity_key group to its canonical node.
+
+    Canonical text = highest summed mention count, ties broken
+    lexicographically (deterministic regardless of partitioning); class by
+    the same rule. doc_count is exact (input rows are per (doc, entity)).
+
+    Scale note: a planet-hot entity ("Microsoft") yields one row per
+    containing document here. The map-side combine already collapsed
+    per-doc mentions; if group sizes still dominate at 10^12 docs, swap the
+    exact doc_count for a per-batch HLL sketch merged here, or salt the key
+    and re-reduce the salted partials on a second tiny groupby.
+    """
+    text_counts = group.groupby("entity_text")["mention_count"].sum()
+    best_text = text_counts.sort_index().sort_values(ascending=False, kind="stable").index[0]
+    class_counts = group.groupby("entity_class")["mention_count"].sum()
+    best_class = class_counts.sort_index().sort_values(ascending=False, kind="stable").index[0]
+    return pd.DataFrame(
+        {
+            "entity_key": [group["entity_key"].iloc[0]],
+            "entity_text": [best_text],
+            "entity_class": [best_class],
+            "doc_count": [group["doc_url"].nunique()],
+            "mention_count": [int(group["mention_count"].sum())],
+        }
+    )
+
+
+def canonicalize_nodes(
+    triples_ds: ray.data.Dataset, config: PipelineConfig
+) -> ray.data.Dataset:
+    """Cross-document entity canonicalization — the one wide shuffle.
+
+    map-side combine (entity_partials_batch) -> groupby(entity_key) ->
+    per-group reduce. Output: NODES_SCHEMA.
+    """
+    partials = triples_ds.map_batches(
+        entity_partials_batch,
+        batch_format="pyarrow",
+        batch_size=config.cpu_batch_size,
+    )
+    if config.canon_num_partitions:
+        partials = partials.repartition(config.canon_num_partitions)
+    return partials.groupby("entity_key").map_groups(
+        _reduce_entity_group, batch_format="pandas"
+    )
+
+
+def edges_dataset(triples_ds: ray.data.Dataset, config: PipelineConfig) -> ray.data.Dataset:
+    """Canonical-keyed edges; no shuffle (keys are computed per row)."""
+    return triples_ds.map_batches(
+        edges_batch, batch_format="pyarrow", batch_size=config.cpu_batch_size
+    )
+
+
+def metrics_dataset(kg_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Corpus-level stage metrics (A2/A3): token totals + doc/triple/entity
+    counters, reduced from the per-doc columns via a tiny groupby."""
+    import pyarrow as pa
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        def s(col):
+            return sum(batch.column(col).to_pylist()) if col in batch.column_names else 0
+        return pa.Table.from_pydict(
+            {
+                "stage": ["kg"],
+                "docs": [n],
+                "triples": [s("triples_count")],
+                "mentions": [s("mentions_num")],
+                "entities": [s("entity_num")],
+                "subgraphs": [s("subgraph_num")],
+                "dropped_triplets": [s("dropped_triplets")],
+                "llm_input_tokens": [s("llm_input_tokens")],
+                "llm_output_tokens": [s("llm_output_tokens")],
+                "embed_tokens": [s("embed_tokens")],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partials = kg_ds.map_batches(to_rows, batch_format="pyarrow")
+    agg = partials.groupby("stage").aggregate(
+        *[
+            Sum(c)
+            for c in (
+                "docs", "triples", "mentions", "entities", "subgraphs",
+                "dropped_triplets", "llm_input_tokens", "llm_output_tokens",
+                "embed_tokens",
+            )
+        ]
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [c[4:-1] if c.startswith("sum(") else c for c in batch.column_names]
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def run_kg_to_parquet(
+    documents: ray.data.Dataset,
+    out_dir: str,
+    config: PipelineConfig | None = None,
+    demos: list[dict] | None = None,
+) -> dict[str, str]:
+    """Execute the expensive per-doc stages ONCE, checkpointing their
+    output to parquet on disk (not the object store); triples / nodes /
+    edges / metrics all derive from re-reading that checkpoint, so the
+    LLM stages never run twice and nothing corpus-sized is pinned in
+    memory."""
+    from pathlib import Path
+
+    config = config or PipelineConfig()
+    out = Path(out_dir)
+    extracted = extract_documents(documents, config)
+    kg = run_kg_stage(extracted, config, demos)
+
+    docs_kg_path = str(out / "docs_kg")
+    kg.select_columns(
+        ["url", "kg_aligned_json", "kg_links_json", "triples_count",
+         "mentions_num", "entity_num", "subgraph_num", "dropped_triplets",
+         "llm_input_tokens", "llm_output_tokens", "embed_tokens"]
+    ).write_parquet(docs_kg_path)
+
+    docs_kg = ray.data.read_parquet(docs_kg_path)
+    triples_path = str(out / "triples")
+    docs_kg.map_batches(
+        explode_triples_batch, batch_format="pyarrow", batch_size=config.cpu_batch_size
+    ).write_parquet(triples_path)
+
+    triples_read = ray.data.read_parquet(triples_path)
+    nodes_path = str(out / "nodes")
+    canonicalize_nodes(triples_read, config).write_parquet(nodes_path)
+    edges_path = str(out / "edges")
+    edges_dataset(triples_read, config).write_parquet(edges_path)
+    metrics_path = str(out / "metrics")
+    metrics_dataset(docs_kg).write_parquet(metrics_path)
+    return {
+        "docs_kg": docs_kg_path,
+        "triples": triples_path,
+        "nodes": nodes_path,
+        "edges": edges_path,
+        "metrics": metrics_path,
+    }
+
+
+def build_kg(
+    documents: ray.data.Dataset,
+    config: PipelineConfig | None = None,
+    demos: list[dict] | None = None,
+) -> dict[str, ray.data.Dataset]:
+    """Full pipeline; returns lazy datasets {'triples', 'nodes', 'edges'}.
+
+    The caller consumes them with write_parquet / iter_batches — nothing is
+    materialized here.
+    """
+    config = config or PipelineConfig()
+    extracted = extract_documents(documents, config)
+    kg = run_kg_stage(extracted, config, demos)
+    triples = triples_dataset(kg, config)
+    return {
+        "triples": triples,
+        "nodes": canonicalize_nodes(triples, config),
+        "edges": edges_dataset(triples, config),
+    }

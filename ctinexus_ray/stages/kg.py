@@ -1,0 +1,230 @@
+"""KG actor-pool stages (M1-M3, IE/ET/EA/LP) over Arrow batches.
+
+Two equivalent compositions are provided:
+
+  * ``KGDocStage`` — the flagship FUSED stage: one actor pool runs
+    IE -> ET -> EA -> LP per document. With per-document LLM semantics and
+    no shuffle between the four stages, fusing removes three rounds of
+    batch (de)serialization; actor state (client, demo list, embedding
+    cache, compiled templates) is built once in ``__init__``.
+  * ``IEStage`` / ``ETStage`` / ``EAStage`` / ``LPStage`` — the unfused
+    per-stage actor classes, carrying intermediate nested state in a JSON
+    string column (``kg_*_json``). Use these when stages need different
+    pool sizes (e.g. a rate-limited real LLM for IE but a cheap local
+    embedding server for EA).
+
+All classes follow the Ray Data actor contract: construct with
+``map_batches(Cls, fn_constructor_kwargs=..., concurrency=(min,max),
+batch_size=B, batch_format="pyarrow")``.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from ctinexus_ray.config import PipelineConfig
+from ctinexus_ray.llm.client import get_client
+from ctinexus_ray.pipelines import singledoc
+
+
+def _str_col(values) -> pa.Array:
+    return pa.array(values, type=pa.string())
+
+
+def _i32(values) -> pa.Array:
+    return pa.array(values, type=pa.int32())
+
+
+def _i64(values) -> pa.Array:
+    return pa.array(values, type=pa.int64())
+
+
+class _ActorBase:
+    """Shared actor setup: client + config built once per actor process."""
+
+    def __init__(self, config: PipelineConfig, demos: list[dict] | None = None):
+        self.config = config
+        self.client = get_client(config)
+        self.demos = demos or []
+        # corpus-level embedding cache (normalized mention text -> vector);
+        # lives for the actor's lifetime, shared across batches
+        self.embed_cache: dict[str, list[float]] = {}
+
+
+class KGDocStage(_ActorBase):
+    """Fused IE->ET->EA->LP per document (the flagship stage)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("cti_text").to_pylist()
+        envelopes = [
+            singledoc.process_document(
+                text, self.client, self.config, self.demos, self.embed_cache
+            )
+            for text in texts
+        ]
+        out = batch
+        out = out.append_column(
+            "kg_aligned_json",
+            _str_col([json.dumps(e["EA"]["aligned_triplets"]) for e in envelopes]),
+        )
+        out = out.append_column(
+            "kg_links_json",
+            _str_col([json.dumps(e["LP"]["predicted_links"]) for e in envelopes]),
+        )
+        out = out.append_column(
+            "mentions_num", _i32([e["EA"]["mentions_num"] for e in envelopes])
+        )
+        out = out.append_column(
+            "entity_num", _i32([e["EA"]["entity_num"] for e in envelopes])
+        )
+        out = out.append_column(
+            "subgraph_num", _i32([e["LP"]["subgraph_num"] for e in envelopes])
+        )
+        out = out.append_column(
+            "triples_count", _i32([e["IE"]["triples_count"] for e in envelopes])
+        )
+        out = out.append_column(
+            "dropped_triplets",
+            _i32(
+                [
+                    e["IE"]["dropped"] + e["ET"]["dropped"] + e["EA"]["dropped"]
+                    + e["LP"]["dropped"]
+                    for e in envelopes
+                ]
+            ),
+        )
+        out = out.append_column(
+            "llm_input_tokens",
+            _i64(
+                [
+                    e["IE"]["model_usage"]["input"]["tokens"]
+                    + e["ET"]["model_usage"]["input"]["tokens"]
+                    + e["LP"]["model_usage"]["input"]["tokens"]
+                    for e in envelopes
+                ]
+            ),
+        )
+        out = out.append_column(
+            "llm_output_tokens",
+            _i64(
+                [
+                    e["IE"]["model_usage"]["output"]["tokens"]
+                    + e["ET"]["model_usage"]["output"]["tokens"]
+                    + e["LP"]["model_usage"]["output"]["tokens"]
+                    for e in envelopes
+                ]
+            ),
+        )
+        out = out.append_column(
+            "embed_tokens",
+            _i64([e["EA"]["model_usage"]["input"]["tokens"] for e in envelopes]),
+        )
+        return out
+
+
+class IEStage(_ActorBase):
+    """Few-shot triple extraction; adds ``kg_ie_json`` + counters."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        results = [
+            singledoc.run_ie(text, self.client, self.config, self.demos)
+            for text in batch.column("cti_text").to_pylist()
+        ]
+        out = batch.append_column(
+            "kg_ie_json", _str_col([json.dumps(r["triplets"]) for r in results])
+        )
+        out = out.append_column(
+            "triples_count", _i32([r["triples_count"] for r in results])
+        )
+        out = out.append_column("ie_dropped", _i32([r["dropped"] for r in results]))
+        out = out.append_column(
+            "ie_input_tokens",
+            _i64([r["model_usage"]["input"]["tokens"] for r in results]),
+        )
+        out = out.append_column(
+            "ie_output_tokens",
+            _i64([r["model_usage"]["output"]["tokens"] for r in results]),
+        )
+        return out
+
+
+class ETStage(_ActorBase):
+    """Entity typing; consumes ``kg_ie_json``, adds ``kg_et_json``."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        results = [
+            singledoc.run_et(json.loads(ie_json), self.client, self.config)
+            for ie_json in batch.column("kg_ie_json").to_pylist()
+        ]
+        out = batch.append_column(
+            "kg_et_json", _str_col([json.dumps(r["typed_triplets"]) for r in results])
+        )
+        out = out.append_column("et_dropped", _i32([r["dropped"] for r in results]))
+        out = out.append_column(
+            "et_input_tokens",
+            _i64([r["model_usage"]["input"]["tokens"] for r in results]),
+        )
+        out = out.append_column(
+            "et_output_tokens",
+            _i64([r["model_usage"]["output"]["tokens"] for r in results]),
+        )
+        return out
+
+
+class EAStage(_ActorBase):
+    """Alignment (preprocess + embed-merge + IOC unmerge); consumes
+    ``kg_et_json``, adds ``kg_aligned_json``."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        results = [
+            singledoc.run_ea(
+                json.loads(et_json), self.client, self.config, self.embed_cache
+            )
+            for et_json in batch.column("kg_et_json").to_pylist()
+        ]
+        out = batch.append_column(
+            "kg_aligned_json",
+            _str_col([json.dumps(r["aligned_triplets"]) for r in results]),
+        )
+        out = out.append_column(
+            "mentions_num", _i32([r["mentions_num"] for r in results])
+        )
+        out = out.append_column("entity_num", _i32([r["entity_num"] for r in results]))
+        out = out.append_column("ea_dropped", _i32([r["dropped"] for r in results]))
+        out = out.append_column(
+            "embed_tokens",
+            _i64([r["model_usage"]["input"]["tokens"] for r in results]),
+        )
+        return out
+
+
+class LPStage(_ActorBase):
+    """Link prediction; consumes ``kg_aligned_json`` + ``cti_text``,
+    adds ``kg_links_json`` + graph counters."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        results = [
+            singledoc.run_lp(text, json.loads(aligned), self.client, self.config)
+            for text, aligned in zip(
+                batch.column("cti_text").to_pylist(),
+                batch.column("kg_aligned_json").to_pylist(),
+            )
+        ]
+        out = batch.append_column(
+            "kg_links_json",
+            _str_col([json.dumps(r["predicted_links"]) for r in results]),
+        )
+        out = out.append_column(
+            "subgraph_num", _i32([r["subgraph_num"] for r in results])
+        )
+        out = out.append_column(
+            "lp_input_tokens",
+            _i64([r["model_usage"]["input"]["tokens"] for r in results]),
+        )
+        out = out.append_column(
+            "lp_output_tokens",
+            _i64([r["model_usage"]["output"]["tokens"] for r in results]),
+        )
+        return out

@@ -1,0 +1,82 @@
+"""Resume / lineage tests for the partitioned-output checkpoint layer."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from ctinexus_ray.state.checkpoint import (
+    completed_partitions,
+    list_input_partitions,
+    partition_id,
+    pending_partitions,
+    read_lineage,
+    run_resumable,
+    write_partition,
+)
+
+
+@pytest.fixture()
+def input_files(tmp_path):
+    files = []
+    for i in range(3):
+        path = tmp_path / f"in-{i}.parquet"
+        pq.write_table(
+            pa.table({"doc_id": list(range(i * 10, i * 10 + 10))}), path
+        )
+        files.append(str(path))
+    return files
+
+
+class TestPartitionIds:
+    def test_deterministic(self, input_files):
+        assert partition_id(input_files[0]) == partition_id(input_files[0])
+        ids = [pid for pid, _ in list_input_partitions(input_files)]
+        assert len(set(ids)) == 3
+
+
+class TestResume:
+    def test_skip_completed(self, input_files, tmp_path):
+        out = tmp_path / "out"
+        pid, f = list_input_partitions(input_files)[0]
+        write_partition(out, pid, pa.table({"x": [1]}), {"input_file": f})
+        assert completed_partitions(out) == {pid}
+        pending = pending_partitions(input_files, out)
+        assert len(pending) == 2
+        assert all(p != pid for p, _ in pending)
+
+    def test_run_resumable_end_to_end(self, input_files, tmp_path, ray_session):
+        out = tmp_path / "out"
+
+        def double(ds):
+            return ds.map_batches(
+                lambda b: pa.Table.from_pydict(
+                    {"doc_id": pa.compute.multiply(b.column("doc_id"), 2)}
+                ),
+                batch_format="pyarrow",
+            )
+
+        first = run_resumable(input_files, out, double)
+        assert first["processed"] == 3 and first["skipped"] == 0
+        assert first["rows"] == 30
+
+        # second run: everything skipped
+        second = run_resumable(input_files, out, double)
+        assert second["processed"] == 0 and second["skipped"] == 3
+
+        lineage = read_lineage(out)
+        assert len(lineage) == 3
+        assert all("input_file" in rec and rec["rows"] == 10 for rec in lineage)
+
+    def test_sidecar_is_commit_record(self, input_files, tmp_path):
+        out = tmp_path / "out"
+        pid, f = list_input_partitions(input_files)[0]
+        write_partition(out, pid, pa.table({"x": [1, 2]}), {"input_file": f})
+        sidecar = json.loads((out / f"_SUCCESS.{pid}.json").read_text())
+        assert sidecar["rows"] == 2
+        assert sidecar["input_file"] == f
+        # data file exists alongside
+        assert (out / f"part-{pid}.parquet").exists()

@@ -1,0 +1,231 @@
+"""Tests for the corpus-level training-data ops (dedup family, similarity
+search, text stats, multimodal plumbing) against local DuckDB / numpy
+oracles on the driver's sf0.001 tables."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+import ray.data
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    c.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')")
+    return c
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    return ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def embeddings(ray_session):
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+class TestExactDedup:
+    def test_vs_duckdb(self, docs, con):
+        from ctinexus_ray.ops.dedup import exact_dedup_groups
+
+        got = {
+            (r["doc_id"], r["n_dups"]) for r in exact_dedup_groups(docs).take_all()
+        }
+        want = set(
+            con.sql(
+                "SELECT min(doc_id), count(*) FROM documents GROUP BY text"
+            ).fetchall()
+        )
+        assert got == want
+
+
+class TestMinHash:
+    def test_finds_planted_near_dups(self, ray_session):
+        from ctinexus_ray.ops.dedup import minhash_dedup_pairs
+
+        base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                "juliett kilo lima mike november oscar papa quebec romeo")
+        rows = [
+            {"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base + " sierra"},          # near-dup of 0
+            {"doc_id": 2, "text": "completely different words entirely here "
+                                   "nothing shared at all with the others ok"},
+        ]
+        ds = ray.data.from_items(rows)
+        pairs = {(r["a"], r["b"]) for r in minhash_dedup_pairs(ds, threshold=0.5).take_all()}
+        assert (0, 1) in pairs
+        assert (0, 2) not in pairs and (1, 2) not in pairs
+
+    def test_signature_deterministic(self):
+        from ctinexus_ray.ops.dedup import MinHashStage
+
+        stage = MinHashStage()
+        a = stage.signature("some text for hashing")
+        b = MinHashStage().signature("some text for hashing")
+        assert (a == b).all()
+
+
+class TestSimHash:
+    def test_similar_docs_close(self, ray_session):
+        from ctinexus_ray.ops.dedup import simhash_signatures
+
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": base},
+                {"doc_id": 1, "text": base + " daily"},
+                {"doc_id": 2, "text": "zebra xylophone quartz jigsaw vortex "
+                                       "plasma nebula krypton osmium iridium"},
+            ]
+        )
+        sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(ds).take_all()}
+        d01 = bin(sigs[0] ^ sigs[1]).count("1")
+        d02 = bin(sigs[0] ^ sigs[2]).count("1")
+        assert d01 < d02
+
+
+class TestNgramJaccard:
+    def test_vs_duckdb(self, docs, con):
+        from ctinexus_ray.ops.dedup import ngram_jaccard_pairs
+
+        got = {
+            (r["a"], r["b"])
+            for r in ngram_jaccard_pairs(
+                docs, n=3, threshold=0.5, max_posting=10**9
+            ).take_all()
+        }
+        want = set(
+            con.sql(
+                """
+                WITH words AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w FROM documents),
+                eligible AS (SELECT * FROM words WHERE len(w) >= 3),
+                shingles AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+                  FROM eligible CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t),
+                sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+                inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS ix
+                  FROM shingles s1 JOIN shingles s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+                  GROUP BY 1, 2)
+                SELECT a, b FROM inter
+                JOIN sizes sa ON sa.doc_id = inter.a JOIN sizes sb ON sb.doc_id = inter.b
+                WHERE CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) >= 0.5
+                """
+            ).fetchall()
+        )
+        assert got == want
+
+
+class TestEmbeddingOps:
+    def test_neardup_vs_numpy(self, embeddings):
+        from ctinexus_ray.ops.dedup import embedding_dup_pairs
+
+        rows = embeddings.take_all()
+        ids = np.array([r["vec_id"] for r in rows])
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = matn @ matn.T
+        want = {
+            (int(ids[i]), int(ids[j]))
+            for i in range(len(ids))
+            for j in range(len(ids))
+            if ids[i] < ids[j] and sims[i, j] >= 0.35
+        }
+        got = {
+            (r["a"], r["b"])
+            for r in embedding_dup_pairs(embeddings, threshold=0.35).take_all()
+        }
+        assert got == want
+
+    def test_topk_vs_numpy(self, embeddings):
+        from ctinexus_ray.ops.simsearch import self_topk
+
+        rows = embeddings.take_all()
+        ids = np.array([r["vec_id"] for r in rows])
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        matn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        got = {}
+        for r in self_topk(embeddings, n_queries=5, k=3).take_all():
+            got[(r["query_id"], r["rank"])] = r["neighbor_id"]
+        for q in range(5):
+            qi = int(np.nonzero(ids == q)[0][0])
+            sims = matn[qi] @ matn.T
+            order = sorted(
+                ((float(sims[j]), int(ids[j])) for j in range(len(ids)) if ids[j] != q),
+                key=lambda t: (-t[0], t[1]),
+            )[:3]
+            for rank, (_, nid) in enumerate(order, 1):
+                assert got[(q, rank)] == nid
+
+    def test_lsh_buckets_deterministic(self, embeddings):
+        from ctinexus_ray.ops.dedup import embedding_lsh_buckets
+
+        a = {r["vec_id"]: r["bucket"] for r in embedding_lsh_buckets(embeddings).take_all()}
+        b = {r["vec_id"]: r["bucket"] for r in embedding_lsh_buckets(embeddings).take_all()}
+        assert a == b
+
+
+class TestTextStats:
+    def test_token_counts_vs_duckdb(self, docs, con):
+        from ctinexus_ray.ops.textstats import token_count_batch
+
+        got = {
+            (r["doc_id"], r["n_tokens"])
+            for r in docs.map_batches(token_count_batch, batch_format="pyarrow").take_all()
+        }
+        want = set(
+            con.sql(
+                "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) FROM documents"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_fingerprints_vs_duckdb(self, docs, con):
+        from ctinexus_ray.ops.textstats import fingerprint_batch
+
+        got = {
+            (r["doc_id"], r["fp"])
+            for r in docs.map_batches(fingerprint_batch, batch_format="pyarrow").take_all()
+        }
+        want = set(
+            con.sql("SELECT doc_id, md5(lower(trim(text))) FROM documents").fetchall()
+        )
+        assert got == want
+
+    def test_langid_shape(self, docs):
+        from ctinexus_ray.ops.textstats import langid_batch
+
+        rows = docs.map_batches(langid_batch, batch_format="pyarrow").take_all()
+        assert len(rows) == docs.count()
+        assert all(r["lang_pred"] in {"en", "es", "de", "fr", "und"} for r in rows)
+
+
+class TestMultimodal:
+    def test_decode_plumbing(self, ray_session):
+        from ctinexus_ray.ops.multimodal import decode_features, make_fake_media_table
+
+        media = ray.data.from_arrow(make_fake_media_table(30))
+        feats = decode_features(media, fake=True).take_all()
+        assert len(feats) == 30
+        assert all(len(r["features"]) == 16 for r in feats)
+
+    def test_real_decoder_not_available(self):
+        from ctinexus_ray.ops.multimodal import DecodeImageStage
+
+        with pytest.raises(NotImplementedError):
+            DecodeImageStage(fake=False)
+
+    def test_frame_sampling(self, ray_session):
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.multimodal import FrameSampleStage, make_fake_media_table
+
+        stage = FrameSampleStage(every_ms=1000, fake=True)
+        out = stage(make_fake_media_table(30))
+        assert isinstance(out, pa.Table)
+        # only video rows produce frames
+        assert out.num_rows > 0

@@ -1,0 +1,141 @@
+"""End-to-end Ray Data pipeline tests: parity with the straight-line
+single-document runner (P/R), determinism across runs, schema stability."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ctinexus_ray.pipelines.kg import build_kg, extract_documents, run_kg_stage
+from ctinexus_ray.pipelines.singledoc import process_document
+from ctinexus_ray.schemas import TRIPLES_SCHEMA
+from ctinexus_ray.sources.synth import make_cc_table
+
+
+@pytest.fixture(scope="module")
+def small_corpus(ray_session):
+    return ray.data.from_arrow(make_cc_table(40)).repartition(4)
+
+
+def _triple_set(rows):
+    """Comparable (doc, subj, rel, obj, predicted) set."""
+    return {
+        (r["doc_url"], r["subj_text"], r["rel"], r["obj_text"], r["predicted"])
+        for r in rows
+    }
+
+
+class TestEndToEnd:
+    def test_flagship_counts_and_schema(self, small_corpus, config):
+        out = build_kg(small_corpus, config)
+        triples = out["triples"].materialize()
+        assert triples.count() > 0
+        assert triples.schema().base_schema.equals(TRIPLES_SCHEMA)
+
+    def test_parity_with_singledoc(self, small_corpus, config, mock_client, demos):
+        """The distributed pipeline must emit exactly the triples the
+        straight-line per-document runner emits (P/R = 1.0) — the parity
+        gate of BASELINE.md, testable because the mock is deterministic."""
+        out = build_kg(small_corpus, config, demos)
+        ray_rows = out["triples"].take_all()
+
+        expected = set()
+        from ctinexus_ray.functions.text import build_cti_focus_text, normalize_text
+        from ctinexus_ray.functions.extract import extract_hybrid_content
+        from ctinexus_ray.stages.triples import HALLUCINATION_ENTITY_ID  # noqa: F401
+
+        for row in small_corpus.take_all():
+            html = row["html"]
+            text = extract_hybrid_content(
+                html.decode() if isinstance(html, bytes) else html
+            )["text"]
+            cti = build_cti_focus_text(text)
+            env = process_document(cti, mock_client, config, demos, {})
+            for t in env["EA"]["aligned_triplets"]:
+                expected.add(
+                    (row["url"], t["subject"]["mention_text"], t["relation"],
+                     t["object"]["mention_text"], False)
+                )
+            for link in env["LP"]["predicted_links"]:
+                expected.add(
+                    (row["url"], link["subject"]["mention_text"], link["relation"],
+                     link["object"]["mention_text"], True)
+                )
+
+        got = _triple_set(ray_rows)
+        missing = expected - got
+        extra = got - expected
+        assert not missing and not extra, (
+            f"precision/recall < 1.0: {len(missing)} missing, {len(extra)} extra"
+        )
+
+    def test_deterministic_across_runs(self, small_corpus, config):
+        a = _triple_set(build_kg(small_corpus, config)["triples"].take_all())
+        b = _triple_set(build_kg(small_corpus, config)["triples"].take_all())
+        assert a == b
+
+    def test_extraction_byte_identity_across_runs(self, small_corpus, config):
+        cols = ["url", "extracted_text"]
+        a = {r["url"]: r["extracted_text"]
+             for r in extract_documents(small_corpus, config).select_columns(cols).take_all()}
+        b = {r["url"]: r["extracted_text"]
+             for r in extract_documents(small_corpus, config).select_columns(cols).take_all()}
+        assert a == b
+
+    def test_html_dropped_after_extraction(self, small_corpus, config):
+        extracted = extract_documents(small_corpus, config)
+        assert "html" not in extracted.schema().names
+
+    def test_nodes_canonicalization(self, small_corpus, config):
+        out = build_kg(small_corpus, config)
+        nodes = out["nodes"].take_all()
+        assert len(nodes) > 0
+        keys = [n["entity_key"] for n in nodes]
+        assert len(keys) == len(set(keys))  # one row per canonical entity
+        assert all(n["doc_count"] >= 1 and n["mention_count"] >= 1 for n in nodes)
+
+    def test_unfused_stages_match_fused(self, small_corpus, config, demos):
+        """IEStage -> ETStage -> EAStage -> LPStage must equal KGDocStage."""
+        from ctinexus_ray.stages.kg import EAStage, ETStage, IEStage, LPStage
+
+        extracted = extract_documents(small_corpus, config)
+        kwargs = {"config": config, "demos": demos}
+        staged = extracted
+        for cls in (IEStage, ETStage, EAStage, LPStage):
+            staged = staged.map_batches(
+                cls,
+                fn_constructor_kwargs=kwargs,
+                batch_format="pyarrow",
+                batch_size=config.doc_batch_size,
+                concurrency=(1, 2),
+                # four concurrent actor pools must not starve the upstream
+                # read tasks on the 4-CPU test session
+                num_cpus=0.25,
+            )
+        from ctinexus_ray.stages.triples import explode_triples_batch
+
+        unfused = staged.select_columns(
+            ["url", "kg_aligned_json", "kg_links_json"]
+        ).map_batches(explode_triples_batch, batch_format="pyarrow")
+
+        fused = run_kg_stage(extracted, config, demos)
+        from ctinexus_ray.pipelines.kg import triples_dataset
+
+        fused_triples = triples_dataset(fused, config)
+        assert _triple_set(unfused.take_all()) == _triple_set(fused_triples.take_all())
+
+
+class TestHallucinationSentinel:
+    def test_sentinel_rows_emitted(self, small_corpus, config):
+        """Quirk Q7: hallucinated predictions are kept, flagged with the
+        sentinel entity id."""
+        out = build_kg(small_corpus, config)
+        rows = out["triples"].take_all()
+        predicted = [r for r in rows if r["predicted"]]
+        assert predicted, "expected some predicted links on 40 docs"
+        sentinels = [r for r in predicted if r["subj_entity_id"] == -2]
+        honest = [r for r in predicted if r["subj_entity_id"] != -2]
+        # the mock's hallucination rate guarantees both kinds on 40 docs
+        assert honest
+        assert all(r["subj_text"] == "hallucination" for r in sentinels)
