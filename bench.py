@@ -45,18 +45,23 @@ def _config(num_cpus: int):
     return PipelineConfig(llm_concurrency=(2, pool_max), llm_num_cpus=1.0)
 
 
-def bench_kg(sf_dir: str, num_cpus: int) -> dict:
+def bench_kg(sf_dir: str, num_cpus: int, cc_dir: str | None = None) -> dict:
     """Headline: CC-shaped docs -> extract -> IE/ET/EA/LP -> triples +
-    canonical nodes, written to parquet (streaming consumption)."""
+    canonical nodes, written to parquet (streaming consumption).
+
+    ``cc_dir``: read a pre-generated Common-Crawl-shaped corpus directly
+    (used by --scaling with a corpus large enough that compute dominates
+    fixed overhead); default derives the corpus from the sf_dir documents.
+    """
     import shutil
 
     import ray
 
     from ctinexus_ray.pipelines.kg import run_kg_to_parquet
-    from ctinexus_ray.sources.documents import read_testdata_as_cc
+    from ctinexus_ray.sources.documents import read_cc, read_testdata_as_cc
 
     cfg = _config(num_cpus)
-    docs = read_testdata_as_cc(sf_dir)
+    docs = read_cc(cc_dir) if cc_dir else read_testdata_as_cc(sf_dir)
     n_docs = docs.count()
 
     out_dir = Path("/tmp/bench_kg_out")
@@ -105,7 +110,9 @@ def bench_textstats(sf_dir: str, num_cpus: int) -> dict:
     return {"sec": time.perf_counter() - start, "rows": n1 + n2}
 
 
-def run_all(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
+def run_all(
+    sf_dir: str, num_cpus: int, only: str | None = None, cc_dir: str | None = None
+) -> dict:
     _init_ray(num_cpus)
     benches = {
         "kg_pipeline": bench_kg,
@@ -118,7 +125,11 @@ def run_all(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     queries: dict[str, float] = {}
     extra: dict = {}
     for name, fn in benches.items():
-        result = fn(sf_dir, num_cpus)
+        result = (
+            fn(sf_dir, num_cpus, cc_dir=cc_dir)
+            if name == "kg_pipeline"
+            else fn(sf_dir, num_cpus)
+        )
         queries[name] = round(result["sec"], 3)
         if name == "kg_pipeline":
             extra["kg_docs_per_sec"] = round(result["docs_per_sec"], 2)
@@ -135,13 +146,43 @@ def run_all(sf_dir: str, num_cpus: int, only: str | None = None) -> dict:
     }
 
 
+SCALE_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", "400000"))
+
+
 def run_scaling(sf_dir: str) -> dict:
     """Same KG job in fresh processes at 8 vs 32 CPUs; efficiency =
-    (rate_32 / rate_8) / 4."""
+    (rate_32 / rate_8) / 4.
+
+    Uses a deterministic synthetic corpus large enough (~SCALE_DOCS docs)
+    that per-document compute — not session/actor startup — dominates wall
+    time; both runs read the SAME corpus."""
+    # generate (or reuse) the corpus with a throwaway Ray session
+    gen = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            (
+                "import ray; ray.init(address='local', num_cpus=32, "
+                "include_dashboard=False);"
+                "from ctinexus_ray.sources.synth import write_cc_corpus_ray;"
+                f"print(write_cc_corpus_ray('/tmp/cc_scaling', {SCALE_DOCS}));"
+                "ray.shutdown()"
+            ),
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    cc_dir = gen.stdout.strip().splitlines()[-1]
+
     rates = {}
     for cpus in (8, 32):
         proc = subprocess.run(
-            [sys.executable, __file__, "--cpus", str(cpus), "--only", "kg_pipeline"],
+            [
+                sys.executable, __file__, "--cpus", str(cpus),
+                "--only", "kg_pipeline", "--cc-dir", cc_dir,
+            ],
             capture_output=True,
             text=True,
             env={**os.environ, "GRAFT_SF_DIR": sf_dir},
@@ -157,6 +198,7 @@ def run_scaling(sf_dir: str) -> dict:
         "unit": "ratio",
         "docs_per_sec_8cpu": rates[8],
         "docs_per_sec_32cpu": rates[32],
+        "scale_docs": SCALE_DOCS,
         "sf": sf_dir,
     }
     bench_dir = Path(__file__).parent / "BENCH"
@@ -164,7 +206,8 @@ def run_scaling(sf_dir: str) -> dict:
     (bench_dir / "BASELINE.md").write_text(
         "# BENCH scaling result (sandbox stand-in for N vs 4N nodes)\n\n"
         "Same KG job (extract -> IE/ET/EA/LP -> triples -> canonical nodes)\n"
-        "over the same input in fresh `ray.init(address=\"local\")` sessions.\n\n"
+        f"over the same {SCALE_DOCS}-doc deterministic synthetic corpus in\n"
+        "fresh `ray.init(address=\"local\")` sessions.\n\n"
         "| num_cpus | docs/sec |\n|---|---|\n"
         f"| 8 | {rates[8]} |\n| 32 | {rates[32]} |\n\n"
         f"**Scaling efficiency (8 -> 32 CPUs): {round(efficiency, 3)}** "
@@ -179,12 +222,13 @@ def main() -> None:
     parser.add_argument("--cpus", type=int, default=NUM_CPUS)
     parser.add_argument("--sf-dir", default=SF_DIR)
     parser.add_argument("--only", default=None)
+    parser.add_argument("--cc-dir", default=None)
     args = parser.parse_args()
 
     if args.scaling:
         result = run_scaling(args.sf_dir)
     else:
-        result = run_all(args.sf_dir, args.cpus, args.only)
+        result = run_all(args.sf_dir, args.cpus, args.only, cc_dir=args.cc_dir)
 
     print(json.dumps(result))
 

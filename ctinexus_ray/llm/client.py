@@ -106,7 +106,11 @@ def get_client(config: PipelineConfig) -> LLMClient:
     if config.provider == "mock":
         from ctinexus_ray.llm.mock import MockLLM
 
-        return MockLLM(model=config.model, embedding_model=config.embedding_model)
+        return MockLLM(
+            model=config.model,
+            embedding_model=config.embedding_model,
+            canned_triples=config.extra.get("canned_triples"),
+        )
     raise NotImplementedError(
         f"Provider '{config.provider}' requires network access / an HTTP client "
         "not available in this environment. Implement LLMClient with "

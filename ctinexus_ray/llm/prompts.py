@@ -96,15 +96,33 @@ entity "{{ topic_node }}"; do not invent new entities."""
 )
 
 
-def build_ie_prompt(query_text: str, demos: list[dict]) -> str:
-    """demos: [{"text": str, "triplets": list[dict]}] selected by the
-    retriever (constant per corpus — quirk Q1)."""
+_IE_QUERY_SUFFIX = '\n\n"""insert your answer here"""'
+
+
+def make_ie_prefix(demos: list[dict]) -> str:
+    """Render the static part of the IE prompt (instructions + few-shot
+    demos) ONCE. The demo selection is constant per corpus (quirk Q1), so
+    actors cache this prefix in ``__init__`` and per-document prompt
+    construction is a single string concatenation."""
     rendered = [
         {"text": d["text"], "triplets": json.dumps(d["triplets"])} for d in demos
     ]
-    return _IE_TEMPLATE.render(
-        classes=", ".join(IE_CLASSES), demos=rendered, query=query_text
+    full = _IE_TEMPLATE.render(
+        classes=", ".join(IE_CLASSES), demos=rendered, query="\x00QUERY\x00"
     )
+    prefix, _, _ = full.partition("\x00QUERY\x00")
+    return prefix
+
+
+def build_ie_prompt(
+    query_text: str, demos: list[dict], prefix: str | None = None
+) -> str:
+    """demos: [{"text": str, "triplets": list[dict]}] selected by the
+    retriever (constant per corpus — quirk Q1). Pass a cached ``prefix``
+    from :func:`make_ie_prefix` to skip re-rendering the demos."""
+    if prefix is None:
+        prefix = make_ie_prefix(demos)
+    return f"{prefix}{query_text}{_IE_QUERY_SUFFIX}"
 
 
 def build_et_prompt(triples: list[dict]) -> str:

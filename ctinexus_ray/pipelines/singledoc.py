@@ -35,9 +35,18 @@ from ctinexus_ray.stages.docops import (
 # ---------------------------------------------------------------------------
 
 
-def run_ie(text: str, client: LLMClient, config: PipelineConfig, demos: list[dict]) -> dict:
-    """Few-shot triple extraction (reference ctinexus/llm_processor.py:1101-1138)."""
-    prompt = build_ie_prompt(text, demos)
+def run_ie(
+    text: str,
+    client: LLMClient,
+    config: PipelineConfig,
+    demos: list[dict],
+    ie_prefix: str | None = None,
+) -> dict:
+    """Few-shot triple extraction (reference ctinexus/llm_processor.py:1101-1138).
+
+    ``ie_prefix``: cached static prompt prefix (see prompts.make_ie_prefix)
+    — actors pass it to avoid re-rendering the constant demo block per doc."""
+    prompt = build_ie_prompt(text, demos, prefix=ie_prefix)
     start = time.perf_counter()
     response, in_tok, out_tok = call_with_retry(
         lambda: client.complete(prompt, temperature=config.temperature),
@@ -254,9 +263,10 @@ def process_document(
     config: PipelineConfig,
     demos: list[dict],
     embed_cache: dict[str, list[float]] | None = None,
+    ie_prefix: str | None = None,
 ) -> dict:
     """Run one document through all four stages; reference-shaped envelope."""
-    ie = run_ie(text, client, config, demos)
+    ie = run_ie(text, client, config, demos, ie_prefix=ie_prefix)
     et = run_et(ie["triplets"], client, config)
     ea = run_ea(et["typed_triplets"], client, config, embed_cache)
     lp = run_lp(text, ea["aligned_triplets"], client, config)

@@ -173,6 +173,32 @@ def write_cc_corpus(out_dir: str | Path, n_docs: int, rows_per_file: int = 10000
     return paths
 
 
+def write_cc_corpus_ray(
+    out_dir: str | Path, n_docs: int, num_shards: int = 64
+) -> str:
+    """Generate a large synthetic corpus IN PARALLEL with Ray (deterministic
+    per doc id regardless of sharding) and write one parquet file per
+    shard. Returns the directory; skips generation if it already exists
+    with the expected shard count."""
+    import ray
+    import ray.data
+
+    out = Path(out_dir)
+    if out.exists() and len(list(out.glob("*.parquet"))) >= num_shards:
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def render(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id").to_pylist()
+        return pa.Table.from_pylist([make_cc_row(i) for i in ids], schema=CC_SCHEMA)
+
+    ds = ray.data.range(n_docs).repartition(num_shards).map_batches(
+        render, batch_format="pyarrow"
+    )
+    ds.write_parquet(str(out))
+    return str(out)
+
+
 def cc_table_from_texts(doc_ids: list[int], texts: list[str]) -> pa.Table:
     """Adapter: wrap existing (doc_id, text) rows — e.g. the driver's
     ``documents.parquet`` — into the Common-Crawl input shape."""

@@ -45,9 +45,14 @@ class _ActorBase:
     """Shared actor setup: client + config built once per actor process."""
 
     def __init__(self, config: PipelineConfig, demos: list[dict] | None = None):
+        from ctinexus_ray.llm.prompts import make_ie_prefix
+
         self.config = config
         self.client = get_client(config)
         self.demos = demos or []
+        # static few-shot prompt prefix rendered ONCE per actor (quirk Q1:
+        # the demo selection is a corpus constant)
+        self.ie_prefix = make_ie_prefix(self.demos)
         # corpus-level embedding cache (normalized mention text -> vector);
         # lives for the actor's lifetime, shared across batches
         self.embed_cache: dict[str, list[float]] = {}
@@ -60,7 +65,8 @@ class KGDocStage(_ActorBase):
         texts = batch.column("cti_text").to_pylist()
         envelopes = [
             singledoc.process_document(
-                text, self.client, self.config, self.demos, self.embed_cache
+                text, self.client, self.config, self.demos, self.embed_cache,
+                ie_prefix=self.ie_prefix,
             )
             for text in texts
         ]
@@ -129,7 +135,10 @@ class IEStage(_ActorBase):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         results = [
-            singledoc.run_ie(text, self.client, self.config, self.demos)
+            singledoc.run_ie(
+                text, self.client, self.config, self.demos,
+                ie_prefix=self.ie_prefix,
+            )
             for text in batch.column("cti_text").to_pylist()
         ]
         out = batch.append_column(
