@@ -170,6 +170,41 @@ def _q_langid(sf_dir: str):
     )
 
 
+# --- relational / temporal ---------------------------------------------------
+
+
+def _events(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _q_events_hourly(sf_dir: str):
+    from ctinexus_ray.ops.relational import hourly_event_counts
+
+    return hourly_event_counts(_events(sf_dir))
+
+
+def _q_event_sessions(sf_dir: str):
+    from ctinexus_ray.ops.relational import sessionize
+
+    return sessionize(_events(sf_dir), gap_seconds=1800)
+
+
+def _q_orders_per_customer(sf_dir: str):
+    import ray.data
+
+    from ctinexus_ray.ops.relational import broadcast_join_count
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    return broadcast_join_count(
+        orders, customer, "o_custkey", "c_custkey", ["c_mktsegment"]
+    )
+
+
 # --- KG pipeline -------------------------------------------------------------
 
 
@@ -235,6 +270,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "simhash": _q_simhash,
         "langid": _q_langid,
+        "events_hourly": _q_events_hourly,
+        "event_sessions": _q_event_sessions,
+        "orders_per_customer": _q_orders_per_customer,
         "kg_extract": _q_kg_extract,
         "kg_triples": _q_kg_triples,
         "kg_nodes": _q_kg_nodes,
@@ -312,6 +350,22 @@ def oracle_sql() -> dict[str, str]:
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.35"
+        ),
+        "events_hourly": (
+            "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, "
+            "event_type, count(*) AS n_events FROM events GROUP BY 1, 2"
+        ),
+        "event_sessions": (
+            "WITH ordered AS (SELECT user_id, ts, lag(ts) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) "
+            "SELECT user_id, CAST(count(CASE WHEN prev IS NULL "
+            "OR epoch(ts) - epoch(prev) > 1800 THEN 1 END) AS BIGINT) "
+            "AS n_sessions, count(*) AS n_events FROM ordered GROUP BY user_id"
+        ),
+        "orders_per_customer": (
+            "SELECT o_custkey AS key, c_mktsegment, count(*) AS n "
+            "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+            "GROUP BY 1, 2"
         ),
         # minhash_pairs / simhash / langid / kg_* / multimodal_features:
         # deterministic but not ANSI-SQL-expressible (stable hashing, mock

@@ -1,0 +1,120 @@
+"""Relational / temporal operators: broadcast join, tumbling-window
+aggregate, gap sessionization.
+
+The reference has no relational joins (SURVEY §2.4) — these are the
+corpus-scale patterns the engine adds:
+
+  * broadcast join — small side shipped ONCE via ``ray.put``, looked up
+    inside ``map_batches`` (no shuffle of the big side)
+  * tumbling window — vectorized epoch-bucket derivation + groupby
+  * sessionization — ``groupby(user).map_groups`` with in-group time sort
+    (the partitioning assumption: one user's events fit in one group)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+MICROS_PER_HOUR = 3_600_000_000
+
+
+def hourly_event_counts(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Tumbling 1-hour window: (hour_ts, event_type, n_events).
+    ``hour_ts`` = epoch seconds of the window start (int64, vectorized
+    from the timestamp column — no Python datetime objects in the loop)."""
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        micros = batch.column("ts").cast(pa.int64())
+        hours = pc.multiply(
+            pc.divide(micros, MICROS_PER_HOUR), 3600
+        )  # integer division: timestamps are non-negative
+        return pa.Table.from_pydict(
+            {
+                "hour_ts": hours.cast(pa.int64()),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    bucketed = events.select_columns(["ts", "event_type"]).map_batches(
+        add_hour, batch_format="pyarrow"
+    )
+    agg = bucketed.groupby(["hour_ts", "event_type"]).aggregate(Count())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["n_events" if c == "count()" else c for c in batch.column_names]
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def sessionize(events: ray.data.Dataset, gap_seconds: int = 1800) -> ray.data.Dataset:
+    """Per-user session counts with a ``gap_seconds`` inactivity gap:
+    (user_id, n_sessions, n_events).
+
+    One shuffle on user_id; each group sorts its own events by (ts,
+    event_id) — deterministic tie-break. Scale note: a single user's
+    events must fit in a group; pathological users would need day-salting
+    (documented partitioning assumption).
+    """
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="stable")
+        ts = g["ts"]
+        prev = ts.shift(1)
+        gaps = (ts - prev).dt.total_seconds()
+        n_sessions = int((gaps.isna() | (gaps > gap_seconds)).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [n_sessions],
+                "n_events": [len(g)],
+            }
+        )
+
+    return (
+        events.select_columns(["event_id", "ts", "user_id"])
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+def broadcast_join_count(
+    big: ray.data.Dataset,
+    small: ray.data.Dataset,
+    big_key: str,
+    small_key: str,
+    attach: list[str],
+) -> ray.data.Dataset:
+    """Count rows of ``big`` per key, attaching ``attach`` columns from the
+    ``small`` side via a driver-built broadcast dict (``ray.put`` once,
+    ``ray.get`` per task — never reshipped per batch).
+
+    Returns (key, *attach, n). The small side must fit in one object —
+    dimension tables do; for two large sides use a key-partitioned
+    groupby co-shuffle instead.
+    """
+    lookup = {
+        r[small_key]: tuple(r[c] for c in attach) for r in small.iter_rows()
+    }
+    lookup_ref = ray.put(lookup)
+
+    counted = big.groupby(big_key).aggregate(Count())
+
+    def attach_cols(batch: pa.Table) -> pa.Table:
+        table = ray.get(lookup_ref)
+        keys = batch.column(big_key).to_pylist()
+        cols: dict[str, list] = {"key": keys}
+        for i, name in enumerate(attach):
+            cols[name] = [
+                table.get(k, (None,) * len(attach))[i] for k in keys
+            ]
+        cols["n"] = batch.column("count()").to_pylist()
+        return pa.Table.from_pydict(cols)
+
+    return counted.map_batches(attach_cols, batch_format="pyarrow")
