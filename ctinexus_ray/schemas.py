@@ -40,12 +40,13 @@ TRIPLES_SCHEMA = pa.schema(
 )
 
 # map-side partial rows feeding the canonicalization groupby:
-# one row per (document, per-doc entity)
+# one row per (document, entity_key); class_rank = "<count:09d>|<class>"
+# so the reducer's class pick is a plain vectorized Max
 ENTITY_PARTIAL_SCHEMA = pa.schema(
     [
         ("entity_key", pa.int64()),
         ("entity_text", pa.string()),
-        ("entity_class", pa.string()),
+        ("class_rank", pa.string()),
         ("doc_url", pa.string()),
         ("mention_count", pa.int64()),
     ]

@@ -9,11 +9,10 @@ from __future__ import annotations
 import hashlib
 import json
 import re
-from collections import Counter
 
 import pyarrow as pa
 
-from ctinexus_ray.schemas import ENTITY_PARTIAL_SCHEMA, TRIPLES_SCHEMA
+from ctinexus_ray.schemas import TRIPLES_SCHEMA
 
 HALLUCINATION_ENTITY_ID = -2
 
@@ -88,13 +87,16 @@ def explode_triples_batch(batch: pa.Table) -> pa.Table:
 
 def entity_partials_batch(batch: pa.Table) -> pa.Table:
     """Map-side combine for the canonicalization shuffle: flat triples ->
-    one row per (doc, per-doc entity) with within-batch mention counts.
+    ONE row per (doc, entity_key) with within-doc mention counts.
 
     Pre-aggregating here (instead of shipping one row per mention) is the
     head-key skew mitigation of SURVEY §7.3: a hot entity mentioned 50
-    times in a document contributes ONE row to the shuffle.
+    times in a document contributes ONE row to the shuffle. The
+    ``class_rank`` column ("<zero-padded in-doc count>|<class>") lets the
+    reducer pick a deterministic per-key class with a plain vectorized
+    ``Max`` instead of a per-group Python reduce.
     """
-    counter: Counter = Counter()
+    per_doc: dict[tuple[int, str], list] = {}
     for side in ("subj", "obj"):
         texts = batch.column(f"{side}_entity_text").to_pylist()
         classes = batch.column(f"{side}_class").to_pylist()
@@ -103,24 +105,31 @@ def entity_partials_batch(batch: pa.Table) -> pa.Table:
         for text, cls, eid, url in zip(texts, classes, ids, urls):
             if eid == HALLUCINATION_ENTITY_ID or not text:
                 continue
-            counter[(entity_key(text), text, cls, url)] += 1
+            key = entity_key(text)
+            slot = per_doc.get((key, url))
+            if slot is None:
+                # [text, class, count] — first-seen text/class variant wins
+                # within the doc (variants of a key differ only in
+                # case/whitespace: same key <=> same normalized text)
+                per_doc[(key, url)] = [text, cls, 1]
+            else:
+                slot[2] += 1
 
-    keys, etexts, eclasses, urls_out, counts = [], [], [], [], []
-    for (key, text, cls, url), count in counter.items():
+    keys, etexts, ranks, urls_out, counts = [], [], [], [], []
+    for (key, url), (text, cls, count) in per_doc.items():
         keys.append(key)
         etexts.append(text)
-        eclasses.append(cls)
+        ranks.append(f"{count:09d}|{cls}")
         urls_out.append(url)
         counts.append(count)
     return pa.Table.from_pydict(
         {
-            "entity_key": keys,
-            "entity_text": etexts,
-            "entity_class": eclasses,
-            "doc_url": urls_out,
-            "mention_count": counts,
-        },
-        schema=ENTITY_PARTIAL_SCHEMA,
+            "entity_key": pa.array(keys, type=pa.int64()),
+            "entity_text": pa.array(etexts, type=pa.string()),
+            "class_rank": pa.array(ranks, type=pa.string()),
+            "doc_url": pa.array(urls_out, type=pa.string()),
+            "mention_count": pa.array(counts, type=pa.int64()),
+        }
     )
 
 
