@@ -39,10 +39,11 @@ def _init_ray(num_cpus: int):
 def _config(num_cpus: int):
     from ctinexus_ray.config import PipelineConfig
 
-    # size the fused KG actor pool to the session: leave a few CPUs for the
-    # read/extract/explode task pools
-    pool_max = max(2, num_cpus - 2)
-    return PipelineConfig(llm_concurrency=(2, pool_max), llm_num_cpus=1.0)
+    # FIXED-size KG actor pool (min=max — autoscaling ramps too slowly and
+    # measurably underutilizes short jobs), leaving CPUs for the
+    # read/write/explode task pools
+    pool = max(2, num_cpus - 4)
+    return PipelineConfig(llm_concurrency=(pool, pool), llm_num_cpus=1.0)
 
 
 def bench_kg(sf_dir: str, num_cpus: int, cc_dir: str | None = None) -> dict:

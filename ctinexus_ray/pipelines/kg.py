@@ -82,32 +82,33 @@ def triples_dataset(kg_ds: ray.data.Dataset, config: PipelineConfig) -> ray.data
 
 
 def canonicalize_nodes(
-    triples_ds: ray.data.Dataset, config: PipelineConfig
+    docs_kg_ds: ray.data.Dataset, config: PipelineConfig
 ) -> ray.data.Dataset:
     """Cross-document entity canonicalization — the one wide shuffle.
 
-    map-side combine (entity_partials_batch: ONE row per (doc, entity_key))
-    -> a single ``groupby(entity_key)`` with BUILT-IN vectorized aggregates
-    (Sum/Count/Max) -> a cheap rename/strip map. No per-group Python
-    function runs anywhere: with 10^9+ distinct entities, a per-group
-    ``map_groups`` callback would pay ~1 ms of interpreter overhead per
-    key and dominate the job (measured: it did, at 400k docs).
+    Input: per-DOCUMENT kg rows (``kg_aligned_json`` [+ ``kg_links_json``])
+    — doc-aligned batching keeps doc counts exact. Two map-side combine
+    levels (entity_partials_batch) -> a single ``groupby(entity_key)``
+    with BUILT-IN vectorized aggregates (Sum/Max) -> a cheap strip map.
 
-    Canonical rules (deterministic regardless of partitioning; documented
-    engine semantics — the reference's A1 most-frequent-mention rule
-    applies WITHIN a document, in merge_doc):
-      * entity_text  = Max over the per-doc first-seen variants — variants
-        of one key differ only in case/whitespace (key = hash of the
-        normalized text), so any deterministic pick is equivalent
-      * entity_class = class of the (doc,key) row with the highest in-doc
-        mention count, ties toward the lexicographically greatest class
-        (encoded in the pre-built ``class_rank`` column so a plain Max
-        suffices)
-      * doc_count    = exact Count of (doc,key) rows
+    No per-group Python function runs anywhere on this path: with 10^9+
+    distinct entities, a per-group ``map_groups`` callback pays ~1 ms of
+    interpreter overhead per key and dominates the job (measured at 400k
+    docs before this design).
+
+    Canonical rules (deterministic regardless of partitioning; the
+    reference's A1 most-frequent-mention rule applies WITHIN a document,
+    in merge_doc — cross-doc canonicalization is this engine's addition):
+      * entity_text  = Max over per-doc first-seen variants (variants of a
+        key differ only in case/whitespace — key = hash(normalized text))
+      * entity_class = class of the (doc,key) record with the highest
+        in-doc mention count, ties toward the lexicographically greatest
+        class (pre-encoded in ``class_rank`` so a plain Max suffices)
+      * doc_count / mention_count = exact Sums of the batch partials
     """
-    from ray.data.aggregate import Count, Max, Sum
+    from ray.data.aggregate import Max, Sum
 
-    partials = triples_ds.map_batches(
+    partials = docs_kg_ds.map_batches(
         entity_partials_batch,
         batch_format="pyarrow",
         batch_size=config.cpu_batch_size,
@@ -115,7 +116,8 @@ def canonicalize_nodes(
     if config.canon_num_partitions:
         partials = partials.repartition(config.canon_num_partitions)
     agg = partials.groupby("entity_key").aggregate(
-        Max("entity_text"), Max("class_rank"), Count(), Sum("mention_count")
+        Max("entity_text"), Max("class_rank"), Sum("doc_count"),
+        Sum("mention_count"),
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -127,7 +129,7 @@ def canonicalize_nodes(
                 "entity_class": pa.array(
                     [r.split("|", 1)[1] for r in ranks], type=pa.string()
                 ),
-                "doc_count": batch.column("count()"),
+                "doc_count": batch.column("sum(doc_count)"),
                 "mention_count": batch.column("sum(mention_count)"),
             }
         )
@@ -221,7 +223,7 @@ def run_kg_to_parquet(
 
     triples_read = ray.data.read_parquet(triples_path)
     nodes_path = str(out / "nodes")
-    canonicalize_nodes(triples_read, config).write_parquet(nodes_path)
+    canonicalize_nodes(docs_kg, config).write_parquet(nodes_path)
     edges_path = str(out / "edges")
     edges_dataset(triples_read, config).write_parquet(edges_path)
     metrics_path = str(out / "metrics")
@@ -251,6 +253,8 @@ def build_kg(
     triples = triples_dataset(kg, config)
     return {
         "triples": triples,
-        "nodes": canonicalize_nodes(triples, config),
+        "nodes": canonicalize_nodes(
+            kg.select_columns(["url", "kg_aligned_json", "kg_links_json"]), config
+        ),
         "edges": edges_dataset(triples, config),
     }

@@ -86,49 +86,76 @@ def explode_triples_batch(batch: pa.Table) -> pa.Table:
 
 
 def entity_partials_batch(batch: pa.Table) -> pa.Table:
-    """Map-side combine for the canonicalization shuffle: flat triples ->
-    ONE row per (doc, entity_key) with within-doc mention counts.
+    """Map-side combine for the canonicalization shuffle, computed from
+    PER-DOCUMENT rows (``kg_aligned_json`` / ``kg_links_json``) so a
+    document is never split across batches and doc counts stay exact.
 
-    Pre-aggregating here (instead of shipping one row per mention) is the
-    head-key skew mitigation of SURVEY §7.3: a hot entity mentioned 50
-    times in a document contributes ONE row to the shuffle. The
-    ``class_rank`` column ("<zero-padded in-doc count>|<class>") lets the
-    reducer pick a deterministic per-key class with a plain vectorized
-    ``Max`` instead of a per-group Python reduce.
+    Two combine levels before the wide groupby (SURVEY §7.3 skew
+    mitigation):
+      1. within doc:   all mentions of an entity -> one (doc, key) record
+      2. within batch: all docs' records of a key -> ONE shuffle row
+         (entity_key, entity_text, class_rank, doc_count, mention_count)
+
+    A planet-hot entity therefore ships one row per BATCH (not per doc or
+    mention). ``class_rank`` = "<zero-padded in-doc count>|<class>" of the
+    best in-doc record, so the reducer picks a deterministic class with a
+    plain vectorized ``Max``; text variants of one key differ only in
+    case/whitespace (key = hash of normalized text), so ``Max`` over texts
+    is an equivalent deterministic canonical pick.
     """
-    per_doc: dict[tuple[int, str], list] = {}
-    for side in ("subj", "obj"):
-        texts = batch.column(f"{side}_entity_text").to_pylist()
-        classes = batch.column(f"{side}_class").to_pylist()
-        ids = batch.column(f"{side}_entity_id").to_pylist()
-        urls = batch.column("doc_url").to_pylist()
-        for text, cls, eid, url in zip(texts, classes, ids, urls):
-            if eid == HALLUCINATION_ENTITY_ID or not text:
-                continue
+    per_key: dict[int, list] = {}  # key -> [text, rank, doc_count, mentions]
+    aligned_col = batch.column("kg_aligned_json").to_pylist()
+    links_col = (
+        batch.column("kg_links_json").to_pylist()
+        if "kg_links_json" in batch.column_names
+        else [None] * batch.num_rows
+    )
+    for aligned_json, links_json in zip(aligned_col, links_col):
+        doc_counts: dict[int, list] = {}  # key -> [text, class, count]
+        def see(text, cls):
+            if not text or text == "hallucination":
+                return
             key = entity_key(text)
-            slot = per_doc.get((key, url))
+            slot = doc_counts.get(key)
             if slot is None:
-                # [text, class, count] — first-seen text/class variant wins
-                # within the doc (variants of a key differ only in
-                # case/whitespace: same key <=> same normalized text)
-                per_doc[(key, url)] = [text, cls, 1]
+                doc_counts[key] = [text, cls, 1]
             else:
                 slot[2] += 1
 
-    keys, etexts, ranks, urls_out, counts = [], [], [], [], []
-    for (key, url), (text, cls, count) in per_doc.items():
-        keys.append(key)
-        etexts.append(text)
-        ranks.append(f"{count:09d}|{cls}")
-        urls_out.append(url)
-        counts.append(count)
+        for triple in json.loads(aligned_json):
+            for side in ("subject", "object"):
+                node = triple[side]
+                see(node.get("entity_text") or node.get("mention_text"),
+                    node.get("mention_class", "default"))
+        if links_json:
+            for link in json.loads(links_json):
+                for side in ("subject", "object"):
+                    node = link[side]
+                    if node.get("entity_id") == "hallucination":
+                        continue
+                    see(node.get("entity_text") or node.get("mention_text"),
+                        node.get("mention_class", "default"))
+
+        for key, (text, cls, count) in doc_counts.items():
+            rank = f"{count:09d}|{cls}"
+            slot = per_key.get(key)
+            if slot is None:
+                per_key[key] = [text, rank, 1, count]
+            else:
+                if text > slot[0]:
+                    slot[0] = text
+                if rank > slot[1]:
+                    slot[1] = rank
+                slot[2] += 1
+                slot[3] += count
+
     return pa.Table.from_pydict(
         {
-            "entity_key": pa.array(keys, type=pa.int64()),
-            "entity_text": pa.array(etexts, type=pa.string()),
-            "class_rank": pa.array(ranks, type=pa.string()),
-            "doc_url": pa.array(urls_out, type=pa.string()),
-            "mention_count": pa.array(counts, type=pa.int64()),
+            "entity_key": pa.array(list(per_key.keys()), type=pa.int64()),
+            "entity_text": pa.array([v[0] for v in per_key.values()], type=pa.string()),
+            "class_rank": pa.array([v[1] for v in per_key.values()], type=pa.string()),
+            "doc_count": pa.array([v[2] for v in per_key.values()], type=pa.int64()),
+            "mention_count": pa.array([v[3] for v in per_key.values()], type=pa.int64()),
         }
     )
 
