@@ -36,13 +36,16 @@ def _init_ray(num_cpus: int):
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
 
 
-def _config(num_cpus: int):
+def _config(num_cpus: int, n_docs: int | None = None):
     from ctinexus_ray.config import PipelineConfig
 
     # FIXED-size KG actor pool (min=max — autoscaling ramps too slowly and
     # measurably underutilizes short jobs), leaving CPUs for the
-    # read/write/explode task pools
+    # read/write/explode task pools; capped by corpus size so tiny inputs
+    # don't pay 28 actor startups for a 10-second job
     pool = max(2, num_cpus - 4)
+    if n_docs is not None:
+        pool = max(2, min(pool, n_docs // 1000))
     return PipelineConfig(llm_concurrency=(pool, pool), llm_num_cpus=1.0)
 
 
@@ -61,9 +64,9 @@ def bench_kg(sf_dir: str, num_cpus: int, cc_dir: str | None = None) -> dict:
     from ctinexus_ray.pipelines.kg import run_kg_to_parquet
     from ctinexus_ray.sources.documents import read_cc, read_testdata_as_cc
 
-    cfg = _config(num_cpus)
     docs = read_cc(cc_dir) if cc_dir else read_testdata_as_cc(sf_dir)
     n_docs = docs.count()
+    cfg = _config(num_cpus, n_docs)
 
     out_dir = Path("/tmp/bench_kg_out")
     shutil.rmtree(out_dir, ignore_errors=True)

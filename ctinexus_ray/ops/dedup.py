@@ -162,7 +162,45 @@ def minhash_candidate_pairs(
         },
         batch_format="pyarrow",
         concurrency=(1, 8),
-    )
+    ).materialize()
+
+    # Buckets of size 1 (the overwhelming majority) can never yield a
+    # pair; pre-filtering with a vectorized Count before the per-group
+    # pair generation keeps the Python map_groups path off the cold data.
+    # Scale path: replace the driver-side hot-set with a broadcast Bloom
+    # filter when the number of colliding buckets itself is huge.
+    counts = sigs.groupby(["band", "bucket"]).aggregate(Count())
+
+    def only_multi(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch.column("count()"), 2))
+
+    hot = {
+        (r["band"], r["bucket"])
+        for r in counts.map_batches(only_multi, batch_format="pyarrow").iter_rows()
+    }
+    if not hot:
+        return ray.data.from_items([]).map_batches(
+            lambda b: pa.Table.from_pydict(
+                {"a": pa.array([], type=pa.int64()),
+                 "b": pa.array([], type=pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    hot_ref = ray.put(hot)
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        hot_set = ray.get(hot_ref)
+        mask = [
+            (band, bucket) in hot_set
+            for band, bucket in zip(
+                batch.column("band").to_pylist(), batch.column("bucket").to_pylist()
+            )
+        ]
+        return batch.filter(pa.array(mask))
+
+    survivors = sigs.map_batches(keep_hot, batch_format="pyarrow")
 
     def bucket_to_pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(group["doc_id"].tolist()))[:max_bucket]
@@ -172,7 +210,7 @@ def minhash_candidate_pairs(
                                  "b": pd.Series([], dtype="int64")})
         return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
 
-    pairs = sigs.groupby(["band", "bucket"]).map_groups(
+    pairs = survivors.groupby(["band", "bucket"]).map_groups(
         bucket_to_pairs, batch_format="pandas"
     )
     # distinct across bands: one more small shuffle
@@ -304,7 +342,30 @@ def ngram_jaccard_pairs(
 
     shingles = docs.select_columns(["doc_id", "text"]).map_batches(
         shingle_rows, batch_format="pyarrow"
-    )
+    ).materialize()
+
+    # vectorized pre-filter: shingles appearing in a single doc never form
+    # a pair — keep the per-group Python path off them (same optimization
+    # and scale caveat as minhash_candidate_pairs)
+    counts = shingles.groupby("shingle").aggregate(Count())
+
+    def only_multi(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch.column("count()"), 2))
+
+    hot = {
+        r["shingle"]
+        for r in counts.map_batches(only_multi, batch_format="pyarrow").iter_rows()
+    }
+    hot_ref = ray.put(hot)
+
+    def keep_hot(batch: pa.Table) -> pa.Table:
+        hot_set = ray.get(hot_ref)
+        mask = [s in hot_set for s in batch.column("shingle").to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    shingles = shingles.map_batches(keep_hot, batch_format="pyarrow")
 
     def posting_to_pairs(group: pd.DataFrame) -> pd.DataFrame:
         rows = sorted(
