@@ -241,6 +241,15 @@ def _q_kg_extract(sf_dir: str):
     return ds.select_columns(["url", "extracted_text", "cti_text"])
 
 
+def _q_url_source(sf_dir: str):
+    """URL-source ingestion records (extract + summarize + repair)."""
+    from ctinexus_ray.config import PipelineConfig
+    from ctinexus_ray.sources.documents import read_testdata_as_cc
+    from ctinexus_ray.stages.urlsource import url_source_dataset
+
+    return url_source_dataset(read_testdata_as_cc(sf_dir), PipelineConfig())
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray.data
 
@@ -277,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
+        "url_source": _q_url_source,
         "multimodal_features": _q_multimodal_features,
     }
 

@@ -1,0 +1,96 @@
+"""CLI entry point.
+
+Single-document mode mirrors the reference CLI (reference
+ctinexus/app.py:98-195): read report text from --text / --input-file, run
+IE -> ET -> EA -> LP, write the nested JSON result envelope (indent=4) to
+--output or stdout. No Ray session is needed for one document.
+
+Corpus mode runs the distributed pipeline over a Common-Crawl-shaped
+parquet directory and writes triples/nodes/edges/metrics parquet.
+
+    python -m ctinexus_ray --text "APT29 used PowerShell ..."
+    python -m ctinexus_ray --input-file report.txt --output result.json
+    python -m ctinexus_ray corpus --input /data/cc --output /data/kg
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def run_single(args) -> int:
+    from ctinexus_ray.config import PipelineConfig
+    from ctinexus_ray.eval import focus_text
+    from ctinexus_ray.llm.client import get_client
+    from ctinexus_ray.pipelines.kg import default_demos
+    from ctinexus_ray.pipelines.singledoc import process_document
+
+    if args.text:
+        text = args.text
+    elif args.input_file:
+        with open(args.input_file, encoding="utf-8") as fh:
+            text = fh.read()
+    else:
+        print("error: provide --text or --input-file", file=sys.stderr)
+        return 2
+
+    config = PipelineConfig(
+        provider=args.provider,
+        model=args.model,
+        similarity_threshold=args.similarity_threshold,
+    )
+    client = get_client(config)
+    demos = default_demos(config)
+    envelope = process_document(focus_text(text, config), client, config, demos)
+    payload = json.dumps(envelope, indent=4)
+    if args.output:
+        with open(args.output, "w", encoding="utf-8") as fh:
+            fh.write(payload)
+        print(f"wrote {args.output}")
+    else:
+        print(payload)
+    return 0
+
+
+def run_corpus(args) -> int:
+    import ray
+
+    from ctinexus_ray.config import PipelineConfig
+    from ctinexus_ray.pipelines.kg import read_documents, run_kg_to_parquet
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    config = PipelineConfig(similarity_threshold=args.similarity_threshold)
+    paths = run_kg_to_parquet(read_documents(args.input), args.output, config)
+    print(json.dumps(paths, indent=2))
+    ray.shutdown()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="ctinexus_ray")
+    parser.add_argument("--text", help="report text")
+    parser.add_argument("--input-file", help="path to a report text file")
+    parser.add_argument("--output", help="output path (JSON envelope)")
+    parser.add_argument("--provider", default="mock")
+    parser.add_argument("--model", default="mock-1")
+    parser.add_argument(
+        "--similarity-threshold", type=float, default=0.6,
+        help="EA cosine threshold (0-1)",
+    )
+    sub = parser.add_subparsers(dest="command")
+    corpus = sub.add_parser("corpus", help="run the distributed pipeline")
+    corpus.add_argument("--input", required=True, help="parquet dir (CC shape)")
+    corpus.add_argument("--output", required=True, help="output dir")
+    corpus.add_argument("--similarity-threshold", type=float, default=0.6)
+
+    args = parser.parse_args(argv)
+    if args.command == "corpus":
+        return run_corpus(args)
+    return run_single(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

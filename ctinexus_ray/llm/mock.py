@@ -220,7 +220,7 @@ class MockLLM:
 
     # -- stage dispatch -----------------------------------------------------
 
-    def _respond(self, prompt: str) -> dict:
+    def _respond(self, prompt: str):
         link = _LINK_RE.search(prompt)
         if link and "predicted_triple" in prompt:
             return self._respond_link(prompt, link.group(1), link.group(2))
@@ -230,7 +230,32 @@ class MockLLM:
         et = _ET_TRIPLES_RE.search(prompt)
         if et and "typed_triplets" in prompt:
             return self._respond_et(et.group(1).strip())
+        if prompt.startswith("Summarize the following threat report"):
+            return self._respond_summary(prompt)
+        if prompt.startswith("Rewrite the draft summary"):
+            return self._respond_repair(prompt)
         return {"triplets": []}
+
+    @staticmethod
+    def _summary_of(content: str) -> str:
+        sentences = [s.strip() for s in re.split(r"(?<=[.!?])\s+", content) if s.strip()]
+        return " ".join(sentences[:4])
+
+    def _respond_summary(self, prompt: str):
+        content = prompt.split("Report content:\n", 1)[-1]
+        summary = self._summary_of(content)
+        # deterministically drift to an ill-formed shape on a hash subset so
+        # the well-formedness check + repair pass (E5/E13) are exercised
+        if stable_hash(content) % 5 == 0:
+            return "Here is a summary. " + summary
+        return summary
+
+    def _respond_repair(self, prompt: str):
+        draft = prompt.split("Draft summary:\n", 1)[-1].split("\n\nSource excerpt:", 1)[0]
+        for prefix in ("Here is a summary. ", "Here is ", "Summary: "):
+            if draft.startswith(prefix):
+                draft = draft[len(prefix):]
+        return draft.strip()
 
     def _respond_ie(self, query_text: str) -> dict:
         canned = self.canned_triples.get(query_text)
@@ -285,9 +310,12 @@ class MockLLM:
     # -- response rendering (exercises the rescue parser) -------------------
 
     @staticmethod
-    def _render(payload: dict, prompt: str) -> str:
+    def _render(payload, prompt: str) -> str:
         """Serialize; by prompt hash occasionally emit rescuable
-        malformations (fences / chatter prefix / trailing comma)."""
+        malformations (fences / chatter prefix / trailing comma).
+        String payloads (summaries) pass through untouched."""
+        if isinstance(payload, str):
+            return payload
         text = json.dumps(payload)
         mode = stable_hash(prompt) % 17
         if mode == 0:

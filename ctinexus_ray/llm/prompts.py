@@ -134,6 +134,54 @@ def build_et_prompt(triples: list[dict]) -> str:
     )
 
 
+_SUMMARY_TEMPLATE = _ENV.from_string(
+    """Summarize the following threat report as a single dense CTI paragraph \
+of 3-6 sentences. Keep every actor, malware, tool, CVE, IOC and sector \
+mention; no bullets, no headers, no preamble.
+
+URL: {{ url }}
+Domain: {{ domain }}
+Title: {{ title }}
+
+Report content:
+{{ content }}"""
+)
+
+_REPAIR_TEMPLATE = _ENV.from_string(
+    """Rewrite the draft summary below as EXACTLY one plain paragraph of 3-6 \
+sentences — no bullets, headers, or preamble — preserving all technical \
+indicators.
+
+URL: {{ url }}
+Domain: {{ domain }}
+Title: {{ title }}
+
+Draft summary:
+{{ draft }}
+
+Source excerpt:
+{{ excerpt }}"""
+)
+
+
+def build_summary_prompt(url: str, domain: str, title: str | None, content: str) -> str:
+    """URL-source summarization prompt (reference url_source_input.jinja via
+    ctinexus/llm_processor.py:315-359); runs at temperature 0.0."""
+    return _SUMMARY_TEMPLATE.render(
+        url=url, domain=domain, title=title or "", content=content
+    )
+
+
+def build_repair_prompt(
+    url: str, domain: str, title: str | None, draft: str, excerpt: str
+) -> str:
+    """Summary repair prompt (reference ctinexus/llm_processor.py:702-721:
+    inlines url/domain/title + the first 9000 chars of focused text)."""
+    return _REPAIR_TEMPLATE.render(
+        url=url, domain=domain, title=title or "", draft=draft, excerpt=excerpt[:9000]
+    )
+
+
 def build_link_prompt(cti_text: str, main_node_text: str, topic_node_text: str) -> str:
     return _LINK_TEMPLATE.render(
         cti=cti_text, main_node=main_node_text, topic_node=topic_node_text
