@@ -237,6 +237,84 @@ def run_kg_to_parquet(
     }
 
 
+KG_DOC_COLUMNS = [
+    "url", "kg_aligned_json", "kg_links_json", "triples_count",
+    "mentions_num", "entity_num", "subgraph_num", "dropped_triplets",
+    "llm_input_tokens", "llm_output_tokens", "embed_tokens",
+]
+
+
+def run_kg_resumable(
+    input_files: list[str],
+    out_dir: str,
+    config: PipelineConfig | None = None,
+    demos: list[dict] | None = None,
+) -> dict:
+    """Resumable corpus run: the expensive per-doc stages execute per INPUT
+    SHARD, each committing a ``part-<pid>.parquet`` + ``_SUCCESS.<pid>.json``
+    lineage sidecar (rows, wall time, token/triple metrics) under
+    ``out_dir/docs_kg``. A restarted run skips committed shards, then
+    triples/nodes/edges/metrics are (re)derived from the full docs_kg
+    checkpoint — idempotent and cheap relative to the LLM stages.
+    """
+    from pathlib import Path
+
+    from ctinexus_ray.sources.documents import read_cc
+    from ctinexus_ray.state.checkpoint import run_resumable
+
+    config = config or PipelineConfig()
+    out = Path(out_dir)
+    docs_kg_dir = out / "docs_kg"
+
+    def pipeline(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return run_kg_stage(
+            extract_documents(ds, config), config, demos
+        ).select_columns(KG_DOC_COLUMNS)
+
+    def lineage_fn(table: pa.Table) -> dict:
+        def s(col):
+            return int(pa.compute.sum(table.column(col)).as_py() or 0)
+
+        return {
+            "docs": table.num_rows,
+            "triples": s("triples_count"),
+            "llm_input_tokens": s("llm_input_tokens"),
+            "llm_output_tokens": s("llm_output_tokens"),
+            "embed_tokens": s("embed_tokens"),
+        }
+
+    summary = run_resumable(
+        input_files, docs_kg_dir, pipeline, reader=read_cc, lineage_fn=lineage_fn
+    )
+
+    # derived outputs are idempotent re-computations over the docs_kg
+    # checkpoint — clear stale copies first (write_parquet appends files)
+    import shutil
+
+    for derived in ("triples", "nodes", "edges", "metrics"):
+        shutil.rmtree(out / derived, ignore_errors=True)
+
+    docs_kg = ray.data.read_parquet(str(docs_kg_dir))
+    triples_path = str(out / "triples")
+    docs_kg.map_batches(
+        explode_triples_batch, batch_format="pyarrow", batch_size=config.cpu_batch_size
+    ).write_parquet(triples_path)
+    nodes_path = str(out / "nodes")
+    canonicalize_nodes(docs_kg, config).write_parquet(nodes_path)
+    edges_path = str(out / "edges")
+    edges_dataset(ray.data.read_parquet(triples_path), config).write_parquet(edges_path)
+    metrics_path = str(out / "metrics")
+    metrics_dataset(docs_kg).write_parquet(metrics_path)
+    return {
+        **summary,
+        "docs_kg": str(docs_kg_dir),
+        "triples": triples_path,
+        "nodes": nodes_path,
+        "edges": edges_path,
+        "metrics": metrics_path,
+    }
+
+
 def build_kg(
     documents: ray.data.Dataset,
     config: PipelineConfig | None = None,

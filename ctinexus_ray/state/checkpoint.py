@@ -90,6 +90,7 @@ def run_resumable(
     out_dir: str | Path,
     pipeline: Callable[[ray.data.Dataset], ray.data.Dataset],
     reader: Callable[[str], ray.data.Dataset] | None = None,
+    lineage_fn: Callable[[pa.Table], dict] | None = None,
 ) -> dict:
     """Run ``pipeline`` per input partition, skipping completed ones.
 
@@ -111,15 +112,13 @@ def run_resumable(
         ds = pipeline(reader(input_file))
         table = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
         rows_total += table.num_rows
-        write_partition(
-            out_dir,
-            pid,
-            table,
-            {
-                "input_file": input_file,
-                "wall_time_s": round(time.time() - start, 3),
-            },
-        )
+        lineage = {
+            "input_file": input_file,
+            "wall_time_s": round(time.time() - start, 3),
+        }
+        if lineage_fn is not None:
+            lineage.update(lineage_fn(table))
+        write_partition(out_dir, pid, table, lineage)
     return {"processed": len(pending), "skipped": done, "rows": rows_total}
 
 
