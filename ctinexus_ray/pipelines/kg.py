@@ -38,7 +38,14 @@ def read_documents(paths: str | list[str], columns: list[str] | None = None) -> 
 
 def default_demos(config: PipelineConfig) -> list[dict]:
     """Driver-side demo selection — constant per corpus (quirk Q1), shipped
-    to IE actors as a constructor argument (broadcast once per actor)."""
+    to IE actors as a constructor argument (broadcast once per actor).
+
+    ``retriever == "fixed"`` means no few-shot demos at all (the
+    reference's other working retriever path,
+    ctinexus/llm_processor.py:1104-1107).
+    """
+    if config.retriever == "fixed":
+        return []
     return select_demos(
         make_demo_corpus(), shot=config.shot, permutation=config.permutation
     )
