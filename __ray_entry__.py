@@ -241,6 +241,41 @@ def _q_kg_extract(sf_dir: str):
     return ds.select_columns(["url", "extracted_text", "cti_text"])
 
 
+def _q_lineitem_status_counts(sf_dir: str):
+    """TPC-H-style grouped counts (safe integer aggregates only)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus", "l_linenumber"]
+    )
+    agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Count(), Sum("l_linenumber")
+    )
+    return _rename(agg, {"count()": "n_items", "sum(l_linenumber)": "sum_linenumber"})
+
+
+def _q_kg_degrees(sf_dir: str):
+    """Cross-document entity degree counts over the canonical edges (A4 at
+    corpus scale). Not SQL-expressible (mock pipeline) -> rows-only."""
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    edges = _kg(sf_dir)["edges"]
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        keys = (
+            batch.column("subj_key").to_pylist()
+            + batch.column("obj_key").to_pylist()
+        )
+        return pa.Table.from_pydict({"node_key": pa.array(keys, type=pa.int64())})
+
+    agg = edges.map_batches(endpoints, batch_format="pyarrow").groupby(
+        "node_key"
+    ).aggregate(Count())
+    return _rename(agg, {"count()": "degree"})
+
+
 def _q_url_source(sf_dir: str):
     """URL-source ingestion records (extract + summarize + repair)."""
     from ctinexus_ray.config import PipelineConfig
@@ -282,7 +317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "event_sessions": _q_event_sessions,
         "orders_per_customer": _q_orders_per_customer,
+        "lineitem_status_counts": _q_lineitem_status_counts,
         "kg_extract": _q_kg_extract,
+        "kg_degrees": _q_kg_degrees,
         "kg_triples": _q_kg_triples,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
@@ -376,6 +413,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey AS key, c_mktsegment, count(*) AS n "
             "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
             "GROUP BY 1, 2"
+        ),
+        "lineitem_status_counts": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n_items, "
+            "CAST(sum(l_linenumber) AS BIGINT) AS sum_linenumber "
+            "FROM lineitem GROUP BY 1, 2"
         ),
         # minhash_pairs / simhash / langid / kg_* / multimodal_features:
         # deterministic but not ANSI-SQL-expressible (stable hashing, mock

@@ -1,0 +1,55 @@
+"""``ray job submit`` entrypoint for the corpus KG pipeline.
+
+On a real cluster (the north_rule deployment shape):
+
+    ray job submit --working-dir . -- \
+        python jobs/kg_job.py --input s3://bucket/cc/ --output s3://bucket/kg/
+
+The job connects to the submitting cluster (``ray.init()`` with no
+address resolves RAY_ADDRESS inside the job runtime), streams the corpus
+through the resumable runner (per-shard commits + lineage sidecars), and
+exits cleanly so a rerun after any failure resumes where it stopped.
+
+In this sandbox there is no multi-node cluster or dashboard; the same
+entrypoint runs standalone: ``python jobs/kg_job.py --input ... --output ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", required=True, help="parquet dir or glob (CC shape)")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--similarity-threshold", type=float, default=0.6)
+    parser.add_argument("--pool", type=int, default=0, help="KG actor pool size (0 = auto)")
+    args = parser.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+    from ctinexus_ray.config import PipelineConfig
+    from ctinexus_ray.pipelines.kg import run_kg_resumable
+
+    files = sorted(glob.glob(f"{args.input.rstrip('/')}/*.parquet")) or [args.input]
+    num_cpus = int(ray.cluster_resources().get("CPU", 8))
+    pool = args.pool or max(2, num_cpus - 4)
+    config = PipelineConfig(
+        similarity_threshold=args.similarity_threshold,
+        llm_concurrency=(pool, pool),
+    )
+    result = run_kg_resumable(files, args.output, config)
+    print(json.dumps(result, indent=2))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

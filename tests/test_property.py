@@ -1,0 +1,101 @@
+"""Property-based tests (hypothesis) for the parser/normalizer invariants
+the pipeline depends on."""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ctinexus_ray.functions.jsonrescue import extract_json_from_response
+from ctinexus_ray.functions.text import build_cti_focus_text, normalize_text
+from ctinexus_ray.llm.mock import embed_text, rule_extract_triples
+from ctinexus_ray.ops.dedup import word_shingles
+from ctinexus_ray.stages.docops import preprocess_doc
+
+json_values = st.recursive(
+    st.none() | st.booleans() | st.integers() | st.text(max_size=20),
+    lambda children: st.lists(children, max_size=4)
+    | st.dictionaries(st.text(min_size=1, max_size=10), children, max_size=4),
+    max_leaves=10,
+)
+
+
+class TestJSONRescue:
+    @given(st.dictionaries(st.text(min_size=1, max_size=10), json_values, max_size=5))
+    @settings(max_examples=80, deadline=None)
+    def test_valid_json_roundtrips(self, obj):
+        assert extract_json_from_response(json.dumps(obj)) == obj
+
+    @given(st.dictionaries(st.text(min_size=1, max_size=8), st.integers(), min_size=1, max_size=4))
+    @settings(max_examples=50, deadline=None)
+    def test_fenced_json_recovered(self, obj):
+        assert extract_json_from_response(f"```json\n{json.dumps(obj)}\n```") == obj
+
+
+class TestNormalize:
+    @given(st.text(max_size=500))
+    @settings(max_examples=100, deadline=None)
+    def test_idempotent(self, text):
+        once = normalize_text(text)
+        assert normalize_text(once) == once
+
+    @given(st.text(max_size=500))
+    @settings(max_examples=100, deadline=None)
+    def test_focus_respects_cap(self, text):
+        out = build_cti_focus_text(normalize_text(text), max_chars=200)
+        assert len(out) <= 200
+
+
+class TestMockDeterminism:
+    @given(st.text(max_size=300))
+    @settings(max_examples=60, deadline=None)
+    def test_extraction_deterministic_and_valid(self, text):
+        a = rule_extract_triples(text)
+        assert a == rule_extract_triples(text)
+        for t in a:
+            assert t["subject"].strip() and t["object"].strip() and t["relation"]
+
+    @given(st.text(min_size=1, max_size=100))
+    @settings(max_examples=60, deadline=None)
+    def test_embedding_unit_norm(self, text):
+        import numpy as np
+
+        v = embed_text(text)
+        norm = float(np.linalg.norm(v))
+        assert norm == 0.0 or abs(norm - 1.0) < 1e-5
+
+
+class TestShingles:
+    @given(st.text(max_size=200))
+    @settings(max_examples=100, deadline=None)
+    def test_shingle_sets_are_sets(self, text):
+        shingles = word_shingles(text, 3)
+        assert len(shingles) == len(set(shingles))
+        words = text.strip().split()
+        if len(words) >= 3:
+            assert len(shingles) <= len(words) - 2
+
+
+class TestPreprocess:
+    node = st.fixed_dictionaries(
+        {"text": st.text(min_size=1, max_size=12), "class": st.text(min_size=1, max_size=8)}
+    )
+    triple = st.fixed_dictionaries(
+        {"subject": node, "relation": st.text(min_size=1, max_size=8), "object": node}
+    )
+
+    @given(st.lists(triple, max_size=10))
+    @settings(max_examples=60, deadline=None)
+    def test_mention_ids_dense_and_consistent(self, triplets):
+        aligned, mentions_num, dropped = preprocess_doc(triplets)
+        ids = {}
+        for t in aligned:
+            for side in ("subject", "object"):
+                node = t[side]
+                prev = ids.setdefault(node["mention_text"], node["mention_id"])
+                assert prev == node["mention_id"]  # same text -> same id
+        assert mentions_num == len(ids)
+        if ids:
+            assert set(ids.values()) == set(range(mentions_num))  # dense
