@@ -264,6 +264,52 @@ def minhash_dedup_pairs(
     return candidates.map_batches(verify, batch_format="pyarrow")
 
 
+def resolve_dup_groups(pairs: ray.data.Dataset) -> dict[int, int]:
+    """Union-find over verified duplicate pairs -> {doc_id: survivor_id}
+    (survivor = smallest id in the connected component). Non-duplicate
+    docs are absent from the map.
+
+    The pair set is tiny relative to the corpus (only near-dups), so the
+    union-find runs on the driver; at extreme dup rates switch to
+    distributed iterative label propagation (repeat min-neighbor groupby
+    until fixpoint).
+    """
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for row in pairs.iter_rows():
+        a, b = find(row["a"]), find(row["b"])
+        if a != b:
+            if a > b:
+                a, b = b, a
+            parent[b] = a
+    return {doc: find(doc) for doc in list(parent)}
+
+
+def minhash_dedup_keep(
+    docs: ray.data.Dataset, threshold: float = 0.8, **kwargs
+) -> ray.data.Dataset:
+    """Dedup filter: drop every document whose component survivor is a
+    smaller doc_id (MinHash-LSH candidates -> exact-Jaccard verify ->
+    union-find). Returns the surviving (doc_id) rows."""
+    pairs = minhash_dedup_pairs(docs, threshold=threshold, **kwargs)
+    survivors_map = resolve_dup_groups(pairs)
+    drop = {doc for doc, surv in survivors_map.items() if doc != surv}
+    drop_ref = ray.put(drop)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        dropped = ray.get(drop_ref)
+        mask = [d not in dropped for d in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    return docs.select_columns(["doc_id"]).map_batches(keep, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
