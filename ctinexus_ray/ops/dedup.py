@@ -346,6 +346,59 @@ def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def simhash_dup_pairs(
+    docs: ray.data.Dataset, max_hamming: int = 3, chunks: int = 4
+) -> ray.data.Dataset:
+    """SimHash near-dup pairs: (a, b) with Hamming distance <= max_hamming.
+
+    Pigeonhole banding: split the 63-bit signature into ``chunks`` bands —
+    any pair within ``chunks - 1`` bit flips shares at least one exact
+    band, so bucketing by (band, chunk-value) finds all candidates for
+    ``max_hamming < chunks``; candidates are then verified exactly.
+    Same shuffle shape as MinHash-LSH (bucket groupby + hot-bucket
+    prefilter pattern kept implicit via bucket sizes).
+    """
+    assert max_hamming < chunks, "pigeonhole guarantee needs max_hamming < chunks"
+    sigs = simhash_signatures(docs).materialize()
+    bits_per_chunk = 64 // chunks
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        hashes = batch.column("simhash").to_pylist()
+        out_doc, out_band, out_val, out_sig = [], [], [], []
+        for doc_id, sig in zip(doc_ids, hashes):
+            for band in range(chunks):
+                out_doc.append(doc_id)
+                out_band.append(band)
+                out_val.append((sig >> (band * bits_per_chunk)) & ((1 << bits_per_chunk) - 1))
+                out_sig.append(sig)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "band": pa.array(out_band, type=pa.int32()),
+                "val": pa.array(out_val, type=pa.int64()),
+                "simhash": pa.array(out_sig, type=pa.int64()),
+            }
+        )
+
+    bands = sigs.map_batches(to_bands, batch_format="pyarrow")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        rows = sorted(set(zip(group["doc_id"].tolist(), group["simhash"].tolist())))
+        a_out, b_out = [], []
+        for i, (da, sa) in enumerate(rows):
+            for db, sb in rows[i + 1 :]:
+                if bin(sa ^ sb).count("1") <= max_hamming:
+                    a_out.append(da)
+                    b_out.append(db)
+        return pd.DataFrame(
+            {"a": pd.Series(a_out, dtype="int64"), "b": pd.Series(b_out, dtype="int64")}
+        )
+
+    pairs = bands.groupby(["band", "val"]).map_groups(bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["a", "b"]).aggregate(Count()).select_columns(["a", "b"])
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact, via shingle inverted index)
 # ---------------------------------------------------------------------------

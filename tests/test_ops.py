@@ -90,6 +90,29 @@ class TestSimHash:
         assert d01 < d02
 
 
+class TestSimHashPairs:
+    def test_banded_hamming_pairs(self, ray_session):
+        from ctinexus_ray.ops.dedup import simhash_dup_pairs
+
+        base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                "juliett " * 8).strip()
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": base},
+                {"doc_id": 1, "text": base + " mike"},       # hamming ~8
+                {"doc_id": 2, "text": "unrelated totally different words " * 10},
+            ]
+        )
+        # short word-bag docs sit farther apart in hamming space than real
+        # web pages; use fine banding (16 chunks -> guarantee up to 15)
+        pairs = {
+            (r["a"], r["b"])
+            for r in simhash_dup_pairs(ds, max_hamming=10, chunks=16).take_all()
+        }
+        assert (0, 1) in pairs
+        assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
 class TestNgramJaccard:
     def test_vs_duckdb(self, docs, con):
         from ctinexus_ray.ops.dedup import ngram_jaccard_pairs
