@@ -276,6 +276,21 @@ def _q_kg_degrees(sf_dir: str):
     return _rename(agg, {"count()": "degree"})
 
 
+def _q_kg_nodes_merged(sf_dir: str):
+    """Exact canonical nodes + embedding-threshold near canonicalization
+    (multi-table hyperplane LSH -> verified pairs -> union-find merge)."""
+    from ctinexus_ray.config import PipelineConfig
+    from ctinexus_ray.pipelines.nearcanon import (
+        apply_mapping_to_nodes,
+        near_canonical_mapping,
+    )
+
+    config = PipelineConfig()
+    nodes = _kg(sf_dir)["nodes"].materialize()
+    mapping = near_canonical_mapping(nodes, config, threshold=0.8)
+    return apply_mapping_to_nodes(nodes, mapping)
+
+
 def _q_url_source(sf_dir: str):
     """URL-source ingestion records (extract + summarize + repair)."""
     from ctinexus_ray.config import PipelineConfig
@@ -323,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         "kg_nodes": _q_kg_nodes,
         "kg_edges": _q_kg_edges,
+        "kg_nodes_merged": _q_kg_nodes_merged,
         "url_source": _q_url_source,
         "multimodal_features": _q_multimodal_features,
     }

@@ -45,7 +45,7 @@ def _config(num_cpus: int, n_docs: int | None = None):
     # don't pay 28 actor startups for a 10-second job
     pool = max(2, num_cpus - 4)
     if n_docs is not None:
-        pool = max(2, min(pool, n_docs // 1000))
+        pool = max(2, min(pool, n_docs // 500))
     return PipelineConfig(llm_concurrency=(pool, pool), llm_num_cpus=1.0)
 
 

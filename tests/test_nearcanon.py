@@ -1,0 +1,76 @@
+"""Near-canonicalization (embedding-threshold second pass) tests."""
+
+from __future__ import annotations
+
+import pytest
+import ray.data
+
+from ctinexus_ray.pipelines.nearcanon import (
+    apply_mapping_to_edges,
+    apply_mapping_to_nodes,
+    near_canonical_mapping,
+)
+
+
+@pytest.fixture(scope="module")
+def nodes(ray_session):
+    rows = [
+        {"entity_key": 1, "entity_text": "ShadowPulse", "entity_class": "Malware",
+         "doc_count": 10, "mention_count": 30},
+        {"entity_key": 2, "entity_text": "ShadowPulse malware", "entity_class": "Malware",
+         "doc_count": 3, "mention_count": 5},
+        {"entity_key": 3, "entity_text": "Mimikatz", "entity_class": "Tool",
+         "doc_count": 7, "mention_count": 9},
+        # same surface as 1 but different class: must NOT merge across classes
+        {"entity_key": 4, "entity_text": "ShadowPulse", "entity_class": "Tool",
+         "doc_count": 1, "mention_count": 1},
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_mapping_merges_near_texts_within_class(nodes, config):
+    mapping = {
+        r["entity_key"]: r["canon_key"]
+        for r in near_canonical_mapping(nodes, config, threshold=0.6).take_all()
+    }
+    # the low-doc-count variant folds into the high-doc-count representative
+    assert mapping.get(2) == 1
+    # distinct tool and cross-class same-text stay separate
+    assert 3 not in mapping
+    assert 4 not in mapping
+
+
+def test_apply_mapping_to_nodes(nodes, config):
+    mapping = near_canonical_mapping(nodes, config, threshold=0.6)
+    merged = {r["entity_key"]: r for r in apply_mapping_to_nodes(nodes, mapping).take_all()}
+    assert set(merged) == {1, 3, 4}
+    rep = merged[1]
+    assert rep["entity_text"] == "ShadowPulse"
+    assert rep["entity_class"] == "Malware"
+    assert rep["doc_count"] == 13            # 10 + 3 summed
+    assert rep["mention_count"] == 35
+
+
+def test_apply_mapping_to_edges(nodes, config, ray_session):
+    mapping = near_canonical_mapping(nodes, config, threshold=0.6)
+    edges = ray.data.from_items(
+        [
+            {"subj_key": 2, "rel": "uses", "obj_key": 3, "subj_class": "Malware",
+             "obj_class": "Tool", "doc_url": "u", "predicted": False},
+        ]
+    )
+    out = apply_mapping_to_edges(edges, mapping).take_all()[0]
+    assert out["subj_key"] == 1   # remapped to the representative
+    assert out["obj_key"] == 3
+
+
+def test_deterministic(nodes, config):
+    a = sorted(
+        (r["entity_key"], r["canon_key"])
+        for r in near_canonical_mapping(nodes, config).take_all()
+    )
+    b = sorted(
+        (r["entity_key"], r["canon_key"])
+        for r in near_canonical_mapping(nodes, config).take_all()
+    )
+    assert a == b
