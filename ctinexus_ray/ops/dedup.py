@@ -94,11 +94,26 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
-class MinHashStage:
-    """Actor-pool stage: per-document MinHash signature + LSH band keys.
+def _minhash_params_cached(num_perm: int, seed: int = 7):
+    return _minhash_params_lru(num_perm, seed)
 
-    Signature params are built once per actor (``__init__``), the per-batch
-    work is vectorized numpy over the shingle-hash array.
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=8)
+def _minhash_params_lru(num_perm: int, seed: int):
+    return _minhash_params(num_perm, seed)
+
+
+class MinHashStage:
+    """Per-document MinHash signature + LSH band keys.
+
+    Stateless-cheap: the permutation params are blake2b-derived and cached
+    per process (``_minhash_params_cached``), so this runs as plain
+    ``map_batches`` tasks — no actor pool, no startup latency, full task
+    parallelism. The per-batch work is vectorized numpy over the
+    shingle-hash array.
     """
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3):
@@ -107,7 +122,7 @@ class MinHashStage:
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle_n = shingle_n
-        self.a, self.b = _minhash_params(num_perm)
+        self.a, self.b = _minhash_params_cached(num_perm)
 
     def signature(self, text: str) -> np.ndarray:
         shingles = word_shingles(text, self.shingle_n)
@@ -141,80 +156,101 @@ class MinHashStage:
         )
 
 
+def _minhash_rows(
+    batch: pa.Table, num_perm: int, bands: int, shingle_n: int
+) -> pa.Table:
+    """Stateless task wrapper — construction is cheap (params cached per
+    process), so no actor pool is needed."""
+    return MinHashStage(num_perm=num_perm, bands=bands, shingle_n=shingle_n)(batch)
+
+
+def bucket_pairs_partition(
+    group: pd.DataFrame,
+    key_cols: list[str],
+    max_bucket: int,
+) -> pd.DataFrame:
+    """Vectorized candidate-pair generation for ONE hash partition of
+    bucket rows (shared by the MinHash and SimHash paths).
+
+    The partition holds MANY buckets (grouped by a salt key, not by
+    bucket), so pair generation is a pandas self-merge per partition —
+    singleton buckets (the overwhelming majority) are eliminated by a
+    vectorized size transform, never touching per-group Python. Hot
+    buckets are truncated deterministically to ``max_bucket`` smallest
+    doc_ids before the merge (a degenerate bucket of B docs would
+    otherwise emit B² pairs)."""
+    g = group.drop_duplicates(key_cols + ["doc_id"]).sort_values(
+        key_cols + ["doc_id"], kind="mergesort"
+    )
+    sizes = g.groupby(key_cols)["doc_id"].transform("size")
+    g = g[sizes >= 2]
+    if not len(g):
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+        )
+    g = g[g.groupby(key_cols).cumcount() < max_bucket]
+    keep_cols = key_cols + ["doc_id"]
+    m = g[keep_cols].merge(g[keep_cols], on=key_cols, suffixes=("_a", "_b"))
+    m = m[m["doc_id_a"] < m["doc_id_b"]]
+    out = m[["doc_id_a", "doc_id_b"]].drop_duplicates()
+    return pd.DataFrame(
+        {
+            "a": out["doc_id_a"].astype("int64").values,
+            "b": out["doc_id_b"].astype("int64").values,
+        }
+    )
+
+
+def distinct_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Global (a, b) distinct via one vectorized groupby shuffle."""
+    return pairs.groupby(["a", "b"]).aggregate(Count()).select_columns(["a", "b"])
+
+
 def minhash_candidate_pairs(
     docs: ray.data.Dataset,
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket: int = 200,
+    num_partitions: int = 64,
 ) -> ray.data.Dataset:
-    """LSH candidate pairs: docs sharing any band bucket.
-
-    ``max_bucket`` caps the pairs emitted per bucket (hot-bucket guard —
-    a degenerate bucket of B docs would emit B² pairs; capped buckets are
-    truncated deterministically by sorted doc_id). Returns distinct
+    """LSH candidate pairs: docs sharing any band bucket. Returns distinct
     (a, b) with a < b.
+
+    Shuffle shape (2 rounds, no driver-side state):
+      1. ``groupby(pkey)`` where ``pkey = bucket mod num_partitions`` — a
+         salt key co-locating whole buckets; inside each partition a
+         VECTORIZED pandas self-merge emits pairs, a size transform drops
+         singleton buckets, and ``max_bucket`` caps degenerate buckets.
+      2. a tiny ``groupby(a, b)`` distinct over the candidate pairs.
+
+    ``num_partitions`` bounds per-task memory: size it ~ (band rows /
+    comfortable task rows) at corpus scale.
     """
+    from functools import partial
+
+    assert num_partitions & (num_partitions - 1) == 0, "power of two"
     sigs = docs.select_columns(["doc_id", "text"]).map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={
-            "num_perm": num_perm, "bands": bands, "shingle_n": shingle_n,
-        },
+        partial(
+            _minhash_rows, num_perm=num_perm, bands=bands, shingle_n=shingle_n
+        ),
         batch_format="pyarrow",
-        concurrency=(1, 8),
-    ).materialize()
+    )
 
-    # Buckets of size 1 (the overwhelming majority) can never yield a
-    # pair; pre-filtering with a vectorized Count before the per-group
-    # pair generation keeps the Python map_groups path off the cold data.
-    # Scale path: replace the driver-side hot-set with a broadcast Bloom
-    # filter when the number of colliding buckets itself is huge.
-    counts = sigs.groupby(["band", "bucket"]).aggregate(Count())
-
-    def only_multi(batch: pa.Table) -> pa.Table:
+    def add_pkey(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return batch.filter(pc.greater_equal(batch.column("count()"), 2))
+        pkey = pc.bit_wise_and(batch.column("bucket"), num_partitions - 1)
+        return batch.append_column("pkey", pkey)
 
-    hot = {
-        (r["band"], r["bucket"])
-        for r in counts.map_batches(only_multi, batch_format="pyarrow").iter_rows()
-    }
-    if not hot:
-        return ray.data.from_items([]).map_batches(
-            lambda b: pa.Table.from_pydict(
-                {"a": pa.array([], type=pa.int64()),
-                 "b": pa.array([], type=pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
-    hot_ref = ray.put(hot)
-
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        hot_set = ray.get(hot_ref)
-        mask = [
-            (band, bucket) in hot_set
-            for band, bucket in zip(
-                batch.column("band").to_pylist(), batch.column("bucket").to_pylist()
-            )
-        ]
-        return batch.filter(pa.array(mask))
-
-    survivors = sigs.map_batches(keep_hot, batch_format="pyarrow")
-
-    def bucket_to_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"].tolist()))[:max_bucket]
-        pairs = [(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]]
-        if not pairs:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
-
-    pairs = survivors.groupby(["band", "bucket"]).map_groups(
-        bucket_to_pairs, batch_format="pandas"
+    keyed = sigs.map_batches(add_pkey, batch_format="pyarrow")
+    pairs = keyed.groupby("pkey").map_groups(
+        partial(
+            bucket_pairs_partition, key_cols=["band", "bucket"], max_bucket=max_bucket
+        ),
+        batch_format="pandas",
     )
-    # distinct across bands: one more small shuffle
-    return pairs.groupby(["a", "b"]).aggregate(Count()).select_columns(["a", "b"])
+    return distinct_pairs(pairs)
 
 
 def minhash_dedup_pairs(
@@ -320,18 +356,27 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     doc_ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
     sigs = []
+    word_hash: dict[str, int] = {}  # words repeat heavily (Zipf) per batch
+    shifts = np.arange(64, dtype=np.uint64)
+    powers = (np.uint64(1) << shifts).astype(np.uint64)
     for text in texts:
         counts = Counter((text or "").strip().split())
-        acc = np.zeros(64, dtype=np.int64)
-        for word, weight in counts.items():
-            h = _hash64(word.encode("utf-8"))
-            bits = np.array([(h >> i) & 1 for i in range(64)], dtype=np.int64)
-            acc += (bits * 2 - 1) * weight
-        sig = 0
-        for i in range(64):
-            if acc[i] > 0:
-                sig |= 1 << i
-        sigs.append(np.int64(np.uint64(sig) >> np.uint64(1)))  # fit signed int64
+        if not counts:
+            sigs.append(np.int64(0))
+            continue
+        hs = np.fromiter(
+            (
+                word_hash.get(w) or word_hash.setdefault(w, _hash64(w.encode("utf-8")))
+                for w in counts
+            ),
+            dtype=np.uint64,
+            count=len(counts),
+        )
+        weights = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = ((bits * 2 - 1) * weights[:, None]).sum(axis=0)
+        sig = np.uint64(powers[acc > 0].sum(dtype=np.uint64))
+        sigs.append(np.int64(sig >> np.uint64(1)))  # fit signed int64
     return pa.Table.from_pydict(
         {
             "doc_id": pa.array(doc_ids, type=pa.int64()),
@@ -359,44 +404,74 @@ def simhash_dup_pairs(
     prefilter pattern kept implicit via bucket sizes).
     """
     assert max_hamming < chunks, "pigeonhole guarantee needs max_hamming < chunks"
-    sigs = simhash_signatures(docs).materialize()
+    num_partitions = 64
+    sigs = simhash_signatures(docs)
     bits_per_chunk = 64 // chunks
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        hashes = batch.column("simhash").to_pylist()
-        out_doc, out_band, out_val, out_sig = [], [], [], []
-        for doc_id, sig in zip(doc_ids, hashes):
-            for band in range(chunks):
-                out_doc.append(doc_id)
-                out_band.append(band)
-                out_val.append((sig >> (band * bits_per_chunk)) & ((1 << bits_per_chunk) - 1))
-                out_sig.append(sig)
+        doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        hashes = np.asarray(batch.column("simhash").to_pylist(), dtype=np.int64)
+        n = len(doc_ids)
+        mask = (1 << bits_per_chunk) - 1
+        out_doc = np.repeat(doc_ids, chunks)
+        out_sig = np.repeat(hashes, chunks)
+        out_band = np.tile(np.arange(chunks, dtype=np.int32), n)
+        out_val = (out_sig >> (out_band.astype(np.int64) * bits_per_chunk)) & mask
         return pa.Table.from_pydict(
             {
                 "doc_id": pa.array(out_doc, type=pa.int64()),
                 "band": pa.array(out_band, type=pa.int32()),
                 "val": pa.array(out_val, type=pa.int64()),
                 "simhash": pa.array(out_sig, type=pa.int64()),
+                "pkey": pa.array(
+                    (out_val + out_band.astype(np.int64) * 1_000_003)
+                    % num_partitions,
+                    type=pa.int64(),
+                ),
             }
         )
 
     bands = sigs.map_batches(to_bands, batch_format="pyarrow")
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(group["doc_id"].tolist(), group["simhash"].tolist())))
-        a_out, b_out = [], []
-        for i, (da, sa) in enumerate(rows):
-            for db, sb in rows[i + 1 :]:
-                if bin(sa ^ sb).count("1") <= max_hamming:
-                    a_out.append(da)
-                    b_out.append(db)
+    def _popcount64(x: np.ndarray) -> np.ndarray:
+        return np.unpackbits(
+            x.astype(np.uint64).view(np.uint8).reshape(-1, 8), axis=1
+        ).sum(axis=1)
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # one hash partition = many (band, val) buckets; vectorized
+        # self-merge then an exact vectorized Hamming verify (XOR +
+        # popcount via unpackbits)
+        g = g.drop_duplicates(["band", "val", "doc_id"]).sort_values(
+            ["band", "val", "doc_id"], kind="mergesort"
+        )
+        sizes = g.groupby(["band", "val"])["doc_id"].transform("size")
+        g = g[sizes >= 2]
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+        )
+        if not len(g):
+            return empty
+        cols = ["band", "val", "doc_id", "simhash"]
+        m = g[cols].merge(g[cols], on=["band", "val"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if not len(m):
+            return empty
+        xor = np.bitwise_xor(
+            m["simhash_a"].to_numpy(dtype=np.int64),
+            m["simhash_b"].to_numpy(dtype=np.int64),
+        )
+        m = m[_popcount64(xor) <= max_hamming]
+        out = m[["doc_id_a", "doc_id_b"]].drop_duplicates()
         return pd.DataFrame(
-            {"a": pd.Series(a_out, dtype="int64"), "b": pd.Series(b_out, dtype="int64")}
+            {
+                "a": out["doc_id_a"].astype("int64").values,
+                "b": out["doc_id_b"].astype("int64").values,
+            }
         )
 
-    pairs = bands.groupby(["band", "val"]).map_groups(bucket_pairs, batch_format="pandas")
-    return pairs.groupby(["a", "b"]).aggregate(Count()).select_columns(["a", "b"])
+    pairs = bands.groupby("pkey").map_groups(partition_pairs, batch_format="pandas")
+    return distinct_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -409,20 +484,29 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_posting: int = 1000,
+    num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """Exact all-pairs word-n-gram Jaccard >= threshold, computed
-    distributedly:
+    distributedly in TWO shuffle rounds with no driver-side state:
 
-      1. explode distinct shingles per doc  (map, combined in-batch)
-      2. groupby(shingle) -> per-posting pairs (hot shingles capped at
-         ``max_posting`` — a stopword shingle otherwise emits |posting|²)
-      3. groupby(pair) count = |A∩B|
-      4. attach set sizes (broadcast small table) -> Jaccard filter
+      1. explode distinct shingles per doc, keyed by
+         ``pkey = hash(shingle) mod num_partitions``; ``groupby(pkey)``
+         co-locates whole postings, and a VECTORIZED pandas self-merge
+         per partition emits one (a, b, size_a, size_b) row per common
+         shingle — singleton postings die in a size transform, hot
+         postings are capped at ``max_posting`` (a stopword shingle
+         otherwise emits |posting|²)
+      2. ``groupby(a, b)`` with built-in Count/Max aggregates gives
+         |A∩B| and the set sizes; the Jaccard filter is a vectorized
+         map.
 
-    Returns (a, b) with a < b. The SQL oracle mirrors steps 1-4 verbatim.
+    Returns (a, b) with a < b. The SQL oracle mirrors the semantics
+    verbatim. ``num_partitions`` bounds per-task memory at corpus scale.
     """
+    from functools import partial
+
     def shingle_rows(batch: pa.Table) -> pa.Table:
-        out_doc, out_sh, out_size = [], [], []
+        out_doc, out_sh, out_size, out_pkey = [], [], [], []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
@@ -431,81 +515,78 @@ def ngram_jaccard_pairs(
                 out_doc.append(doc_id)
                 out_sh.append(s)
                 out_size.append(len(shingles))
+                out_pkey.append(_hash64(s.encode("utf-8")) % num_partitions)
         return pa.Table.from_pydict(
             {
                 "doc_id": pa.array(out_doc, type=pa.int64()),
                 "shingle": pa.array(out_sh, type=pa.string()),
                 "set_size": pa.array(out_size, type=pa.int64()),
+                "pkey": pa.array(out_pkey, type=pa.int64()),
             }
         )
 
     shingles = docs.select_columns(["doc_id", "text"]).map_batches(
         shingle_rows, batch_format="pyarrow"
-    ).materialize()
+    )
 
-    # vectorized pre-filter: shingles appearing in a single doc never form
-    # a pair — keep the per-group Python path off them (same optimization
-    # and scale caveat as minhash_candidate_pairs)
-    counts = shingles.groupby("shingle").aggregate(Count())
-
-    def only_multi(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return batch.filter(pc.greater_equal(batch.column("count()"), 2))
-
-    hot = {
-        r["shingle"]
-        for r in counts.map_batches(only_multi, batch_format="pyarrow").iter_rows()
-    }
-    hot_ref = ray.put(hot)
-
-    def keep_hot(batch: pa.Table) -> pa.Table:
-        hot_set = ray.get(hot_ref)
-        mask = [s in hot_set for s in batch.column("shingle").to_pylist()]
-        return batch.filter(pa.array(mask))
-
-    shingles = shingles.map_batches(keep_hot, batch_format="pyarrow")
-
-    def posting_to_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(
-            set(zip(group["doc_id"].tolist(), group["set_size"].tolist()))
-        )[:max_posting]
-        a, b, sa, sb = [], [], [], []
-        for i, (da, za) in enumerate(rows):
-            for db, zb in rows[i + 1 :]:
-                a.append(da); b.append(db); sa.append(za); sb.append(zb)
+    def posting_pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # one hash partition = MANY shingles; everything vectorized —
+        # singleton postings die in the size transform, hot postings are
+        # truncated to the max_posting smallest doc_ids, and the
+        # self-merge emits one row per (pair, common shingle) so the
+        # global Count() below is exactly |A ∩ B|
+        g = g.drop_duplicates(["shingle", "doc_id"]).sort_values(
+            ["shingle", "doc_id"], kind="mergesort"
+        )
+        sizes = g.groupby("shingle")["doc_id"].transform("size")
+        g = g[sizes >= 2]
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "size_a": pd.Series([], dtype="int64"),
+                "size_b": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(g):
+            return empty
+        g = g[g.groupby("shingle").cumcount() < max_posting]
+        cols = ["shingle", "doc_id", "set_size"]
+        m = g[cols].merge(g[cols], on="shingle", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if not len(m):
+            return empty
         return pd.DataFrame(
             {
-                "a": pd.Series(a, dtype="int64"),
-                "b": pd.Series(b, dtype="int64"),
-                "size_a": pd.Series(sa, dtype="int64"),
-                "size_b": pd.Series(sb, dtype="int64"),
+                "a": m["doc_id_a"].astype("int64").values,
+                "b": m["doc_id_b"].astype("int64").values,
+                "size_a": m["set_size_a"].astype("int64").values,
+                "size_b": m["set_size_b"].astype("int64").values,
             }
         )
 
-    pair_partials = shingles.groupby("shingle").map_groups(
-        posting_to_pairs, batch_format="pandas"
+    pair_partials = shingles.groupby("pkey").map_groups(
+        posting_pairs_partition, batch_format="pandas"
     )
 
-    def finalize(group: pd.DataFrame) -> pd.DataFrame:
-        inter = len(group)
-        size_a = int(group["size_a"].iloc[0])
-        size_b = int(group["size_b"].iloc[0])
-        union = size_a + size_b - inter
-        if union > 0 and inter / union >= threshold:
-            return pd.DataFrame(
-                {
-                    "a": pd.Series([int(group["a"].iloc[0])], dtype="int64"),
-                    "b": pd.Series([int(group["b"].iloc[0])], dtype="int64"),
-                }
-            )
-        return pd.DataFrame(
-            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
-        )
+    from ray.data.aggregate import Max
 
-    return pair_partials.groupby(["a", "b"]).map_groups(
-        finalize, batch_format="pandas"
+    agg = pair_partials.groupby(["a", "b"]).aggregate(
+        Count(), Max("size_a"), Max("size_b")
     )
+
+    def jaccard_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ix = np.asarray(batch.column("count()").to_pylist(), dtype=np.float64)
+        sa = np.asarray(batch.column("max(size_a)").to_pylist(), dtype=np.float64)
+        sb = np.asarray(batch.column("max(size_b)").to_pylist(), dtype=np.float64)
+        union = sa + sb - ix
+        mask = (union > 0) & (ix / np.maximum(union, 1e-12) >= threshold)
+        kept = batch.filter(pa.array(mask))
+        return kept.select(["a", "b"])
+
+    return agg.map_batches(jaccard_filter, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -558,6 +639,34 @@ def embedding_dup_pairs(
     )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def lsh_planes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic hyperplanes (blake2b-derived, no RNG state) — any
+    worker recomputes the identical matrix, so bucket ids are a pure
+    function of the embedding and never need to be shipped or joined."""
+    return np.array(
+        [
+            [
+                ((_hash64(f"plane-{p}-{d}".encode()) / 2**64) * 2.0 - 1.0)
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+    )
+
+
+def lsh_bucket_ids(mat: np.ndarray, n_planes: int) -> np.ndarray:
+    """Vectorized bucket assignment for a (n, dim) float matrix."""
+    if mat.ndim != 2 or mat.size == 0:
+        return np.zeros(0, dtype=np.int64)
+    planes = lsh_planes(mat.shape[1], n_planes)
+    bits = (mat @ planes.T) > 0
+    return bits.dot(1 << np.arange(n_planes)).astype(np.int64)
+
+
 def embedding_lsh_buckets(
     embeddings: ray.data.Dataset, n_planes: int = 12
 ) -> ray.data.Dataset:
@@ -566,18 +675,7 @@ def embedding_lsh_buckets(
     reduces per bucket instead of all-pairs."""
     def assign(batch: pa.Table) -> pa.Table:
         mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        dim = mat.shape[1] if mat.ndim == 2 and mat.size else 64
-        planes = np.array(
-            [
-                [
-                    ((_hash64(f"plane-{p}-{d}".encode()) / 2**64) * 2.0 - 1.0)
-                    for d in range(dim)
-                ]
-                for p in range(n_planes)
-            ]
-        )
-        bits = (mat @ planes.T) > 0
-        buckets = bits.dot(1 << np.arange(n_planes)).astype(np.int64)
+        buckets = lsh_bucket_ids(mat, n_planes)
         return pa.Table.from_pydict(
             {
                 "vec_id": batch.column("vec_id"),
@@ -588,3 +686,42 @@ def embedding_lsh_buckets(
     return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
         assign, batch_format="pyarrow"
     )
+
+
+def embedding_dup_pairs_lsh(
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.9,
+    n_planes: int = 8,
+) -> ray.data.Dataset:
+    """Scale-path near-dup: score only pairs sharing a hyperplane-LSH
+    bucket — no full-matrix broadcast, no all-pairs matmul. Sublinear and
+    approximate (misses pairs split across buckets; recall rises as
+    n_planes falls). One groupby(bucket) shuffle."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        return batch.append_column(
+            "bucket", pa.array(lsh_bucket_ids(mat, n_planes), type=pa.int64())
+        )
+
+    tagged = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        tag, batch_format="pyarrow"
+    )
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["vec_id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+            )
+        mat = np.array(group["embedding"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        sims = mat @ mat.T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        a = np.minimum(ids[ai], ids[bi])
+        b = np.maximum(ids[ai], ids[bi])
+        return pd.DataFrame({"a": pd.Series(a, dtype="int64"), "b": pd.Series(b, dtype="int64")})
+
+    return tagged.groupby("bucket").map_groups(per_bucket, batch_format="pandas")

@@ -20,7 +20,6 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from ctinexus_ray.ops.dedup import embedding_lsh_buckets
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -116,22 +115,20 @@ def lsh_topk(
     Scale path: buckets shard naturally (groupby bucket), so the matmul per
     group is tiny regardless of corpus size.
     """
-    buckets = embedding_lsh_buckets(embeddings, n_planes=n_planes)
-    with_vec = embeddings.select_columns(["vec_id", "embedding"])
-    # attach bucket ids (zip by order is unsafe — join on vec_id via map)
-    bucket_lookup = {
-        r["vec_id"]: r["bucket"] for r in buckets.iter_rows()
-    }
-    lookup_ref = ray.put(bucket_lookup)
+    from ctinexus_ray.ops.dedup import lsh_bucket_ids
 
+    # bucket id is a pure function of the embedding (deterministic
+    # hyperplanes recomputed per worker) — nothing materializes on the
+    # driver and nothing is broadcast
     def tag(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        ids = batch.column("vec_id").to_pylist()
+        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
         return batch.append_column(
-            "bucket", pa.array([lookup[i] for i in ids], type=pa.int64())
+            "bucket", pa.array(lsh_bucket_ids(mat, n_planes), type=pa.int64())
         )
 
-    tagged = with_vec.map_batches(tag, batch_format="pyarrow")
+    tagged = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        tag, batch_format="pyarrow"
+    )
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         ids = group["vec_id"].to_numpy(dtype=np.int64)
