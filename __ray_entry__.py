@@ -143,6 +143,46 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def _q_ann_ivf(sf_dir: str):
+    """IVF approximate nearest neighbors (scale path). Full-probe
+    configuration so the result is exactly the brute-force ranking and
+    the similarity_topk SQL oracle applies."""
+    from ctinexus_ray.ops.simsearch import ivf_topk
+    from ctinexus_ray.sources.documents import read_testdata_embeddings
+
+    topk = ivf_topk(
+        read_testdata_embeddings(sf_dir),
+        n_queries=10,
+        k=5,
+        n_centroids=16,
+        n_probe=16,
+    )
+    return topk.select_columns(["query_id", "rank", "neighbor_id"])
+
+
+def _q_embedding_neardup_lsh(sf_dir: str):
+    """Bucketed (hyperplane-LSH) near-dup — sublinear scale path;
+    approximate, so rows-only (subset property is pinned by tests)."""
+    from ctinexus_ray.ops.dedup import embedding_dup_pairs_lsh
+    from ctinexus_ray.sources.documents import read_testdata_embeddings
+
+    return embedding_dup_pairs_lsh(
+        read_testdata_embeddings(sf_dir), threshold=0.35, n_planes=4
+    )
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from ctinexus_ray.ops.dedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+
+
+def _q_minhash_keep(sf_dir: str):
+    from ctinexus_ray.ops.dedup import minhash_dedup_keep
+
+    return minhash_dedup_keep(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+
+
 def _q_embedding_neardup(sf_dir: str):
     from ctinexus_ray.ops.dedup import embedding_dup_pairs
     from ctinexus_ray.sources.documents import read_testdata_embeddings
@@ -324,10 +364,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "word_freq_top100": _q_word_freq_top100,
         "similarity_topk": _q_similarity_topk,
+        "ann_ivf": _q_ann_ivf,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "embedding_neardup": _q_embedding_neardup,
+        "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "minhash_pairs": _q_minhash_pairs,
+        "minhash_keep": _q_minhash_keep,
         "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
         "langid": _q_langid,
         "events_hourly": _q_events_hourly,
         "event_sessions": _q_event_sessions,
@@ -381,6 +425,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) GROUP BY word ORDER BY n DESC, word LIMIT 100"
         ),
         "similarity_topk": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "
+            "pairs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) AS sim "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id) "
+            "SELECT query_id, rank, neighbor_id FROM ("
+            "SELECT query_id, neighbor_id, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
+            "FROM pairs) WHERE rank <= 5"
+        ),
+        # full-probe IVF reproduces the exact cosine ranking, so the
+        # brute-force oracle applies verbatim
+        "ann_ivf": (
             "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "
             "pairs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
             "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "

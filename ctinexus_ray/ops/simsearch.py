@@ -5,8 +5,15 @@
     task), emits batch-local top-k partials, and a tiny
     ``groupby(query_id)`` reduce merges them. Exact, embarrassingly
     parallel, no all-to-all over the corpus.
-  * ``lsh_topk`` — hyperplane-LSH bucketed approximate variant (scale
-    path): only vectors sharing a bucket with the query are scored.
+  * ``lsh_topk`` — hyperplane-LSH bucketed approximate variant: only
+    vectors sharing a bucket with the query (in ANY of ``n_tables``
+    independent tables — multi-table boosts recall) are scored.
+  * ``ivf_topk`` — IVF (inverted-file) approximate variant (scale path):
+    deterministic k-means centroids over a bounded sample, every vector
+    assigned to its nearest centroid inside ``map_batches``, queries
+    score only vectors in their ``n_probe`` nearest cells. With
+    ``n_probe == n_centroids`` it degenerates to the exact result
+    (property-tested).
 
 Determinism: ties broken by (score desc, vec_id asc); all arithmetic in
 float64 so the DuckDB oracle (DOUBLE) computes the same ranking.
@@ -73,11 +80,20 @@ def brute_force_topk(
     partials = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
         local_topk, batch_format="pyarrow"
     )
+    return _merge_topk(partials, k)
+
+
+def _merge_topk(partials: ray.data.Dataset, k: int) -> ray.data.Dataset:
+    """Reduce (query_id, neighbor_id, sim) partials to ranked top-k per
+    query. Duplicate candidates (e.g. from multiple LSH tables) collapse
+    to one row before ranking."""
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
-        ranked = group.sort_values(
-            ["sim", "neighbor_id"], ascending=[False, True], kind="stable"
-        ).head(k)
+        ranked = (
+            group.drop_duplicates(["query_id", "neighbor_id"])
+            .sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="stable")
+            .head(k)
+        )
         return pd.DataFrame(
             {
                 "query_id": ranked["query_id"].astype("int64").values,
@@ -108,22 +124,51 @@ def lsh_topk(
     n_queries: int,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 4,
 ) -> ray.data.Dataset:
-    """Approximate top-k: hyperplane-LSH bucket the corpus, score only
-    bucket-mates of each query. Recall trades off with n_planes.
+    """Approximate top-k: hyperplane-LSH bucket the corpus in ``n_tables``
+    independent tables; a vector is a candidate for a query if they share
+    a bucket in ANY table (multi-table union — recall rises with
+    n_tables, cost with n_tables/2^n_planes).
 
-    Scale path: buckets shard naturally (groupby bucket), so the matmul per
-    group is tiny regardless of corpus size.
+    Bucket ids are pure functions of the embedding (deterministic per
+    (table, plane) hyperplanes recomputed per worker) — nothing is
+    materialized on the driver or broadcast. One groupby((table, bucket))
+    shuffle; per-group exact scoring; a final per-query merge dedupes
+    candidates found in several tables and ranks.
     """
-    from ctinexus_ray.ops.dedup import lsh_bucket_ids
+    from ctinexus_ray.ops.dedup import _hash64, lsh_planes
 
-    # bucket id is a pure function of the embedding (deterministic
-    # hyperplanes recomputed per worker) — nothing materializes on the
-    # driver and nothing is broadcast
     def tag(batch: pa.Table) -> pa.Table:
         mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        return batch.append_column(
-            "bucket", pa.array(lsh_bucket_ids(mat, n_planes), type=pa.int64())
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        if mat.ndim != 2 or mat.size == 0:
+            empty = batch.slice(0, 0)
+            return empty.append_column(
+                "table_id", pa.array([], type=pa.int32())
+            ).append_column("bucket", pa.array([], type=pa.int64()))
+        out_id, out_emb, out_tab, out_bucket = [], [], [], []
+        emb_col = batch.column("embedding")
+        for t in range(n_tables):
+            # per-table hyperplanes: offset the plane index deterministically
+            planes = lsh_planes(mat.shape[1], n_planes * n_tables)[
+                t * n_planes : (t + 1) * n_planes
+            ]
+            bits = (mat @ planes.T) > 0
+            buckets = bits.dot(1 << np.arange(n_planes)).astype(np.int64)
+            out_id.append(ids)
+            out_tab.append(np.full(len(ids), t, dtype=np.int32))
+            out_bucket.append(buckets)
+            out_emb.append(emb_col)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
+                "embedding": pa.concat_arrays(
+                    [c.combine_chunks() if hasattr(c, "combine_chunks") else c for c in out_emb]
+                ),
+                "table_id": pa.array(np.concatenate(out_tab), type=pa.int32()),
+                "bucket": pa.array(np.concatenate(out_bucket), type=pa.int64()),
+            }
         )
 
     tagged = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
@@ -132,33 +177,147 @@ def lsh_topk(
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         ids = group["vec_id"].to_numpy(dtype=np.int64)
-        mat = _normalize(np.array(group["embedding"].tolist(), dtype=np.float64))
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "sim": pd.Series([], dtype="float64"),
+            }
+        )
         q_mask = ids < n_queries
-        if not q_mask.any():
-            return pd.DataFrame(
+        if not q_mask.any() or len(ids) < 2:
+            return empty
+        mat = _normalize(np.array(group["embedding"].tolist(), dtype=np.float64))
+        sims = mat[q_mask] @ mat.T  # (n_q_in_bucket, bucket)
+        qids = ids[q_mask]
+        n_b = len(ids)
+        q_rep = np.repeat(qids, n_b)
+        n_rep = np.tile(ids, q_mask.sum())
+        s_flat = sims.ravel()
+        keep = q_rep != n_rep
+        return pd.DataFrame(
+            {
+                "query_id": q_rep[keep],
+                "neighbor_id": n_rep[keep],
+                "sim": s_flat[keep],
+            }
+        )
+
+    partials = tagged.groupby(["table_id", "bucket"]).map_groups(
+        per_bucket, batch_format="pandas"
+    )
+    return _merge_topk(partials, k)
+
+
+def _deterministic_kmeans(
+    sample: np.ndarray, n_centroids: int, n_iter: int = 5
+) -> np.ndarray:
+    """Tiny deterministic Lloyd's k-means on a normalized sample: init =
+    first ``n_centroids`` sample rows (sample is ordered by vec_id), no
+    RNG anywhere, so every run/worker derives identical centroids."""
+    sample = _normalize(sample)
+    centroids = sample[:n_centroids].copy()
+    for _ in range(n_iter):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def ivf_topk(
+    embeddings: ray.data.Dataset,
+    n_queries: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 2048,
+) -> ray.data.Dataset:
+    """IVF approximate top-k — the ANN scale path.
+
+    Train: a BOUNDED sample (first ``train_sample`` vectors by vec_id —
+    constant driver memory regardless of corpus size) fits deterministic
+    k-means centroids, broadcast once via ``ray.put``.
+
+    Search: each batch assigns its vectors to their nearest centroid and
+    scores them only against the queries probing that cell (queries
+    probe their ``n_probe`` nearest centroids), emitting top-k partials;
+    the per-query merge reduce ranks the union. Compute per batch scales
+    with ``n_probe / n_centroids`` instead of scanning every query ×
+    every vector. ``n_probe == n_centroids`` reproduces the exact
+    brute-force result (property-tested).
+    """
+    sample_rows = (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {train_sample}")
+        .take_all()
+    )
+    sample_rows.sort(key=lambda r: r["vec_id"])
+    sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
+    centroids = _deterministic_kmeans(sample, min(n_centroids, len(sample)))
+
+    q_rows = [r for r in sample_rows if r["vec_id"] < n_queries]
+    if len(q_rows) < n_queries:
+        # queries outside the training sample: fetch explicitly
+        q_rows = (
+            embeddings.select_columns(["vec_id", "embedding"])
+            .filter(expr=f"vec_id < {n_queries}")
+            .take_all()
+        )
+        q_rows.sort(key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    # per-query probe cells: n_probe nearest centroids
+    probe_order = np.argsort(-(q_mat @ centroids.T), axis=1, kind="stable")
+    probes = probe_order[:, : min(n_probe, centroids.shape[0])]
+    shared = ray.put((q_ids, q_mat, centroids, probes))
+
+    def search(batch: pa.Table) -> pa.Table:
+        qids, qmat, cents, prb = ray.get(shared)
+        v_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        if not len(v_ids):
+            return pa.Table.from_pydict(
                 {
-                    "query_id": pd.Series([], dtype="int64"),
-                    "rank": pd.Series([], dtype="int64"),
-                    "neighbor_id": pd.Series([], dtype="int64"),
-                    "sim": pd.Series([], dtype="float64"),
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
                 }
             )
-        sims = mat[q_mask] @ mat.T
-        out = {"query_id": [], "rank": [], "neighbor_id": [], "sim": []}
-        for qi, qid in enumerate(ids[q_mask]):
-            order = sorted(
-                (
-                    (float(sims[qi, j]), int(ids[j]))
-                    for j in range(len(ids))
-                    if ids[j] != qid
-                ),
-                key=lambda t: (-t[0], t[1]),
-            )[:k]
-            for rank, (sim, nid) in enumerate(order, 1):
-                out["query_id"].append(int(qid))
-                out["rank"].append(rank)
-                out["neighbor_id"].append(nid)
-                out["sim"].append(sim)
-        return pd.DataFrame(out)
+        v_mat = _normalize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        cell = np.argmax(v_mat @ cents.T, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for c in np.unique(cell):
+            rows = np.nonzero(cell == c)[0]
+            q_sel = np.nonzero((prb == c).any(axis=1))[0]
+            if not len(q_sel):
+                continue
+            sims = qmat[q_sel] @ v_mat[rows].T  # (q_sel, rows)
+            q_rep = np.repeat(qids[q_sel], len(rows))
+            n_rep = np.tile(v_ids[rows], len(q_sel))
+            s_flat = sims.ravel()
+            keep = q_rep != n_rep
+            out_q.append(q_rep[keep])
+            out_n.append(n_rep[keep])
+            out_s.append(s_flat[keep])
+        if not out_q:
+            return pa.Table.from_pydict(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        return pa.Table.from_pydict(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
 
-    return tagged.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    partials = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        search, batch_format="pyarrow"
+    )
+    return _merge_topk(partials, k)

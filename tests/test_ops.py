@@ -191,6 +191,74 @@ class TestEmbeddingOps:
         b = {r["vec_id"]: r["bucket"] for r in embedding_lsh_buckets(embeddings).take_all()}
         assert a == b
 
+    def test_lsh_neardup_subset_of_exact(self, embeddings):
+        """Bucketed near-dup (scale path) finds a subset of the exact
+        brute-force pairs — approximate, never spurious."""
+        from ctinexus_ray.ops.dedup import embedding_dup_pairs, embedding_dup_pairs_lsh
+
+        exact = {
+            (r["a"], r["b"])
+            for r in embedding_dup_pairs(embeddings, threshold=0.35).take_all()
+        }
+        approx = {
+            (r["a"], r["b"])
+            for r in embedding_dup_pairs_lsh(
+                embeddings, threshold=0.35, n_planes=4
+            ).take_all()
+        }
+        assert approx <= exact
+        assert approx  # finds at least something at 4 planes
+
+    def test_ivf_full_probe_equals_exact(self, embeddings):
+        """IVF with n_probe == n_centroids degenerates to brute force."""
+        from ctinexus_ray.ops.simsearch import ivf_topk, self_topk
+
+        exact = {
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in self_topk(embeddings, n_queries=5, k=3).take_all()
+        }
+        full = {
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in ivf_topk(
+                embeddings, n_queries=5, k=3, n_centroids=8, n_probe=8
+            ).take_all()
+        }
+        assert full == exact
+
+    def test_ivf_partial_probe_recall(self, embeddings):
+        from ctinexus_ray.ops.simsearch import ivf_topk, self_topk
+
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in self_topk(embeddings, n_queries=5, k=3).take_all()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                embeddings, n_queries=5, k=3, n_centroids=8, n_probe=3
+            ).take_all()
+        }
+        assert len(exact & approx) / len(exact) >= 0.5
+
+    def test_multi_table_lsh_recall_improves(self, embeddings):
+        from ctinexus_ray.ops.simsearch import lsh_topk, self_topk
+
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in self_topk(embeddings, n_queries=5, k=3).take_all()
+        }
+        recalls = []
+        for n_tables in (1, 8):
+            approx = {
+                (r["query_id"], r["neighbor_id"])
+                for r in lsh_topk(
+                    embeddings, n_queries=5, k=3, n_planes=4, n_tables=n_tables
+                ).take_all()
+            }
+            recalls.append(len(exact & approx) / len(exact))
+        assert recalls[1] >= recalls[0]
+        assert recalls[1] >= 0.5
+
 
 class TestTextStats:
     def test_token_counts_vs_duckdb(self, docs, con):
