@@ -222,21 +222,78 @@ def run_kg_to_parquet(
          "llm_input_tokens", "llm_output_tokens", "embed_tokens"]
     ).write_parquet(docs_kg_path)
 
-    docs_kg = ray.data.read_parquet(docs_kg_path)
-    triples_path = str(out / "triples")
-    docs_kg.map_batches(
-        explode_triples_batch, batch_format="pyarrow", batch_size=config.cpu_batch_size
-    ).write_parquet(triples_path)
+    paths = _write_derived_outputs(docs_kg_path, out, config)
+    return {"docs_kg": docs_kg_path, **paths}
 
-    triples_read = ray.data.read_parquet(triples_path)
+
+def _settle_fsspec_http_import() -> None:
+    """Ray's path resolution probes ``fsspec.implementations.http`` on
+    every read/write. In this environment that import always fails
+    (aiohttp absent) and therefore never lands in ``sys.modules`` — so
+    two driver threads resolving paths concurrently race inside the
+    import machinery and one sees a half-initialized module (plain
+    ImportError, which Ray does NOT catch, vs the ModuleNotFoundError it
+    does). Seed a sentinel module once, single-threaded: the class is
+    never instantiated here (no http filesystems in this engine), it only
+    makes ``isinstance`` checks answer False deterministically."""
+    import sys as _sys
+    import types as _types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ImportError:
+        mod = _types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel only
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        _sys.modules["fsspec.implementations.http"] = mod
+
+
+def _write_derived_outputs(docs_kg_path: str, out, config: PipelineConfig) -> dict[str, str]:
+    """Derive triples / nodes / edges / metrics from the docs_kg
+    checkpoint CONCURRENTLY (each in its own driver thread with its own
+    read of the checkpoint — the four pipelines are independent, and
+    running them serially pays 4× the fixed per-execution latency).
+    Edges re-run the cheap explode map instead of waiting on the written
+    triples table."""
+    import concurrent.futures as cf
+
+    _settle_fsspec_http_import()
+    triples_path = str(out / "triples")
     nodes_path = str(out / "nodes")
-    canonicalize_nodes(docs_kg, config).write_parquet(nodes_path)
     edges_path = str(out / "edges")
-    edges_dataset(triples_read, config).write_parquet(edges_path)
     metrics_path = str(out / "metrics")
-    metrics_dataset(docs_kg).write_parquet(metrics_path)
+
+    def _read():
+        return ray.data.read_parquet(docs_kg_path)
+
+    def _explode(ds):
+        return ds.map_batches(
+            explode_triples_batch,
+            batch_format="pyarrow",
+            batch_size=config.cpu_batch_size,
+        )
+
+    # build the (lazy) plans serially on the main thread — concurrent
+    # read_parquet calls race on fsspec's lazy imports; only the
+    # write_parquet EXECUTIONS run in the pool
+    plans = {
+        "triples": (_explode(_read()), triples_path),
+        "nodes": (canonicalize_nodes(_read(), config), nodes_path),
+        "edges": (edges_dataset(_explode(_read()), config), edges_path),
+        "metrics": (metrics_dataset(_read()), metrics_path),
+    }
+    jobs = {
+        name: (lambda ds=ds, path=path: ds.write_parquet(path))
+        for name, (ds, path) in plans.items()
+    }
+    with cf.ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+        futures = {name: ex.submit(fn) for name, fn in jobs.items()}
+        for name, fut in futures.items():
+            fut.result()  # propagate the first failure
     return {
-        "docs_kg": docs_kg_path,
         "triples": triples_path,
         "nodes": nodes_path,
         "edges": edges_path,
@@ -301,25 +358,8 @@ def run_kg_resumable(
     for derived in ("triples", "nodes", "edges", "metrics"):
         shutil.rmtree(out / derived, ignore_errors=True)
 
-    docs_kg = ray.data.read_parquet(str(docs_kg_dir))
-    triples_path = str(out / "triples")
-    docs_kg.map_batches(
-        explode_triples_batch, batch_format="pyarrow", batch_size=config.cpu_batch_size
-    ).write_parquet(triples_path)
-    nodes_path = str(out / "nodes")
-    canonicalize_nodes(docs_kg, config).write_parquet(nodes_path)
-    edges_path = str(out / "edges")
-    edges_dataset(ray.data.read_parquet(triples_path), config).write_parquet(edges_path)
-    metrics_path = str(out / "metrics")
-    metrics_dataset(docs_kg).write_parquet(metrics_path)
-    return {
-        **summary,
-        "docs_kg": str(docs_kg_dir),
-        "triples": triples_path,
-        "nodes": nodes_path,
-        "edges": edges_path,
-        "metrics": metrics_path,
-    }
+    paths = _write_derived_outputs(str(docs_kg_dir), out, config)
+    return {**summary, "docs_kg": str(docs_kg_dir), **paths}
 
 
 def build_kg(
