@@ -245,6 +245,71 @@ def _q_orders_per_customer(sf_dir: str):
     )
 
 
+def _q_customers_per_region(sf_dir: str):
+    """Snowflake join chain (customer -> nation -> region) via chained
+    broadcast enrich — the big side never shuffles; one tiny groupby."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ctinexus_ray.ops.relational import broadcast_enrich
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    step1 = broadcast_enrich(
+        customer, nation, "c_nationkey", "n_nationkey", ["n_regionkey"]
+    )
+    step2 = broadcast_enrich(
+        step1, region, "n_regionkey", "r_regionkey", ["r_name"]
+    )
+    agg = step2.groupby("r_name").aggregate(Count())
+    return _rename(agg, {"count()": "n_customers"})
+
+
+def _q_top_suppliers_by_lineitems(sf_dir: str):
+    """Aggregate + broadcast join + deterministic top-k."""
+    import ray.data
+    from ctinexus_ray.ops.relational import broadcast_join_count
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"]
+    )
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    counted = broadcast_join_count(
+        lineitem, supplier, "l_suppkey", "s_suppkey", ["s_name"]
+    )
+    return counted.sort(["n", "key"], descending=[True, False]).limit(10)
+
+
+def _q_events_minmax_by_type(sf_dir: str):
+    """Grouped Min/Max/Count over epoch-cast timestamps."""
+    import pyarrow.compute as pc
+
+    from ctinexus_ray.ops.relational import minmax_count_by_key
+
+    def to_epoch(batch: pa.Table) -> pa.Table:
+        secs = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+        return pa.Table.from_pydict(
+            {"event_type": batch.column("event_type"), "epoch_s": secs}
+        )
+
+    ds = _events(sf_dir).select_columns(["ts", "event_type"]).map_batches(
+        to_epoch, batch_format="pyarrow"
+    )
+    return minmax_count_by_key(
+        ds, "event_type", "epoch_s",
+        out_min="min_ts", out_max="max_ts", out_n="n_events",
+    )
+
+
 # --- KG pipeline -------------------------------------------------------------
 
 
@@ -377,6 +442,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_sessions": _q_event_sessions,
         "orders_per_customer": _q_orders_per_customer,
         "lineitem_status_counts": _q_lineitem_status_counts,
+        "customers_per_region": _q_customers_per_region,
+        "top_suppliers_by_lineitems": _q_top_suppliers_by_lineitems,
+        "events_minmax_by_type": _q_events_minmax_by_type,
         "kg_extract": _q_kg_extract,
         "kg_degrees": _q_kg_degrees,
         "kg_triples": _q_kg_triples,
@@ -491,6 +559,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, count(*) AS n_items, "
             "CAST(sum(l_linenumber) AS BIGINT) AS sum_linenumber "
             "FROM lineitem GROUP BY 1, 2"
+        ),
+        "customers_per_region": (
+            "SELECT r_name, count(*) AS n_customers "
+            "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r_name"
+        ),
+        "top_suppliers_by_lineitems": (
+            "SELECT l_suppkey AS key, s_name, count(*) AS n "
+            "FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "GROUP BY 1, 2 ORDER BY n DESC, key LIMIT 10"
+        ),
+        # floor(epoch) matches the engine's integer microsecond division
+        # (CAST alone would round-to-nearest on fractional seconds)
+        "events_minmax_by_type": (
+            "SELECT event_type, CAST(min(floor(epoch(ts))) AS BIGINT) AS min_ts, "
+            "CAST(max(floor(epoch(ts))) AS BIGINT) AS max_ts, count(*) AS n_events "
+            "FROM events GROUP BY event_type"
         ),
         # minhash_pairs / simhash / langid / kg_* / multimodal_features:
         # deterministic but not ANSI-SQL-expressible (stable hashing, mock

@@ -84,6 +84,64 @@ def sessionize(events: ray.data.Dataset, gap_seconds: int = 1800) -> ray.data.Da
     )
 
 
+def broadcast_enrich(
+    big: ray.data.Dataset,
+    small: ray.data.Dataset,
+    big_key: str,
+    small_key: str,
+    attach: list[str],
+) -> ray.data.Dataset:
+    """Row-level broadcast (map-side) join: every ``big`` row gains the
+    ``attach`` columns of its matching ``small`` row. The small side is
+    collected once on the driver, shipped once via ``ray.put``, and read
+    per task — the big side never shuffles. Unmatched keys get nulls
+    (left-join semantics). Chain calls to walk a dimension snowflake
+    (e.g. customer -> nation -> region)."""
+    lookup = {
+        r[small_key]: tuple(r[c] for c in attach) for r in small.iter_rows()
+    }
+    lookup_ref = ray.put(lookup)
+    miss = (None,) * len(attach)
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        table = ray.get(lookup_ref)
+        keys = batch.column(big_key).to_pylist()
+        for i, name in enumerate(attach):
+            batch = batch.append_column(
+                name, pa.array([table.get(k, miss)[i] for k in keys])
+            )
+        return batch
+
+    return big.map_batches(enrich, batch_format="pyarrow")
+
+
+def minmax_count_by_key(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    out_min: str = "min_v",
+    out_max: str = "max_v",
+    out_n: str = "n",
+) -> ray.data.Dataset:
+    """Grouped Min/Max/Count with built-in vectorized aggregates (one
+    shuffle, map-side combined by Ray)."""
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.groupby(key).aggregate(Min(value_col), Max(value_col), Count())
+
+    def rename(batch: pa.Table) -> pa.Table:
+        mapping = {
+            f"min({value_col})": out_min,
+            f"max({value_col})": out_max,
+            "count()": out_n,
+        }
+        return batch.rename_columns(
+            [mapping.get(c, c) for c in batch.column_names]
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
 def broadcast_join_count(
     big: ray.data.Dataset,
     small: ray.data.Dataset,

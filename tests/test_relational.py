@@ -12,7 +12,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("events", "orders", "customer"):
+    for t in ("events", "orders", "customer", "nation", "region", "lineitem", "supplier"):
         c.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
         )
@@ -76,6 +76,97 @@ class TestBroadcastJoin:
             con.sql(
                 "SELECT o_custkey, c_mktsegment, count(*) FROM orders o "
                 "JOIN customer c ON c.c_custkey = o.o_custkey GROUP BY 1, 2"
+            ).fetchall()
+        )
+        assert got == want
+
+
+class TestBroadcastEnrich:
+    def test_join_chain_vs_duckdb(self, ray_session, con):
+        """customer -> nation -> region snowflake walk via chained
+        broadcast enrich (the big side never shuffles)."""
+        from ray.data.aggregate import Count
+
+        from ctinexus_ray.ops.relational import broadcast_enrich
+
+        customer = ray.data.read_parquet(
+            f"{SF}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        )
+        nation = ray.data.read_parquet(
+            f"{SF}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+        )
+        region = ray.data.read_parquet(
+            f"{SF}/region.parquet", columns=["r_regionkey", "r_name"]
+        )
+        enriched = broadcast_enrich(
+            broadcast_enrich(
+                customer, nation, "c_nationkey", "n_nationkey", ["n_regionkey"]
+            ),
+            region,
+            "n_regionkey",
+            "r_regionkey",
+            ["r_name"],
+        )
+        got = {
+            (r["r_name"], r["count()"])
+            for r in enriched.groupby("r_name").aggregate(Count()).take_all()
+        }
+        want = set(
+            con.sql(
+                "SELECT r_name, count(*) FROM customer c "
+                "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+                "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r_name"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_unmatched_keys_get_nulls(self, ray_session):
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.relational import broadcast_enrich
+
+        big = ray.data.from_arrow(
+            pa.Table.from_pydict({"k": pa.array([1, 2], type=pa.int64())})
+        )
+        small = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"k2": pa.array([1], type=pa.int64()), "v": pa.array(["x"])}
+            )
+        )
+        rows = {r["k"]: r["v"] for r in broadcast_enrich(big, small, "k", "k2", ["v"]).take_all()}
+        assert rows == {1: "x", 2: None}
+
+
+class TestMinMax:
+    def test_minmax_count_vs_duckdb(self, ray_session, con):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from ctinexus_ray.ops.relational import minmax_count_by_key
+
+        def to_epoch(batch: pa.Table) -> pa.Table:
+            secs = pc.divide(batch.column("ts").cast(pa.int64()), 1_000_000)
+            return pa.Table.from_pydict(
+                {"event_type": batch.column("event_type"), "epoch_s": secs}
+            )
+
+        ds = (
+            ray.data.read_parquet(f"{SF}/events.parquet")
+            .select_columns(["ts", "event_type"])
+            .map_batches(to_epoch, batch_format="pyarrow")
+        )
+        got = {
+            (r["event_type"], r["min_ts"], r["max_ts"], r["n_events"])
+            for r in minmax_count_by_key(
+                ds, "event_type", "epoch_s",
+                out_min="min_ts", out_max="max_ts", out_n="n_events",
+            ).take_all()
+        }
+        want = set(
+            con.sql(
+                "SELECT event_type, CAST(min(floor(epoch(ts))) AS BIGINT), "
+                "CAST(max(floor(epoch(ts))) AS BIGINT), count(*) "
+                "FROM events GROUP BY event_type"
             ).fetchall()
         )
         assert got == want
