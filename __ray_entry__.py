@@ -202,6 +202,25 @@ def _q_simhash(sf_dir: str):
     return simhash_signatures(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_corpus_clean(sf_dir: str):
+    """Composed training-data cleaning pipeline: quality gate (>= 5
+    words) -> exact-dedup survivors (min doc_id per identical text).
+    Streams end to end; one text-keyed shuffle."""
+    from ctinexus_ray.ops.dedup import exact_dedup_groups
+
+    def quality_gate(batch: pa.Table) -> pa.Table:
+        mask = [
+            len((t or "").strip().split()) >= 5
+            for t in batch.column("text").to_pylist()
+        ]
+        return batch.filter(pa.array(mask))
+
+    filtered = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        quality_gate, batch_format="pyarrow"
+    )
+    return exact_dedup_groups(filtered).select_columns(["doc_id"])
+
+
 def _q_langid(sf_dir: str):
     from ctinexus_ray.ops.textstats import langid_batch
 
@@ -438,6 +457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "langid": _q_langid,
+        "corpus_clean": _q_corpus_clean,
         "events_hourly": _q_events_hourly,
         "event_sessions": _q_event_sessions,
         "orders_per_customer": _q_orders_per_customer,
@@ -538,6 +558,11 @@ def oracle_sql() -> dict[str, str]:
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.35"
+        ),
+        "corpus_clean": (
+            "SELECT min(doc_id) AS doc_id FROM documents "
+            "WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 5 "
+            "GROUP BY text"
         ),
         "events_hourly": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, "
