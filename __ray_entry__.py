@@ -80,6 +80,22 @@ def _q_token_counts(sf_dir: str):
     )
 
 
+def _q_token_counts_bpe(sf_dir: str):
+    from ctinexus_ray.ops.textstats import bpe_token_count_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        bpe_token_count_batch, batch_format="pyarrow"
+    )
+
+
+def _q_winnow_fingerprints(sf_dir: str):
+    from ctinexus_ray.ops.textstats import winnow_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        winnow_batch, batch_format="pyarrow"
+    )
+
+
 def _q_dedup_exact(sf_dir: str):
     from ctinexus_ray.ops.dedup import exact_dedup_groups
 
@@ -443,6 +459,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_lang": _q_doc_stats_by_lang,
         "top_docs_by_chars": _q_top_docs_by_chars,
         "token_counts": _q_token_counts,
+        "token_counts_bpe": _q_token_counts_bpe,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "dedup_exact": _q_dedup_exact,
         "doc_fingerprints": _q_doc_fingerprints,
         "quality_scores": _q_quality_scores,
@@ -491,6 +509,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) "
             "AS n_tokens FROM documents"
         ),
+        # the BPE pretokenizer pattern is RE2-compatible by construction;
+        # single quotes doubled for the SQL literal
+        "token_counts_bpe": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+            "')) AS n_bpe_tokens FROM documents"
+        ),
+        # winnow_fingerprints: rolling-hash winnowing is deterministic but
+        # not ANSI-SQL-expressible -> rows-only check (pinned by unit
+        # tests against a naive reference implementation).
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_dups "
             "FROM documents GROUP BY text"

@@ -121,3 +121,109 @@ def word_explode_batch(batch: pa.Table) -> pa.Table:
             "n": pa.array([counter[w] for w in words], type=pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex tokenization (subword-pretokenizer word counting)
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pretokenizer, simplified to an RE2-compatible subset (no
+# lookahead, ASCII classes) so DuckDB's regexp_extract_all computes the
+# identical token stream and the oracle can verify counts value-for-value.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_BPE_RE = re.compile(BPE_PATTERN)
+
+
+def bpe_token_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_bpe_tokens): count of BPE-pretokenizer matches."""
+    texts = batch.column("text").to_pylist()
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_bpe_tokens": pa.array(
+                [len(_BPE_RE.findall(t or "")) for t in texts], type=pa.int64()
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+_WINNOW_BASE = 257
+_WINNOW_MOD = (1 << 31) - 1  # Mersenne prime; keeps products in int64
+
+
+def _kgram_rolling_hashes(text: str, k: int) -> "np.ndarray":
+    """Karp-Rabin rolling hashes of every k-char gram, vectorized: the
+    hash chain h[i+1] = (h[i] - c[i]*B^(k-1))*B + c[i+k] is evaluated in
+    closed form via cumulative sums of c[j]*B^(-j) scaled back by B^i,
+    all in int64 modular arithmetic (no Python loop over positions)."""
+    import numpy as np
+
+    codes = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.zeros(0, dtype=np.int64)
+    c = codes.astype(np.int64)
+    # powers B^0..B^(k-1) mod M (k is small)
+    pw = np.empty(k, dtype=np.int64)
+    pw[0] = 1
+    for i in range(1, k):
+        pw[i] = (pw[i - 1] * _WINNOW_BASE) % _WINNOW_MOD
+    # h[i] = sum_{j<k} c[i+j] * B^(k-1-j) via k shifted adds (k tiny, each
+    # add is vectorized over all positions)
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(k):
+        h = (h + c[j : j + n] * pw[k - 1 - j]) % _WINNOW_MOD
+    return h
+
+
+def winnow_fingerprints(text: str, k: int = 5, w: int = 4) -> list[tuple[int, int]]:
+    """Winnowing (Schleimer/Wilkerson/Aiken): take the MINIMUM rolling
+    k-gram hash in every window of ``w`` consecutive hashes, rightmost
+    occurrence on ties; consecutive duplicate selections collapse.
+    Returns [(pos, fingerprint)] — a sparse, shift-robust document
+    signature for plagiarism/near-dup detection."""
+    import numpy as np
+
+    h = _kgram_rolling_hashes((text or "").lower(), k)
+    n = len(h)
+    if n == 0:
+        return []
+    if n <= w:
+        pos = int(np.flatnonzero(h == h.min())[-1])
+        return [(pos, int(h[pos]))]
+    # sliding-window min via stride tricks (windows × w view, vectorized)
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
+    mins = win.min(axis=1)
+    # rightmost index of the min within each window
+    rev_arg = w - 1 - np.argmin(win[:, ::-1], axis=1)
+    picks = rev_arg + np.arange(len(win))
+    out: list[tuple[int, int]] = []
+    last = -1
+    for p, m in zip(picks.tolist(), mins.tolist()):
+        if p != last:
+            out.append((p, int(m)))
+            last = p
+    return out
+
+
+def winnow_batch(batch: pa.Table, k: int = 5, w: int = 4) -> pa.Table:
+    """(doc_id, pos, fp) — exploded winnowing fingerprints per document."""
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_doc, out_pos, out_fp = [], [], []
+    for doc_id, text in zip(doc_ids, texts):
+        for pos, fp in winnow_fingerprints(text or "", k, w):
+            out_doc.append(doc_id)
+            out_pos.append(pos)
+            out_fp.append(fp)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "pos": pa.array(out_pos, type=pa.int64()),
+            "fp": pa.array(out_fp, type=pa.int64()),
+        }
+    )

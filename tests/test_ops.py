@@ -320,3 +320,67 @@ class TestMultimodal:
         assert isinstance(out, pa.Table)
         # only video rows produce frames
         assert out.num_rows > 0
+
+
+class TestBpeAndWinnow:
+    def test_bpe_counts_vs_duckdb(self, docs, con):
+        from ctinexus_ray.ops.textstats import BPE_PATTERN, bpe_token_count_batch
+
+        got = {
+            (r["doc_id"], r["n_bpe_tokens"])
+            for r in docs.map_batches(
+                bpe_token_count_batch, batch_format="pyarrow"
+            ).take_all()
+        }
+        want = set(
+            con.execute(
+                "SELECT doc_id, len(regexp_extract_all(text, ?)) FROM documents",
+                [BPE_PATTERN],
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_winnow_vs_naive_reference(self):
+        from ctinexus_ray.ops.textstats import (
+            _WINNOW_BASE,
+            _WINNOW_MOD,
+            winnow_fingerprints,
+        )
+
+        def naive(text, k, w):
+            data = text.lower().encode()
+            h = [
+                sum(
+                    b * pow(_WINNOW_BASE, k - 1 - j, _WINNOW_MOD)
+                    for j, b in enumerate(data[i : i + k])
+                )
+                % _WINNOW_MOD
+                for i in range(len(data) - k + 1)
+            ]
+            if not h:
+                return []
+            if len(h) <= w:
+                m = min(h)
+                return [(max(i for i, v in enumerate(h) if v == m), m)]
+            out, last = [], -1
+            for s in range(len(h) - w + 1):
+                window = h[s : s + w]
+                m = min(window)
+                pos = s + max(i for i, v in enumerate(window) if v == m)
+                if pos != last:
+                    out.append((pos, m))
+                    last = pos
+            return out
+
+        for text in ["", "ab", "aaaaaaaa", "The quick brown fox", "x y z " * 40]:
+            assert winnow_fingerprints(text, 5, 4) == naive(text, 5, 4)
+
+    def test_winnow_shift_robust(self):
+        """Winnowing guarantee: any shared substring of length >= w+k-1
+        contributes at least one common fingerprint."""
+        from ctinexus_ray.ops.textstats import winnow_fingerprints
+
+        core = "the quick brown fox jumps over the lazy dog"
+        a = {fp for _, fp in winnow_fingerprints("PREFIX " + core)}
+        b = {fp for _, fp in winnow_fingerprints(core + " SUFFIX")}
+        assert a & b
