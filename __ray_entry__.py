@@ -449,6 +449,23 @@ def _q_multimodal_features(sf_dir: str):
     return decode_features(media, fake=True)
 
 
+def _q_multimodal_frames(sf_dir: str):
+    """Video frame-sampling plumbing (actor-pool flat-map; codec stubbed,
+    schema/batching real)."""
+    import ray.data
+
+    from ctinexus_ray.ops.multimodal import FrameSampleStage, make_fake_media_table
+
+    media = ray.data.from_arrow(make_fake_media_table(200)).repartition(4)
+    return media.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"fake": True, "every_ms": 1000},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 4),
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -491,6 +508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes_merged": _q_kg_nodes_merged,
         "url_source": _q_url_source,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_frames": _q_multimodal_frames,
     }
 
 
