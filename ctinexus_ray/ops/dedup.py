@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 from collections import Counter
+from functools import lru_cache, partial
 
 import numpy as np
 import pandas as pd
@@ -80,9 +81,11 @@ def exact_dedup_keep(docs: ray.data.Dataset) -> ray.data.Dataset:
 _MERSENNE = (1 << 61) - 1
 
 
+@lru_cache(maxsize=8)
 def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic (a, b) permutation parameters derived from blake2b —
-    no RNG state, reproducible everywhere."""
+    no RNG state, reproducible everywhere; cached per process so
+    MinHashStage construction is cheap enough for stateless tasks."""
     a = np.array(
         [(_hash64(f"mh-a-{seed}-{i}".encode()) % (_MERSENNE - 1)) + 1 for i in range(num_perm)],
         dtype=np.uint64,
@@ -94,23 +97,11 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
-def _minhash_params_cached(num_perm: int, seed: int = 7):
-    return _minhash_params_lru(num_perm, seed)
-
-
-from functools import lru_cache as _lru_cache
-
-
-@_lru_cache(maxsize=8)
-def _minhash_params_lru(num_perm: int, seed: int):
-    return _minhash_params(num_perm, seed)
-
-
 class MinHashStage:
     """Per-document MinHash signature + LSH band keys.
 
     Stateless-cheap: the permutation params are blake2b-derived and cached
-    per process (``_minhash_params_cached``), so this runs as plain
+    per process (``_minhash_params``), so this runs as plain
     ``map_batches`` tasks — no actor pool, no startup latency, full task
     parallelism. The per-batch work is vectorized numpy over the
     shingle-hash array.
@@ -122,7 +113,7 @@ class MinHashStage:
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.shingle_n = shingle_n
-        self.a, self.b = _minhash_params_cached(num_perm)
+        self.a, self.b = _minhash_params(num_perm)
 
     def signature(self, text: str) -> np.ndarray:
         shingles = word_shingles(text, self.shingle_n)
@@ -168,6 +159,8 @@ def bucket_pairs_partition(
     group: pd.DataFrame,
     key_cols: list[str],
     max_bucket: int,
+    carry_cols: list[str] | None = None,
+    verify=None,
 ) -> pd.DataFrame:
     """Vectorized candidate-pair generation for ONE hash partition of
     bucket rows (shared by the MinHash and SimHash paths).
@@ -178,20 +171,29 @@ def bucket_pairs_partition(
     vectorized size transform, never touching per-group Python. Hot
     buckets are truncated deterministically to ``max_bucket`` smallest
     doc_ids before the merge (a degenerate bucket of B docs would
-    otherwise emit B² pairs)."""
+    otherwise emit B² pairs).
+
+    ``carry_cols`` ride along into the merge as ``<col>_a`` / ``<col>_b``
+    and ``verify(merged_frame) -> bool mask`` filters candidate pairs
+    (e.g. the SimHash exact-Hamming check) before output."""
     g = group.drop_duplicates(key_cols + ["doc_id"]).sort_values(
         key_cols + ["doc_id"], kind="mergesort"
     )
     sizes = g.groupby(key_cols)["doc_id"].transform("size")
     g = g[sizes >= 2]
+    empty = pd.DataFrame(
+        {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+    )
     if not len(g):
-        return pd.DataFrame(
-            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
-        )
+        return empty
     g = g[g.groupby(key_cols).cumcount() < max_bucket]
-    keep_cols = key_cols + ["doc_id"]
+    keep_cols = key_cols + ["doc_id"] + (carry_cols or [])
     m = g[keep_cols].merge(g[keep_cols], on=key_cols, suffixes=("_a", "_b"))
     m = m[m["doc_id_a"] < m["doc_id_b"]]
+    if verify is not None and len(m):
+        m = m[verify(m)]
+    if not len(m):
+        return empty
     out = m[["doc_id_a", "doc_id_b"]].drop_duplicates()
     return pd.DataFrame(
         {
@@ -227,8 +229,6 @@ def minhash_candidate_pairs(
     ``num_partitions`` bounds per-task memory: size it ~ (band rows /
     comfortable task rows) at corpus scale.
     """
-    from functools import partial
-
     assert num_partitions & (num_partitions - 1) == 0, "power of two"
     sigs = docs.select_columns(["doc_id", "text"]).map_batches(
         partial(
@@ -392,7 +392,10 @@ def simhash_signatures(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def simhash_dup_pairs(
-    docs: ray.data.Dataset, max_hamming: int = 3, chunks: int = 4
+    docs: ray.data.Dataset,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket: int = 200,
 ) -> ray.data.Dataset:
     """SimHash near-dup pairs: (a, b) with Hamming distance <= max_hamming.
 
@@ -400,8 +403,10 @@ def simhash_dup_pairs(
     any pair within ``chunks - 1`` bit flips shares at least one exact
     band, so bucketing by (band, chunk-value) finds all candidates for
     ``max_hamming < chunks``; candidates are then verified exactly.
-    Same shuffle shape as MinHash-LSH (bucket groupby + hot-bucket
-    prefilter pattern kept implicit via bucket sizes).
+    Same shuffle/partition-merge shape as MinHash-LSH, including the
+    ``max_bucket`` hot-bucket cap (identical docs all land in the same
+    band buckets — a cluster of B exact dups would otherwise build a
+    B²-row merge frame in one task).
     """
     assert max_hamming < chunks, "pigeonhole guarantee needs max_hamming < chunks"
     num_partitions = 64
@@ -438,39 +443,24 @@ def simhash_dup_pairs(
             x.astype(np.uint64).view(np.uint8).reshape(-1, 8), axis=1
         ).sum(axis=1)
 
-    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # one hash partition = many (band, val) buckets; vectorized
-        # self-merge then an exact vectorized Hamming verify (XOR +
-        # popcount via unpackbits)
-        g = g.drop_duplicates(["band", "val", "doc_id"]).sort_values(
-            ["band", "val", "doc_id"], kind="mergesort"
-        )
-        sizes = g.groupby(["band", "val"])["doc_id"].transform("size")
-        g = g[sizes >= 2]
-        empty = pd.DataFrame(
-            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
-        )
-        if not len(g):
-            return empty
-        cols = ["band", "val", "doc_id", "simhash"]
-        m = g[cols].merge(g[cols], on=["band", "val"], suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]]
-        if not len(m):
-            return empty
+    def hamming_verify(m: pd.DataFrame) -> np.ndarray:
+        # exact vectorized Hamming verify (XOR + popcount via unpackbits)
         xor = np.bitwise_xor(
             m["simhash_a"].to_numpy(dtype=np.int64),
             m["simhash_b"].to_numpy(dtype=np.int64),
         )
-        m = m[_popcount64(xor) <= max_hamming]
-        out = m[["doc_id_a", "doc_id_b"]].drop_duplicates()
-        return pd.DataFrame(
-            {
-                "a": out["doc_id_a"].astype("int64").values,
-                "b": out["doc_id_b"].astype("int64").values,
-            }
-        )
+        return _popcount64(xor) <= max_hamming
 
-    pairs = bands.groupby("pkey").map_groups(partition_pairs, batch_format="pandas")
+    pairs = bands.groupby("pkey").map_groups(
+        partial(
+            bucket_pairs_partition,
+            key_cols=["band", "val"],
+            max_bucket=max_bucket,
+            carry_cols=["simhash"],
+            verify=hamming_verify,
+        ),
+        batch_format="pandas",
+    )
     return distinct_pairs(pairs)
 
 
@@ -503,8 +493,6 @@ def ngram_jaccard_pairs(
     Returns (a, b) with a < b. The SQL oracle mirrors the semantics
     verbatim. ``num_partitions`` bounds per-task memory at corpus scale.
     """
-    from functools import partial
-
     def shingle_rows(batch: pa.Table) -> pa.Table:
         out_doc, out_sh, out_size, out_pkey = [], [], [], []
         for doc_id, text in zip(
@@ -576,8 +564,6 @@ def ngram_jaccard_pairs(
     )
 
     def jaccard_filter(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         ix = np.asarray(batch.column("count()").to_pylist(), dtype=np.float64)
         sa = np.asarray(batch.column("max(size_a)").to_pylist(), dtype=np.float64)
         sb = np.asarray(batch.column("max(size_b)").to_pylist(), dtype=np.float64)
@@ -638,8 +624,6 @@ def embedding_dup_pairs(
         block, batch_format="pyarrow"
     )
 
-
-from functools import lru_cache
 
 
 @lru_cache(maxsize=32)

@@ -95,11 +95,11 @@ def broadcast_enrich(
     ``attach`` columns of its matching ``small`` row. The small side is
     collected once on the driver, shipped once via ``ray.put``, and read
     per task — the big side never shuffles. Unmatched keys get nulls
-    (left-join semantics). Chain calls to walk a dimension snowflake
-    (e.g. customer -> nation -> region)."""
-    lookup = {
-        r[small_key]: tuple(r[c] for c in attach) for r in small.iter_rows()
-    }
+    (left-join semantics — NOTE: this diverges from an inner-join SQL
+    oracle on data with referential gaps; filter the nulls out downstream
+    if inner-join semantics are required). Chain calls to walk a
+    dimension snowflake (e.g. customer -> nation -> region)."""
+    lookup, types = _collect_small_side(small, small_key, attach)
     lookup_ref = ray.put(lookup)
     miss = (None,) * len(attach)
 
@@ -108,7 +108,7 @@ def broadcast_enrich(
         keys = batch.column(big_key).to_pylist()
         for i, name in enumerate(attach):
             batch = batch.append_column(
-                name, pa.array([table.get(k, miss)[i] for k in keys])
+                name, pa.array([table.get(k, miss)[i] for k in keys], type=types[i])
             )
         return batch
 
@@ -157,22 +157,38 @@ def broadcast_join_count(
     dimension tables do; for two large sides use a key-partitioned
     groupby co-shuffle instead.
     """
-    lookup = {
-        r[small_key]: tuple(r[c] for c in attach) for r in small.iter_rows()
-    }
+    lookup, types = _collect_small_side(small, small_key, attach)
     lookup_ref = ray.put(lookup)
+    miss = (None,) * len(attach)
 
     counted = big.groupby(big_key).aggregate(Count())
 
     def attach_cols(batch: pa.Table) -> pa.Table:
         table = ray.get(lookup_ref)
         keys = batch.column(big_key).to_pylist()
-        cols: dict[str, list] = {"key": keys}
+        cols: dict = {"key": batch.column(big_key)}
         for i, name in enumerate(attach):
-            cols[name] = [
-                table.get(k, (None,) * len(attach))[i] for k in keys
-            ]
-        cols["n"] = batch.column("count()").to_pylist()
+            cols[name] = pa.array(
+                [table.get(k, miss)[i] for k in keys], type=types[i]
+            )
+        cols["n"] = batch.column("count()")
         return pa.Table.from_pydict(cols)
 
     return counted.map_batches(attach_cols, batch_format="pyarrow")
+
+
+def _collect_small_side(
+    small: ray.data.Dataset, small_key: str, attach: list[str]
+) -> tuple[dict, list]:
+    """Collect the dimension table on the driver as Arrow (types
+    preserved) -> ({key: attach tuple}, [attach pyarrow types]). Typed
+    output arrays keep block schemas identical even when a batch has only
+    unmatched keys (an untyped pa.array of Nones would yield a null-typed
+    column and schema-divergent blocks)."""
+    tables = ray.get(small.select_columns([small_key, *attach]).to_arrow_refs())
+    table = pa.concat_tables([t for t in tables if t.num_rows] or tables)
+    keys = table.column(small_key).to_pylist()
+    cols = [table.column(c).to_pylist() for c in attach]
+    lookup = {k: tuple(col[i] for col in cols) for i, k in enumerate(keys)}
+    types = [table.schema.field(c).type for c in attach]
+    return lookup, types

@@ -61,8 +61,14 @@ def brute_force_topk(
         keep = min(k + (1 if exclude_self else 0), sims.shape[1])
         for qi in range(sims.shape[0]):
             row = sims[qi]
-            # batch-local candidate cut; final ordering happens in the reduce
-            idx = np.argpartition(-row, keep - 1)[:keep] if keep < len(row) else np.arange(len(row))
+            # batch-local candidate cut; lexsort preserves the
+            # (sim desc, neighbor_id asc) tie-break at the cut boundary
+            # so the final reduce ranking matches the SQL oracle exactly
+            idx = (
+                np.lexsort((v_ids, -row))[:keep]
+                if keep < len(row)
+                else np.arange(len(row))
+            )
             for j in idx:
                 if exclude_self and v_ids[j] == qids[qi]:
                     continue
@@ -137,7 +143,7 @@ def lsh_topk(
     shuffle; per-group exact scoring; a final per-query merge dedupes
     candidates found in several tables and ranks.
     """
-    from ctinexus_ray.ops.dedup import _hash64, lsh_planes
+    from ctinexus_ray.ops.dedup import lsh_planes
 
     def tag(batch: pa.Table) -> pa.Table:
         mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
@@ -255,6 +261,17 @@ def ivf_topk(
         .take_all()
     )
     sample_rows.sort(key=lambda r: r["vec_id"])
+    if not sample_rows:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        )
     sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
     centroids = _deterministic_kmeans(sample, min(n_centroids, len(sample)))
 
@@ -309,11 +326,27 @@ def ivf_topk(
                     "sim": pa.array([], type=pa.float64()),
                 }
             )
+        q_all = np.concatenate(out_q)
+        n_all = np.concatenate(out_n)
+        s_all = np.concatenate(out_s)
+        # batch-local top-k cut per query: the merge reduce only needs k
+        # candidates per (query, batch) — without this the partials
+        # dataset grows with corpus size and the per-query merge group
+        # materializes the whole corpus
+        keep_idx = []
+        for qid in np.unique(q_all):
+            rows = np.nonzero(q_all == qid)[0]
+            if len(rows) > k:
+                # lexsort keeps the (sim desc, neighbor_id asc) tie-break
+                # exact at the cut boundary
+                rows = rows[np.lexsort((n_all[rows], -s_all[rows]))[:k]]
+            keep_idx.append(rows)
+        sel = np.concatenate(keep_idx)
         return pa.Table.from_pydict(
             {
-                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
-                "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
-                "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+                "query_id": pa.array(q_all[sel], type=pa.int64()),
+                "neighbor_id": pa.array(n_all[sel], type=pa.int64()),
+                "sim": pa.array(s_all[sel], type=pa.float64()),
             }
         )
 

@@ -156,10 +156,9 @@ _WINNOW_MOD = (1 << 31) - 1  # Mersenne prime; keeps products in int64
 
 
 def _kgram_rolling_hashes(text: str, k: int) -> "np.ndarray":
-    """Karp-Rabin rolling hashes of every k-char gram, vectorized: the
-    hash chain h[i+1] = (h[i] - c[i]*B^(k-1))*B + c[i+k] is evaluated in
-    closed form via cumulative sums of c[j]*B^(-j) scaled back by B^i,
-    all in int64 modular arithmetic (no Python loop over positions)."""
+    """Karp-Rabin k-gram hashes for every position, vectorized as k
+    shifted modular adds (each add spans all positions at once — the
+    only Python loop is over the k byte offsets, and k is small)."""
     import numpy as np
 
     codes = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
