@@ -224,9 +224,44 @@ def bucket_pairs_partition(
     )
 
 
-def distinct_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
-    """Global (a, b) distinct via one vectorized groupby shuffle."""
-    return pairs.groupby(["a", "b"]).aggregate(Count()).select_columns(["a", "b"])
+def distinct_pairs(
+    pairs: ray.data.Dataset, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Global (a, b) distinct via one hash-partitioned shuffle with a
+    VECTORIZED pandas drop_duplicates per partition.
+
+    Not ``groupby([a, b]).aggregate(Count())``: a built-in aggregate
+    over millions of distinct keys pays per-group overhead linear in the
+    key count (measured 139 s for 1.2M distinct pairs where this path
+    takes seconds). Partitioning by a hash of the pair co-locates
+    duplicates; per-partition dedup is one vectorized call."""
+    import pyarrow.compute as pc
+
+    assert num_partitions & (num_partitions - 1) == 0, "power of two"
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        mix = pc.bit_wise_xor(
+            batch.column("a"), pc.shift_left(batch.column("b"), 13)
+        )
+        mix = pc.bit_wise_xor(mix, batch.column("b"))
+        return batch.append_column(
+            "pkey2", pc.bit_wise_and(mix, num_partitions - 1)
+        )
+
+    def drop_dup(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop_duplicates(["a", "b"])
+        return pd.DataFrame(
+            {
+                "a": out["a"].astype("int64").values,
+                "b": out["b"].astype("int64").values,
+            }
+        )
+
+    return (
+        pairs.map_batches(add_key, batch_format="pyarrow")
+        .groupby("pkey2")
+        .map_groups(drop_dup, batch_format="pandas")
+    )
 
 
 def minhash_candidate_pairs(
