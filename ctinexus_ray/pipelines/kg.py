@@ -112,36 +112,56 @@ def canonicalize_nodes(
         in-doc mention count, ties toward the lexicographically greatest
         class (pre-encoded in ``class_rank`` so a plain Max suffices)
       * doc_count / mention_count = exact Sums of the batch partials
+
+    The reduce is a hash-partitioned groupby (``entity_key`` mod P) with
+    one VECTORIZED pandas groupby.agg per partition — NOT a built-in
+    per-key aggregate, whose per-group overhead is linear in distinct
+    entities (measured 16.4 s over 436 k entities at 400 k docs vs ~4 s
+    this way; at 10^9 entities the difference is fatal). Partitioning by
+    key hash keeps every key's rows together, so results are exact.
     """
-    from ray.data.aggregate import Max, Sum
+    import pandas as pd
+    import pyarrow.compute as pc
 
     partials = docs_kg_ds.map_batches(
         entity_partials_batch,
         batch_format="pyarrow",
         batch_size=config.cpu_batch_size,
     )
-    if config.canon_num_partitions:
-        partials = partials.repartition(config.canon_num_partitions)
-    agg = partials.groupby("entity_key").aggregate(
-        Max("entity_text"), Max("class_rank"), Sum("doc_count"),
-        Sum("mention_count"),
-    )
+    num_partitions = config.canon_num_partitions or 64
+    assert num_partitions & (num_partitions - 1) == 0, "power of two"
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        ranks = batch.column("max(class_rank)").to_pylist()
-        return pa.Table.from_pydict(
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pkey", pc.bit_wise_and(batch.column("entity_key"), num_partitions - 1)
+        )
+
+    def reduce_partition(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("entity_key", sort=False)
+            .agg(
+                entity_text=("entity_text", "max"),
+                class_rank=("class_rank", "max"),
+                doc_count=("doc_count", "sum"),
+                mention_count=("mention_count", "sum"),
+            )
+            .reset_index()
+        )
+        return pd.DataFrame(
             {
-                "entity_key": batch.column("entity_key"),
-                "entity_text": batch.column("max(entity_text)"),
-                "entity_class": pa.array(
-                    [r.split("|", 1)[1] for r in ranks], type=pa.string()
-                ),
-                "doc_count": batch.column("sum(doc_count)"),
-                "mention_count": batch.column("sum(mention_count)"),
+                "entity_key": out["entity_key"].astype("int64").values,
+                "entity_text": out["entity_text"].values,
+                "entity_class": out["class_rank"].str.split("|", n=1).str[1].values,
+                "doc_count": out["doc_count"].astype("int64").values,
+                "mention_count": out["mention_count"].astype("int64").values,
             }
         )
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return (
+        partials.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(reduce_partition, batch_format="pandas")
+    )
 
 
 def edges_dataset(triples_ds: ray.data.Dataset, config: PipelineConfig) -> ray.data.Dataset:
