@@ -52,20 +52,17 @@ def word_shingles(text: str, n: int = 3) -> set[str]:
 
 def exact_dedup_groups(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Group identical texts; keep the smallest doc_id as the survivor.
-    One hash shuffle on the text key. Returns (doc_id, n_dups)."""
-    grouped = docs.select_columns(["doc_id", "text"]).groupby("text").aggregate(
-        Min("doc_id"), Count()
+    One hash shuffle on the text-hash key with a vectorized per-partition
+    reduce (distinct texts grow with the corpus — see groupagg module).
+    Returns (doc_id, n_dups)."""
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    agg = partitioned_agg(
+        docs.select_columns(["doc_id", "text"]),
+        keys=["text"],
+        named_aggs={"doc_id": ("doc_id", "min"), "n_dups": ("doc_id", "size")},
     )
-
-    def rename(batch: pa.Table) -> pa.Table:
-        return pa.Table.from_pydict(
-            {
-                "doc_id": batch.column("min(doc_id)"),
-                "n_dups": batch.column("count()"),
-            }
-        )
-
-    return grouped.map_batches(rename, batch_format="pyarrow")
+    return agg.select_columns(["doc_id", "n_dups"])
 
 
 def exact_dedup_keep(docs: ray.data.Dataset) -> ray.data.Dataset:
@@ -635,16 +632,24 @@ def ngram_jaccard_pairs(
         posting_pairs_partition, batch_format="pandas"
     )
 
-    from ray.data.aggregate import Max
+    from ctinexus_ray.ops.groupagg import partitioned_agg
 
-    agg = pair_partials.groupby(["a", "b"]).aggregate(
-        Count(), Max("size_a"), Max("size_b")
+    # distinct (a, b) pairs grow with the corpus -> hash-partitioned
+    # vectorized reduce, not a built-in per-key aggregate
+    agg = partitioned_agg(
+        pair_partials,
+        keys=["a", "b"],
+        named_aggs={
+            "ix": ("size_a", "size"),
+            "sa": ("size_a", "max"),
+            "sb": ("size_b", "max"),
+        },
     )
 
     def jaccard_filter(batch: pa.Table) -> pa.Table:
-        ix = np.asarray(batch.column("count()").to_pylist(), dtype=np.float64)
-        sa = np.asarray(batch.column("max(size_a)").to_pylist(), dtype=np.float64)
-        sb = np.asarray(batch.column("max(size_b)").to_pylist(), dtype=np.float64)
+        ix = np.asarray(batch.column("ix").to_pylist(), dtype=np.float64)
+        sa = np.asarray(batch.column("sa").to_pylist(), dtype=np.float64)
+        sb = np.asarray(batch.column("sb").to_pylist(), dtype=np.float64)
         union = sa + sb - ix
         mask = (union > 0) & (ix / np.maximum(union, 1e-12) >= threshold)
         kept = batch.filter(pa.array(mask))

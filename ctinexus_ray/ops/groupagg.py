@@ -1,0 +1,90 @@
+"""Hash-partitioned vectorized grouped aggregation.
+
+Ray Data's built-in per-key aggregates (``groupby(k).aggregate(...)``) pay
+per-group overhead linear in the number of DISTINCT keys — measured ~139 s
+to distinct 1.2 M pairs and 16.4 s to reduce 436 k entities on 32 CPUs.
+When key cardinality grows with the corpus (texts, doc pairs, entities,
+users), the scalable shape is:
+
+    1. map: add ``pkey = hash(keys) mod P``  (vectorized / cheap)
+    2. ``groupby(pkey)`` — P groups only, so per-group overhead is O(P)
+    3. inside each partition: ONE vectorized ``pandas.groupby.agg`` over
+       all keys that hashed there
+
+Partitioning by key hash co-locates every key's rows, so results are
+exact for order-free aggregates (sum/min/max/size/first-after-sort).
+``num_partitions`` bounds per-task memory: size it ~ rows / comfortable
+task rows at corpus scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def add_hash_pkey(
+    batch: pa.Table, keys: list[str], num_partitions: int
+) -> pa.Table:
+    """Append ``pkey`` = mixed hash of the key columns mod num_partitions.
+    Integer keys mix with shifts/xors (vectorized); string keys hash with
+    blake2b (per-row, cheap relative to any grouped work)."""
+    mask = num_partitions - 1
+    mix = None
+    for name in keys:
+        col = batch.column(name)
+        if pa.types.is_integer(col.type):
+            part = pc.bit_wise_xor(pc.shift_left(col.cast(pa.int64()), 13), col.cast(pa.int64()))
+        else:
+            part = pa.array(
+                [
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            (s or "").encode("utf-8", "surrogatepass"),
+                            digest_size=8,
+                        ).digest(),
+                        "big",
+                    )
+                    >> 1
+                    for s in col.to_pylist()
+                ],
+                type=pa.int64(),
+            )
+        mix = part if mix is None else pc.bit_wise_xor(mix, part)
+    return batch.append_column("pkey", pc.bit_wise_and(mix, mask))
+
+
+def partitioned_agg(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    named_aggs: dict[str, tuple[str, str]],
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Grouped aggregation with O(P) per-group overhead.
+
+    ``named_aggs`` maps output column -> (input column, pandas agg fn
+    name), e.g. ``{"n_dups": ("doc_id", "size"), "doc_id": ("doc_id",
+    "min")}``. Output columns: keys + named_aggs keys.
+    """
+    assert num_partitions & (num_partitions - 1) == 0, "power of two"
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        return add_hash_pkey(batch, keys, num_partitions)
+
+    spec = {out: (col, fn) for out, (col, fn) in named_aggs.items()}
+
+    def reduce_partition(g: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: SQL GROUP BY keeps the NULL group
+        out = g.groupby(keys, sort=False, dropna=False).agg(**spec).reset_index()
+        return out[keys + list(named_aggs)]
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(reduce_partition, batch_format="pandas")
+    )

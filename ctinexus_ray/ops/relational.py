@@ -57,30 +57,49 @@ def sessionize(events: ray.data.Dataset, gap_seconds: int = 1800) -> ray.data.Da
     """Per-user session counts with a ``gap_seconds`` inactivity gap:
     (user_id, n_sessions, n_events).
 
-    One shuffle on user_id; each group sorts its own events by (ts,
-    event_id) — deterministic tie-break. Scale note: a single user's
-    events must fit in a group; pathological users would need day-salting
-    (documented partitioning assumption).
+    One shuffle on hash(user_id); each hash partition holds MANY whole
+    users and computes all their session counts in vectorized pandas
+    (sort by (user, ts, event_id), per-user shift/diff for gaps) — no
+    per-user Python, so millions of users cost O(P) group overhead.
+    Scale note: a single user's events must fit in a partition;
+    pathological users would need day-salting (documented partitioning
+    assumption).
     """
+    import pyarrow.compute as pc
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="stable")
-        ts = g["ts"]
-        prev = ts.shift(1)
-        gaps = (ts - prev).dt.total_seconds()
-        n_sessions = int((gaps.isna() | (gaps > gap_seconds)).sum())
+    num_partitions = 64
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").cast(pa.int64())
+        mix = pc.bit_wise_xor(pc.shift_left(uid, 13), uid)
+        return batch.append_column(
+            "pkey", pc.bit_wise_and(mix, num_partitions - 1)
+        )
+
+    def reduce_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id", sort=False)["ts"].shift(1)
+        gaps = (g["ts"] - prev).dt.total_seconds()
+        new_session = gaps.isna() | (gaps > gap_seconds)
+        out = (
+            g.assign(_ns=new_session)
+            .groupby("user_id", sort=False)
+            .agg(n_sessions=("_ns", "sum"), n_events=("_ns", "size"))
+            .reset_index()
+        )
         return pd.DataFrame(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_sessions": [n_sessions],
-                "n_events": [len(g)],
+                "user_id": out["user_id"].astype("int64").values,
+                "n_sessions": out["n_sessions"].astype("int64").values,
+                "n_events": out["n_events"].astype("int64").values,
             }
         )
 
     return (
         events.select_columns(["event_id", "ts", "user_id"])
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        .map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(reduce_partition, batch_format="pandas")
     )
 
 
@@ -157,11 +176,19 @@ def broadcast_join_count(
     dimension tables do; for two large sides use a key-partitioned
     groupby co-shuffle instead.
     """
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
     lookup, types = _collect_small_side(small, small_key, attach)
     lookup_ref = ray.put(lookup)
     miss = (None,) * len(attach)
 
-    counted = big.groupby(big_key).aggregate(Count())
+    # distinct big-side keys grow with the table -> hash-partitioned
+    # vectorized count (see groupagg module)
+    counted = partitioned_agg(
+        big.select_columns([big_key]),
+        keys=[big_key],
+        named_aggs={"n": (big_key, "size")},
+    )
 
     def attach_cols(batch: pa.Table) -> pa.Table:
         table = ray.get(lookup_ref)
@@ -171,7 +198,7 @@ def broadcast_join_count(
             cols[name] = pa.array(
                 [table.get(k, miss)[i] for k in keys], type=types[i]
             )
-        cols["n"] = batch.column("count()")
+        cols["n"] = batch.column("n")
         return pa.Table.from_pydict(cols)
 
     return counted.map_batches(attach_cols, batch_format="pyarrow")
