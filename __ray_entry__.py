@@ -119,14 +119,16 @@ def _q_quality_scores(sf_dir: str):
 
 
 def _q_word_freq_top100(sf_dir: str):
-    from ray.data.aggregate import Sum
-
+    from ctinexus_ray.ops.groupagg import partitioned_agg
     from ctinexus_ray.ops.textstats import word_explode_batch
 
     partials = _docs(sf_dir, ["text"]).map_batches(
         word_explode_batch, batch_format="pyarrow"
     )
-    totals = _rename(partials.groupby("word").aggregate(Sum("n")), {"sum(n)": "n"})
+    # vocabulary grows with the corpus -> hash-partitioned vectorized sum
+    totals = partitioned_agg(
+        partials, keys=["word"], named_aggs={"n": ("n", "sum")}
+    )
     return totals.sort(["n", "word"], descending=[True, False]).limit(100)
 
 
@@ -399,7 +401,8 @@ def _q_kg_degrees(sf_dir: str):
     """Cross-document entity degree counts over the canonical edges (A4 at
     corpus scale). Not SQL-expressible (mock pipeline) -> rows-only."""
     import pyarrow as pa
-    from ray.data.aggregate import Count
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
 
     edges = _kg(sf_dir)["edges"]
 
@@ -410,10 +413,12 @@ def _q_kg_degrees(sf_dir: str):
         )
         return pa.Table.from_pydict({"node_key": pa.array(keys, type=pa.int64())})
 
-    agg = edges.map_batches(endpoints, batch_format="pyarrow").groupby(
-        "node_key"
-    ).aggregate(Count())
-    return _rename(agg, {"count()": "degree"})
+    # node keys = canonical entities (corpus-cardinality) -> hash-partitioned
+    return partitioned_agg(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        keys=["node_key"],
+        named_aggs={"degree": ("node_key", "size")},
+    )
 
 
 def _q_kg_nodes_merged(sf_dir: str):
