@@ -92,24 +92,45 @@ def brute_force_topk(
 def _merge_topk(partials: ray.data.Dataset, k: int) -> ray.data.Dataset:
     """Reduce (query_id, neighbor_id, sim) partials to ranked top-k per
     query. Duplicate candidates (e.g. from multiple LSH tables) collapse
-    to one row before ranking."""
+    to one row before ranking.
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        ranked = (
-            group.drop_duplicates(["query_id", "neighbor_id"])
-            .sort_values(["sim", "neighbor_id"], ascending=[False, True], kind="stable")
-            .head(k)
+    Hash-partitioned on query_id with a fully vectorized per-partition
+    rank (sort + per-query cumcount) — per-group overhead is O(P), so
+    batch workloads with many queries don't pay per-query Python."""
+    import pyarrow.compute as pc
+
+    num_partitions = 64
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        qid = batch.column("query_id")
+        mix = pc.bit_wise_xor(pc.shift_left(qid, 13), qid)
+        return batch.append_column(
+            "pkey", pc.bit_wise_and(mix, num_partitions - 1)
         )
+
+    def merge_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["query_id", "sim", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates(["query_id", "neighbor_id"])
+        ranks = g.groupby("query_id", sort=False).cumcount() + 1
+        g = g[ranks <= k]
+        ranks = ranks[ranks <= k]
         return pd.DataFrame(
             {
-                "query_id": ranked["query_id"].astype("int64").values,
-                "rank": np.arange(1, len(ranked) + 1, dtype=np.int64),
-                "neighbor_id": ranked["neighbor_id"].astype("int64").values,
-                "sim": ranked["sim"].values,
+                "query_id": g["query_id"].astype("int64").values,
+                "rank": ranks.astype("int64").values,
+                "neighbor_id": g["neighbor_id"].astype("int64").values,
+                "sim": g["sim"].values,
             }
         )
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return (
+        partials.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(merge_partition, batch_format="pandas")
+    )
 
 
 def self_topk(
