@@ -81,6 +81,13 @@ def partitioned_agg(
     def reduce_partition(g: pd.DataFrame) -> pd.DataFrame:
         # dropna=False: SQL GROUP BY keeps the NULL group
         out = g.groupby(keys, sort=False, dropna=False).agg(**spec).reset_index()
+        for kcol in keys:
+            if g[kcol].dtype == object:
+                # pandas surfaces the null group key as NaN (and degrades
+                # an all-null partition's column to float64); restore
+                # object dtype + None so the Arrow column is a proper null
+                col = out[kcol].astype(object)
+                out[kcol] = col.where(pd.notna(col), None)
         return out[keys + list(named_aggs)]
 
     return (

@@ -99,3 +99,50 @@ class TestPreprocess:
         assert mentions_num == len(ids)
         if ids:
             assert set(ids.values()) == set(range(mentions_num))  # dense
+
+
+class TestPartitionedAgg:
+    """partitioned_agg must equal a direct pandas groupby on any input."""
+
+    import pandas as _pd
+
+    rows = st.lists(
+        st.tuples(
+            st.one_of(st.text(max_size=6), st.none()),     # string key (w/ nulls)
+            st.integers(min_value=-10**9, max_value=10**9),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+
+    @given(rows)
+    @settings(max_examples=30, deadline=None)
+    def test_matches_pandas(self, rows):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.groupagg import partitioned_agg
+
+        keys = [k for k, _ in rows]
+        vals = [v for _, v in rows]
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"k": pa.array(keys, type=pa.string()),
+                 "v": pa.array(vals, type=pa.int64())}
+            )
+        )
+        got = {
+            (r["k"], r["mn"], r["n"])
+            for r in partitioned_agg(
+                ds, keys=["k"], named_aggs={"mn": ("v", "min"), "n": ("v", "size")},
+                num_partitions=8,
+            ).take_all()
+        }
+        df = pd.DataFrame({"k": keys, "v": vals})
+        want = {
+            (k if k is not None else None, int(g["v"].min()), len(g))
+            for k, g in df.groupby("k", dropna=False)
+        }
+        want = {(None if pd.isna(k) else k, mn, n) for k, mn, n in want}
+        assert got == want
