@@ -19,7 +19,14 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import os
 import sys
+
+# script mode puts jobs/ (not the repo root) on sys.path — make the
+# package importable when invoked as `python jobs/kg_job.py`
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def main() -> int:
