@@ -178,6 +178,19 @@ def _q_ann_ivf(sf_dir: str):
     return topk.select_columns(["query_id", "rank", "neighbor_id"])
 
 
+def _q_ann_lsh(sf_dir: str):
+    """Multi-table hyperplane-LSH approximate top-k (candidates = bucket
+    mates in any table; approximate -> rows-only, recall pinned by
+    tests)."""
+    from ctinexus_ray.ops.simsearch import lsh_topk
+    from ctinexus_ray.sources.documents import read_testdata_embeddings
+
+    topk = lsh_topk(
+        read_testdata_embeddings(sf_dir), n_queries=10, k=5, n_planes=4, n_tables=8
+    )
+    return topk.select_columns(["query_id", "rank", "neighbor_id"])
+
+
 def _q_embedding_neardup_lsh(sf_dir: str):
     """Bucketed (hyperplane-LSH) near-dup — sublinear scale path;
     approximate, so rows-only (subset property is pinned by tests)."""
@@ -489,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_freq_top100": _q_word_freq_top100,
         "similarity_topk": _q_similarity_topk,
         "ann_ivf": _q_ann_ivf,
+        "ann_lsh": _q_ann_lsh,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
