@@ -2,14 +2,20 @@
 embedding near-dup.
 
 Each operator is a composition of ``map_batches`` (vectorized partials) and
-one ``groupby`` shuffle — the minimum-shuffle shapes for corpus-scale dedup:
+hash-partitioned shuffles with vectorized per-partition reduces — the
+minimum-shuffle shapes for corpus-scale dedup (see ``groupagg`` for why
+built-in per-key aggregates don't scale to corpus-cardinality keys):
 
-  exact          hash-partition on text -> first-per-group
+  exact          hash(text) partition -> pandas min/size per partition
   minhash-lsh    shingle -> 64-perm minhash (numpy) -> band buckets ->
-                 groupby(band, bucket) -> candidate pairs -> verify
-  simhash        per-doc 64-bit signature (no shuffle)
-  ngram-jaccard  shingle inverted index -> groupby(shingle) -> pair counts ->
-                 groupby(pair) -> |A∩B| / (|A|+|B|-|A∩B|)
+                 groupby(bucket mod P) -> vectorized self-merge (or STAR
+                 edges on dup-heavy corpora) -> distinct -> verify
+  simhash        per-doc 64-bit signature (no shuffle); near-dup pairs via
+                 pigeonhole banding + the same partition-merge + exact
+                 Hamming verify
+  ngram-jaccard  shingle inverted index keyed by hash(shingle) mod P ->
+                 per-partition merge emits one row per common shingle ->
+                 partitioned count/max reduce -> |A∩B| / (|A|+|B|-|A∩B|)
   embedding      blockwise cosine vs a broadcast matrix (brute force), or
                  hyperplane-LSH buckets for the scale path
 """
@@ -24,7 +30,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+
 
 # ---------------------------------------------------------------------------
 # shared helpers
