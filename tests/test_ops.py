@@ -424,3 +424,41 @@ class TestStarPairMode:
         all_pairs = {(r["a"], r["b"]) for r in minhash_candidate_pairs(ds, pair_mode="all").take_all()}
         star = {(r["a"], r["b"]) for r in minhash_candidate_pairs(ds, pair_mode="star").take_all()}
         assert star <= all_pairs
+
+
+class TestTopkTieBreaks:
+    def test_tied_sims_prefer_lower_neighbor_id(self, ray_session):
+        """With many identical vectors the k-cut boundary is all ties —
+        the (sim desc, neighbor_id asc) rule must pick the lowest ids."""
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.simsearch import brute_force_topk, ivf_topk
+
+        vec = [1.0, 0.0, 0.0]
+        n = 12
+        tbl = pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(list(range(n)), type=pa.int64()),
+                "embedding": pa.array([vec] * n, type=pa.list_(pa.float64())),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        import numpy as np
+
+        got = [
+            r["neighbor_id"]
+            for r in sorted(
+                brute_force_topk(ds, [0], np.array([vec]), k=5).take_all(),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert got == [1, 2, 3, 4, 5]
+
+        got_ivf = [
+            r["neighbor_id"]
+            for r in sorted(
+                ivf_topk(ds, n_queries=1, k=5, n_centroids=2, n_probe=2).take_all(),
+                key=lambda r: r["rank"],
+            )
+        ]
+        assert got_ivf == [1, 2, 3, 4, 5]
