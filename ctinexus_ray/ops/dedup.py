@@ -797,4 +797,28 @@ def embedding_dup_pairs_lsh(
         b = np.maximum(ids[ai], ids[bi])
         return pd.DataFrame({"a": pd.Series(a, dtype="int64"), "b": pd.Series(b, dtype="int64")})
 
-    return tagged.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    # distinct buckets are corpus-cardinality -> Ray-level group key is a
+    # hash partition (O(P) overhead); the per-bucket loop runs in pandas
+    num_partitions = 64
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.append_column(
+            "pkey", pc.bit_wise_and(batch.column("bucket"), num_partitions - 1)
+        )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        frames = [per_bucket(sub) for _, sub in g.groupby("bucket", sort=False)]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        tagged.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(per_partition, batch_format="pandas")
+    )

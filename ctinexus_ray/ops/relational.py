@@ -143,7 +143,10 @@ def minmax_count_by_key(
     out_n: str = "n",
 ) -> ray.data.Dataset:
     """Grouped Min/Max/Count with built-in vectorized aggregates (one
-    shuffle, map-side combined by Ray)."""
+    shuffle, map-side combined by Ray). Suitable for BOUNDED key
+    cardinality (event types, statuses); for corpus-cardinality keys use
+    ``ops.groupagg.partitioned_agg`` — built-in aggregates pay per-group
+    overhead linear in distinct keys."""
     from ray.data.aggregate import Max, Min
 
     agg = ds.groupby(key).aggregate(Min(value_col), Max(value_col), Count())

@@ -230,8 +230,44 @@ def lsh_topk(
             }
         )
 
-    partials = tagged.groupby(["table_id", "bucket"]).map_groups(
-        per_bucket, batch_format="pandas"
+    # distinct (table, bucket) keys are corpus-cardinality -> hash
+    # partition at the Ray level, pandas bucket loop inside (O(P) group
+    # overhead; sims vectorized per bucket)
+    num_partitions = 64
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mix = pc.bit_wise_xor(
+            batch.column("bucket"),
+            pc.shift_left(batch.column("table_id").cast(pa.int64()), 7),
+        )
+        return batch.append_column(
+            "pkey", pc.bit_wise_and(mix, num_partitions - 1)
+        )
+
+    empty_partial = pd.DataFrame(
+        {
+            "query_id": pd.Series([], dtype="int64"),
+            "neighbor_id": pd.Series([], dtype="int64"),
+            "sim": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            per_bucket(sub)
+            for _, sub in g.groupby(["table_id", "bucket"], sort=False)
+        ]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return empty_partial
+        return pd.concat(frames, ignore_index=True)
+
+    partials = (
+        tagged.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(per_partition, batch_format="pandas")
     )
     return _merge_topk(partials, k)
 
