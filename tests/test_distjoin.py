@@ -1,0 +1,140 @@
+"""Distributed hash join + connected components (ops/distjoin.py)."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ctinexus_ray.ops.distjoin import (
+    anti_join_ids,
+    component_drops,
+    connected_components,
+    hash_join,
+)
+
+
+def _ds(rows):
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+class TestHashJoin:
+    def test_inner(self, ray_session):
+        left = _ds([{"k": i, "x": f"l{i}"} for i in range(10)])
+        right = _ds([{"k": i, "y": i * 10} for i in range(5, 15)])
+        out = hash_join(left, right, on=["k"]).take_all()
+        assert sorted(r["k"] for r in out) == list(range(5, 10))
+        by_k = {r["k"]: r for r in out}
+        assert by_k[7]["x"] == "l7" and by_k[7]["y"] == 70
+
+    def test_inner_duplicate_keys_cross_product(self, ray_session):
+        left = _ds([{"k": 1, "x": "a"}, {"k": 1, "x": "b"}])
+        right = _ds([{"k": 1, "y": 10}, {"k": 1, "y": 20}])
+        out = hash_join(left, right, on=["k"]).take_all()
+        assert len(out) == 4
+
+    def test_left_outer_null_fill(self, ray_session):
+        left = _ds([{"k": 1, "x": "a"}, {"k": 2, "x": "b"}])
+        right = _ds([{"k": 1, "y": 10}])
+        out = {r["k"]: r for r in hash_join(left, right, on=["k"], how="left").take_all()}
+        assert out[1]["y"] == 10
+        assert out[2]["y"] is None
+
+    def test_left_anti(self, ray_session):
+        left = _ds([{"k": i} for i in range(10)])
+        right = _ds([{"k": i} for i in range(0, 10, 2)])
+        out = hash_join(left, right, on=["k"], how="left_anti").take_all()
+        assert sorted(r["k"] for r in out) == [1, 3, 5, 7, 9]
+
+    def test_matches_pandas_merge(self, ray_session):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        lrows = [{"k": int(rng.randint(0, 50)), "x": i} for i in range(300)]
+        rrows = [{"k": int(rng.randint(0, 50)), "y": i} for i in range(200)]
+        got = pd.DataFrame(
+            hash_join(_ds(lrows), _ds(rrows), on=["k"]).take_all()
+        ).sort_values(["k", "x", "y"]).reset_index(drop=True)
+        want = (
+            pd.DataFrame(lrows)
+            .merge(pd.DataFrame(rrows), on="k")
+            .sort_values(["k", "x", "y"])
+            .reset_index(drop=True)[["k", "x", "y"]]
+        )
+        pd.testing.assert_frame_equal(got[["k", "x", "y"]], want)
+
+    def test_string_keys(self, ray_session):
+        left = _ds([{"k": w, "x": i} for i, w in enumerate(["a", "b", "c"])])
+        right = _ds([{"k": w, "y": i} for i, w in enumerate(["b", "c", "d"])])
+        out = sorted(r["k"] for r in hash_join(left, right, on=["k"]).take_all())
+        assert out == ["b", "c"]
+
+    def test_overlapping_value_columns_rejected(self, ray_session):
+        left = _ds([{"k": 1, "x": 1}])
+        right = _ds([{"k": 1, "x": 2}])
+        with pytest.raises(ValueError, match="disjoint"):
+            hash_join(left, right, on=["k"])
+
+    def test_anti_join_ids(self, ray_session):
+        ds = _ds([{"doc_id": i, "text": "t"} for i in range(8)])
+        drop = _ds([{"node": 2}, {"node": 5}])
+        out = anti_join_ids(ds, "doc_id", drop, drop_key="node").take_all()
+        assert sorted(r["doc_id"] for r in out) == [0, 1, 3, 4, 6, 7]
+
+
+class TestConnectedComponents:
+    def _labels(self, pairs):
+        ds = _ds([{"a": a, "b": b} for a, b in pairs])
+        return {
+            r["node"]: r["label"]
+            for r in connected_components(ds, num_partitions=8).take_all()
+        }
+
+    def test_two_components(self, ray_session):
+        labels = self._labels([(1, 2), (2, 3), (10, 11)])
+        assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_long_chain_pointer_jumping(self, ray_session):
+        # a 40-node path: plain min-propagation needs 40 rounds; pointer
+        # jumping must converge well inside max_iters=30
+        labels = self._labels([(i, i + 1) for i in range(40)])
+        assert set(labels.values()) == {0}
+        assert len(labels) == 41
+
+    def test_matches_union_find(self, ray_session):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        pairs = [
+            (int(rng.randint(0, 60)), int(rng.randint(0, 60))) for _ in range(80)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        nodes = set()
+        for a, b in pairs:
+            nodes.update((a, b))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for n in nodes}
+        assert self._labels(pairs) == want
+
+    def test_empty(self, ray_session):
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+            )
+        )
+        assert connected_components(ds).take_all() == []
+
+    def test_component_drops(self, ray_session):
+        ds = _ds([{"a": 1, "b": 2}, {"a": 2, "b": 3}])
+        labels = connected_components(ds, num_partitions=8)
+        drops = sorted(r["node"] for r in component_drops(labels).take_all())
+        assert drops == [2, 3]
