@@ -339,6 +339,44 @@ def _q_top_suppliers_by_lineitems(sf_dir: str):
     return counted.sort(["n", "key"], descending=[True, False]).limit(10)
 
 
+def _q_orders_customer_join(sf_dir: str):
+    """Two-large-sides distributed hash join (ops.distjoin.hash_join): the
+    shuffle counterpart of the broadcast joins — both sides stream, no
+    driver state. Orders x customer row-level join output."""
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    )
+
+    def key_as_custkey(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["o_custkey", "c_name", "c_mktsegment"])
+
+    return hash_join(
+        orders,
+        customer.map_batches(key_as_custkey, batch_format="pyarrow"),
+        on=["o_custkey"],
+    )
+
+
+def _q_dup_components(sf_dir: str):
+    """Distributed connected components over the exact n-gram-Jaccard
+    duplicate graph (ops.distjoin.connected_components: iterated min-label
+    propagation + pointer jumping; only a scalar per round on the driver).
+    label = smallest doc_id in the component — the dedup survivor rule."""
+    from ctinexus_ray.ops.distjoin import connected_components
+
+    pairs = _q_ngram_jaccard_pairs(sf_dir)
+    return connected_components(pairs)
+
+
 def _q_events_minmax_by_type(sf_dir: str):
     """Grouped Min/Max/Count over epoch-cast timestamps."""
     import pyarrow.compute as pc
@@ -519,6 +557,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_region": _q_customers_per_region,
         "top_suppliers_by_lineitems": _q_top_suppliers_by_lineitems,
         "events_minmax_by_type": _q_events_minmax_by_type,
+        "orders_customer_join": _q_orders_customer_join,
+        "dup_components": _q_dup_components,
         "kg_extract": _q_kg_extract,
         "kg_degrees": _q_kg_degrees,
         "kg_triples": _q_kg_triples,
@@ -659,6 +699,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_suppkey AS key, s_name, count(*) AS n "
             "FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey "
             "GROUP BY 1, 2 ORDER BY n DESC, key LIMIT 10"
+        ),
+        "orders_customer_join": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, c_name, c_mktsegment "
+            "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey"
+        ),
+        # connected components of the exact ngram-Jaccard duplicate graph:
+        # transitive closure via a recursive CTE, min label per node
+        "dup_components": (
+            "WITH RECURSIVE "
+            "words AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), "
+            "eligible AS (SELECT * FROM words WHERE len(w) >= 3), "
+            "shingles AS (SELECT DISTINCT doc_id, "
+            "w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle "
+            "FROM eligible CROSS JOIN LATERAL "
+            "(SELECT unnest(generate_series(1, len(w) - 2)) AS i) t), "
+            "sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id), "
+            "inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS ix "
+            "FROM shingles s1 JOIN shingles s2 ON s1.shingle = s2.shingle "
+            "AND s1.doc_id < s2.doc_id GROUP BY 1, 2), "
+            "dup_pairs AS (SELECT a, b FROM inter "
+            "JOIN sizes sa ON sa.doc_id = inter.a "
+            "JOIN sizes sb ON sb.doc_id = inter.b "
+            "WHERE CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) >= 0.5), "
+            "edges AS (SELECT a AS src, b AS dst FROM dup_pairs "
+            "UNION ALL SELECT b, a FROM dup_pairs), "
+            "reach(node, label) AS ("
+            "SELECT src, src FROM edges "
+            "UNION "
+            "SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node) "
+            "SELECT node, min(label) AS label FROM reach GROUP BY node"
         ),
         # floor(epoch) matches the engine's integer microsecond division
         # (CAST alone would round-to-nearest on fractional seconds)

@@ -23,6 +23,11 @@ partitioned Parquet output with lineage sidecars.
 """
 
 from ctinexus_ray.config import PipelineConfig
+from ctinexus_ray.rayutil import apply_data_context_defaults
+
+# Engine-wide Ray Data context defaults (empty-shuffle-partition schema
+# unification — see ctinexus_ray/rayutil.py for the full rationale).
+apply_data_context_defaults()
 
 __all__ = ["PipelineConfig"]
 __version__ = "0.1.0"

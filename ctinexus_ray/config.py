@@ -50,6 +50,13 @@ class PipelineConfig:
     # CPUs reserved per LLM actor. Against a real rate-limited API this
     # should drop to ~0.25 with a much higher concurrency ceiling.
     llm_num_cpus: float = 1.0
+    # Bounded in-flight LLM requests per actor __call__. 1 = serial
+    # (reference parity: llm_processor.py:911-974 loops documents
+    # serially). Against a real rate-limited HTTP provider raise this so
+    # one actor keeps N requests outstanding (threads block on I/O, not
+    # the GIL); with the CPU-bound mock there is nothing to overlap, so
+    # the default stays serial.
+    llm_max_inflight: int = 1
     # Stateless CPU stages (extraction, preprocess, explode).
     cpu_batch_size: int = 256
 

@@ -23,7 +23,6 @@ built-in per-key aggregates don't scale to corpus-cardinality keys):
 from __future__ import annotations
 
 import hashlib
-from collections import Counter
 from functools import lru_cache, partial
 
 import numpy as np
@@ -39,6 +38,68 @@ import ray.data
 
 def _hash64(data: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
+
+
+# --- vectorized string hashing ---------------------------------------------
+#
+# The hot dedup stages (minhash shingles, simhash word features, inverted-
+# index partition keys) hash MILLIONS of short strings per batch; a per-
+# string blake2b loop was measurable in round-1 profiles. hash64_strings
+# hashes a whole string column in numpy: positional polynomial combine of
+# (byte+1) * P^pos summed per string via np.add.reduceat, finalized with a
+# splitmix64 mixer and the length hash. Everything wraps mod 2^64
+# (deterministic, platform-independent); quality is adequate for
+# partitioning / minhash permutations (not cryptographic).
+
+_P64 = np.uint64(0x100000001B3)  # odd -> positional powers cycle well
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def hash64_strings(strings) -> np.ndarray:
+    """Vectorized uint64 hash of a sequence/arrow array of strings.
+    Accepts a Python list, pyarrow Array/ChunkedArray; nulls hash as ""."""
+    if isinstance(strings, pa.ChunkedArray):
+        arr = strings.combine_chunks().cast(pa.large_string())
+    elif isinstance(strings, pa.Array):
+        arr = strings.cast(pa.large_string())
+    else:
+        arr = pa.array(list(strings), type=pa.large_string())
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if arr.null_count:
+        arr = arr.fill_null("")
+    raw_offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    offsets = raw_offsets[arr.offset : arr.offset + n + 1]
+    lens = (offsets[1:] - offsets[:-1]).astype(np.uint64)
+    total = int(offsets[-1] - offsets[0])
+    len_mix = _splitmix64(lens * np.uint64(0xD6E8FEB86659FD93))
+    if total == 0:
+        return len_mix
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[
+        offsets[0] : offsets[-1]
+    ]
+    starts = (offsets[:-1] - offsets[0]).astype(np.int64)
+    max_len = int(lens.max())
+    # P^pos for pos within string (wraps mod 2^64)
+    ppow = np.empty(max_len, dtype=np.uint64)
+    ppow[0] = 1
+    if max_len > 1:
+        np.cumprod(np.full(max_len - 1, _P64, dtype=np.uint64), out=ppow[1:])
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens.astype(np.int64))
+    contrib = (data.astype(np.uint64) + np.uint64(1)) * ppow[pos]
+    # reduceat: pad so a trailing empty segment can't index out of bounds,
+    # then zero the rows reduceat mangles for empty segments
+    padded = np.concatenate([contrib, np.zeros(1, dtype=np.uint64)])
+    sums = np.add.reduceat(padded, np.minimum(starts, total))
+    sums[lens == 0] = 0
+    return _splitmix64(sums ^ len_mix)
 
 
 def word_shingles(text: str, n: int = 3) -> set[str]:
@@ -100,14 +161,27 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
-class MinHashStage:
-    """Per-document MinHash signature + LSH band keys.
+_SHINGLE_C = np.uint64(0x9DDFEA08EB382D69)  # window fold multiplier
+_SIG_SLAB = 32768  # shingles per signature slab (bounds the perm matrix)
 
-    Stateless-cheap: the permutation params are blake2b-derived and cached
+
+class MinHashStage:
+    """Per-document MinHash signature + LSH band keys — fully vectorized.
+
+    Stateless-cheap: the permutation params are deterministic and cached
     per process (``_minhash_params``), so this runs as plain
     ``map_batches`` tasks — no actor pool, no startup latency, full task
-    parallelism. The per-batch work is vectorized numpy over the
-    shingle-hash array.
+    parallelism.
+
+    Per batch, the only per-row Python is ``text.split()``; everything
+    downstream is numpy over flat arrays: word hashes (``hash64_strings``),
+    shingle hashes (a masked sliding-window fold over the word-hash array,
+    so a doc with fewer than ``shingle_n`` words naturally folds its whole
+    word list — mirroring ``word_shingles``' single joined shingle), the
+    (num_perm x shingles) permutation products in bounded slabs with
+    ``np.minimum.reduceat`` per doc, and band buckets as a splitmix64 fold
+    over each band's signature rows. Duplicate shingles need no dedupe: a
+    min over a multiset equals the min over its set.
     """
 
     def __init__(self, num_perm: int = 64, bands: int = 16, shingle_n: int = 3):
@@ -118,34 +192,90 @@ class MinHashStage:
         self.shingle_n = shingle_n
         self.a, self.b = _minhash_params(num_perm)
 
-    def signature(self, text: str) -> np.ndarray:
-        shingles = word_shingles(text, self.shingle_n)
-        if not shingles:
-            return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
-        hashes = np.array(
-            [_hash64(s.encode("utf-8")) % _MERSENNE for s in shingles], dtype=np.uint64
+    def _shingle_hashes(
+        self, texts: list[str | None]
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """-> (flat shingle-hash array mod Mersenne, shingle count per doc)."""
+        n_gram = self.shingle_n
+        word_lists = [(t or "").strip().split() for t in texts]
+        n_words = np.fromiter(
+            (len(w) for w in word_lists), dtype=np.int64, count=len(word_lists)
         )
-        # (num_perm, n_shingles) universal hashing mod a Mersenne prime
-        products = (self.a[:, None] * hashes[None, :] + self.b[:, None]) % _MERSENNE
-        return products.min(axis=1)
+        flat: list[str] = [w for words in word_lists for w in words]
+        H = hash64_strings(flat)
+        word_start = np.concatenate(([0], np.cumsum(n_words)))[:-1]
+        # windows: docs with >= n words slide; 1..n-1 words fold them all
+        cnt = np.where(n_words > 0, np.maximum(n_words - n_gram + 1, 1), 0)
+        total = int(cnt.sum())
+        if total == 0:
+            return np.zeros(0, dtype=np.uint64), cnt
+        seg_start = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        ws = (
+            np.repeat(word_start, cnt)
+            + np.arange(total, dtype=np.int64)
+            - np.repeat(seg_start, cnt)
+        )
+        wlen = np.repeat(np.minimum(n_words, n_gram), cnt)
+        sh = H[ws].copy()
+        for j in range(1, n_gram):
+            m = wlen > j
+            sh[m] = sh[m] * _SHINGLE_C + H[ws[m] + j]
+        return _splitmix64(sh) % _MERSENNE, cnt
+
+    def signatures(self, texts: list[str | None]) -> np.ndarray:
+        """(n_docs, num_perm) uint64 signature matrix (empty docs get the
+        all-MERSENNE sentinel row)."""
+        sh, cnt = self._shingle_hashes(texts)
+        sigs = np.full((len(cnt), self.num_perm), _MERSENNE, dtype=np.uint64)
+        nonempty = np.nonzero(cnt)[0]
+        if not len(nonempty):
+            return sigs
+        seg_start = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        # slab over docs so the (num_perm x shingles) matrix stays bounded
+        lo = 0
+        while lo < len(nonempty):
+            hi = lo
+            shingles = 0
+            while hi < len(nonempty) and (
+                shingles == 0 or shingles + cnt[nonempty[hi]] <= _SIG_SLAB
+            ):
+                shingles += cnt[nonempty[hi]]
+                hi += 1
+            docs = nonempty[lo:hi]
+            s0 = seg_start[docs[0]]
+            s1 = seg_start[docs[-1]] + cnt[docs[-1]]
+            block = sh[s0:s1]
+            products = (self.a[:, None] * block[None, :] + self.b[:, None]) % _MERSENNE
+            starts = (seg_start[docs] - s0).astype(np.int64)
+            sigs[docs, :] = np.minimum.reduceat(products, starts, axis=1).T
+            lo = hi
+        return sigs
+
+    def signature(self, text: str) -> np.ndarray:
+        return self.signatures([text])[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
+        doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
         texts = batch.column("text").to_pylist()
-        out_doc, out_band, out_bucket = [], [], []
-        for doc_id, text in zip(doc_ids, texts):
-            sig = self.signature(text or "")
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
-                bucket = _hash64(chunk.tobytes() + band.to_bytes(2, "big"))
-                out_doc.append(doc_id)
-                out_band.append(band)
-                out_bucket.append(np.int64(np.uint64(bucket) >> np.uint64(1)))
+        sigs = self.signatures(texts)
+        n = len(doc_ids)
+        # band buckets: splitmix64 fold over each band's signature rows
+        s3 = sigs.reshape(n, self.bands, self.rows_per_band)
+        h = _splitmix64(s3[:, :, 0] * _SHINGLE_C)
+        for j in range(1, self.rows_per_band):
+            h = _splitmix64(h ^ (s3[:, :, j] * _SHINGLE_C))
+        h ^= _splitmix64(
+            np.arange(self.bands, dtype=np.uint64)[None, :] + np.uint64(0xB5)
+        )
+        buckets = (h >> np.uint64(1)).astype(np.int64)
         return pa.Table.from_pydict(
             {
-                "doc_id": pa.array(out_doc, type=pa.int64()),
-                "band": pa.array(out_band, type=pa.int32()),
-                "bucket": pa.array(out_bucket, type=pa.int64()),
+                "doc_id": pa.array(np.repeat(doc_ids, self.bands), type=pa.int64()),
+                "band": pa.array(
+                    np.tile(np.arange(self.bands, dtype=np.int32), n),
+                    type=pa.int32(),
+                ),
+                "bucket": pa.array(buckets.ravel(), type=pa.int64()),
             }
         )
 
@@ -329,58 +459,91 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     pair_mode: str = "all",
+    num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """LSH candidates verified by exact Jaccard over word shingles.
 
-    Verification broadcasts nothing: candidate pairs are joined back to the
-    two texts via a driver-built id->text map ONLY when the corpus is
-    small; the scale path verifies inside a groupby over pair keys carrying
-    both shingle sets. Here we verify via exact n-gram Jaccard recomputed
-    from the broadcast text lookup (documented small-side broadcast).
+    Verification is fully distributed — NO driver-side id->text map: the
+    candidate (a, b) pairs are joined back to the two texts with two
+    hash-partitioned joins (``ops.distjoin.hash_join``; the docs side
+    streams through each join's shuffle, candidates are near-dup-sized),
+    then a vectorized-per-row map computes the exact shingle Jaccard. The
+    driver never holds a row.
     """
+    from ctinexus_ray.ops.distjoin import hash_join
+
     candidates = minhash_candidate_pairs(
         docs, num_perm, bands, shingle_n, pair_mode=pair_mode
     )
-    # small-side broadcast: id -> text (OK for the verify set; at 10^12-doc
-    # scale replace with ngram_jaccard_pairs over the candidate set)
-    id_text = {
-        r["doc_id"]: r["text"]
-        for r in docs.select_columns(["doc_id", "text"]).iter_rows()
-    }
-    lookup_ref = ray.put(id_text)
+    i64, s = pa.int64(), pa.string()
+    texts = docs.select_columns(["doc_id", "text"])
+
+    def as_side(key: str, text_col: str):
+        def rename(batch: pa.Table):
+            if batch.num_rows == 0:
+                return
+            yield pa.Table.from_pydict(
+                {
+                    key: batch.column("doc_id").cast(i64),
+                    text_col: batch.column("text").cast(s),
+                }
+            )
+
+        return rename
+
+    with_a = hash_join(
+        candidates,
+        texts.map_batches(as_side("a", "text_a"), batch_format="pyarrow"),
+        on=["a"],
+        num_partitions=num_partitions,
+        left_types={"a": i64, "b": i64},
+        right_types={"a": i64, "text_a": s},
+    )
+    with_both = hash_join(
+        with_a,
+        texts.map_batches(as_side("b", "text_b"), batch_format="pyarrow"),
+        on=["b"],
+        num_partitions=num_partitions,
+        left_types={"b": i64, "a": i64, "text_a": s},
+        right_types={"b": i64, "text_b": s},
+    )
     n = shingle_n
 
-    def verify(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
+    def verify(batch: pa.Table):
         a_col = batch.column("a").to_pylist()
         b_col = batch.column("b").to_pylist()
         out_a, out_b = [], []
-        for a, b in zip(a_col, b_col):
-            sa = word_shingles(lookup.get(a, ""), n)
-            sb = word_shingles(lookup.get(b, ""), n)
+        for a, b, ta, tb in zip(
+            a_col,
+            b_col,
+            batch.column("text_a").to_pylist(),
+            batch.column("text_b").to_pylist(),
+        ):
+            sa = word_shingles(ta or "", n)
+            sb = word_shingles(tb or "", n)
             union = len(sa | sb)
             if union and len(sa & sb) / union >= threshold:
                 out_a.append(a)
                 out_b.append(b)
-        return pa.Table.from_pydict(
+        yield pa.Table.from_pydict(
             {
                 "a": pa.array(out_a, type=pa.int64()),
                 "b": pa.array(out_b, type=pa.int64()),
             }
         )
 
-    return candidates.map_batches(verify, batch_format="pyarrow")
+    return with_both.map_batches(verify, batch_format="pyarrow")
 
 
 def resolve_dup_groups(pairs: ray.data.Dataset) -> dict[int, int]:
-    """Union-find over verified duplicate pairs -> {doc_id: survivor_id}
+    """Driver-side union-find over duplicate pairs -> {doc_id: survivor_id}
     (survivor = smallest id in the connected component). Non-duplicate
     docs are absent from the map.
 
-    The pair set is tiny relative to the corpus (only near-dups), so the
-    union-find runs on the driver; at extreme dup rates switch to
-    distributed iterative label propagation (repeat min-neighbor groupby
-    until fixpoint).
+    SMALL-SCALE variant only (the result is a driver dict): the dedup-keep
+    pipeline uses ``ops.distjoin.connected_components`` instead, which
+    computes the same labels distributedly. Kept for interactive use and
+    as the test oracle for the distributed path.
     """
     parent: dict[int, int] = {}
 
@@ -400,29 +563,46 @@ def resolve_dup_groups(pairs: ray.data.Dataset) -> dict[int, int]:
 
 
 def minhash_dedup_keep(
-    docs: ray.data.Dataset, threshold: float = 0.8, **kwargs
+    docs: ray.data.Dataset,
+    threshold: float = 0.8,
+    num_partitions: int = 64,
+    **kwargs,
 ) -> ray.data.Dataset:
     """Dedup filter: drop every document whose component survivor is a
     smaller doc_id (MinHash-LSH candidates -> exact-Jaccard verify ->
-    union-find). Returns the surviving (doc_id) rows.
+    distributed connected components -> distributed anti-join). Returns
+    the surviving (doc_id) rows.
+
+    Nothing corpus-sized ever touches the driver: components come from
+    ``ops.distjoin.connected_components`` (iterated min-label propagation;
+    driver sees one scalar per round) and the drop set is applied with a
+    hash-partitioned anti-join instead of a broadcast Python set — at
+    web-scale dup rates (30%+ of the corpus duplicated) both structures
+    are corpus-sized.
 
     At web scale pass ``pair_mode="star"``: candidate rows stay linear in
-    corpus size and union-find components are identical for unverified
-    edges (star edges span the same buckets); with threshold
-    verification the star approximation is the standard web-dedup
-    trade-off (transitively-connected verified pairs may differ at
-    cluster margins)."""
-    pairs = minhash_dedup_pairs(docs, threshold=threshold, **kwargs)
-    survivors_map = resolve_dup_groups(pairs)
-    drop = {doc for doc, surv in survivors_map.items() if doc != surv}
-    drop_ref = ray.put(drop)
+    corpus size and components are identical for unverified edges (star
+    edges span the same buckets); with threshold verification the star
+    approximation is the standard web-dedup trade-off (transitively-
+    connected verified pairs may differ at cluster margins)."""
+    from ctinexus_ray.ops.distjoin import (
+        anti_join_ids,
+        component_drops,
+        connected_components,
+    )
 
-    def keep(batch: pa.Table) -> pa.Table:
-        dropped = ray.get(drop_ref)
-        mask = [d not in dropped for d in batch.column("doc_id").to_pylist()]
-        return batch.filter(pa.array(mask))
-
-    return docs.select_columns(["doc_id"]).map_batches(keep, batch_format="pyarrow")
+    pairs = minhash_dedup_pairs(
+        docs, threshold=threshold, num_partitions=num_partitions, **kwargs
+    ).materialize()  # consumed by every component-propagation round
+    labels = connected_components(pairs, num_partitions=num_partitions)
+    drops = component_drops(labels)
+    return anti_join_ids(
+        docs.select_columns(["doc_id"]),
+        "doc_id",
+        drops,
+        drop_key="node",
+        num_partitions=num_partitions,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -431,31 +611,33 @@ def minhash_dedup_keep(
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    """64-bit SimHash over word features (token frequency weighted)."""
+    """64-bit SimHash over word features (token-frequency weighted).
+
+    Fully vectorized: the only per-row Python is ``text.split()``. All
+    words of the batch hash at once (``hash64_strings``); the ±1 bit
+    contributions accumulate per doc with ``np.add.reduceat`` — summing
+    every occurrence is identical to weighting unique words by count."""
     doc_ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
-    sigs = []
-    word_hash: dict[str, int] = {}  # words repeat heavily (Zipf) per batch
-    shifts = np.arange(64, dtype=np.uint64)
-    powers = (np.uint64(1) << shifts).astype(np.uint64)
-    for text in texts:
-        counts = Counter((text or "").strip().split())
-        if not counts:
-            sigs.append(np.int64(0))
-            continue
-        hs = np.fromiter(
-            (
-                word_hash.get(w) or word_hash.setdefault(w, _hash64(w.encode("utf-8")))
-                for w in counts
-            ),
-            dtype=np.uint64,
-            count=len(counts),
+    word_lists = [(t or "").strip().split() for t in texts]
+    n_words = np.fromiter(
+        (len(w) for w in word_lists), dtype=np.int64, count=len(word_lists)
+    )
+    flat = [w for words in word_lists for w in words]
+    sigs = np.zeros(len(texts), dtype=np.int64)
+    nonempty = np.nonzero(n_words)[0]
+    if len(nonempty):
+        H = hash64_strings(flat)
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((H[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+        contrib = bits * 2 - 1  # (total_words, 64) of ±1
+        starts = np.concatenate(([0], np.cumsum(n_words)))[:-1][nonempty]
+        acc = np.add.reduceat(contrib, starts.astype(np.int64), axis=0)
+        powers = (np.uint64(1) << shifts).astype(np.uint64)
+        sig_u = ((acc > 0).astype(np.uint64) * powers[None, :]).sum(
+            axis=1, dtype=np.uint64
         )
-        weights = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
-        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
-        acc = ((bits * 2 - 1) * weights[:, None]).sum(axis=0)
-        sig = np.uint64(powers[acc > 0].sum(dtype=np.uint64))
-        sigs.append(np.int64(sig >> np.uint64(1)))  # fit signed int64
+        sigs[nonempty] = (sig_u >> np.uint64(1)).astype(np.int64)
     return pa.Table.from_pydict(
         {
             "doc_id": pa.array(doc_ids, type=pa.int64()),
@@ -575,7 +757,7 @@ def ngram_jaccard_pairs(
     verbatim. ``num_partitions`` bounds per-task memory at corpus scale.
     """
     def shingle_rows(batch: pa.Table) -> pa.Table:
-        out_doc, out_sh, out_size, out_pkey = [], [], [], []
+        out_doc, out_sh, out_size = [], [], []
         for doc_id, text in zip(
             batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
         ):
@@ -584,13 +766,17 @@ def ngram_jaccard_pairs(
                 out_doc.append(doc_id)
                 out_sh.append(s)
                 out_size.append(len(shingles))
-                out_pkey.append(_hash64(s.encode("utf-8")) % num_partitions)
+        # the partition key only co-locates equal shingles — any
+        # deterministic hash works, so use the vectorized one
+        pkeys = (hash64_strings(out_sh) % np.uint64(num_partitions)).astype(
+            np.int64
+        )
         return pa.Table.from_pydict(
             {
                 "doc_id": pa.array(out_doc, type=pa.int64()),
                 "shingle": pa.array(out_sh, type=pa.string()),
                 "set_size": pa.array(out_size, type=pa.int64()),
-                "pkey": pa.array(out_pkey, type=pa.int64()),
+                "pkey": pa.array(pkeys, type=pa.int64()),
             }
         )
 

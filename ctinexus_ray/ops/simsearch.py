@@ -153,121 +153,108 @@ def lsh_topk(
     n_planes: int = 8,
     n_tables: int = 4,
 ) -> ray.data.Dataset:
-    """Approximate top-k: hyperplane-LSH bucket the corpus in ``n_tables``
-    independent tables; a vector is a candidate for a query if they share
-    a bucket in ANY table (multi-table union — recall rises with
-    n_tables, cost with n_tables/2^n_planes).
+    """Approximate top-k: hyperplane-LSH in ``n_tables`` independent
+    tables; a vector is a candidate for a query if they share a bucket in
+    ANY table (multi-table union — recall rises with n_tables, cost with
+    n_tables/2^n_planes).
 
-    Bucket ids are pure functions of the embedding (deterministic per
-    (table, plane) hyperplanes recomputed per worker) — nothing is
-    materialized on the driver or broadcast. One groupby((table, bucket))
-    shuffle; per-group exact scoring; a final per-query merge dedupes
-    candidates found in several tables and ranks.
+    Zero-shuffle shape: the query set is small (``vec_id < n_queries``),
+    so its vectors AND per-table bucket ids are computed once and
+    broadcast via ``ray.put``; each corpus batch derives its own bucket
+    ids (the hyperplanes are deterministic pure functions, recomputed per
+    worker), looks up colliding queries per table, scores ONLY the
+    (query, vector) candidate pairs with a gathered dot product, applies
+    a batch-local top-k cut, and the usual per-query merge dedupes
+    multi-table hits and ranks. The corpus — including the wide embedding
+    column — never shuffles and is never replicated per table (the
+    round-1 design shipped the embedding column n_tables times through a
+    groupby; VERDICT item 4).
+
+    For query sets too large to broadcast, fall back to a bucket-keyed
+    co-shuffle of (table, bucket) rows — that shape trades the broadcast
+    for n_tables x shuffle volume.
     """
     from ctinexus_ray.ops.dedup import lsh_planes
 
-    def tag(batch: pa.Table) -> pa.Table:
-        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        if mat.ndim != 2 or mat.size == 0:
-            empty = batch.slice(0, 0)
-            return empty.append_column(
-                "table_id", pa.array([], type=pa.int32())
-            ).append_column("bucket", pa.array([], type=pa.int64()))
-        out_id, out_emb, out_tab, out_bucket = [], [], [], []
-        emb_col = batch.column("embedding")
+    q_rows = (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {n_queries}")
+        .take_all()
+    )
+    if not q_rows:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    q_rows.sort(key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    dim = q_mat.shape[1]
+    all_planes = lsh_planes(dim, n_planes * n_tables)
+
+    def bucket_ids(mat: np.ndarray, t: int) -> np.ndarray:
+        planes = all_planes[t * n_planes : (t + 1) * n_planes]
+        bits = (mat @ planes.T) > 0
+        return bits.dot(1 << np.arange(n_planes)).astype(np.int64)
+
+    # (table, bucket) -> query row indices
+    q_buckets: dict[tuple[int, int], np.ndarray] = {}
+    for t in range(n_tables):
+        qb = bucket_ids(q_mat, t)
+        for bucket in np.unique(qb):
+            q_buckets[(t, int(bucket))] = np.nonzero(qb == bucket)[0]
+    shared = ray.put((q_ids, q_mat, q_buckets))
+
+    def search(batch: pa.Table):
+        qids, qmat, qbuckets = ray.get(shared)
+        v_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        if not len(v_ids):
+            return
+        v_mat = _normalize(
+            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        # candidate (query row, vector row) pairs across all tables
+        pair_mask = np.zeros((len(qids), len(v_ids)), dtype=bool)
         for t in range(n_tables):
-            # per-table hyperplanes: offset the plane index deterministically
-            planes = lsh_planes(mat.shape[1], n_planes * n_tables)[
-                t * n_planes : (t + 1) * n_planes
-            ]
-            bits = (mat @ planes.T) > 0
-            buckets = bits.dot(1 << np.arange(n_planes)).astype(np.int64)
-            out_id.append(ids)
-            out_tab.append(np.full(len(ids), t, dtype=np.int32))
-            out_bucket.append(buckets)
-            out_emb.append(emb_col)
-        return pa.Table.from_pydict(
+            vb = bucket_ids(v_mat, t)
+            for bucket in np.unique(vb):
+                q_sel = qbuckets.get((t, int(bucket)))
+                if q_sel is not None:
+                    pair_mask[np.ix_(q_sel, np.nonzero(vb == bucket)[0])] = True
+        qi, vi = np.nonzero(pair_mask)
+        if not len(qi):
+            return
+        sims = np.einsum("ij,ij->i", qmat[qi], v_mat[vi])
+        q_all, n_all = qids[qi], v_ids[vi]
+        keep = q_all != n_all
+        q_all, n_all, sims = q_all[keep], n_all[keep], sims[keep]
+        if not len(q_all):
+            return
+        # batch-local top-k cut per query (lexsort keeps the
+        # (sim desc, neighbor_id asc) tie-break exact at the boundary)
+        keep_idx = []
+        for qid in np.unique(q_all):
+            rows = np.nonzero(q_all == qid)[0]
+            if len(rows) > k:
+                rows = rows[np.lexsort((n_all[rows], -sims[rows]))[:k]]
+            keep_idx.append(rows)
+        sel = np.concatenate(keep_idx)
+        yield pa.Table.from_pydict(
             {
-                "vec_id": pa.array(np.concatenate(out_id), type=pa.int64()),
-                "embedding": pa.concat_arrays(
-                    [c.combine_chunks() if hasattr(c, "combine_chunks") else c for c in out_emb]
-                ),
-                "table_id": pa.array(np.concatenate(out_tab), type=pa.int32()),
-                "bucket": pa.array(np.concatenate(out_bucket), type=pa.int64()),
+                "query_id": pa.array(q_all[sel], type=pa.int64()),
+                "neighbor_id": pa.array(n_all[sel], type=pa.int64()),
+                "sim": pa.array(sims[sel], type=pa.float64()),
             }
         )
 
-    tagged = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
-        tag, batch_format="pyarrow"
-    )
-
-    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group["vec_id"].to_numpy(dtype=np.int64)
-        empty = pd.DataFrame(
-            {
-                "query_id": pd.Series([], dtype="int64"),
-                "neighbor_id": pd.Series([], dtype="int64"),
-                "sim": pd.Series([], dtype="float64"),
-            }
-        )
-        q_mask = ids < n_queries
-        if not q_mask.any() or len(ids) < 2:
-            return empty
-        mat = _normalize(np.array(group["embedding"].tolist(), dtype=np.float64))
-        sims = mat[q_mask] @ mat.T  # (n_q_in_bucket, bucket)
-        qids = ids[q_mask]
-        n_b = len(ids)
-        q_rep = np.repeat(qids, n_b)
-        n_rep = np.tile(ids, q_mask.sum())
-        s_flat = sims.ravel()
-        keep = q_rep != n_rep
-        return pd.DataFrame(
-            {
-                "query_id": q_rep[keep],
-                "neighbor_id": n_rep[keep],
-                "sim": s_flat[keep],
-            }
-        )
-
-    # distinct (table, bucket) keys are corpus-cardinality -> hash
-    # partition at the Ray level, pandas bucket loop inside (O(P) group
-    # overhead; sims vectorized per bucket)
-    num_partitions = 64
-
-    def add_pkey(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mix = pc.bit_wise_xor(
-            batch.column("bucket"),
-            pc.shift_left(batch.column("table_id").cast(pa.int64()), 7),
-        )
-        return batch.append_column(
-            "pkey", pc.bit_wise_and(mix, num_partitions - 1)
-        )
-
-    empty_partial = pd.DataFrame(
-        {
-            "query_id": pd.Series([], dtype="int64"),
-            "neighbor_id": pd.Series([], dtype="int64"),
-            "sim": pd.Series([], dtype="float64"),
-        }
-    )
-
-    def per_partition(g: pd.DataFrame) -> pd.DataFrame:
-        frames = [
-            per_bucket(sub)
-            for _, sub in g.groupby(["table_id", "bucket"], sort=False)
-        ]
-        frames = [f for f in frames if len(f)]
-        if not frames:
-            return empty_partial
-        return pd.concat(frames, ignore_index=True)
-
-    partials = (
-        tagged.map_batches(add_pkey, batch_format="pyarrow")
-        .groupby("pkey")
-        .map_groups(per_partition, batch_format="pandas")
+    partials = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        search, batch_format="pyarrow"
     )
     return _merge_topk(partials, k)
 

@@ -205,13 +205,22 @@ def near_canonical_mapping(
     planes_per_table: int = 4,
     max_bucket: int = 500,
     pair_mode: str = "star",
+    distributed_threshold: int = 2_000_000,
 ) -> ray.data.Dataset:
     """(entity_key -> canon_key) rows for entities merged into a near
-    neighbor; identity rows are omitted.
+    neighbor; identity rows are omitted. Component representative =
+    highest doc_count, ties toward the smallest key.
 
-    Pairs from all LSH tables are resolved with a driver-side union-find
-    (the near-pair set is tiny relative to the node table); component
-    representative = highest doc_count, ties toward the smallest key.
+    Two resolution paths with IDENTICAL results (property-tested):
+      * edge count <= ``distributed_threshold``: driver-side union-find —
+        lowest latency while the near-pair set is small relative to the
+        node table (the common case).
+      * above the threshold: fully distributed — connected components via
+        ``ops.distjoin.connected_components`` (min-label propagation, one
+        scalar on the driver per round), per-component representative via
+        a hash-partitioned (doc_count desc, key asc) first-reduce, and
+        the mapping via a partitioned join. Survives web-scale node
+        tables where the edge set itself is corpus-sized.
     """
     threshold = threshold if threshold is not None else config.similarity_threshold
     embedded = nodes.map_batches(
@@ -241,6 +250,10 @@ def near_canonical_mapping(
         lambda g: _partition_pairs(g, threshold, max_bucket, star=star),
         batch_format="pandas",
     )
+
+    pairs = pairs.materialize()
+    if pairs.count() > distributed_threshold:
+        return _distributed_mapping(pairs, num_partitions)
 
     parent: dict[int, int] = {}
     doc_counts: dict[int, int] = {}
@@ -285,6 +298,98 @@ def near_canonical_mapping(
             )
         )
     return ray.data.from_items(mapping_rows)
+
+
+def _distributed_mapping(
+    pairs: ray.data.Dataset, num_partitions: int
+) -> ray.data.Dataset:
+    """Distributed (entity_key -> canon_key) resolution over a near-pair
+    dataset with (a, b, doc_a, doc_b) rows. Same semantics as the driver
+    union-find: component representative = (max doc_count, min key)."""
+    import pandas as pd
+
+    from ctinexus_ray.ops.distjoin import connected_components, hash_join
+    from ctinexus_ray.ops.groupagg import add_hash_pkey, partitioned_agg
+
+    i64 = pa.int64()
+    cc = connected_components(
+        pairs.select_columns(["a", "b"]), num_partitions=num_partitions
+    )
+
+    def explode_counts(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        a = batch.column("a").cast(i64).combine_chunks()
+        b = batch.column("b").cast(i64).combine_chunks()
+        da = batch.column("doc_a").cast(i64).combine_chunks()
+        db = batch.column("doc_b").cast(i64).combine_chunks()
+        yield pa.Table.from_arrays(
+            [pa.chunked_array([a, b]), pa.chunked_array([da, db])],
+            names=["node", "doc_count"],
+        )
+
+    dcounts = partitioned_agg(
+        pairs.map_batches(explode_counts, batch_format="pyarrow"),
+        keys=["node"],
+        named_aggs={"doc_count": ("doc_count", "max")},
+        num_partitions=num_partitions,
+    )
+    labeled = hash_join(
+        cc,
+        dcounts,
+        on=["node"],
+        num_partitions=num_partitions,
+        left_types={"node": i64, "label": i64},
+        right_types={"node": i64, "doc_count": i64},
+    )
+
+    def rep_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["label", "doc_count", "node"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        first = g.groupby("label", sort=False).first().reset_index()
+        return pd.DataFrame(
+            {
+                "label": first["label"].astype("int64").values,
+                "canon_key": first["node"].astype("int64").values,
+            }
+        )
+
+    reps = (
+        labeled.map_batches(
+            lambda b: add_hash_pkey(b, ["label"], num_partitions),
+            batch_format="pyarrow",
+        )
+        .groupby("pkey")
+        .map_groups(rep_partition, batch_format="pandas")
+    )
+    mapped = hash_join(
+        cc,
+        reps,
+        on=["label"],
+        num_partitions=num_partitions,
+        left_types={"label": i64, "node": i64},
+        right_types={"label": i64, "canon_key": i64},
+    )
+
+    def non_identity(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        kept = batch.filter(
+            pc.not_equal(batch.column("node"), batch.column("canon_key"))
+        )
+        if kept.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "entity_key": kept.column("node"),
+                "canon_key": kept.column("canon_key"),
+            }
+        )
+
+    return mapped.map_batches(non_identity, batch_format="pyarrow")
 
 
 def apply_mapping_to_nodes(

@@ -57,19 +57,34 @@ class _ActorBase:
         # lives for the actor's lifetime, shared across batches
         self.embed_cache: dict[str, list[float]] = {}
 
+    def _map_docs(self, items: list, fn) -> list:
+        """Run ``fn`` over the batch's documents with at most
+        ``config.llm_max_inflight`` concurrent LLM requests in flight
+        (order-preserving). Serial when the knob is 1 — exact reference
+        parity. The embed cache is shared across threads; the worst race
+        is recomputing one deterministic vector twice (dict get/set are
+        GIL-atomic), never a wrong result."""
+        inflight = getattr(self.config, "llm_max_inflight", 1)
+        if inflight <= 1 or len(items) <= 1:
+            return [fn(x) for x in items]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(inflight, len(items))) as ex:
+            return list(ex.map(fn, items))
+
 
 class KGDocStage(_ActorBase):
     """Fused IE->ET->EA->LP per document (the flagship stage)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("cti_text").to_pylist()
-        envelopes = [
-            singledoc.process_document(
+        envelopes = self._map_docs(
+            texts,
+            lambda text: singledoc.process_document(
                 text, self.client, self.config, self.demos, self.embed_cache,
                 ie_prefix=self.ie_prefix,
-            )
-            for text in texts
-        ]
+            ),
+        )
         out = batch
         out = out.append_column(
             "kg_aligned_json",
@@ -134,13 +149,13 @@ class IEStage(_ActorBase):
     """Few-shot triple extraction; adds ``kg_ie_json`` + counters."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        results = [
-            singledoc.run_ie(
+        results = self._map_docs(
+            batch.column("cti_text").to_pylist(),
+            lambda text: singledoc.run_ie(
                 text, self.client, self.config, self.demos,
                 ie_prefix=self.ie_prefix,
-            )
-            for text in batch.column("cti_text").to_pylist()
-        ]
+            ),
+        )
         out = batch.append_column(
             "kg_ie_json", _str_col([json.dumps(r["triplets"]) for r in results])
         )
@@ -163,10 +178,12 @@ class ETStage(_ActorBase):
     """Entity typing; consumes ``kg_ie_json``, adds ``kg_et_json``."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        results = [
-            singledoc.run_et(json.loads(ie_json), self.client, self.config)
-            for ie_json in batch.column("kg_ie_json").to_pylist()
-        ]
+        results = self._map_docs(
+            batch.column("kg_ie_json").to_pylist(),
+            lambda ie_json: singledoc.run_et(
+                json.loads(ie_json), self.client, self.config
+            ),
+        )
         out = batch.append_column(
             "kg_et_json", _str_col([json.dumps(r["typed_triplets"]) for r in results])
         )
@@ -187,12 +204,12 @@ class EAStage(_ActorBase):
     ``kg_et_json``, adds ``kg_aligned_json``."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        results = [
-            singledoc.run_ea(
+        results = self._map_docs(
+            batch.column("kg_et_json").to_pylist(),
+            lambda et_json: singledoc.run_ea(
                 json.loads(et_json), self.client, self.config, self.embed_cache
-            )
-            for et_json in batch.column("kg_et_json").to_pylist()
-        ]
+            ),
+        )
         out = batch.append_column(
             "kg_aligned_json",
             _str_col([json.dumps(r["aligned_triplets"]) for r in results]),
@@ -214,13 +231,17 @@ class LPStage(_ActorBase):
     adds ``kg_links_json`` + graph counters."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        results = [
-            singledoc.run_lp(text, json.loads(aligned), self.client, self.config)
-            for text, aligned in zip(
-                batch.column("cti_text").to_pylist(),
-                batch.column("kg_aligned_json").to_pylist(),
-            )
-        ]
+        results = self._map_docs(
+            list(
+                zip(
+                    batch.column("cti_text").to_pylist(),
+                    batch.column("kg_aligned_json").to_pylist(),
+                )
+            ),
+            lambda item: singledoc.run_lp(
+                item[0], json.loads(item[1]), self.client, self.config
+            ),
+        )
         out = batch.append_column(
             "kg_links_json",
             _str_col([json.dumps(r["predicted_links"]) for r in results]),

@@ -206,3 +206,36 @@ class TestValidators:
             validate_ie_triplet,
         )
         assert len(kept) == 1 and dropped == 1
+
+
+class TestUsagePrices:
+    def test_every_reference_model_priced(self):
+        """DEFAULT_PRICES covers every model id in the reference's
+        cost.json with the same per-token prices."""
+        import json
+        from pathlib import Path
+
+        from ctinexus_ray.functions.usage import DEFAULT_PRICES, calculate_usage
+
+        ref = Path("/root/reference/ctinexus/config/cost.json")
+        if not ref.exists():
+            import pytest
+
+            pytest.skip("reference cost.json not present")
+        want = json.loads(ref.read_text())
+        for model, prices in want.items():
+            assert model in DEFAULT_PRICES, f"missing price for {model}"
+            got_in, got_out = DEFAULT_PRICES[model]
+            assert got_in == prices["input"], model
+            assert got_out == prices["output"], model
+            usage = calculate_usage(model, 1000, 500)
+            assert usage["total"]["cost"] == (
+                1000 * prices["input"] + 500 * prices["output"]
+            )
+
+    def test_unknown_model_prices_zero(self):
+        from ctinexus_ray.functions.usage import calculate_usage
+
+        usage = calculate_usage("no-such-model", 10, 10)
+        assert usage["total"]["cost"] == 0
+        assert usage["total"]["tokens"] == 20

@@ -103,3 +103,53 @@ class TestMockClient:
 
         content = extract_json_from_response(client.complete(prompt)[0])
         assert content["triplets"] == canned["known text"]
+
+
+class TestBoundedInflight:
+    """llm_max_inflight: bounded concurrent LLM requests per actor call
+    (VERDICT r1 item 5). Serial (=1) is exact reference parity; >1 must
+    not change any output."""
+
+    def test_concurrent_matches_serial(self, ray_session):
+        import pyarrow as pa
+
+        from ctinexus_ray.config import PipelineConfig
+        from ctinexus_ray.stages.kg import KGDocStage
+
+        texts = [
+            "APT29 used Mimikatz to dump credentials from 10.0.0.5. "
+            "The actor then exfiltrated data to evil.example.com.",
+            "Lazarus Group deployed the AppleJeus malware against exchanges.",
+            "A phishing campaign delivered Emotet via malicious documents.",
+            "",
+        ] * 3
+        batch = pa.Table.from_pydict(
+            {"cti_text": pa.array(texts, type=pa.string())}
+        )
+        serial = KGDocStage(PipelineConfig(llm_max_inflight=1))(batch)
+        threaded = KGDocStage(PipelineConfig(llm_max_inflight=4))(batch)
+        assert serial.to_pydict() == threaded.to_pydict()
+
+    def test_inflight_bound_is_respected(self):
+        import threading
+        import time
+
+        from ctinexus_ray.config import PipelineConfig
+        from ctinexus_ray.stages.kg import _ActorBase
+
+        stage = _ActorBase(PipelineConfig(llm_max_inflight=3))
+        lock = threading.Lock()
+        state = {"now": 0, "peak": 0}
+
+        def fake_llm_call(x):
+            with lock:
+                state["now"] += 1
+                state["peak"] = max(state["peak"], state["now"])
+            time.sleep(0.05)
+            with lock:
+                state["now"] -= 1
+            return x * 2
+
+        out = stage._map_docs(list(range(12)), fake_llm_call)
+        assert out == [x * 2 for x in range(12)]  # order preserved
+        assert 2 <= state["peak"] <= 3  # overlapped, but bounded

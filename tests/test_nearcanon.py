@@ -74,3 +74,51 @@ def test_deterministic(nodes, config):
         for r in near_canonical_mapping(nodes, config).take_all()
     )
     assert a == b
+
+
+def test_distributed_mapping_matches_driver(nodes, config):
+    """Forcing the distributed path (threshold=0) must reproduce the
+    driver union-find mapping exactly."""
+    driver = sorted(
+        (r["entity_key"], r["canon_key"])
+        for r in near_canonical_mapping(nodes, config, threshold=0.6).take_all()
+    )
+    dist = sorted(
+        (r["entity_key"], r["canon_key"])
+        for r in near_canonical_mapping(
+            nodes, config, threshold=0.6, distributed_threshold=0
+        ).take_all()
+    )
+    assert dist == driver
+    assert len(dist) >= 1
+
+
+def test_distributed_mapping_matches_driver_larger(ray_session, config):
+    """Clustered synthetic node table: distributed == driver on a corpus
+    with several multi-member components."""
+    rows = []
+    key = 0
+    for fam in range(6):
+        for v in range(4):
+            rows.append(
+                {
+                    "entity_key": key,
+                    "entity_text": f"entity family {fam}" + (" variant" * (v % 2)),
+                    "entity_class": "Malware" if fam % 2 else "Tool",
+                    "doc_count": 10 - v,
+                    "mention_count": 5,
+                }
+            )
+            key += 1
+    nodes_ds = ray.data.from_items(rows)
+    driver = sorted(
+        (r["entity_key"], r["canon_key"])
+        for r in near_canonical_mapping(nodes_ds, config, threshold=0.6).take_all()
+    )
+    dist = sorted(
+        (r["entity_key"], r["canon_key"])
+        for r in near_canonical_mapping(
+            nodes_ds, config, threshold=0.6, distributed_threshold=0
+        ).take_all()
+    )
+    assert dist == driver

@@ -462,3 +462,60 @@ class TestTopkTieBreaks:
             )
         ]
         assert got_ivf == [1, 2, 3, 4, 5]
+
+
+class TestMinHashKeepDistributed:
+    def test_keep_matches_driver_union_find(self, ray_session):
+        """The fully-distributed keep path (hash-join verify -> distributed
+        connected components -> anti-join) must reproduce the driver-side
+        union-find survivors exactly."""
+        from ctinexus_ray.ops.dedup import (
+            minhash_dedup_keep,
+            minhash_dedup_pairs,
+            resolve_dup_groups,
+        )
+
+        base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+                "juliett kilo lima mike november oscar papa quebec romeo")
+        rows = []
+        for i in range(30):
+            fam = i % 5
+            text = (
+                f"family {fam} " + base + f" suffix{fam}"
+                if fam < 3
+                else f"unique document {i} with its own words "
+                + " ".join(f"tok{i}_{j}" for j in range(20))
+            )
+            rows.append({"doc_id": i, "text": text})
+        ds = ray.data.from_items(rows)
+
+        pairs = minhash_dedup_pairs(ds, threshold=0.5, num_partitions=8)
+        mapping = resolve_dup_groups(pairs)
+        want = sorted(
+            i for i in range(30) if mapping.get(i, i) == i
+        )
+        got = sorted(
+            r["doc_id"]
+            for r in minhash_dedup_keep(
+                ds, threshold=0.5, num_partitions=8
+            ).take_all()
+        )
+        assert got == want
+        assert len(got) < 30  # the planted families actually deduped
+
+    def test_keep_all_unique_corpus(self, ray_session):
+        from ctinexus_ray.ops.dedup import minhash_dedup_keep
+
+        rows = [
+            {
+                "doc_id": i,
+                "text": " ".join(f"only{i}word{j}" for j in range(15)),
+            }
+            for i in range(10)
+        ]
+        ds = ray.data.from_items(rows)
+        got = sorted(
+            r["doc_id"]
+            for r in minhash_dedup_keep(ds, threshold=0.5, num_partitions=8).take_all()
+        )
+        assert got == list(range(10))
