@@ -377,6 +377,80 @@ def _q_dup_components(sf_dir: str):
     return connected_components(pairs)
 
 
+def _q_top_orders_per_customer(sf_dir: str):
+    """Distributed row_number() window: top-3 orders per customer by
+    (totalprice desc, orderkey asc). One hash shuffle, vectorized rank."""
+    import ray.data
+
+    from ctinexus_ray.ops.relational import grouped_topn
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderkey"],
+    )
+    return grouped_topn(
+        orders, "o_custkey", "o_totalprice", n=3, tiebreak_col="o_orderkey"
+    )
+
+
+def _q_events_asof_purchase(sf_dir: str):
+    """As-of join (Ray Data lacks one — composed as a by-key co-shuffle +
+    per-partition pandas merge_asof): every click event gains the user's
+    most recent purchase at or before it."""
+    import pyarrow.compute as pc
+
+    from ctinexus_ray.ops.relational import asof_join
+
+    def to_epoch(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "event_id": batch.column("event_id"),
+                "user_id": batch.column("user_id"),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "value": batch.column("value"),
+            }
+        )
+
+    ev = _events(sf_dir).select_columns(
+        ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    clicks = ev.filter(expr="event_type == 'click'").map_batches(
+        to_epoch, batch_format="pyarrow"
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'").map_batches(
+        to_epoch, batch_format="pyarrow"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        by="user_id",
+        on="ts_us",
+        right_attach=["event_id", "value"],
+    )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        mapping = {
+            "event_id_right": "purchase_event_id",
+            "value_right": "purchase_value",
+            "value": "click_value",
+        }
+        return batch.rename_columns(
+            [mapping.get(c, c) for c in batch.column_names]
+        )
+
+    return joined.map_batches(rename, batch_format="pyarrow")
+
+
+def _q_doc_len_quantiles(sf_dir: str):
+    """Exact discrete quantiles of document length without a global sort
+    (value-domain histogram + cumulative walk)."""
+    from ctinexus_ray.ops.relational import int_column_quantiles
+
+    return int_column_quantiles(
+        _docs(sf_dir, ["n_chars"]), "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
 def _q_events_minmax_by_type(sf_dir: str):
     """Grouped Min/Max/Count over epoch-cast timestamps."""
     import pyarrow.compute as pc
@@ -559,6 +633,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_minmax_by_type": _q_events_minmax_by_type,
         "orders_customer_join": _q_orders_customer_join,
         "dup_components": _q_dup_components,
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "events_asof_purchase": _q_events_asof_purchase,
+        "doc_len_quantiles": _q_doc_len_quantiles,
         "kg_extract": _q_kg_extract,
         "kg_degrees": _q_kg_degrees,
         "kg_triples": _q_kg_triples,
@@ -730,6 +807,30 @@ def oracle_sql() -> dict[str, str]:
             "UNION "
             "SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node) "
             "SELECT node, min(label) AS label FROM reach GROUP BY node"
+        ),
+        "top_orders_per_customer": (
+            "SELECT o_custkey, rn, o_orderkey, o_totalprice FROM ("
+            "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER ("
+            "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey"
+            ") AS rn FROM orders) WHERE rn <= 3"
+        ),
+        "events_asof_purchase": (
+            "SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, "
+            "c.value AS click_value, p.event_id AS purchase_event_id, "
+            "p.value AS purchase_value "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+            "ASOF LEFT JOIN "
+            "(SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ON c.user_id = p.user_id AND c.ts >= p.ts"
+        ),
+        # quantile_disc requires constant parameters -> one leg per q
+        "doc_len_quantiles": (
+            " UNION ALL ".join(
+                f"SELECT CAST({q} AS DOUBLE) AS q, "
+                f"CAST(quantile_disc(n_chars, {q}) AS BIGINT) AS value "
+                "FROM documents"
+                for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+            )
         ),
         # floor(epoch) matches the engine's integer microsecond division
         # (CAST alone would round-to-nearest on fractional seconds)

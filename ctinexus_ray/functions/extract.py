@@ -192,7 +192,14 @@ def is_cti_signal_line(line: str) -> bool:
 # ---------------------------------------------------------------------------
 
 _SOURCE_PRIORITY = {
+    # builtin main-content candidate shares rank 0 with trafilatura_json
     "body": 0,
+    # reference priorities (ctinexus/llm_processor.py:424-431) for the
+    # trafilatura-backed candidates (see extract_hybrid_content backend)
+    "trafilatura_json": 0,
+    "trafilatura_bare": 1,
+    "trafilatura_txt": 2,
+    "readability": 3,
     "jsonld": 4,
     "meta_description": 5,
 }
@@ -232,18 +239,117 @@ def merge_extraction_candidates(candidates: list[dict], max_chars: int = 16000) 
     return merged
 
 
-def extract_hybrid_content(html: str, max_chars: int = 16000) -> dict:
+def trafilatura_available() -> bool:
+    try:
+        import trafilatura  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _trafilatura_candidates(html: str, metadata: dict) -> list[dict]:
+    """The reference's three trafilatura candidate extractors, byte-for-
+    byte parameter parity (ctinexus/llm_processor.py:521-577): json mode
+    (with metadata), txt mode, and bare_extraction — all with
+    include_comments=False, include_tables=False, deduplicate=True,
+    favor_recall=True. Raises ImportError when trafilatura is absent."""
+    import trafilatura
+
+    candidates: list[dict] = []
+
+    def merge_meta(extract: dict) -> None:
+        for k in ("title", "author", "date"):
+            if metadata.get(k) is None and extract.get(k):
+                metadata[k] = extract[k]
+
+    try:
+        result = trafilatura.extract(
+            html,
+            output_format="json",
+            with_metadata=True,
+            include_comments=False,
+            include_tables=False,
+            deduplicate=True,
+            favor_recall=True,
+        )
+        if result:
+            parsed = (
+                json.loads(result) if isinstance(result, str) else result
+            )
+            if isinstance(parsed, dict):
+                merge_meta(parsed)
+                if parsed.get("text"):
+                    candidates.append(
+                        {"source": "trafilatura_json", "text": parsed["text"]}
+                    )
+    except json.JSONDecodeError:
+        candidates.append({"source": "trafilatura_json", "text": result})
+    except Exception:  # noqa: BLE001 — candidate extractors are best-effort
+        pass
+
+    try:
+        txt = trafilatura.extract(
+            html,
+            output_format="txt",
+            include_comments=False,
+            include_tables=False,
+            deduplicate=True,
+            favor_recall=True,
+        )
+        if txt:
+            candidates.append({"source": "trafilatura_txt", "text": txt})
+    except Exception:  # noqa: BLE001
+        pass
+
+    if hasattr(trafilatura, "bare_extraction"):
+        try:
+            bare = trafilatura.bare_extraction(
+                html,
+                with_metadata=True,
+                include_comments=False,
+                include_tables=False,
+                deduplicate=True,
+                favor_recall=True,
+            )
+            if isinstance(bare, dict):
+                merge_meta(bare)
+                if bare.get("text"):
+                    candidates.append(
+                        {"source": "trafilatura_bare", "text": bare["text"]}
+                    )
+        except Exception:  # noqa: BLE001
+            pass
+    return candidates
+
+
+def extract_hybrid_content(
+    html: str, max_chars: int = 16000, backend: str = "builtin"
+) -> dict:
     """Full E1: candidates -> normalize -> merge. Deterministic per html.
 
     Returns ``{"text", "title", "author", "date", "candidates"}`` shaped like
     reference ctinexus/llm_processor.py:361-417.
+
+    ``backend="builtin"`` (default) uses the dependency-free candidate
+    extractors — the engine's stable, self-consistent behavior.
+    ``backend="trafilatura"`` swaps the main-content candidates for the
+    reference's trafilatura json/txt/bare trio behind the SAME merge
+    semantics, proving byte-parity with the real reference wherever the
+    dependency is installed (it is not in this sandbox — the golden-html
+    test is marked skip-if-unavailable).
     """
     metadata: dict = {"title": None, "author": None, "date": None}
     candidate_bodies: list[dict] = []
 
-    body = extract_body_text(html)
-    if body:
-        candidate_bodies.append({"source": "body", "text": body})
+    if backend == "trafilatura":
+        candidate_bodies.extend(_trafilatura_candidates(html, metadata))
+    elif backend == "builtin":
+        body = extract_body_text(html)
+        if body:
+            candidate_bodies.append({"source": "body", "text": body})
+    else:
+        raise ValueError(f"unknown extraction backend {backend!r}")
 
     jsonld = extract_jsonld(html)
     if jsonld:

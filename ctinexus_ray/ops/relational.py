@@ -222,3 +222,179 @@ def _collect_small_side(
     lookup = {k: tuple(col[i] for col in cols) for i, k in enumerate(keys)}
     types = [table.schema.field(c).type for c in attach]
     return lookup, types
+
+
+def grouped_topn(
+    ds: ray.data.Dataset,
+    group_key: str,
+    order_col: str,
+    n: int,
+    tiebreak_col: str,
+    out_rank: str = "rn",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Top-n rows per group by (order_col DESC, tiebreak_col ASC) with a
+    1-based rank column — the distributed form of a row_number() window.
+
+    One hash shuffle on the group key; each partition holds MANY whole
+    groups and ranks them all in one vectorized pandas pass (sort +
+    per-group cumcount) — O(P) per-group overhead, no per-group Python.
+    Same partitioning assumption as sessionize: one group's rows fit in a
+    partition."""
+    from ctinexus_ray.ops.groupagg import add_hash_pkey
+
+    cols = [group_key, order_col, tiebreak_col]
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        return add_hash_pkey(batch, [group_key], num_partitions)
+
+    def rank_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            [group_key, order_col, tiebreak_col],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        rn = g.groupby(group_key, sort=False).cumcount() + 1
+        g = g.assign(**{out_rank: rn})
+        g = g[g[out_rank] <= n]
+        return g[[group_key, out_rank, tiebreak_col, order_col]].reset_index(
+            drop=True
+        )
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(rank_partition, batch_format="pandas")
+    )
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str,
+    on: str,
+    right_attach: list[str],
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Distributed as-of join: each left row gains the ``right_attach``
+    columns of the LATEST right row with the same ``by`` key and
+    ``right.on <= left.on`` (left-join semantics: no match -> nulls).
+
+    Ray Data has no as-of join; this is the documented composition: both
+    sides are tagged and co-shuffled ONCE on hash(by), and each partition
+    runs one vectorized ``pandas.merge_asof`` (sorted by ``on``,
+    ``by``-grouped). Partitioning assumption: one key's rows (both sides)
+    fit in a partition — same as sessionize; salt hot keys if violated.
+    ``on`` must be a monotonic-comparable dtype (int64 epoch recommended;
+    timestamps work). Ties on ``on`` within a key are resolved toward the
+    LAST right row in sort order, matching SQL ASOF's max(right.on)."""
+    from ctinexus_ray.ops.groupagg import add_hash_pkey
+
+    def tag(side: int, keep: list[str]):
+        def fn(batch: pa.Table):
+            if batch.num_rows == 0:
+                return
+            t = batch.select(keep)
+            yield t.append_column(
+                "_side", pa.array([side] * batch.num_rows, type=pa.int8())
+            )
+
+        return fn
+
+    lcols = [c for c in left.schema().names]
+    rcols = [by, on, *right_attach]
+    # align to a shared wide schema: left cols + right-attach cols
+    shared = list(dict.fromkeys(lcols + rcols))
+
+    def widen(batch: pa.Table) -> pa.Table:
+        for c in shared:
+            if c not in batch.column_names:
+                batch = batch.append_column(
+                    c, pa.nulls(batch.num_rows, type=pa.float64())
+                )
+        return batch.select(shared + ["_side"])
+
+    tagged = (
+        left.map_batches(tag(0, lcols), batch_format="pyarrow")
+        .map_batches(widen, batch_format="pyarrow")
+        .union(
+            right.map_batches(tag(1, rcols), batch_format="pyarrow").map_batches(
+                widen, batch_format="pyarrow"
+            )
+        )
+    )
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        return add_hash_pkey(batch, [by], num_partitions)
+
+    out_cols = lcols + [f"{c}_right" for c in right_attach]
+
+    def asof_partition(g: pd.DataFrame) -> pd.DataFrame:
+        lt = g[g["_side"] == 0][lcols].sort_values(on, kind="mergesort")
+        rt = (
+            g[g["_side"] == 1][rcols]
+            .rename(columns={c: f"{c}_right" for c in right_attach})
+            .sort_values(on, kind="mergesort")
+        )
+        merged = pd.merge_asof(
+            lt,
+            rt,
+            on=on,
+            by=by,
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged[out_cols].reset_index(drop=True)
+
+    return (
+        tagged.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(asof_partition, batch_format="pandas")
+    )
+
+
+def int_column_quantiles(
+    ds: ray.data.Dataset, col: str, quantiles: list[float]
+) -> ray.data.Dataset:
+    """EXACT discrete quantiles (SQL ``quantile_disc`` semantics: the
+    element at 0-based index ``floor(q * (n-1))`` of the sorted column)
+    for a bounded-cardinality integer column, without a global sort.
+
+    Shape: one hash-partitioned (value -> count) reduce — the histogram
+    is value-DOMAIN-sized, not corpus-sized (lengths, scores, buckets) —
+    then a driver-side cumulative walk over the sorted distinct values.
+    For unbounded/continuous columns use a sort-based or sketch
+    (t-digest) path instead; this operator asserts the domain stays
+    small by construction."""
+    import numpy as np
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    counts = partitioned_agg(
+        ds.select_columns([col]),
+        keys=[col],
+        named_aggs={"n": (col, "size")},
+    ).take_all()
+    values = np.array([r[col] for r in counts], dtype=np.int64)
+    ns = np.array([r["n"] for r in counts], dtype=np.int64)
+    order = np.argsort(values, kind="stable")
+    values, ns = values[order], ns[order]
+    cum = np.cumsum(ns)
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in quantiles:
+        if not total:
+            continue
+        idx = int(np.floor(q * (total - 1)))
+        pos = int(np.searchsorted(cum, idx + 1))
+        out_q.append(float(q))
+        out_v.append(int(values[pos]))
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "q": pa.array(out_q, type=pa.float64()),
+                "value": pa.array(out_v, type=pa.int64()),
+            }
+        )
+    )

@@ -133,18 +133,28 @@ def merge_doc(
             entity_id += 1
             continue
 
-        # pairwise direct-neighbor clustering (NOT transitive closure — Q3)
-        clusters: dict[int, set[int]] = {}
+        # pairwise direct-neighbor clustering (NOT transitive closure — Q3).
+        # One numpy similarity matrix per class group instead of a Python
+        # _cosine per pair (profiled at ~18% of per-doc time); zero-norm
+        # vectors score 0.0 like _cosine. Key order in ``clusters``
+        # matches the reference's pair-enumeration insertion order
+        # (= member iteration order), which unique_clusters depends on.
+        import numpy as np
+
         members = list(grouped_nodes)
-        node_pairs = [
-            (m1, m2) for i, m1 in enumerate(grouped_nodes) for m2 in members[i + 1 :]
-        ]
-        for m1, m2 in node_pairs:
-            clusters.setdefault(m1, set())
-            clusters.setdefault(m2, set())
-            if _cosine(embeddings[m1], embeddings[m2]) >= similarity_threshold:
-                clusters[m1].add(m2)
-                clusters[m2].add(m1)
+        mat = np.asarray([embeddings[m] for m in members], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        safe = np.where(norms == 0, 1.0, norms)
+        unit = mat / safe[:, None]
+        sims = unit @ unit.T
+        if (norms == 0).any():
+            sims[norms == 0, :] = 0.0
+            sims[:, norms == 0] = 0.0
+        clusters: dict[int, set[int]] = {m: set() for m in members}
+        ii, jj = np.nonzero(np.triu(sims >= similarity_threshold, k=1))
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            clusters[members[i]].add(members[j])
+            clusters[members[j]].add(members[i])
 
         unique_clusters: list[set[int]] = []
         for m_id, merged_ids in clusters.items():

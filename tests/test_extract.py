@@ -101,3 +101,65 @@ class TestSignalLine:
 
     def test_short_neutral_dropped(self):
         assert not is_cti_signal_line("Just a short line")
+
+
+class TestTrafilaturaBackend:
+    """Reference-parity extraction backend (VERDICT r1 item 9): the
+    trafilatura candidate trio behind the same merge semantics. Skipped
+    wherever the dependency is absent (this sandbox); the moment it is
+    installable these prove the byte-parity invariant vs the reference's
+    extract_hybrid_content (ctinexus/llm_processor.py:361-417)."""
+
+    GOLDEN_HTML = (
+        "<html><head><title>Threat Report</title>"
+        '<meta name="description" content="APT29 deployed new malware.">'
+        '<script type="application/ld+json">{"@type": "Article", '
+        '"articleBody": "APT29 used Mimikatz to dump credentials from '
+        '10.0.0.5 during the campaign.", "headline": "Threat Report"}'
+        "</script></head><body><article><p>APT29 used Mimikatz to dump "
+        "credentials from 10.0.0.5 during the campaign.</p><p>The actor "
+        "exfiltrated data to evil.example.com over HTTPS.</p></article>"
+        "</body></html>"
+    )
+
+    def test_unknown_backend_rejected(self):
+        import pytest
+
+        from ctinexus_ray.functions.extract import extract_hybrid_content
+
+        with pytest.raises(ValueError, match="backend"):
+            extract_hybrid_content("<html></html>", backend="lynx")
+
+    def test_trafilatura_backend_requires_dependency(self):
+        import pytest
+
+        from ctinexus_ray.functions.extract import (
+            extract_hybrid_content,
+            trafilatura_available,
+        )
+
+        if trafilatura_available():
+            pytest.skip("covered by test_trafilatura_golden_parity")
+        with pytest.raises(ImportError):
+            extract_hybrid_content(self.GOLDEN_HTML, backend="trafilatura")
+
+    def test_trafilatura_golden_parity(self):
+        import pytest
+
+        from ctinexus_ray.functions.extract import (
+            extract_hybrid_content,
+            trafilatura_available,
+        )
+
+        if not trafilatura_available():
+            pytest.skip("trafilatura not installed in this environment")
+        out = extract_hybrid_content(self.GOLDEN_HTML, backend="trafilatura")
+        # same merge semantics as the reference: highest-priority
+        # candidate is the base, secondary candidates pass the CTI gate
+        assert "Mimikatz" in out["text"]
+        assert out["title"] == "Threat Report"
+        sources = {c["source"] for c in out["candidates"]}
+        assert sources & {"trafilatura_json", "trafilatura_txt", "trafilatura_bare"}
+        # byte-identity across runs
+        again = extract_hybrid_content(self.GOLDEN_HTML, backend="trafilatura")
+        assert again["text"] == out["text"]

@@ -170,3 +170,110 @@ class TestMinMax:
             ).fetchall()
         )
         assert got == want
+
+
+class TestGroupedTopn:
+    def test_matches_window_function(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        from ctinexus_ray.ops.relational import grouped_topn
+
+        rows = [
+            {"k": i % 7, "v": float((i * 37) % 100), "id": i} for i in range(200)
+        ]
+        ds = ray.data.from_items(rows)
+        got = (
+            pd.DataFrame(
+                grouped_topn(ds, "k", "v", n=3, tiebreak_col="id").take_all()
+            )
+            .sort_values(["k", "rn"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("df", pd.DataFrame(rows))
+        want = con.execute(
+            "SELECT k, rn, id, v FROM (SELECT k, id, v, row_number() "
+            "OVER (PARTITION BY k ORDER BY v DESC, id) AS rn FROM df) "
+            "WHERE rn <= 3 ORDER BY k, rn"
+        ).df()
+        pd.testing.assert_frame_equal(
+            got[["k", "rn", "id", "v"]].astype({"rn": "int64"}),
+            want.astype({"rn": "int64"}),
+            check_dtype=False,
+        )
+
+
+class TestAsofJoin:
+    def test_matches_pandas_merge_asof(self, ray_session):
+        import numpy as np
+        import pandas as pd
+
+        from ctinexus_ray.ops.relational import asof_join
+
+        rng = np.random.RandomState(11)
+        left_rows = [
+            {"lid": i, "u": int(rng.randint(0, 6)), "t": int(rng.randint(0, 10_000))}
+            for i in range(150)
+        ]
+        right_rows = [
+            {"u": int(rng.randint(0, 6)), "t": int(rng.randint(0, 10_000)), "rv": float(i)}
+            for i in range(80)
+        ]
+        lds = ray.data.from_items(left_rows)
+        rds = ray.data.from_items(right_rows)
+        got = (
+            pd.DataFrame(
+                asof_join(lds, rds, by="u", on="t", right_attach=["rv"]).take_all()
+            )
+            .sort_values(["lid"])
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            pd.DataFrame(left_rows).sort_values("t", kind="mergesort"),
+            pd.DataFrame(right_rows)
+            .rename(columns={"rv": "rv_right"})
+            .sort_values("t", kind="mergesort"),
+            on="t",
+            by="u",
+            direction="backward",
+        ).sort_values("lid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["lid", "u", "t", "rv_right"]],
+            want[["lid", "u", "t", "rv_right"]],
+            check_dtype=False,
+        )
+
+    def test_no_right_rows_for_key(self, ray_session):
+        import pandas as pd
+
+        from ctinexus_ray.ops.relational import asof_join
+
+        lds = ray.data.from_items([{"lid": 1, "u": 5, "t": 10}])
+        rds = ray.data.from_items([{"u": 9, "t": 1, "rv": 1.0}])
+        out = asof_join(lds, rds, by="u", on="t", right_attach=["rv"]).take_all()
+        assert len(out) == 1
+        assert out[0]["rv_right"] is None or out[0]["rv_right"] != out[0]["rv_right"]
+
+
+class TestIntQuantiles:
+    def test_matches_quantile_disc(self, ray_session):
+        import duckdb
+        import pandas as pd
+
+        from ctinexus_ray.ops.relational import int_column_quantiles
+
+        rows = [{"x": (i * 13) % 257} for i in range(1000)]
+        ds = ray.data.from_items(rows)
+        qs = [0.1, 0.5, 0.9, 0.99]
+        got = {
+            r["q"]: r["value"]
+            for r in int_column_quantiles(ds, "x", qs).take_all()
+        }
+        con = duckdb.connect()
+        con.register("df", pd.DataFrame(rows))
+        for q in qs:
+            want = con.execute(
+                f"SELECT quantile_disc(x, {q}) FROM df"
+            ).fetchone()[0]
+            assert got[q] == want, (q, got[q], want)
