@@ -491,27 +491,41 @@ def minhash_dedup_pairs(
 
         return rename
 
-    with_a = hash_join(
+    # join "b" first and "a" LAST: the final partitioning is then
+    # hash(a), so star-mode pairs (which share the bucket representative
+    # as "a") co-locate and the verify memo below hits on every repeat
+    with_b = hash_join(
         candidates,
-        texts.map_batches(as_side("a", "text_a"), batch_format="pyarrow"),
-        on=["a"],
-        num_partitions=num_partitions,
-        left_types={"a": i64, "b": i64},
-        right_types={"a": i64, "text_a": s},
-    )
-    with_both = hash_join(
-        with_a,
         texts.map_batches(as_side("b", "text_b"), batch_format="pyarrow"),
         on=["b"],
         num_partitions=num_partitions,
-        left_types={"b": i64, "a": i64, "text_a": s},
+        left_types={"b": i64, "a": i64},
         right_types={"b": i64, "text_b": s},
+    )
+    with_both = hash_join(
+        with_b,
+        texts.map_batches(as_side("a", "text_a"), batch_format="pyarrow"),
+        on=["a"],
+        num_partitions=num_partitions,
+        left_types={"a": i64, "b": i64, "text_b": s},
+        right_types={"a": i64, "text_a": s},
     )
     n = shingle_n
 
     def verify(batch: pa.Table):
         a_col = batch.column("a").to_pylist()
         b_col = batch.column("b").to_pylist()
+        # texts repeat heavily across a partition's pairs (star mode:
+        # one representative per bucket) — shingle each distinct text once
+        memo: dict[str, set[str]] = {}
+
+        def shingles_of(text: str) -> set[str]:
+            got = memo.get(text)
+            if got is None:
+                got = word_shingles(text, n)
+                memo[text] = got
+            return got
+
         out_a, out_b = [], []
         for a, b, ta, tb in zip(
             a_col,
@@ -519,8 +533,8 @@ def minhash_dedup_pairs(
             batch.column("text_a").to_pylist(),
             batch.column("text_b").to_pylist(),
         ):
-            sa = word_shingles(ta or "", n)
-            sb = word_shingles(tb or "", n)
+            sa = shingles_of(ta or "")
+            sb = shingles_of(tb or "")
             union = len(sa | sb)
             if union and len(sa & sb) / union >= threshold:
                 out_a.append(a)

@@ -216,10 +216,44 @@ def anti_join_ids(
     )
 
 
+def _cc_arrays(a, b):
+    """Exact in-memory connected components over edge arrays -> (nodes,
+    labels) numpy arrays, label = smallest node id in the component.
+
+    Fully vectorized (FastSV-style): alternate edge min-relaxation
+    (``np.minimum.at`` scatter) with pointer jumping (``lab = lab[lab]``)
+    until the label vector is a fixpoint; both converge in O(log n)
+    in-memory passes. Because ``np.unique`` sorts node ids ascending,
+    index order equals value order, so the component's root index maps
+    back to its smallest node id with no extra pass."""
+    import numpy as np
+
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    u, v = inv[: len(a)], inv[len(a) :]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        while True:  # pointer jumping: contract chains geometrically
+            nl = lab[lab]
+            if np.array_equal(nl, lab):
+                break
+            lab = nl
+        before = lab.sum()
+        m = np.minimum(lab[u], lab[v])
+        np.minimum.at(lab, u, m)
+        np.minimum.at(lab, v, m)
+        np.minimum.at(lab, lab[u], m)  # relax the roots too
+        np.minimum.at(lab, lab[v], m)
+        if lab.sum() == before:
+            break
+    return nodes, nodes[lab]
+
+
 def connected_components(
     pairs: ray.data.Dataset,
     num_partitions: int = 64,
     max_iters: int = 30,
+    local_threshold: int = 5_000_000,
+    contract_rounds: int = 4,
 ) -> ray.data.Dataset:
     """Distributed connected components over an (a, b) int64 edge dataset.
 
@@ -227,19 +261,121 @@ def connected_components(
     ``label`` is the SMALLEST node id in the node's component (the same
     survivor rule as a driver union-find, so results are interchangeable).
 
-    Algorithm: iterated min-label propagation with pointer jumping. Each
-    round, a node's new label is the min of (its label, its neighbors'
-    labels, the label of its label); pointer jumping contracts paths
-    geometrically, so rounds ~ O(log diameter). Convergence is detected by
-    the label SUM (labels only ever decrease, so an unchanged sum is a
-    fixpoint) — a single scalar on the driver per round; the label table
-    itself is only ever materialized in the object store.
+    Three-tier strategy (cheapest that fits, never driver-side):
 
-    Per round: 2 hash_joins + 1 partitioned min-reduce, each a single
-    shuffle over edge/label-sized data. At web-scale dup rates (components
-    covering 30%+ of the corpus) everything stays distributed — this is
-    the replacement for the round-1 driver union-find.
-    """
+    1. **Single-task exact** — when the edge count is at most
+       ``local_threshold`` (5M edges = ~80 MB of int64 pairs, far under a
+       worker's heap), ONE Ray task runs the vectorized in-memory solver
+       (``_cc_arrays``). This is the common case after dedup candidate
+       generation: star-mode pair counts are linear in corpus size and
+       orders of magnitude below the corpus row count.
+    2. **Contraction rounds** — otherwise, partition the edges
+       arbitrarily (keyless ``repartition``, no sort shuffle), solve each
+       partition in-task, and emit its components as STAR edges
+       (min-node, other-node). Star contraction preserves both
+       connectivity and the node set, and caps the edge count at the
+       node count; the partition count shrinks 4x per round so
+       cross-partition components keep colliding. Each round is one
+       cheap coalesce + an embarrassingly parallel map — no all-to-all.
+    3. **Min-label propagation fallback** — if ``contract_rounds`` rounds
+       still leave more than ``local_threshold`` edges (a single
+       component spanning billions of nodes), fall back to fully
+       distributed iterated min-label propagation with pointer jumping
+       (2 hash-shuffles per round, O(log diameter) rounds, driver holds
+       one scalar per round).
+
+    This replaces both the round-1 driver union-find AND the round-2
+    propagation-only version whose per-round shuffle overhead dominated
+    (VERDICT.md: 800 s / 7 GB driver RSS at 400 k docs — the same input
+    now takes one task)."""
+    i64 = pa.int64()
+
+    def clean(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return
+        a = batch.column("a").cast(i64)
+        b = batch.column("b").cast(i64)
+        t = pa.Table.from_arrays([a, b], names=["a", "b"])
+        t = t.filter(pc.not_equal(t.column("a"), t.column("b")))
+        if t.num_rows:
+            yield t
+
+    edges = pairs.select_columns(["a", "b"]).map_batches(
+        clean, batch_format="pyarrow"
+    ).materialize()
+
+    def solve_block(batch: pa.Table):
+        import numpy as np
+
+        if batch.num_rows == 0:
+            return
+        nodes, labels = _cc_arrays(
+            batch.column("a").to_numpy(zero_copy_only=False),
+            batch.column("b").to_numpy(zero_copy_only=False),
+        )
+        yield pa.Table.from_pydict(
+            {
+                "node": pa.array(nodes, type=i64),
+                "label": pa.array(labels, type=i64),
+            }
+        )
+
+    def contract_block(batch: pa.Table):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return
+        nodes, labels = _cc_arrays(
+            batch.column("a").to_numpy(zero_copy_only=False),
+            batch.column("b").to_numpy(zero_copy_only=False),
+        )
+        keep = labels != nodes  # star edges: (component min, other node)
+        if not keep.any():
+            return
+        yield pa.Table.from_pydict(
+            {
+                "a": pa.array(labels[keep], type=i64),
+                "b": pa.array(nodes[keep], type=i64),
+            }
+        )
+
+    for rnd in range(contract_rounds):
+        n_edges = edges.count()
+        if n_edges == 0:
+            return ray.data.from_arrow(
+                pa.Table.from_pydict(
+                    {
+                        "node": pa.array([], type=i64),
+                        "label": pa.array([], type=i64),
+                    }
+                )
+            )
+        if n_edges <= local_threshold:
+            return edges.repartition(1).map_batches(
+                solve_block, batch_format="pyarrow", batch_size=None
+            )
+        p = max(1, num_partitions >> (2 * rnd))
+        edges = (
+            edges.repartition(p)
+            .map_batches(contract_block, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+    return _label_prop_cc(edges, num_partitions, max_iters)
+
+
+def _label_prop_cc(
+    edges_ab: ray.data.Dataset,
+    num_partitions: int = 64,
+    max_iters: int = 30,
+) -> ray.data.Dataset:
+    """Fully distributed min-label propagation with pointer jumping (the
+    asymptotic path of ``connected_components``; see its docstring).
+    Convergence is detected by the label SUM (labels only decrease, so an
+    unchanged sum is a fixpoint) — a single scalar on the driver per
+    round; the label table only ever lives in the object store."""
     from ctinexus_ray.ops.groupagg import partitioned_agg
 
     i64 = pa.int64()
@@ -257,7 +393,7 @@ def connected_components(
             names=["src", "dst"],
         )
 
-    edges = pairs.select_columns(["a", "b"]).map_batches(
+    edges = edges_ab.select_columns(["a", "b"]).map_batches(
         sym, batch_format="pyarrow"
     )
 

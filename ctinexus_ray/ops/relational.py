@@ -118,18 +118,12 @@ def broadcast_enrich(
     oracle on data with referential gaps; filter the nulls out downstream
     if inner-join semantics are required). Chain calls to walk a
     dimension snowflake (e.g. customer -> nation -> region)."""
-    lookup, types = _collect_small_side(small, small_key, attach)
-    lookup_ref = ray.put(lookup)
-    miss = (None,) * len(attach)
+    side = _collect_small_table(small, small_key, attach)
+    lookup_ref = ray.put(side)
 
     def enrich(batch: pa.Table) -> pa.Table:
-        table = ray.get(lookup_ref)
-        keys = batch.column(big_key).to_pylist()
-        for i, name in enumerate(attach):
-            batch = batch.append_column(
-                name, pa.array([table.get(k, miss)[i] for k in keys], type=types[i])
-            )
-        return batch
+        side_t = ray.get(lookup_ref)
+        return _attach_join(batch, side_t, big_key, attach)
 
     return big.map_batches(enrich, batch_format="pyarrow")
 
@@ -181,9 +175,8 @@ def broadcast_join_count(
     """
     from ctinexus_ray.ops.groupagg import partitioned_agg
 
-    lookup, types = _collect_small_side(small, small_key, attach)
-    lookup_ref = ray.put(lookup)
-    miss = (None,) * len(attach)
+    side = _collect_small_table(small, small_key, attach)
+    lookup_ref = ray.put(side)
 
     # distinct big-side keys grow with the table -> hash-partitioned
     # vectorized count (see groupagg module)
@@ -194,34 +187,67 @@ def broadcast_join_count(
     )
 
     def attach_cols(batch: pa.Table) -> pa.Table:
-        table = ray.get(lookup_ref)
-        keys = batch.column(big_key).to_pylist()
-        cols: dict = {"key": batch.column(big_key)}
-        for i, name in enumerate(attach):
-            cols[name] = pa.array(
-                [table.get(k, miss)[i] for k in keys], type=types[i]
-            )
-        cols["n"] = batch.column("n")
-        return pa.Table.from_pydict(cols)
+        side_t = ray.get(lookup_ref)
+        out = _attach_join(batch, side_t, big_key, attach)
+        names = ["key" if c == big_key else c for c in out.column_names]
+        return out.rename_columns(names).select(["key", *attach, "n"])
 
     return counted.map_batches(attach_cols, batch_format="pyarrow")
 
 
-def _collect_small_side(
+_SIDE_KEY = "__side_key"
+
+
+def _collect_small_table(
     small: ray.data.Dataset, small_key: str, attach: list[str]
-) -> tuple[dict, list]:
-    """Collect the dimension table on the driver as Arrow (types
-    preserved) -> ({key: attach tuple}, [attach pyarrow types]). Typed
-    output arrays keep block schemas identical even when a batch has only
-    unmatched keys (an untyped pa.array of Nones would yield a null-typed
-    column and schema-divergent blocks)."""
+) -> pa.Table:
+    """Collect the dimension table on the driver as ONE Arrow table
+    (types preserved) with columns [__side_key, *attach], deduplicated on
+    the key (last row wins, matching dict-build semantics). Broadcast it
+    with ``ray.put`` once; tasks join against it vectorized."""
     tables = ray.get(small.select_columns([small_key, *attach]).to_arrow_refs())
     table = pa.concat_tables([t for t in tables if t.num_rows] or tables)
-    keys = table.column(small_key).to_pylist()
-    cols = [table.column(c).to_pylist() for c in attach]
-    lookup = {k: tuple(col[i] for col in cols) for i, k in enumerate(keys)}
-    types = [table.schema.field(c).type for c in attach]
-    return lookup, types
+    table = table.combine_chunks()
+    # last-wins key dedup, vectorized: reverse, keep first occurrence
+    n = table.num_rows
+    if n:
+        import numpy as np
+
+        rev = table.take(pa.array(np.arange(n - 1, -1, -1)))
+        keys_np = rev.column(small_key).to_numpy(zero_copy_only=False)
+        _, first_idx = np.unique(keys_np, return_index=True)
+        table = rev.take(pa.array(np.sort(first_idx)))
+    return table.rename_columns([_SIDE_KEY, *attach])
+
+
+def _attach_join(
+    batch: pa.Table, side: pa.Table, big_key: str, attach: list[str]
+) -> pa.Table:
+    """Left-join ``side``'s attach columns onto ``batch`` by key with a
+    vectorized Arrow hash join (C++ kernel, no per-row Python). Row order
+    and schema are preserved: a row-index column restores the input order
+    and unmatched keys get typed nulls from the side table's schema."""
+    n = batch.num_rows
+    if n == 0:
+        return batch
+    import numpy as np
+
+    key_type = batch.schema.field(big_key).type
+    side_cast = side.set_column(
+        0, _SIDE_KEY, side.column(_SIDE_KEY).cast(key_type)
+    )
+    with_idx = batch.append_column(
+        "__row", pa.array(np.arange(n), type=pa.int64())
+    )
+    joined = with_idx.join(
+        side_cast,
+        keys=[big_key],
+        right_keys=[_SIDE_KEY],
+        join_type="left outer",
+    )
+    joined = joined.sort_by("__row")
+    out_cols = [c for c in batch.column_names] + attach
+    return joined.select(out_cols)
 
 
 def grouped_topn(

@@ -48,13 +48,23 @@ _applied = False
 
 def apply_data_context_defaults() -> None:
     """Idempotent: set the engine's Ray Data context defaults (schema
-    unification for empty shuffle partitions + the warning filter)."""
+    unification for empty shuffle partitions + the warning filter +
+    push-based shuffle)."""
     global _applied
     if _applied:
         return
     from ray.data.context import DataContext
 
-    DataContext.get_current().enforce_schemas = True
+    ctx = DataContext.get_current()
+    ctx.enforce_schemas = True
+    # Push-based shuffle keeps sort/groupby shuffle metadata off the
+    # driver: measured on the 400k-doc minhash keep path, the verify
+    # joins' driver RSS drops 3.0 GB -> 0.67 GB and wall time 98 s ->
+    # 83 s (BASELINE.md round 2). The pull-based scheduler's metadata
+    # footprint grows with block count, which is exactly what a
+    # 100 TB/256-node run multiplies; push-based is Ray's documented
+    # remedy (its own warning recommends it).
+    ctx.use_push_based_shuffle = True
     logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state"
     ).addFilter(_SchemaDivergenceFilter())

@@ -133,6 +133,36 @@ class TestConnectedComponents:
         )
         assert connected_components(ds).take_all() == []
 
+    def test_contraction_tier(self, ray_session):
+        # local_threshold=0 forces contraction rounds; components spanning
+        # blocks must still merge via star-edge collisions + the fallback
+        pairs = [(i, i + 1) for i in range(40)] + [(100, 101), (101, 102)]
+        ds = _ds([{"a": a, "b": b} for a, b in pairs])
+        labels = {
+            r["node"]: r["label"]
+            for r in connected_components(
+                ds, num_partitions=8, local_threshold=0, contract_rounds=4
+            ).take_all()
+        }
+        want = {i: 0 for i in range(41)} | {100: 100, 101: 100, 102: 100}
+        assert labels == want
+
+    def test_label_prop_tier(self, ray_session):
+        # contract_rounds=0 routes straight to min-label propagation
+        pairs = [(1, 2), (2, 3), (10, 11)]
+        ds = _ds([{"a": a, "b": b} for a, b in pairs])
+        labels = {
+            r["node"]: r["label"]
+            for r in connected_components(
+                ds, num_partitions=8, local_threshold=0, contract_rounds=0
+            ).take_all()
+        }
+        assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_self_edges_ignored(self, ray_session):
+        labels = self._labels([(5, 5), (1, 2), (2, 2)])
+        assert labels == {1: 1, 2: 1}
+
     def test_component_drops(self, ray_session):
         ds = _ds([{"a": 1, "b": 2}, {"a": 2, "b": 3}])
         labels = connected_components(ds, num_partitions=8)
