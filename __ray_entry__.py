@@ -118,6 +118,40 @@ def _q_quality_scores(sf_dir: str):
     )
 
 
+def _q_doc_chunks(sf_dir: str):
+    """Training-shard chunking: fixed 400-char windows with 100-char
+    overlap (stride 300), vectorized slicing — one kernel pass per chunk
+    index over the whole batch (``ops/shards.py``)."""
+    from ctinexus_ray.ops.shards import chunk_documents
+
+    return chunk_documents(
+        _docs(sf_dir, ["doc_id", "text"]), chunk_chars=400, overlap=100
+    )
+
+
+def _q_gopher_quality(sf_dir: str):
+    """Gopher-style quality rules (word-count bounds, mean word length,
+    alphabetic ratio) -> keep flag; fully vectorized Arrow kernels."""
+    from ctinexus_ray.ops.textstats import gopher_quality_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        gopher_quality_batch, batch_format="pyarrow"
+    )
+
+
+def _q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing via a distributed two-phase prefix sum
+    (per-range partials -> O(P) driver scan -> broadcast offsets); the
+    oracle is the equivalent SQL window cumsum."""
+    from ctinexus_ray.ops.shards import pack_sequences
+    from ctinexus_ray.ops.textstats import token_count_batch
+
+    toks = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow"
+    )
+    return pack_sequences(toks, capacity=2048)
+
+
 def _q_word_freq_top100(sf_dir: str):
     from ctinexus_ray.ops.groupagg import partitioned_agg
     from ctinexus_ray.ops.textstats import word_explode_batch
@@ -612,6 +646,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "quality_scores": _q_quality_scores,
         "word_freq_top100": _q_word_freq_top100,
+        "doc_chunks": _q_doc_chunks,
+        "gopher_quality": _q_gopher_quality,
+        "pack_sequences": _q_pack_sequences,
         "similarity_topk": _q_similarity_topk,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
@@ -688,6 +725,46 @@ def oracle_sql() -> dict[str, str]:
             "AS n_unique_words, "
             "length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct "
             "FROM documents"
+        ),
+        # chunk starts are 0, 300, 600, ... strictly below length(text);
+        # substr is 1-based in SQL
+        "doc_chunks": (
+            "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, "
+            "substr(text, CAST(i * 300 + 1 AS INT), 400) AS chunk "
+            "FROM documents, LATERAL ("
+            "SELECT unnest(range(0, "
+            "CAST(ceil(length(text) / 300.0) AS BIGINT))) AS i) "
+            "WHERE i * 300 < length(text)"
+        ),
+        "gopher_quality": (
+            "SELECT doc_id, "
+            "len(regexp_split_to_array(trim(text), '\\s+')) AS n_words, "
+            "(length(trim(text)) - length(regexp_replace(trim(text), "
+            "'\\S', '', 'g'))) "
+            "/ CAST(len(regexp_split_to_array(trim(text), '\\s+')) "
+            "AS DOUBLE) AS mean_word_len, "
+            "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+            "/ CAST(length(text) AS DOUBLE) END AS alpha_ratio, "
+            "(len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 50 "
+            "AND 100000) "
+            "AND ((length(trim(text)) - length(regexp_replace(trim(text), "
+            "'\\S', '', 'g'))) "
+            "/ CAST(len(regexp_split_to_array(trim(text), '\\s+')) "
+            "AS DOUBLE) BETWEEN 3.0 AND 10.0) "
+            "AND (CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+            "/ CAST(length(text) AS DOUBLE) END > 0.6) AS keep "
+            "FROM documents"
+        ),
+        "pack_sequences": (
+            "WITH toks AS (SELECT doc_id, "
+            "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens "
+            "FROM documents) "
+            "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST((sum(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT) "
+            "AS pack_id FROM toks"
         ),
         "word_freq_top100": (
             "SELECT word, count(*) AS n FROM ("

@@ -1,0 +1,188 @@
+"""Training-shard construction operators: document chunking, distributed
+prefix sums, and sequence packing.
+
+These are the steps between a cleaned corpus and a training dataloader:
+split documents into fixed-size windows, then pack them densely into
+fixed-capacity sequences. The reference system (single-document CTI tool)
+has no counterpart; these exist for the corpus-scale pipelines and are
+defined so an ANSI-SQL oracle (DuckDB) can verify them value-for-value:
+
+  * chunk i of a doc = substr(text, i*stride + 1, chunk_chars),
+    for i in [0, ceil-ish count), stride = chunk_chars - overlap
+  * pack id of a doc = floor(exclusive-prefix-sum(tokens) / capacity)
+    over docs ordered by doc_id (GPT-style concatenate-then-split
+    packing: a document may straddle two packs; the boundary rule is
+    the exclusive cumulative sum, which a SQL window reproduces)
+
+Scale notes: chunking is stateless map_batches (vectorized slicing, one
+pass per chunk index over the whole batch, not per row). The prefix sum
+is the classic two-phase scan: per-range partial sums (one small row per
+range) -> exclusive scan over the O(P) partials -> broadcast offsets ->
+in-partition vectorized cumsum. The driver touches only the P partials
+(one int per range of ``range_size`` keys), never the rows.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def chunk_documents(
+    docs: ray.data.Dataset,
+    chunk_chars: int = 400,
+    overlap: int = 100,
+) -> ray.data.Dataset:
+    """Split each document into windows of ``chunk_chars`` characters with
+    ``overlap`` characters of context carried between consecutive windows
+    (stride = chunk_chars - overlap). Returns (doc_id, chunk_id, chunk).
+
+    Chunk starts are 0, stride, 2*stride, ... strictly below the text
+    length; empty documents yield no chunks. Vectorized: one
+    ``utf8_slice_codeunits`` call per chunk INDEX slices every row of the
+    batch at once, and rows too short for that index are filtered with a
+    mask — no per-row Python. The loop runs ceil(max_len/stride) times
+    per batch, so batches of similarly-sized docs cost ~1 kernel pass per
+    emitted chunk column.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    i64 = pa.int64()
+
+    def chunk_batch(batch: pa.Table):
+        text = batch.column("text")
+        doc_id = batch.column("doc_id")
+        lens = pc.utf8_length(text)
+        max_len = pc.max(lens).as_py() or 0
+        out: list[pa.Table] = []
+        start, idx = 0, 0
+        while start < max_len:
+            mask = pc.greater(lens, start)
+            ids = pc.filter(doc_id, mask)
+            if len(ids):
+                pieces = pc.utf8_slice_codeunits(
+                    pc.filter(text, mask), start, start + chunk_chars
+                )
+                out.append(
+                    pa.Table.from_arrays(
+                        [
+                            ids,
+                            pa.array([idx] * len(ids), type=i64),
+                            pieces,
+                        ],
+                        names=["doc_id", "chunk_id", "chunk"],
+                    )
+                )
+            start += stride
+            idx += 1
+        if out:
+            yield pa.concat_tables(out)
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        chunk_batch, batch_format="pyarrow"
+    )
+
+
+def partitioned_prefix_sum(
+    ds: ray.data.Dataset,
+    order_key: str,
+    value_col: str,
+    out_col: str = "running",
+    range_size: int = 1 << 16,
+    exclusive: bool = True,
+) -> ray.data.Dataset:
+    """Running total of ``value_col`` over rows ordered by the integer
+    ``order_key`` — the distributed form of
+    ``SUM(v) OVER (ORDER BY k ROWS UNBOUNDED PRECEDING)``.
+
+    Two-phase scan, the standard way to do this without a global sort:
+
+      1. range-partition on ``k // range_size`` and reduce each range to
+         one partial sum — the partials are O(#ranges) rows (one int per
+         ``range_size`` keys), which is the ONLY thing the driver ever
+         holds (e.g. 10^12 docs / 2^16 range = 15 M partials worst case;
+         pick ``range_size`` so this stays small — it is a knob precisely
+         because the driver bound is #keys/range_size);
+      2. exclusive-scan the partials into per-range offsets, broadcast
+         them once via ``ray.put``, and compute each range's in-partition
+         vectorized cumsum + offset in one hash-partitioned pass.
+
+    ``order_key`` must be a non-negative integer column; ties are
+    impossible when it is unique (doc_id). ``exclusive=True`` gives each
+    row the sum of STRICTLY EARLIER rows (the packing boundary rule);
+    ``False`` includes the row itself."""
+    import numpy as np
+    import pandas as pd
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    def add_range(batch: pa.Table) -> pa.Table:
+        rng = pc.divide(batch.column(order_key).cast(pa.int64()), range_size)
+        return batch.append_column("rng", pc.cast(rng, pa.int64()))
+
+    with_rng = ds.map_batches(add_range, batch_format="pyarrow")
+
+    partials = partitioned_agg(
+        with_rng.select_columns(["rng", value_col]),
+        keys=["rng"],
+        named_aggs={"part_sum": (value_col, "sum")},
+    ).take_all()  # O(#ranges) rows by construction — see docstring
+    partials.sort(key=lambda r: r["rng"])
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in partials:
+        offsets[row["rng"]] = acc
+        acc += int(row["part_sum"])
+    offsets_ref = ray.put(offsets)
+
+    def scan_range(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(offsets_ref)
+        g = g.sort_values(order_key, kind="mergesort")
+        vals = g[value_col].to_numpy(dtype=np.int64)
+        cum = np.cumsum(vals)
+        if exclusive:
+            cum = cum - vals
+        base = offs.get(int(g["rng"].iloc[0]), 0)
+        g = g.assign(**{out_col: cum + base})
+        return g.drop(columns=["rng"])
+
+    return (
+        with_rng.groupby("rng").map_groups(scan_range, batch_format="pandas")
+    )
+
+
+def pack_sequences(
+    docs: ray.data.Dataset,
+    capacity: int = 2048,
+    token_col: str = "n_tokens",
+) -> ray.data.Dataset:
+    """Assign each document to a training pack of ``capacity`` tokens,
+    GPT-style: documents are conceptually concatenated in ``doc_id``
+    order and split every ``capacity`` tokens, so
+    ``pack_id = floor(exclusive_cumsum(tokens) / capacity)`` (a document
+    whose tokens straddle a boundary belongs to the pack it STARTS in).
+    Returns (doc_id, n_tokens, pack_id) — deterministic, so an identical
+    SQL window expression is the oracle."""
+    summed = partitioned_prefix_sum(
+        docs.select_columns(["doc_id", token_col]),
+        order_key="doc_id",
+        value_col=token_col,
+        out_col="tok_before",
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        pack = pc.cast(
+            pc.divide(batch.column("tok_before"), capacity), pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                batch.column(token_col),
+                pack,
+            ],
+            names=["doc_id", token_col, "pack_id"],
+        )
+
+    return summed.map_batches(assign, batch_format="pyarrow")

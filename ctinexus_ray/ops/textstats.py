@@ -70,6 +70,65 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def gopher_quality_batch(
+    batch: pa.Table,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.6,
+) -> pa.Table:
+    """Gopher-style document quality rules (Rae et al. 2021, public
+    heuristics): word-count bounds, mean word length bounds, and
+    alphabetic-character ratio, reduced to a ``keep`` flag.
+
+    Fully vectorized Arrow kernels (no per-row Python), with every
+    metric SQL-mirrorable so the oracle matches value-for-value:
+
+      * n_words       = len(regexp_split_to_array(trim(text), '\\s+'))
+      * mean_word_len = (len(trim) - whitespace chars in trim) / n_words
+        (identical to averaging the word lengths; n_words >= 1 always
+        because splitting '' yields [''])
+      * alpha_ratio   = [A-Za-z] chars / total chars (0.0 for empty text)
+    """
+    text = batch.column("text")
+    trimmed = pc.utf8_trim_whitespace(text)
+    n_words = pc.cast(
+        pc.list_value_length(pc.split_pattern_regex(trimmed, pattern=r"\s+")),
+        pa.int64(),
+    )
+    word_chars = pc.subtract(
+        pc.utf8_length(trimmed), pc.count_substring_regex(trimmed, r"\s")
+    )
+    mean_wl = pc.divide(
+        pc.cast(word_chars, pa.float64()), pc.cast(n_words, pa.float64())
+    )
+    n_chars = pc.utf8_length(text)
+    alpha = pc.count_substring_regex(text, "[A-Za-z]")
+    alpha_ratio = pc.if_else(
+        pc.equal(n_chars, 0),
+        pa.scalar(0.0, type=pa.float64()),
+        pc.divide(pc.cast(alpha, pa.float64()), pc.cast(n_chars, pa.float64())),
+    )
+    keep = pc.and_(
+        pc.and_(
+            pc.and_(
+                pc.greater_equal(n_words, min_words),
+                pc.less_equal(n_words, max_words),
+            ),
+            pc.and_(
+                pc.greater_equal(mean_wl, min_mean_word_len),
+                pc.less_equal(mean_wl, max_mean_word_len),
+            ),
+        ),
+        pc.greater(alpha_ratio, min_alpha_ratio),
+    )
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), n_words, mean_wl, alpha_ratio, keep],
+        names=["doc_id", "n_words", "mean_word_len", "alpha_ratio", "keep"],
+    )
+
+
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Document fingerprint: md5 of lower(trim(text)) — matches DuckDB
     ``md5(lower(trim(text)))`` for the oracle check."""

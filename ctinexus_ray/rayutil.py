@@ -57,14 +57,22 @@ def apply_data_context_defaults() -> None:
 
     ctx = DataContext.get_current()
     ctx.enforce_schemas = True
-    # Push-based shuffle keeps sort/groupby shuffle metadata off the
-    # driver: measured on the 400k-doc minhash keep path, the verify
-    # joins' driver RSS drops 3.0 GB -> 0.67 GB and wall time 98 s ->
-    # 83 s (BASELINE.md round 2). The pull-based scheduler's metadata
-    # footprint grows with block count, which is exactly what a
-    # 100 TB/256-node run multiplies; push-based is Ray's documented
-    # remedy (its own warning recommends it).
-    ctx.use_push_based_shuffle = True
+    # Shuffle strategy is size-dependent, so it is a knob, not a default:
+    # push-based shuffle keeps sort/groupby shuffle metadata off the
+    # driver (400k-doc minhash keep: verify-join driver RSS 3.0 GB ->
+    # 0.67 GB, wall 98 s -> 83 s — run it for corpus-scale jobs, where
+    # pull-based metadata grows with block count, the axis a
+    # 100 TB/256-node run multiplies), but its fixed per-shuffle overhead
+    # is ~7x wall time on the many small shuffles of an sf0.1-sized run
+    # (dedup 2.2 s -> 15.6 s measured). Default stays pull-based;
+    # set CTINEXUS_SHUFFLE=push (or the upstream
+    # RAY_DATA_PUSH_BASED_SHUFFLE=1) for large jobs.
+    import os
+
+    if os.environ.get("CTINEXUS_SHUFFLE", "").lower() == "push":
+        from ray.data.context import ShuffleStrategy
+
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
     logging.getLogger(
         "ray.data._internal.execution.streaming_executor_state"
     ).addFilter(_SchemaDivergenceFilter())

@@ -1,0 +1,104 @@
+"""Tests for training-shard construction ops (ops/shards.py) and the
+Gopher quality rules (ops/textstats.py)."""
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ctinexus_ray.ops.shards import (
+    chunk_documents,
+    pack_sequences,
+    partitioned_prefix_sum,
+)
+from ctinexus_ray.ops.textstats import gopher_quality_batch
+
+
+def _docs(rows):
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+class TestChunkDocuments:
+    def test_windows_and_overlap(self, ray_session):
+        ds = _docs([{"doc_id": 1, "text": "abcdefghij"}])
+        out = sorted(
+            (r["chunk_id"], r["chunk"])
+            for r in chunk_documents(ds, chunk_chars=4, overlap=1).take_all()
+        )
+        # stride 3: starts 0,3,6,9 (9 < 10 so the 1-char tail is emitted)
+        assert out == [(0, "abcd"), (1, "defg"), (2, "ghij"), (3, "j")]
+
+    def test_empty_text_yields_nothing(self, ray_session):
+        ds = _docs([{"doc_id": 1, "text": ""}, {"doc_id": 2, "text": "ab"}])
+        out = chunk_documents(ds, chunk_chars=4, overlap=1).take_all()
+        assert [(r["doc_id"], r["chunk"]) for r in out] == [(2, "ab")]
+
+    def test_no_overlap(self, ray_session):
+        ds = _docs([{"doc_id": 7, "text": "abcdef"}])
+        out = sorted(
+            r["chunk"]
+            for r in chunk_documents(ds, chunk_chars=3, overlap=0).take_all()
+        )
+        assert out == ["abc", "def"]
+
+    def test_overlap_must_be_smaller(self, ray_session):
+        with pytest.raises(ValueError):
+            chunk_documents(_docs([{"doc_id": 1, "text": "x"}]), 4, 4)
+
+
+class TestPrefixSum:
+    def test_exclusive_across_ranges(self, ray_session):
+        rows = [{"doc_id": i, "v": i + 1} for i in range(20)]
+        out = partitioned_prefix_sum(
+            _docs(rows), "doc_id", "v", out_col="run", range_size=4
+        ).take_all()
+        got = {r["doc_id"]: r["run"] for r in out}
+        want, acc = {}, 0
+        for i in range(20):
+            want[i] = acc
+            acc += i + 1
+        assert got == want
+
+    def test_inclusive(self, ray_session):
+        rows = [{"doc_id": i, "v": 2} for i in range(5)]
+        out = partitioned_prefix_sum(
+            _docs(rows), "doc_id", "v", out_col="run", range_size=2,
+            exclusive=False,
+        ).take_all()
+        assert {r["doc_id"]: r["run"] for r in out} == {
+            0: 2, 1: 4, 2: 6, 3: 8, 4: 10
+        }
+
+    def test_sparse_keys(self, ray_session):
+        # keys with gaps spanning empty ranges
+        rows = [{"doc_id": k, "v": 1} for k in [0, 100, 5000, 70000]]
+        out = partitioned_prefix_sum(
+            _docs(rows), "doc_id", "v", out_col="run", range_size=1 << 10
+        ).take_all()
+        assert {r["doc_id"]: r["run"] for r in out} == {
+            0: 0, 100: 1, 5000: 2, 70000: 3
+        }
+
+
+class TestPackSequences:
+    def test_straddle_belongs_to_start_pack(self, ray_session):
+        rows = [
+            {"doc_id": 0, "n_tokens": 6},
+            {"doc_id": 1, "n_tokens": 6},  # starts at 6 -> pack 0 (straddles)
+            {"doc_id": 2, "n_tokens": 1},  # starts at 12 -> pack 1
+        ]
+        out = pack_sequences(_docs(rows), capacity=10).take_all()
+        assert {r["doc_id"]: r["pack_id"] for r in out} == {0: 0, 1: 0, 2: 1}
+
+
+class TestGopherQuality:
+    def test_rules(self, ray_session):
+        good = "The quick brown fox jumps over the dog " * 10
+        batch = pa.Table.from_pydict(
+            {"doc_id": [1, 2, 3], "text": [good, "", "123 456 789"]}
+        )
+        out = gopher_quality_batch(batch).to_pydict()
+        assert out["keep"] == [True, False, False]
+        assert out["n_words"] == [80, 1, 3]
+        assert out["mean_word_len"][0] == pytest.approx(3.875)
+        # all-digit text fails the alphabetic-ratio rule
+        assert out["alpha_ratio"][2] == 0.0
