@@ -152,6 +152,39 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(toks, capacity=2048)
 
 
+def _q_leakage_safe_split(sf_dir: str):
+    """Group-stable train/val/test assignment: md5-bucketed on the
+    source/domain so near-duplicate pages of one site can't straddle
+    train and test."""
+    from ctinexus_ray.ops.shards import leakage_safe_split
+
+    return leakage_safe_split(_docs(sf_dir, ["doc_id", "source"]))
+
+
+def _q_bigram_freq_top100(sf_dir: str):
+    """Adjacent-word-pair frequencies, map-side combined per batch before
+    one hash-partitioned sum (same shape as word_freq_top100)."""
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.textstats import bigram_explode_batch
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        bigram_explode_batch, batch_format="pyarrow"
+    )
+    totals = partitioned_agg(
+        partials, keys=["bigram"], named_aggs={"n": ("n", "sum")}
+    )
+    return totals.sort(["n", "bigram"], descending=[True, False]).limit(100)
+
+
+def _q_tfidf_top_terms(sf_dir: str):
+    """Distributed TF-IDF: exploded term frequencies JOIN per-word
+    document frequencies (two-large-sides hash join — no driver vocab),
+    libm-exact idf, distributed row_number window for the per-doc top-5."""
+    from ctinexus_ray.ops.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=5)
+
+
 def _q_word_freq_top100(sf_dir: str):
     from ctinexus_ray.ops.groupagg import partitioned_agg
     from ctinexus_ray.ops.textstats import word_explode_batch
@@ -649,6 +682,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "gopher_quality": _q_gopher_quality,
         "pack_sequences": _q_pack_sequences,
+        "leakage_safe_split": _q_leakage_safe_split,
+        "bigram_freq_top100": _q_bigram_freq_top100,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "similarity_topk": _q_similarity_topk,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
@@ -765,6 +801,39 @@ def oracle_sql() -> dict[str, str]:
             "CAST((sum(n_tokens) OVER (ORDER BY doc_id "
             "ROWS UNBOUNDED PRECEDING) - n_tokens) // 2048 AS BIGINT) "
             "AS pack_id FROM toks"
+        ),
+        "leakage_safe_split": (
+            "SELECT doc_id, source, CASE "
+            "WHEN CAST(concat('0x', substr(md5(source), 1, 8)) AS UBIGINT) "
+            "% 100 < 10 THEN 'test' "
+            "WHEN CAST(concat('0x', substr(md5(source), 1, 8)) AS UBIGINT) "
+            "% 100 < 20 THEN 'val' "
+            "ELSE 'train' END AS split FROM documents"
+        ),
+        "bigram_freq_top100": (
+            "WITH w AS (SELECT regexp_split_to_array(trim(text), '\\s+') "
+            "AS ws FROM documents) "
+            "SELECT ws[CAST(i AS INT)] || ' ' || ws[CAST(i + 1 AS INT)] "
+            "AS bigram, count(*) AS n "
+            "FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) "
+            "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100"
+        ),
+        "tfidf_top_terms": (
+            "WITH words AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS word "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, word, count(*) AS tf FROM words "
+            "GROUP BY doc_id, word), "
+            "df AS (SELECT word, count(*) AS df FROM tf GROUP BY word), "
+            "n AS (SELECT count(*) AS n FROM documents), "
+            "scored AS (SELECT tf.doc_id, tf.word, "
+            "tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS score "
+            "FROM tf, df, n WHERE tf.word = df.word), "
+            "ranked AS (SELECT doc_id, word, score, "
+            "row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, word) AS rn FROM scored) "
+            "SELECT doc_id, CAST(rn AS BIGINT) AS rn, word, score "
+            "FROM ranked WHERE rn <= 5"
         ),
         "word_freq_top100": (
             "SELECT word, count(*) AS n FROM ("

@@ -85,6 +85,60 @@ def chunk_documents(
     )
 
 
+def leakage_safe_split(
+    docs: ray.data.Dataset,
+    group_col: str = "source",
+    test_pct: int = 10,
+    val_pct: int = 10,
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment that keeps every document
+    of a group (domain/source) in the SAME split — the standard guard
+    against train/test leakage through near-duplicate pages of one site.
+
+    bucket = first 8 hex digits of md5(group) as an int, mod 100;
+    bucket < test_pct -> 'test', < test_pct+val_pct -> 'val', else
+    'train'. Hash-based (not row-order-based), so the assignment is
+    stable under repartitioning, resharding and incremental ingestion.
+    md5 is memoized per distinct group per batch (domains repeat
+    heavily); the SQL oracle is the identical expression over
+    ``md5(group)``. Returns (doc_id, group_col, split)."""
+    import hashlib
+
+    def assign(batch: pa.Table) -> pa.Table:
+        memo: dict[str, str] = {}
+
+        def split_of(g: str) -> str:
+            got = memo.get(g)
+            if got is None:
+                bucket = (
+                    int(hashlib.md5(g.encode("utf-8")).hexdigest()[:8], 16)
+                    % 100
+                )
+                if bucket < test_pct:
+                    got = "test"
+                elif bucket < test_pct + val_pct:
+                    got = "val"
+                else:
+                    got = "train"
+                memo[g] = got
+            return got
+
+        groups = batch.column(group_col).to_pylist()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                group_col: batch.column(group_col),
+                "split": pa.array(
+                    [split_of(g or "") for g in groups], type=pa.string()
+                ),
+            }
+        )
+
+    return docs.select_columns(["doc_id", group_col]).map_batches(
+        assign, batch_format="pyarrow"
+    )
+
+
 def partitioned_prefix_sum(
     ds: ray.data.Dataset,
     order_key: str,

@@ -165,6 +165,125 @@ def langid_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def bigram_explode_batch(batch: pa.Table) -> pa.Table:
+    """Explode documents into adjacent word-pair rows with per-batch
+    combine: returns (bigram, n) partial counts — feed into a
+    hash-partitioned sum like ``word_explode_batch``. Bigram = two
+    consecutive whitespace tokens joined by one space; docs with < 2
+    tokens contribute nothing."""
+    from collections import Counter
+
+    counter: Counter = Counter()
+    for t in batch.column("text").to_pylist():
+        toks = _tokens(t or "")
+        counter.update(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+    grams = list(counter.keys())
+    return pa.Table.from_pydict(
+        {
+            "bigram": pa.array(grams, type=pa.string()),
+            "n": pa.array([counter[g] for g in grams], type=pa.int64()),
+        }
+    )
+
+
+def doc_term_freq_batch(batch: pa.Table) -> pa.Table:
+    """Explode documents into (doc_id, word, tf) rows — per-document term
+    frequencies, the map side of TF-IDF. Output rows are unique per
+    (doc_id, word), so a per-word count downstream IS the document
+    frequency."""
+    from collections import Counter
+
+    ids, words, tfs = [], [], []
+    for doc_id, t in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        c = Counter(_tokens(t or ""))
+        for w, tf in c.items():
+            ids.append(doc_id)
+            words.append(w)
+            tfs.append(tf)
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "word": pa.array(words, type=pa.string()),
+            "tf": pa.array(tfs, type=pa.int64()),
+        }
+    )
+
+
+def tfidf_top_terms(docs, k: int = 5, num_partitions: int = 64):
+    """Top-k TF-IDF terms per document, fully distributed:
+
+      1. explode to (doc_id, word, tf) partials (``doc_term_freq_batch``)
+      2. document frequency per word via a hash-partitioned count —
+         vocabulary grows with the corpus, so no built-in per-key groupby
+         and no driver-side vocab
+      3. (doc_id, word, tf) JOIN (word, df) with the two-large-sides
+         ``hash_join`` — the vocabulary table can itself be corpus-scale,
+         so the side is NOT broadcast
+      4. score = tf * ln(N/df) (libm ``math.log`` memoized per distinct
+         df so the doubles match a SQL ``ln`` bit-for-bit)
+      5. top-k per doc via the distributed row_number window
+         (``ops.relational.grouped_topn``)
+
+    Returns (doc_id, rn, word, score), rn = 1..k by (score desc, word)."""
+    import math
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.relational import grouped_topn
+
+    n_docs = docs.count()
+    exploded = docs.select_columns(["doc_id", "text"]).map_batches(
+        doc_term_freq_batch, batch_format="pyarrow"
+    )
+    df = partitioned_agg(
+        exploded.select_columns(["word"]),
+        keys=["word"],
+        named_aggs={"df": ("word", "size")},
+        num_partitions=num_partitions,
+    )
+    joined = hash_join(
+        exploded,
+        df,
+        on=["word"],
+        num_partitions=num_partitions,
+        left_types={"word": pa.string(), "doc_id": pa.int64(), "tf": pa.int64()},
+        right_types={"word": pa.string(), "df": pa.int64()},
+    )
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        idf_memo: dict[int, float] = {}
+        dfs = batch.column("df").to_pylist()
+        tfs = batch.column("tf").to_pylist()
+        scores = []
+        for d, tf in zip(dfs, tfs):
+            idf = idf_memo.get(d)
+            if idf is None:
+                idf = math.log(n_docs / d)
+                idf_memo[d] = idf
+            scores.append(tf * idf)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "word": batch.column("word"),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )
+
+    scored = joined.map_batches(score_batch, batch_format="pyarrow")
+    return grouped_topn(
+        scored,
+        group_key="doc_id",
+        order_col="score",
+        n=k,
+        tiebreak_col="word",
+        num_partitions=num_partitions,
+    )
+
+
 def word_explode_batch(batch: pa.Table) -> pa.Table:
     """Explode documents into (word) rows with per-batch combine: returns
     (word, n) partial counts — feed into groupby('word').sum('n')."""

@@ -1,0 +1,79 @@
+"""``ray job submit`` entrypoint for corpus near-duplicate removal.
+
+On a real cluster (the north_rule deployment shape):
+
+    ray job submit --working-dir . -- \
+        python jobs/dedup_job.py --input s3://bucket/cc/ --output s3://bucket/clean/
+
+Pipeline: MinHash-LSH star-mode candidates -> exact-Jaccard verify (two
+hash-partitioned text joins) -> tiered distributed connected components
+-> anti-join survivors -> join surviving doc_ids back to full rows ->
+partitioned parquet. Nothing corpus-sized touches the driver; for truly
+large runs set CTINEXUS_SHUFFLE=push (see ctinexus_ray/rayutil.py).
+
+In this sandbox the same entrypoint runs standalone:
+``python jobs/dedup_job.py --input <parquet dir> --output /tmp/out``.
+The documents table shape is (doc_id:int64, text:string, ...); extra
+columns pass through to the output.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", required=True, help="parquet dir or file")
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--threshold", type=float, default=0.8,
+                        help="Jaccard threshold for near-dup verification")
+    parser.add_argument("--num-partitions", type=int, default=64)
+    args = parser.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+    import ray.data
+
+    from ctinexus_ray.ops.dedup import minhash_dedup_keep
+    from ctinexus_ray.ops.distjoin import hash_join
+
+    start = time.perf_counter()
+    docs = ray.data.read_parquet(args.input)
+    n_in = docs.count()
+    survivors = minhash_dedup_keep(
+        docs,
+        threshold=args.threshold,
+        num_partitions=args.num_partitions,
+        pair_mode="star",
+    )
+    # join surviving ids back to the full rows (both sides corpus-sized)
+    kept = hash_join(
+        docs, survivors, on=["doc_id"], num_partitions=args.num_partitions
+    )
+    kept.write_parquet(args.output)
+    n_out = ray.data.read_parquet(args.output).count()
+    print(json.dumps({
+        "input_docs": n_in,
+        "surviving_docs": n_out,
+        "dropped": n_in - n_out,
+        "sec": round(time.perf_counter() - start, 2),
+        "output": args.output,
+    }, indent=2))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

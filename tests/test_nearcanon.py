@@ -64,6 +64,41 @@ def test_apply_mapping_to_edges(nodes, config, ray_session):
     assert out["obj_key"] == 3
 
 
+def test_apply_mapping_distributed_matches_broadcast(nodes, config, ray_session):
+    # broadcast_max=0 forces the hash-join remap path; results must be
+    # identical to the broadcast-dict path on both nodes and edges
+    mapping = near_canonical_mapping(nodes, config, threshold=0.6)
+    via_bcast = sorted(
+        tuple(sorted(r.items()))
+        for r in apply_mapping_to_nodes(nodes, mapping).take_all()
+    )
+    via_join = sorted(
+        tuple(sorted(r.items()))
+        for r in apply_mapping_to_nodes(
+            nodes, mapping, broadcast_max=0
+        ).take_all()
+    )
+    assert via_join == via_bcast
+
+    edges = ray.data.from_items(
+        [
+            {"subj_key": 2, "rel": "uses", "obj_key": 3},
+            {"subj_key": 4, "rel": "drops", "obj_key": 2},
+        ]
+    )
+    e_bcast = sorted(
+        (r["subj_key"], r["rel"], r["obj_key"])
+        for r in apply_mapping_to_edges(edges, mapping).take_all()
+    )
+    e_join = sorted(
+        (r["subj_key"], r["rel"], r["obj_key"])
+        for r in apply_mapping_to_edges(
+            edges, mapping, broadcast_max=0
+        ).take_all()
+    )
+    assert e_join == e_bcast == [(1, "uses", 3), (4, "drops", 1)]
+
+
 def test_deterministic(nodes, config):
     a = sorted(
         (r["entity_key"], r["canon_key"])

@@ -90,6 +90,59 @@ class TestPackSequences:
         assert {r["doc_id"]: r["pack_id"] for r in out} == {0: 0, 1: 0, 2: 1}
 
 
+class TestLeakageSafeSplit:
+    def test_group_stable_and_deterministic(self, ray_session):
+        import hashlib
+
+        from ctinexus_ray.ops.shards import leakage_safe_split
+
+        rows = [
+            {"doc_id": i, "source": f"site-{i % 7}.example"} for i in range(50)
+        ]
+        out = leakage_safe_split(_docs(rows), group_col="source").take_all()
+        by_source: dict = {}
+        for r in out:
+            by_source.setdefault(r["source"], set()).add(r["split"])
+        # every group lands in exactly one split
+        assert all(len(s) == 1 for s in by_source.values())
+        # assignment matches the documented md5-bucket rule
+        for src, splits in by_source.items():
+            b = int(hashlib.md5(src.encode()).hexdigest()[:8], 16) % 100
+            want = "test" if b < 10 else "val" if b < 20 else "train"
+            assert splits == {want}
+
+
+class TestBigramsAndTfidf:
+    def test_bigram_explode(self, ray_session):
+        from ctinexus_ray.ops.textstats import bigram_explode_batch
+
+        batch = pa.Table.from_pydict(
+            {"text": ["a b c a b", "x", ""]}
+        )
+        out = bigram_explode_batch(batch).to_pydict()
+        got = dict(zip(out["bigram"], out["n"]))
+        # "x" and "" have < 2 tokens ("" splits to ['']) -> no bigrams
+        assert got == {"a b": 2, "b c": 1, "c a": 1}
+
+    def test_tfidf_ranks_rare_terms_higher(self, ray_session):
+        from ctinexus_ray.ops.textstats import tfidf_top_terms
+
+        rows = [
+            {"doc_id": 0, "text": "common common rare"},
+            {"doc_id": 1, "text": "common shared"},
+            {"doc_id": 2, "text": "common shared"},
+        ]
+        out = tfidf_top_terms(_docs(rows), k=2).take_all()
+        top = {
+            r["doc_id"]: r["word"] for r in out if r["rn"] == 1
+        }
+        # 'common' appears in every doc -> idf 0; unique terms win
+        assert top[0] == "rare"
+        assert top[1] == "shared" and top[2] == "shared"
+        ranks = sorted((r["doc_id"], r["rn"]) for r in out)
+        assert ranks == [(0, 1), (0, 2), (1, 1), (1, 2), (2, 1), (2, 2)]
+
+
 class TestGopherQuality:
     def test_rules(self, ray_session):
         good = "The quick brown fox jumps over the dog " * 10
