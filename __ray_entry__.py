@@ -185,6 +185,66 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=5)
 
 
+def _q_distinct_words_exact(sf_dir: str):
+    """Exact distinct-word count via the hash-partitioned distinct
+    (vocabulary-scale shuffle) — the anchor the HLL sketch is judged
+    against."""
+    import pandas as pd
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.textstats import word_explode_batch
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        word_explode_batch, batch_format="pyarrow"
+    )
+    n = partitioned_agg(
+        partials, keys=["word"], named_aggs={"n": ("n", "sum")}
+    ).count()
+    return pd.DataFrame({"n_distinct": pd.array([n], dtype="int64")})
+
+
+def _q_distinct_words_approx(sf_dir: str):
+    """HyperLogLog distinct-word estimate (p=14, ~0.8% standard error):
+    fixed-size register partials, elementwise-max merge — the
+    100 TB-safe replacement for the exact vocabulary shuffle. Rows-only
+    (approximate by design); accuracy pinned in tests/test_sketch.py."""
+    from ctinexus_ray.ops.sketch import hll_distinct
+    from ctinexus_ray.ops.textstats import word_explode_batch
+
+    words = _docs(sf_dir, ["text"]).map_batches(
+        word_explode_batch, batch_format="pyarrow"
+    )
+    return hll_distinct(words, "word")
+
+
+def _q_heavy_hitters(sf_dir: str):
+    """Misra-Gries heavy hitters over words (k=1024): mergeable
+    fixed-size summaries instead of the exact all-vocabulary shuffle;
+    every word with frequency > N/1024 is guaranteed present. Rows-only
+    (approximate counts by design; exact anchor = word_freq_top100)."""
+    from ctinexus_ray.ops.sketch import misra_gries_topk
+    from ctinexus_ray.ops.textstats import word_explode_batch
+
+    # feed raw occurrences: explode (word, n) partials back to rows is
+    # wasteful; MG accepts weighted input via its counter, so reuse the
+    # per-batch combine by expanding counts inside the summary instead
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def words(batch):
+        import pyarrow as _pa
+
+        from ctinexus_ray.ops.textstats import _tokens
+
+        out = []
+        for t in batch.column("text").to_pylist():
+            out.extend(_tokens(t or ""))
+        if out:
+            yield _pa.Table.from_pydict({"w": _pa.array(out, type=_pa.string())})
+
+    exploded = docs.map_batches(words, batch_format="pyarrow")
+    return misra_gries_topk(exploded, "w", k=1024, top=50)
+
+
 def _q_word_freq_top100(sf_dir: str):
     from ctinexus_ray.ops.groupagg import partitioned_agg
     from ctinexus_ray.ops.textstats import word_explode_batch
@@ -685,6 +745,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "bigram_freq_top100": _q_bigram_freq_top100,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "distinct_words_exact": _q_distinct_words_exact,
+        "distinct_words_approx": _q_distinct_words_approx,
+        "heavy_hitters": _q_heavy_hitters,
         "similarity_topk": _q_similarity_topk,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
@@ -834,6 +897,11 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score DESC, word) AS rn FROM scored) "
             "SELECT doc_id, CAST(rn AS BIGINT) AS rn, word, score "
             "FROM ranked WHERE rn <= 5"
+        ),
+        "distinct_words_exact": (
+            "SELECT count(DISTINCT word) AS n_distinct FROM ("
+            "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word "
+            "FROM documents)"
         ),
         "word_freq_top100": (
             "SELECT word, count(*) AS n FROM ("

@@ -1,0 +1,179 @@
+"""Mergeable streaming sketches: HyperLogLog distinct counting and
+Misra-Gries heavy hitters.
+
+At 10^12 docs an exact COUNT(DISTINCT) over a corpus-cardinality column
+is a full shuffle of every distinct value; a sketch replaces it with a
+fixed-size state that (a) each batch updates locally, (b) merges
+associatively across blocks, and (c) the driver finalizes from ONE small
+object. Both sketches here follow that shape as Ray Data aggregations:
+``map_batches`` emits one serialized partial per batch, and a tiny final
+reduce merges the partials (the merge input is O(num_batches) rows of
+fixed-size state, never corpus-sized).
+
+HyperLogLog: standard 2^p-register estimator (Flajolet et al. 2007)
+with the usual small-range linear-counting correction; hashes come from
+the engine's splitmix64-based ``hash64_strings``, so results are
+deterministic across runs and partitionings (register maxima are
+order-independent).
+
+Misra-Gries: k-counter summary; merged partials keep the classic
+guarantee (any value with true frequency > N/k survives), so it is the
+scale path for "top words" when the exact hash-partitioned count
+(``word_freq_top100``) would shuffle the whole vocabulary.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ctinexus_ray.ops.dedup import hash64_strings
+
+
+def _hll_partial(values, p: int) -> np.ndarray:
+    """Update-from-batch: 2^p uint8 registers from a string array."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    h = hash64_strings(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+    # vectorized count-leading-zeros: binary search for the highest set
+    # bit in 6 all-numpy passes (float64 exponent tricks are unsafe at
+    # 64-bit precision)
+    cur = rest.copy()
+    nonzero = cur != 0
+    lzv = np.zeros(len(h), dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        top_is_zero = (cur >> np.uint64(64 - s)) == 0
+        both = nonzero & top_is_zero
+        lzv[both] += s
+        cur[both] = cur[both] << np.uint64(s)
+    lz = np.where(nonzero, lzv, 64 - p)
+    rank = np.minimum(lz + 1, 64 - p + 1)
+    np.maximum.at(regs, idx, rank.astype(np.uint8))
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    """Finalize: bias-corrected harmonic mean + linear counting."""
+    m = regs.size
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting for small ranges
+    return float(est)
+
+
+def hll_distinct(
+    ds: ray.data.Dataset, column: str, p: int = 14
+) -> ray.data.Dataset:
+    """Approximate COUNT(DISTINCT column) via HyperLogLog (2^p registers,
+    standard error ~ 1.04/sqrt(2^p) ≈ 0.8% at p=14). Returns ONE row
+    (approx_distinct: int64). Each batch contributes one fixed-size
+    register partial; the final merge is an elementwise max over
+    O(num_batches) partials — nothing corpus-sized moves or lands on the
+    driver."""
+    m = 1 << p
+
+    def partial(batch: pa.Table):
+        regs = _hll_partial(batch.column(column), p)
+        yield pa.Table.from_pydict({"regs": pa.array([regs.tobytes()], type=pa.binary())})
+
+    partials = ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    # a zero-register seed guarantees one output row even when the input
+    # is empty (map UDFs never run on empty datasets)
+    seed = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"regs": pa.array([np.zeros(m, dtype=np.uint8).tobytes()], type=pa.binary())}
+        )
+    )
+    partials = partials.union(seed)
+
+    def merge(batch: pa.Table):
+        acc = np.zeros(m, dtype=np.uint8)
+        for buf in batch.column("regs").to_pylist():
+            acc = np.maximum(acc, np.frombuffer(buf, dtype=np.uint8))
+        yield pa.Table.from_pydict({"regs": pa.array([acc.tobytes()], type=pa.binary())})
+
+    # two-level merge keeps every task's input small even with millions
+    # of partials (each partial is 2^p bytes)
+    merged = partials.repartition(8).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    ).repartition(1).map_batches(merge, batch_format="pyarrow", batch_size=None)
+
+    def finalize(batch: pa.Table):
+        regs = np.frombuffer(batch.column("regs")[0].as_py(), dtype=np.uint8)
+        yield pa.Table.from_pydict(
+            {"approx_distinct": pa.array([int(round(_hll_estimate(regs)))], type=pa.int64())}
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def misra_gries_topk(
+    ds: ray.data.Dataset,
+    column: str,
+    k: int = 1024,
+    top: int = 100,
+) -> ray.data.Dataset:
+    """Approximate heavy hitters: per-batch Misra-Gries summaries of k
+    counters, merged pairwise (counter-wise sum, then decrement-compact
+    back to k). Any value with true frequency > N/k is guaranteed to
+    survive; counts are underestimates within N/k. Returns the ``top``
+    rows by (approx count desc, value asc).
+
+    This is the sketch-path replacement for an exact all-vocabulary
+    shuffle when only the head of the distribution matters."""
+
+    def summarize(batch: pa.Table):
+        from collections import Counter
+
+        c = Counter(batch.column(column).to_pylist())
+        if len(c) > k:
+            kth = sorted(c.values(), reverse=True)[k - 1]
+            # decrement by the k-th largest count (MG batch compaction)
+            c = Counter({v: n - kth for v, n in c.items() if n > kth})
+        if not c:
+            return
+        vals = list(c.keys())
+        yield pa.Table.from_pydict(
+            {
+                "value": pa.array(vals, type=pa.string()),
+                "n": pa.array([c[v] for v in vals], type=pa.int64()),
+            }
+        )
+
+    def merge(batch: pa.Table):
+        from collections import Counter
+
+        c: Counter = Counter()
+        for v, n in zip(
+            batch.column("value").to_pylist(), batch.column("n").to_pylist()
+        ):
+            c[v] += n
+        if len(c) > k:
+            kth = sorted(c.values(), reverse=True)[k - 1]
+            c = Counter({v: n - kth for v, n in c.items() if n > kth})
+        if not c:
+            return
+        vals = list(c.keys())
+        yield pa.Table.from_pydict(
+            {
+                "value": pa.array(vals, type=pa.string()),
+                "n": pa.array([c[v] for v in vals], type=pa.int64()),
+            }
+        )
+
+    partials = ds.select_columns([column]).map_batches(
+        summarize, batch_format="pyarrow"
+    )
+    merged = partials.repartition(8).map_batches(
+        merge, batch_format="pyarrow", batch_size=None
+    ).repartition(1).map_batches(merge, batch_format="pyarrow", batch_size=None)
+    return merged.sort(["n", "value"], descending=[True, False]).limit(top)

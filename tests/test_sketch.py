@@ -1,0 +1,68 @@
+"""Tests for mergeable sketches (ops/sketch.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ctinexus_ray.ops.sketch import (
+    _hll_estimate,
+    _hll_partial,
+    hll_distinct,
+    misra_gries_topk,
+)
+
+
+class TestHLL:
+    def test_error_within_bound(self, ray_session):
+        # p=14 -> standard error ~0.8%; assert within 4 sigma
+        for n in (1_000, 50_000, 200_000):
+            vals = pa.array([f"item-{i}" for i in range(n)])
+            est = _hll_estimate(_hll_partial(vals, 14))
+            assert abs(est - n) / n < 0.033, (n, est)
+
+    def test_merge_equals_single_pass(self, ray_session):
+        # register-wise max of split partials == one-shot partial
+        vals = [f"x{i}" for i in range(10_000)]
+        whole = _hll_partial(pa.array(vals), 12)
+        a = _hll_partial(pa.array(vals[:6_000]), 12)
+        b = _hll_partial(pa.array(vals[4_000:]), 12)  # overlapping halves
+        assert np.array_equal(np.maximum(a, b), whole)
+
+    def test_distributed_matches_exact_within_error(self, ray_session):
+        rows = pa.Table.from_pydict(
+            {"w": [f"w{i % 30_000}" for i in range(90_000)]}
+        )
+        ds = ray.data.from_arrow(rows).repartition(16)
+        got = hll_distinct(ds, "w").take_all()[0]["approx_distinct"]
+        assert abs(got - 30_000) / 30_000 < 0.033
+
+    def test_empty(self, ray_session):
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict({"w": pa.array([], type=pa.string())})
+        )
+        assert hll_distinct(ds, "w").take_all()[0]["approx_distinct"] == 0
+
+
+class TestMisraGries:
+    def test_heavy_hitters_survive(self, ray_session):
+        data = (
+            ["hot-a"] * 5_000
+            + ["hot-b"] * 3_000
+            + [f"cold{i}" for i in range(2_000)]
+        )
+        ds = ray.data.from_items([{"w": w} for w in data]).repartition(8)
+        top = misra_gries_topk(ds, "w", k=64, top=5).take_all()
+        ranked = [(r["value"], r["n"]) for r in top]
+        assert ranked[0][0] == "hot-a" and ranked[1][0] == "hot-b"
+        # MG counts are underestimates within N / k
+        n_over_k = len(data) / 64
+        assert 5_000 - n_over_k <= ranked[0][1] <= 5_000
+        assert 3_000 - n_over_k <= ranked[1][1] <= 3_000
+
+    def test_exact_when_under_k(self, ray_session):
+        data = ["a"] * 10 + ["b"] * 7 + ["c"] * 3
+        ds = ray.data.from_items([{"w": w} for w in data])
+        top = misra_gries_topk(ds, "w", k=64, top=3).take_all()
+        assert [(r["value"], r["n"]) for r in top] == [
+            ("a", 10), ("b", 7), ("c", 3)
+        ]
