@@ -185,6 +185,48 @@ def _q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=5)
 
 
+def _q_dedup_incremental(sf_dir: str):
+    """Incremental-ingestion dedup: drop any NEW document (odd doc_id)
+    whose md5 fingerprint already exists in the KNOWN index (even
+    doc_ids) — a distributed anti-join on fingerprint, the shape of
+    deduping a fresh crawl shard against an existing corpus index
+    without rescanning the corpus text."""
+    import pyarrow.compute as pc
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.textstats import fingerprint_batch
+
+    fps = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+    def odd(batch):
+        t = batch.filter(
+            pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 1)
+        )
+        if t.num_rows:
+            yield t
+
+    def even_fp_only(batch):
+        t = batch.filter(
+            pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 0)
+        )
+        if t.num_rows:
+            yield t.select(["fp"])
+
+    new_docs = fps.map_batches(odd, batch_format="pyarrow")
+    known = fps.map_batches(even_fp_only, batch_format="pyarrow")
+    surviving = hash_join(
+        new_docs,
+        known,
+        on=["fp"],
+        how="left_anti",
+        left_types={"fp": pa.string(), "doc_id": pa.int64()},
+        right_types={"fp": pa.string()},
+    )
+    return surviving.select_columns(["doc_id", "fp"])
+
+
 def _q_distinct_words_exact(sf_dir: str):
     """Exact distinct-word count via the hash-partitioned distinct
     (vocabulary-scale shuffle) — the anchor the HLL sketch is judged
@@ -745,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": _q_leakage_safe_split,
         "bigram_freq_top100": _q_bigram_freq_top100,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "dedup_incremental": _q_dedup_incremental,
         "distinct_words_exact": _q_distinct_words_exact,
         "distinct_words_approx": _q_distinct_words_approx,
         "heavy_hitters": _q_heavy_hitters,
@@ -897,6 +940,12 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score DESC, word) AS rn FROM scored) "
             "SELECT doc_id, CAST(rn AS BIGINT) AS rn, word, score "
             "FROM ranked WHERE rn <= 5"
+        ),
+        "dedup_incremental": (
+            "WITH fps AS (SELECT doc_id, md5(lower(trim(text))) AS fp "
+            "FROM documents) "
+            "SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 1 "
+            "AND fp NOT IN (SELECT fp FROM fps WHERE doc_id % 2 = 0)"
         ),
         "distinct_words_exact": (
             "SELECT count(DISTINCT word) AS n_distinct FROM ("
