@@ -27,23 +27,47 @@ def run_single(args) -> int:
     from ctinexus_ray.pipelines.kg import default_demos
     from ctinexus_ray.pipelines.singledoc import process_document
 
-    if args.text:
-        text = args.text
-    elif args.input_file:
-        with open(args.input_file, encoding="utf-8") as fh:
-            text = fh.read()
-    else:
-        print("error: provide --text or --input-file", file=sys.stderr)
-        return 2
-
     config = PipelineConfig(
         provider=args.provider,
         model=args.model,
         similarity_threshold=args.similarity_threshold,
     )
+
+    url_source_record = None
+    if args.text:
+        text = args.text
+    elif args.input_file:
+        with open(args.input_file, encoding="utf-8") as fh:
+            text = fh.read()
+    elif args.url:
+        # live single-URL ingestion (reference ctinexus/app.py:54,
+        # gradio_utils.py run_pipeline: fetch -> extract -> summarize,
+        # then the KG stages run over final_text)
+        import pyarrow as pa
+
+        from ctinexus_ray.llm.http import fetch_url
+        from ctinexus_ray.stages.urlsource import UrlSourceStage
+
+        html = fetch_url(args.url)
+        one = pa.Table.from_pydict(
+            {"url": [args.url], "html": [html.encode() if html else None]}
+        )
+        record = UrlSourceStage(config)(one).to_pylist()[0]
+        if record["status"] != "success":
+            print(f"error: [{record['error_code']}] URL ingestion failed",
+                  file=sys.stderr)
+            return 1
+        url_source_record = record
+        text = record["final_text"]
+    else:
+        print("error: provide --text, --input-file, or --url", file=sys.stderr)
+        return 2
+
     client = get_client(config)
     demos = default_demos(config)
     envelope = process_document(focus_text(text, config), client, config, demos)
+    if url_source_record is not None:
+        envelope["URL_SOURCE"] = url_source_record
     payload = json.dumps(envelope, indent=4)
     if args.output:
         with open(args.output, "w", encoding="utf-8") as fh:
@@ -73,6 +97,7 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="ctinexus_ray")
     parser.add_argument("--text", help="report text")
     parser.add_argument("--input-file", help="path to a report text file")
+    parser.add_argument("--url", help="CTI report URL to fetch and process")
     parser.add_argument("--output", help="output path (JSON envelope)")
     parser.add_argument("--provider", default="mock")
     parser.add_argument("--model", default="mock-1")

@@ -100,8 +100,12 @@ def call_with_retry(fn, max_attempts: int = 5, base_delay: float = 0.0):
 def get_client(config: PipelineConfig) -> LLMClient:
     """Resolve the configured provider to a client instance.
 
-    Only ``mock`` is constructible in this sandbox; other providers raise
-    with a clear message (no network available).
+    ``mock`` is always constructible. Any other provider resolves to the
+    real OpenAI-compatible HTTP client when an endpoint is configured
+    (``config.extra["api_base"]``, ``OLLAMA_BASE_URL``, or
+    ``CUSTOM_BASE_URL`` — see ``llm.http.resolve_base_url``); with no
+    endpoint configured it raises, since this sandbox has no external
+    network.
     """
     if config.provider == "mock":
         from ctinexus_ray.llm.mock import MockLLM
@@ -111,8 +115,21 @@ def get_client(config: PipelineConfig) -> LLMClient:
             embedding_model=config.embedding_model,
             canned_triples=config.extra.get("canned_triples"),
         )
+    from ctinexus_ray.llm.http import HTTPLLMClient, resolve_base_url
+
+    base_url = resolve_base_url(config.provider, config.extra)
+    if base_url:
+        return HTTPLLMClient(
+            base_url,
+            provider=config.provider,
+            model=config.model,
+            embedding_model=config.embedding_model,
+            api_key=config.extra.get("api_key") or os.getenv("CUSTOM_API_KEY"),
+            timeout=float(config.extra.get("llm_timeout", 60.0)),
+        )
     raise NotImplementedError(
-        f"Provider '{config.provider}' requires network access / an HTTP client "
-        "not available in this environment. Implement LLMClient with "
-        "build_request() and plug it in via get_client()."
+        f"Provider '{config.provider}' has no endpoint configured and this "
+        "environment has no external network. Set config.extra['api_base'] "
+        "(or CUSTOM_BASE_URL / OLLAMA_BASE_URL) to an OpenAI-compatible "
+        "endpoint to use the real HTTP client."
     )

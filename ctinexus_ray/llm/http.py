@@ -1,0 +1,172 @@
+"""Real HTTP transport for the LLM/embedding client layer (operator M1/M3)
+and a live URL fetcher (operator S2).
+
+The reference drives providers through litellm
+(reference ctinexus/llm_processor.py:1018-1094) and fetches URLs with
+``trafilatura.fetch_url`` (reference ctinexus/llm_processor.py:228-235).
+Neither dependency is installable here, so this module implements the same
+wire behavior on the stdlib:
+
+  * ``HTTPLLMClient`` — an OpenAI-compatible JSON-over-HTTP client
+    (``POST {base}/chat/completions`` and ``POST {base}/embeddings``).
+    Request shaping reuses ``build_request`` (the per-provider
+    temperature/top_p/response_format contract mirrored from the
+    reference); retries stay APP-LEVEL in the calling stage via
+    ``call_with_retry`` — the transport itself is single-attempt, exactly
+    like the reference's ``@with_retry`` around ``query_llm``.
+  * ``fetch_url`` — semantics of ``trafilatura.fetch_url``: returns the
+    decoded HTML document for an http(s) URL, or ``None`` on any failure
+    (bad scheme, network error, non-2xx, undecodable body). The caller
+    treats ``None`` as fetch_failed (reference :234-236).
+
+There is no external network in this sandbox; both are exercised against a
+loopback ``http.server`` in tests, which is exactly how they would talk to
+an OpenAI-compatible gateway (vLLM, ollama's /v1, LiteLLM proxy) in
+production. Each worker/actor builds its own client in ``__init__``; a
+``urllib`` opener per call keeps the client thread-safe under the
+``llm_max_inflight`` thread pool.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.error
+import urllib.parse
+import urllib.request
+
+from ctinexus_ray.llm.client import build_request
+
+_UA = "ctinexus-ray/1.0"
+
+
+class HTTPStatusError(RuntimeError):
+    """Non-2xx response from the provider; carries the status for retry policy."""
+
+    def __init__(self, status: int, body: str):
+        super().__init__(f"HTTP {status}: {body[:200]}")
+        self.status = status
+        self.body = body
+
+
+def post_json(url: str, payload: dict, *, timeout: float = 60.0,
+              headers: dict | None = None) -> dict:
+    """POST a JSON payload, return the parsed JSON response."""
+    data = json.dumps(payload).encode("utf-8")
+    req = urllib.request.Request(
+        url,
+        data=data,
+        headers={"Content-Type": "application/json", "User-Agent": _UA,
+                 **(headers or {})},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            return json.loads(resp.read().decode("utf-8"))
+    except urllib.error.HTTPError as exc:  # non-2xx
+        body = exc.read().decode("utf-8", errors="replace")
+        raise HTTPStatusError(exc.code, body) from exc
+
+
+class HTTPLLMClient:
+    """``LLMClient`` over an OpenAI-compatible HTTP endpoint.
+
+    ``complete`` maps ``build_request`` output onto the chat-completions
+    wire format; ``embed`` posts the batch to ``/embeddings``. Token counts
+    come from the provider's ``usage`` block, falling back to the
+    reference's ``len(text) // 4`` estimate when absent
+    (reference ctinexus/utils/gradio_utils.py token display convention).
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        *,
+        provider: str = "openai",
+        model: str = "gpt-4.1",
+        embedding_model: str = "text-embedding-3-large",
+        api_key: str | None = None,
+        timeout: float = 60.0,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.provider = provider
+        self.model = model
+        self.embedding_model = embedding_model
+        self.api_key = api_key
+        self.timeout = timeout
+
+    def _headers(self) -> dict:
+        return {"Authorization": f"Bearer {self.api_key}"} if self.api_key else {}
+
+    # -- LLMClient interface ------------------------------------------------
+
+    def complete(self, prompt: str, *, temperature: float = 0.8) -> tuple[str, int, int]:
+        request = build_request(self.provider, self.model, prompt,
+                                temperature=temperature)
+        # api_base/api_key are litellm-isms; the wire payload excludes them.
+        base = request.pop("api_base", None) or self.base_url
+        request.pop("api_key", None)
+        resp = post_json(f"{base}/chat/completions", request,
+                         timeout=self.timeout, headers=self._headers())
+        text = resp["choices"][0]["message"]["content"]
+        usage = resp.get("usage") or {}
+        in_tok = int(usage.get("prompt_tokens", len(prompt) // 4))
+        out_tok = int(usage.get("completion_tokens", len(text) // 4))
+        return text, in_tok, out_tok
+
+    def embed(self, texts: list[str]) -> tuple[list[list[float]], int]:
+        resp = post_json(
+            f"{self.base_url}/embeddings",
+            {"model": self.embedding_model, "input": texts},
+            timeout=self.timeout,
+            headers=self._headers(),
+        )
+        # provider may return out of order; "index" is authoritative
+        rows = sorted(resp["data"], key=lambda d: d["index"])
+        vecs = [r["embedding"] for r in rows]
+        usage = resp.get("usage") or {}
+        tokens = int(usage.get("prompt_tokens",
+                               sum(len(t) // 4 for t in texts)))
+        return vecs, tokens
+
+
+def fetch_url(url: str, *, timeout: float = 30.0,
+              max_bytes: int = 20_000_000) -> str | None:
+    """Fetch an http(s) URL and return the decoded body, or None on failure.
+
+    Mirrors ``trafilatura.fetch_url`` as used by the reference
+    (ctinexus/llm_processor.py:228-235): any error — invalid scheme,
+    connection failure, non-2xx status, empty or undecodable body — yields
+    ``None`` rather than an exception, and the caller emits fetch_failed.
+    ``max_bytes`` bounds worker memory against pathological responses.
+    """
+    try:
+        scheme = urllib.parse.urlsplit(url).scheme
+        if scheme not in ("http", "https"):
+            return None
+        req = urllib.request.Request(url, headers={"User-Agent": _UA})
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            if not (200 <= resp.status < 300):
+                return None
+            raw = resp.read(max_bytes)
+            charset = resp.headers.get_content_charset() or "utf-8"
+        text = raw.decode(charset, errors="replace")
+        return text or None
+    except Exception:
+        return None
+
+
+def resolve_base_url(provider: str, extra: dict) -> str | None:
+    """Locate a configured OpenAI-compatible endpoint for ``provider``.
+
+    Precedence: explicit config (``extra["api_base"]``) > provider env
+    (``OLLAMA_BASE_URL`` for ollama, reference llm_processor.py:1060;
+    ``CUSTOM_BASE_URL`` otherwise, reference custom-gateway path).
+    Returns None when no endpoint is configured (the no-network default).
+    """
+    if extra.get("api_base"):
+        return str(extra["api_base"])
+    if provider == "ollama":
+        base = os.getenv("OLLAMA_BASE_URL")
+        return f"{base}/v1" if base else None
+    return os.getenv("CUSTOM_BASE_URL") or None

@@ -150,3 +150,62 @@ def url_source_dataset(documents, config: PipelineConfig):
         concurrency=config.llm_concurrency,
         num_cpus=config.llm_num_cpus,
     )
+
+
+class FetchStage:
+    """Live URL fetcher (S2): (url, ...) -> + (html, fetch_status) columns.
+
+    The reference fetches one URL inline via ``trafilatura.fetch_url``
+    (ctinexus/llm_processor.py:228-235); at corpus scale fetching is an
+    I/O-bound actor-pool stage — each actor keeps ``max_inflight``
+    requests outstanding on a thread pool (threads block on sockets, not
+    the GIL), and failures become ``fetch_status="fetch_failed"`` with a
+    null html rather than exceptions. Output html is ``binary`` (utf-8),
+    matching the corpus ``html`` column, so the result feeds straight
+    into ``url_source_dataset``.
+    """
+
+    def __init__(self, timeout: float = 30.0, max_inflight: int = 8):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self.timeout = timeout
+        self.pool = ThreadPoolExecutor(max_workers=max(1, max_inflight))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ctinexus_ray.llm.http import fetch_url
+
+        urls = batch.column("url").to_pylist()
+
+        def one(url):
+            if not isinstance(url, str) or not is_valid_url(normalize_url(url)):
+                return None
+            return fetch_url(normalize_url(url), timeout=self.timeout)
+
+        htmls = list(self.pool.map(one, urls))
+        out = batch.append_column(
+            "html",
+            pa.array([h.encode("utf-8") if h else None for h in htmls],
+                     type=pa.binary()),
+        )
+        return out.append_column(
+            "fetch_status",
+            pa.array(["success" if h else "fetch_failed" for h in htmls]),
+        )
+
+
+def fetch_dataset(urls, *, timeout: float = 30.0, max_inflight: int = 8,
+                  concurrency=(1, 8), batch_size: int = 64):
+    """urls dataset (url column) -> + html/fetch_status via live HTTP fetch.
+
+    Small batches keep per-task latency bounded when some hosts are slow;
+    size ``concurrency`` x ``max_inflight`` to the politeness budget, not
+    the CPU count — fetching is network-bound.
+    """
+    return urls.map_batches(
+        FetchStage,
+        fn_constructor_kwargs={"timeout": timeout, "max_inflight": max_inflight},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=0.25,
+    )
