@@ -13,6 +13,7 @@ nodes/edges tables) — cap enforced.
 from __future__ import annotations
 
 import html
+import json
 import math
 from pathlib import Path
 
@@ -92,6 +93,250 @@ def write_graph_html(
     out_path = Path(out_path)
     out_path.write_text(doc, encoding="utf-8")
     return out_path
+
+
+_INTERACTIVE_JS = """
+'use strict';
+const DATA = JSON.parse(document.getElementById('graph-data').textContent);
+const canvas = document.getElementById('net');
+const ctx = canvas.getContext('2d');
+let W = canvas.width = window.innerWidth, H = canvas.height = window.innerHeight;
+const nodes = DATA.nodes.map((n, i) => ({
+  ...n,
+  x: W / 2 + Math.cos(2 * Math.PI * i / DATA.nodes.length) * Math.min(W, H) / 3,
+  y: H / 2 + Math.sin(2 * Math.PI * i / DATA.nodes.length) * Math.min(W, H) / 3,
+  vx: 0, vy: 0,
+}));
+const byId = Object.fromEntries(nodes.map(n => [n.id, n]));
+const edges = DATA.edges.filter(e => byId[e.s] && byId[e.t]);
+const deg = {};
+edges.forEach(e => { deg[e.s] = (deg[e.s] || 0) + 1; deg[e.t] = (deg[e.t] || 0) + 1; });
+let scale = 1, panX = 0, panY = 0, dragNode = null, dragView = false;
+let lastX = 0, lastY = 0, hoverNode = null, running = true, ticks = 0;
+function step() {
+  const repulse = DATA.cfg.gravity, springLen = DATA.cfg.springLength;
+  for (let i = 0; i < nodes.length; i++) for (let j = i + 1; j < nodes.length; j++) {
+    const a = nodes[i], b = nodes[j];
+    let dx = a.x - b.x, dy = a.y - b.y, d2 = dx * dx + dy * dy + 0.01, d = Math.sqrt(d2);
+    const f = repulse / d2;
+    dx /= d; dy /= d;
+    a.vx += dx * f; a.vy += dy * f; b.vx -= dx * f; b.vy -= dy * f;
+  }
+  for (const e of edges) {
+    const a = byId[e.s], b = byId[e.t];
+    let dx = b.x - a.x, dy = b.y - a.y, d = Math.sqrt(dx * dx + dy * dy) + 0.01;
+    const f = (d - springLen) * 0.02;
+    dx /= d; dy /= d;
+    a.vx += dx * f; a.vy += dy * f; b.vx -= dx * f; b.vy -= dy * f;
+  }
+  for (const n of nodes) {
+    n.vx += (W / 2 - n.x) * 0.001; n.vy += (H / 2 - n.y) * 0.001;
+    if (n !== dragNode) { n.x += n.vx; n.y += n.vy; }
+    n.vx *= 0.6; n.vy *= 0.6;
+  }
+}
+function draw() {
+  ctx.setTransform(1, 0, 0, 1, 0, 0);
+  ctx.fillStyle = DATA.cfg.background; ctx.fillRect(0, 0, W, H);
+  ctx.setTransform(scale, 0, 0, scale, panX, panY);
+  ctx.font = '12px sans-serif';
+  for (const e of edges) {
+    const a = byId[e.s], b = byId[e.t];
+    ctx.strokeStyle = e.p ? DATA.cfg.predictedColor : DATA.cfg.edgeColor;
+    ctx.setLineDash(e.p ? [6, 4] : []);
+    ctx.beginPath(); ctx.moveTo(a.x, a.y); ctx.lineTo(b.x, b.y); ctx.stroke();
+    const mx = (a.x + b.x) / 2, my = (a.y + b.y) / 2;
+    ctx.fillStyle = '#cccccc'; ctx.fillText(e.r, mx + 4, my - 4);
+    const ang = Math.atan2(b.y - a.y, b.x - a.x);
+    const hx = b.x - Math.cos(ang) * 14, hy = b.y - Math.sin(ang) * 14;
+    ctx.setLineDash([]);
+    ctx.beginPath();
+    ctx.moveTo(hx, hy);
+    ctx.lineTo(hx - Math.cos(ang - 0.4) * 8, hy - Math.sin(ang - 0.4) * 8);
+    ctx.lineTo(hx - Math.cos(ang + 0.4) * 8, hy - Math.sin(ang + 0.4) * 8);
+    ctx.closePath(); ctx.fillStyle = ctx.strokeStyle; ctx.fill();
+  }
+  for (const n of nodes) {
+    const r = 8 + Math.min(20, (deg[n.id] || 0) * 2);
+    ctx.beginPath(); ctx.arc(n.x, n.y, r, 0, 2 * Math.PI);
+    ctx.fillStyle = n.c; ctx.fill();
+    if (n === hoverNode) { ctx.strokeStyle = '#ffffff'; ctx.lineWidth = 2; ctx.stroke(); ctx.lineWidth = 1; }
+    ctx.fillStyle = '#ffffff'; ctx.fillText(n.l, n.x + r + 3, n.y + 4);
+  }
+}
+function frame() {
+  if (running && ticks < 600) { step(); ticks += 1; }
+  draw();
+  requestAnimationFrame(frame);
+}
+function toWorld(x, y) { return [(x - panX) / scale, (y - panY) / scale]; }
+function pick(x, y) {
+  const [wx, wy] = toWorld(x, y);
+  return nodes.find(n => (n.x - wx) ** 2 + (n.y - wy) ** 2 < 400) || null;
+}
+canvas.addEventListener('mousedown', ev => {
+  dragNode = pick(ev.offsetX, ev.offsetY);
+  dragView = !dragNode; lastX = ev.offsetX; lastY = ev.offsetY; ticks = 0;
+});
+canvas.addEventListener('mousemove', ev => {
+  hoverNode = pick(ev.offsetX, ev.offsetY);
+  canvas.title = hoverNode ? hoverNode.title : '';
+  if (dragNode) { const [wx, wy] = toWorld(ev.offsetX, ev.offsetY); dragNode.x = wx; dragNode.y = wy; ticks = 0; }
+  else if (dragView) { panX += ev.offsetX - lastX; panY += ev.offsetY - lastY; lastX = ev.offsetX; lastY = ev.offsetY; }
+});
+window.addEventListener('mouseup', () => { dragNode = null; dragView = false; });
+canvas.addEventListener('wheel', ev => {
+  ev.preventDefault();
+  const k = ev.deltaY < 0 ? 1.1 : 0.9;
+  panX = ev.offsetX - (ev.offsetX - panX) * k; panY = ev.offsetY - (ev.offsetY - panY) * k;
+  scale *= k;
+}, { passive: false });
+window.addEventListener('resize', () => { W = canvas.width = window.innerWidth; H = canvas.height = window.innerHeight; });
+frame();
+"""
+
+
+def write_interactive_graph_html(
+    nodes: list[dict],
+    edges: list[dict],
+    out_path: str | Path,
+    max_nodes: int = 300,
+    title: str = "ctinexus-ray knowledge graph",
+) -> Path:
+    """Interactive single-file HTML graph (operator S5, pyvis-parity path).
+
+    The reference renders vis-network via pyvis with a physics layout,
+    draggable nodes, zoom/pan, hover titles, degree-scaled node sizes,
+    red predicted-link edges, and an injected fixed-position legend
+    (reference ctinexus/graph_constructor.py:483-677). pyvis/CDN assets
+    are unavailable here, so the same interactions are implemented as
+    ~100 lines of inline vanilla JS on a canvas: spring+repulsion
+    physics, drag nodes / drag view / wheel zoom, hover highlight,
+    dashed red predicted edges, legend overlay. Zero dependencies —
+    the file opens offline in any browser.
+
+    nodes: [{entity_key, entity_text, entity_class, predicted?}];
+    edges: [{subj_key, rel, obj_key, predicted?}].
+    """
+    nodes = nodes[:max_nodes]
+    keys = {n["entity_key"] for n in nodes}
+    edges = [e for e in edges if e["subj_key"] in keys and e["obj_key"] in keys]
+
+    cfg = {
+        # visual constants follow the reference's dark theme
+        # (_VIS_CONFIG, graph_constructor.py:450-468)
+        "background": "#27272a",
+        "edgeColor": "#666666",
+        "predictedColor": "#ff4444",
+        "gravity": 3000.0,
+        "springLength": _spring_length(nodes, edges),
+    }
+    data = {
+        "cfg": cfg,
+        "nodes": [
+            {
+                "id": n["entity_key"],
+                "l": str(n["entity_text"])[:32],
+                "title": f"{n['entity_text']} ({n.get('entity_class', '')})",
+                "c": _CLASS_COLORS.get(n.get("entity_class", ""), _DEFAULT_COLOR),
+            }
+            for n in nodes
+        ],
+        "edges": [
+            {
+                "s": e["subj_key"],
+                "t": e["obj_key"],
+                "r": str(e.get("rel", "")),
+                "p": bool(e.get("predicted")),
+            }
+            for e in edges
+        ],
+    }
+    legend_items = "".join(
+        f"<li><span style='background:{c}'></span>{html.escape(cls)}</li>"
+        for cls, c in _CLASS_COLORS.items()
+    )
+    doc = f"""<!DOCTYPE html><html><head><meta charset="utf-8">
+<title>{html.escape(title)}</title>
+<style>
+ body {{ margin: 0; background: {cfg["background"]}; color: #fff; font-family: sans-serif; }}
+ canvas {{ display: block; cursor: grab; }}
+ #legend {{ position: fixed; top: 50px; right: 20px; background: {cfg["background"]};
+   padding: 15px; border-radius: 8px; border: 1px solid #444; max-width: 200px; }}
+ #legend ul {{ list-style: none; padding: 0; margin: 0 0 10px; }}
+ #legend li span {{ display: inline-block; width: 15px; height: 15px;
+   margin-right: 10px; border-radius: 50%; vertical-align: middle; }}
+ #legend .edge span {{ height: 2px; border-radius: 0; }}
+</style></head><body>
+<canvas id="net"></canvas>
+<div id="legend"><h3>Legend</h3><h4>Node Types:</h4><ul>{legend_items}</ul>
+<h4>Edge Types:</h4><ul class="edge">
+<li><span style='background:{cfg["edgeColor"]}'></span>Extracted</li>
+<li><span style='background:{cfg["predictedColor"]}'></span>Predicted</li></ul></div>
+<script id="graph-data" type="application/json">{json.dumps(data)}</script>
+<script>{_INTERACTIVE_JS}</script>
+</body></html>"""
+    out_path = Path(out_path)
+    out_path.write_text(doc, encoding="utf-8")
+    return out_path
+
+
+def _spring_length(nodes: list[dict], edges: list[dict]) -> float:
+    """Dynamic rest length from the longest labels, mirroring the
+    reference's base_spring_length formula (graph_constructor.py:526-535)
+    scaled to the canvas renderer's smaller glyphs."""
+    max_edge = max((len(str(e.get("rel", ""))) for e in edges), default=0)
+    max_node = max((len(str(n.get("entity_text", ""))[:32]) for n in nodes), default=0)
+    return 80.0 + max_edge * 2.0 + max_node * 1.5
+
+
+DEFAULT_PORT = 57623
+
+
+def find_free_port(default: int = DEFAULT_PORT) -> int:
+    """Pick a serving port: the default when bindable, else scan upward,
+    else let the OS assign one (reference utils/http_server_utils.py:92-119
+    semantics, minus the reuse-an-existing-server probe)."""
+    import socket
+
+    for port in range(default, default + 100):
+        try:
+            with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+                s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+                s.bind(("127.0.0.1", port))
+                return port
+        except OSError:
+            continue
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def start_graph_server(directory: str | Path, port: int | None = None):
+    """Serve ``directory`` over a daemon HTTP thread; returns
+    (base_url, server). Call ``server.shutdown()`` when done.
+
+    Mirrors the reference's local viz server
+    (utils/http_server_utils.py:270-330): SO_REUSEADDR, background
+    thread, files served relative to the graph output directory.
+    """
+    import http.server
+    import threading
+
+    class _Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *args, **kwargs):
+            super().__init__(*args, directory=str(directory), **kwargs)
+
+        def log_message(self, *a):  # quiet per-request stderr logging
+            pass
+
+    handler = _Handler
+    port = port or find_free_port()
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", port), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return f"http://127.0.0.1:{port}", server
 
 
 def visualize_parquet(nodes_dir: str, edges_dir: str, out_path: str, max_nodes: int = 200) -> Path:
