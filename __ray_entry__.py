@@ -610,6 +610,131 @@ def _q_events_asof_purchase(sf_dir: str):
     return joined.map_batches(rename, batch_format="pyarrow")
 
 
+def _q_tpch_q3_topk(sf_dir: str):
+    """TPC-H Q3 shape: a 3-table distributed join chain
+    (customer filter -> orders -> lineitem via two ops.distjoin.hash_join
+    shuffles), row-level revenue kernel, hash-partitioned group sum,
+    sort + limit 10. Both large sides stream; no driver state."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    cutoff = pa.scalar(
+        __import__("datetime").datetime(1998, 6, 1), type=pa.timestamp("us")
+    )
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).filter(expr="c_mktsegment == 'BUILDING'")
+
+    def cust_keyed(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"o_custkey": batch.column("c_custkey").cast(pa.int64()),
+             "c_is_building": pa.array([True] * len(batch))}
+        )
+
+    def before_cutoff(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("o_orderdate"), cutoff))
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(before_cutoff, batch_format="pyarrow")
+
+    building_orders = hash_join(
+        orders,
+        customer.map_batches(cust_keyed, batch_format="pyarrow"),
+        on=["o_custkey"],
+    )
+
+    def orders_keyed(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"l_orderkey": batch.column("o_orderkey"),
+             "o_orderdate": batch.column("o_orderdate")}
+        )
+
+    def shipped_after(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("l_shipdate"), cutoff))
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(shipped_after, batch_format="pyarrow")
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.Table.from_pydict(
+            {"l_orderkey": batch.column("l_orderkey"),
+             "o_orderdate": batch.column("o_orderdate"),
+             "rev": rev}
+        )
+
+    def drop_shipdate(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["l_shipdate"])
+
+    joined = hash_join(
+        lineitem.map_batches(drop_shipdate, batch_format="pyarrow"),
+        building_orders.map_batches(orders_keyed, batch_format="pyarrow"),
+        on=["l_orderkey"],
+    ).map_batches(revenue, batch_format="pyarrow")
+
+    grouped = partitioned_agg(
+        joined,
+        keys=["l_orderkey", "o_orderdate"],
+        named_aggs={"revenue": ("rev", "sum")},
+    )
+    return grouped.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+
+
+def _q_event_windows(sf_dir: str):
+    """Per-user rolling 3-row sum + lag delta (distributed SQL window
+    functions) in exact integer arithmetic."""
+    from ctinexus_ray.ops.relational import rolling_user_windows
+
+    return rolling_user_windows(_events(sf_dir), window=3)
+
+
+def _q_doc_sample(sf_dir: str):
+    """Deterministic content-addressed sampling (md5-bucketed, stable
+    under resharding) — pure filter, no shuffle, no RNG state."""
+    from ctinexus_ray.ops.shards import deterministic_sample
+
+    return deterministic_sample(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]), pct=5
+    )
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: training docs flagged when any word
+    8-gram collides with the held-out 'benchmark' slice (doc_id % 50 == 0).
+    Benchmark n-grams broadcast once; the corpus side never shuffles."""
+    import pyarrow.compute as pc
+
+    from ctinexus_ray.ops.textstats import decontaminate
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def _mod_filter(want_zero: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            mod = pc.subtract(
+                batch.column("doc_id"),
+                pc.multiply(pc.divide(batch.column("doc_id"), 50), 50),
+            )
+            mask = pc.equal(mod, 0) if want_zero else pc.not_equal(mod, 0)
+            return batch.filter(mask)
+
+        return fn
+
+    benchmark = docs.map_batches(_mod_filter(True), batch_format="pyarrow")
+    train = docs.map_batches(_mod_filter(False), batch_format="pyarrow")
+    return decontaminate(train, benchmark, n=8)
+
+
 def _q_doc_len_quantiles(sf_dir: str):
     """Exact discrete quantiles of document length without a global sort
     (value-domain histogram + cumulative walk)."""
@@ -815,6 +940,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": _q_top_orders_per_customer,
         "events_asof_purchase": _q_events_asof_purchase,
         "doc_len_quantiles": _q_doc_len_quantiles,
+        "tpch_q3_topk": _q_tpch_q3_topk,
+        "event_windows": _q_event_windows,
+        "doc_sample": _q_doc_sample,
+        "decontaminate": _q_decontaminate,
         "kg_extract": _q_kg_extract,
         "kg_degrees": _q_kg_degrees,
         "kg_triples": _q_kg_triples,
@@ -1094,6 +1223,46 @@ def oracle_sql() -> dict[str, str]:
                 "FROM documents"
                 for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
             )
+        ),
+        "tpch_q3_topk": (
+            "SELECT l_orderkey, o_orderdate, "
+            "sum(l_extendedprice * (1 - l_discount)) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND l_shipdate > TIMESTAMP '1998-06-01' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "event_windows": (
+            "SELECT event_id, user_id, "
+            "sum(CAST(round(value * 100) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_cents, "
+            "coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us "
+            "FROM events"
+        ),
+        "doc_sample": (
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE CAST(concat('0x', substr("
+            "md5(concat('sample', CAST(doc_id AS VARCHAR))), 1, 8)) "
+            "AS UBIGINT) % 100 < 5"
+        ),
+        "decontaminate": (
+            "WITH tok AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), "
+            "ng AS (SELECT doc_id, "
+            "array_to_string(list_slice(w, i, i + 7), ' ') AS g "
+            "FROM tok, UNNEST(range(1, len(w) - 6)) AS t(i) "
+            "WHERE len(w) >= 8), "
+            "bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % 50 = 0), "
+            "hits AS (SELECT DISTINCT n.doc_id FROM ng n "
+            "JOIN bench b USING (g) WHERE n.doc_id % 50 <> 0) "
+            "SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated "
+            "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id "
+            "WHERE d.doc_id % 50 <> 0"
         ),
         # floor(epoch) matches the engine's integer microsecond division
         # (CAST alone would round-to-nearest on fractional seconds)

@@ -38,6 +38,10 @@ def add_hash_pkey(
     mix = None
     for name in keys:
         col = batch.column(name)
+        if pa.types.is_temporal(col.type):
+            # timestamps/dates hash by their epoch integer representation
+            col = col.cast(pa.int64()) if not pa.types.is_date32(col.type) \
+                else col.cast(pa.int32()).cast(pa.int64())
         if pa.types.is_integer(col.type):
             part = pc.bit_wise_xor(pc.shift_left(col.cast(pa.int64()), 13), col.cast(pa.int64()))
         else:

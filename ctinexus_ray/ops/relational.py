@@ -424,3 +424,61 @@ def int_column_quantiles(
             }
         )
     )
+
+
+def rolling_user_windows(
+    events: ray.data.Dataset,
+    window: int = 3,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Per-user rolling-window sum and lag delta — the distributed form of
+    SQL ``SUM(...) OVER (PARTITION BY user ORDER BY ts ROWS window-1
+    PRECEDING)`` and ``ts - LAG(ts) OVER (...)``.
+
+    One hash shuffle on user_id; each partition holds MANY whole users and
+    computes every window in two vectorized pandas passes (groupby.rolling
+    sum + groupby.shift) — O(P) per-group overhead. Values are summed in
+    integer cents (``round(value * 100)``) and deltas in integer
+    microseconds so the result is EXACT (bit-stable against any summation
+    order, including the SQL oracle's). Same partitioning assumption as
+    sessionize: one user's events fit in a partition.
+
+    Output: (event_id, user_id, rolling_cents, gap_us); gap_us is -1
+    for each user's first event (sentinel instead of NULL so the column
+    stays non-nullable int64 — pandas/DuckDB render NULL ints
+    differently, and downstream arithmetic needs a concrete type)."""
+    from ctinexus_ray.ops.groupagg import add_hash_pkey
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(batch.column("value"), 100.0))
+        batch = batch.append_column("cents", cents.cast(pa.int64()))
+        batch = batch.append_column(
+            "ts_us", batch.column("ts").cast(pa.int64())
+        )
+        return add_hash_pkey(
+            batch.drop_columns(["value", "ts"]), ["user_id"], num_partitions
+        )
+
+    def window_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        rolling = (
+            grp["cents"].rolling(window, min_periods=1).sum()
+            .reset_index(drop=True)
+        )
+        gap = g["ts_us"] - grp["ts_us"].shift(1)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].astype("int64").values,
+                "user_id": g["user_id"].astype("int64").values,
+                "rolling_cents": rolling.astype("int64").values,
+                "gap_us": gap.fillna(-1).astype("int64").values,
+            }
+        )
+
+    return (
+        events.select_columns(["event_id", "user_id", "ts", "value"])
+        .map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(window_partition, batch_format="pandas")
+    )

@@ -240,3 +240,35 @@ def pack_sequences(
         )
 
     return summed.map_batches(assign, batch_format="pyarrow")
+
+
+def deterministic_sample(
+    ds: ray.data.Dataset,
+    key_col: str = "doc_id",
+    pct: int = 5,
+    salt: str = "sample",
+) -> ray.data.Dataset:
+    """Deterministic, reshard-stable row sampling: keep a row iff
+    ``md5(salt || key) mod 100 < pct``.
+
+    The standard corpus-sampling shape at web scale: content-addressed
+    (no RNG state, no row order dependence), so the same rows are chosen
+    on every run, on every cluster size, and under incremental ingestion
+    — unlike ``Dataset.random_sample``, which is neither stable nor
+    repeatable across repartitions. Embarrassingly parallel (a pure
+    filter; no shuffle). The SQL oracle is the identical md5 expression,
+    so the sample is exact-matchable.
+    """
+    import hashlib
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        mask = [
+            int(
+                hashlib.md5(f"{salt}{k}".encode("utf-8")).hexdigest()[:8], 16
+            ) % 100 < pct
+            for k in keys
+        ]
+        return batch.filter(pa.array(mask, type=pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -404,3 +404,74 @@ def winnow_batch(batch: pa.Table, k: int = 5, w: int = 4) -> pa.Table:
             "fp": pa.array(out_fp, type=pa.int64()),
         }
     )
+
+
+def _doc_ngrams(text: str, n: int) -> set:
+    toks = _tokens(text or "")
+    if len(toks) < n:
+        return set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def decontaminate(
+    docs: "ray.data.Dataset",
+    benchmark: "ray.data.Dataset",
+    n: int = 8,
+) -> "ray.data.Dataset":
+    """Benchmark decontamination: flag every training document sharing any
+    word n-gram with the benchmark/eval set (the GPT-3/PaLM 13-gram
+    style check; n=8 here to fit short synthetic docs).
+
+    Shape: the benchmark side is SMALL by construction (eval suites are
+    thousands of documents, not billions), so its distinct n-grams are
+    reduced distributedly, collected once, and broadcast via ``ray.put``
+    — every train task then runs a pure set-membership filter with NO
+    shuffle of the training corpus. Tokenization is the SQL-compatible
+    whitespace split (``_tokens``), so the oracle joins the identical
+    n-gram strings. If the benchmark n-gram set ever outgrew a broadcast
+    (it should not), the fallback is an explode + ``distjoin.hash_join``
+    on the n-gram string.
+
+    Output: (doc_id, contaminated bool) for every doc in ``docs``.
+    """
+    import ray as _ray
+
+    bench_sets = benchmark.map_batches(
+        lambda b: pa.Table.from_pydict(
+            {
+                "g": pa.array(
+                    list(set().union(*[_doc_ngrams(t, n) for t in
+                                       b.column("text").to_pylist()]) or set()),
+                    type=pa.string(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    grams = set()
+    for batch in bench_sets.iter_batches(batch_format="pyarrow"):
+        grams.update(batch.column("g").to_pylist())
+    grams_ref = _ray.put(grams)
+
+    class FlagStage:
+        def __init__(self, grams_ref):
+            self.grams = _ray.get(grams_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            flags = [
+                not self.grams.isdisjoint(_doc_ngrams(t, n))
+                for t in batch.column("text").to_pylist()
+            ]
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": batch.column("doc_id"),
+                    "contaminated": pa.array(flags, type=pa.bool_()),
+                }
+            )
+
+    return docs.map_batches(
+        FlagStage,
+        fn_constructor_kwargs={"grams_ref": grams_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

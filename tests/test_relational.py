@@ -277,3 +277,70 @@ class TestIntQuantiles:
                 f"SELECT quantile_disc(x, {q}) FROM df"
             ).fetchone()[0]
             assert got[q] == want, (q, got[q], want)
+
+
+class TestRollingWindows:
+    def test_vs_duckdb(self, ray_session, con):
+        from ctinexus_ray.ops.relational import rolling_user_windows
+
+        events = ray.data.read_parquet(f"{SF}/events.parquet")
+        got = {
+            (r["event_id"], r["user_id"], r["rolling_cents"], r["gap_us"])
+            for r in rolling_user_windows(events, window=3).take_all()
+        }
+        want = set(
+            con.sql(
+                "SELECT event_id, user_id, "
+                "sum(CAST(round(value * 100) AS BIGINT)) OVER "
+                "(PARTITION BY user_id ORDER BY ts, event_id "
+                "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), "
+                "coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER "
+                "(PARTITION BY user_id ORDER BY ts, event_id), -1) "
+                "FROM events"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_single_row_user(self, ray_session):
+        import pandas as pd
+
+        from ctinexus_ray.ops.relational import rolling_user_windows
+
+        one = ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "event_id": [1],
+                    "user_id": [7],
+                    "ts": pd.to_datetime(["2024-01-01"]),
+                    "value": [2.5],
+                }
+            )
+        )
+        rows = rolling_user_windows(one).take_all()
+        assert rows == [
+            {"event_id": 1, "user_id": 7, "rolling_cents": 250, "gap_us": -1}
+        ]
+
+
+class TestPartitionedAggTemporalKey:
+    def test_timestamp_group_key(self, ray_session, con):
+        from ctinexus_ray.ops.groupagg import partitioned_agg
+
+        orders = ray.data.read_parquet(
+            f"{SF}/orders.parquet", columns=["o_orderdate", "o_orderkey"]
+        )
+        got = {
+            (r["o_orderdate"], r["n"])
+            for r in partitioned_agg(
+                orders,
+                keys=["o_orderdate"],
+                named_aggs={"n": ("o_orderkey", "size")},
+            ).take_all()
+        }
+        want = set(
+            con.sql(
+                "SELECT o_orderdate, count(*) FROM orders GROUP BY o_orderdate"
+            ).fetchall()
+        )
+        assert {(ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts, n)
+                for ts, n in got} == want

@@ -155,3 +155,66 @@ class TestGopherQuality:
         assert out["mean_word_len"][0] == pytest.approx(3.875)
         # all-digit text fails the alphabetic-ratio rule
         assert out["alpha_ratio"][2] == 0.0
+
+
+class TestDeterministicSample:
+    def test_stable_under_repartition(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.shards import deterministic_sample
+
+        docs = ray.data.range(1000).map_batches(
+            lambda b: {"doc_id": b["id"]}, batch_format="numpy"
+        )
+        a = sorted(r["doc_id"] for r in deterministic_sample(docs, pct=10).take_all())
+        b = sorted(
+            r["doc_id"]
+            for r in deterministic_sample(docs.repartition(7), pct=10).take_all()
+        )
+        assert a == b
+        assert 50 < len(a) < 150  # ~10% of 1000
+
+    def test_pct_zero_and_hundred(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.shards import deterministic_sample
+
+        docs = ray.data.range(100).map_batches(
+            lambda b: {"doc_id": b["id"]}, batch_format="numpy"
+        )
+        assert deterministic_sample(docs, pct=0).count() == 0
+        assert deterministic_sample(docs, pct=100).count() == 100
+
+
+class TestDecontaminate:
+    def test_planted_overlap(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.textstats import decontaminate
+
+        shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+        bench = ray.data.from_items(
+            [{"doc_id": 100, "text": f"prefix words {shared} suffix words"}]
+        )
+        train = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": f"{shared} trailing content here"},
+                {"doc_id": 2, "text": "totally unrelated text with many words"},
+                {"doc_id": 3, "text": "short"},
+            ]
+        )
+        got = {r["doc_id"]: r["contaminated"]
+               for r in decontaminate(train, bench, n=8).take_all()}
+        assert got == {1: True, 2: False, 3: False}
+
+    def test_empty_benchmark(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.textstats import decontaminate
+
+        bench = ray.data.from_items(
+            [{"doc_id": 9, "text": "tiny"}]
+        ).filter(lambda r: False)
+        train = ray.data.from_items([{"doc_id": 1, "text": "a b c d e f g h"}])
+        got = decontaminate(train, bench, n=8).take_all()
+        assert got == [{"doc_id": 1, "contaminated": False}]
