@@ -735,6 +735,132 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(train, benchmark, n=8)
 
 
+def _q_suppliers_with_returns(sf_dir: str):
+    """Distributed left-semi join (EXISTS): suppliers having at least one
+    returned lineitem. Only the keys + left columns survive the
+    per-partition Arrow semi join; the big side streams."""
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+
+    supplier = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    returned = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_suppkey", "l_returnflag"]
+    ).filter(expr="l_returnflag == 'R'")
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"s_suppkey": batch.column("l_suppkey").cast(pa.int64())}
+        )
+
+    return hash_join(
+        supplier,
+        returned.map_batches(keyed, batch_format="pyarrow"),
+        on=["s_suppkey"],
+        how="left_semi",
+    )
+
+
+_PAGERANK_DAMPING = 0.85
+_PAGERANK_ITERS = 5
+_PAGERANK_SUPP_OFFSET = 1_000_000
+
+
+def _q_pagerank(sf_dir: str):
+    """Distributed PageRank (5 iterations, d=0.85) over the
+    customer<->supplier trade graph (distinct custkey<->suppkey pairs
+    from orders x lineitem, edges in BOTH directions; supplier node ids
+    offset to avoid key collision). Per iteration: one rank join + one
+    hash-partitioned contribution reduce; only the scalar total-contrib
+    touches the driver."""
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.graph import pagerank
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def li_keyed(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"o_orderkey": batch.column("l_orderkey"),
+             "l_suppkey": batch.column("l_suppkey").cast(pa.int64())}
+        )
+
+    pairs = partitioned_agg(
+        hash_join(
+            orders,
+            lineitem.map_batches(li_keyed, batch_format="pyarrow"),
+            on=["o_orderkey"],
+        ),
+        keys=["o_custkey", "l_suppkey"],
+        named_aggs={"_n": ("o_custkey", "size")},
+    )
+
+    def both_dirs(batch: pa.Table):
+        cust = batch.column("o_custkey").cast(pa.int64())
+        supp = pa.array(
+            [s + _PAGERANK_SUPP_OFFSET
+             for s in batch.column("l_suppkey").to_pylist()],
+            type=pa.int64(),
+        )
+        yield pa.Table.from_pydict({"src": cust, "dst": supp})
+        yield pa.Table.from_pydict({"src": supp, "dst": cust})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+    return pagerank(
+        edges, damping=_PAGERANK_DAMPING, iterations=_PAGERANK_ITERS
+    )
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled-iteration SQL twin of _q_pagerank (recursive CTEs cannot
+    aggregate in the recursive term, so each iteration is its own CTE)."""
+    d = _PAGERANK_DAMPING
+    sql = (
+        "WITH pairs AS (SELECT DISTINCT o_custkey AS c, "
+        f"l_suppkey + {_PAGERANK_SUPP_OFFSET} AS s "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+        "edges AS (SELECT c AS src, s AS dst FROM pairs "
+        "UNION ALL SELECT s, c FROM pairs), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges), "
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src), "
+        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"
+    )
+    prev = "r0"
+    for i in range(1, _PAGERANK_ITERS + 1):
+        sql += (
+            f", c{i} AS (SELECT e.dst AS node, "
+            f"sum(r.rank / g.outdeg) AS contrib "
+            f"FROM edges e JOIN {prev} r ON e.src = r.node "
+            "JOIN deg g ON e.src = g.src GROUP BY e.dst), "
+            f"t{i} AS (SELECT coalesce(sum(contrib), 0.0) AS tot FROM c{i}), "
+            f"r{i} AS (SELECT n.node, "
+            f"(1 - {d}) / nn.n + {d} * coalesce(c.contrib, 0) "
+            f"+ {d} * (1.0 - t{i}.tot) / nn.n AS rank "
+            f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.node, t{i}, nn)"
+        )
+        prev = f"r{i}"
+    return sql + f" SELECT node, rank FROM {prev}"
+
+
+def _q_unigram_lm(sf_dir: str):
+    """Unigram LM fluency scores: corpus word distribution reduced once
+    (vocabulary-sized), broadcast, then a shuffle-free scoring pass."""
+    from ctinexus_ray.ops.textstats import unigram_lm_scores
+
+    return unigram_lm_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_doc_len_quantiles(sf_dir: str):
     """Exact discrete quantiles of document length without a global sort
     (value-domain histogram + cumulative walk)."""
@@ -944,6 +1070,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_windows": _q_event_windows,
         "doc_sample": _q_doc_sample,
         "decontaminate": _q_decontaminate,
+        "suppliers_with_returns": _q_suppliers_with_returns,
+        "pagerank": _q_pagerank,
+        "unigram_lm": _q_unigram_lm,
         "kg_extract": _q_kg_extract,
         "kg_degrees": _q_kg_degrees,
         "kg_triples": _q_kg_triples,
@@ -1263,6 +1392,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated "
             "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id "
             "WHERE d.doc_id % 50 <> 0"
+        ),
+        "suppliers_with_returns": (
+            "SELECT s_suppkey, s_name FROM supplier s "
+            "WHERE EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')"
+        ),
+        "pagerank": _pagerank_oracle_sql(),
+        "unigram_lm": (
+            "WITH words AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "
+            "FROM documents), "
+            "cnt AS (SELECT w, count(*) AS c FROM words GROUP BY w), "
+            "tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM words) "
+            "SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "avg(ln(cnt.c / tot.n)) AS lm_score "
+            "FROM words w JOIN cnt ON w.w = cnt.w, tot "
+            "GROUP BY w.doc_id"
         ),
         # floor(epoch) matches the engine's integer microsecond division
         # (CAST alone would round-to-nearest on fractional seconds)

@@ -37,6 +37,7 @@ _JOIN_TYPES = {
     "inner": "inner",
     "left": "left outer",
     "left_anti": "left anti",
+    "left_semi": "left semi",
 }
 
 
@@ -82,8 +83,9 @@ def hash_join(
     of both sides for its key slice, so a per-partition
     ``pyarrow.Table.join`` (hash join in Arrow C++) produces exact results.
 
-    ``how``: ``inner`` | ``left`` | ``left_anti``. Output columns: keys +
-    left non-key columns + (for inner/left) right non-key columns. Non-key
+    ``how``: ``inner`` | ``left`` | ``left_anti`` | ``left_semi``.
+    Output columns: keys + left non-key columns + (for inner/left)
+    right non-key columns. Non-key
     column names must be disjoint across sides (rename first). Output row
     order is unspecified (hash-partitioned).
 
@@ -158,7 +160,9 @@ def hash_join(
     )
 
     join_type = _JOIN_TYPES[how]
-    out_cols = on + lcols + ([] if how == "left_anti" else rcols)
+    out_cols = on + lcols + (
+        [] if how in ("left_anti", "left_semi") else rcols
+    )
     out_schema = pa.schema(
         [pa.field(c, (ltypes | rtypes)[c]) for c in out_cols]
     )

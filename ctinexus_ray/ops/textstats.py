@@ -475,3 +475,68 @@ def decontaminate(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+def unigram_lm_scores(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-document unigram language-model score: the mean token
+    log-probability ``avg(ln(count(w) / N))`` under the corpus's own
+    unigram distribution — the classic cheap fluency/quality signal
+    (low score = rare-word soup; CCNet/Gopher use an LM perplexity
+    filter of exactly this shape).
+
+    Two passes: (1) global word counts via per-batch combine
+    (``word_explode_batch``) + map-side-combined groupby — the moved
+    data is vocabulary-sized, not corpus-sized; (2) the (word -> ln p)
+    table broadcast once via ``ray.put`` and every document scored with
+    a pure lookup pass, NO shuffle of the corpus. At 100 TB the full
+    vocabulary may exceed a broadcast; the documented fallback is
+    thresholding rare words into a single OOV probability class (count
+    < k), which bounds the table at the head vocabulary. ln is libm —
+    bit-identical to DuckDB's. Output: (doc_id, n_tokens, lm_score).
+    """
+    import math
+
+    import ray as _ray
+
+    freq = (
+        docs.map_batches(word_explode_batch, batch_format="pyarrow")
+        .groupby("word")
+        .sum("n")
+    )
+    counts: dict[str, int] = {}
+    for batch in freq.iter_batches(batch_format="pyarrow"):
+        counts.update(
+            zip(batch.column("word").to_pylist(),
+                batch.column("sum(n)").to_pylist())
+        )
+    total = sum(counts.values())
+    logp = {w: math.log(c / total) for w, c in counts.items()}
+    logp_ref = _ray.put(logp)
+
+    class ScoreStage:
+        def __init__(self, logp_ref):
+            self.logp = _ray.get(logp_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, ns, scores = [], [], []
+            lp = self.logp
+            for doc_id, t in zip(batch.column("doc_id").to_pylist(),
+                                 batch.column("text").to_pylist()):
+                toks = _tokens(t or "")
+                ids.append(doc_id)
+                ns.append(len(toks))
+                scores.append(sum(lp[w] for w in toks) / len(toks))
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "n_tokens": pa.array(ns, type=pa.int64()),
+                    "lm_score": pa.array(scores, type=pa.float64()),
+                }
+            )
+
+    return docs.map_batches(
+        ScoreStage,
+        fn_constructor_kwargs={"logp_ref": logp_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

@@ -45,6 +45,14 @@ class TestHashJoin:
         out = hash_join(left, right, on=["k"], how="left_anti").take_all()
         assert sorted(r["k"] for r in out) == [1, 3, 5, 7, 9]
 
+    def test_left_semi(self, ray_session):
+        left = _ds([{"k": i, "x": f"l{i}"} for i in range(10)])
+        # duplicate right keys must NOT duplicate left rows (EXISTS)
+        right = _ds([{"k": i} for i in (2, 2, 4, 4, 11)])
+        out = hash_join(left, right, on=["k"], how="left_semi").take_all()
+        assert sorted((r["k"], r["x"]) for r in out) == [(2, "l2"), (4, "l4")]
+        assert set(out[0]) == {"k", "x"}  # right columns dropped
+
     def test_matches_pandas_merge(self, ray_session):
         import numpy as np
 

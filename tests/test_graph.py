@@ -1,0 +1,99 @@
+"""PageRank: Pregel pinned-partition actors vs the pure-Dataset join
+expression (ops/graph.py) — plus a from-first-principles power-iteration
+oracle in numpy."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ctinexus_ray.ops.graph import pagerank, pagerank_joins
+
+
+def _edges(src, dst):
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "src": pa.array(np.asarray(src, dtype=np.int64)),
+                "dst": pa.array(np.asarray(dst, dtype=np.int64)),
+            }
+        )
+    )
+
+
+def _numpy_pagerank(src, dst, damping=0.85, iterations=5):
+    nodes = np.unique(np.concatenate([src, dst]))
+    idx = {int(n): i for i, n in enumerate(nodes)}
+    s = np.array([idx[int(v)] for v in src])
+    d = np.array([idx[int(v)] for v in dst])
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    np.add.at(outdeg, s, 1.0)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        np.add.at(contrib, d, rank[s] / outdeg[s])
+        dangling = rank[outdeg == 0].sum()
+        rank = (1 - damping) / n + damping * contrib + damping * dangling / n
+    return nodes, rank
+
+
+def _ranks(ds):
+    df = ds.to_pandas().sort_values("node").reset_index(drop=True)
+    return df["node"].to_numpy(), df["rank"].to_numpy()
+
+
+class TestPageRank:
+    def test_matches_numpy_power_iteration(self, ray_session):
+        rng = np.random.RandomState(11)
+        src = rng.randint(0, 80, 500)
+        dst = rng.randint(0, 100, 500)  # ids 80..99 can be dangling
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        want_nodes, want_rank = _numpy_pagerank(src, dst)
+        nodes, rank = _ranks(pagerank(_edges(src, dst), num_partitions=4))
+        assert np.array_equal(nodes, want_nodes)
+        assert np.allclose(rank, want_rank, rtol=1e-12, atol=1e-15)
+        assert abs(rank.sum() - 1.0) < 1e-9  # rank mass conserved
+
+    def test_pregel_equals_joins(self, ray_session):
+        rng = np.random.RandomState(3)
+        src = rng.randint(0, 60, 300)
+        dst = rng.randint(0, 60, 300)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        n1, r1 = _ranks(pagerank(_edges(src, dst), num_partitions=4))
+        n2, r2 = _ranks(pagerank_joins(_edges(src, dst), num_partitions=16))
+        assert np.array_equal(n1, n2)
+        assert np.allclose(r1, r2, rtol=1e-12)
+
+    def test_single_partition(self, ray_session):
+        src = [1, 2, 3]
+        dst = [2, 3, 1]
+        nodes, rank = _ranks(pagerank(_edges(src, dst), num_partitions=1))
+        # symmetric cycle: uniform ranks
+        assert np.allclose(rank, 1 / 3)
+
+    def test_dangling_sink(self, ray_session):
+        # star into a sink: sink rank > source ranks, mass conserved
+        nodes, rank = _ranks(
+            pagerank(_edges([1, 2, 3], [9, 9, 9]), num_partitions=2)
+        )
+        by = dict(zip(nodes, rank))
+        assert by[9] > by[1]
+        assert abs(rank.sum() - 1.0) < 1e-9
+
+    def test_empty(self, ray_session):
+        empty = _edges([], [])
+        assert pagerank(empty, num_partitions=2).count() == 0
+
+    def test_multi_edges_contribute_multiply(self, ray_session):
+        # doubled edge 1->2 shifts rank toward 2 vs the single-edge graph
+        _, r_single = _ranks(
+            pagerank(_edges([1, 1], [2, 3]), num_partitions=2)
+        )
+        nodes, r_double = _ranks(
+            pagerank(_edges([1, 1, 1], [2, 2, 3]), num_partitions=2)
+        )
+        by_s = dict(zip([1, 2, 3], r_single))
+        by_d = dict(zip(nodes, r_double))
+        assert by_d[2] > by_s[2]

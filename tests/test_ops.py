@@ -294,6 +294,30 @@ class TestTextStats:
         assert len(rows) == docs.count()
         assert all(r["lang_pred"] in {"en", "es", "de", "fr", "und"} for r in rows)
 
+    def test_unigram_lm_scores(self, ray_session):
+        import math
+
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.textstats import unigram_lm_scores
+
+        # corpus: "a a b" + "b c" -> counts a=2 b=2 c=1, N=5
+        docs = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"doc_id": [1, 2], "text": ["a a b", "b c"]}
+            )
+        )
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["lm_score"])
+            for r in unigram_lm_scores(docs).take_all()
+        }
+        lp = {"a": math.log(2 / 5), "b": math.log(2 / 5), "c": math.log(1 / 5)}
+        assert got[1][0] == 3
+        assert abs(got[1][1] - (2 * lp["a"] + lp["b"]) / 3) < 1e-12
+        assert got[2][0] == 2
+        assert abs(got[2][1] - (lp["b"] + lp["c"]) / 2) < 1e-12
+
 
 class TestMultimodal:
     def test_decode_plumbing(self, ray_session):
