@@ -861,6 +861,92 @@ def _q_unigram_lm(sf_dir: str):
     return unigram_lm_scores(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style within-doc repetition signals (duplicate-word
+    fraction + top-word character fraction); stateless per-batch map."""
+    from ctinexus_ray.ops.textstats import repetition_stats_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pyarrow"
+    )
+
+
+def _q_balanced_sample(sf_dir: str):
+    """Deterministic per-source balanced downsampling (every source keeps
+    an expected min-source-count rows via an md5 threshold — the data-
+    mixing primitive); O(#sources) driver state, no corpus shuffle."""
+    from ctinexus_ray.ops.shards import balanced_sample
+
+    return balanced_sample(
+        _docs(sf_dir, ["doc_id", "source"]), group_col="source",
+        id_col="doc_id",
+    )
+
+
+def _q_ranked_docs(sf_dir: str):
+    """Global ROW_NUMBER by (n_chars DESC, doc_id ASC): one range-
+    partitioned sort, O(#blocks) ints on the driver, rank appended
+    per block in place."""
+    from ctinexus_ray.ops.shards import global_row_number
+
+    return global_row_number(
+        _docs(sf_dir, ["doc_id", "n_chars"]),
+        sort_keys=["n_chars", "doc_id"],
+        descending=[True, False],
+    )
+
+
+def _q_lang_len_quantiles(sf_dir: str):
+    """Per-language exact discrete length quantiles (grouped value-domain
+    histogram, no sort)."""
+    from ctinexus_ray.ops.relational import grouped_int_quantiles
+
+    return grouped_int_quantiles(
+        _docs(sf_dir, ["lang", "n_chars"]),
+        group_col="lang",
+        col="n_chars",
+        quantiles=[0.25, 0.5, 0.75, 0.99],
+    )
+
+
+def _q_bloom_incremental(sf_dir: str):
+    """Incremental dedup via Bloom membership: the known corpus (even
+    doc_ids) builds a 1 MiB mergeable bitmap over md5 fingerprints; new
+    docs (odd ids) stream through a broadcast vectorized probe and only
+    DEFINITELY-new ones survive. Constant memory where the exact
+    anti-join (``dedup_incremental``) ships the whole known index
+    through a shuffle; false positives drop some genuinely-new docs (at
+    the filter's fp rate) but never let a dup through. Rows-only by
+    design (fp-rate-dependent); anchored against the exact anti-join in
+    tests."""
+    import pyarrow.compute as pc
+
+    from ctinexus_ray.ops.sketch import bloom_build, bloom_filter_new
+    from ctinexus_ray.ops.textstats import fingerprint_batch
+
+    fps = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+    def parity(want_odd):
+        def f(batch):
+            t = batch.filter(
+                pc.equal(
+                    pc.bit_wise_and(batch.column("doc_id"), 1),
+                    1 if want_odd else 0,
+                )
+            )
+            if t.num_rows:
+                yield t
+
+        return f
+
+    known = fps.map_batches(parity(False), batch_format="pyarrow")
+    new = fps.map_batches(parity(True), batch_format="pyarrow")
+    bits = bloom_build(known, "fp")
+    return bloom_filter_new(new, "fp", bits)
+
+
 def _q_doc_len_quantiles(sf_dir: str):
     """Exact discrete quantiles of document length without a global sort
     (value-domain histogram + cumulative walk)."""
@@ -1073,6 +1159,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_with_returns": _q_suppliers_with_returns,
         "pagerank": _q_pagerank,
         "unigram_lm": _q_unigram_lm,
+        "repetition_stats": _q_repetition_stats,
+        "balanced_sample": _q_balanced_sample,
+        "ranked_docs": _q_ranked_docs,
+        "lang_len_quantiles": _q_lang_len_quantiles,
+        "bloom_incremental": _q_bloom_incremental,
         "kg_extract": _q_kg_extract,
         "kg_degrees": _q_kg_degrees,
         "kg_triples": _q_kg_triples,
@@ -1399,6 +1490,52 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')"
         ),
         "pagerank": _pagerank_oracle_sql(),
+        "repetition_stats": (
+            "WITH words AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "
+            "FROM documents), "
+            "wc AS (SELECT doc_id, w, count(*) AS c FROM words "
+            "GROUP BY doc_id, w), "
+            "tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, "
+            "CAST(count(*) AS BIGINT) AS n_distinct, "
+            "CAST(sum(len(w) * c) AS BIGINT) AS char_total "
+            "FROM wc GROUP BY doc_id), "
+            "top AS (SELECT doc_id, w, c FROM "
+            "(SELECT doc_id, w, c, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY c DESC, w ASC) AS rn FROM wc) "
+            "WHERE rn = 1) "
+            "SELECT t.doc_id, t.n_words, t.n_distinct, "
+            "1.0 - t.n_distinct / CAST(t.n_words AS DOUBLE) "
+            "AS dup_word_frac, top.w AS top_word, "
+            "CASE WHEN t.char_total = 0 THEN 0.0 ELSE "
+            "(top.c * len(top.w)) / CAST(t.char_total AS DOUBLE) END "
+            "AS top_word_frac "
+            "FROM tot t JOIN top ON t.doc_id = top.doc_id"
+        ),
+        "balanced_sample": (
+            "WITH counts AS (SELECT source, count(*) AS cnt "
+            "FROM documents GROUP BY source), "
+            "mn AS (SELECT min(cnt) AS m FROM counts), "
+            "thr AS (SELECT source, printf('%08x', CAST(least("
+            "floor((CAST(mn.m AS DOUBLE) / cnt) * 4294967296.0), "
+            "4294967295) AS BIGINT)) AS th FROM counts, mn) "
+            "SELECT d.doc_id, d.source FROM documents d "
+            "JOIN thr ON d.source = thr.source "
+            "WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <= thr.th"
+        ),
+        "ranked_docs": (
+            "SELECT doc_id, n_chars, CAST(row_number() OVER "
+            "(ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank "
+            "FROM documents"
+        ),
+        "lang_len_quantiles": (
+            " UNION ALL ".join(
+                f"SELECT lang, CAST({q} AS DOUBLE) AS q, "
+                f"CAST(quantile_disc(n_chars, {q}) AS BIGINT) AS value "
+                "FROM documents GROUP BY lang"
+                for q in (0.25, 0.5, 0.75, 0.99)
+            )
+        ),
         "unigram_lm": (
             "WITH words AS (SELECT doc_id, "
             "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "

@@ -383,9 +383,11 @@ def asof_join(
 def int_column_quantiles(
     ds: ray.data.Dataset, col: str, quantiles: list[float]
 ) -> ray.data.Dataset:
-    """EXACT discrete quantiles (SQL ``quantile_disc`` semantics: the
-    element at 0-based index ``floor(q * (n-1))`` of the sorted column)
-    for a bounded-cardinality integer column, without a global sort.
+    """EXACT discrete quantiles (SQL ``quantile_disc`` semantics — the
+    inverse-CDF element at 0-based index ``max(0, ceil(q * n) - 1)`` of
+    the sorted column, verified against DuckDB empirically; the
+    ``floor(q * (n-1))`` rule differs at high q and small n) for a
+    bounded-cardinality integer column, without a global sort.
 
     Shape: one hash-partitioned (value -> count) reduce — the histogram
     is value-DOMAIN-sized, not corpus-sized (lengths, scores, buckets) —
@@ -412,7 +414,7 @@ def int_column_quantiles(
     for q in quantiles:
         if not total:
             continue
-        idx = int(np.floor(q * (total - 1)))
+        idx = max(0, int(np.ceil(q * total)) - 1)
         pos = int(np.searchsorted(cum, idx + 1))
         out_q.append(float(q))
         out_v.append(int(values[pos]))
@@ -481,4 +483,54 @@ def rolling_user_windows(
         .map_batches(add_pkey, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(window_partition, batch_format="pandas")
+    )
+
+
+def grouped_int_quantiles(
+    ds: ray.data.Dataset,
+    group_col: str,
+    col: str,
+    quantiles: list[float],
+) -> ray.data.Dataset:
+    """Per-group EXACT discrete quantiles (``quantile_disc`` semantics,
+    same inverse-CDF index rule as ``int_column_quantiles``: element at
+    0-based ``max(0, ceil(q * n) - 1)`` of the group's sorted column)
+    without any sort.
+
+    One hash-partitioned (group, value) -> count reduce; the histogram
+    is #groups x value-domain rows (langs x lengths — bounded by
+    construction, NOT corpus-sized), then a vectorized cumulative walk
+    per group on the driver. Output: (group_col, q, value)."""
+    import numpy as np
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    counts = partitioned_agg(
+        ds.select_columns([group_col, col]),
+        keys=[group_col, col],
+        named_aggs={"n": (col, "size")},
+    ).take_all()  # O(#groups x value domain) rows by construction
+    by_group: dict = {}
+    for r in counts:
+        by_group.setdefault(r[group_col], []).append((r[col], r["n"]))
+    out_g, out_q, out_v = [], [], []
+    for g in sorted(by_group):
+        pairs = sorted(by_group[g])
+        values = np.array([v for v, _ in pairs], dtype=np.int64)
+        cum = np.cumsum([n for _, n in pairs])
+        total = int(cum[-1])
+        for q in quantiles:
+            idx = max(0, int(np.ceil(q * total)) - 1)
+            pos = int(np.searchsorted(cum, idx + 1))
+            out_g.append(g)
+            out_q.append(float(q))
+            out_v.append(int(values[pos]))
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                group_col: pa.array(out_g, type=pa.string()),
+                "q": pa.array(out_q, type=pa.float64()),
+                "value": pa.array(out_v, type=pa.int64()),
+            }
+        )
     )

@@ -272,3 +272,121 @@ def deterministic_sample(
         return batch.filter(pa.array(mask, type=pa.bool_()))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def balanced_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str,
+) -> ray.data.Dataset:
+    """Deterministic per-group balanced downsampling: every group keeps
+    an EXPECTED ``min(group sizes)`` rows — the data-mixing primitive
+    that stops one giant domain/language from dominating a training mix
+    (the alpha=0 point of the temperature-sampling family used by
+    multilingual pipelines).
+
+    Group counts reduce once (O(#groups) on the driver — groups are
+    domains/langs, bounded by construction); each group's keep rate
+    ``min_count / count`` becomes an 8-hex-digit md5 threshold, and the
+    corpus passes through ONE stateless filter: keep iff
+    ``md5(str(id))[:8] <= printf('%08x', floor(rate * 2^32))``
+    (lowercase-hex lexicographic order == numeric order, so the SQL
+    oracle is the identical expression; rate 1.0 clamps to ffffffff).
+    The id hash makes the sample stable across runs, cluster sizes, and
+    resharding. No shuffle of the corpus."""
+    import hashlib
+    import math
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    counts = partitioned_agg(
+        ds.select_columns([group_col]),
+        keys=[group_col],
+        named_aggs={"cnt": (group_col, "size")},
+    ).take_all()  # O(#groups) rows by construction
+    if not counts:
+        return ds
+    min_cnt = min(r["cnt"] for r in counts)
+    thr = {
+        r[group_col]: format(
+            min(int(math.floor((min_cnt / r["cnt"]) * 4294967296.0)),
+                0xFFFFFFFF),
+            "08x",
+        )
+        for r in counts
+    }
+    thr_ref = ray.put(thr)
+
+    class Keep:
+        def __init__(self, thr_ref):
+            self.thr = ray.get(thr_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            groups = batch.column(group_col).to_pylist()
+            ids = batch.column(id_col).to_pylist()
+            mask = [
+                hashlib.md5(str(i).encode()).hexdigest()[:8] <= self.thr[g]
+                for g, i in zip(groups, ids)
+            ]
+            return batch.filter(pa.array(mask, type=pa.bool_()))
+
+    return ds.map_batches(
+        Keep,
+        fn_constructor_kwargs={"thr_ref": thr_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+@ray.remote
+def _block_nrows(block) -> int:
+    return block.num_rows if hasattr(block, "num_rows") else len(block)
+
+
+@ray.remote
+def _block_add_rank(block, offset: int, out_col: str) -> pa.Table:
+    if not isinstance(block, pa.Table):  # pandas block fallback
+        block = pa.Table.from_pandas(block, preserve_index=False)
+    n = block.num_rows
+    import numpy as np
+
+    return block.append_column(
+        out_col, pa.array(np.arange(offset + 1, offset + n + 1), type=pa.int64())
+    )
+
+
+def global_row_number(
+    ds: ray.data.Dataset,
+    sort_keys: list[str],
+    descending: list[bool],
+    out_col: str = "rank",
+) -> ray.data.Dataset:
+    """Global 1-based ROW_NUMBER over a total order — the distributed
+    form of ``ROW_NUMBER() OVER (ORDER BY ...)``.
+
+    One range-partitioned ``Dataset.sort`` (the only all-to-all), then
+    block row-counts (O(#blocks) ints — the ONLY thing the driver
+    holds) prefix-sum into per-block offsets and each block gets its
+    rank column appended in place via a Ray task; the ranked blocks are
+    re-assembled zero-copy with ``from_arrow_refs``. Contrast with
+    ``partitioned_prefix_sum``, which avoids the sort but needs a
+    bounded integer order key; this operator handles arbitrary sort
+    keys at the cost of the sort shuffle.
+
+    ``sort_keys`` must form a TOTAL order (include a unique id as the
+    last key) — otherwise tie order, and therefore ranks, are
+    nondeterministic across runs."""
+    sorted_ds = ds.sort(sort_keys, descending=descending).materialize()
+    blocks = [
+        ref
+        for bundle in sorted_ds.iter_internal_ref_bundles()
+        for ref in bundle.block_refs
+    ]
+    if not blocks:
+        return sorted_ds
+    counts = ray.get([_block_nrows.remote(b) for b in blocks])
+    ranked, offset = [], 0
+    for b, n in zip(blocks, counts):
+        ranked.append(_block_add_rank.remote(b, offset, out_col))
+        offset += n
+    return ray.data.from_arrow_refs(ranked)

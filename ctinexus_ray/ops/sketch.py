@@ -177,3 +177,105 @@ def misra_gries_topk(
         merge, batch_format="pyarrow", batch_size=None
     ).repartition(1).map_batches(merge, batch_format="pyarrow", batch_size=None)
     return merged.sort(["n", "value"], descending=[True, False]).limit(top)
+
+
+def _bloom_positions(values, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing: h1 + i*h2 mod m
+    (Kirsch-Mitzenmacher — two vectorized hashes give k independent-enough
+    probes). Deterministic across runs/workers."""
+    from ctinexus_ray.ops.dedup import _splitmix64, hash64_strings
+
+    h1 = hash64_strings(values)
+    h2 = _splitmix64(h1 ^ np.uint64(0xA076_1D64_78BD_642F)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        pos = (h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)
+    return pos.astype(np.int64)
+
+
+def bloom_build(
+    ds: ray.data.Dataset, column: str, m_bits: int = 1 << 23, k: int = 4
+) -> bytes:
+    """Build a Bloom filter over a key column — the mergeable membership
+    sketch for incremental-ingestion dedup when the exact fingerprint
+    index is too big to join against cheaply (m_bits=2^23 = 1 MiB
+    packed; size m ≈ 1.44 * n * log2(1/fp) for target fp rate).
+
+    Each batch contributes one fixed-size packed-bitmap partial
+    (``np.bitwise_or`` merge, same two-level tree as the HLL registers);
+    nothing corpus-sized moves or lands on the driver — the final
+    bitmap IS sketch-sized by definition. Returns the packed bitmap
+    bytes (m_bits/8)."""
+    n_bytes = m_bits // 8
+
+    def partial(batch: pa.Table):
+        pos = _bloom_positions(batch.column(column), m_bits, k).ravel()
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        yield pa.Table.from_pydict(
+            {"bits": pa.array([bits.tobytes()], type=pa.binary())}
+        )
+
+    partials = ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    seed = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"bits": pa.array([bytes(n_bytes)], type=pa.binary())}
+        )
+    )
+
+    def merge(batch: pa.Table):
+        acc = np.zeros(n_bytes, dtype=np.uint8)
+        for buf in batch.column("bits").to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint8)
+        yield pa.Table.from_pydict(
+            {"bits": pa.array([acc.tobytes()], type=pa.binary())}
+        )
+
+    merged = (
+        partials.union(seed)
+        .repartition(8)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
+    return merged.take_all()[0]["bits"]
+
+
+def bloom_filter_new(
+    ds: ray.data.Dataset,
+    column: str,
+    bloom_bits: bytes,
+    m_bits: int = 1 << 23,
+    k: int = 4,
+) -> ray.data.Dataset:
+    """Keep only the rows whose key is DEFINITELY NOT in the Bloom
+    filter (all-bits-set rows are dropped: possibly-present, with the
+    filter's false-positive rate — a Bloom filter never false-negatives,
+    so every kept row is genuinely new). Broadcast the 1 MiB bitmap once
+    via ``ray.put``; the corpus streams through a stateless vectorized
+    membership test — no shuffle, no join. The exact-join sibling is
+    ``hash_join how="left_anti"`` (query ``dedup_incremental``); this is
+    the constant-memory fast path for when the known-corpus index has
+    10^12 keys."""
+    bits_ref = ray.put(np.frombuffer(bloom_bits, dtype=np.uint8))
+
+    class Keep:
+        def __init__(self, bits_ref):
+            self.bits = ray.get(bits_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            pos = _bloom_positions(batch.column(column), m_bits, k)
+            probed = (
+                self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)
+            ) & np.uint8(1)
+            maybe_present = probed.all(axis=1)
+            return batch.filter(pa.array(~maybe_present))
+
+    return ds.map_batches(
+        Keep,
+        fn_constructor_kwargs={"bits_ref": bits_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

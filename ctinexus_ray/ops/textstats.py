@@ -540,3 +540,46 @@ def unigram_lm_scores(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+def repetition_stats_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    use duplicate-line and top-n-gram character fractions to drop
+    boilerplate/spam; this corpus has no newlines, so the word-level
+    analogues): duplicate-word fraction ``1 - distinct/total`` and the
+    character fraction of the single most frequent word (ties break to
+    the lexicographically smallest word, mirroring the SQL
+    ``ORDER BY c DESC, w ASC`` window). Pure per-batch map — no shuffle,
+    embarrassingly parallel at any corpus size. Output: (doc_id,
+    n_words, n_distinct, dup_word_frac, top_word, top_word_frac).
+    Float expressions evaluate in the same operation order as the
+    DuckDB oracle so value hashes match bit-for-bit."""
+    from collections import Counter
+
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    n_words, n_distinct, dup_frac, top_words, top_frac = [], [], [], [], []
+    for t in texts:
+        toks = _tokens(t or "")
+        n = len(toks)  # >= 1: empty text tokenizes to ['']
+        cnt = Counter(toks)
+        nd = len(cnt)
+        top_w, top_c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        char_total = sum(len(w) * c for w, c in cnt.items())
+        n_words.append(n)
+        n_distinct.append(nd)
+        dup_frac.append(1.0 - nd / n)
+        top_words.append(top_w)
+        top_frac.append(
+            (top_c * len(top_w)) / char_total if char_total else 0.0
+        )
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "n_distinct": pa.array(n_distinct, type=pa.int64()),
+            "dup_word_frac": pa.array(dup_frac, type=pa.float64()),
+            "top_word": pa.array(top_words, type=pa.string()),
+            "top_word_frac": pa.array(top_frac, type=pa.float64()),
+        }
+    )
