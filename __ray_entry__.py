@@ -947,6 +947,98 @@ def _q_bloom_incremental(sf_dir: str):
     return bloom_filter_new(new, "fp", bits)
 
 
+def _q_temperature_sample(sf_dir: str):
+    """Temperature-based mixing sampler (alpha=0.5): per-source keep rate
+    sqrt(min_count/count) via md5 threshold — the knob between natural
+    and balanced mixing; shuffle-free, O(#sources) driver state."""
+    from ctinexus_ray.ops.shards import temperature_sample
+
+    return temperature_sample(
+        _docs(sf_dir, ["doc_id", "source"]),
+        group_col="source",
+        id_col="doc_id",
+        alpha=0.5,
+    )
+
+
+def _q_doc_sample_k(sf_dir: str):
+    """Exactly-k deterministic uniform sample: k smallest md5(doc_id)
+    digests via batch-local top-k + one small merge; no corpus sort."""
+    from ctinexus_ray.ops.shards import uniform_sample_k
+
+    return uniform_sample_k(
+        _docs(sf_dir, ["doc_id", "source"]), id_col="doc_id", k=100
+    )
+
+
+def _q_custkeys_without_orders(sf_dir: str):
+    """ANSI EXCEPT: distinct customer keys with no FINISHED ('F') order.
+    Both sides corpus-sized; one hash-partitioned presence reduce."""
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import distinct_set_op
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    ).filter(expr="o_orderstatus == 'F'").select_columns(["o_custkey"])
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"custkey": batch.column(0).cast(pa.int64())}
+        )
+
+    return distinct_set_op(
+        customer.map_batches(ren, batch_format="pyarrow"),
+        orders.map_batches(ren, batch_format="pyarrow"),
+        keys=["custkey"],
+        op="except",
+    )
+
+
+def _q_active_custkeys(sf_dir: str):
+    """ANSI INTERSECT: distinct customer keys present in BOTH the
+    customer table and the orders table (same presence-reduce shape as
+    EXCEPT; the op is a stateless filter over the flags)."""
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import distinct_set_op
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"custkey": batch.column(0).cast(pa.int64())}
+        )
+
+    return distinct_set_op(
+        customer.map_batches(ren, batch_format="pyarrow"),
+        orders.map_batches(ren, batch_format="pyarrow"),
+        keys=["custkey"],
+        op="intersect",
+    )
+
+
+def _q_len_quantiles_tdigest(sf_dir: str):
+    """Approximate quantiles via mergeable t-digest (unbounded-domain
+    scale path; accuracy vs the exact histogram pinned in tests).
+    Rows-only by design — approximate values have no SQL equal."""
+    from ctinexus_ray.ops.sketch import tdigest_quantiles
+
+    return tdigest_quantiles(
+        _docs(sf_dir, ["n_chars"]),
+        column="n_chars",
+        quantiles=[0.25, 0.5, 0.75, 0.99],
+    )
+
+
 def _q_doc_len_quantiles(sf_dir: str):
     """Exact discrete quantiles of document length without a global sort
     (value-domain histogram + cumulative walk)."""
@@ -1164,6 +1256,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranked_docs": _q_ranked_docs,
         "lang_len_quantiles": _q_lang_len_quantiles,
         "bloom_incremental": _q_bloom_incremental,
+        "temperature_sample": _q_temperature_sample,
+        "doc_sample_k": _q_doc_sample_k,
+        "custkeys_without_orders": _q_custkeys_without_orders,
+        "active_custkeys": _q_active_custkeys,
+        "len_quantiles_tdigest": _q_len_quantiles_tdigest,
         "kg_extract": _q_kg_extract,
         "kg_degrees": _q_kg_degrees,
         "kg_triples": _q_kg_triples,
@@ -1527,6 +1624,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars, CAST(row_number() OVER "
             "(ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank "
             "FROM documents"
+        ),
+        "temperature_sample": (
+            "WITH counts AS (SELECT source, count(*) AS cnt "
+            "FROM documents GROUP BY source), "
+            "mn AS (SELECT min(cnt) AS m FROM counts), "
+            "thr AS (SELECT source, printf('%08x', CAST(least("
+            "floor(sqrt(CAST(mn.m AS DOUBLE) / cnt) * 4294967296.0), "
+            "4294967295) AS BIGINT)) AS th FROM counts, mn) "
+            "SELECT d.doc_id, d.source FROM documents d "
+            "JOIN thr ON d.source = thr.source "
+            "WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) <= thr.th"
+        ),
+        "doc_sample_k": (
+            "SELECT doc_id, source FROM documents "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100"
+        ),
+        "custkeys_without_orders": (
+            "SELECT c_custkey AS custkey FROM customer "
+            "EXCEPT SELECT o_custkey AS custkey FROM orders "
+            "WHERE o_orderstatus = 'F'"
+        ),
+        "active_custkeys": (
+            "SELECT c_custkey AS custkey FROM customer "
+            "INTERSECT SELECT o_custkey AS custkey FROM orders"
         ),
         "lang_len_quantiles": (
             " UNION ALL ".join(

@@ -490,3 +490,66 @@ def component_drops(labels: ray.data.Dataset) -> ray.data.Dataset:
         yield kept.select(["node"])
 
     return labels.map_batches(non_survivor, batch_format="pyarrow")
+
+
+def distinct_set_op(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    keys: list[str],
+    op: str,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """SQL bag-to-set operators over arbitrary key tuples:
+    ``INTERSECT`` (distinct keys present on BOTH sides), ``EXCEPT``
+    (distinct left keys absent from the right), ``UNION`` (distinct keys
+    of either side). ANSI set-op semantics: output is DISTINCT rows.
+
+    Shape: tag each side with a presence flag, union the two streams,
+    then ONE hash-partitioned reduce (``partitioned_agg``: O(P)
+    per-group overhead however many distinct keys) computes per-key
+    left/right presence, and a stateless filter applies the op. Two
+    column projections + one shuffle of key columns only — both sides
+    may be corpus-sized (unlike the broadcast ``semi_join``, which
+    requires a small right side). Skew-safe: presence flags max() to a
+    bit regardless of key multiplicity."""
+    if op not in ("intersect", "except", "union"):
+        raise ValueError(f"unknown set op: {op}")
+
+    def tag(side_val: int):
+        def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return batch.select(keys).append_column(
+                "__l", pa.array([1 - side_val] * n, type=pa.int8())
+            ).append_column(
+                "__r", pa.array([side_val] * n, type=pa.int8())
+            )
+
+        return f
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    tagged = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
+    )
+    presence = partitioned_agg(
+        tagged,
+        keys=keys,
+        named_aggs={"__l": ("__l", "max"), "__r": ("__r", "max")},
+        num_partitions=num_partitions,
+    )
+
+    def apply_op(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        l, r = batch.column("__l"), batch.column("__r")
+        if op == "intersect":
+            mask = pc.and_(pc.equal(l, 1), pc.equal(r, 1))
+        elif op == "except":
+            mask = pc.and_(pc.equal(l, 1), pc.equal(r, 0))
+        else:  # union: every distinct key
+            mask = pc.equal(pc.max_element_wise(l, r), 1)
+        # return (not conditionally yield) so an all-filtered partition
+        # still carries the TYPED empty schema downstream
+        return batch.filter(mask).select(keys)
+
+    return presence.map_batches(apply_op, batch_format="pyarrow")

@@ -390,3 +390,110 @@ def global_row_number(
         ranked.append(_block_add_rank.remote(b, offset, out_col))
         offset += n
     return ray.data.from_arrow_refs(ranked)
+
+
+def temperature_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+) -> ray.data.Dataset:
+    """Deterministic temperature-based mixing sampler: group ``g`` keeps
+    rows at rate ``(min_count / count_g) ** (1 - alpha)`` — the standard
+    knob between natural mixing (alpha=1: keep everything) and fully
+    balanced mixing (alpha=0: ``balanced_sample``). Multilingual /
+    multi-domain training mixes use exactly this family to up-weight
+    small sources without flattening the distribution entirely.
+
+    This per-group closed form needs NO cross-group normalizing sum, so
+    with alpha=0.5 the rate is ``sqrt(min/cnt)`` — division and sqrt are
+    IEEE-correctly-rounded in both Python and DuckDB, making the keep
+    set bit-reproducible against the SQL oracle (a cross-group
+    ``sum(pow(...))`` would float-drift with summation order). Same
+    shuffle-free shape as ``balanced_sample``: O(#groups) driver state,
+    md5-threshold filter, reshard/rerun/cluster-size stable."""
+    import hashlib
+    import math
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    counts = partitioned_agg(
+        ds.select_columns([group_col]),
+        keys=[group_col],
+        named_aggs={"cnt": (group_col, "size")},
+    ).take_all()  # O(#groups) rows by construction
+    if not counts:
+        return ds
+    min_cnt = min(r["cnt"] for r in counts)
+    thr = {}
+    for r in counts:
+        if alpha == 0.5:
+            rate = math.sqrt(min_cnt / r["cnt"])
+        else:
+            rate = (min_cnt / r["cnt"]) ** (1.0 - alpha)
+        thr[r[group_col]] = format(
+            min(int(math.floor(rate * 4294967296.0)), 0xFFFFFFFF), "08x"
+        )
+    thr_ref = ray.put(thr)
+
+    class Keep:
+        def __init__(self, thr_ref):
+            self.thr = ray.get(thr_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            groups = batch.column(group_col).to_pylist()
+            ids = batch.column(id_col).to_pylist()
+            mask = [
+                hashlib.md5(str(i).encode()).hexdigest()[:8] <= self.thr[g]
+                for g, i in zip(groups, ids)
+            ]
+            return batch.filter(pa.array(mask, type=pa.bool_()))
+
+    return ds.map_batches(
+        Keep,
+        fn_constructor_kwargs={"thr_ref": thr_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def uniform_sample_k(
+    ds: ray.data.Dataset,
+    id_col: str,
+    k: int,
+) -> ray.data.Dataset:
+    """Exactly-k uniform sample, deterministic and reshard-stable: the k
+    rows with the SMALLEST ``md5(str(id))`` hex digest. Content-
+    addressed ranking gives reservoir-sampling semantics (every row
+    equally likely under the hash's uniformity) without RNG state, and
+    re-running on a grown corpus keeps the overlap maximal — the
+    property a monitoring/eval holdout wants.
+
+    Shape: each batch cuts locally to its k smallest digests (constant
+    output per batch), the survivors concentrate on one partition, and
+    one final vectorized cut yields the global k — the same batch-local
+    top-k + small merge as ``simsearch``; no corpus sort, no shuffle of
+    the data columns. Driver never sees more than the k winners.
+    SQL oracle: ``ORDER BY md5(CAST(id AS VARCHAR)) LIMIT k``."""
+    import hashlib
+
+    def local_cut(batch: pa.Table):
+        ids = batch.column(id_col).to_pylist()
+        digests = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        order = sorted(range(len(ids)), key=lambda j: digests[j])[:k]
+        t = batch.take(pa.array(order, type=pa.int64()))
+        yield t.append_column(
+            "__digest", pa.array([digests[j] for j in order], type=pa.string())
+        )
+
+    def final_cut(batch: pa.Table):
+        idx = pc.select_k_unstable(
+            batch, k, [("__digest", "ascending")]
+        )
+        yield batch.take(idx).drop_columns(["__digest"])
+
+    return (
+        ds.map_batches(local_cut, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_cut, batch_format="pyarrow", batch_size=None)
+    )
