@@ -1070,6 +1070,215 @@ def _q_events_minmax_by_type(sf_dir: str):
     )
 
 
+def _q_customer_orders_full(sf_dir: str):
+    """FULL OUTER join of two corpus-sized sides (ops.distjoin.hash_join
+    how='full'): BUILDING-segment customers vs per-customer order counts.
+    Unmatched rows survive from BOTH sides with typed nulls; key columns
+    coalesce (ANSI USING semantics)."""
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    ).filter(expr="c_mktsegment == 'BUILDING'")
+
+    def cust_proj(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "custkey": batch.column("c_custkey").cast(pa.int64()),
+                "c_name": batch.column("c_name"),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    per_cust = partitioned_agg(
+        orders,
+        keys=["o_custkey"],
+        named_aggs={"n_orders": ("o_custkey", "size")},
+    )
+
+    def ord_proj(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "custkey": batch.column("o_custkey").cast(pa.int64()),
+                "n_orders": batch.column("n_orders").cast(pa.int64()),
+            }
+        )
+
+    return hash_join(
+        customer.map_batches(cust_proj, batch_format="pyarrow"),
+        per_cust.map_batches(ord_proj, batch_format="pyarrow"),
+        on=["custkey"],
+        how="full",
+        left_types={"custkey": pa.int64(), "c_name": pa.string()},
+        right_types={"custkey": pa.int64(), "n_orders": pa.int64()},
+    )
+
+
+def _q_purchase_click_band(sf_dir: str):
+    """Pure band (range) join — no equi key: per purchase event, the
+    count of click events (any user) within the preceding hour.
+    ``ops.relational.band_join_count``: axis-bucketed co-shuffle +
+    per-bucket vectorized searchsorted; matches are counted without
+    materializing the joined rows."""
+    from ctinexus_ray.ops.relational import band_join_count
+
+    ev = _events(sf_dir)
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    return band_join_count(
+        purchases,
+        clicks,
+        left_id="event_id",
+        left_on="ts",
+        right_on="ts",
+        lower=-3_600_000_000,
+        upper=0,
+        out="n_clicks",
+    )
+
+
+def _q_events_sliding(sf_dir: str):
+    """Sliding (hopping) event-time windows: 1-hour span, 15-minute hop —
+    each event fans out to 4 windows (vectorized np.repeat of one int64
+    column), then one hash-partitioned count reduce."""
+    from ctinexus_ray.ops.relational import sliding_window_counts
+
+    return sliding_window_counts(
+        _events(sf_dir), ts_col="ts", window_s=3600, slide_s=900
+    )
+
+
+def _q_orders_status_pivot(sf_dir: str):
+    """Pivot (long -> wide): per order-year counts by status as columns.
+    One vectorized indicator-column pass + one hash-partitioned sum —
+    the pivot never shuffles more than (year, 3 x int64) per row."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_orderstatus"]
+    )
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        status = batch.column("o_orderstatus")
+        return pa.Table.from_pydict(
+            {
+                "o_year": pc.year(batch.column("o_orderdate")),
+                "n_open": pc.equal(status, "O").cast(pa.int64()),
+                "n_filled": pc.equal(status, "F").cast(pa.int64()),
+                "n_pending": pc.equal(status, "P").cast(pa.int64()),
+            }
+        )
+
+    return partitioned_agg(
+        orders.map_batches(indicators, batch_format="pyarrow"),
+        keys=["o_year"],
+        named_aggs={
+            "n_open": ("n_open", "sum"),
+            "n_filled": ("n_filled", "sum"),
+            "n_pending": ("n_pending", "sum"),
+        },
+    )
+
+
+def _q_orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(year, status) counts via ops.groupagg.rollup_counts:
+    the corpus shuffles once at the finest level; coarser levels
+    re-aggregate the previous level's (tiny) output."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import rollup_counts
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_orderstatus"]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "o_year": pc.year(batch.column("o_orderdate")),
+                "o_status": batch.column("o_orderstatus"),
+            }
+        )
+
+    return rollup_counts(
+        orders.map_batches(keyed, batch_format="pyarrow"),
+        keys=["o_year", "o_status"],
+        out="n",
+    )
+
+
+def _q_doc_dense_rank(sf_dir: str):
+    """DENSE_RANK() OVER (ORDER BY n_chars DESC): rank the DISTINCT value
+    table (domain-bounded, one hash-partitioned distinct + one small
+    sort) and hash-join ranks back onto the corpus — dense ranks never
+    require a corpus-wide sort."""
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.shards import global_row_number
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    distinct = partitioned_agg(
+        docs.select_columns(["n_chars"]),
+        keys=["n_chars"],
+        named_aggs={"_n": ("n_chars", "size")},
+    ).select_columns(["n_chars"])
+    ranked_vals = global_row_number(
+        distinct, sort_keys=["n_chars"], descending=[True], out_col="drank"
+    )
+    return hash_join(
+        docs,
+        ranked_vals,
+        on=["n_chars"],
+        left_types={"n_chars": pa.int64(), "doc_id": pa.int64()},
+        right_types={"n_chars": pa.int64(), "drank": pa.int64()},
+    )
+
+
+def _q_doc_ntile(sf_dir: str):
+    """NTILE(10) OVER (ORDER BY n_chars DESC, doc_id): global row_number
+    (range-partitioned sort, O(#blocks) driver ints) + the closed-form
+    NTILE bucket from two scalars (n rows, k buckets) — exact SQL
+    semantics: the first n%k buckets get one extra row."""
+    import pyarrow.compute as pc
+
+    from ctinexus_ray.ops.shards import global_row_number
+
+    k = 10
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    n = docs.count()
+    q, r = divmod(n, k)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        rank0 = pc.subtract(batch.column("rank"), 1)
+        big = (q + 1) * r  # rows covered by the r buckets of size q+1
+        in_big = pc.less(rank0, big)
+        b_big = pc.add(pc.divide(rank0, max(q + 1, 1)), 1)
+        b_small = pc.add(
+            pc.divide(pc.subtract(rank0, big), max(q, 1)), r + 1
+        )
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "bucket": pc.if_else(in_big, b_big, b_small).cast(pa.int64()),
+            }
+        )
+
+    ranked = global_row_number(
+        docs, sort_keys=["n_chars", "doc_id"], descending=[True, False]
+    )
+    return ranked.map_batches(bucketize, batch_format="pyarrow")
+
+
 # --- KG pipeline -------------------------------------------------------------
 
 
@@ -1261,6 +1470,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custkeys_without_orders": _q_custkeys_without_orders,
         "active_custkeys": _q_active_custkeys,
         "len_quantiles_tdigest": _q_len_quantiles_tdigest,
+        "customer_orders_full": _q_customer_orders_full,
+        "purchase_click_band": _q_purchase_click_band,
+        "events_sliding": _q_events_sliding,
+        "orders_status_pivot": _q_orders_status_pivot,
+        "orders_rollup": _q_orders_rollup,
+        "doc_dense_rank": _q_doc_dense_rank,
+        "doc_ntile": _q_doc_ntile,
         "kg_extract": _q_kg_extract,
         "kg_degrees": _q_kg_degrees,
         "kg_triples": _q_kg_triples,
@@ -1674,6 +1890,51 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(min(floor(epoch(ts))) AS BIGINT) AS min_ts, "
             "CAST(max(floor(epoch(ts))) AS BIGINT) AS max_ts, count(*) AS n_events "
             "FROM events GROUP BY event_type"
+        ),
+        "customer_orders_full": (
+            "SELECT COALESCE(c.custkey, o.custkey) AS custkey, "
+            "c.c_name AS c_name, o.n_orders AS n_orders FROM "
+            "(SELECT c_custkey AS custkey, c_name FROM customer "
+            "WHERE c_mktsegment = 'BUILDING') c FULL OUTER JOIN "
+            "(SELECT o_custkey AS custkey, count(*) AS n_orders FROM orders "
+            "GROUP BY o_custkey) o ON c.custkey = o.custkey"
+        ),
+        "purchase_click_band": (
+            "SELECT p.event_id AS event_id, count(c.event_id) AS n_clicks "
+            "FROM (SELECT event_id, ts FROM events "
+            "WHERE event_type = 'purchase') p "
+            "LEFT JOIN (SELECT event_id, ts FROM events "
+            "WHERE event_type = 'click') c "
+            "ON c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts "
+            "GROUP BY p.event_id"
+        ),
+        "events_sliding": (
+            "SELECT ((epoch_us(ts) // 1000000) // 900) * 900 - k * 900 "
+            "AS window_start_s, count(*) AS n_events FROM events, "
+            "LATERAL (SELECT unnest(range(4)) AS k) t GROUP BY 1"
+        ),
+        "orders_status_pivot": (
+            "SELECT year(o_orderdate) AS o_year, "
+            "count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open, "
+            "count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled, "
+            "count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending "
+            "FROM orders GROUP BY 1"
+        ),
+        "orders_rollup": (
+            "SELECT COALESCE(CAST(o_year AS VARCHAR), 'ALL') AS o_year, "
+            "COALESCE(o_status, 'ALL') AS o_status, count(*) AS n FROM "
+            "(SELECT year(o_orderdate) AS o_year, o_orderstatus AS o_status "
+            "FROM orders) GROUP BY ROLLUP(o_year, o_status)"
+        ),
+        "doc_dense_rank": (
+            "SELECT doc_id, n_chars, "
+            "DENSE_RANK() OVER (ORDER BY n_chars DESC) AS drank "
+            "FROM documents"
+        ),
+        "doc_ntile": (
+            "SELECT doc_id, "
+            "NTILE(10) OVER (ORDER BY n_chars DESC, doc_id) AS bucket "
+            "FROM documents"
         ),
         # minhash_pairs / simhash / langid / kg_* / multimodal_features:
         # deterministic but not ANSI-SQL-expressible (stable hashing, mock

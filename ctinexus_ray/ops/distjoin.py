@@ -11,7 +11,8 @@ driver-side state is allowed:
                         ``pkey = hash(keys) mod P``, not the join key — see
                         ``ops.groupagg`` for why per-key built-ins don't
                         scale), and the per-partition join is a vectorized
-                        C++ kernel. Supports inner / left outer / left anti.
+                        C++ kernel. Supports inner / left / right / full
+                        outer / left anti / left semi.
   connected_components  iterated min-label propagation with pointer jumping
                         over an (a, b) edge dataset. Every iteration is a
                         bounded number of shuffles over edge-sized data; the
@@ -36,6 +37,8 @@ from ctinexus_ray.ops.groupagg import add_hash_pkey
 _JOIN_TYPES = {
     "inner": "inner",
     "left": "left outer",
+    "right": "right outer",
+    "full": "full outer",
     "left_anti": "left anti",
     "left_semi": "left semi",
 }
@@ -83,9 +86,11 @@ def hash_join(
     of both sides for its key slice, so a per-partition
     ``pyarrow.Table.join`` (hash join in Arrow C++) produces exact results.
 
-    ``how``: ``inner`` | ``left`` | ``left_anti`` | ``left_semi``.
-    Output columns: keys + left non-key columns + (for inner/left)
-    right non-key columns. Non-key
+    ``how``: ``inner`` | ``left`` | ``right`` | ``full`` | ``left_anti``
+    | ``left_semi``. Output columns: keys + left non-key columns + (for
+    inner/left/right/full) right non-key columns; for right/full outer
+    the key columns are coalesced across sides (ANSI USING semantics).
+    Non-key
     column names must be disjoint across sides (rename first). Output row
     order is unspecified (hash-partitioned).
 

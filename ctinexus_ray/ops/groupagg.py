@@ -99,3 +99,78 @@ def partitioned_agg(
         .groupby("pkey")
         .map_groups(reduce_partition, batch_format="pandas")
     )
+
+
+def rollup_counts(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    out: str = "n",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """``GROUP BY ROLLUP(keys...)`` row counts: every prefix level of the
+    key list, coarsest level last. Grouped-out key columns take the
+    sentinel ``'ALL'`` (all key columns are cast to string), which equals
+    ``COALESCE(CAST(k AS VARCHAR), 'ALL')`` over SQL ROLLUP output when
+    the data itself has no NULL keys.
+
+    Scale shape: the corpus is read and shuffled ONCE for the finest
+    level (hash-partitioned vectorized count); every coarser level
+    re-aggregates the PREVIOUS level's counts — rollup-from-rollup, so
+    level j's input is level j+1's output (group-cardinality-sized, not
+    corpus-sized). Output: keys + [out]."""
+    import pyarrow as pa
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        arrays = [batch.column(k).cast(pa.string()) for k in keys]
+        return pa.Table.from_arrays(arrays, names=keys)
+
+    level = partitioned_agg(
+        ds.map_batches(stringify, batch_format="pyarrow"),
+        keys=keys,
+        named_aggs={out: (keys[0], "size")},
+        num_partitions=num_partitions,
+    )
+    levels = [level]
+    for j in range(len(keys) - 1, -1, -1):
+        kept = keys[:j]
+        prev = levels[-1]
+        if kept:
+            coarser = partitioned_agg(
+                prev,
+                keys=kept,
+                named_aggs={out: (out, "sum")},
+                num_partitions=num_partitions,
+            )
+        else:
+            total = prev.sum(out)
+
+            def _one(total=total):
+                return pa.Table.from_pydict({out: pa.array([total], type=pa.int64())})
+
+            coarser = ray.data.from_arrow(_one())
+
+        def widen(batch: pa.Table, kept=tuple(kept)) -> pa.Table:
+            n = batch.num_rows
+            arrays, names = [], []
+            for k in keys:
+                if k in kept:
+                    arrays.append(batch.column(k))
+                else:
+                    arrays.append(pa.array(["ALL"] * n, type=pa.string()))
+                names.append(k)
+            arrays.append(batch.column(out).cast(pa.int64()))
+            names.append(out)
+            return pa.Table.from_arrays(arrays, names=names)
+
+        levels.append(coarser)
+        levels[-1] = coarser.map_batches(widen, batch_format="pyarrow")
+
+    def pin(batch: pa.Table) -> pa.Table:
+        arrays = [batch.column(k).cast(pa.string()) for k in keys]
+        arrays.append(batch.column(out).cast(pa.int64()))
+        return pa.Table.from_arrays(arrays, names=keys + [out])
+
+    result = levels[0].map_batches(pin, batch_format="pyarrow")
+    for lv in levels[1:]:
+        result = result.union(lv.map_batches(pin, batch_format="pyarrow"))
+    return result

@@ -534,3 +534,188 @@ def grouped_int_quantiles(
             }
         )
     )
+
+
+def band_join_count(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_id: str,
+    left_on: str,
+    right_on: str,
+    lower: int,
+    upper: int,
+    out: str = "n_matches",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Band (interval/range) join with aggregate pushdown: for every left
+    row, count the right rows whose ``right_on`` lies in the inclusive
+    band ``[left_on + lower, left_on + upper]``. No equi key at all —
+    the shape Ray Data's API can't express and a naive cross join makes
+    quadratic.
+
+    Axis columns must be int64 (epoch micros recommended). Output:
+    ``(left_id, out)`` — one row per left row, zero counts preserved
+    (LEFT JOIN ... GROUP BY semantics).
+
+    Scale shape: the axis is bucketed at the band width ``B = upper -
+    lower`` so a left row's band overlaps at most 2 buckets. Right rows
+    shuffle ONCE to their bucket; left rows replicate to the <=2 buckets
+    they probe (bounded 2x replication of (id, axis) pairs only — never
+    payload columns). Within a partition each bucket's right axis values
+    are sorted once and every probe is a vectorized ``np.searchsorted``
+    pair, so matches are counted without materializing the joined rows.
+    A second hash-partitioned reduce sums per-bucket partial counts per
+    left id. Both sides stream; nothing corpus-sized on the driver.
+    """
+    import numpy as np
+
+    from ctinexus_ray.ops.groupagg import add_hash_pkey, partitioned_agg
+
+    assert upper >= lower, "empty band"
+    bucket = max(upper - lower, 1)
+    i64 = pa.int64()
+
+    def right_tag(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        axis = batch.column(right_on).cast(i64)
+        b = pc.divide(axis, bucket)  # integer floor-div for >=0 epochs
+        yield pa.Table.from_pydict(
+            {
+                "bucket": b.cast(i64),
+                "axis": axis,
+                "lid": pa.nulls(batch.num_rows, type=i64),
+                "is_right": pa.array([True] * batch.num_rows),
+            }
+        )
+
+    def left_tag(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        axis = batch.column(left_on).cast(i64).to_numpy(zero_copy_only=False)
+        lid = batch.column(left_id).cast(i64).to_numpy(zero_copy_only=False)
+        lo = axis + lower
+        hi = axis + upper
+        b0 = lo // bucket
+        b1 = hi // bucket
+        # probe rows: one per overlapped bucket (<= 2 since band <= bucket)
+        reps = (b1 - b0 + 1).astype(np.int64)
+        ridx = np.repeat(np.arange(len(axis)), reps)
+        # bucket sequence b0[i] .. b1[i] per row, flattened (vectorized
+        # ragged-range: global index minus each row's segment start)
+        cum = np.cumsum(reps)
+        offs = np.arange(int(cum[-1]) if len(cum) else 0, dtype=np.int64) \
+            - np.repeat(cum - reps, reps)
+        buckets = b0[ridx] + offs
+        yield pa.Table.from_pydict(
+            {
+                "bucket": pa.array(buckets, type=i64),
+                "axis": pa.array(axis[ridx], type=i64),
+                "lid": pa.array(lid[ridx], type=i64),
+                "is_right": pa.array([False] * len(ridx)),
+            }
+        )
+
+    tagged = right.select_columns([right_on]).map_batches(
+        right_tag, batch_format="pyarrow"
+    ).union(
+        left.select_columns([left_id, left_on]).map_batches(
+            left_tag, batch_format="pyarrow"
+        )
+    )
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        return add_hash_pkey(batch, ["bucket"], num_partitions)
+
+    def count_partition(g: pd.DataFrame) -> pd.DataFrame:
+        probes = g[~g["is_right"]]
+        if len(probes) == 0:
+            return pd.DataFrame({left_id: pd.array([], dtype="int64"),
+                                 "_n": pd.array([], dtype="int64")})
+        rt = g[g["is_right"]]
+        out_ids = probes["lid"].to_numpy(dtype=np.int64)
+        out_n = np.zeros(len(probes), dtype=np.int64)
+        if len(rt):
+            # per-bucket sorted axis slices; loop is over BUCKETS not rows
+            rt_sorted = rt.sort_values(["bucket", "axis"], kind="mergesort")
+            r_bucket = rt_sorted["bucket"].to_numpy(dtype=np.int64)
+            r_axis = rt_sorted["axis"].to_numpy(dtype=np.int64)
+            starts = np.searchsorted(r_bucket, np.unique(r_bucket), "left")
+            bounds = dict(
+                zip(
+                    np.unique(r_bucket).tolist(),
+                    zip(starts.tolist(),
+                        np.append(starts[1:], len(r_bucket)).tolist()),
+                )
+            )
+            p_bucket = probes["bucket"].to_numpy(dtype=np.int64)
+            p_axis = probes["axis"].to_numpy(dtype=np.int64)
+            for bk, (s, e) in bounds.items():
+                sel = p_bucket == bk
+                if not sel.any():
+                    continue
+                seg = r_axis[s:e]
+                lo = np.searchsorted(seg, p_axis[sel] + lower, "left")
+                hi = np.searchsorted(seg, p_axis[sel] + upper, "right")
+                out_n[sel] = hi - lo
+        return pd.DataFrame({left_id: out_ids, "_n": out_n})
+
+    partials = (
+        tagged.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(count_partition, batch_format="pandas")
+    )
+    return partitioned_agg(
+        partials,
+        keys=[left_id],
+        named_aggs={out: ("_n", "sum")},
+        num_partitions=num_partitions,
+    )
+
+
+def sliding_window_counts(
+    events: ray.data.Dataset,
+    ts_col: str = "ts",
+    window_s: int = 3600,
+    slide_s: int = 900,
+) -> ray.data.Dataset:
+    """Sliding (hopping) event-time window counts: windows start at every
+    multiple of ``slide_s`` seconds and span ``[start, start + window_s)``;
+    each event lands in ``window_s / slide_s`` windows. Output:
+    ``(window_start_s, n_events)`` with int64 epoch-second starts.
+
+    Vectorized fan-out (np.repeat of epoch buckets — the per-event window
+    replication never materializes payload columns) + one hash-partitioned
+    count reduce. Only non-empty windows are emitted (same as SQL GROUP
+    BY). Scale: output rows ~ time-span / slide, shuffle volume ~
+    events x fan-out of one int64 column.
+    """
+    import numpy as np
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    assert window_s % slide_s == 0, "window must be a multiple of slide"
+    fanout = window_s // slide_s
+
+    def explode(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        secs = (
+            batch.column(ts_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 1_000_000
+        )
+        base = (secs // slide_s) * slide_s
+        ks = np.arange(fanout, dtype=np.int64) * slide_s
+        starts = (base[:, None] - ks[None, :]).ravel()
+        yield pa.Table.from_pydict(
+            {"window_start_s": pa.array(starts, type=pa.int64())}
+        )
+
+    exploded = events.select_columns([ts_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    return partitioned_agg(
+        exploded,
+        keys=["window_start_s"],
+        named_aggs={"n_events": ("window_start_s", "size")},
+    )

@@ -176,3 +176,39 @@ class TestConnectedComponents:
         labels = connected_components(ds, num_partitions=8)
         drops = sorted(r["node"] for r in component_drops(labels).take_all())
         assert drops == [2, 3]
+
+
+class TestOuterJoins:
+    def test_right_outer(self, ray_session):
+        left = _ds([{"k": 1, "x": "a"}, {"k": 2, "x": "b"}])
+        right = _ds([{"k": 2, "y": 20}, {"k": 3, "y": 30}])
+        out = {r["k"]: r for r in hash_join(left, right, on=["k"], how="right").take_all()}
+        assert set(out) == {2, 3}
+        assert out[2]["x"] == "b" and out[2]["y"] == 20
+        assert out[3]["x"] is None and out[3]["y"] == 30
+
+    def test_full_outer(self, ray_session):
+        left = _ds([{"k": 1, "x": "a"}, {"k": 2, "x": "b"}])
+        right = _ds([{"k": 2, "y": 20}, {"k": 3, "y": 30}])
+        out = {r["k"]: r for r in hash_join(left, right, on=["k"], how="full").take_all()}
+        assert set(out) == {1, 2, 3}  # keys coalesce across sides
+        assert out[1]["x"] == "a" and out[1]["y"] is None
+        assert out[2]["x"] == "b" and out[2]["y"] == 20
+        assert out[3]["x"] is None and out[3]["y"] == 30
+
+    def test_full_outer_matches_pandas(self, ray_session):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        lrows = [{"k": int(rng.randint(0, 40)), "x": i} for i in range(200)]
+        rrows = [{"k": int(rng.randint(20, 60)), "y": i} for i in range(200)]
+        got = hash_join(_ds(lrows), _ds(rrows), on=["k"], how="full").to_pandas()
+        want = pd.merge(
+            pd.DataFrame(lrows), pd.DataFrame(rrows), on="k", how="outer"
+        )
+        key = ["k", "x", "y"]
+        got_s = got[key].sort_values(key, na_position="last").reset_index(drop=True)
+        want_s = want[key].sort_values(key, na_position="last").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got_s.astype("float64"), want_s.astype("float64")
+        )

@@ -344,3 +344,149 @@ class TestPartitionedAggTemporalKey:
         )
         assert {(ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts, n)
                 for ts, n in got} == want
+
+
+class TestBandJoinCount:
+    def test_vs_duckdb(self, ray_session, con):
+        from ctinexus_ray.ops.relational import band_join_count
+
+        ev = ray.data.read_parquet(f"{SF}/events.parquet")
+        got = {
+            (r["event_id"], r["n_clicks"])
+            for r in band_join_count(
+                ev.filter(expr="event_type == 'purchase'"),
+                ev.filter(expr="event_type == 'click'"),
+                left_id="event_id",
+                left_on="ts",
+                right_on="ts",
+                lower=-3_600_000_000,
+                upper=0,
+                out="n_clicks",
+            ).take_all()
+        }
+        want = set(
+            con.sql(
+                "SELECT p.event_id, count(c.event_id) FROM "
+                "(SELECT event_id, ts FROM events WHERE event_type='purchase') p "
+                "LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type='click') c "
+                "ON c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts "
+                "GROUP BY p.event_id"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_zero_matches_preserved(self, ray_session):
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.relational import band_join_count
+
+        left = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"id": [1, 2], "t": [0, 10_000_000]}
+            )
+        )
+        right = ray.data.from_arrow(
+            pa.Table.from_pydict({"t": [1, 2]})  # near t=0 only
+        )
+        got = {
+            (r["id"], r["n"])
+            for r in band_join_count(
+                left, right, "id", "t", "t", lower=0, upper=5, out="n"
+            ).take_all()
+        }
+        assert got == {(1, 2), (2, 0)}
+
+    def test_forward_and_backward_band(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.relational import band_join_count
+
+        rng = np.random.RandomState(3)
+        lt = rng.randint(0, 1000, size=200)
+        rt = rng.randint(0, 1000, size=300)
+        left = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"id": np.arange(200), "t": lt}
+            )
+        )
+        right = ray.data.from_arrow(pa.Table.from_pydict({"t": rt}))
+        for lo, hi in ((-50, 25), (10, 80), (0, 0)):
+            got = {
+                (r["id"], r["n"])
+                for r in band_join_count(
+                    left, right, "id", "t", "t", lower=lo, upper=hi, out="n"
+                ).take_all()
+            }
+            want = {
+                (i, int(((rt >= t + lo) & (rt <= t + hi)).sum()))
+                for i, t in enumerate(lt)
+            }
+            assert got == want, (lo, hi)
+
+
+class TestSlidingWindows:
+    def test_vs_duckdb(self, ray_session, con):
+        from ctinexus_ray.ops.relational import sliding_window_counts
+
+        ev = ray.data.read_parquet(f"{SF}/events.parquet")
+        got = {
+            (r["window_start_s"], r["n_events"])
+            for r in sliding_window_counts(
+                ev, ts_col="ts", window_s=3600, slide_s=900
+            ).take_all()
+        }
+        want = set(
+            con.sql(
+                "SELECT ((epoch_us(ts) // 1000000) // 900) * 900 - k * 900, "
+                "count(*) FROM events, LATERAL (SELECT unnest(range(4)) AS k) t "
+                "GROUP BY 1"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_every_event_in_exactly_fanout_windows(self, ray_session):
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.relational import sliding_window_counts
+
+        ts = pa.array([1_000_000_000_000], type=pa.timestamp("us"))
+        ds = ray.data.from_arrow(pa.Table.from_pydict({"ts": ts}))
+        rows = sliding_window_counts(ds, window_s=60, slide_s=15).take_all()
+        assert sum(r["n_events"] for r in rows) == 4
+        starts = sorted(r["window_start_s"] for r in rows)
+        # event at t=1_000_000s: containing slide-aligned starts are
+        # 999990 (= floor(1e6/15)*15) back through 3 more hops of 15s
+        assert starts == [999945, 999960, 999975, 999990]
+
+
+class TestRollupCounts:
+    def test_vs_duckdb(self, ray_session, con):
+        from ctinexus_ray.ops.groupagg import rollup_counts
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        orders = ray.data.read_parquet(f"{SF}/orders.parquet")
+
+        def keyed(batch):
+            return pa.Table.from_pydict(
+                {
+                    "y": pc.year(batch.column("o_orderdate")),
+                    "s": batch.column("o_orderstatus"),
+                }
+            )
+
+        got = {
+            (r["y"], r["s"], r["n"])
+            for r in rollup_counts(
+                orders.map_batches(keyed, batch_format="pyarrow"), keys=["y", "s"]
+            ).take_all()
+        }
+        want = set(
+            con.sql(
+                "SELECT COALESCE(CAST(y AS VARCHAR),'ALL'), COALESCE(s,'ALL'), "
+                "count(*) FROM (SELECT year(o_orderdate) AS y, o_orderstatus AS s "
+                "FROM orders) GROUP BY ROLLUP(y, s)"
+            ).fetchall()
+        )
+        assert got == want
