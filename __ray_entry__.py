@@ -1279,6 +1279,67 @@ def _q_doc_ntile(sf_dir: str):
     return ranked.map_batches(bucketize, batch_format="pyarrow")
 
 
+def _q_pmi_bigrams(sf_dir: str):
+    """Top-100 collocations by pointwise mutual information: two
+    hash-partitioned count shuffles (bigrams, unigrams) + two
+    two-large-sides hash joins — no driver-side vocabulary anywhere."""
+    from ctinexus_ray.ops.textstats import pmi_top_bigrams
+
+    return pmi_top_bigrams(_docs(sf_dir, ["text"]), min_count=5, top=100)
+
+
+def _q_cms_word_counts(sf_dir: str):
+    """Count-Min sketch point-frequency estimates for the exact top-20
+    words: the sketch is built from fixed-size mergeable (depth x width)
+    partials — the 100 TB path for "how often does word X occur" without
+    an exact all-vocabulary shuffle. Approximate by design -> rows-only;
+    accuracy vs exact counts is pinned in tests/test_sketch.py."""
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.sketch import count_min_estimates
+    from ctinexus_ray.ops.textstats import word_explode_batch
+
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        word_explode_batch, batch_format="pyarrow"
+    )
+    totals = partitioned_agg(
+        partials, keys=["word"], named_aggs={"n": ("n", "sum")}
+    ).materialize()  # reused: probe selection + sketch input
+    # probes: the exact top-20 head (a bounded driver list by construction)
+    head = totals.sort(["n", "word"], descending=[True, False]).limit(20)
+    probes = [r["word"] for r in head.take_all()]
+    return count_min_estimates(totals, "word", probes, weight="n")
+
+
+def _q_lineitem_orders_salted(sf_dir: str):
+    """Skew-salted distributed join (lineitem JOIN orders on orderkey,
+    salt=8) -> per-orderstatus totals. Result identical to the plain
+    hash join — salting only spreads hot keys across partitions, the
+    shape that survives a web corpus where one key holds 30% of rows."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from ctinexus_ray.ops.distjoin import salted_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).rename_columns({"l_orderkey": "okey"})
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    ).rename_columns({"o_orderkey": "okey"})
+    joined = salted_join(
+        li,
+        orders,
+        on=["okey"],
+        salt=8,
+        left_types={"okey": pa.int64(), "l_quantity": pa.float64()},
+        right_types={"okey": pa.int64(), "o_orderstatus": pa.string()},
+    )
+    agg = joined.groupby("o_orderstatus").aggregate(
+        Count(), Sum("l_quantity")
+    )
+    return _rename(agg, {"count()": "n_items", "sum(l_quantity)": "sum_qty"})
+
+
 # --- KG pipeline -------------------------------------------------------------
 
 
@@ -1477,6 +1538,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _q_orders_rollup,
         "doc_dense_rank": _q_doc_dense_rank,
         "doc_ntile": _q_doc_ntile,
+        "pmi_bigrams": _q_pmi_bigrams,
+        "cms_word_counts": _q_cms_word_counts,
+        "lineitem_orders_salted": _q_lineitem_orders_salted,
         "kg_extract": _q_kg_extract,
         "kg_degrees": _q_kg_degrees,
         "kg_triples": _q_kg_triples,
@@ -1935,6 +1999,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, "
             "NTILE(10) OVER (ORDER BY n_chars DESC, doc_id) AS bucket "
             "FROM documents"
+        ),
+        "pmi_bigrams": (
+            "WITH toks AS (SELECT regexp_split_to_array(trim(text), '\\s+') "
+            "AS ws FROM documents), "
+            "words AS (SELECT unnest(ws) AS word FROM toks), "
+            "wc AS (SELECT word, count(*) AS n FROM words GROUP BY word), "
+            "tot AS (SELECT count(*) AS nt FROM words), "
+            "bi AS (SELECT ws[CAST(i AS INT)] AS w1, "
+            "ws[CAST(i + 1 AS INT)] AS w2 FROM toks, "
+            "LATERAL (SELECT unnest(range(1, len(ws))) AS i)), "
+            "bc AS (SELECT w1, w2, count(*) AS n_ab FROM bi "
+            "GROUP BY w1, w2 HAVING count(*) >= 5), "
+            "ptot AS (SELECT count(*) AS np FROM bi) "
+            "SELECT bc.w1 || ' ' || bc.w2 AS bigram, bc.n_ab AS n_ab, "
+            "ln((CAST(bc.n_ab AS DOUBLE) / ptot.np) / "
+            "((CAST(wa.n AS DOUBLE) / tot.nt) * "
+            "(CAST(wb.n AS DOUBLE) / tot.nt))) AS pmi "
+            "FROM bc, ptot, tot, wc wa, wc wb "
+            "WHERE wa.word = bc.w1 AND wb.word = bc.w2 "
+            "ORDER BY pmi DESC, bigram LIMIT 100"
+        ),
+        "lineitem_orders_salted": (
+            "SELECT o_orderstatus, count(*) AS n_items, "
+            "sum(l_quantity) AS sum_qty FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderstatus"
         ),
         # minhash_pairs / simhash / langid / kg_* / multimodal_features:
         # deterministic but not ANSI-SQL-expressible (stable hashing, mock

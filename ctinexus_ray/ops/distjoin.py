@@ -558,3 +558,67 @@ def distinct_set_op(
         return batch.filter(mask).select(keys)
 
     return presence.map_batches(apply_op, batch_format="pyarrow")
+
+
+def salted_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 8,
+    num_partitions: int = 64,
+    left_types: dict[str, pa.DataType] | None = None,
+    right_types: dict[str, pa.DataType] | None = None,
+) -> ray.data.Dataset:
+    """Skew-resistant hash join: identical output to ``hash_join`` but a
+    hot key's rows spread over ``salt`` partitions instead of melting one
+    task.
+
+    Shape: every left row gets a deterministic-content-free ``_salt`` in
+    [0, salt) (round-robin within its batch — any assignment is correct,
+    it only routes rows); the right side is replicated once per salt
+    value; the join key becomes ``on + [_salt]``. A key holding 30% of a
+    web corpus (empty string, a boilerplate checksum, a crawl-error
+    sentinel) now fans across ``salt`` tasks.
+
+    Cost: right-side shuffle bytes x ``salt`` — use when the LEFT side is
+    large and skewed and the right is modest but too big to broadcast
+    (``ops.relational.broadcast_enrich`` beats this when the right side
+    fits in one object). ``how`` is limited to inner/left: right rows are
+    replicated, so right/full-outer and anti/semi-on-right semantics
+    would count unmatched right rows once per salt.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports how='inner'|'left' only")
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    lfields = _schema_fields(left, left_types)
+    rfields = _schema_fields(right, right_types)
+    if "_salt" in dict(lfields) or "_salt" in dict(rfields):
+        raise ValueError("column name '_salt' is reserved")
+    import numpy as np
+
+    def add_salt(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        s = np.arange(batch.num_rows, dtype=np.int64) % salt
+        yield batch.append_column("_salt", pa.array(s, type=pa.int64()))
+
+    def replicate(batch: pa.Table):
+        n = batch.num_rows
+        if n == 0:
+            return
+        rep = batch.take(pa.array(np.tile(np.arange(n, dtype=np.int64), salt)))
+        s = np.repeat(np.arange(salt, dtype=np.int64), n)
+        yield rep.append_column("_salt", pa.array(s, type=pa.int64()))
+
+    joined = hash_join(
+        left.map_batches(add_salt, batch_format="pyarrow"),
+        right.map_batches(replicate, batch_format="pyarrow"),
+        on=on + ["_salt"],
+        how=how,
+        num_partitions=num_partitions,
+        left_types=dict(lfields) | {"_salt": pa.int64()},
+        right_types=dict(rfields) | {"_salt": pa.int64()},
+    )
+    return joined.drop_columns(["_salt"])

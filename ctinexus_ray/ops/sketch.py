@@ -403,3 +403,127 @@ def tdigest_quantiles(
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+_CMS_SEED = np.uint64(0xC31B0C55)
+
+
+def _cms_seeds(depth: int) -> np.ndarray:
+    from ctinexus_ray.ops.dedup import _splitmix64
+
+    return _splitmix64(np.arange(depth, dtype=np.uint64) + _CMS_SEED)
+
+
+def _cms_indices(values, width: int, depth: int) -> np.ndarray:
+    """(depth, n) column indices for a sequence/arrow array of strings."""
+    from ctinexus_ray.ops.dedup import _splitmix64
+
+    h = hash64_strings(values)
+    seeds = _cms_seeds(depth)
+    return np.stack(
+        [
+            (_splitmix64(h ^ seeds[d]) % np.uint64(width)).astype(np.int64)
+            for d in range(depth)
+        ]
+    )
+
+
+def count_min_estimates(
+    ds: ray.data.Dataset,
+    column: str,
+    probe_values: list[str],
+    width: int = 4096,
+    depth: int = 4,
+    weight: str | None = None,
+) -> ray.data.Dataset:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) frequency estimates
+    for a bounded list of probe values.
+
+    Same mergeable-partial shape as ``hll_distinct``: each batch emits one
+    fixed-size (depth x width) int64 counter partial; the merge is an
+    elementwise SUM over O(num_batches) partials, so nothing corpus-sized
+    moves or lands on the driver. Estimates (min across the depth rows)
+    are never below the true count and exceed it by at most
+    e/width * N with probability 1 - exp(-depth) — the sketch path for
+    point-frequency queries when the exact answer would shuffle the whole
+    vocabulary.
+
+    ``weight`` names an optional int count column so pre-combined
+    (value, n) partials — e.g. ``word_explode_batch`` output — feed the
+    sketch without re-exploding to raw occurrences.
+
+    Returns one (value:string, n_est:int64) row per probe, sorted by
+    value. Approximate by design -> rows-only in the driver contract;
+    accuracy is pinned against exact counts in tests/test_sketch.py.
+    """
+    cols = [column] + ([weight] if weight else [])
+
+    def partial(batch: pa.Table):
+        idx = _cms_indices(batch.column(column), width, depth)
+        w = (
+            np.asarray(batch.column(weight).to_pylist(), dtype=np.int64)
+            if weight
+            else np.ones(batch.num_rows, dtype=np.int64)
+        )
+        mat = np.zeros((depth, width), dtype=np.int64)
+        for d in range(depth):
+            np.add.at(mat[d], idx[d], w)
+        yield pa.Table.from_pydict(
+            {"counts": pa.array([mat.tobytes()], type=pa.binary())}
+        )
+
+    partials = ds.select_columns(cols).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    # zero seed partial: guarantees one output row on an empty dataset
+    seed = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "counts": pa.array(
+                    [np.zeros((depth, width), dtype=np.int64).tobytes()],
+                    type=pa.binary(),
+                )
+            }
+        )
+    )
+    partials = partials.union(seed)
+
+    def merge(batch: pa.Table):
+        acc = np.zeros(depth * width, dtype=np.int64)
+        for buf in batch.column("counts").to_pylist():
+            acc += np.frombuffer(buf, dtype=np.int64)
+        yield pa.Table.from_pydict(
+            {"counts": pa.array([acc.tobytes()], type=pa.binary())}
+        )
+
+    merged = (
+        partials.repartition(8)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
+    probes = sorted(probe_values)
+
+    def finalize(batch: pa.Table):
+        mat = np.frombuffer(
+            batch.column("counts")[0].as_py(), dtype=np.int64
+        ).reshape(depth, width)
+        if probes:
+            idx = _cms_indices(probes, width, depth)
+            ests = mat[0, idx[0]]
+            for d in range(1, depth):
+                ests = np.minimum(ests, mat[d, idx[d]])
+        else:
+            ests = np.zeros(0, dtype=np.int64)
+        yield pa.Table.from_pydict(
+            {
+                "value": pa.array(probes, type=pa.string()),
+                "n_est": pa.array(ests, type=pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")

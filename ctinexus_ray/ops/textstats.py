@@ -583,3 +583,141 @@ def repetition_stats_batch(batch: pa.Table) -> pa.Table:
             "top_word_frac": pa.array(top_frac, type=pa.float64()),
         }
     )
+
+
+def pmi_top_bigrams(
+    docs: "ray.data.Dataset",
+    min_count: int = 5,
+    top: int = 100,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Top bigrams by pointwise mutual information
+    ``pmi = ln(P(w1,w2) / (P(w1) P(w2)))`` — the collocation-mining shape
+    (Church & Hanks 1990) over a web corpus, fully distributed:
+
+      1. bigram counts: per-batch combined partials
+         (``bigram_explode_batch``) -> hash-partitioned sum (distinct
+         bigrams grow with the corpus — no built-in per-key aggregate,
+         no driver vocab)
+      2. unigram counts: same shape via ``word_explode_batch``
+      3. the two totals (token count, bigram count) are single scalars
+         read off the aggregated datasets (both are materialized once —
+         into the distributed object store, never the driver — because
+         they are also join inputs)
+      4. bigrams with ``n_ab >= min_count`` JOIN unigram counts on w1
+         then on w2 with the two-large-sides ``hash_join`` (the
+         vocabulary can itself be corpus-scale, so neither side is
+         broadcast)
+      5. pmi via libm ``math.log`` with the division order written
+         exactly as the SQL oracle's expression, so doubles match
+         bit-for-bit
+
+    Returns (bigram, n_ab, pmi) — the ``top`` rows by (pmi desc, bigram).
+    """
+    import math
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    bi_partials = docs.select_columns(["text"]).map_batches(
+        bigram_explode_batch, batch_format="pyarrow"
+    )
+    bc = partitioned_agg(
+        bi_partials,
+        keys=["bigram"],
+        named_aggs={"n_ab": ("n", "sum")},
+        num_partitions=num_partitions,
+    ).materialize()
+    w_partials = docs.select_columns(["text"]).map_batches(
+        word_explode_batch, batch_format="pyarrow"
+    )
+    wc = partitioned_agg(
+        w_partials,
+        keys=["word"],
+        named_aggs={"n": ("n", "sum")},
+        num_partitions=num_partitions,
+    ).materialize()
+    n_tokens = wc.sum("n")
+    n_pairs = bc.sum("n_ab")  # totals BEFORE the min_count filter
+
+    def split_w1(batch: pa.Table):
+        t = batch.filter(pc.greater_equal(batch.column("n_ab"), min_count))
+        if t.num_rows == 0:
+            return
+        # tokens are whitespace-split, so a bigram has exactly one space
+        parts = pc.split_pattern(t.column("bigram"), " ", max_splits=1)
+        yield pa.Table.from_pydict(
+            {
+                "word": pc.list_element(parts, 0).cast(pa.string()),
+                "w2": pc.list_element(parts, 1).cast(pa.string()),
+                "n_ab": t.column("n_ab").cast(pa.int64()),
+            }
+        )
+
+    def rename_n(to: str):
+        # Dataset.rename_columns chokes on pandas-backed blocks (the
+        # partitioned_agg output) — rename through an Arrow batch map
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [to if c == "n" else c for c in batch.column_names]
+            )
+
+        return fn
+
+    filtered = bc.map_batches(split_w1, batch_format="pyarrow")
+    j1 = hash_join(
+        filtered,
+        wc.map_batches(rename_n("na"), batch_format="pyarrow"),
+        on=["word"],
+        num_partitions=num_partitions,
+        left_types={"word": pa.string(), "w2": pa.string(), "n_ab": pa.int64()},
+        right_types={"word": pa.string(), "na": pa.int64()},
+    )
+
+    def rekey_w2(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "w1": batch.column("word"),
+                "word": batch.column("w2"),
+                "n_ab": batch.column("n_ab"),
+                "na": batch.column("na"),
+            }
+        )
+
+    j2 = hash_join(
+        j1.map_batches(rekey_w2, batch_format="pyarrow"),
+        wc.map_batches(rename_n("nb"), batch_format="pyarrow"),
+        on=["word"],
+        num_partitions=num_partitions,
+        left_types={
+            "word": pa.string(),
+            "w1": pa.string(),
+            "n_ab": pa.int64(),
+            "na": pa.int64(),
+        },
+        right_types={"word": pa.string(), "nb": pa.int64()},
+    )
+
+    def score(batch: pa.Table):
+        w1 = batch.column("w1").to_pylist()
+        w2 = batch.column("word").to_pylist()
+        n_ab = batch.column("n_ab").to_pylist()
+        na = batch.column("na").to_pylist()
+        nb = batch.column("nb").to_pylist()
+        # expression order mirrors the SQL oracle exactly (bit-equal ln)
+        pmi = [
+            math.log((ab / n_pairs) / ((a / n_tokens) * (b / n_tokens)))
+            for ab, a, b in zip(n_ab, na, nb)
+        ]
+        yield pa.Table.from_pydict(
+            {
+                "bigram": pa.array(
+                    [f"{a} {b}" for a, b in zip(w1, w2)], type=pa.string()
+                ),
+                "n_ab": pa.array(n_ab, type=pa.int64()),
+                "pmi": pa.array(pmi, type=pa.float64()),
+            }
+        )
+
+    scored = j2.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["pmi", "bigram"], descending=[True, False]).limit(top)

@@ -212,3 +212,57 @@ class TestOuterJoins:
         pd.testing.assert_frame_equal(
             got_s.astype("float64"), want_s.astype("float64")
         )
+
+
+class TestSaltedJoin:
+    def _sides(self):
+        import pyarrow as pa
+        import ray.data
+
+        # skewed left: one hot key with 300 rows
+        left = pa.Table.from_pydict(
+            {
+                "k": [1] * 300 + [2, 3, 4],
+                "lv": list(range(303)),
+            }
+        )
+        right = pa.Table.from_pydict(
+            {"k": [1, 2, 5], "rv": ["a", "b", "c"]}
+        )
+        return ray.data.from_arrow(left).repartition(4), ray.data.from_arrow(
+            right
+        )
+
+    def test_inner_matches_hash_join(self, ray_session):
+        from ctinexus_ray.ops.distjoin import hash_join, salted_join
+
+        l, r = self._sides()
+        plain = sorted(
+            (row["k"], row["lv"], row["rv"])
+            for row in hash_join(l, r, on=["k"]).take_all()
+        )
+        salted = sorted(
+            (row["k"], row["lv"], row["rv"])
+            for row in salted_join(l, r, on=["k"], salt=4).take_all()
+        )
+        assert salted == plain and len(salted) == 301
+
+    def test_left_outer_unmatched_once(self, ray_session):
+        from ctinexus_ray.ops.distjoin import salted_join
+
+        l, r = self._sides()
+        rows = salted_join(l, r, on=["k"], how="left", salt=3).take_all()
+        assert len(rows) == 303  # every left row exactly once
+        unmatched = [row for row in rows if row["rv"] is None]
+        assert sorted(row["k"] for row in unmatched) == [3, 4]
+
+    def test_rejects_bad_args(self, ray_session):
+        import pytest
+
+        from ctinexus_ray.ops.distjoin import salted_join
+
+        l, r = self._sides()
+        with pytest.raises(ValueError):
+            salted_join(l, r, on=["k"], how="full")
+        with pytest.raises(ValueError):
+            salted_join(l, r, on=["k"], salt=0)

@@ -543,3 +543,62 @@ class TestMinHashKeepDistributed:
             for r in minhash_dedup_keep(ds, threshold=0.5, num_partitions=8).take_all()
         )
         assert got == list(range(10))
+
+
+class TestPMI:
+    def test_matches_hand_computation(self, ray_session):
+        import math
+        from collections import Counter
+
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.textstats import pmi_top_bigrams
+
+        texts = [
+            "a b a b c",
+            "a b x y",
+            "b c a b",
+            "x y x y a b",
+        ] * 3
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict({"doc_id": list(range(len(texts))), "text": texts})
+        ).repartition(3)
+        # hand oracle
+        wc: Counter = Counter()
+        bc: Counter = Counter()
+        nt = 0
+        npairs = 0
+        for t in texts:
+            ws = t.split()
+            wc.update(ws)
+            nt += len(ws)
+            for x, y in zip(ws, ws[1:]):
+                bc[(x, y)] += 1
+                npairs += 1
+        expect = []
+        for (x, y), n_ab in bc.items():
+            if n_ab >= 3:
+                pmi = math.log(
+                    (n_ab / npairs) / ((wc[x] / nt) * (wc[y] / nt))
+                )
+                expect.append((f"{x} {y}", n_ab, pmi))
+        expect.sort(key=lambda r: (-r[2], r[0]))
+        got = [
+            (r["bigram"], r["n_ab"], r["pmi"])
+            for r in pmi_top_bigrams(ds, min_count=3, top=10)
+            .take_all()
+        ]
+        assert got == expect[:10]
+
+    def test_min_count_filters(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.textstats import pmi_top_bigrams
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict({"doc_id": [1], "text": ["p q p q r s"]})
+        )
+        rows = pmi_top_bigrams(ds, min_count=2, top=10).take_all()
+        assert [r["bigram"] for r in rows] == ["p q"]

@@ -66,3 +66,53 @@ class TestMisraGries:
         assert [(r["value"], r["n"]) for r in top] == [
             ("a", 10), ("b", 7), ("c", 3)
         ]
+
+
+class TestCountMin:
+    def test_never_underestimates_and_tight_on_sparse(self, ray_session):
+        from collections import Counter
+
+        from ctinexus_ray.ops.sketch import count_min_estimates
+
+        vals = [f"w{i % 500}" for i in range(20_000)] + ["hot"] * 5_000
+        exact = Counter(vals)
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict({"w": vals})
+        ).repartition(8)
+        probes = ["hot", "w0", "w499", "absent"]
+        got = {
+            r["value"]: r["n_est"]
+            for r in count_min_estimates(ds, "w", probes).take_all()
+        }
+        assert set(got) == set(probes)
+        for p in probes:
+            assert got[p] >= exact[p], p  # CMS never underestimates
+            # 501 distinct values vs width 4096 -> collisions are rare;
+            # allow a small additive slack
+            assert got[p] <= exact[p] + 60, (p, got[p], exact[p])
+
+    def test_weighted_partials_equal_raw(self, ray_session):
+        from ctinexus_ray.ops.sketch import count_min_estimates
+
+        raw = ray.data.from_arrow(
+            pa.Table.from_pydict({"w": ["a"] * 7 + ["b"] * 3})
+        )
+        weighted = ray.data.from_arrow(
+            pa.Table.from_pydict({"w": ["a", "b"], "n": [7, 3]})
+        )
+        p = ["a", "b", "c"]
+        r1 = {x["value"]: x["n_est"] for x in count_min_estimates(raw, "w", p).take_all()}
+        r2 = {
+            x["value"]: x["n_est"]
+            for x in count_min_estimates(weighted, "w", p, weight="n").take_all()
+        }
+        assert r1 == r2 == {"a": 7, "b": 3, "c": 0}
+
+    def test_empty_dataset(self, ray_session):
+        from ctinexus_ray.ops.sketch import count_min_estimates
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict({"w": pa.array([], type=pa.string())})
+        )
+        rows = count_min_estimates(ds, "w", ["x"]).take_all()
+        assert rows == [{"value": "x", "n_est": 0}]
