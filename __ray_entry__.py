@@ -1279,6 +1279,141 @@ def _q_doc_ntile(sf_dir: str):
     return ranked.map_batches(bucketize, batch_format="pyarrow")
 
 
+def _q_tpch_q1(sf_dir: str):
+    """TPC-H Q1 pricing summary. Money columns aggregate as integer CENTS
+    (per-row FLOOR(x*100 + 0.5) — identical IEEE expression on both
+    sides) because a distributed double sum is summation-order-dependent
+    and would never hash-match an oracle; the averages divide the exact
+    integer sums, so they are bit-exact too. Per-batch pandas combine on
+    the 6-value key -> built-in grouped Sum (tiny key space)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    def partial(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        cutoff = pa.scalar(
+            np.datetime64("1998-09-02T00:00:00", "us"), type=pa.timestamp("us")
+        )
+        t = batch.filter(pc.less_equal(batch.column("l_shipdate"), cutoff))
+        if t.num_rows == 0:
+            return
+        ep = np.asarray(t.column("l_extendedprice").to_pylist(), dtype=np.float64)
+        disc = np.asarray(t.column("l_discount").to_pylist(), dtype=np.float64)
+        tax = np.asarray(t.column("l_tax").to_pylist(), dtype=np.float64)
+        qty = np.asarray(t.column("l_quantity").to_pylist(), dtype=np.float64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t.column("l_returnflag").to_pylist(),
+                "l_linestatus": t.column("l_linestatus").to_pylist(),
+                "qty": np.floor(qty + 0.5).astype(np.int64),
+                "base_c": np.floor(ep * 100 + 0.5).astype(np.int64),
+                "disc_c": np.floor(ep * (1 - disc) * 100 + 0.5).astype(np.int64),
+                "charge_c": np.floor(
+                    ep * (1 - disc) * (1 + tax) * 100 + 0.5
+                ).astype(np.int64),
+                "disc_bp": np.floor(disc * 10000 + 0.5).astype(np.int64),
+                "n": np.ones(t.num_rows, dtype=np.int64),
+            }
+        )
+        agg = df.groupby(["l_returnflag", "l_linestatus"], sort=False).sum()
+        yield pa.Table.from_pandas(agg.reset_index(), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty"), Sum("base_c"), Sum("disc_c"), Sum("charge_c"),
+        Sum("disc_bp"), Sum("n"),
+    )
+
+    def finalize(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        sq = np.asarray(batch.column("sum(qty)").to_pylist(), dtype=np.int64)
+        sb = np.asarray(batch.column("sum(base_c)").to_pylist(), dtype=np.int64)
+        sd = np.asarray(batch.column("sum(disc_c)").to_pylist(), dtype=np.int64)
+        sc = np.asarray(batch.column("sum(charge_c)").to_pylist(), dtype=np.int64)
+        bp = np.asarray(batch.column("sum(disc_bp)").to_pylist(), dtype=np.int64)
+        n = np.asarray(batch.column("sum(n)").to_pylist(), dtype=np.int64)
+        yield pa.Table.from_pydict(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": pa.array(sq, type=pa.int64()),
+                "sum_base_cents": pa.array(sb, type=pa.int64()),
+                "sum_disc_cents": pa.array(sd, type=pa.int64()),
+                "sum_charge_cents": pa.array(sc, type=pa.int64()),
+                "avg_qty": pa.array(sq.astype(np.float64) / n, type=pa.float64()),
+                "avg_price": pa.array(
+                    sb.astype(np.float64) / 100.0 / n, type=pa.float64()
+                ),
+                "avg_disc": pa.array(
+                    bp.astype(np.float64) / 10000.0 / n, type=pa.float64()
+                ),
+                "count_order": pa.array(n, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def _q_distinct_users_by_type(sf_dir: str):
+    """Exact per-group COUNT(DISTINCT): hash-partitioned (key, value)
+    distinct -> tiny per-key count — the exact anchor for the grouped-HLL
+    sketch path."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    ev = _events(sf_dir).select_columns(["event_type", "user_id"])
+    pairs = partitioned_agg(
+        ev,
+        keys=["event_type", "user_id"],
+        named_aggs={"n": ("user_id", "size")},
+    )
+    agg = pairs.groupby("event_type").aggregate(Count())
+    return _rename(agg, {"count()": "n_users"})
+
+
+def _q_distinct_users_hll(sf_dir: str):
+    """Grouped HyperLogLog distinct users per event type: one mergeable
+    register set per key, map-side combined — the 100 TB shape when the
+    exact grouped distinct would shuffle every (key, value) pair.
+    Approximate -> rows-only; exact anchor = distinct_users_by_type."""
+    from ctinexus_ray.ops.sketch import grouped_hll_distinct
+
+    ev = _events(sf_dir).select_columns(["event_type", "user_id"])
+    return grouped_hll_distinct(ev, "event_type", "user_id", p=12)
+
+
+def _q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (ADC over m=8 uint8 codes per vector —
+    the memory-scale path; approximate -> rows-only, recall pinned by
+    tests)."""
+    from ctinexus_ray.ops.simsearch import pq_topk
+    from ctinexus_ray.sources.documents import read_testdata_embeddings
+
+    topk = pq_topk(
+        read_testdata_embeddings(sf_dir), n_queries=10, k=5, m=16, n_codes=64
+    )
+    return topk.select_columns(["query_id", "rank", "neighbor_id"])
+
+
 def _q_pmi_bigrams(sf_dir: str):
     """Top-100 collocations by pointwise mutual information: two
     hash-partitioned count shuffles (bigrams, unigrams) + two
@@ -1541,6 +1676,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": _q_pmi_bigrams,
         "cms_word_counts": _q_cms_word_counts,
         "lineitem_orders_salted": _q_lineitem_orders_salted,
+        "tpch_q1": _q_tpch_q1,
+        "distinct_users_by_type": _q_distinct_users_by_type,
+        "distinct_users_hll": _q_distinct_users_hll,
+        "ann_pq": _q_ann_pq,
         "kg_extract": _q_kg_extract,
         "kg_degrees": _q_kg_degrees,
         "kg_triples": _q_kg_triples,
@@ -2025,6 +2164,31 @@ def oracle_sql() -> dict[str, str]:
             "sum(l_quantity) AS sum_qty FROM lineitem "
             "JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderstatus"
+        ),
+        "tpch_q1": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty, "
+            "CAST(sum(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sum_base_cents, "
+            "CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents, "
+            "CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * "
+            "(1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_charge_cents, "
+            "CAST(sum(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) "
+            "/ count(*) AS avg_qty, "
+            "CAST(sum(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) "
+            "AS DOUBLE) / 100.0 / count(*) AS avg_price, "
+            "CAST(sum(CAST(FLOOR(l_discount * 10000 + 0.5) AS BIGINT)) "
+            "AS DOUBLE) / 10000.0 / count(*) AS avg_disc, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "distinct_users_by_type": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type"
         ),
         # minhash_pairs / simhash / langid / kg_* / multimodal_features:
         # deterministic but not ANSI-SQL-expressible (stable hashing, mock

@@ -398,3 +398,188 @@ def ivf_topk(
         search, batch_format="pyarrow"
     )
     return _merge_topk(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) ANN
+# ---------------------------------------------------------------------------
+
+
+def _pq_codebooks(
+    sample: np.ndarray, m: int, n_codes: int, n_iter: int = 5
+) -> np.ndarray:
+    """(m, n_codes, dim/m) deterministic per-subspace k-means codebooks
+    (Euclidean Lloyd's; init = first ``n_codes`` sample rows, no RNG — every
+    worker derives identical books). Sample rows are L2-normalized first so
+    the ADC dot-product sums approximate cosine similarity."""
+    sample = _normalize(sample)
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    n_codes = min(n_codes, len(sample))
+    books = np.empty((m, n_codes, sub), dtype=np.float64)
+    for j in range(m):
+        x = sample[:, j * sub : (j + 1) * sub]
+        c = x[:n_codes].copy()
+        for _ in range(n_iter):
+            # Euclidean assignment: argmin ||x-c||^2 = argmax (x.c - |c|^2/2)
+            scores = x @ c.T - 0.5 * np.sum(c * c, axis=1)[None, :]
+            assign = np.argmax(scores, axis=1)
+            for ci in range(n_codes):
+                members = x[assign == ci]
+                if len(members):
+                    c[ci] = members.mean(axis=0)
+        books[j] = c
+    return books
+
+
+def _pq_assign(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes for an already-normalized (n, dim) matrix."""
+    m, n_codes, sub = books.shape
+    codes = np.empty((mat.shape[0], m), dtype=np.uint8)
+    for j in range(m):
+        x = mat[:, j * sub : (j + 1) * sub]
+        scores = x @ books[j].T - 0.5 * np.sum(books[j] * books[j], axis=1)[None, :]
+        codes[:, j] = np.argmax(scores, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(
+    embeddings: ray.data.Dataset, books_ref
+) -> ray.data.Dataset:
+    """Compress the embedding column to (vec_id, codes: m-byte binary) —
+    one pass; ``books_ref`` is a ``ray.put`` handle to the codebooks, read
+    once per task, never re-shipped per batch. At dim=64 float64 -> m=8
+    uint8 this is a 64x smaller scan footprint for every downstream ADC
+    search."""
+
+    def encode(batch: pa.Table) -> pa.Table:
+        books = ray.get(books_ref)
+        mat = _normalize(
+            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        codes = _pq_assign(mat, books)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": batch.column("vec_id"),
+                "codes": pa.array(
+                    [codes[i].tobytes() for i in range(len(codes))],
+                    type=pa.binary(),
+                ),
+            }
+        )
+
+    return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        encode, batch_format="pyarrow"
+    )
+
+
+def pq_topk(
+    embeddings: ray.data.Dataset,
+    n_queries: int,
+    k: int = 5,
+    m: int = 16,
+    n_codes: int = 64,
+    train_sample: int = 2048,
+    rerank: int = 64,
+) -> ray.data.Dataset:
+    """Product-quantization approximate top-k (Jegou, Douze & Schmid 2011)
+    — the MEMORY-scale ANN path: vectors compress to ``m`` uint8 codes, so
+    the candidate scan reads m bytes per vector instead of dim x 8.
+
+    Train: bounded sample (first ``train_sample`` vec_ids — constant
+    driver memory) -> per-subspace deterministic k-means codebooks,
+    broadcast once. Search: each corpus batch encodes its vectors and
+    scores them against every query with asymmetric distance computation
+    (ADC): per query a precomputed (m, n_codes) table of
+    query-subvector . centroid dot products; a vector's approximate
+    cosine is the sum of m table lookups — one vectorized gather, no
+    per-row Python. The best ``rerank`` ADC candidates per (query, batch)
+    are then re-scored EXACTLY (a gathered dot product over only those
+    rows — the standard ADC+re-rank shape), so the emitted top-k partials
+    carry true cosines and the shared per-query merge ranks correctly
+    across batches.
+
+    Approximate by design (the shortlist can miss a true neighbor) ->
+    rows-only in the driver contract; recall vs the exact scan is pinned
+    in tests (test_ops.py::TestPQ — 1.0 at the defaults on the testdata).
+    """
+    sample_rows = (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {train_sample}")
+        .take_all()
+    )
+    sample_rows.sort(key=lambda r: r["vec_id"])
+    if not sample_rows:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
+    books = _pq_codebooks(sample, m=m, n_codes=n_codes)
+
+    q_rows = [r for r in sample_rows if r["vec_id"] < n_queries]
+    if len(q_rows) < n_queries:
+        q_rows = (
+            embeddings.select_columns(["vec_id", "embedding"])
+            .filter(expr=f"vec_id < {n_queries}")
+            .take_all()
+        )
+        q_rows.sort(key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    sub = q_mat.shape[1] // m
+    # per-query ADC tables: (n_q, m, n_codes) of q_sub . centroid
+    tables = np.einsum(
+        "qjs,jcs->qjc", q_mat.reshape(len(q_ids), m, sub), books
+    )
+    shared = ray.put((q_ids, q_mat, tables, books))
+
+    def search(batch: pa.Table):
+        qids, qmat, tbls, bks = ray.get(shared)
+        v_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        if not len(v_ids):
+            return
+        v_mat = _normalize(
+            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        codes = _pq_assign(v_mat, bks)  # (n_v, m)
+        # ADC: sims[q, v] = sum_j tbls[q, j, codes[v, j]]
+        j_idx = np.arange(bks.shape[0])
+        gathered = tbls[:, j_idx[None, :], codes]  # (n_q, n_v, m)
+        sims = gathered.sum(axis=2)
+        shortlist = max(rerank, k)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            row = sims[qi]
+            mask = v_ids != qids[qi]
+            rows = np.nonzero(mask)[0]
+            if len(rows) > shortlist:
+                rows = rows[np.lexsort((v_ids[rows], -row[rows]))[:shortlist]]
+            # exact re-rank of the ADC shortlist only
+            exact = v_mat[rows] @ qmat[qi]
+            if len(rows) > k:
+                sel = np.lexsort((v_ids[rows], -exact))[:k]
+                rows, exact = rows[sel], exact[sel]
+            out_q.append(np.full(len(rows), qids[qi], dtype=np.int64))
+            out_n.append(v_ids[rows])
+            out_s.append(exact)
+        yield pa.Table.from_pydict(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    partials = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        search, batch_format="pyarrow"
+    )
+    return _merge_topk(partials, k)

@@ -527,3 +527,69 @@ def count_min_estimates(
         )
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# grouped HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def grouped_hll_distinct(
+    ds: ray.data.Dataset, key: str, column: str, p: int = 12
+) -> ray.data.Dataset:
+    """Per-group approximate COUNT(DISTINCT column) — one HLL register set
+    per key, map-side combined: each batch emits ONE (key, registers)
+    partial per key it contains, so the shuffle moves
+    O(num_batches x keys_per_batch) fixed-size rows instead of every
+    distinct (key, value) pair. The reduce is a register-wise max per key.
+
+    The scale shape for "distinct users per dimension" when the exact
+    answer would shuffle the full (key, value) distinct set. Approximate
+    by design -> rows-only; anchored against the exact distributed
+    distinct in tests and by the ``distinct_users_by_type`` ✓SQL query.
+
+    Returns (``key``, approx_distinct:int64). Group cardinality must be
+    modest per batch (registers are 2^p bytes per group per batch); for
+    corpus-cardinality keys, pre-partition by key hash first so each
+    batch holds few groups.
+    """
+
+    def partial(batch: pa.Table):
+        keys = batch.column(key).to_pylist()
+        vals = batch.column(column)
+        if not (
+            pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type)
+        ):
+            vals = vals.cast(pa.string())  # hash as decimal text
+        uniq, inverse = np.unique(np.asarray(keys, dtype=object), return_inverse=True)
+        out_k, out_r = [], []
+        for gi, kv in enumerate(uniq):
+            rows = np.nonzero(inverse == gi)[0]
+            regs = _hll_partial(vals.take(pa.array(rows)), p)
+            out_k.append(kv)
+            out_r.append(regs.tobytes())
+        yield pa.Table.from_pydict(
+            {key: pa.array(out_k), "regs": pa.array(out_r, type=pa.binary())}
+        )
+
+    partials = ds.select_columns([key, column]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    m = 1 << p
+
+    def merge_group(g) -> "pa.Table":
+        import pandas as pd
+
+        acc = np.zeros(m, dtype=np.uint8)
+        for buf in g["regs"]:
+            acc = np.maximum(acc, np.frombuffer(buf, dtype=np.uint8))
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]],
+                "approx_distinct": pd.array(
+                    [int(round(_hll_estimate(acc)))], dtype="int64"
+                ),
+            }
+        )
+
+    return partials.groupby(key).map_groups(merge_group, batch_format="pandas")

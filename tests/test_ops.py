@@ -602,3 +602,52 @@ class TestPMI:
         )
         rows = pmi_top_bigrams(ds, min_count=2, top=10).take_all()
         assert [r["bigram"] for r in rows] == ["p q"]
+
+
+class TestPQ:
+    def test_recall_vs_exact(self, embeddings):
+        from ctinexus_ray.ops.simsearch import pq_topk, self_topk
+
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in self_topk(embeddings, n_queries=10, k=5).take_all()
+        }
+        approx_rows = pq_topk(
+            embeddings, n_queries=10, k=5, m=16, n_codes=64, rerank=64
+        ).take_all()
+        approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+        # exactly k rows per query, ranks 1..k
+        by_q = {}
+        for r in approx_rows:
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert set(by_q) == set(range(10))
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+        recall = len(exact & approx) / len(exact)
+        # ADC shortlist + exact re-rank: near-perfect on the testdata
+        assert recall >= 0.9, recall
+
+    def test_encode_shapes_and_determinism(self, embeddings):
+        import ray
+
+        from ctinexus_ray.ops.simsearch import (
+            _pq_codebooks,
+            pq_encode,
+        )
+
+        rows = embeddings.take_all()
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        books = _pq_codebooks(mat[:256], m=8, n_codes=16)
+        assert books.shape == (8, 16, 8)
+        ref = ray.put(books)
+        got1 = {r["vec_id"]: r["codes"] for r in pq_encode(embeddings, ref).take_all()}
+        got2 = {r["vec_id"]: r["codes"] for r in pq_encode(embeddings, ref).take_all()}
+        assert got1 == got2
+        assert all(len(c) == 8 for c in got1.values())
+
+    def test_bad_dim_rejected(self, ray_session):
+        import pytest
+
+        from ctinexus_ray.ops.simsearch import _pq_codebooks
+
+        with pytest.raises(ValueError):
+            _pq_codebooks(np.ones((4, 10)), m=3, n_codes=2)

@@ -116,3 +116,35 @@ class TestCountMin:
         )
         rows = count_min_estimates(ds, "w", ["x"]).take_all()
         assert rows == [{"value": "x", "n_est": 0}]
+
+
+class TestGroupedHLL:
+    def test_close_to_exact_per_group(self, ray_session):
+        from ctinexus_ray.ops.sketch import grouped_hll_distinct
+
+        rows = {
+            "k": ["a"] * 6000 + ["b"] * 3000 + ["c"] * 10,
+            "v": [f"u{i % 500}" for i in range(6000)]
+            + [f"w{i % 120}" for i in range(3000)]
+            + [f"x{i}" for i in range(10)],
+        }
+        ds = ray.data.from_arrow(pa.Table.from_pydict(rows)).repartition(8)
+        got = {
+            r["k"]: r["approx_distinct"]
+            for r in grouped_hll_distinct(ds, "k", "v", p=12).take_all()
+        }
+        exact = {"a": 500, "b": 120, "c": 10}
+        assert set(got) == set(exact)
+        for k, n in exact.items():
+            assert abs(got[k] - n) / n < 0.05, (k, got[k])
+
+    def test_int_column_and_merge_across_blocks(self, ray_session):
+        from ctinexus_ray.ops.sketch import grouped_hll_distinct
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"k": ["t"] * 1000, "v": list(range(200)) * 5}
+            )
+        ).repartition(10)
+        got = grouped_hll_distinct(ds, "k", "v", p=12).take_all()
+        assert len(got) == 1 and abs(got[0]["approx_distinct"] - 200) <= 10
