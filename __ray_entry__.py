@@ -1279,6 +1279,46 @@ def _q_doc_ntile(sf_dir: str):
     return ranked.map_batches(bucketize, batch_format="pyarrow")
 
 
+def _q_dup_span_stats(sf_dir: str):
+    """Cross-document duplicated word-10-gram counts per doc (the
+    substring-dedup signal): posting-partitioned dup marking + one
+    hash-partitioned per-doc count."""
+    from ctinexus_ray.ops.dedup import dup_span_stats
+
+    return dup_span_stats(_docs(sf_dir, ["doc_id", "text"]), n=10)
+
+
+def _q_doc_percent_rank(sf_dir: str):
+    """PERCENT_RANK() over a unique total order == (rn - 1) / (N - 1)
+    from the distributed row_number and one count scalar — two exact
+    int64 inputs to one double division, so it hash-matches the SQL
+    window function bit-for-bit."""
+    from ctinexus_ray.ops.shards import global_row_number
+
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
+    n = docs.count()
+    ranked = global_row_number(
+        docs, sort_keys=["n_chars", "doc_id"], descending=[True, False]
+    )
+
+    def pr(batch: pa.Table):
+        import numpy as np
+
+        rn = np.asarray(batch.column("rank").to_pylist(), dtype=np.int64)
+        yield pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": batch.column("n_chars"),
+                "prank": pa.array(
+                    (rn - 1) / (n - 1) if n > 1 else np.zeros(len(rn)),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return ranked.map_batches(pr, batch_format="pyarrow")
+
+
 def _q_tpch_q1(sf_dir: str):
     """TPC-H Q1 pricing summary. Money columns aggregate as integer CENTS
     (per-row FLOOR(x*100 + 0.5) — identical IEEE expression on both
@@ -1677,6 +1717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_word_counts": _q_cms_word_counts,
         "lineitem_orders_salted": _q_lineitem_orders_salted,
         "tpch_q1": _q_tpch_q1,
+        "dup_span_stats": _q_dup_span_stats,
+        "doc_percent_rank": _q_doc_percent_rank,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "distinct_users_hll": _q_distinct_users_hll,
         "ann_pq": _q_ann_pq,
@@ -2189,6 +2231,24 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type"
+        ),
+        "dup_span_stats": (
+            "WITH words AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), "
+            "eligible AS (SELECT * FROM words WHERE len(w) >= 10), "
+            "shingles AS (SELECT DISTINCT doc_id, "
+            "array_to_string(list_slice(w, CAST(i AS INT), "
+            "CAST(i + 9 AS INT)), ' ') AS shingle "
+            "FROM eligible CROSS JOIN LATERAL "
+            "(SELECT unnest(generate_series(1, len(w) - 9)) AS i) t), "
+            "dup AS (SELECT shingle FROM shingles GROUP BY shingle "
+            "HAVING count(*) >= 2) "
+            "SELECT doc_id, count(*) AS n_dup_grams FROM shingles "
+            "JOIN dup USING (shingle) GROUP BY doc_id"
+        ),
+        "doc_percent_rank": (
+            "SELECT doc_id, n_chars, PERCENT_RANK() OVER "
+            "(ORDER BY n_chars DESC, doc_id ASC) AS prank FROM documents"
         ),
         # minhash_pairs / simhash / langid / kg_* / multimodal_features:
         # deterministic but not ANSI-SQL-expressible (stable hashing, mock

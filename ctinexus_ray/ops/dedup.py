@@ -1022,3 +1022,78 @@ def embedding_dup_pairs_lsh(
         .groupby("pkey")
         .map_groups(per_partition, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated spans
+# ---------------------------------------------------------------------------
+
+
+def dup_span_stats(
+    docs: ray.data.Dataset, n: int = 10, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Cross-document duplicated-span detection — the substring-dedup
+    signal of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better") at word-n-gram granularity: for each
+    document, how many of its distinct word n-grams appear in at least
+    one OTHER document. Docs shorter than ``n`` words are excluded (the
+    oracle mirrors this with an eligibility filter).
+
+    Two shuffle rounds, no driver-side state:
+
+      1. explode distinct sliding n-grams keyed by
+         ``pkey = hash(shingle) mod num_partitions`` — the groupby
+         co-locates whole postings; a vectorized pandas size transform
+         marks grams whose posting spans >= 2 documents and emits one
+         (doc_id) row per duplicated gram
+      2. hash-partitioned count by doc_id (doc ids are corpus-cardinality
+         -> no built-in per-key aggregate)
+
+    Returns (doc_id, n_dup_grams) for documents with at least one
+    duplicated span."""
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    def explode(batch: pa.Table):
+        out_doc, out_sh = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            words = (text or "").strip().split()
+            if len(words) < n:
+                continue
+            seen = {
+                " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+            }
+            out_doc.extend([doc_id] * len(seen))
+            out_sh.extend(seen)
+        if not out_doc:
+            return
+        pkeys = (hash64_strings(out_sh) % np.uint64(num_partitions)).astype(
+            np.int64
+        )
+        yield pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "shingle": pa.array(out_sh, type=pa.string()),
+                "pkey": pa.array(pkeys, type=pa.int64()),
+            }
+        )
+
+    shingles = docs.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("shingle")["doc_id"].transform("size")
+        kept = g[sizes >= 2]
+        return pd.DataFrame({"doc_id": kept["doc_id"].astype("int64").values})
+
+    dup_rows = shingles.groupby("pkey").map_groups(
+        mark_dups, batch_format="pandas"
+    )
+    return partitioned_agg(
+        dup_rows,
+        keys=["doc_id"],
+        named_aggs={"n_dup_grams": ("doc_id", "size")},
+        num_partitions=num_partitions,
+    )

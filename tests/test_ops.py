@@ -651,3 +651,47 @@ class TestPQ:
 
         with pytest.raises(ValueError):
             _pq_codebooks(np.ones((4, 10)), m=3, n_codes=2)
+
+
+class TestDupSpans:
+    def test_planted_duplicated_span(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.dedup import dup_span_stats
+
+        span = "one two three four five six seven eight nine ten"
+        texts = [
+            f"{span} tail{i} filler{i} pad{i} more{i}" for i in range(3)
+        ] + ["totally different words " * 5, "short doc"]
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"doc_id": list(range(len(texts))), "text": texts}
+            )
+        ).repartition(3)
+        got = {
+            r["doc_id"]: r["n_dup_grams"]
+            for r in dup_span_stats(ds, n=10).take_all()
+        }
+        # only the 3 docs sharing the 10-gram span appear; each shares
+        # exactly the one leading 10-gram (tails diverge)
+        assert got == {0: 1, 1: 1, 2: 1}
+
+    def test_no_dups_empty(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.dedup import dup_span_stats
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": [1, 2],
+                    "text": [
+                        "a b c d e f g h i j unique",
+                        "k l m n o p q r s t other",
+                    ],
+                }
+            )
+        )
+        assert dup_span_stats(ds, n=10).take_all() == []
