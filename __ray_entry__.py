@@ -1279,6 +1279,117 @@ def _q_doc_ntile(sf_dir: str):
     return ranked.map_batches(bucketize, batch_format="pyarrow")
 
 
+def _q_lineitem_pending_orders(sf_dir: str):
+    """Bloom-prefiltered fact↔filtered-dimension join: a mergeable Bloom
+    bitmap over the pending orders' keys prunes the lineitem side BEFORE
+    the shuffle (~25x fewer left rows through the all-to-all here);
+    false positives die in the exact per-partition join, so the result
+    equals the plain inner join row-for-row."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from ctinexus_ray.ops.distjoin import bloom_prefiltered_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).rename_columns({"l_orderkey": "okey"})
+    pending = (
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderstatus", "o_orderpriority"],
+        )
+        .filter(expr="o_orderstatus == 'P'")
+        .rename_columns({"o_orderkey": "okey"})
+        .drop_columns(["o_orderstatus"])
+    )
+    joined = bloom_prefiltered_join(
+        li,
+        pending,
+        on=["okey"],
+        left_types={"okey": pa.int64(), "l_quantity": pa.float64()},
+        right_types={"okey": pa.int64(), "o_orderpriority": pa.string()},
+    )
+    agg = joined.groupby("o_orderpriority").aggregate(Count(), Sum("l_quantity"))
+    return _rename(agg, {"count()": "n_items", "sum(l_quantity)": "sum_qty"})
+
+
+def _q_orders_status_agg(sf_dir: str):
+    """Distributed string_agg: per customer, order statuses concatenated
+    in o_orderkey order (collect-list shape over a corpus-cardinality
+    key)."""
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import grouped_string_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus", "o_orderkey"],
+    )
+    return grouped_string_agg(
+        orders,
+        key="o_custkey",
+        value_col="o_orderstatus",
+        order_col="o_orderkey",
+        sep=",",
+        out="statuses",
+    )
+
+
+def _q_quantity_stats_by_flag(sf_dir: str):
+    """Algebraic variance via exact integer power sums (n, Σx, Σx²):
+    order-independent distributed sums, one double expression at the end
+    — bit-exact vs the SQL oracle writing the same expression (the
+    built-in var_pop uses a different summation order and would not
+    hash-match)."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+
+    def partial(batch: pa.Table):
+        import pandas as pd
+
+        q = np.asarray(batch.column("l_quantity").to_pylist(), dtype=np.float64)
+        qi = np.floor(q + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch.column("l_returnflag").to_pylist(),
+                "sq": qi,
+                "sq2": qi * qi,
+                "n": np.ones(len(qi), dtype=np.int64),
+            }
+        )
+        yield pa.Table.from_pandas(
+            df.groupby("l_returnflag", sort=False).sum().reset_index(),
+            preserve_index=False,
+        )
+
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "l_returnflag"
+    ).aggregate(Sum("sq"), Sum("sq2"), Sum("n"))
+
+    def finalize(batch: pa.Table):
+        sq = np.asarray(batch.column("sum(sq)").to_pylist(), dtype=np.int64)
+        sq2 = np.asarray(batch.column("sum(sq2)").to_pylist(), dtype=np.int64)
+        n = np.asarray(batch.column("sum(n)").to_pylist(), dtype=np.int64)
+        var = (
+            sq2.astype(np.float64) - sq.astype(np.float64) * sq.astype(np.float64) / n
+        ) / n
+        yield pa.Table.from_pydict(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "n": pa.array(n, type=pa.int64()),
+                "sum_qty": pa.array(sq, type=pa.int64()),
+                "var_qty": pa.array(var, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 def _q_dup_span_stats(sf_dir: str):
     """Cross-document duplicated word-10-gram counts per doc (the
     substring-dedup signal): posting-partitioned dup marking + one
@@ -1719,6 +1830,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": _q_tpch_q1,
         "dup_span_stats": _q_dup_span_stats,
         "doc_percent_rank": _q_doc_percent_rank,
+        "lineitem_pending_orders": _q_lineitem_pending_orders,
+        "orders_status_agg": _q_orders_status_agg,
+        "quantity_stats_by_flag": _q_quantity_stats_by_flag,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "distinct_users_hll": _q_distinct_users_hll,
         "ann_pq": _q_ann_pq,
@@ -2249,6 +2363,28 @@ def oracle_sql() -> dict[str, str]:
         "doc_percent_rank": (
             "SELECT doc_id, n_chars, PERCENT_RANK() OVER "
             "(ORDER BY n_chars DESC, doc_id ASC) AS prank FROM documents"
+        ),
+        "lineitem_pending_orders": (
+            "SELECT o_orderpriority, count(*) AS n_items, "
+            "sum(l_quantity) AS sum_qty FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderstatus = 'P' GROUP BY o_orderpriority"
+        ),
+        "orders_status_agg": (
+            "SELECT o_custkey, string_agg(o_orderstatus, ',' "
+            "ORDER BY o_orderkey) AS statuses FROM orders "
+            "GROUP BY o_custkey"
+        ),
+        "quantity_stats_by_flag": (
+            "WITH q AS (SELECT l_returnflag, "
+            "CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qi FROM lineitem), "
+            "s AS (SELECT l_returnflag, count(*) AS n, "
+            "CAST(sum(qi) AS BIGINT) AS sum_qty, "
+            "CAST(sum(qi * qi) AS BIGINT) AS sq2 FROM q "
+            "GROUP BY l_returnflag) "
+            "SELECT l_returnflag, n, sum_qty, "
+            "(CAST(sq2 AS DOUBLE) - CAST(sum_qty AS DOUBLE) * "
+            "CAST(sum_qty AS DOUBLE) / n) / n AS var_qty FROM s"
         ),
         # minhash_pairs / simhash / langid / kg_* / multimodal_features:
         # deterministic but not ANSI-SQL-expressible (stable hashing, mock

@@ -622,3 +622,83 @@ def salted_join(
         right_types=dict(rfields) | {"_salt": pa.int64()},
     )
     return joined.drop_columns(["_salt"])
+
+
+def bloom_prefiltered_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    num_partitions: int = 64,
+    m_bits: int = 1 << 23,
+    k_hashes: int = 4,
+    left_types: dict[str, pa.DataType] | None = None,
+    right_types: dict[str, pa.DataType] | None = None,
+) -> ray.data.Dataset:
+    """Inner hash join with Bloom-filter shuffle pruning: build a
+    fixed-size Bloom bitmap over the RIGHT side's keys (mergeable
+    partials — nothing corpus-sized on the driver), broadcast it once,
+    and drop left rows whose key is DEFINITELY absent BEFORE the
+    all-to-all.
+
+    When the right side matches a small fraction of the left (the
+    filtered-dimension shape: "lineitems of pending orders" over a 100 TB
+    fact table), the left's shuffle bytes drop by ~the miss rate. Bloom
+    false positives only waste shuffle rows — the exact per-partition
+    join drops them — so the output EQUALS ``hash_join(..., "inner")``
+    row-for-row (the SQL oracle is the plain join).
+
+    Single join key only (the bitmap hashes one key column, cast to its
+    decimal/string form).
+    """
+    if len(on) != 1:
+        raise ValueError("bloom_prefiltered_join supports exactly one key")
+    key = on[0]
+    import numpy as np
+
+    from ctinexus_ray.ops.sketch import _bloom_positions, bloom_build
+
+    def key_as_str(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        col = batch.column(key)
+        if not (
+            pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+        ):
+            col = col.cast(pa.string())
+        yield pa.Table.from_pydict({key: col})
+
+    bits = bloom_build(
+        right.map_batches(key_as_str, batch_format="pyarrow"),
+        key,
+        m_bits=m_bits,
+        k=k_hashes,
+    )
+    bits_ref = ray.put(np.frombuffer(bits, dtype=np.uint8))
+
+    def prune(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        bitmap = ray.get(bits_ref)
+        col = batch.column(key)
+        if not (
+            pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+        ):
+            col = col.cast(pa.string())
+        pos = _bloom_positions(col, m_bits, k_hashes)
+        hit = (
+            (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        ).all(axis=1)
+        kept = batch.filter(pa.array(hit))
+        if kept.num_rows:
+            yield kept
+
+    pruned = left.map_batches(prune, batch_format="pyarrow")
+    return hash_join(
+        pruned,
+        right,
+        on=on,
+        how="inner",
+        num_partitions=num_partitions,
+        left_types=left_types,
+        right_types=right_types,
+    )

@@ -174,3 +174,44 @@ def rollup_counts(
     for lv in levels[1:]:
         result = result.union(lv.map_batches(pin, batch_format="pyarrow"))
     return result
+
+
+def grouped_string_agg(
+    ds: ray.data.Dataset,
+    key: str,
+    value_col: str,
+    order_col: str,
+    sep: str = ",",
+    out: str = "agg",
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Distributed ``string_agg(value ORDER BY order_col)`` per key — the
+    collect-list shape (grouping keys are corpus-cardinality, so the
+    usual hash-partitioned layout; per partition ONE vectorized sort +
+    one ``groupby.agg(join)``). The order column makes the concatenation
+    deterministic regardless of partitioning/batch order.
+
+    Beware output-row width at scale: a key with millions of members
+    builds a string of their concatenation — cap or bucket upstream if
+    values-per-key is unbounded (same caveat as SQL string_agg)."""
+    assert num_partitions & (num_partitions - 1) == 0, "power of two"
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        return add_hash_pkey(batch, [key], num_partitions)
+
+    def agg_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order_col], kind="mergesort")
+        out_df = (
+            g.groupby(key, sort=False)[value_col]
+            .agg(lambda s: sep.join(s.astype(str)))
+            .reset_index()
+        )
+        out_df.columns = [key, out]
+        return out_df
+
+    return (
+        ds.select_columns([key, value_col, order_col])
+        .map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(agg_partition, batch_format="pandas")
+    )

@@ -266,3 +266,57 @@ class TestSaltedJoin:
             salted_join(l, r, on=["k"], how="full")
         with pytest.raises(ValueError):
             salted_join(l, r, on=["k"], salt=0)
+
+
+class TestBloomPrefilteredJoin:
+    def test_equals_plain_inner_join(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.distjoin import bloom_prefiltered_join, hash_join
+
+        left = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"k": list(range(1000)), "lv": list(range(1000))}
+            )
+        ).repartition(4)
+        right = ray.data.from_arrow(
+            pa.Table.from_pydict({"k": [3, 77, 500, 2000], "rv": list("abcd")})
+        )
+        want = sorted(
+            (r["k"], r["lv"], r["rv"])
+            for r in hash_join(left, right, on=["k"]).take_all()
+        )
+        got = sorted(
+            (r["k"], r["lv"], r["rv"])
+            for r in bloom_prefiltered_join(left, right, on=["k"]).take_all()
+        )
+        assert got == want and len(got) == 3
+
+    def test_prune_actually_drops_rows(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from ctinexus_ray.ops.sketch import _bloom_positions, bloom_build
+
+        # the bitmap built over 4 keys must reject almost all of 10k keys
+        right = ray.data.from_arrow(
+            pa.Table.from_pydict({"k": ["3", "77", "500", "2000"]})
+        )
+        bits = np.frombuffer(bloom_build(right, "k"), dtype=np.uint8)
+        pos = _bloom_positions(
+            [str(i) for i in range(10_000)], 1 << 23, 4
+        )
+        hit = ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+        assert hit.sum() <= 10  # 4 true keys + rare false positives
+
+    def test_single_key_only(self, ray_session):
+        import pytest
+        import ray.data
+
+        from ctinexus_ray.ops.distjoin import bloom_prefiltered_join
+
+        ds = ray.data.range(4)
+        with pytest.raises(ValueError):
+            bloom_prefiltered_join(ds, ds, on=["a", "b"])

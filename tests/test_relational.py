@@ -490,3 +490,32 @@ class TestRollupCounts:
             ).fetchall()
         )
         assert got == want
+
+
+class TestGroupedStringAgg:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.groupagg import grouped_string_agg
+
+        t = pa.Table.from_pydict(
+            {
+                "k": [1, 2, 1, 3, 2, 1],
+                "v": ["a", "b", "c", "d", "e", "f"],
+                "o": [30, 10, 20, 5, 40, 10],
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(3)
+        got = {
+            r["k"]: r["agg"]
+            for r in grouped_string_agg(ds, "k", "v", "o").take_all()
+        }
+        want = {
+            k: s
+            for k, s in duckdb.sql(
+                "SELECT k, string_agg(v, ',' ORDER BY o) FROM t GROUP BY k"
+            ).fetchall()
+        }
+        assert got == want
