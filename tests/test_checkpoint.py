@@ -80,3 +80,51 @@ class TestResume:
         assert sidecar["input_file"] == f
         # data file exists alongside
         assert (out / f"part-{pid}.parquet").exists()
+
+
+class TestPrepareJob:
+    def test_prep_pipeline_filters_packs_and_rejoins(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        import jobs.prepare_job as pj
+
+        texts = [
+            "alpha beta gamma delta epsilon zeta eta theta",  # 8 words
+            "x",  # dropped by min_words=5
+            "one two three four five six seven",  # 7 words
+        ]
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict({"doc_id": [1, 2, 3], "text": texts})
+        )
+        rows = sorted(
+            (r["doc_id"], r["n_tokens"], r["pack_id"])
+            for r in pj.prep_pipeline(capacity=10, min_words=5)(ds).take_all()
+        )
+        # doc 1 starts pack 0 (tokens 0..7), doc 3 starts at cum 8 -> pack 0
+        assert rows == [(1, 8, 0), (3, 7, 0)]
+
+    def test_dedup_phase_marker_skips(self, ray_session, tmp_path):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import jobs.prepare_job as pj
+
+        src = tmp_path / "docs.parquet"
+        pq.write_table(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": ["a b c d e f g h"] * 2 + ["different words here now"],
+                }
+            ),
+            src,
+        )
+        out = tmp_path / "dedup"
+        s1 = pj.dedup_phase(str(src), str(out), threshold=0.8, num_partitions=16)
+        assert s1["skipped"] is False and s1["surviving_docs"] == 2
+        s2 = pj.dedup_phase(str(src), str(out), threshold=0.8, num_partitions=16)
+        assert s2["skipped"] is True and s2["surviving_docs"] == 2
+        assert json.loads((out / "_DEDUP_SUCCESS.json").read_text())["input_docs"] == 3
