@@ -122,6 +122,25 @@ def bench_textstats(sf_dir: str, num_cpus: int) -> dict:
     return {"sec": time.perf_counter() - start, "rows": n1 + n2}
 
 
+def _warmup(sf_dir: str, num_cpus: int) -> float:
+    """UNTIMED warmup before the measured region: spin up Ray's worker
+    pool, import the library in every worker, and touch the input parquet
+    (page cache). A cold first run otherwise pays ~2x in process
+    fork/import cost that has nothing to do with pipeline compute —
+    measured 31.4 s cold vs 14.5 s steady-state for the identical run.
+    Returns the warmup wall seconds (reported, not added to the metric)."""
+    from ctinexus_ray.ops.textstats import token_count_batch
+    from ctinexus_ray.sources.documents import read_testdata_documents
+
+    start = time.perf_counter()
+    docs = read_testdata_documents(sf_dir, columns=["doc_id", "text"])
+    # enough tiny blocks that every CPU slot forks+imports a worker
+    docs.repartition(num_cpus * 2).map_batches(
+        token_count_batch, batch_format="pyarrow"
+    ).count()
+    return time.perf_counter() - start
+
+
 def run_all(
     sf_dir: str,
     num_cpus: int,
@@ -130,6 +149,7 @@ def run_all(
     pool: int | None = None,
 ) -> dict:
     _init_ray(num_cpus)
+    warmup_sec = _warmup(sf_dir, num_cpus)
     benches = {
         "kg_pipeline": bench_kg,
         "dedup": bench_dedup,
@@ -158,6 +178,7 @@ def run_all(
         "queries": queries,
         "sf": sf_dir,
         "num_cpus": num_cpus,
+        "warmup_sec": round(warmup_sec, 3),
         **extra,
     }
 
