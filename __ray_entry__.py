@@ -1279,6 +1279,25 @@ def _q_doc_ntile(sf_dir: str):
     return ranked.map_batches(bucketize, batch_format="pyarrow")
 
 
+def _q_event_transitions(sf_dir: str):
+    """Markov transition counts over per-user event sequences (LAG +
+    GROUP BY at corpus scale: one user-hash shuffle, vectorized shift per
+    partition, tiny |types|² final sum)."""
+    from ctinexus_ray.ops.relational import event_transition_counts
+
+    out = event_transition_counts(_events(sf_dir))
+    return _rename(out, {"sum(n)": "n"})
+
+
+def _q_funnel_users(sf_dir: str):
+    """Ordered-funnel detection (view -> click -> purchase, strictly
+    increasing times): greedy earliest-completion scan, one user-hash
+    shuffle, one vectorized groupby.min per funnel step."""
+    from ctinexus_ray.ops.relational import funnel_users
+
+    return funnel_users(_events(sf_dir), steps=["view", "click", "purchase"])
+
+
 def _q_lineitem_pending_orders(sf_dir: str):
     """Bloom-prefiltered fact↔filtered-dimension join: a mergeable Bloom
     bitmap over the pending orders' keys prunes the lineitem side BEFORE
@@ -1830,6 +1849,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": _q_tpch_q1,
         "dup_span_stats": _q_dup_span_stats,
         "doc_percent_rank": _q_doc_percent_rank,
+        "event_transitions": _q_event_transitions,
+        "funnel_users": _q_funnel_users,
         "lineitem_pending_orders": _q_lineitem_pending_orders,
         "orders_status_agg": _q_orders_status_agg,
         "quantity_stats_by_flag": _q_quantity_stats_by_flag,
@@ -2363,6 +2384,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_percent_rank": (
             "SELECT doc_id, n_chars, PERCENT_RANK() OVER "
             "(ORDER BY n_chars DESC, doc_id ASC) AS prank FROM documents"
+        ),
+        "event_transitions": (
+            "SELECT prev_type, event_type, count(*) AS n FROM ("
+            "SELECT lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS prev_type, event_type FROM events) "
+            "WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type"
+        ),
+        "funnel_users": (
+            "SELECT DISTINCT v.user_id AS user_id "
+            "FROM events v, events c, events p "
+            "WHERE v.event_type = 'view' AND c.event_type = 'click' "
+            "AND p.event_type = 'purchase' AND c.user_id = v.user_id "
+            "AND p.user_id = v.user_id AND c.ts > v.ts AND p.ts > c.ts"
         ),
         "lineitem_pending_orders": (
             "SELECT o_orderpriority, count(*) AS n_items, "

@@ -719,3 +719,103 @@ def sliding_window_counts(
         keys=["window_start_s"],
         named_aggs={"n_events": ("window_start_s", "size")},
     )
+
+
+def event_transition_counts(
+    events: ray.data.Dataset, num_partitions: int = 64
+) -> ray.data.Dataset:
+    """Markov transition counts over per-user event sequences: how often
+    does event type A directly precede event type B for the same user
+    (ordered by ts, event_id)? The clickstream-modeling shape — the
+    distributed form of ``LAG(event_type) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id)`` followed by a GROUP BY (prev, cur).
+
+    One hash shuffle on user_id (whole users co-locate — same assumption
+    as sessionize); per partition one vectorized sort + groupby.shift,
+    counts combined per partition, then a tiny (|types|²-row) final sum.
+    Output: (prev_type, event_type, n)."""
+    from ray.data.aggregate import Sum
+
+    from ctinexus_ray.ops.groupagg import add_hash_pkey
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "ts_us", batch.column("ts").cast(pa.int64())
+        )
+        return add_hash_pkey(
+            batch.drop_columns(["ts"]), ["user_id"], num_partitions
+        )
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        prev = grp["event_type"].shift(1)
+        mask = prev.notna()
+        pairs = pd.DataFrame(
+            {
+                "prev_type": prev[mask].astype(str).values,
+                "event_type": g["event_type"][mask].astype(str).values,
+            }
+        )
+        out = (
+            pairs.groupby(["prev_type", "event_type"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    partials = (
+        events.select_columns(["event_id", "user_id", "ts", "event_type"])
+        .map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(transitions, batch_format="pandas")
+    )
+    return partials.groupby(["prev_type", "event_type"]).aggregate(Sum("n"))
+
+
+def funnel_users(
+    events: ray.data.Dataset,
+    steps: list[str],
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Ordered-funnel detection: user_ids with a strictly time-increasing
+    subsequence of event types matching ``steps`` (e.g. view -> click ->
+    purchase). The greedy earliest-completion scan is optimal (matching
+    each step at its earliest feasible time can only enlarge what later
+    steps may match), so one vectorized pass per step suffices.
+
+    One hash shuffle on user_id; per partition each step is ONE pandas
+    groupby.min over the events of that type later than the user's
+    previous-step time — no per-user Python. Output: (user_id)."""
+    from ctinexus_ray.ops.groupagg import add_hash_pkey
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "ts_us", batch.column("ts").cast(pa.int64())
+        )
+        return add_hash_pkey(
+            batch.drop_columns(["ts"]), ["user_id"], num_partitions
+        )
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        # state: per-user completion time of the previous step
+        state = None  # Series indexed by user_id
+        for i, step in enumerate(steps):
+            ev = g[g["event_type"] == step]
+            if i > 0:
+                prev = state.reindex(ev["user_id"]).to_numpy()
+                ev = ev[ev["ts_us"].to_numpy() > prev]  # NaN prev -> False
+            if not len(ev):
+                return pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
+            state = ev.groupby("user_id", sort=False)["ts_us"].min()
+        return pd.DataFrame(
+            {"user_id": pd.Series(state.index, dtype="int64")}
+        )
+
+    return (
+        events.select_columns(["user_id", "ts", "event_type"])
+        .map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(scan, batch_format="pandas")
+    )

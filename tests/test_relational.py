@@ -519,3 +519,53 @@ class TestGroupedStringAgg:
             ).fetchall()
         }
         assert got == want
+
+
+class TestSequenceOps:
+    def _events(self):
+        import pyarrow as pa
+        import ray.data
+
+        # user 1 completes view->click->purchase; user 2 clicks before
+        # viewing (wrong order); user 3 never purchases
+        rows = [
+            (1, 1, 10, "view"), (2, 1, 20, "click"), (3, 1, 30, "purchase"),
+            (4, 2, 10, "click"), (5, 2, 20, "view"), (6, 2, 30, "other"),
+            (7, 3, 10, "view"), (8, 3, 20, "click"),
+        ]
+        t = pa.Table.from_pydict(
+            {
+                "event_id": [r[0] for r in rows],
+                "user_id": [r[1] for r in rows],
+                "ts": pa.array(
+                    [r[2] * 1_000_000 for r in rows], type=pa.timestamp("us")
+                ),
+                "event_type": [r[3] for r in rows],
+            }
+        )
+        return ray.data.from_arrow(t).repartition(3)
+
+    def test_funnel_greedy_order(self, ray_session):
+        from ctinexus_ray.ops.relational import funnel_users
+
+        got = sorted(
+            r["user_id"]
+            for r in funnel_users(
+                self._events(), steps=["view", "click", "purchase"]
+            ).take_all()
+        )
+        assert got == [1]
+
+    def test_transition_counts(self, ray_session):
+        from ctinexus_ray.ops.relational import event_transition_counts
+
+        got = {
+            (r["prev_type"], r["event_type"]): r["sum(n)"]
+            for r in event_transition_counts(self._events()).take_all()
+        }
+        assert got == {
+            ("view", "click"): 2,
+            ("click", "purchase"): 1,
+            ("click", "view"): 1,
+            ("view", "other"): 1,
+        }
