@@ -1279,6 +1279,138 @@ def _q_doc_ntile(sf_dir: str):
     return ranked.map_batches(bucketize, batch_format="pyarrow")
 
 
+def _q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 (local-supplier revenue by nation, region=ASIA,
+    orderdate in 1996): a three-deep two-large-sides hash-join chain
+    (lineitem ⋈ orders ⋈ customer ⋈ supplier — every side grows with the
+    corpus, so NO broadcast there) with the nation/region dimension
+    snowflake applied as a broadcast map-side enrich, the c_nationkey =
+    s_nationkey locality filter, and revenue in exact integer cents
+    (order-independent distributed sums)."""
+    import numpy as np
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.relational import broadcast_enrich
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).rename_columns({"l_orderkey": "okey", "l_suppkey": "skey"})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def filt_orders(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        lo = pa.scalar(
+            np.datetime64("1996-01-01T00:00:00", "us"), type=pa.timestamp("us")
+        )
+        hi = pa.scalar(
+            np.datetime64("1997-01-01T00:00:00", "us"), type=pa.timestamp("us")
+        )
+        d = batch.column("o_orderdate")
+        t = batch.filter(
+            pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
+        )
+        if t.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "okey": t.column("o_orderkey").cast(pa.int64()),
+                "ckey": t.column("o_custkey").cast(pa.int64()),
+            }
+        )
+
+    orders_f = orders.map_batches(filt_orders, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).rename_columns({"c_custkey": "ckey"})
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).rename_columns({"s_suppkey": "skey"})
+
+    i64 = pa.int64()
+    j1 = hash_join(
+        li,
+        orders_f,
+        on=["okey"],
+        left_types={
+            "okey": i64,
+            "skey": i64,
+            "l_extendedprice": pa.float64(),
+            "l_discount": pa.float64(),
+        },
+        right_types={"okey": i64, "ckey": i64},
+    )
+    j2 = hash_join(
+        j1,
+        cust,
+        on=["ckey"],
+        left_types={
+            "ckey": i64,
+            "okey": i64,
+            "skey": i64,
+            "l_extendedprice": pa.float64(),
+            "l_discount": pa.float64(),
+        },
+        right_types={"ckey": i64, "c_nationkey": i64},
+    )
+    j3 = hash_join(
+        j2,
+        supp,
+        on=["skey"],
+        left_types={
+            "skey": i64,
+            "ckey": i64,
+            "okey": i64,
+            "l_extendedprice": pa.float64(),
+            "l_discount": pa.float64(),
+            "c_nationkey": i64,
+        },
+        right_types={"skey": i64, "s_nationkey": i64},
+    )
+    # dimension snowflake: nation filtered to region ASIA, broadcast
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet")
+    asia = broadcast_enrich(
+        nation, region, "n_regionkey", "r_regionkey", ["r_name"]
+    ).filter(expr="r_name == 'ASIA'")
+    enriched = broadcast_enrich(
+        j3, asia, "s_nationkey", "n_nationkey", ["n_name"]
+    )
+
+    def score(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        t = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column("n_name")),
+                pc.equal(batch.column("c_nationkey"), batch.column("s_nationkey")),
+            )
+        )
+        if t.num_rows == 0:
+            return
+        ep = np.asarray(t.column("l_extendedprice").to_pylist(), dtype=np.float64)
+        disc = np.asarray(t.column("l_discount").to_pylist(), dtype=np.float64)
+        cents = np.floor(ep * (1 - disc) * 100 + 0.5).astype(np.int64)
+        yield pa.Table.from_pydict(
+            {
+                "n_name": t.column("n_name"),
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    agg = enriched.map_batches(score, batch_format="pyarrow").groupby(
+        "n_name"
+    ).aggregate(Sum("cents"))
+    return _rename(agg, {"sum(cents)": "revenue_cents"})
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition counts over per-user event sequences (LAG +
     GROUP BY at corpus scale: one user-hash shuffle, vectorized shift per
@@ -1849,6 +1981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": _q_tpch_q1,
         "dup_span_stats": _q_dup_span_stats,
         "doc_percent_rank": _q_doc_percent_rank,
+        "tpch_q5": _q_tpch_q5,
         "event_transitions": _q_event_transitions,
         "funnel_users": _q_funnel_users,
         "lineitem_pending_orders": _q_lineitem_pending_orders,
@@ -2384,6 +2517,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_percent_rank": (
             "SELECT doc_id, n_chars, PERCENT_RANK() OVER "
             "(ORDER BY n_chars DESC, doc_id ASC) AS prank FROM documents"
+        ),
+        "tpch_q5": (
+            "SELECT n_name, CAST(sum(CAST(FLOOR(l_extendedprice * "
+            "(1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS revenue_cents "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name"
         ),
         "event_transitions": (
             "SELECT prev_type, event_type, count(*) AS n FROM ("
