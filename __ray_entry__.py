@@ -1279,6 +1279,22 @@ def _q_doc_ntile(sf_dir: str):
     return ranked.map_batches(bucketize, batch_format="pyarrow")
 
 
+def _q_lang_len_tdigest(sf_dir: str):
+    """Per-language approximate length quantiles: one mergeable t-digest
+    per key (fixed-size centroid partials, map-side combined) — the
+    grouped sketch path for unbounded numeric domains. Approximate ->
+    rows-only; exact anchor = lang_len_quantiles ✓SQL; accuracy pinned in
+    tests/test_sketch.py."""
+    from ctinexus_ray.ops.sketch import grouped_tdigest_quantiles
+
+    return grouped_tdigest_quantiles(
+        _docs(sf_dir, ["lang", "n_chars"]),
+        key="lang",
+        column="n_chars",
+        quantiles=[0.25, 0.5, 0.75, 0.95],
+    )
+
+
 def _q_tpch_q5(sf_dir: str):
     """TPC-H Q5 (local-supplier revenue by nation, region=ASIA,
     orderdate in 1996): a three-deep two-large-sides hash-join chain
@@ -1982,6 +1998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": _q_dup_span_stats,
         "doc_percent_rank": _q_doc_percent_rank,
         "tpch_q5": _q_tpch_q5,
+        "lang_len_tdigest": _q_lang_len_tdigest,
         "event_transitions": _q_event_transitions,
         "funnel_users": _q_funnel_users,
         "lineitem_pending_orders": _q_lineitem_pending_orders,

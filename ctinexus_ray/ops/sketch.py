@@ -593,3 +593,84 @@ def grouped_hll_distinct(
         )
 
     return partials.groupby(key).map_groups(merge_group, batch_format="pandas")
+
+
+def grouped_tdigest_quantiles(
+    ds: ray.data.Dataset,
+    key: str,
+    column: str,
+    quantiles: list[float],
+    delta: float = 200.0,
+) -> ray.data.Dataset:
+    """Per-group approximate quantiles via one mergeable t-digest per key
+    — the grouped sibling of ``tdigest_quantiles`` for unbounded numeric
+    domains (per-domain latency/score/length distributions at corpus
+    scale).
+
+    Map side: each batch sorts per group and emits <=delta (key, mean,
+    weight) centroid rows per group it contains — fixed-size partials,
+    map-side combined. Reduce: ``groupby(key)`` merges each key's
+    centroids by sorted-mean compression and interpolates the requested
+    quantiles. Group count is assumed >> partials per group, so the
+    shuffle moves O(batches x groups_per_batch x delta) small rows, never
+    the corpus values.
+
+    Output: (``key``, q:float64, value:float64) rows. Approximate by
+    design -> rows-only; accuracy pinned vs exact grouped quantiles in
+    tests."""
+
+    def partial(batch: pa.Table):
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "k": batch.column(key).to_pylist(),
+                "v": np.asarray(
+                    batch.column(column).cast(pa.float64()).to_numpy(
+                        zero_copy_only=False
+                    ),
+                    dtype=np.float64,
+                ),
+            }
+        )
+        df = df[~df["v"].isna()]
+        out_k, out_m, out_w = [], [], []
+        for kv, sub in df.groupby("k", sort=False):
+            vals = np.sort(sub["v"].to_numpy(), kind="mergesort")
+            m, w = _tdigest_compress(vals, np.ones_like(vals), delta)
+            out_k.extend([kv] * len(m))
+            out_m.extend(m)
+            out_w.extend(w)
+        if not out_k:
+            return
+        yield pa.Table.from_pydict(
+            {
+                key: pa.array(out_k),
+                "mean": pa.array(out_m, type=pa.float64()),
+                "weight": pa.array(out_w, type=pa.float64()),
+            }
+        )
+
+    partials = ds.select_columns([key, column]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+
+    def merge_group(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        m = g["mean"].to_numpy(dtype=np.float64)
+        w = g["weight"].to_numpy(dtype=np.float64)
+        order = np.argsort(m, kind="mergesort")
+        m2, w2 = _tdigest_compress(m[order], w[order], delta)
+        cum = np.cumsum(w2) - w2 / 2.0
+        total = float(w2.sum())
+        vals = [float(np.interp(q * total, cum, m2)) for q in quantiles]
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]] * len(quantiles),
+                "q": pd.array([float(q) for q in quantiles], dtype="float64"),
+                "value": pd.array(vals, dtype="float64"),
+            }
+        )
+
+    return partials.groupby(key).map_groups(merge_group, batch_format="pandas")

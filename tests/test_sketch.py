@@ -148,3 +148,40 @@ class TestGroupedHLL:
         ).repartition(10)
         got = grouped_hll_distinct(ds, "k", "v", p=12).take_all()
         assert len(got) == 1 and abs(got[0]["approx_distinct"] - 200) <= 10
+
+
+class TestGroupedTDigest:
+    def test_rank_error_vs_exact(self, ray_session):
+        from ctinexus_ray.ops.sketch import grouped_tdigest_quantiles
+
+        # two groups with very different distributions
+        a = [float(i) for i in range(10_000)]          # uniform 0..1e4
+        b = [float(i * i) / 1000 for i in range(3000)]  # convex
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"k": ["a"] * len(a) + ["b"] * len(b), "v": a + b}
+            )
+        ).repartition(16)
+        qs = [0.25, 0.5, 0.95]
+        got = {}
+        for r in grouped_tdigest_quantiles(ds, "k", "v", qs).take_all():
+            got[(r["k"], r["q"])] = r["value"]
+        for k, vals in (("a", a), ("b", b)):
+            arr = np.sort(np.array(vals))
+            for q in qs:
+                est = got[(k, q)]
+                # rank error < 2% (same bound as the global t-digest test)
+                rank = np.searchsorted(arr, est) / len(arr)
+                assert abs(rank - q) < 0.02, (k, q, est, rank)
+
+    def test_small_group_exactish(self, ray_session):
+        from ctinexus_ray.ops.sketch import grouped_tdigest_quantiles
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict({"k": ["x"] * 5, "v": [1.0, 2, 3, 4, 5]})
+        )
+        got = {
+            r["q"]: r["value"]
+            for r in grouped_tdigest_quantiles(ds, "k", "v", [0.5]).take_all()
+        }
+        assert abs(got[0.5] - 3.0) < 1e-9
