@@ -16,6 +16,10 @@ from typing import Any
 
 import pyarrow as pa
 
+import ctinexus_ray  # noqa: F401 — applies engine-wide Ray Data context
+# defaults (empty-shuffle-partition schema unification; rayutil.py) for
+# every query, including the ones built purely from ray.data primitives
+
 SF0001 = "/root/testdata/sf0.001"
 
 
