@@ -668,10 +668,22 @@ def _q_tpch_q3_topk(sf_dir: str):
     ).map_batches(shipped_after, batch_format="pyarrow")
 
     def revenue(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            batch.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
-        )
+        # integer CENTS via per-row FLOOR(x*100 + 0.5): a distributed
+        # double sum is summation-order-dependent (measured 6e-11 drift
+        # vs DuckDB) and would never hash-match a strict value-hash
+        # oracle; integer sums are order-independent and exact
+        rev = pc.floor(
+            pc.add(
+                pc.multiply(
+                    pc.multiply(
+                        batch.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                pa.scalar(0.5),
+            )
+        ).cast(pa.int64())
         return pa.Table.from_pydict(
             {"l_orderkey": batch.column("l_orderkey"),
              "o_orderdate": batch.column("o_orderdate"),
@@ -690,9 +702,11 @@ def _q_tpch_q3_topk(sf_dir: str):
     grouped = partitioned_agg(
         joined,
         keys=["l_orderkey", "o_orderdate"],
-        named_aggs={"revenue": ("rev", "sum")},
+        named_aggs={"revenue_cents": ("rev", "sum")},
     )
-    return grouped.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    return grouped.sort(
+        ["revenue_cents", "l_orderkey"], descending=[True, False]
+    ).limit(10)
 
 
 def _q_event_windows(sf_dir: str):
@@ -819,9 +833,25 @@ def _q_pagerank(sf_dir: str):
         yield pa.Table.from_pydict({"src": supp, "dst": cust})
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
-    return pagerank(
+    ranks = pagerank(
         edges, damping=_PAGERANK_DAMPING, iterations=_PAGERANK_ITERS
     )
+
+    def to_e9(batch: pa.Table):
+        import numpy as np
+
+        r = np.asarray(batch.column("rank").to_pylist(), dtype=np.float64)
+        yield pa.Table.from_pydict(
+            {
+                "node": batch.column("node"),
+                # same double expression as the SQL oracle's FLOOR(...)
+                "rank_e9": pa.array(
+                    np.floor(r * 1e9 + 0.5).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return ranks.map_batches(to_e9, batch_format="pyarrow")
 
 
 def _pagerank_oracle_sql() -> str:
@@ -854,7 +884,14 @@ def _pagerank_oracle_sql() -> str:
             f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.node, t{i}, nn)"
         )
         prev = f"r{i}"
-    return sql + f" SELECT node, rank FROM {prev}"
+    # rank_e9: double sums are summation-order-dependent at the ULP level
+    # (measured 2e-17 drift vs the Pregel actors) — emit ranks rounded to
+    # 1e-9 as exact BIGINTs on BOTH sides so the value-hash is stable
+    return (
+        sql
+        + " SELECT node, CAST(FLOOR(rank * 1e9 + 0.5) AS BIGINT) AS rank_e9"
+        + f" FROM {prev}"
+    )
 
 
 def _q_unigram_lm(sf_dir: str):
@@ -1895,6 +1932,24 @@ def _q_url_source(sf_dir: str):
     return url_source_dataset(read_testdata_as_cc(sf_dir), PipelineConfig())
 
 
+def _q_multimodal_decode(sf_dir: str):
+    """REAL media decode (no stub): P6 PPM images and PCM16 WAV audio
+    parsed from actual container bytes with stdlib+numpy — decode ->
+    area-mean resize -> feature vector as an actor-pool stage with small
+    batches. Compressed formats (png/jpeg/mp4) remain honestly stubbed
+    in multimodal_features. Rows-only (binary pipeline, not
+    SQL-expressible); decode correctness pinned in tests."""
+    import ray.data
+
+    from ctinexus_ray.ops.multimodal import (
+        decode_real_features,
+        make_real_media_table,
+    )
+
+    media = ray.data.from_arrow(make_real_media_table(200)).repartition(4)
+    return decode_real_features(media)
+
+
 def _q_multimodal_features(sf_dir: str):
     import ray.data
 
@@ -2018,6 +2073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": _q_kg_edges,
         "kg_nodes_merged": _q_kg_nodes_merged,
         "url_source": _q_url_source,
+        "multimodal_decode": _q_multimodal_decode,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
     }
@@ -2293,20 +2349,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tpch_q3_topk": (
             "SELECT l_orderkey, o_orderdate, "
-            "sum(l_extendedprice * (1 - l_discount)) AS revenue "
+            "CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "JOIN customer ON o_custkey = c_custkey "
             "WHERE c_mktsegment = 'BUILDING' "
             "AND o_orderdate < TIMESTAMP '1998-06-01' "
             "AND l_shipdate > TIMESTAMP '1998-06-01' "
             "GROUP BY l_orderkey, o_orderdate "
-            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+            "ORDER BY revenue_cents DESC, l_orderkey LIMIT 10"
         ),
         "event_windows": (
             "SELECT event_id, user_id, "
-            "sum(CAST(round(value * 100) AS BIGINT)) OVER "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id "
-            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_cents, "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS rolling_cents, "
             "coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us "
             "FROM events"

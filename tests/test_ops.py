@@ -695,3 +695,70 @@ class TestDupSpans:
             )
         )
         assert dup_span_stats(ds, n=10).take_all() == []
+
+
+class TestRealMultimodal:
+    def test_ppm_roundtrip_exact(self, ray_session):
+        from ctinexus_ray.ops.multimodal import _encode_ppm, decode_ppm
+
+        img = decode_ppm(_encode_ppm(20, 11, seed=5))
+        assert img.shape == (11, 20, 3)
+        # pattern formula reproduced independently
+        assert img[3, 7, 1] == (7 * (3 + 5 % 7) + 3 * (5 + 5 % 11) + 5 + 37) % 256
+
+    def test_wav_roundtrip_and_features(self, ray_session):
+        from ctinexus_ray.ops.multimodal import (
+            DecodeMediaStage,
+            _encode_wav,
+            decode_wav,
+        )
+
+        payload = _encode_wav(freq_hz=440.0, duration_ms=500, rate=8000)
+        rate, samples = decode_wav(payload)
+        assert rate == 8000 and len(samples) == 4000
+        feats = DecodeMediaStage()._features("audio/wav", payload)
+        dur, rms, zcr, peak = feats[0], feats[1], feats[2], feats[3]
+        assert abs(dur - 0.5) < 1e-9
+        assert 7000 < rms < 10000  # sine rms = 12000/sqrt(2) ~ 8485
+        # zero-crossing rate of a 440 Hz sine at 8 kHz = 2*440/8000 = 0.11
+        assert abs(zcr - 0.11) < 0.01
+        assert 11000 < peak <= 12000
+
+    def test_area_resize_matches_block_mean(self, ray_session):
+        from ctinexus_ray.ops.multimodal import area_resize_gray
+
+        img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+        out = area_resize_gray(img, 3, 2)
+        gray = img.astype(np.float64).mean(axis=2)
+        want = np.array(
+            [
+                [gray[0:2, 0:2].mean(), gray[0:2, 2:4].mean(), gray[0:2, 4:6].mean()],
+                [gray[2:4, 0:2].mean(), gray[2:4, 2:4].mean(), gray[2:4, 4:6].mean()],
+            ]
+        )
+        assert np.allclose(out, want)
+
+    def test_decode_stage_end_to_end(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.multimodal import (
+            decode_real_features,
+            make_real_media_table,
+        )
+
+        media = ray.data.from_arrow(make_real_media_table(30)).repartition(3)
+        rows = decode_real_features(media).take_all()
+        assert len(rows) == 30
+        kinds = {r["media_id"]: r["kind"] for r in rows}
+        assert all(
+            kinds[i] == ("image" if i % 2 == 0 else "audio") for i in range(30)
+        )
+        assert all(len(r["features"]) == 8 for r in rows)
+
+    def test_unsupported_mime_raises(self, ray_session):
+        import pytest
+
+        from ctinexus_ray.ops.multimodal import DecodeMediaStage
+
+        with pytest.raises(ValueError, match="unsupported mime"):
+            DecodeMediaStage()._features("image/png", b"\x89PNG")
