@@ -2472,7 +2472,10 @@ def oracle_sql() -> dict[str, str]:
             "cnt AS (SELECT w, count(*) AS c FROM words GROUP BY w), "
             "tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM words) "
             "SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
-            "avg(ln(cnt.c / tot.n)) AS lm_score "
+            "CAST(sum(CAST(FLOOR(ln(cnt.c / tot.n) * 1e6 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS lm_score_u, "
+            "CAST(sum(CAST(FLOOR(ln(cnt.c / tot.n) * 1e6 + 0.5) AS BIGINT)) "
+            "AS DOUBLE) / 1e6 / count(*) AS lm_score "
             "FROM words w JOIN cnt ON w.w = cnt.w, tot "
             "GROUP BY w.doc_id"
         ),

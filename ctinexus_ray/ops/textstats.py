@@ -492,7 +492,14 @@ def unigram_lm_scores(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     vocabulary may exceed a broadcast; the documented fallback is
     thresholding rare words into a single OOV probability class (count
     < k), which bounds the table at the head vocabulary. ln is libm —
-    bit-identical to DuckDB's. Output: (doc_id, n_tokens, lm_score).
+    bit-identical to DuckDB's.
+
+    Per-word log-probs are quantized to integer MICRO-NATS
+    (``floor(ln(p) * 1e6 + 0.5)``) before the per-doc sum: a float sum
+    is summation-order-dependent (measured 2.7e-15 drift vs the SQL
+    avg()), so the per-doc aggregate is an exact BIGINT sum and the
+    mean is one double division of two exact integers — hash-stable vs
+    the oracle. Output: (doc_id, n_tokens, lm_score_u, lm_score).
     """
     import math
 
@@ -510,7 +517,10 @@ def unigram_lm_scores(docs: "ray.data.Dataset") -> "ray.data.Dataset":
                 batch.column("sum(n)").to_pylist())
         )
     total = sum(counts.values())
-    logp = {w: math.log(c / total) for w, c in counts.items()}
+    logp = {
+        w: math.floor(math.log(c / total) * 1e6 + 0.5)
+        for w, c in counts.items()
+    }
     logp_ref = _ray.put(logp)
 
     class ScoreStage:
@@ -518,18 +528,20 @@ def unigram_lm_scores(docs: "ray.data.Dataset") -> "ray.data.Dataset":
             self.logp = _ray.get(logp_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            ids, ns, scores = [], [], []
+            ids, ns, usums = [], [], []
             lp = self.logp
             for doc_id, t in zip(batch.column("doc_id").to_pylist(),
                                  batch.column("text").to_pylist()):
                 toks = _tokens(t or "")
                 ids.append(doc_id)
                 ns.append(len(toks))
-                scores.append(sum(lp[w] for w in toks) / len(toks))
+                usums.append(sum(lp[w] for w in toks))
+            scores = [u / 1e6 / n for u, n in zip(usums, ns)]
             return pa.Table.from_pydict(
                 {
                     "doc_id": pa.array(ids, type=pa.int64()),
                     "n_tokens": pa.array(ns, type=pa.int64()),
+                    "lm_score_u": pa.array(usums, type=pa.int64()),
                     "lm_score": pa.array(scores, type=pa.float64()),
                 }
             )

@@ -49,3 +49,63 @@ def read_testdata_documents(sf_dir: str | Path, columns: list[str] | None = None
 
 def read_testdata_embeddings(sf_dir: str | Path) -> ray.data.Dataset:
     return ray.data.read_parquet(str(Path(sf_dir) / "embeddings.parquet"))
+
+
+def conform_schema(
+    ds: ray.data.Dataset, schema: pa.Schema = CC_SCHEMA
+) -> ray.data.Dataset:
+    """Coerce every batch to exactly ``schema``: present columns CAST to
+    the declared type, missing columns appended as typed nulls, extras
+    dropped, column order pinned. The ingestion guard for heterogeneous
+    crawl shards — at 10^12 docs the corpus WILL contain shards written
+    by different crawler versions, and one stray ``large_string`` or
+    missing column otherwise breaks a downstream union/join with a
+    schema-mismatch mid-run."""
+
+    def conform(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        arrays = []
+        for f in schema:
+            if f.name in batch.column_names:
+                arrays.append(batch.column(f.name).cast(f.type))
+            else:
+                arrays.append(pa.nulls(batch.num_rows, type=f.type))
+        yield pa.Table.from_arrays(arrays, schema=schema)
+
+    return ds.map_batches(conform, batch_format="pyarrow")
+
+
+def read_cc_jsonl(paths: str | list[str]) -> ray.data.Dataset:
+    """Common-Crawl-shaped corpus from JSONL shards (the other wire format
+    web corpora ship in): ``ray.data.read_json`` streams the lines, then
+    ``conform_schema`` pins the CC table shape — ``warc_ts`` accepts ISO
+    strings, ``html`` accepts base64-free utf-8 payloads (JSON has no
+    binary type).
+
+    Parquet remains the preferred format (column pruning + row-group
+    filters never leave storage with JSONL); this reader exists so a raw
+    crawl drop can enter the engine without a pre-conversion job."""
+
+    def adapt(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        arrays = []
+        for f in CC_SCHEMA:
+            if f.name not in batch.column_names:
+                arrays.append(pa.nulls(batch.num_rows, type=f.type))
+                continue
+            col = batch.column(f.name)
+            if f.name == "warc_ts" and pa.types.is_string(col.type):
+                import pyarrow.compute as pc
+
+                col = pc.assume_timezone(
+                    pc.strptime(col, format="%Y-%m-%dT%H:%M:%S", unit="us"),
+                    "UTC",
+                )
+            if f.name == "html" and pa.types.is_string(col.type):
+                col = col.cast(pa.binary())
+            arrays.append(col.cast(f.type))
+        yield pa.Table.from_arrays(arrays, schema=CC_SCHEMA)
+
+    return ray.data.read_json(paths).map_batches(adapt, batch_format="pyarrow")

@@ -312,11 +312,16 @@ class TestTextStats:
             r["doc_id"]: (r["n_tokens"], r["lm_score"])
             for r in unigram_lm_scores(docs).take_all()
         }
-        lp = {"a": math.log(2 / 5), "b": math.log(2 / 5), "c": math.log(1 / 5)}
+        # per-word log-probs quantized to integer micro-nats (see op
+        # docstring): sums are exact BIGINTs, mean = one division
+        lp = {
+            w: math.floor(math.log(c / 5) * 1e6 + 0.5)
+            for w, c in {"a": 2, "b": 2, "c": 1}.items()
+        }
         assert got[1][0] == 3
-        assert abs(got[1][1] - (2 * lp["a"] + lp["b"]) / 3) < 1e-12
+        assert got[1][1] == (2 * lp["a"] + lp["b"]) / 1e6 / 3
         assert got[2][0] == 2
-        assert abs(got[2][1] - (lp["b"] + lp["c"]) / 2) < 1e-12
+        assert got[2][1] == (lp["b"] + lp["c"]) / 1e6 / 2
 
 
 class TestMultimodal:

@@ -139,3 +139,61 @@ class TestHallucinationSentinel:
         # the mock's hallucination rate guarantees both kinds on 40 docs
         assert honest
         assert all(r["subj_text"] == "hallucination" for r in sentinels)
+
+
+class TestSourcesConform:
+    def test_conform_schema_cast_fill_drop_order(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.sources.documents import conform_schema
+
+        messy = pa.Table.from_pydict(
+            {
+                "text": pa.array(["a", "b"], type=pa.large_string()),
+                "extra": [1, 2],
+                "url": ["u1", "u2"],
+            }
+        )
+        target = pa.schema(
+            [("url", pa.string()), ("text", pa.string()), ("lang", pa.string())]
+        )
+        out = conform_schema(ray.data.from_arrow(messy), target)
+        t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+        assert t.schema == target
+        assert t.column("lang").null_count == 2
+        assert t.column("text").to_pylist() == ["a", "b"]
+
+    def test_read_cc_jsonl_roundtrip(self, ray_session, tmp_path):
+        import json
+
+        import ray.data
+
+        from ctinexus_ray.sources.documents import read_cc_jsonl
+        from ctinexus_ray.sources.synth import CC_SCHEMA
+
+        path = tmp_path / "shard.jsonl"
+        with open(path, "w") as f:
+            for i in range(5):
+                f.write(
+                    json.dumps(
+                        {
+                            "url": f"https://example.test/{i}",
+                            "warc_ts": "2024-01-02T03:04:05",
+                            "html": f"<html>{i}</html>",
+                            "text": f"doc {i}",
+                            "lang": "en",
+                        }
+                    )
+                    + "\n"
+                )
+        ds = read_cc_jsonl(str(path))
+        import pyarrow as pa
+
+        t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+        assert t.schema == CC_SCHEMA
+        assert t.num_rows == 5
+        rows = sorted(
+            zip(t.column("url").to_pylist(), t.column("html").to_pylist())
+        )
+        assert rows[0] == ("https://example.test/0", b"<html>0</html>")
