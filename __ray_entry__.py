@@ -619,19 +619,25 @@ def _q_tpch_q3_topk(sf_dir: str):
     (customer filter -> orders -> lineitem via two ops.distjoin.hash_join
     shuffles), row-level revenue kernel, hash-partitioned group sum,
     sort + limit 10. Both large sides stream; no driver state."""
+    import datetime
+
     import pyarrow.compute as pc
+    import pyarrow.dataset as pds
     import ray.data
 
     from ctinexus_ray.ops.distjoin import hash_join
     from ctinexus_ray.ops.groupagg import partitioned_agg
 
-    cutoff = pa.scalar(
-        __import__("datetime").datetime(1998, 6, 1), type=pa.timestamp("us")
-    )
+    # row filters pushed INTO the parquet read: predicate + row-group
+    # statistics pruning happen at storage, so filtered rows never leave
+    # the scan (the shape that matters when lineitem is 100 TB)
+    cutoff_dt = datetime.datetime(1998, 6, 1)
 
     customer = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
-    ).filter(expr="c_mktsegment == 'BUILDING'")
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filter=(pds.field("c_mktsegment") == "BUILDING"),
+    )
 
     def cust_keyed(batch: pa.Table) -> pa.Table:
         return pa.Table.from_pydict(
@@ -639,13 +645,11 @@ def _q_tpch_q3_topk(sf_dir: str):
              "c_is_building": pa.array([True] * len(batch))}
         )
 
-    def before_cutoff(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.less(batch.column("o_orderdate"), cutoff))
-
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).map_batches(before_cutoff, batch_format="pyarrow")
+        filter=(pds.field("o_orderdate") < cutoff_dt),
+    )
 
     building_orders = hash_join(
         orders,
@@ -659,13 +663,11 @@ def _q_tpch_q3_topk(sf_dir: str):
              "o_orderdate": batch.column("o_orderdate")}
         )
 
-    def shipped_after(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.greater(batch.column("l_shipdate"), cutoff))
-
     lineitem = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-    ).map_batches(shipped_after, batch_format="pyarrow")
+        filter=(pds.field("l_shipdate") > cutoff_dt),
+    )
 
     def revenue(batch: pa.Table) -> pa.Table:
         # integer CENTS via per-row FLOOR(x*100 + 0.5): a distributed
@@ -1356,34 +1358,31 @@ def _q_tpch_q5(sf_dir: str):
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     ).rename_columns({"l_orderkey": "okey", "l_suppkey": "skey"})
 
+    import datetime
+
+    import pyarrow.dataset as pds
+
+    # date window pushed into the parquet scan (row-group stats pruning)
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pds.field("o_orderdate") >= datetime.datetime(1996, 1, 1))
+            & (pds.field("o_orderdate") < datetime.datetime(1997, 1, 1))
+        ),
     )
 
-    def filt_orders(batch: pa.Table):
-        import pyarrow.compute as pc
-
-        lo = pa.scalar(
-            np.datetime64("1996-01-01T00:00:00", "us"), type=pa.timestamp("us")
-        )
-        hi = pa.scalar(
-            np.datetime64("1997-01-01T00:00:00", "us"), type=pa.timestamp("us")
-        )
-        d = batch.column("o_orderdate")
-        t = batch.filter(
-            pc.and_(pc.greater_equal(d, lo), pc.less(d, hi))
-        )
-        if t.num_rows == 0:
+    def rekey_orders(batch: pa.Table):
+        if batch.num_rows == 0:
             return
         yield pa.Table.from_pydict(
             {
-                "okey": t.column("o_orderkey").cast(pa.int64()),
-                "ckey": t.column("o_custkey").cast(pa.int64()),
+                "okey": batch.column("o_orderkey").cast(pa.int64()),
+                "ckey": batch.column("o_custkey").cast(pa.int64()),
             }
         )
 
-    orders_f = orders.map_batches(filt_orders, batch_format="pyarrow")
+    orders_f = orders.map_batches(rekey_orders, batch_format="pyarrow")
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).rename_columns({"c_custkey": "ckey"})
@@ -1501,12 +1500,15 @@ def _q_lineitem_pending_orders(sf_dir: str):
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
     ).rename_columns({"l_orderkey": "okey"})
+    import pyarrow.dataset as pds
+
     pending = (
         ray.data.read_parquet(
             f"{sf_dir}/orders.parquet",
-            columns=["o_orderkey", "o_orderstatus", "o_orderpriority"],
+            columns=["o_orderkey", "o_orderpriority", "o_orderstatus"],
+            # status predicate pushed into the scan (row-group pruning)
+            filter=(pds.field("o_orderstatus") == "P"),
         )
-        .filter(expr="o_orderstatus == 'P'")
         .rename_columns({"o_orderkey": "okey"})
         .drop_columns(["o_orderstatus"])
     )
