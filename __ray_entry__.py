@@ -1322,6 +1322,20 @@ def _q_doc_ntile(sf_dir: str):
     return ranked.map_batches(bucketize, batch_format="pyarrow")
 
 
+def _q_doc_sample_weighted(sf_dir: str):
+    """Exactly-k weighted sample (A-ES, Efraimidis-Spirakis): longer
+    documents proportionally more likely, deterministic/content-
+    addressed, batch-local top-k + one small merge — no corpus sort."""
+    from ctinexus_ray.ops.shards import weighted_sample_k
+
+    return weighted_sample_k(
+        _docs(sf_dir, ["doc_id", "n_chars"]),
+        id_col="doc_id",
+        weight_col="n_chars",
+        k=50,
+    )
+
+
 def _q_lang_len_tdigest(sf_dir: str):
     """Per-language approximate length quantiles: one mergeable t-digest
     per key (fixed-size centroid partials, map-side combined) — the
@@ -2060,6 +2074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_percent_rank": _q_doc_percent_rank,
         "tpch_q5": _q_tpch_q5,
         "lang_len_tdigest": _q_lang_len_tdigest,
+        "doc_sample_weighted": _q_doc_sample_weighted,
         "event_transitions": _q_event_transitions,
         "funnel_users": _q_funnel_users,
         "lineitem_pending_orders": _q_lineitem_pending_orders,
@@ -2449,6 +2464,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_k": (
             "SELECT doc_id, source FROM documents "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100"
+        ),
+        "doc_sample_weighted": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY pow(CAST(concat('0x', substr(md5(CAST(doc_id "
+            "AS VARCHAR)), 1, 13)) AS UBIGINT) / 4503599627370496.0, "
+            "1.0 / n_chars) DESC, doc_id LIMIT 50"
         ),
         "custkeys_without_orders": (
             "SELECT c_custkey AS custkey FROM customer "

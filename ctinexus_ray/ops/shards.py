@@ -497,3 +497,59 @@ def uniform_sample_k(
         .repartition(1)
         .map_batches(final_cut, batch_format="pyarrow", batch_size=None)
     )
+
+
+def weighted_sample_k(
+    ds: ray.data.Dataset,
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> ray.data.Dataset:
+    """Exactly-k WEIGHTED sample without replacement, deterministic and
+    reshard-stable — the A-ES scheme (Efraimidis & Spirakis 2006): each
+    row gets key ``u^(1/w)`` where ``u`` is a content-addressed uniform
+    in [0,1) (the first 52 bits of ``md5(str(id))`` — exactly
+    representable in a double) and ``w`` its weight; the k LARGEST keys
+    are the sample, with inclusion probability proportional to weight.
+    No RNG state, stable under resharding and incremental ingestion.
+
+    Same distributed shape as ``uniform_sample_k``: batch-local top-k
+    cut, one small merge, no corpus sort. The SQL oracle writes the
+    identical double expression (md5 substr -> /2^52 -> pow), so keys
+    match bit-for-bit. Output: input columns + ``__akey``-free."""
+    import hashlib
+    import math
+
+    two52 = 4503599627370496.0  # 16^13 = 2^52
+
+    def keys_of(batch: pa.Table) -> list[float]:
+        ids = batch.column(id_col).to_pylist()
+        ws = batch.column(weight_col).to_pylist()
+        out = []
+        for i, w in zip(ids, ws):
+            u = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) / two52
+            out.append(math.pow(u, 1.0 / w))
+        return out
+
+    def local_cut(batch: pa.Table):
+        keys = keys_of(batch)
+        ids = batch.column(id_col).to_pylist()
+        order = sorted(
+            range(len(keys)), key=lambda j: (-keys[j], ids[j])
+        )[:k]
+        t = batch.take(pa.array(order, type=pa.int64()))
+        yield t.append_column(
+            "__akey", pa.array([keys[j] for j in order], type=pa.float64())
+        )
+
+    def final_cut(batch: pa.Table):
+        idx = pc.select_k_unstable(
+            batch, k, [("__akey", "descending"), (id_col, "ascending")]
+        )
+        yield batch.take(idx).drop_columns(["__akey"])
+
+    return (
+        ds.map_batches(local_cut, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final_cut, batch_format="pyarrow", batch_size=None)
+    )

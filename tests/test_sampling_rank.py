@@ -163,3 +163,49 @@ class TestBloomIncremental:
         bits = bloom_build(known, "fp")
         kept = {r["fp"] for r in bloom_filter_new(new, "fp", bits).take_all()}
         assert kept == {"a", "b"}
+
+
+class TestWeightedSampleK:
+    def test_bias_toward_heavy_rows(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.shards import weighted_sample_k
+
+        # 500 light rows (w=1) + 100 heavy rows (w=50): a k=100 weighted
+        # sample should be dominated by heavy rows
+        n_light, n_heavy = 500, 100
+        t = pa.Table.from_pydict(
+            {
+                "id": list(range(n_light + n_heavy)),
+                "w": [1] * n_light + [50] * n_heavy,
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(6)
+        rows = weighted_sample_k(ds, "id", "w", k=100).take_all()
+        assert len(rows) == 100
+        heavy = sum(1 for r in rows if r["w"] == 50)
+        assert heavy > 70, heavy  # expected ~91 under A-ES
+
+    def test_deterministic_and_reshard_stable(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.shards import weighted_sample_k
+
+        t = pa.Table.from_pydict(
+            {"id": list(range(300)), "w": [(i % 7) + 1 for i in range(300)]}
+        )
+        a = {
+            r["id"]
+            for r in weighted_sample_k(
+                ray.data.from_arrow(t).repartition(2), "id", "w", 40
+            ).take_all()
+        }
+        b = {
+            r["id"]
+            for r in weighted_sample_k(
+                ray.data.from_arrow(t).repartition(9), "id", "w", 40
+            ).take_all()
+        }
+        assert a == b and len(a) == 40
