@@ -1322,6 +1322,100 @@ def _q_doc_ntile(sf_dir: str):
     return ranked.map_batches(bucketize, batch_format="pyarrow")
 
 
+def _q_doc_len_histogram(sf_dir: str):
+    """Equi-width histogram of document lengths (bucket = n_chars/500):
+    per-batch combine + one tiny grouped sum — the O(buckets) profile
+    pass that replaces a full sort at 100 TB."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, ["n_chars"])
+
+    def partial(batch: pa.Table):
+        n = np.asarray(batch.column("n_chars").to_pylist(), dtype=np.int64)
+        b = n // 500
+        df = pd.DataFrame({"bucket": b}).groupby("bucket").size()
+        yield pa.Table.from_pydict(
+            {
+                "bucket": pa.array(df.index.to_numpy(), type=pa.int64()),
+                "n": pa.array(df.to_numpy(), type=pa.int64()),
+            }
+        )
+
+    agg = docs.map_batches(partial, batch_format="pyarrow").groupby(
+        "bucket"
+    ).aggregate(Sum("n"))
+    return _rename(agg, {"sum(n)": "n_docs"})
+
+
+def _q_qty_price_corr(sf_dir: str):
+    """Pearson correlation of quantity vs extended price via exact
+    integer power sums (n, Σx, Σy, Σxy, Σx², Σy² — order-independent
+    distributed sums in units/cents), one double expression at the end
+    written identically in the SQL oracle. At much larger scale the
+    power sums need int128/decimal accumulators (int64 documented
+    bound: Σx² < 2^63)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+
+    def partial(batch: pa.Table):
+        q = np.floor(
+            np.asarray(batch.column("l_quantity").to_pylist(), dtype=np.float64)
+            + 0.5
+        ).astype(np.int64)
+        p = np.floor(
+            np.asarray(
+                batch.column("l_extendedprice").to_pylist(), dtype=np.float64
+            )
+            * 100
+            + 0.5
+        ).astype(np.int64)
+        yield pa.Table.from_pydict(
+            {
+                "n": pa.array([len(q)], type=pa.int64()),
+                "sx": pa.array([int(q.sum())], type=pa.int64()),
+                "sy": pa.array([int(p.sum())], type=pa.int64()),
+                "sxy": pa.array([int((q * p).sum())], type=pa.int64()),
+                "sxx": pa.array([int((q * q).sum())], type=pa.int64()),
+                "syy": pa.array([int((p * p).sum())], type=pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    # ONE aggregate execution for all six power sums
+    totals = partials.sum(["n", "sx", "sy", "sxy", "sxx", "syy"])
+    sums = {c: totals[f"sum({c})"] for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]}
+
+    def finalize():
+        import math
+
+        n, sx, sy = sums["n"], sums["sx"], sums["sy"]
+        sxy, sxx, syy = sums["sxy"], sums["sxx"], sums["syy"]
+        cov = float(sxy) / n - (float(sx) / n) * (float(sy) / n)
+        vx = float(sxx) / n - (float(sx) / n) * (float(sx) / n)
+        vy = float(syy) / n - (float(sy) / n) * (float(sy) / n)
+        return cov / (math.sqrt(vx) * math.sqrt(vy))
+
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "n": pa.array([sums["n"]], type=pa.int64()),
+                "corr": pa.array([finalize()], type=pa.float64()),
+            }
+        )
+    )
+
+
 def _q_doc_sample_weighted(sf_dir: str):
     """Exactly-k weighted sample (A-ES, Efraimidis-Spirakis): longer
     documents proportionally more likely, deterministic/content-
@@ -2075,6 +2169,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": _q_tpch_q5,
         "lang_len_tdigest": _q_lang_len_tdigest,
         "doc_sample_weighted": _q_doc_sample_weighted,
+        "doc_len_histogram": _q_doc_len_histogram,
+        "qty_price_corr": _q_qty_price_corr,
         "event_transitions": _q_event_transitions,
         "funnel_users": _q_funnel_users,
         "lineitem_pending_orders": _q_lineitem_pending_orders,
@@ -2464,6 +2560,25 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample_k": (
             "SELECT doc_id, source FROM documents "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100"
+        ),
+        "doc_len_histogram": (
+            "SELECT n_chars // 500 AS bucket, count(*) AS n_docs "
+            "FROM documents GROUP BY 1"
+        ),
+        "qty_price_corr": (
+            "WITH q AS (SELECT CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x, "
+            "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y "
+            "FROM lineitem), "
+            "s AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, "
+            "CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy, "
+            "CAST(sum(x * x) AS BIGINT) AS sxx, "
+            "CAST(sum(y * y) AS BIGINT) AS syy FROM q) "
+            "SELECT n, (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * "
+            "(CAST(sy AS DOUBLE) / n)) / "
+            "(sqrt(CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n) * "
+            "(CAST(sx AS DOUBLE) / n)) * "
+            "sqrt(CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n) * "
+            "(CAST(sy AS DOUBLE) / n))) AS corr FROM s"
         ),
         "doc_sample_weighted": (
             "SELECT doc_id, n_chars FROM documents "
