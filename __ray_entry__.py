@@ -1871,9 +1871,9 @@ def _q_distinct_users_hll(sf_dir: str):
 
 
 def _q_ann_pq(sf_dir: str):
-    """Product-quantization ANN (ADC over m=8 uint8 codes per vector —
-    the memory-scale path; approximate -> rows-only, recall pinned by
-    tests)."""
+    """Product-quantization ANN (ADC over m=16 uint8 codes per vector —
+    32x smaller scan footprint at dim-64 float64; approximate ->
+    rows-only, recall pinned by tests)."""
     from ctinexus_ray.ops.simsearch import pq_topk
     from ctinexus_ray.sources.documents import read_testdata_embeddings
 

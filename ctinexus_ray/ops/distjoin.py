@@ -657,6 +657,11 @@ def bloom_prefiltered_join(
 
     from ctinexus_ray.ops.sketch import _bloom_positions, bloom_build
 
+    # the right side feeds TWO consumers (the bitmap build and the join);
+    # materialize once — it is the modest side by precondition — so its
+    # scan/filter work is not executed twice
+    right = right.materialize()
+
     def key_as_str(batch: pa.Table):
         if batch.num_rows == 0:
             return

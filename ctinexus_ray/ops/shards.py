@@ -527,6 +527,13 @@ def weighted_sample_k(
         ws = batch.column(weight_col).to_pylist()
         out = []
         for i, w in zip(ids, ws):
+            if w is None or w <= 0:
+                # A-ES requires strictly positive weights: w=0 would
+                # divide by zero and w<0 silently INVERTS the sampling
+                raise ValueError(
+                    f"weighted_sample_k needs weight > 0, got {w!r} "
+                    f"for {id_col}={i!r}"
+                )
             u = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) / two52
             out.append(math.pow(u, 1.0 / w))
         return out

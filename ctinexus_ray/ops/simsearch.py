@@ -450,9 +450,9 @@ def pq_encode(
 ) -> ray.data.Dataset:
     """Compress the embedding column to (vec_id, codes: m-byte binary) —
     one pass; ``books_ref`` is a ``ray.put`` handle to the codebooks, read
-    once per task, never re-shipped per batch. At dim=64 float64 -> m=8
-    uint8 this is a 64x smaller scan footprint for every downstream ADC
-    search."""
+    once per task, never re-shipped per batch. At dim-64 float64, m
+    uint8 codes shrink the scan footprint 512/m x (m=16 -> 32x) for
+    every downstream ADC search."""
 
     def encode(batch: pa.Table) -> pa.Table:
         books = ray.get(books_ref)

@@ -555,18 +555,22 @@ def grouped_hll_distinct(
     """
 
     def partial(batch: pa.Table):
+        import pandas as pd
+
         keys = batch.column(key).to_pylist()
         vals = batch.column(column)
         if not (
             pa.types.is_string(vals.type) or pa.types.is_large_string(vals.type)
         ):
             vals = vals.cast(pa.string())  # hash as decimal text
-        uniq, inverse = np.unique(np.asarray(keys, dtype=object), return_inverse=True)
+        # factorize keeps the NULL group (SQL GROUP BY semantics —
+        # np.unique would raise on a None key)
+        inverse, uniq = pd.factorize(pd.Series(keys), use_na_sentinel=False)
         out_k, out_r = [], []
         for gi, kv in enumerate(uniq):
             rows = np.nonzero(inverse == gi)[0]
             regs = _hll_partial(vals.take(pa.array(rows)), p)
-            out_k.append(kv)
+            out_k.append(None if pd.isna(kv) else kv)
             out_r.append(regs.tobytes())
         yield pa.Table.from_pydict(
             {key: pa.array(out_k), "regs": pa.array(out_r, type=pa.binary())}
@@ -635,10 +639,14 @@ def grouped_tdigest_quantiles(
         )
         df = df[~df["v"].isna()]
         out_k, out_m, out_w = [], [], []
-        for kv, sub in df.groupby("k", sort=False):
+        # dropna=False: SQL GROUP BY keeps the NULL group (same invariant
+        # as partitioned_agg / grouped_hll_distinct)
+        for kv, sub in df.groupby("k", sort=False, dropna=False):
             vals = np.sort(sub["v"].to_numpy(), kind="mergesort")
             m, w = _tdigest_compress(vals, np.ones_like(vals), delta)
-            out_k.extend([kv] * len(m))
+            import pandas as _pd
+
+            out_k.extend([None if _pd.isna(kv) else kv] * len(m))
             out_m.extend(m)
             out_w.extend(w)
         if not out_k:

@@ -65,15 +65,22 @@ def conform_schema(
     def conform(batch: pa.Table):
         if batch.num_rows == 0:
             return
-        arrays = []
-        for f in schema:
-            if f.name in batch.column_names:
-                arrays.append(batch.column(f.name).cast(f.type))
-            else:
-                arrays.append(pa.nulls(batch.num_rows, type=f.type))
-        yield pa.Table.from_arrays(arrays, schema=schema)
+        yield _conform_table(batch, schema)
 
     return ds.map_batches(conform, batch_format="pyarrow")
+
+
+def _conform_table(batch: pa.Table, schema: pa.Schema) -> pa.Table:
+    """One-table cast/fill/drop/reorder (shared by ``conform_schema`` and
+    ``read_cc_jsonl`` so the ingestion-guard logic has one source of
+    truth)."""
+    arrays = []
+    for f in schema:
+        if f.name in batch.column_names:
+            arrays.append(batch.column(f.name).cast(f.type))
+        else:
+            arrays.append(pa.nulls(batch.num_rows, type=f.type))
+    return pa.Table.from_arrays(arrays, schema=schema)
 
 
 def read_cc_jsonl(paths: str | list[str]) -> ray.data.Dataset:
@@ -90,22 +97,33 @@ def read_cc_jsonl(paths: str | list[str]) -> ray.data.Dataset:
     def adapt(batch: pa.Table):
         if batch.num_rows == 0:
             return
-        arrays = []
-        for f in CC_SCHEMA:
-            if f.name not in batch.column_names:
-                arrays.append(pa.nulls(batch.num_rows, type=f.type))
-                continue
-            col = batch.column(f.name)
-            if f.name == "warc_ts" and pa.types.is_string(col.type):
-                import pyarrow.compute as pc
+        # normalize the two JSON-specific encodings, then delegate the
+        # cast/fill/drop/reorder to the shared ingestion guard
+        if "warc_ts" in batch.column_names and pa.types.is_string(
+            batch.column("warc_ts").type
+        ):
+            import pyarrow.compute as pc
 
-                col = pc.assume_timezone(
-                    pc.strptime(col, format="%Y-%m-%dT%H:%M:%S", unit="us"),
+            idx = batch.column_names.index("warc_ts")
+            batch = batch.set_column(
+                idx,
+                "warc_ts",
+                pc.assume_timezone(
+                    pc.strptime(
+                        batch.column("warc_ts"),
+                        format="%Y-%m-%dT%H:%M:%S",
+                        unit="us",
+                    ),
                     "UTC",
-                )
-            if f.name == "html" and pa.types.is_string(col.type):
-                col = col.cast(pa.binary())
-            arrays.append(col.cast(f.type))
-        yield pa.Table.from_arrays(arrays, schema=CC_SCHEMA)
+                ),
+            )
+        if "html" in batch.column_names and pa.types.is_string(
+            batch.column("html").type
+        ):
+            idx = batch.column_names.index("html")
+            batch = batch.set_column(
+                idx, "html", batch.column("html").cast(pa.binary())
+            )
+        yield _conform_table(batch, CC_SCHEMA)
 
     return ray.data.read_json(paths).map_batches(adapt, batch_format="pyarrow")

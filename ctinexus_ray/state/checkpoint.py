@@ -110,7 +110,26 @@ def run_resumable(
     for pid, input_file in pending:
         start = time.time()
         ds = pipeline(reader(input_file))
-        table = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+        batches = list(ds.iter_batches(batch_format="pyarrow"))
+        if batches:
+            table = pa.concat_tables(batches)
+        else:
+            # a partition whose pipeline output is legitimately empty
+            # (e.g. every doc failed a quality filter) still commits —
+            # otherwise the shard can never gain a sidecar and every
+            # rerun crashes on it
+            try:
+                from ctinexus_ray.ops.distjoin import _arrow_type
+
+                schema = ds.schema()
+                table = pa.schema(
+                    [
+                        (n, _arrow_type(t))
+                        for n, t in zip(schema.names, schema.types)
+                    ]
+                ).empty_table()
+            except Exception:  # noqa: BLE001 — schema unknown on empty
+                table = pa.table({})
         rows_total += table.num_rows
         lineage = {
             "input_file": input_file,

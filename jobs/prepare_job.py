@@ -54,6 +54,12 @@ def dedup_phase(input_path: str, deduped_dir: str, threshold: float,
         stats = json.loads(marker.read_text())
         stats["skipped"] = True
         return stats
+    # a marker-less deduped dir is a half-finished previous attempt —
+    # clear it, else write_parquet APPENDS a second copy of every row
+    # (the commit is data-then-marker; rerun-after-crash must start clean)
+    import shutil
+
+    shutil.rmtree(deduped_dir, ignore_errors=True)
     start = time.perf_counter()
     docs = ray.data.read_parquet(input_path)
     n_in = docs.count()
@@ -112,7 +118,12 @@ def prep_pipeline(capacity: int, min_words: int):
                 }
             )
 
-        filtered = ds.map_batches(keep_quality, batch_format="pyarrow")
+        # materialize once (shard-sized, bounded): `filtered` feeds BOTH
+        # pack_sequences and the re-attach join — without this the
+        # quality/tokenize stage executes twice per shard
+        filtered = ds.map_batches(
+            keep_quality, batch_format="pyarrow"
+        ).materialize()
         packed = pack_sequences(filtered, capacity=capacity)
         # re-attach text for the final training shard rows
         from ctinexus_ray.ops.distjoin import hash_join

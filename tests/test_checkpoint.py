@@ -128,3 +128,27 @@ class TestPrepareJob:
         s2 = pj.dedup_phase(str(src), str(out), threshold=0.8, num_partitions=16)
         assert s2["skipped"] is True and s2["surviving_docs"] == 2
         assert json.loads((out / "_DEDUP_SUCCESS.json").read_text())["input_docs"] == 3
+
+
+class TestEmptyPartitionCommit:
+    def test_all_filtered_shard_still_commits(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from ctinexus_ray.state.checkpoint import run_resumable
+
+        src = tmp_path / "in.parquet"
+        pq.write_table(
+            pa.Table.from_pydict({"doc_id": [1, 2], "n": [1, 2]}), src
+        )
+
+        def drop_everything(ds: "ray.data.Dataset"):
+            return ds.filter(expr="n > 100")
+
+        out = tmp_path / "out"
+        s1 = run_resumable([str(src)], out, drop_everything)
+        assert s1 == {"processed": 1, "skipped": 0, "rows": 0}
+        # the sidecar exists -> the rerun SKIPS instead of recrashing
+        s2 = run_resumable([str(src)], out, drop_everything)
+        assert s2 == {"processed": 0, "skipped": 1, "rows": 0}

@@ -209,3 +209,16 @@ class TestWeightedSampleK:
             ).take_all()
         }
         assert a == b and len(a) == 40
+
+    def test_nonpositive_weight_rejected(self, ray_session):
+        import pytest
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.shards import weighted_sample_k
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict({"id": [1, 2], "w": [3, 0]})
+        )
+        with pytest.raises(Exception, match="weight > 0"):
+            weighted_sample_k(ds, "id", "w", k=1).take_all()

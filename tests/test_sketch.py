@@ -185,3 +185,35 @@ class TestGroupedTDigest:
             for r in grouped_tdigest_quantiles(ds, "k", "v", [0.5]).take_all()
         }
         assert abs(got[0.5] - 3.0) < 1e-9
+
+
+class TestGroupedSketchNullKeys:
+    def test_grouped_hll_keeps_null_group(self, ray_session):
+        from ctinexus_ray.ops.sketch import grouped_hll_distinct
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "k": ["a", "a", None, None, "b"],
+                    "v": ["x", "y", "p", "q", "z"],
+                }
+            )
+        )
+        got = {
+            r["k"]: r["approx_distinct"]
+            for r in grouped_hll_distinct(ds, "k", "v", p=12).take_all()
+        }
+        assert got == {"a": 2, None: 2, "b": 1}
+
+    def test_grouped_tdigest_keeps_null_group(self, ray_session):
+        from ctinexus_ray.ops.sketch import grouped_tdigest_quantiles
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"k": ["a", None, None], "v": [1.0, 10.0, 20.0]}
+            )
+        )
+        rows = grouped_tdigest_quantiles(ds, "k", "v", [0.5]).take_all()
+        got = {r["k"]: r["value"] for r in rows}
+        assert set(got) == {"a", None}
+        assert abs(got[None] - 15.0) < 1e-9
