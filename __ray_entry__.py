@@ -1322,6 +1322,47 @@ def _q_doc_ntile(sf_dir: str):
     return ranked.map_batches(bucketize, batch_format="pyarrow")
 
 
+def _q_top_words_by_lang(sf_dir: str):
+    """Exact top-5 words per language: (lang, word) explode with
+    per-batch combine -> hash-partitioned two-key count (vocabulary x
+    languages is corpus-cardinality) -> distributed row_number window
+    per language."""
+    from collections import Counter
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.relational import grouped_topn
+    from ctinexus_ray.ops.textstats import _tokens
+
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def explode(batch: pa.Table):
+        c: Counter = Counter()
+        for lang, t in zip(
+            batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for w in _tokens(t or ""):
+                c[(lang, w)] += 1
+        if not c:
+            return
+        keys = list(c.keys())
+        yield pa.Table.from_pydict(
+            {
+                "lang": pa.array([k[0] for k in keys], type=pa.string()),
+                "word": pa.array([k[1] for k in keys], type=pa.string()),
+                "n": pa.array([c[k] for k in keys], type=pa.int64()),
+            }
+        )
+
+    counts = partitioned_agg(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        keys=["lang", "word"],
+        named_aggs={"n": ("n", "sum")},
+    )
+    return grouped_topn(
+        counts, group_key="lang", order_col="n", n=5, tiebreak_col="word"
+    )
+
+
 def _q_doc_len_histogram(sf_dir: str):
     """Equi-width histogram of document lengths (bucket = n_chars/500):
     per-batch combine + one tiny grouped sum — the O(buckets) profile
@@ -2170,6 +2211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_len_tdigest": _q_lang_len_tdigest,
         "doc_sample_weighted": _q_doc_sample_weighted,
         "doc_len_histogram": _q_doc_len_histogram,
+        "top_words_by_lang": _q_top_words_by_lang,
         "qty_price_corr": _q_qty_price_corr,
         "event_transitions": _q_event_transitions,
         "funnel_users": _q_funnel_users,
@@ -2564,6 +2606,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_len_histogram": (
             "SELECT n_chars // 500 AS bucket, count(*) AS n_docs "
             "FROM documents GROUP BY 1"
+        ),
+        "top_words_by_lang": (
+            "WITH words AS (SELECT lang, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS word "
+            "FROM documents), "
+            "counts AS (SELECT lang, word, count(*) AS n FROM words "
+            "GROUP BY lang, word), "
+            "ranked AS (SELECT lang, word, n, row_number() OVER ("
+            "PARTITION BY lang ORDER BY n DESC, word) AS rn FROM counts) "
+            "SELECT lang, CAST(rn AS BIGINT) AS rn, word, n "
+            "FROM ranked WHERE rn <= 5"
         ),
         "qty_price_corr": (
             "WITH q AS (SELECT CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x, "
