@@ -1322,6 +1322,50 @@ def _q_doc_ntile(sf_dir: str):
     return ranked.map_batches(bucketize, batch_format="pyarrow")
 
 
+def _q_stratified_sample(sf_dir: str):
+    """Exactly-k-PER-GROUP deterministic sample (stratified holdout):
+    content-addressed md5 ranking inside each language via the
+    distributed row_number window — reshard-stable, no RNG, no corpus
+    sort."""
+    import hashlib
+
+    from ctinexus_ray.ops.relational import grouped_topn
+
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+
+    def add_digest(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        return batch.append_column(
+            "digest",
+            pa.array(
+                [hashlib.md5(str(i).encode()).hexdigest() for i in ids],
+                type=pa.string(),
+            ),
+        )
+
+    return grouped_topn(
+        docs.map_batches(add_digest, batch_format="pyarrow"),
+        group_key="lang",
+        order_col="digest",
+        n=10,
+        tiebreak_col="doc_id",
+    )
+
+
+def _q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd's k-means over the full embedding table (5
+    iterations): corpus never shuffles; per iteration each batch emits
+    fixed-size (cluster, sum, count) combiners and the driver holds only
+    the centroid matrix. Iterative -> rows-only; convergence pinned in
+    tests."""
+    from ctinexus_ray.ops.simsearch import kmeans_fit_predict
+    from ctinexus_ray.sources.documents import read_testdata_embeddings
+
+    return kmeans_fit_predict(
+        read_testdata_embeddings(sf_dir), n_clusters=8, n_iter=5
+    )
+
+
 def _q_top_words_by_lang(sf_dir: str):
     """Exact top-5 words per language: (lang, word) explode with
     per-batch combine -> hash-partitioned two-key count (vocabulary x
@@ -2212,6 +2256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample_weighted": _q_doc_sample_weighted,
         "doc_len_histogram": _q_doc_len_histogram,
         "top_words_by_lang": _q_top_words_by_lang,
+        "stratified_sample": _q_stratified_sample,
+        "kmeans_clusters": _q_kmeans_clusters,
         "qty_price_corr": _q_qty_price_corr,
         "event_transitions": _q_event_transitions,
         "funnel_users": _q_funnel_users,
@@ -2606,6 +2652,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_len_histogram": (
             "SELECT n_chars // 500 AS bucket, count(*) AS n_docs "
             "FROM documents GROUP BY 1"
+        ),
+        "stratified_sample": (
+            "WITH d AS (SELECT lang, doc_id, "
+            "md5(CAST(doc_id AS VARCHAR)) AS digest FROM documents), "
+            "ranked AS (SELECT lang, doc_id, digest, row_number() OVER ("
+            "PARTITION BY lang ORDER BY digest DESC, doc_id) AS rn FROM d) "
+            "SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, digest "
+            "FROM ranked WHERE rn <= 10"
         ),
         "top_words_by_lang": (
             "WITH words AS (SELECT lang, "

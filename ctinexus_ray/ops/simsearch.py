@@ -583,3 +583,109 @@ def pq_topk(
         search, batch_format="pyarrow"
     )
     return _merge_topk(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fit_predict(
+    embeddings: ray.data.Dataset,
+    n_clusters: int = 8,
+    n_iter: int = 5,
+) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means over the FULL embedding column — the
+    iterative-refinement shape on Ray Data (contrast with the bounded-
+    sample ``_deterministic_kmeans`` that trains IVF/PQ codebooks):
+
+      init      first ``n_clusters`` vectors by vec_id (deterministic,
+                bounded driver fetch)
+      iterate   centroids broadcast via ``ray.put``; every batch assigns
+                its vectors (one matmul) and emits ONE partial row per
+                cluster it touched — (cluster, sum_vec, count), a
+                fixed-size combiner — and a (n_clusters x dim) reduce
+                updates the centroids. The DRIVER holds only the
+                centroid matrix between iterations; the corpus never
+                moves (no shuffle at all — the reduce input is
+                O(batches x clusters) small rows).
+      finalize  one assignment pass -> (vec_id, cluster)
+
+    Deterministic: no RNG, vectors L2-normalized, ties by lower cluster
+    index (argmax semantics); empty clusters keep their previous
+    centroid. Approximate/iterative -> rows-only in the driver contract;
+    convergence + separation pinned in tests."""
+    head = (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {n_clusters}")
+        .take_all()
+    )
+    head.sort(key=lambda r: r["vec_id"])
+    if not head:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cluster": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    centroids = _normalize(
+        np.array([r["embedding"] for r in head], dtype=np.float64)
+    )
+    kk = centroids.shape[0]
+    vecs = embeddings.select_columns(["vec_id", "embedding"])
+
+    for _ in range(n_iter):
+        cent_ref = ray.put(centroids)
+
+        def partial(batch: pa.Table, _ref=cent_ref):
+            cents = ray.get(_ref)
+            mat = _normalize(
+                np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            )
+            assign = np.argmax(mat @ cents.T, axis=1)
+            out_c, out_s, out_n = [], [], []
+            for c in np.unique(assign):
+                rows = mat[assign == c]
+                out_c.append(int(c))
+                out_s.append(rows.sum(axis=0).tolist())
+                out_n.append(len(rows))
+            yield pa.Table.from_pydict(
+                {
+                    "cluster": pa.array(out_c, type=pa.int64()),
+                    "vsum": pa.array(out_s, type=pa.list_(pa.float64())),
+                    "n": pa.array(out_n, type=pa.int64()),
+                }
+            )
+
+        # tiny reduce: O(batches x clusters) fixed-size partials
+        acc_v = np.zeros_like(centroids)
+        acc_n = np.zeros(kk, dtype=np.int64)
+        reduced = vecs.map_batches(partial, batch_format="pyarrow")
+        for b in reduced.iter_batches(batch_format="pyarrow"):
+            cs = np.asarray(b.column("cluster").to_pylist(), dtype=np.int64)
+            ns = np.asarray(b.column("n").to_pylist(), dtype=np.int64)
+            vs = np.array(b.column("vsum").to_pylist(), dtype=np.float64)
+            np.add.at(acc_v, cs, vs)
+            np.add.at(acc_n, cs, ns)
+        nonempty = acc_n > 0
+        centroids[nonempty] = acc_v[nonempty] / acc_n[nonempty, None]
+        centroids = _normalize(centroids)
+
+    final_ref = ray.put(centroids)
+
+    def assign_final(batch: pa.Table) -> pa.Table:
+        cents = ray.get(final_ref)
+        mat = _normalize(
+            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        )
+        assign = np.argmax(mat @ cents.T, axis=1)
+        return pa.Table.from_pydict(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(assign, type=pa.int64()),
+            }
+        )
+
+    return vecs.map_batches(assign_final, batch_format="pyarrow")

@@ -767,3 +767,48 @@ class TestRealMultimodal:
 
         with pytest.raises(ValueError, match="unsupported mime"):
             DecodeMediaStage()._features("image/png", b"\x89PNG")
+
+
+class TestDistributedKMeans:
+    def test_separates_two_blobs(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.simsearch import kmeans_fit_predict
+
+        # two well-separated direction blobs on the unit sphere (dim 4)
+        base_a, base_b = np.array([1.0, 0, 0, 0]), np.array([0, 0, 0, 1.0])
+        vecs, ids = [], []
+        for i in range(200):
+            base = base_a if i % 2 == 0 else base_b
+            jit = np.array(
+                [((i * 37 + d * 11) % 17 - 8) / 100.0 for d in range(4)]
+            )
+            vecs.append((base + jit).tolist())
+            ids.append(i)
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict({"vec_id": ids, "embedding": vecs})
+        ).repartition(5)
+        got = {
+            r["vec_id"]: r["cluster"]
+            for r in kmeans_fit_predict(ds, n_clusters=2, n_iter=5).take_all()
+        }
+        a_clusters = {got[i] for i in range(0, 200, 2)}
+        b_clusters = {got[i] for i in range(1, 200, 2)}
+        assert len(a_clusters) == 1 and len(b_clusters) == 1
+        assert a_clusters != b_clusters
+
+    def test_deterministic_across_partitionings(self, embeddings):
+        from ctinexus_ray.ops.simsearch import kmeans_fit_predict
+
+        a = {
+            r["vec_id"]: r["cluster"]
+            for r in kmeans_fit_predict(embeddings, 4, 3).take_all()
+        }
+        b = {
+            r["vec_id"]: r["cluster"]
+            for r in kmeans_fit_predict(
+                embeddings.repartition(11), 4, 3
+            ).take_all()
+        }
+        assert a == b and len(a) == 500
