@@ -1322,6 +1322,18 @@ def _q_doc_ntile(sf_dir: str):
     return ranked.map_batches(bucketize, batch_format="pyarrow")
 
 
+def _q_compression_ratios(sf_dir: str):
+    """zlib compression ratio per document (redundancy / machine-spam
+    signal alongside the Gopher rules). Stateless map; not
+    SQL-expressible (no zlib in DuckDB) -> rows-only, values pinned
+    against direct zlib in tests."""
+    from ctinexus_ray.ops.textstats import compression_ratio_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        compression_ratio_batch, batch_format="pyarrow"
+    )
+
+
 def _q_stratified_sample(sf_dir: str):
     """Exactly-k-PER-GROUP deterministic sample (stratified holdout):
     content-addressed md5 ranking inside each language via the
@@ -2257,6 +2269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_histogram": _q_doc_len_histogram,
         "top_words_by_lang": _q_top_words_by_lang,
         "stratified_sample": _q_stratified_sample,
+        "compression_ratios": _q_compression_ratios,
         "kmeans_clusters": _q_kmeans_clusters,
         "qty_price_corr": _q_qty_price_corr,
         "event_transitions": _q_event_transitions,

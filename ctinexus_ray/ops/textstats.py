@@ -733,3 +733,28 @@ def pmi_top_bigrams(
 
     scored = j2.map_batches(score, batch_format="pyarrow")
     return scored.sort(["pmi", "bigram"], descending=[True, False]).limit(top)
+
+
+def compression_ratio_batch(batch: pa.Table, level: int = 6) -> pa.Table:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    classic cheap redundancy signal for web text (low ratio = boilerplate
+    / repeated templates; used alongside the Gopher rules to drop
+    machine-generated spam). Stateless map, stdlib zlib, deterministic
+    for a fixed level. Not SQL-expressible -> rows-only; values pinned
+    against direct zlib in tests."""
+    import zlib
+
+    ids = batch.column("doc_id").to_pylist()
+    out = []
+    for t in batch.column("text").to_pylist():
+        raw = (t or "").encode("utf-8")
+        if not raw:
+            out.append(1.0)
+            continue
+        out.append(len(zlib.compress(raw, level)) / len(raw))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "compression_ratio": pa.array(out, type=pa.float64()),
+        }
+    )

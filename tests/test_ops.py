@@ -812,3 +812,30 @@ class TestDistributedKMeans:
             ).take_all()
         }
         assert a == b and len(a) == 500
+
+
+class TestCompressionRatio:
+    def test_matches_direct_zlib(self, ray_session):
+        import zlib
+
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.textstats import compression_ratio_batch
+
+        texts = ["abc " * 200, "the quick brown fox", ""]
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict({"doc_id": [0, 1, 2], "text": texts})
+        )
+        got = {
+            r["doc_id"]: r["compression_ratio"]
+            for r in ds.map_batches(
+                compression_ratio_batch, batch_format="pyarrow"
+            ).take_all()
+        }
+        for i, t in enumerate(texts):
+            raw = t.encode()
+            want = len(zlib.compress(raw, 6)) / len(raw) if raw else 1.0
+            assert got[i] == want
+        # highly repetitive text compresses far better than prose
+        assert got[0] < 0.05 < got[1]
