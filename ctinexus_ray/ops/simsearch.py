@@ -664,6 +664,8 @@ def kmeans_fit_predict(
         acc_n = np.zeros(kk, dtype=np.int64)
         reduced = vecs.map_batches(partial, batch_format="pyarrow")
         for b in reduced.iter_batches(batch_format="pyarrow"):
+            if b.num_rows == 0:
+                continue
             cs = np.asarray(b.column("cluster").to_pylist(), dtype=np.int64)
             ns = np.asarray(b.column("n").to_pylist(), dtype=np.int64)
             vs = np.array(b.column("vsum").to_pylist(), dtype=np.float64)

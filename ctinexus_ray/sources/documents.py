@@ -83,6 +83,38 @@ def _conform_table(batch: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=schema)
 
 
+def _normalize_text_encodings(batch: pa.Table) -> pa.Table:
+    """Text-format normalization shared by the JSONL/CSV readers: ISO
+    timestamp strings -> UTC timestamp[us], utf-8 html strings ->
+    binary. Parquet shards skip this (already typed)."""
+    if "warc_ts" in batch.column_names and pa.types.is_string(
+        batch.column("warc_ts").type
+    ):
+        import pyarrow.compute as pc
+
+        idx = batch.column_names.index("warc_ts")
+        batch = batch.set_column(
+            idx,
+            "warc_ts",
+            pc.assume_timezone(
+                pc.strptime(
+                    batch.column("warc_ts"),
+                    format="%Y-%m-%dT%H:%M:%S",
+                    unit="us",
+                ),
+                "UTC",
+            ),
+        )
+    if "html" in batch.column_names and pa.types.is_string(
+        batch.column("html").type
+    ):
+        idx = batch.column_names.index("html")
+        batch = batch.set_column(
+            idx, "html", batch.column("html").cast(pa.binary())
+        )
+    return batch
+
+
 def read_cc_jsonl(paths: str | list[str]) -> ray.data.Dataset:
     """Common-Crawl-shaped corpus from JSONL shards (the other wire format
     web corpora ship in): ``ray.data.read_json`` streams the lines, then
@@ -97,33 +129,22 @@ def read_cc_jsonl(paths: str | list[str]) -> ray.data.Dataset:
     def adapt(batch: pa.Table):
         if batch.num_rows == 0:
             return
-        # normalize the two JSON-specific encodings, then delegate the
-        # cast/fill/drop/reorder to the shared ingestion guard
-        if "warc_ts" in batch.column_names and pa.types.is_string(
-            batch.column("warc_ts").type
-        ):
-            import pyarrow.compute as pc
-
-            idx = batch.column_names.index("warc_ts")
-            batch = batch.set_column(
-                idx,
-                "warc_ts",
-                pc.assume_timezone(
-                    pc.strptime(
-                        batch.column("warc_ts"),
-                        format="%Y-%m-%dT%H:%M:%S",
-                        unit="us",
-                    ),
-                    "UTC",
-                ),
-            )
-        if "html" in batch.column_names and pa.types.is_string(
-            batch.column("html").type
-        ):
-            idx = batch.column_names.index("html")
-            batch = batch.set_column(
-                idx, "html", batch.column("html").cast(pa.binary())
-            )
-        yield _conform_table(batch, CC_SCHEMA)
+        yield _conform_table(_normalize_text_encodings(batch), CC_SCHEMA)
 
     return ray.data.read_json(paths).map_batches(adapt, batch_format="pyarrow")
+
+
+def read_cc_csv(paths: str | list[str]) -> ray.data.Dataset:
+    """Common-Crawl-shaped corpus from CSV shards (legacy exports):
+    ``ray.data.read_csv`` streams, then the same JSON-style
+    normalization (ISO timestamp strings, utf-8 html) + the shared
+    ``_conform_table`` ingestion guard pin the CC schema. Prefer parquet
+    (typed, column-prunable); this exists so a CSV drop can enter the
+    engine without a pre-conversion job."""
+
+    def adapt(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        yield _conform_table(_normalize_text_encodings(batch), CC_SCHEMA)
+
+    return ray.data.read_csv(paths).map_batches(adapt, batch_format="pyarrow")

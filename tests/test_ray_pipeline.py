@@ -197,3 +197,33 @@ class TestSourcesConform:
             zip(t.column("url").to_pylist(), t.column("html").to_pylist())
         )
         assert rows[0] == ("https://example.test/0", b"<html>0</html>")
+
+    def test_read_cc_csv_roundtrip(self, ray_session, tmp_path):
+        import csv
+
+        from ctinexus_ray.sources.documents import read_cc_csv
+        from ctinexus_ray.sources.synth import CC_SCHEMA
+
+        path = tmp_path / "shard.csv"
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(["url", "warc_ts", "html", "text", "lang"])
+            for i in range(4):
+                w.writerow(
+                    [
+                        f"https://example.test/{i}",
+                        "2024-01-02T03:04:05",
+                        f"<html>{i}</html>",
+                        f"doc {i}",
+                        "en",
+                    ]
+                )
+        import pyarrow as pa
+
+        ds = read_cc_csv(str(path))
+        t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+        assert t.schema == CC_SCHEMA and t.num_rows == 4
+        rows = sorted(
+            zip(t.column("url").to_pylist(), t.column("html").to_pylist())
+        )
+        assert rows[0] == ("https://example.test/0", b"<html>0</html>")
