@@ -1396,7 +1396,13 @@ def _q_top_words_by_lang(sf_dir: str):
         for lang, t in zip(
             batch.column("lang").to_pylist(), batch.column("text").to_pylist()
         ):
-            for w in _tokens(t or ""):
+            if t is None:
+                # SQL: regexp_split_to_array(trim(NULL)) is NULL and
+                # unnest(NULL) yields no rows — a null text contributes
+                # nothing (an EMPTY string still yields one '' token,
+                # matching the oracle)
+                continue
+            for w in _tokens(t):
                 c[(lang, w)] += 1
         if not c:
             return

@@ -280,7 +280,10 @@ def grouped_topn(
             ascending=[True, False, True],
             kind="mergesort",
         )
-        rn = g.groupby(group_key, sort=False).cumcount() + 1
+        # dropna=False: a NULL group key gets ranks like any other group
+        # (SQL PARTITION BY keeps the NULL partition; default cumcount
+        # emits NaN ranks for null keys and the rows silently vanish)
+        rn = g.groupby(group_key, sort=False, dropna=False).cumcount() + 1
         g = g.assign(**{out_rank: rn})
         g = g[g[out_rank] <= n]
         return g[[group_key, out_rank, tiebreak_col, order_col]].reset_index(

@@ -527,9 +527,10 @@ def weighted_sample_k(
         ws = batch.column(weight_col).to_pylist()
         out = []
         for i, w in zip(ids, ws):
-            if w is None or w <= 0:
+            if w is None or w != w or w <= 0:
                 # A-ES requires strictly positive weights: w=0 would
-                # divide by zero and w<0 silently INVERTS the sampling
+                # divide by zero, w<0 silently INVERTS the sampling, and
+                # NaN (w != w) would corrupt the sort keys silently
                 raise ValueError(
                     f"weighted_sample_k needs weight > 0, got {w!r} "
                     f"for {id_col}={i!r}"

@@ -615,9 +615,23 @@ def kmeans_fit_predict(
     index (argmax semantics); empty clusters keep their previous
     centroid. Approximate/iterative -> rows-only in the driver contract;
     convergence + separation pinned in tests."""
+    vecs = embeddings.select_columns(["vec_id", "embedding"]).materialize()
+    # materialize once: the lazy scan would otherwise re-execute per
+    # iteration (n_iter + 2 full reads)
+
+    # init = the n_clusters SMALLEST vec_ids (batch-local cut + tiny
+    # merge — ids may be sparse/offset, so no dense-0-based assumption)
+    def init_cut(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        order = np.argsort(ids, kind="mergesort")[:n_clusters]
+        yield batch.take(pa.array(order, type=pa.int64()))
+
     head = (
-        embeddings.select_columns(["vec_id", "embedding"])
-        .filter(expr=f"vec_id < {n_clusters}")
+        vecs.map_batches(init_cut, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(init_cut, batch_format="pyarrow", batch_size=None)
         .take_all()
     )
     head.sort(key=lambda r: r["vec_id"])
@@ -634,12 +648,13 @@ def kmeans_fit_predict(
         np.array([r["embedding"] for r in head], dtype=np.float64)
     )
     kk = centroids.shape[0]
-    vecs = embeddings.select_columns(["vec_id", "embedding"])
 
     for _ in range(n_iter):
         cent_ref = ray.put(centroids)
 
         def partial(batch: pa.Table, _ref=cent_ref):
+            if batch.num_rows == 0:
+                return
             cents = ray.get(_ref)
             mat = _normalize(
                 np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
@@ -663,27 +678,40 @@ def kmeans_fit_predict(
         acc_v = np.zeros_like(centroids)
         acc_n = np.zeros(kk, dtype=np.int64)
         reduced = vecs.map_batches(partial, batch_format="pyarrow")
+        # accumulate in a SORTED, content-defined order: block arrival
+        # order is not stable run-to-run and float addition is
+        # non-associative — sorting the O(batches x clusters) partial
+        # rows first makes the centroid update bit-reproducible
+        rows: list[tuple] = []
         for b in reduced.iter_batches(batch_format="pyarrow"):
             if b.num_rows == 0:
                 continue
-            cs = np.asarray(b.column("cluster").to_pylist(), dtype=np.int64)
-            ns = np.asarray(b.column("n").to_pylist(), dtype=np.int64)
-            vs = np.array(b.column("vsum").to_pylist(), dtype=np.float64)
-            np.add.at(acc_v, cs, vs)
-            np.add.at(acc_n, cs, ns)
+            rows.extend(
+                zip(
+                    b.column("cluster").to_pylist(),
+                    b.column("n").to_pylist(),
+                    (tuple(v) for v in b.column("vsum").to_pylist()),
+                )
+            )
+        rows.sort()
+        for c, n_part, vsum in rows:
+            acc_v[c] += np.asarray(vsum, dtype=np.float64)
+            acc_n[c] += n_part
         nonempty = acc_n > 0
         centroids[nonempty] = acc_v[nonempty] / acc_n[nonempty, None]
         centroids = _normalize(centroids)
 
     final_ref = ray.put(centroids)
 
-    def assign_final(batch: pa.Table) -> pa.Table:
+    def assign_final(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
         cents = ray.get(final_ref)
         mat = _normalize(
             np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
         )
         assign = np.argmax(mat @ cents.T, axis=1)
-        return pa.Table.from_pydict(
+        yield pa.Table.from_pydict(
             {
                 "vec_id": batch.column("vec_id"),
                 "cluster": pa.array(assign, type=pa.int64()),

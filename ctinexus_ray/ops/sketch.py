@@ -564,8 +564,12 @@ def grouped_hll_distinct(
         ):
             vals = vals.cast(pa.string())  # hash as decimal text
         # factorize keeps the NULL group (SQL GROUP BY semantics —
-        # np.unique would raise on a None key)
-        inverse, uniq = pd.factorize(pd.Series(keys), use_na_sentinel=False)
+        # np.unique would raise on a None key); dtype=object prevents
+        # pandas coercing int64 keys to float64 when a null is present
+        # (floats above 2^53 would silently merge distinct keys)
+        inverse, uniq = pd.factorize(
+            pd.Series(keys, dtype=object), use_na_sentinel=False
+        )
         out_k, out_r = [], []
         for gi, kv in enumerate(uniq):
             rows = np.nonzero(inverse == gi)[0]
@@ -644,9 +648,7 @@ def grouped_tdigest_quantiles(
         for kv, sub in df.groupby("k", sort=False, dropna=False):
             vals = np.sort(sub["v"].to_numpy(), kind="mergesort")
             m, w = _tdigest_compress(vals, np.ones_like(vals), delta)
-            import pandas as _pd
-
-            out_k.extend([None if _pd.isna(kv) else kv] * len(m))
+            out_k.extend([None if pd.isna(kv) else kv] * len(m))
             out_m.extend(m)
             out_w.extend(w)
         if not out_k:

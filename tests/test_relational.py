@@ -569,3 +569,29 @@ class TestSequenceOps:
             ("click", "view"): 1,
             ("view", "other"): 1,
         }
+
+
+class TestGroupedTopnNullKeys:
+    def test_null_group_ranked(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.relational import grouped_topn
+
+        t = pa.Table.from_pydict(
+            {
+                "g": ["a", None, None, "a", None],
+                "v": [5, 9, 7, 3, 8],
+                "id": [1, 2, 3, 4, 5],
+            }
+        )
+        rows = grouped_topn(
+            ray.data.from_arrow(t), "g", "v", n=2, tiebreak_col="id"
+        ).take_all()
+        got = {(r["g"], r["rn"]): r["id"] for r in rows}
+        assert got == {
+            ("a", 1): 1,
+            ("a", 2): 4,
+            (None, 1): 2,
+            (None, 2): 5,
+        }
