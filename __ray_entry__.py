@@ -1678,6 +1678,30 @@ def _q_tpch_q5(sf_dir: str):
     return _rename(agg, {"sum(cents)": "revenue_cents"})
 
 
+def _q_overlapping_sessions(sf_dir: str):
+    """Interval-overlap self-join over gap-1800s session intervals: how
+    many session pairs of each user pair overlap in time (the
+    co-activity / log-correlation shape, no equi key). Bucketed
+    co-shuffle + exactly-once emission in the bucket of max(start_a,
+    start_b); final hash-partitioned pair count."""
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.relational import (
+        interval_overlap_pairs,
+        session_intervals,
+    )
+
+    intervals = session_intervals(_events(sf_dir), gap_seconds=1800)
+    pairs = interval_overlap_pairs(
+        intervals, owner_col="user_id", start_col="s_us", end_col="e_us"
+    )
+    agg = partitioned_agg(
+        pairs,
+        keys=["owner_a", "owner_b"],
+        named_aggs={"n_overlaps": ("owner_a", "size")},
+    )
+    return _rename(agg, {"owner_a": "user_a", "owner_b": "user_b"})
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition counts over per-user event sequences (LAG +
     GROUP BY at corpus scale: one user-hash shuffle, vectorized shift per
@@ -2280,6 +2304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_corr": _q_qty_price_corr,
         "event_transitions": _q_event_transitions,
         "funnel_users": _q_funnel_users,
+        "overlapping_sessions": _q_overlapping_sessions,
         "lineitem_pending_orders": _q_lineitem_pending_orders,
         "orders_status_agg": _q_orders_status_agg,
         "quantity_stats_by_flag": _q_quantity_stats_by_flag,
@@ -2876,6 +2901,22 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate >= TIMESTAMP '1996-01-01' "
             "AND o_orderdate < TIMESTAMP '1997-01-01' "
             "GROUP BY n_name"
+        ),
+        "overlapping_sessions": (
+            "WITH lagd AS (SELECT user_id, ts, event_id, lag(ts) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events), "
+            "flagged AS (SELECT user_id, ts, event_id, CASE WHEN prev IS "
+            "NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 "
+            "ELSE 0 END AS new_s FROM lagd), "
+            "sess AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY "
+            "user_id ORDER BY ts, event_id) AS sid FROM flagged), "
+            "iv AS (SELECT user_id, sid, min(epoch_us(ts)) AS s_us, "
+            "max(epoch_us(ts)) AS e_us FROM sess GROUP BY user_id, sid) "
+            "SELECT a.user_id AS user_a, b.user_id AS user_b, "
+            "count(*) AS n_overlaps FROM iv a JOIN iv b "
+            "ON a.user_id < b.user_id AND a.s_us <= b.e_us "
+            "AND b.s_us <= a.e_us GROUP BY 1, 2"
         ),
         "event_transitions": (
             "SELECT prev_type, event_type, count(*) AS n FROM ("

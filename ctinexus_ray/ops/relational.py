@@ -13,6 +13,7 @@ corpus-scale patterns the engine adds:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -821,4 +822,131 @@ def funnel_users(
         .map_batches(add_pkey, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(scan, batch_format="pandas")
+    )
+
+
+def session_intervals(
+    events: ray.data.Dataset,
+    gap_seconds: int = 1800,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Materialize per-user session INTERVALS (user_id, sid, s_us, e_us):
+    the interval form of ``sessionize`` — a new session starts when the
+    gap to the previous event exceeds ``gap_seconds`` (strict >, integer
+    microseconds — exactly the SQL lag/cumsum-window formulation). One
+    user-hash shuffle; sort + shift + cumsum + grouped min/max, all
+    vectorized per partition."""
+    from ctinexus_ray.ops.groupagg import add_hash_pkey
+
+    gap_us = gap_seconds * 1_000_000
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "ts_us", batch.column("ts").cast(pa.int64())
+        )
+        return add_hash_pkey(
+            batch.drop_columns(["ts"]), ["user_id"], num_partitions
+        )
+
+    def to_intervals(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        prev = grp["ts_us"].shift(1)
+        new_s = (prev.isna() | ((g["ts_us"] - prev) > gap_us)).astype("int64")
+        sid = new_s.groupby(g["user_id"].values, sort=False).cumsum()
+        out = (
+            g.assign(sid=sid)
+            .groupby(["user_id", "sid"], sort=False)["ts_us"]
+            .agg(["min", "max"])
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64").values,
+                "sid": out["sid"].astype("int64").values,
+                "s_us": out["min"].astype("int64").values,
+                "e_us": out["max"].astype("int64").values,
+            }
+        )
+
+    return (
+        events.select_columns(["event_id", "user_id", "ts"])
+        .map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(to_intervals, batch_format="pandas")
+    )
+
+
+def interval_overlap_pairs(
+    intervals: ray.data.Dataset,
+    owner_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_us: int = 3_600_000_000,
+    max_bucket: int = 4096,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Interval-overlap join (both sides = the same interval table): one
+    (owner_a, owner_b) row per pair of intervals with DIFFERENT owners
+    that overlap (inclusive: s_a <= e_b AND s_b <= e_a), owner_a <
+    owner_b. The genomics/log-correlation join shape — no equi key, so a
+    hash join cannot express it.
+
+    Shuffle shape: each interval replicates to every ``bucket_us``-wide
+    time bucket it spans (short intervals -> ~1 bucket); a groupby
+    co-locates buckets and a vectorized pandas self-merge emits
+    candidate pairs. A pair is counted ONLY in the bucket containing
+    ``max(s_a, s_b)`` — every overlapping pair shares that bucket by
+    construction, so emission is exactly-once with NO global dedup
+    shuffle. ``max_bucket`` caps degenerate buckets (same cap pattern as
+    the LSH/ngram partition merges); ``bucket_us`` trades replication
+    (long intervals) against bucket width (pair fan-in)."""
+
+    def explode(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        s = np.asarray(batch.column(start_col).to_pylist(), dtype=np.int64)
+        e = np.asarray(batch.column(end_col).to_pylist(), dtype=np.int64)
+        owner = np.asarray(batch.column(owner_col).to_pylist(), dtype=np.int64)
+        b0 = s // bucket_us
+        nb = (e // bucket_us - b0 + 1).astype(np.int64)
+        total = int(nb.sum())
+        seg = np.concatenate(([0], np.cumsum(nb)))[:-1]
+        off = np.arange(total, dtype=np.int64) - np.repeat(seg, nb)
+        bucket = np.repeat(b0, nb) + off
+        yield pa.Table.from_pydict(
+            {
+                "owner": pa.array(np.repeat(owner, nb), type=pa.int64()),
+                "s": pa.array(np.repeat(s, nb), type=pa.int64()),
+                "e": pa.array(np.repeat(e, nb), type=pa.int64()),
+                "bucket": pa.array(bucket, type=pa.int64()),
+                "pkey": pa.array(bucket % num_partitions, type=pa.int64()),
+            }
+        )
+
+    exploded = intervals.map_batches(explode, batch_format="pyarrow")
+
+    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bucket", "owner", "s"], kind="mergesort")
+        g = g[g.groupby("bucket").cumcount() < max_bucket]
+        cols = ["bucket", "owner", "s", "e"]
+        m = g[cols].merge(g[cols], on="bucket", suffixes=("_a", "_b"))
+        later_start = np.maximum(m["s_a"], m["s_b"])
+        keep = (
+            (m["s_a"] <= m["e_b"])
+            & (m["s_b"] <= m["e_a"])
+            & (m["owner_a"] < m["owner_b"])
+            # exactly-once: only the bucket holding max(s_a, s_b) emits
+            & ((later_start // bucket_us) == m["bucket"])
+        )
+        m = m[keep]
+        return pd.DataFrame(
+            {
+                "owner_a": m["owner_a"].astype("int64").values,
+                "owner_b": m["owner_b"].astype("int64").values,
+            }
+        )
+
+    return exploded.groupby("pkey").map_groups(
+        pairs_partition, batch_format="pandas"
     )

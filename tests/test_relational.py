@@ -595,3 +595,72 @@ class TestGroupedTopnNullKeys:
             (None, 1): 2,
             (None, 2): 5,
         }
+
+
+class TestIntervalOverlap:
+    def test_exactly_once_across_buckets(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.relational import interval_overlap_pairs
+
+        W = 100
+        # intervals spanning multiple W-buckets; overlap matrix known:
+        #   owner 1: [50, 250]   owner 2: [240, 260]  -> overlap
+        #   owner 3: [300, 310]  (no overlap with 1 or 2... 2 ends 260)
+        #   owner 4: [0, 1000]   overlaps everyone
+        t = pa.Table.from_pydict(
+            {
+                "owner": [1, 2, 3, 4],
+                "s": [50, 240, 300, 0],
+                "e": [250, 260, 310, 1000],
+            }
+        )
+        rows = interval_overlap_pairs(
+            ray.data.from_arrow(t).repartition(2),
+            owner_col="owner",
+            start_col="s",
+            end_col="e",
+            bucket_us=W,
+        ).take_all()
+        got = sorted((r["owner_a"], r["owner_b"]) for r in rows)
+        # exactly once each, despite multi-bucket replication
+        assert got == [(1, 2), (1, 4), (2, 4), (3, 4)]
+
+    def test_session_intervals_match_sessionize_counts(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.relational import session_intervals, sessionize
+
+        rows = []
+        eid = 0
+        for u in (1, 2, 3):
+            for s in range(u):  # user u has u sessions
+                for j in range(3):
+                    rows.append((eid, u, (s * 10_000 + j) * 1_000_000))
+                    eid += 1
+        t = pa.Table.from_pydict(
+            {
+                "event_id": [r[0] for r in rows],
+                "user_id": [r[1] for r in rows],
+                "ts": pa.array([r[2] for r in rows], type=pa.timestamp("us")),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(3)
+        ivs = session_intervals(ds, gap_seconds=1800).take_all()
+        per_user = {}
+        for r in ivs:
+            per_user.setdefault(r["user_id"], []).append(
+                (r["s_us"], r["e_us"])
+            )
+        counts = {
+            r["user_id"]: r["n_sessions"]
+            for r in sessionize(ds, gap_seconds=1800).take_all()
+        }
+        assert {u: len(v) for u, v in per_user.items()} == counts
+        # intervals of one user never overlap (gap > threshold by def)
+        for spans in per_user.values():
+            spans.sort()
+            for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+                assert e1 < s2
