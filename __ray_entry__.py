@@ -1322,6 +1322,43 @@ def _q_doc_ntile(sf_dir: str):
     return ranked.map_batches(bucketize, batch_format="pyarrow")
 
 
+def _q_top_words_by_lang_mg(sf_dir: str):
+    """Grouped Misra-Gries heavy hitters (per-language top words from
+    fixed-size per-key counter summaries) — the sketch path when the
+    exact per-group vocabulary shuffle (top_words_by_lang ✓SQL, the
+    anchor) is too wide. Approximate counts by design -> rows-only."""
+    from collections import Counter
+
+    import ray.data
+
+    from ctinexus_ray.ops.sketch import grouped_misra_gries_topk
+    from ctinexus_ray.ops.textstats import _tokens
+
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def explode(batch: pa.Table):
+        langs, words = [], []
+        for lang, t in zip(
+            batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if t is None:
+                continue
+            toks = _tokens(t)
+            langs.extend([lang] * len(toks))
+            words.extend(toks)
+        if not langs:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "lang": pa.array(langs, type=pa.string()),
+                "word": pa.array(words, type=pa.string()),
+            }
+        )
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow")
+    return grouped_misra_gries_topk(exploded, "lang", "word", k=256, top=5)
+
+
 def _q_compression_ratios(sf_dir: str):
     """zlib compression ratio per document (redundancy / machine-spam
     signal alongside the Gopher rules). Stateless map; not
@@ -2300,6 +2337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words_by_lang": _q_top_words_by_lang,
         "stratified_sample": _q_stratified_sample,
         "compression_ratios": _q_compression_ratios,
+        "top_words_by_lang_mg": _q_top_words_by_lang_mg,
         "kmeans_clusters": _q_kmeans_clusters,
         "qty_price_corr": _q_qty_price_corr,
         "event_transitions": _q_event_transitions,

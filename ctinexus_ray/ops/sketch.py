@@ -684,3 +684,78 @@ def grouped_tdigest_quantiles(
         )
 
     return partials.groupby(key).map_groups(merge_group, batch_format="pandas")
+
+
+def grouped_misra_gries_topk(
+    ds: ray.data.Dataset,
+    key: str,
+    column: str,
+    k: int = 256,
+    top: int = 5,
+) -> ray.data.Dataset:
+    """Per-group approximate heavy hitters — one Misra-Gries k-counter
+    summary per key (completing the grouped-sketch family alongside
+    ``grouped_hll_distinct`` / ``grouped_tdigest_quantiles``): each batch
+    emits <=k (key, value, n) counter rows per group it contains
+    (map-side combined, fixed size); the reduce merges each key's
+    summaries (counter-wise sum + decrement-compaction back to k) and
+    keeps the ``top`` rows per group by (approx count desc, value asc).
+
+    Classic MG guarantee per group: any value with true in-group
+    frequency > N_group/k survives; counts are underestimates within
+    N_group/k. Approximate -> rows-only; anchored by the exact grouped
+    top-N (`top_words_by_lang`-style window) in tests."""
+    from collections import Counter
+
+    def _compact(c: "Counter", limit: int) -> "Counter":
+        if len(c) > limit:
+            kth = sorted(c.values(), reverse=True)[limit - 1]
+            c = Counter({v: n - kth for v, n in c.items() if n > kth})
+        return c
+
+    def summarize(batch: pa.Table):
+        import pandas as pd
+
+        per_key: dict = {}
+        for kv, val in zip(
+            batch.column(key).to_pylist(), batch.column(column).to_pylist()
+        ):
+            per_key.setdefault(kv, Counter())[val] += 1
+        out_k, out_v, out_n = [], [], []
+        for kv, c in per_key.items():
+            c = _compact(c, k)
+            for v, n in c.items():
+                out_k.append(kv)
+                out_v.append(v)
+                out_n.append(n)
+        if not out_k:
+            return
+        yield pa.Table.from_pydict(
+            {
+                key: pa.array(out_k),
+                "value": pa.array(out_v, type=pa.string()),
+                "n": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    partials = ds.select_columns([key, column]).map_batches(
+        summarize, batch_format="pyarrow"
+    )
+
+    def merge_group(g) -> "pd.DataFrame":
+        import pandas as pd
+
+        c: Counter = Counter()
+        for v, n in zip(g["value"], g["n"]):
+            c[v] += n
+        c = _compact(c, k)
+        rows = sorted(c.items(), key=lambda t: (-t[1], t[0]))[:top]
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]] * len(rows),
+                "value": pd.Series([r[0] for r in rows], dtype=object),
+                "n_est": pd.array([r[1] for r in rows], dtype="int64"),
+            }
+        )
+
+    return partials.groupby(key).map_groups(merge_group, batch_format="pandas")

@@ -217,3 +217,41 @@ class TestGroupedSketchNullKeys:
         got = {r["k"]: r["value"] for r in rows}
         assert set(got) == {"a", None}
         assert abs(got[None] - 15.0) < 1e-9
+
+
+class TestGroupedMisraGries:
+    def test_heavy_hitters_survive_per_group(self, ray_session):
+        from ctinexus_ray.ops.sketch import grouped_misra_gries_topk
+
+        rows_k, rows_v = [], []
+        # group a: 'hot' 500x among 200 distinct light values
+        rows_k += ["a"] * 700
+        rows_v += ["hot"] * 500 + [f"w{i}" for i in range(200)]
+        # group b: 'x' 40x, 'y' 30x, rest singletons
+        rows_k += ["b"] * 90
+        rows_v += ["x"] * 40 + ["y"] * 30 + [f"z{i}" for i in range(20)]
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict({"k": rows_k, "v": rows_v})
+        ).repartition(6)
+        got = {}
+        for r in grouped_misra_gries_topk(ds, "k", "v", k=64, top=2).take_all():
+            got.setdefault(r["k"], []).append((r["value"], r["n_est"]))
+        assert got["a"][0][0] == "hot"
+        assert got["a"][0][1] <= 500  # MG never overestimates
+        assert [v for v, _ in got["b"]] == ["x", "y"]
+
+    def test_matches_exact_when_under_capacity(self, ray_session):
+        from collections import Counter
+
+        from ctinexus_ray.ops.sketch import grouped_misra_gries_topk
+
+        vals = ["p"] * 7 + ["q"] * 3 + ["r"] * 5
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict({"k": ["g"] * len(vals), "v": vals})
+        ).repartition(3)
+        got = [
+            (r["value"], r["n_est"])
+            for r in grouped_misra_gries_topk(ds, "k", "v", k=64, top=3).take_all()
+        ]
+        # no compaction occurred (3 distinct << k=64): counts are exact
+        assert got == [("p", 7), ("r", 5), ("q", 3)]
