@@ -102,6 +102,34 @@ def hash64_strings(strings) -> np.ndarray:
     return _splitmix64(sums ^ len_mix)
 
 
+def list_col_to_matrix(col, dtype=np.float64) -> np.ndarray:
+    """(n, dim) numpy matrix from an Arrow ``list<float>`` column WITHOUT
+    per-row Python conversion: flatten the Arrow values buffer and
+    reshape. Requires non-null, uniform-length lists (true for embedding
+    columns); raises on ragged input rather than silently mangling."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    if col.null_count:
+        raise ValueError("embedding column contains nulls")
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+        flat = col.values.to_numpy(zero_copy_only=False)
+        flat = flat[col.offset * dim : (col.offset + n) * dim]
+    else:
+        offs = np.asarray(col.offsets)
+        lens = np.diff(offs)
+        dim = int(lens[0])
+        if not np.all(lens == dim):
+            raise ValueError("ragged list column; expected uniform embedding dim")
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(
+        flat.reshape(n, dim).astype(dtype, copy=False)
+    )
+
+
 def word_shingles(text: str, n: int = 3) -> set[str]:
     """Distinct word n-gram shingles of trimmed whitespace-split text.
     Matches the SQL formulation (1-indexed slices over
@@ -870,18 +898,43 @@ def ngram_jaccard_pairs(
 
 
 def embedding_dup_pairs(
-    embeddings: ray.data.Dataset, threshold: float = 0.9
+    embeddings: ray.data.Dataset,
+    threshold: float = 0.9,
+    max_broadcast_bytes: int = 2 * 1024**3,
 ) -> ray.data.Dataset:
     """Near-duplicate (a, b) vector pairs with cosine >= threshold.
 
-    Brute-force blockwise: the full normalized matrix is broadcast once via
-    ``ray.put`` and every batch computes ``batch @ matrix.T`` (numpy) —
-    zero per-batch reshipping. This is the exact baseline; the sublinear
-    scale path is hyperplane-LSH bucketing (``embedding_lsh_buckets``).
+    Brute-force blockwise: the normalized matrix is assembled on the
+    driver FROM ARROW BLOCK REFS (``to_arrow_refs`` + buffer flatten — no
+    ``take_all``, no per-row Python conversion), broadcast once via
+    ``ray.put``, and every batch computes ``batch @ matrix.T`` (numpy)
+    with a fully vectorized pair emission. This is the exact baseline and
+    it is inherently broadcast-bound: if the matrix exceeds
+    ``max_broadcast_bytes`` (default 2 GiB ≈ 4M vectors at dim 64
+    float64) the op REFUSES with a ValueError directing callers to
+    ``embedding_dup_pairs_lsh``, the sublinear scale path — rather than
+    OOMing the driver/workers at 100× data.
     """
-    rows = embeddings.select_columns(["vec_id", "embedding"]).take_all()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    sel = embeddings.select_columns(["vec_id", "embedding"])
+    blocks = [t for t in ray.get(sel.to_arrow_refs()) if t.num_rows]
+    empty = pa.Table.from_pydict(
+        {"a": pa.array([], type=pa.int64()), "b": pa.array([], type=pa.int64())}
+    )
+    if not blocks:
+        return ray.data.from_arrow(empty)
+    ids = np.concatenate(
+        [
+            t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            for t in blocks
+        ]
+    )
+    mat = np.vstack([list_col_to_matrix(t.column("embedding")) for t in blocks])
+    if mat.nbytes > max_broadcast_bytes:
+        raise ValueError(
+            f"exact embedding near-dup needs a {mat.nbytes / 1e9:.1f} GB "
+            f"broadcast matrix (> {max_broadcast_bytes / 1e9:.1f} GB limit); "
+            "use embedding_dup_pairs_lsh (bucketed, no broadcast) at this scale"
+        )
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     mat_n = mat / norms
@@ -889,29 +942,25 @@ def embedding_dup_pairs(
 
     def block(batch: pa.Table) -> pa.Table:
         all_ids, matrix = ray.get(mat_ref)
-        b_ids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        b_mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        b_ids = (
+            batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        b_mat = list_col_to_matrix(batch.column("embedding"))
         b_norms = np.linalg.norm(b_mat, axis=1, keepdims=True)
         b_norms[b_norms == 0] = 1.0
         sims = (b_mat / b_norms) @ matrix.T
-        out_a, out_b = [], []
-        for i, a in enumerate(b_ids):
-            hits = np.nonzero(sims[i] >= threshold)[0]
-            for j in hits:
-                b = int(all_ids[j])
-                if a < b:
-                    out_a.append(int(a))
-                    out_b.append(b)
+        ri, cj = np.nonzero(sims >= threshold)
+        a = b_ids[ri]
+        b = all_ids[cj]
+        keep = a < b
         return pa.Table.from_pydict(
             {
-                "a": pa.array(out_a, type=pa.int64()),
-                "b": pa.array(out_b, type=pa.int64()),
+                "a": pa.array(a[keep], type=pa.int64()),
+                "b": pa.array(b[keep], type=pa.int64()),
             }
         )
 
-    return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
-        block, batch_format="pyarrow"
-    )
+    return sel.map_batches(block, batch_format="pyarrow")
 
 
 

@@ -19,9 +19,7 @@ task rows at corpus scale.
 
 from __future__ import annotations
 
-import hashlib
-
-
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -32,8 +30,13 @@ def add_hash_pkey(
     batch: pa.Table, keys: list[str], num_partitions: int
 ) -> pa.Table:
     """Append ``pkey`` = mixed hash of the key columns mod num_partitions.
-    Integer keys mix with shifts/xors (vectorized); string keys hash with
-    blake2b (per-row, cheap relative to any grouped work)."""
+    Integer keys mix with shifts/xors (vectorized via pyarrow.compute);
+    string keys hash with the vectorized numpy polynomial hash
+    (``hash64_strings``) — this sits on the hottest path in the engine
+    (every string-keyed partitioned_agg / hash_join), so it must never
+    fall back to a per-row Python loop."""
+    from ctinexus_ray.ops.dedup import hash64_strings
+
     mask = num_partitions - 1
     mix = None
     for name in keys:
@@ -45,20 +48,11 @@ def add_hash_pkey(
         if pa.types.is_integer(col.type):
             part = pc.bit_wise_xor(pc.shift_left(col.cast(pa.int64()), 13), col.cast(pa.int64()))
         else:
-            part = pa.array(
-                [
-                    int.from_bytes(
-                        hashlib.blake2b(
-                            (s or "").encode("utf-8", "surrogatepass"),
-                            digest_size=8,
-                        ).digest(),
-                        "big",
-                    )
-                    >> 1
-                    for s in col.to_pylist()
-                ],
-                type=pa.int64(),
-            )
+            if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+                col = col.cast(pa.string())
+            # keep the top bit clear so the int64 view stays non-negative
+            h = (hash64_strings(col) >> np.uint64(1)).view(np.int64)
+            part = pa.array(h, type=pa.int64())
         mix = part if mix is None else pc.bit_wise_xor(mix, part)
     return batch.append_column("pkey", pc.bit_wise_and(mix, mask))
 
