@@ -2770,7 +2770,9 @@ def oracle_sql() -> dict[str, str]:
             "(CAST(sy AS DOUBLE) / n))) AS corr FROM s"
         ),
         "doc_sample_weighted": (
-            "SELECT doc_id, n_chars FROM documents "
+            # n_chars > 0 mirrors the engine's A-ES eligibility rule:
+            # non-positive weights have zero inclusion probability
+            "SELECT doc_id, n_chars FROM documents WHERE n_chars > 0 "
             "ORDER BY pow(CAST(concat('0x', substr(md5(CAST(doc_id "
             "AS VARCHAR)), 1, 13)) AS UBIGINT) / 4503599627370496.0, "
             "1.0 / n_chars) DESC, doc_id LIMIT 50"

@@ -582,14 +582,19 @@ def band_join_count(
     def right_tag(batch: pa.Table):
         if batch.num_rows == 0:
             return
-        axis = batch.column(right_on).cast(i64)
-        b = pc.divide(axis, bucket)  # integer floor-div for >=0 epochs
+        axis = batch.column(right_on).cast(i64).to_numpy(zero_copy_only=False)
+        # numpy floor division, matching left_tag — pc.divide truncates
+        # toward zero and would mis-bucket negative (pre-1970) axes
+        b = axis // bucket
         yield pa.Table.from_pydict(
             {
-                "bucket": b.cast(i64),
-                "axis": axis,
-                "lid": pa.nulls(batch.num_rows, type=i64),
-                "is_right": pa.array([True] * batch.num_rows),
+                "bucket": pa.array(b, type=i64),
+                "axis": pa.array(axis, type=i64),
+                # 0 sentinel, never read (is_right separates the sides);
+                # a NULL here would null-pad lid through pandas, coercing
+                # int64 -> float64 and corrupting ids above 2^53
+                "lid": pa.array(np.zeros(len(axis), dtype=np.int64), type=i64),
+                "is_right": pa.array([True] * len(axis)),
             }
         )
 
@@ -883,7 +888,7 @@ def interval_overlap_pairs(
     start_col: str,
     end_col: str,
     bucket_us: int = 3_600_000_000,
-    max_bucket: int = 4096,
+    max_bucket: int | None = None,
     num_partitions: int = 64,
 ) -> ray.data.Dataset:
     """Interval-overlap join (both sides = the same interval table): one
@@ -898,8 +903,11 @@ def interval_overlap_pairs(
     candidate pairs. A pair is counted ONLY in the bucket containing
     ``max(s_a, s_b)`` — every overlapping pair shares that bucket by
     construction, so emission is exactly-once with NO global dedup
-    shuffle. ``max_bucket`` caps degenerate buckets (same cap pattern as
-    the LSH/ngram partition merges); ``bucket_us`` trades replication
+    shuffle. Default is EXACT (no cap) so the oracle-checked query keeps
+    its bit-exact contract; pass ``max_bucket`` to opt in to capping
+    degenerate buckets (same cap pattern as the LSH/ngram partition
+    merges) — an engaged cap logs a warning with the dropped-interval
+    count, never truncates silently. ``bucket_us`` trades replication
     (long intervals) against bucket width (pair fan-in)."""
 
     def explode(batch: pa.Table):
@@ -928,7 +936,18 @@ def interval_overlap_pairs(
 
     def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["bucket", "owner", "s"], kind="mergesort")
-        g = g[g.groupby("bucket").cumcount() < max_bucket]
+        if max_bucket is not None:
+            keep_mask = g.groupby("bucket").cumcount() < max_bucket
+            dropped = int((~keep_mask).sum())
+            if dropped:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "interval_overlap_pairs: max_bucket=%d engaged, "
+                    "dropping %d interval replicas — pair counts are now "
+                    "approximate", max_bucket, dropped,
+                )
+            g = g[keep_mask]
         cols = ["bucket", "owner", "s", "e"]
         m = g[cols].merge(g[cols], on="bucket", suffixes=("_a", "_b"))
         later_start = np.maximum(m["s_a"], m["s_b"])

@@ -515,37 +515,35 @@ def weighted_sample_k(
 
     Same distributed shape as ``uniform_sample_k``: batch-local top-k
     cut, one small merge, no corpus sort. The SQL oracle writes the
-    identical double expression (md5 substr -> /2^52 -> pow), so keys
-    match bit-for-bit. Output: input columns + ``__akey``-free."""
+    identical double expression (md5 substr -> /2^52 -> pow) over the
+    same ``weight > 0`` eligibility predicate, so keys match
+    bit-for-bit. Rows with NULL / NaN / non-positive weight are
+    INELIGIBLE (zero inclusion probability — the continuous extension of
+    A-ES as w -> 0+), not an error: a corpus containing one empty
+    document must not crash the sampler. Output: input columns +
+    ``__akey``-free."""
     import hashlib
     import math
 
     two52 = 4503599627370496.0  # 16^13 = 2^52
 
-    def keys_of(batch: pa.Table) -> list[float]:
+    def local_cut(batch: pa.Table):
         ids = batch.column(id_col).to_pylist()
         ws = batch.column(weight_col).to_pylist()
-        out = []
-        for i, w in zip(ids, ws):
+        keys: list[float] = []
+        elig: list[int] = []
+        for j, (i, w) in enumerate(zip(ids, ws)):
+            # A-ES needs w > 0 (w=0 divides by zero, w<0 inverts the
+            # sampling, NaN corrupts the sort) -> ineligible, skipped
             if w is None or w != w or w <= 0:
-                # A-ES requires strictly positive weights: w=0 would
-                # divide by zero, w<0 silently INVERTS the sampling, and
-                # NaN (w != w) would corrupt the sort keys silently
-                raise ValueError(
-                    f"weighted_sample_k needs weight > 0, got {w!r} "
-                    f"for {id_col}={i!r}"
-                )
+                continue
             u = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16) / two52
-            out.append(math.pow(u, 1.0 / w))
-        return out
-
-    def local_cut(batch: pa.Table):
-        keys = keys_of(batch)
-        ids = batch.column(id_col).to_pylist()
+            keys.append(math.pow(u, 1.0 / w))
+            elig.append(j)
         order = sorted(
-            range(len(keys)), key=lambda j: (-keys[j], ids[j])
+            range(len(keys)), key=lambda j: (-keys[j], ids[elig[j]])
         )[:k]
-        t = batch.take(pa.array(order, type=pa.int64()))
+        t = batch.take(pa.array([elig[j] for j in order], type=pa.int64()))
         yield t.append_column(
             "__akey", pa.array([keys[j] for j in order], type=pa.float64())
         )

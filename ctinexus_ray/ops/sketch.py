@@ -464,11 +464,23 @@ def count_min_estimates(
 
     def partial(batch: pa.Table):
         idx = _cms_indices(batch.column(column), width, depth)
-        w = (
-            np.asarray(batch.column(weight).to_pylist(), dtype=np.int64)
-            if weight
-            else np.ones(batch.num_rows, dtype=np.int64)
-        )
+        if weight:
+            wcol = batch.column(weight)
+            if wcol.null_count:
+                raise ValueError(
+                    f"count_min_estimates: weight column {weight!r} "
+                    "contains NULLs; fill or filter them upstream"
+                )
+            w = np.asarray(wcol.to_pylist(), dtype=np.int64)
+            if (w < 0).any():
+                # a negative weight would silently break the sketch's
+                # never-underestimates guarantee (np.add.at subtracts)
+                raise ValueError(
+                    f"count_min_estimates: weight column {weight!r} "
+                    "contains negative values"
+                )
+        else:
+            w = np.ones(batch.num_rows, dtype=np.int64)
         mat = np.zeros((depth, width), dtype=np.int64)
         for d in range(depth):
             np.add.at(mat[d], idx[d], w)
@@ -720,6 +732,11 @@ def grouped_misra_gries_topk(
         for kv, val in zip(
             batch.column(key).to_pylist(), batch.column(column).to_pylist()
         ):
+            if val is None:
+                # NULL values are ignored (SQL count(col) semantics,
+                # matching grouped_hll_distinct); leaving them in would
+                # crash the (count, value) tie-break sort on None vs str
+                continue
             per_key.setdefault(kv, Counter())[val] += 1
         out_k, out_v, out_n = [], [], []
         for kv, c in per_key.items():

@@ -664,3 +664,82 @@ class TestIntervalOverlap:
             spans.sort()
             for (s1, e1), (s2, _) in zip(spans, spans[1:]):
                 assert e1 < s2
+
+
+class TestBandJoinEdgeCases:
+    def test_negative_axis_values(self, ray_session):
+        """Pre-1970 (negative) axis values: both sides must bucket with
+        FLOOR division or counts diverge at bucket boundaries."""
+        import numpy as np
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.relational import band_join_count
+
+        rng = np.random.RandomState(7)
+        lt = rng.randint(-500, 500, size=150)
+        rt = rng.randint(-500, 500, size=250)
+        left = ray.data.from_arrow(
+            pa.Table.from_pydict({"id": np.arange(150), "t": lt})
+        )
+        right = ray.data.from_arrow(pa.Table.from_pydict({"t": rt}))
+        got = {
+            (r["id"], r["n"])
+            for r in band_join_count(
+                left, right, "id", "t", "t", lower=-40, upper=15, out="n"
+            ).take_all()
+        }
+        want = {
+            (i, int(((rt >= t - 40) & (rt <= t + 15)).sum()))
+            for i, t in enumerate(lt)
+        }
+        assert got == want
+
+    def test_left_ids_above_2_53_stay_distinct(self, ray_session):
+        """lid must never round-trip through a null-padded float64 —
+        ids above 2^53 would silently merge."""
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.relational import band_join_count
+
+        big = 2**53
+        left = ray.data.from_arrow(
+            pa.Table.from_pydict({"id": [big + 1, big + 2], "t": [0, 0]})
+        )
+        right = ray.data.from_arrow(pa.Table.from_pydict({"t": [0, 1, 2]}))
+        got = {
+            (r["id"], r["n"])
+            for r in band_join_count(
+                left, right, "id", "t", "t", lower=0, upper=1, out="n"
+            ).take_all()
+        }
+        assert got == {(big + 1, 2), (big + 2, 2)}
+
+
+class TestIntervalOverlapCap:
+    def test_cap_is_opt_in_and_logged(self, ray_session, caplog):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.relational import interval_overlap_pairs
+
+        t = pa.Table.from_pydict(
+            {
+                "owner": [1, 2, 3, 4],
+                "s": [0, 0, 0, 0],
+                "e": [10, 10, 10, 10],
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        exact = interval_overlap_pairs(
+            ds, owner_col="owner", start_col="s", end_col="e", bucket_us=100
+        ).take_all()
+        assert len(exact) == 6  # default: unlimited, exact
+        capped = interval_overlap_pairs(
+            ds,
+            owner_col="owner",
+            start_col="s",
+            end_col="e",
+            bucket_us=100,
+            max_bucket=2,
+        ).take_all()
+        assert len(capped) < 6  # engaged cap -> approximate (and logged)

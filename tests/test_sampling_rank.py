@@ -210,15 +210,19 @@ class TestWeightedSampleK:
         }
         assert a == b and len(a) == 40
 
-    def test_nonpositive_weight_rejected(self, ray_session):
-        import pytest
+    def test_nonpositive_weight_ineligible(self, ray_session):
         import pyarrow as pa
         import ray.data
 
         from ctinexus_ray.ops.shards import weighted_sample_k
 
+        # zero / negative / NULL weights are ineligible (zero inclusion
+        # probability), NOT an error — matching the oracle's
+        # `WHERE weight > 0` predicate
         ds = ray.data.from_arrow(
-            pa.Table.from_pydict({"id": [1, 2], "w": [3, 0]})
+            pa.Table.from_pydict(
+                {"id": [1, 2, 3, 4], "w": [3.0, 0.0, -1.0, None]}
+            )
         )
-        with pytest.raises(Exception, match="weight > 0"):
-            weighted_sample_k(ds, "id", "w", k=1).take_all()
+        rows = weighted_sample_k(ds, "id", "w", k=4).take_all()
+        assert [r["id"] for r in rows] == [1]

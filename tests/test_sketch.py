@@ -255,3 +255,37 @@ class TestGroupedMisraGries:
         ]
         # no compaction occurred (3 distinct << k=64): counts are exact
         assert got == [("p", 7), ("r", 5), ("q", 3)]
+
+
+class TestSketchInputGuards:
+    def test_mg_null_values_ignored_with_ties(self, ray_session):
+        from ctinexus_ray.ops.sketch import grouped_misra_gries_topk
+
+        # NULL values + a count tie used to crash the (−n, value) sort
+        # with None-vs-str TypeError; NULLs are ignored (SQL count(col))
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"k": ["g"] * 6, "v": ["x", "x", None, None, "y", "y"]}
+            )
+        )
+        got = [
+            (r["value"], r["n_est"])
+            for r in grouped_misra_gries_topk(ds, "k", "v", k=8, top=3).take_all()
+        ]
+        assert got == [("x", 2), ("y", 2)]
+
+    def test_cms_rejects_null_and_negative_weights(self, ray_session):
+        import pytest
+
+        from ctinexus_ray.ops.sketch import count_min_estimates
+
+        nulls = ray.data.from_arrow(
+            pa.Table.from_pydict({"w": ["a", "b"], "n": [1, None]})
+        )
+        with pytest.raises(Exception, match="NULL"):
+            count_min_estimates(nulls, "w", ["a"], weight="n").take_all()
+        neg = ray.data.from_arrow(
+            pa.Table.from_pydict({"w": ["a", "b"], "n": [1, -2]})
+        )
+        with pytest.raises(Exception, match="negative"):
+            count_min_estimates(neg, "w", ["a"], weight="n").take_all()
