@@ -126,6 +126,7 @@ def get_client(config: PipelineConfig) -> LLMClient:
             embedding_model=config.embedding_model,
             api_key=config.extra.get("api_key") or os.getenv("CUSTOM_API_KEY"),
             timeout=float(config.extra.get("llm_timeout", 60.0)),
+            wire=config.extra.get("wire"),
         )
     raise NotImplementedError(
         f"Provider '{config.provider}' has no endpoint configured and this "

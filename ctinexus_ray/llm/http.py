@@ -68,14 +68,40 @@ def post_json(url: str, payload: dict, *, timeout: float = 60.0,
         raise HTTPStatusError(exc.code, body) from exc
 
 
-class HTTPLLMClient:
-    """``LLMClient`` over an OpenAI-compatible HTTP endpoint.
+_ANTHROPIC_VERSION = "2023-06-01"
+_WIRES = ("openai", "anthropic", "gemini")
 
-    ``complete`` maps ``build_request`` output onto the chat-completions
-    wire format; ``embed`` posts the batch to ``/embeddings``. Token counts
-    come from the provider's ``usage`` block, falling back to the
+
+class HTTPLLMClient:
+    """``LLMClient`` over a provider HTTP endpoint.
+
+    ``complete`` maps ``build_request`` output onto the provider's wire
+    format; ``embed`` posts the batch to ``/embeddings`` (OpenAI shape —
+    the one embeddings wire every gateway here speaks). Token counts
+    come from the provider's usage block, falling back to the
     reference's ``len(text) // 4`` estimate when absent
     (reference ctinexus/utils/gradio_utils.py token display convention).
+
+    ``wire`` selects the completion wire format (the reference reaches
+    these same providers through litellm's per-provider transports,
+    reference ctinexus/llm_processor.py:1018-1094):
+
+      * ``"openai"`` — ``POST {base}/chat/completions``; vLLM, LiteLLM
+        proxy, ollama's ``/v1`` and OpenAI itself all speak it.
+      * ``"anthropic"`` — the public Anthropic Messages API: ``POST
+        {base}/v1/messages`` with ``x-api-key`` + ``anthropic-version``
+        headers; the shaping's system message maps to the top-level
+        ``system`` field and only user/assistant turns ship (the same
+        role filter the reference applies, llm_processor.py:1032-1036).
+      * ``"gemini"`` — the public Generative Language API: ``POST
+        {base}/v1beta/models/{model}:generateContent`` with an
+        ``x-goog-api-key`` header; temperature/max_tokens map into
+        ``generationConfig`` and the json response_format becomes
+        ``responseMimeType: application/json``.
+
+    Default: the provider's native wire for anthropic/gemini, openai
+    otherwise (pass ``wire="openai"`` to drive those providers through
+    an OpenAI-compatible gateway instead).
     """
 
     def __init__(
@@ -87,6 +113,7 @@ class HTTPLLMClient:
         embedding_model: str = "text-embedding-3-large",
         api_key: str | None = None,
         timeout: float = 60.0,
+        wire: str | None = None,
     ):
         self.base_url = base_url.rstrip("/")
         self.provider = provider
@@ -94,6 +121,11 @@ class HTTPLLMClient:
         self.embedding_model = embedding_model
         self.api_key = api_key
         self.timeout = timeout
+        if wire is None:
+            wire = provider if provider in ("anthropic", "gemini") else "openai"
+        if wire not in _WIRES:
+            raise ValueError(f"unknown wire format {wire!r}; expected one of {_WIRES}")
+        self.wire = wire
 
     def _headers(self) -> dict:
         return {"Authorization": f"Bearer {self.api_key}"} if self.api_key else {}
@@ -106,12 +138,82 @@ class HTTPLLMClient:
         # api_base/api_key are litellm-isms; the wire payload excludes them.
         base = request.pop("api_base", None) or self.base_url
         request.pop("api_key", None)
+        if self.wire == "anthropic":
+            return self._complete_anthropic(base, request, prompt)
+        if self.wire == "gemini":
+            return self._complete_gemini(base, request, prompt)
         resp = post_json(f"{base}/chat/completions", request,
                          timeout=self.timeout, headers=self._headers())
         text = resp["choices"][0]["message"]["content"]
         usage = resp.get("usage") or {}
         in_tok = int(usage.get("prompt_tokens", len(prompt) // 4))
         out_tok = int(usage.get("completion_tokens", len(text) // 4))
+        return text, in_tok, out_tok
+
+    def _complete_anthropic(
+        self, base: str, request: dict, prompt: str
+    ) -> tuple[str, int, int]:
+        system = "\n".join(
+            m["content"] for m in request["messages"] if m["role"] == "system"
+        )
+        payload = {
+            "model": request["model"],
+            "max_tokens": request["max_tokens"],
+            "temperature": request["temperature"],
+            "messages": [
+                m for m in request["messages"]
+                if m["role"] in ("user", "assistant")
+            ],
+        }
+        if system:
+            payload["system"] = system
+        headers = {"anthropic-version": _ANTHROPIC_VERSION}
+        if self.api_key:
+            headers["x-api-key"] = self.api_key
+        resp = post_json(f"{base}/v1/messages", payload,
+                         timeout=self.timeout, headers=headers)
+        text = "".join(
+            block.get("text", "")
+            for block in resp.get("content", [])
+            if block.get("type") == "text"
+        )
+        usage = resp.get("usage") or {}
+        in_tok = int(usage.get("input_tokens", len(prompt) // 4))
+        out_tok = int(usage.get("output_tokens", len(text) // 4))
+        return text, in_tok, out_tok
+
+    def _complete_gemini(
+        self, base: str, request: dict, prompt: str
+    ) -> tuple[str, int, int]:
+        model = request["model"].removeprefix("gemini/")
+        gen_config: dict = {
+            "temperature": request["temperature"],
+            "maxOutputTokens": request["max_tokens"],
+        }
+        if request.get("response_format", {}).get("type") == "json_object":
+            gen_config["responseMimeType"] = "application/json"
+        payload = {
+            "contents": [
+                {"role": "user", "parts": [{"text": m["content"]}]}
+                for m in request["messages"]
+                if m["role"] == "user"
+            ],
+            "generationConfig": gen_config,
+        }
+        headers = {"x-goog-api-key": self.api_key} if self.api_key else {}
+        resp = post_json(
+            f"{base}/v1beta/models/{model}:generateContent", payload,
+            timeout=self.timeout, headers=headers,
+        )
+        parts = (
+            (resp.get("candidates") or [{}])[0]
+            .get("content", {})
+            .get("parts", [])
+        )
+        text = "".join(p.get("text", "") for p in parts)
+        meta = resp.get("usageMetadata") or {}
+        in_tok = int(meta.get("promptTokenCount", len(prompt) // 4))
+        out_tok = int(meta.get("candidatesTokenCount", len(text) // 4))
         return text, in_tok, out_tok
 
     def embed(self, texts: list[str]) -> tuple[list[list[float]], int]:
