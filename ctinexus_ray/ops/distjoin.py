@@ -73,7 +73,7 @@ def hash_join(
     right: ray.data.Dataset,
     on: list[str],
     how: str = "inner",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     left_types: dict[str, pa.DataType] | None = None,
     right_types: dict[str, pa.DataType] | None = None,
 ) -> ray.data.Dataset:
@@ -102,6 +102,10 @@ def hash_join(
     """
     if how not in _JOIN_TYPES:
         raise ValueError(f"how must be one of {sorted(_JOIN_TYPES)}")
+    if num_partitions is None:
+        from ctinexus_ray.ops.groupagg import derive_num_partitions
+
+        num_partitions = derive_num_partitions(left, right)
     assert num_partitions & (num_partitions - 1) == 0, "power of two"
     lfields = _schema_fields(left, left_types)
     rfields = _schema_fields(right, right_types)
@@ -259,7 +263,7 @@ def _cc_arrays(a, b):
 
 def connected_components(
     pairs: ray.data.Dataset,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     max_iters: int = 30,
     local_threshold: int = 5_000_000,
     contract_rounds: int = 4,
@@ -297,6 +301,10 @@ def connected_components(
     propagation-only version whose per-round shuffle overhead dominated
     (VERDICT.md: 800 s / 7 GB driver RSS at 400 k docs — the same input
     now takes one task)."""
+    if num_partitions is None:
+        from ctinexus_ray.ops.groupagg import derive_num_partitions
+
+        num_partitions = derive_num_partitions(pairs)
     i64 = pa.int64()
 
     def clean(batch: pa.Table):

@@ -19,11 +19,57 @@ task rows at corpus scale.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+
+# ~256 MB of input per reduce task: large enough that per-task overhead
+# amortizes, small enough that a partition's rows + the vectorized
+# groupby working set fit a worker heap comfortably. Overridable via
+# CTINEXUS_PARTITION_TARGET_BYTES (tests force a tiny target to check
+# the derivation raises the count).
+_PARTITION_TARGET_BYTES = 256 * 1024**2
+_DEFAULT_NUM_PARTITIONS = 64
+
+
+def derive_num_partitions(
+    *datasets: ray.data.Dataset,
+    target_bytes: int | None = None,
+    default: int = _DEFAULT_NUM_PARTITIONS,
+) -> int:
+    """Partition-count sizing rule for hash-partitioned reduces/joins:
+    ceil(total input bytes / ~256 MB), rounded up to a power of two,
+    clamped to [16, 65536].
+
+    The byte estimate comes from plan metadata ONLY
+    (``infer_metadata().size_bytes`` — parquet/row-count metadata, never
+    triggers execution); a lazily transformed dataset with no metadata
+    falls back to ``default``, so deriving is always safe on a hot path.
+    Callers that know their data (skew, explode factors) pass an
+    explicit ``num_partitions`` instead."""
+    target = target_bytes or int(
+        os.environ.get("CTINEXUS_PARTITION_TARGET_BYTES", _PARTITION_TARGET_BYTES)
+    )
+    total, known = 0, False
+    for ds in datasets:
+        try:
+            sz = ds._logical_plan.dag.infer_metadata().size_bytes
+        except Exception:  # noqa: BLE001 — internal probe, fall back
+            sz = None
+        if sz is not None:
+            total += int(sz)
+            known = True
+    if not known:
+        return default
+    need = max(1, -(-total // target))
+    p = 1
+    while p < need:
+        p <<= 1
+    return max(16, min(p, 65536))
 
 
 def add_hash_pkey(
@@ -61,14 +107,18 @@ def partitioned_agg(
     ds: ray.data.Dataset,
     keys: list[str],
     named_aggs: dict[str, tuple[str, str]],
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Grouped aggregation with O(P) per-group overhead.
 
     ``named_aggs`` maps output column -> (input column, pandas agg fn
     name), e.g. ``{"n_dups": ("doc_id", "size"), "doc_id": ("doc_id",
     "min")}``. Output columns: keys + named_aggs keys.
+    ``num_partitions=None`` derives the count from plan metadata
+    (``derive_num_partitions``, ~256 MB of input per reduce task).
     """
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(ds)
     assert num_partitions & (num_partitions - 1) == 0, "power of two"
 
     def add_pkey(batch: pa.Table) -> pa.Table:
@@ -177,7 +227,7 @@ def grouped_string_agg(
     order_col: str,
     sep: str = ",",
     out: str = "agg",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Distributed ``string_agg(value ORDER BY order_col)`` per key — the
     collect-list shape (grouping keys are corpus-cardinality, so the
@@ -188,6 +238,8 @@ def grouped_string_agg(
     Beware output-row width at scale: a key with millions of members
     builds a string of their concatenation — cap or bucket upstream if
     values-per-key is unbounded (same caveat as SQL string_agg)."""
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(ds)
     assert num_partitions & (num_partitions - 1) == 0, "power of two"
 
     def add_pkey(batch: pa.Table) -> pa.Table:

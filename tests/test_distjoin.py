@@ -320,3 +320,44 @@ class TestBloomPrefilteredJoin:
         ds = ray.data.range(4)
         with pytest.raises(ValueError):
             bloom_prefiltered_join(ds, ds, on=["a", "b"])
+
+
+class TestDerivedPartitionCount:
+    def test_metadata_derivation_and_tiny_target(self, ray_session, monkeypatch):
+        import ray.data
+
+        from ctinexus_ray.ops.groupagg import derive_num_partitions
+
+        ds = ray.data.read_parquet("/root/testdata/sf0.001/orders.parquet")
+        default = derive_num_partitions(ds)
+        assert default & (default - 1) == 0 and default >= 16
+        # forcing a tiny per-task byte target must RAISE the count
+        monkeypatch.setenv("CTINEXUS_PARTITION_TARGET_BYTES", "1024")
+        tiny = derive_num_partitions(ds)
+        assert tiny > default
+        assert tiny & (tiny - 1) == 0
+        # no metadata (lazily transformed) -> safe fallback, no execution
+        mapped = ds.map_batches(lambda b: b, batch_format="pyarrow")
+        assert derive_num_partitions(mapped) == 64
+
+    def test_derived_defaults_match_explicit(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.distjoin import hash_join
+
+        left = ray.data.read_parquet(
+            "/root/testdata/sf0.001/orders.parquet",
+            columns=["o_orderkey", "o_custkey"],
+        )
+        right = ray.data.read_parquet(
+            "/root/testdata/sf0.001/customer.parquet",
+            columns=["c_custkey", "c_name"],
+        ).rename_columns({"c_custkey": "o_custkey"})
+        derived = hash_join(left, right, on=["o_custkey"]).take_all()
+        explicit = hash_join(
+            left, right, on=["o_custkey"], num_partitions=64
+        ).take_all()
+        key = lambda r: (r["o_custkey"], r["o_orderkey"])
+        assert sorted(map(dict, derived), key=key) == sorted(
+            map(dict, explicit), key=key
+        )
