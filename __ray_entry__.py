@@ -271,24 +271,12 @@ def _q_heavy_hitters(sf_dir: str):
     from ctinexus_ray.ops.sketch import misra_gries_topk
     from ctinexus_ray.ops.textstats import word_explode_batch
 
-    # feed raw occurrences: explode (word, n) partials back to rows is
-    # wasteful; MG accepts weighted input via its counter, so reuse the
-    # per-batch combine by expanding counts inside the summary instead
-    docs = _docs(sf_dir, ["doc_id", "text"])
-
-    def words(batch):
-        import pyarrow as _pa
-
-        from ctinexus_ray.ops.textstats import _tokens
-
-        out = []
-        for t in batch.column("text").to_pylist():
-            out.extend(_tokens(t or ""))
-        if out:
-            yield _pa.Table.from_pydict({"w": _pa.array(out, type=_pa.string())})
-
-    exploded = docs.map_batches(words, batch_format="pyarrow")
-    return misra_gries_topk(exploded, "w", k=1024, top=50)
+    # reuse the per-batch combined (word, n) partials and weighted-insert
+    # them into the MG summary — no re-explode of raw occurrences
+    partials = _docs(sf_dir, ["text"]).map_batches(
+        word_explode_batch, batch_format="pyarrow"
+    )
+    return misra_gries_topk(partials, "word", k=1024, top=50, weight="n")
 
 
 def _q_word_freq_top100(sf_dir: str):

@@ -121,6 +121,7 @@ def misra_gries_topk(
     column: str,
     k: int = 1024,
     top: int = 100,
+    weight: str | None = None,
 ) -> ray.data.Dataset:
     """Approximate heavy hitters: per-batch Misra-Gries summaries of k
     counters, merged pairwise (counter-wise sum, then decrement-compact
@@ -128,13 +129,27 @@ def misra_gries_topk(
     survive; counts are underestimates within N/k. Returns the ``top``
     rows by (approx count desc, value asc).
 
+    ``weight`` names an optional int count column so pre-combined
+    (value, n) partials — e.g. ``word_explode_batch`` output — feed the
+    sketch with WEIGHTED inserts instead of re-exploding to raw
+    occurrences (same summary the raw stream would produce batch-wise:
+    MG compaction is insensitive to how equal values arrive).
+
     This is the sketch-path replacement for an exact all-vocabulary
     shuffle when only the head of the distribution matters."""
 
     def summarize(batch: pa.Table):
         from collections import Counter
 
-        c = Counter(batch.column(column).to_pylist())
+        if weight is not None:
+            c: Counter = Counter()
+            for v, n in zip(
+                batch.column(column).to_pylist(),
+                batch.column(weight).to_pylist(),
+            ):
+                c[v] += n
+        else:
+            c = Counter(batch.column(column).to_pylist())
         if len(c) > k:
             kth = sorted(c.values(), reverse=True)[k - 1]
             # decrement by the k-th largest count (MG batch compaction)
@@ -170,7 +185,8 @@ def misra_gries_topk(
             }
         )
 
-    partials = ds.select_columns([column]).map_batches(
+    cols = [column] + ([weight] if weight is not None else [])
+    partials = ds.select_columns(cols).map_batches(
         summarize, batch_format="pyarrow"
     )
     merged = partials.repartition(8).map_batches(

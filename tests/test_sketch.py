@@ -289,3 +289,45 @@ class TestSketchInputGuards:
         )
         with pytest.raises(Exception, match="negative"):
             count_min_estimates(neg, "w", ["a"], weight="n").take_all()
+
+
+class TestWeightedMisraGries:
+    def test_weighted_partials_match_raw_stream(self, ray_session):
+        from ctinexus_ray.ops.sketch import misra_gries_topk
+
+        raw_vals = ["a"] * 30 + ["b"] * 20 + ["c"] * 5 + ["d"] * 2
+        raw = ray.data.from_arrow(
+            pa.Table.from_pydict({"v": raw_vals})
+        ).repartition(3)
+        combined = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"v": ["a", "b", "c", "d"], "n": [30, 20, 5, 2]}
+            )
+        )
+        got_raw = [
+            (r["value"], r["n"])
+            for r in misra_gries_topk(raw, "v", k=16, top=4).take_all()
+        ]
+        got_weighted = [
+            (r["value"], r["n"])
+            for r in misra_gries_topk(
+                combined, "v", k=16, top=4, weight="n"
+            ).take_all()
+        ]
+        # under capacity: both are exact and identical
+        assert got_raw == got_weighted == [
+            ("a", 30), ("b", 20), ("c", 5), ("d", 2)
+        ]
+
+    def test_weighted_guarantee_survives_compaction(self, ray_session):
+        from ctinexus_ray.ops.sketch import misra_gries_topk
+
+        # 64 distinct values, one dominating: k=4 forces compaction;
+        # the > N/k heavy hitter must survive with weighted inserts
+        vals = [f"w{i}" for i in range(63)] + ["heavy"]
+        ns = [1] * 63 + [100]
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict({"v": vals, "n": ns})
+        ).repartition(4)
+        got = misra_gries_topk(ds, "v", k=4, top=1, weight="n").take_all()
+        assert got[0]["value"] == "heavy"
