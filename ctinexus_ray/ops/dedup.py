@@ -544,13 +544,17 @@ def minhash_dedup_pairs(
         a_col = batch.column("a").to_pylist()
         b_col = batch.column("b").to_pylist()
         # texts repeat heavily across a partition's pairs (star mode:
-        # one representative per bucket) — shingle each distinct text once
-        memo: dict[str, set[str]] = {}
+        # one representative per bucket) — shingle each distinct text
+        # ONCE into a sorted uint64 hash array; the per-pair overlap is
+        # then a vectorized np.intersect1d instead of Python set ops
+        # (64-bit shingle-hash collisions are negligible at any corpus
+        # size this engine targets)
+        memo: dict[str, np.ndarray] = {}
 
-        def shingles_of(text: str) -> set[str]:
+        def shingle_hashes(text: str) -> np.ndarray:
             got = memo.get(text)
             if got is None:
-                got = word_shingles(text, n)
+                got = np.sort(hash64_strings(list(word_shingles(text, n))))
                 memo[text] = got
             return got
 
@@ -561,10 +565,11 @@ def minhash_dedup_pairs(
             batch.column("text_a").to_pylist(),
             batch.column("text_b").to_pylist(),
         ):
-            sa = shingles_of(ta or "")
-            sb = shingles_of(tb or "")
-            union = len(sa | sb)
-            if union and len(sa & sb) / union >= threshold:
+            sa = shingle_hashes(ta or "")
+            sb = shingle_hashes(tb or "")
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            if union and inter / union >= threshold:
                 out_a.append(a)
                 out_b.append(b)
         yield pa.Table.from_pydict(

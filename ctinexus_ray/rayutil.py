@@ -34,8 +34,58 @@ hash-join paths and asserts results and schemas stay correct.
 from __future__ import annotations
 
 import logging
+import os
 
 _SCHEMA_DIVERGENCE_SNIPPET = "different schema than the previous one"
+
+# Measured crossover (BASELINE.md round 2): push-based sort shuffle has a
+# ~7x fixed per-shuffle overhead that dominates on sf0.1-sized inputs
+# (dedup 2.2 s -> 15.6 s), while pull-based shuffle's driver-side block
+# metadata grows with block count (verify-join driver RSS 3.0 GB vs
+# 0.67 GB push at 400k docs). Below this input size pull wins; above it
+# push keeps the driver flat.
+_PUSH_SHUFFLE_THRESHOLD_BYTES = 2 * 1024**3
+
+
+def estimate_dataset_bytes(*datasets) -> int | None:
+    """Total byte size of datasets from PLAN METADATA only (parquet /
+    in-memory metadata; never triggers execution). None when no dataset
+    has a known size."""
+    total, known = 0, False
+    for ds in datasets:
+        try:
+            sz = ds._logical_plan.dag.infer_metadata().size_bytes
+        except Exception:  # noqa: BLE001 — internal probe, fall back
+            sz = None
+        if sz is not None:
+            total += int(sz)
+            known = True
+    return total if known else None
+
+
+def select_shuffle_strategy(*datasets, threshold_bytes: int | None = None) -> str:
+    """Auto-select pull vs push sort-shuffle for the CURRENT DataContext
+    from the planned shuffle's input size (the strategy is a context-wide
+    knob in Ray Data, so corpus-scale jobs call this once after their
+    reads, before building the pipeline). An explicit ``CTINEXUS_SHUFFLE``
+    env var always wins; unknown sizes keep pull-based (the small-shuffle
+    winner). Returns "push" or "pull"."""
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    forced = os.environ.get("CTINEXUS_SHUFFLE", "").lower()
+    if forced in ("push", "pull"):
+        choice = forced
+    else:
+        size = estimate_dataset_bytes(*datasets)
+        limit = threshold_bytes or _PUSH_SHUFFLE_THRESHOLD_BYTES
+        choice = "push" if size is not None and size >= limit else "pull"
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = (
+        ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        if choice == "push"
+        else ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
+    )
+    return choice
 
 
 class _SchemaDivergenceFilter(logging.Filter):
@@ -57,18 +107,13 @@ def apply_data_context_defaults() -> None:
 
     ctx = DataContext.get_current()
     ctx.enforce_schemas = True
-    # Shuffle strategy is size-dependent, so it is a knob, not a default:
-    # push-based shuffle keeps sort/groupby shuffle metadata off the
-    # driver (400k-doc minhash keep: verify-join driver RSS 3.0 GB ->
-    # 0.67 GB, wall 98 s -> 83 s — run it for corpus-scale jobs, where
-    # pull-based metadata grows with block count, the axis a
-    # 100 TB/256-node run multiplies), but its fixed per-shuffle overhead
-    # is ~7x wall time on the many small shuffles of an sf0.1-sized run
-    # (dedup 2.2 s -> 15.6 s measured). Default stays pull-based;
-    # set CTINEXUS_SHUFFLE=push (or the upstream
-    # RAY_DATA_PUSH_BASED_SHUFFLE=1) for large jobs.
-    import os
-
+    # Shuffle strategy is size-dependent: corpus-scale jobs call
+    # ``select_shuffle_strategy(datasets...)`` after their reads, which
+    # picks push-based above the measured ~2 GiB crossover (driver
+    # metadata stays flat) and pull-based below it (push's ~7x fixed
+    # overhead loses on small shuffles). CTINEXUS_SHUFFLE=push|pull
+    # forces either. The process-start default here honors the env var
+    # only.
     if os.environ.get("CTINEXUS_SHUFFLE", "").lower() == "push":
         from ray.data.context import ShuffleStrategy
 

@@ -9,7 +9,8 @@ Pipeline: MinHash-LSH star-mode candidates -> exact-Jaccard verify (two
 hash-partitioned text joins) -> tiered distributed connected components
 -> anti-join survivors -> join surviving doc_ids back to full rows ->
 partitioned parquet. Nothing corpus-sized touches the driver; for truly
-large runs set CTINEXUS_SHUFFLE=push (see ctinexus_ray/rayutil.py).
+large runs the shuffle strategy auto-selects push-based from the
+input size (see ctinexus_ray/rayutil.py select_shuffle_strategy).
 
 In this sandbox the same entrypoint runs standalone:
 ``python jobs/dedup_job.py --input <parquet dir> --output /tmp/out``.
@@ -51,6 +52,11 @@ def main() -> int:
 
     start = time.perf_counter()
     docs = ray.data.read_parquet(args.input)
+    # corpus-scale runs cross to push-based shuffle (driver metadata
+    # stays flat); small runs keep pull-based. Env var still overrides.
+    from ctinexus_ray.rayutil import select_shuffle_strategy
+
+    strategy = select_shuffle_strategy(docs)
     n_in = docs.count()
     survivors = minhash_dedup_keep(
         docs,
@@ -69,6 +75,7 @@ def main() -> int:
         "surviving_docs": n_out,
         "dropped": n_in - n_out,
         "sec": round(time.perf_counter() - start, 2),
+        "shuffle_strategy": strategy,
         "output": args.output,
     }, indent=2))
     ray.shutdown()

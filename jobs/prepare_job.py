@@ -62,6 +62,9 @@ def dedup_phase(input_path: str, deduped_dir: str, threshold: float,
     shutil.rmtree(deduped_dir, ignore_errors=True)
     start = time.perf_counter()
     docs = ray.data.read_parquet(input_path)
+    from ctinexus_ray.rayutil import select_shuffle_strategy
+
+    select_shuffle_strategy(docs)
     n_in = docs.count()
     survivors = minhash_dedup_keep(
         docs, threshold=threshold, num_partitions=num_partitions,

@@ -152,3 +152,28 @@ class TestEmptyPartitionCommit:
         # the sidecar exists -> the rerun SKIPS instead of recrashing
         s2 = run_resumable([str(src)], out, drop_everything)
         assert s2 == {"processed": 0, "skipped": 1, "rows": 0}
+
+
+class TestShuffleAutoSelect:
+    def test_size_crossover_and_env_override(self, ray_session, monkeypatch):
+        import ray.data
+        from ray.data.context import DataContext, ShuffleStrategy
+
+        from ctinexus_ray.rayutil import select_shuffle_strategy
+
+        small = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+        monkeypatch.delenv("CTINEXUS_SHUFFLE", raising=False)
+        assert select_shuffle_strategy(small) == "pull"
+        # a forced tiny threshold flips the choice to push
+        assert select_shuffle_strategy(small, threshold_bytes=1) == "push"
+        assert (DataContext.get_current().shuffle_strategy
+                == ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED)
+        # env var always wins over the estimate
+        monkeypatch.setenv("CTINEXUS_SHUFFLE", "pull")
+        assert select_shuffle_strategy(small, threshold_bytes=1) == "pull"
+        # unknown size (lazy transform, no metadata) -> pull
+        monkeypatch.delenv("CTINEXUS_SHUFFLE", raising=False)
+        mapped = small.map_batches(lambda b: b, batch_format="pyarrow")
+        assert select_shuffle_strategy(mapped) == "pull"
+        # restore the suite default
+        select_shuffle_strategy(small)
