@@ -27,6 +27,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ctinexus_ray.ops.dedup import list_col_to_matrix
+
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -52,9 +54,9 @@ def brute_force_topk(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qids, qmat = ray.get(query_ref)
-        v_ids = np.array(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        v_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         v_mat = _normalize(
-            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            list_col_to_matrix(batch.column("embedding"))
         )
         sims = qmat @ v_mat.T  # (n_queries, batch)
         out_q, out_v, out_s = [], [], []
@@ -213,11 +215,11 @@ def lsh_topk(
 
     def search(batch: pa.Table):
         qids, qmat, qbuckets = ray.get(shared)
-        v_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        v_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         if not len(v_ids):
             return
         v_mat = _normalize(
-            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            list_col_to_matrix(batch.column("embedding"))
         )
         # candidate (query row, vector row) pairs across all tables
         pair_mask = np.zeros((len(qids), len(v_ids)), dtype=bool)
@@ -337,7 +339,7 @@ def ivf_topk(
 
     def search(batch: pa.Table) -> pa.Table:
         qids, qmat, cents, prb = ray.get(shared)
-        v_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        v_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         if not len(v_ids):
             return pa.Table.from_pydict(
                 {
@@ -346,7 +348,7 @@ def ivf_topk(
                     "sim": pa.array([], type=pa.float64()),
                 }
             )
-        v_mat = _normalize(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        v_mat = _normalize(list_col_to_matrix(batch.column("embedding")))
         cell = np.argmax(v_mat @ cents.T, axis=1)
         out_q, out_n, out_s = [], [], []
         for c in np.unique(cell):
@@ -457,7 +459,7 @@ def pq_encode(
     def encode(batch: pa.Table) -> pa.Table:
         books = ray.get(books_ref)
         mat = _normalize(
-            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            list_col_to_matrix(batch.column("embedding"))
         )
         codes = _pq_assign(mat, books)
         return pa.Table.from_pydict(
@@ -544,11 +546,11 @@ def pq_topk(
 
     def search(batch: pa.Table):
         qids, qmat, tbls, bks = ray.get(shared)
-        v_ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        v_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         if not len(v_ids):
             return
         v_mat = _normalize(
-            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            list_col_to_matrix(batch.column("embedding"))
         )
         codes = _pq_assign(v_mat, bks)  # (n_v, m)
         # ADC: sims[q, v] = sum_j tbls[q, j, codes[v, j]]
@@ -624,7 +626,7 @@ def kmeans_fit_predict(
     def init_cut(batch: pa.Table):
         if batch.num_rows == 0:
             return
-        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         order = np.argsort(ids, kind="mergesort")[:n_clusters]
         yield batch.take(pa.array(order, type=pa.int64()))
 
@@ -657,7 +659,7 @@ def kmeans_fit_predict(
                 return
             cents = ray.get(_ref)
             mat = _normalize(
-                np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+                list_col_to_matrix(batch.column("embedding"))
             )
             assign = np.argmax(mat @ cents.T, axis=1)
             out_c, out_s, out_n = [], [], []
@@ -708,7 +710,7 @@ def kmeans_fit_predict(
             return
         cents = ray.get(final_ref)
         mat = _normalize(
-            np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            list_col_to_matrix(batch.column("embedding"))
         )
         assign = np.argmax(mat @ cents.T, axis=1)
         yield pa.Table.from_pydict(
