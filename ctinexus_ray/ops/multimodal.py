@@ -148,8 +148,9 @@ def decode_features(
 # PIL/ffmpeg are absent, but two real container formats need neither: P6
 # PPM (raw RGB) and RIFF/WAVE PCM16 (stdlib ``wave``). These give the
 # decode -> resize -> feature-extract path REAL payload parsing end to
-# end; compressed formats (png/jpeg/mp4) remain honestly stubbed in
-# ``DecodeImageStage``.
+# end. PNG (zlib inflate + scanline unfilter) and BMP (BI_RGB) are also
+# real, stdlib-only codecs below; jpeg/mp4 remain honestly stubbed in
+# ``DecodeImageStage`` (their codecs are not in this container).
 
 
 def _encode_ppm(width: int, height: int, seed: int) -> bytes:
@@ -227,12 +228,245 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return rate, samples
 
 
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib + numpy unfilter) and BMP (BI_RGB) — real compressed /
+# container codecs with no external deps. Scope: 8-bit gray / RGB / RGBA,
+# non-interlaced PNG (the dominant web shapes); palette / 16-bit /
+# interlaced raise with a clear message (the honest boundary).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth_predict(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb_ and pa_ <= pc_:
+        return a
+    return b if pb_ <= pc_ else c
+
+
+def encode_png(img: np.ndarray, row_filters=0) -> bytes:
+    """Minimal PNG writer for (h, w) gray or (h, w, 3|4) uint8 arrays.
+    ``row_filters`` is a scalar filter type or a per-row list (0 none /
+    1 sub / 2 up / 3 average / 4 paeth) — the test suite uses mixed
+    filters to exercise every unfilter path in ``decode_png``."""
+    import struct
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    bpp = c
+    if isinstance(row_filters, int):
+        row_filters = [row_filters] * h
+    raw = img.astype(np.int64)
+    out = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    for y in range(h):
+        row = raw[y].reshape(-1)
+        f = row_filters[y]
+        if f == 0:
+            filt = row
+        elif f == 1:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+            filt = row - (left + prev) // 2
+        elif f == 4:
+            filt = np.empty_like(row)
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                cc = prev[i - bpp] if i >= bpp else 0
+                filt[i] = row[i] - _paeth_predict(int(a), int(b), int(cc))
+        else:
+            raise ValueError(f"unknown filter {f}")
+        out.append(f)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """(h, w, c) uint8 from a PNG payload — stdlib ``zlib`` inflate +
+    numpy scanline unfilter. Supports 8-bit grayscale (c=1), RGB (c=3)
+    and RGBA (c=4), non-interlaced; raises ValueError on palette /
+    16-bit / interlaced images (use a full decoder for those)."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, idat, ihdr = len(_PNG_SIG), bytearray(), None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
+    if interlace:
+        raise ValueError("interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"palette/unsupported PNG color type {color_type}")
+    bpp = channels
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    rows = raw.reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = int(rows[y, 0])
+        cur = rows[y, 1:].astype(np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 2:
+            rec = (cur + prev) % 256
+        elif f == 1:
+            # recon[i] = raw[i] + recon[i-bpp]: per-channel prefix sum
+            v = cur.reshape(w, bpp)
+            rec = (np.cumsum(v, axis=0, dtype=np.int64) % 256).reshape(-1)
+        elif f in (3, 4):
+            rec = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                if f == 3:
+                    rec[i] = (cur[i] + (a + b) // 2) % 256
+                else:
+                    c = prev[i - bpp] if i >= bpp else 0
+                    rec[i] = (
+                        cur[i] + _paeth_predict(int(a), int(b), int(c))
+                    ) % 256
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8).reshape(h, w, channels)
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """24-bit uncompressed BI_RGB bottom-up BMP from (h, w, 3) uint8."""
+    import struct
+
+    h, w, _ = img.shape
+    row_size = (w * 3 + 3) & ~3
+    pixel_bytes = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + pixel_bytes, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0)
+    body = bytearray()
+    pad = b"\x00" * (row_size - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body.extend(img[y, :, ::-1].tobytes())  # BGR
+        body.extend(pad)
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 RGB from a 24-bit BI_RGB BMP payload."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack("<I", payload[10:14])
+    header_size, w, h = struct.unpack("<Iii", payload[14:26])
+    bits, compression = struct.unpack("<HI", payload[28:34])
+    if bits != 24 or compression != 0:
+        raise ValueError("only 24-bit BI_RGB BMP supported")
+    flip = h > 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    data = np.frombuffer(payload, dtype=np.uint8, count=row_size * h, offset=offset)
+    rows = data.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]  # BGR -> RGB
+    return rgb[::-1] if flip else rgb
+
+
+def _to_rgb(img: np.ndarray) -> np.ndarray:
+    """Normalize decoded (h, w, c) to (h, w, 3) for the feature stage:
+    grayscale replicates, alpha drops, gray+alpha drops alpha."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    c = img.shape[2]
+    if c == 1:
+        return np.repeat(img, 3, axis=2)
+    if c == 2:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]
+
+
 def make_real_media_table(n: int) -> pa.Table:
-    """Deterministic media rows with REAL decodable payloads: P6 PPM
-    images and PCM16 WAV sines (hash-derived dims/frequency/duration)."""
+    """Deterministic media rows with REAL decodable payloads: P6 PPM /
+    PNG / BMP images and PCM16 WAV sines (hash-derived dims /
+    frequency / duration; PNG rows cycle the filter types)."""
     rows = []
     for i in range(n):
         digest = hashlib.blake2b(f"realmedia:{i}".encode(), digest_size=8).digest()
+        if i % 4 == 2:
+            w, h = 8 + digest[0] % 25, 8 + digest[1] % 25
+            img = decode_ppm(_encode_ppm(w, h, digest[2]))
+            rows.append(
+                {
+                    "media_id": i,
+                    "kind": "image",
+                    "payload": encode_png(img, row_filters=[(digest[2] + y) % 5 for y in range(h)]),
+                    "mime": "image/png",
+                    "width": w,
+                    "height": h,
+                    "duration_ms": 0,
+                }
+            )
+            continue
+        if i % 4 == 3:
+            w, h = 8 + digest[0] % 25, 8 + digest[1] % 25
+            img = decode_ppm(_encode_ppm(w, h, digest[5]))
+            rows.append(
+                {
+                    "media_id": i,
+                    "kind": "image",
+                    "payload": encode_bmp(img),
+                    "mime": "image/bmp",
+                    "width": w,
+                    "height": h,
+                    "duration_ms": 0,
+                }
+            )
+            continue
         if i % 2 == 0:
             w, h = 16 + digest[0] % 33, 16 + digest[1] % 33
             rows.append(
@@ -265,8 +499,8 @@ def make_real_media_table(n: int) -> pa.Table:
 
 class DecodeMediaStage:
     """REAL decode + feature-extract actor stage for the stdlib-decodable
-    formats (P6 PPM images, PCM16 WAV audio). Per-row output feature
-    layout (fixed 8 floats so the column is rectangular):
+    formats (P6 PPM / PNG / BMP images, PCM16 WAV audio). Per-row output
+    feature layout (fixed 8 floats so the column is rectangular):
 
       image: [width, height, mean_r, mean_g, mean_b, gray2x2...(3 of 4)]
              — 2x2 area-mean grayscale grid, first 3 cells (the 4th is
@@ -278,14 +512,24 @@ class DecodeMediaStage:
     the honest boundary; ``DecodeImageStage`` remains the stub for them.
     """
 
-    SUPPORTED = ("image/x-portable-pixmap", "audio/wav")
+    SUPPORTED = (
+        "image/x-portable-pixmap",
+        "image/png",
+        "image/bmp",
+        "audio/wav",
+    )
 
     def __init__(self, target_size: tuple[int, int] = (2, 2)):
         self.target_size = target_size
 
     def _features(self, mime: str, payload: bytes) -> list[float]:
-        if mime == "image/x-portable-pixmap":
-            img = decode_ppm(payload)
+        if mime in ("image/x-portable-pixmap", "image/png", "image/bmp"):
+            if mime == "image/png":
+                img = _to_rgb(decode_png(payload))
+            elif mime == "image/bmp":
+                img = decode_bmp(payload)
+            else:
+                img = decode_ppm(payload)
             grid = area_resize_gray(img, *self.target_size)
             means = img.astype(np.float64).mean(axis=(0, 1))
             return [

@@ -755,8 +755,9 @@ class TestRealMultimodal:
         rows = decode_real_features(media).take_all()
         assert len(rows) == 30
         kinds = {r["media_id"]: r["kind"] for r in rows}
+        # rotation: i%4 -> 0 ppm image, 1 wav audio, 2 png image, 3 bmp image
         assert all(
-            kinds[i] == ("image" if i % 2 == 0 else "audio") for i in range(30)
+            kinds[i] == ("audio" if i % 4 == 1 else "image") for i in range(30)
         )
         assert all(len(r["features"]) == 8 for r in rows)
 
@@ -765,7 +766,11 @@ class TestRealMultimodal:
 
         from ctinexus_ray.ops.multimodal import DecodeMediaStage
 
+        # png/bmp moved into SUPPORTED (real stdlib codecs); jpeg stays out
         with pytest.raises(ValueError, match="unsupported mime"):
+            DecodeMediaStage()._features("image/jpeg", b"\xff\xd8\xff")
+        # a supported mime with a corrupt payload raises the codec error
+        with pytest.raises(ValueError, match="PNG"):
             DecodeMediaStage()._features("image/png", b"\x89PNG")
 
 
@@ -839,3 +844,124 @@ class TestCompressionRatio:
             assert got[i] == want
         # highly repetitive text compresses far better than prose
         assert got[0] < 0.05 < got[1]
+
+
+class TestPngBmpCodecs:
+    def _random_img(self, rng, h, w, c):
+        a = rng.randint(0, 256, size=(h, w, c)).astype("uint8")
+        return a[:, :, 0] if c == 1 else a
+
+    def test_png_roundtrip_all_filters_and_channels(self):
+        import numpy as np
+
+        from ctinexus_ray.ops.multimodal import decode_png, encode_png
+
+        rng = np.random.RandomState(11)
+        for c in (1, 3, 4):
+            for h, w in ((1, 1), (2, 2), (5, 7), (16, 9)):
+                img = self._random_img(rng, h, w, c)
+                # per-row filter cycle exercises every unfilter path
+                filters = [(y % 5) for y in range(h)]
+                out = decode_png(encode_png(img, row_filters=filters))
+                want = img[:, :, None] if img.ndim == 2 else img
+                assert out.shape == want.shape
+                assert np.array_equal(out, want), (c, h, w)
+
+    def test_png_filters_match_spec_reference(self):
+        """Independent check: forward-filter a tiny image with a pure-
+        Python implementation written straight from the PNG spec
+        (RFC 2083 §6), wrap it in chunks, and require decode_png to
+        invert it — guards against a shared encoder/decoder bug."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from ctinexus_ray.ops.multimodal import _PNG_SIG, _png_chunk, decode_png
+
+        img = np.array(
+            [[[10, 200, 30], [250, 5, 127]],
+             [[0, 255, 64], [90, 90, 90]],
+             [[17, 34, 51], [68, 85, 102]]],
+            dtype=np.uint8,
+        )
+        h, w, bpp = 3, 2, 3
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+            if pa_ <= pb_ and pa_ <= pc_:
+                return a
+            return b if pb_ <= pc_ else c
+
+        scan = bytearray()
+        prev = [0] * (w * bpp)
+        for y, f in zip(range(h), (3, 4, 1)):  # average, paeth, sub rows
+            row = [int(v) for v in img[y].reshape(-1)]
+            filt = []
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                ul = prev[i - bpp] if i >= bpp else 0
+                if f == 3:
+                    filt.append((row[i] - (left + up) // 2) % 256)
+                elif f == 4:
+                    filt.append((row[i] - paeth(left, up, ul)) % 256)
+                else:
+                    filt.append((row[i] - left) % 256)
+            scan.append(f)
+            scan.extend(filt)
+            prev = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        payload = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(payload), img)
+
+    def test_png_unsupported_shapes_raise(self):
+        import pytest
+
+        from ctinexus_ray.ops.multimodal import decode_png
+
+        with pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"JFIF....")
+
+    def test_bmp_roundtrip_with_row_padding(self):
+        import numpy as np
+
+        from ctinexus_ray.ops.multimodal import decode_bmp, encode_bmp
+
+        rng = np.random.RandomState(5)
+        for h, w in ((1, 1), (3, 3), (4, 5), (7, 6)):  # w=5: padded rows
+            img = rng.randint(0, 256, size=(h, w, 3)).astype("uint8")
+            assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+    def test_decode_stage_handles_png_and_bmp(self, ray_session):
+        import numpy as np
+
+        from ctinexus_ray.ops.multimodal import (
+            decode_real_features,
+            make_real_media_table,
+        )
+
+        table = make_real_media_table(12)
+        mimes = set(table.column("mime").to_pylist())
+        assert {"image/png", "image/bmp", "image/x-portable-pixmap",
+                "audio/wav"} <= mimes
+        rows = decode_real_features(
+            ray.data.from_arrow(table)
+        ).take_all()
+        assert len(rows) == 12
+        by_id = {r["media_id"]: r for r in rows}
+        # PNG and BMP rows encode the same deterministic pattern family
+        # as PPM: features must be finite and width/height-consistent
+        for i, r in by_id.items():
+            assert all(np.isfinite(v) for v in r["features"])
+        # i%4==2 rows are PNG images: feature[0]/[1] = width/height
+        meta = {m["media_id"]: m for m in table.to_pylist()}
+        for i in (2, 6, 10):
+            assert by_id[i]["features"][0] == float(meta[i]["width"])
+            assert by_id[i]["features"][1] == float(meta[i]["height"])
