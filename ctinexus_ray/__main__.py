@@ -27,10 +27,16 @@ def run_single(args) -> int:
     from ctinexus_ray.pipelines.kg import default_demos
     from ctinexus_ray.pipelines.singledoc import process_document
 
-    config = PipelineConfig(
-        provider=args.provider,
-        model=args.model,
-        similarity_threshold=args.similarity_threshold,
+    from ctinexus_ray.config import compose_config
+
+    config = compose_config(
+        {
+            "provider": args.provider,
+            "model": args.model,
+            "similarity_threshold": args.similarity_threshold,
+        },
+        *args.config,
+        overrides=args.overrides,
     )
 
     url_source_record = None
@@ -86,7 +92,13 @@ def run_corpus(args) -> int:
 
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False)
-    config = PipelineConfig(similarity_threshold=args.similarity_threshold)
+    from ctinexus_ray.config import compose_config
+
+    config = compose_config(
+        {"similarity_threshold": args.similarity_threshold},
+        *args.config,
+        overrides=args.overrides,
+    )
     paths = run_kg_to_parquet(read_documents(args.input), args.output, config)
     print(json.dumps(paths, indent=2))
     ray.shutdown()
@@ -105,11 +117,22 @@ def main(argv: list[str] | None = None) -> int:
         "--similarity-threshold", type=float, default=0.6,
         help="EA cosine threshold (0-1)",
     )
+    parser.add_argument(
+        "--config", action="append", default=[], metavar="FILE.json",
+        help="config layer(s), later wins (compose surface)",
+    )
+    parser.add_argument(
+        "--set", action="append", default=[], metavar="KEY=VALUE",
+        dest="overrides",
+        help="dotted config override, e.g. --set shot=5 --set extra.api_base=...",
+    )
     sub = parser.add_subparsers(dest="command")
     corpus = sub.add_parser("corpus", help="run the distributed pipeline")
     corpus.add_argument("--input", required=True, help="parquet dir (CC shape)")
     corpus.add_argument("--output", required=True, help="output dir")
     corpus.add_argument("--similarity-threshold", type=float, default=0.6)
+    corpus.add_argument("--config", action="append", default=[])
+    corpus.add_argument("--set", action="append", default=[], dest="overrides")
 
     args = parser.parse_args(argv)
     if args.command == "corpus":

@@ -67,3 +67,93 @@ class PipelineConfig:
     combine_in_batch: bool = True
 
     extra: dict = field(default_factory=dict)
+
+
+# ---------------------------------------------------------------------------
+# compose + dotted overrides (the reference's hydra compose/override
+# surface — reference ctinexus/utils/gradio_utils.py:70-86 builds its
+# config with hydra.compose(config_name=..., overrides=["k=v", ...]) —
+# re-expressed over the plain dataclass: JSON/dict layers merge in order,
+# then "key=value" overrides win, with types coerced from the dataclass
+# field defaults and unknown keys rejected loudly).
+# ---------------------------------------------------------------------------
+
+
+def _coerce(value: str, template):
+    """Parse a string override to the type of the field's default."""
+    if isinstance(template, bool):
+        low = value.lower()
+        if low in ("true", "1", "yes", "on"):
+            return True
+        if low in ("false", "0", "no", "off"):
+            return False
+        raise ValueError(f"expected a boolean, got {value!r}")
+    if isinstance(template, int) and not isinstance(template, bool):
+        return int(value)
+    if isinstance(template, float):
+        return float(value)
+    if isinstance(template, tuple):
+        parts = [p for p in value.replace("(", "").replace(")", "").split(",") if p]
+        inner = template[0] if template else 0
+        return tuple(_coerce(p.strip(), inner) for p in parts)
+    return value
+
+
+def compose_config(*layers, overrides: tuple | list = ()) -> PipelineConfig:
+    """Build a PipelineConfig from ordered layers + dotted overrides.
+
+    ``layers`` are dicts or paths to JSON files; later layers win, and
+    each layer's ``extra`` dict MERGES instead of replacing (the config-
+    group behavior of the reference's compose tree). ``overrides`` are
+    ``"key=value"`` strings — ``extra.some_key=v`` targets the extras
+    dict, everything else must name a dataclass field (typo-checked
+    against the field list, value coerced to the field default's type).
+    """
+    import dataclasses
+    import difflib
+    import json
+
+    fields = {f.name: f for f in dataclasses.fields(PipelineConfig)}
+    merged: dict = {}
+    extra: dict = {}
+    for layer in layers:
+        if isinstance(layer, (str, bytes)):
+            with open(layer, encoding="utf-8") as fh:
+                layer = json.load(fh)
+        if not isinstance(layer, dict):
+            raise TypeError(f"config layer must be dict or path, got {type(layer)}")
+        layer = dict(layer)
+        extra.update(layer.pop("extra", {}) or {})
+        for key in layer:
+            if key not in fields:
+                hint = difflib.get_close_matches(key, fields, n=1)
+                raise KeyError(
+                    f"unknown config key {key!r}"
+                    + (f" — did you mean {hint[0]!r}?" if hint else "")
+                )
+        merged.update(layer)
+    for item in overrides:
+        key, sep, value = item.partition("=")
+        if not sep:
+            raise ValueError(f"override {item!r} is not key=value")
+        key = key.strip()
+        if key.startswith("extra."):
+            extra[key[len("extra."):]] = value
+            continue
+        if key not in fields:
+            hint = difflib.get_close_matches(key, fields, n=1)
+            raise KeyError(
+                f"unknown config key {key!r}"
+                + (f" — did you mean {hint[0]!r}?" if hint else "")
+            )
+        default = fields[key].default
+        if default is dataclasses.MISSING:
+            default = fields[key].default_factory()  # type: ignore[misc]
+        merged[key] = _coerce(value, default) if isinstance(value, str) else value
+    if extra:
+        merged["extra"] = extra
+    # json round-trips tuples as lists; restore tuple-typed fields
+    for key, val in list(merged.items()):
+        if isinstance(val, list) and isinstance(fields[key].default, tuple):
+            merged[key] = tuple(val)
+    return PipelineConfig(**merged)

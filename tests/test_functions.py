@@ -239,3 +239,33 @@ class TestUsagePrices:
         usage = calculate_usage("no-such-model", 10, 10)
         assert usage["total"]["cost"] == 0
         assert usage["total"]["tokens"] == 20
+
+
+class TestComposeConfig:
+    def test_layers_overrides_and_typo_check(self, tmp_path):
+        import json
+
+        import pytest
+
+        from ctinexus_ray.config import compose_config
+
+        layer = tmp_path / "layer.json"
+        layer.write_text(json.dumps(
+            {"shot": 5, "llm_concurrency": [4, 16],
+             "extra": {"from_file": 1}}
+        ))
+        cfg = compose_config(
+            {"provider": "openai", "extra": {"base": "a"}},
+            str(layer),
+            overrides=["temperature=0.3", "extra.api_key=k",
+                       "combine_in_batch=off"],
+        )
+        assert cfg.provider == "openai" and cfg.shot == 5
+        assert cfg.llm_concurrency == (4, 16)  # json list -> tuple field
+        assert cfg.temperature == 0.3 and cfg.combine_in_batch is False
+        # extras merge across layers and overrides
+        assert cfg.extra == {"base": "a", "from_file": 1, "api_key": "k"}
+        with pytest.raises(KeyError, match="similarity_threshold"):
+            compose_config(overrides=["similarty_threshold=1"])
+        with pytest.raises(ValueError, match="key=value"):
+            compose_config(overrides=["oops"])
