@@ -283,7 +283,7 @@ class MinHashStage:
         return self.signatures([text])[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch.column("text").to_pylist()
         sigs = self.signatures(texts)
         n = len(doc_ids)
@@ -723,8 +723,8 @@ def simhash_dup_pairs(
     bits_per_chunk = 64 // chunks
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        doc_ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
-        hashes = np.asarray(batch.column("simhash").to_pylist(), dtype=np.int64)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        hashes = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(doc_ids)
         mask = (1 << bits_per_chunk) - 1
         out_doc = np.repeat(doc_ids, chunks)
@@ -886,9 +886,9 @@ def ngram_jaccard_pairs(
     )
 
     def jaccard_filter(batch: pa.Table) -> pa.Table:
-        ix = np.asarray(batch.column("ix").to_pylist(), dtype=np.float64)
-        sa = np.asarray(batch.column("sa").to_pylist(), dtype=np.float64)
-        sb = np.asarray(batch.column("sb").to_pylist(), dtype=np.float64)
+        ix = batch.column("ix").to_numpy(zero_copy_only=False).astype(np.float64)
+        sa = batch.column("sa").to_numpy(zero_copy_only=False).astype(np.float64)
+        sb = batch.column("sb").to_numpy(zero_copy_only=False).astype(np.float64)
         union = sa + sb - ix
         mask = (union > 0) & (ix / np.maximum(union, 1e-12) >= threshold)
         kept = batch.filter(pa.array(mask))
@@ -1001,7 +1001,7 @@ def embedding_lsh_buckets(
     deterministic hyperplanes, one bucket id per vector; near-dup then
     reduces per bucket instead of all-pairs."""
     def assign(batch: pa.Table) -> pa.Table:
-        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = list_col_to_matrix(batch.column("embedding"))
         buckets = lsh_bucket_ids(mat, n_planes)
         return pa.Table.from_pydict(
             {
@@ -1026,7 +1026,7 @@ def embedding_dup_pairs_lsh(
     n_planes falls). One groupby(bucket) shuffle."""
 
     def tag(batch: pa.Table) -> pa.Table:
-        mat = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        mat = list_col_to_matrix(batch.column("embedding"))
         return batch.append_column(
             "bucket", pa.array(lsh_bucket_ids(mat, n_planes), type=pa.int64())
         )

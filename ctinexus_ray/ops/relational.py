@@ -913,9 +913,9 @@ def interval_overlap_pairs(
     def explode(batch: pa.Table):
         if batch.num_rows == 0:
             return
-        s = np.asarray(batch.column(start_col).to_pylist(), dtype=np.int64)
-        e = np.asarray(batch.column(end_col).to_pylist(), dtype=np.int64)
-        owner = np.asarray(batch.column(owner_col).to_pylist(), dtype=np.int64)
+        s = batch.column(start_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch.column(end_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        owner = batch.column(owner_col).to_numpy(zero_copy_only=False).astype(np.int64)
         b0 = s // bucket_us
         nb = (e // bucket_us - b0 + 1).astype(np.int64)
         total = int(nb.sum())

@@ -487,7 +487,7 @@ def count_min_estimates(
                     f"count_min_estimates: weight column {weight!r} "
                     "contains NULLs; fill or filter them upstream"
                 )
-            w = np.asarray(wcol.to_pylist(), dtype=np.int64)
+            w = wcol.to_numpy(zero_copy_only=False).astype(np.int64)
             if (w < 0).any():
                 # a negative weight would silently break the sketch's
                 # never-underestimates guarantee (np.add.at subtracts)
