@@ -965,3 +965,44 @@ class TestPngBmpCodecs:
         for i in (2, 6, 10):
             assert by_id[i]["features"][0] == float(meta[i]["width"])
             assert by_id[i]["features"][1] == float(meta[i]["height"])
+
+
+class TestListColToMatrix:
+    def test_list_and_fixed_size_list_and_slices(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.dedup import list_col_to_matrix
+
+        data = [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]
+        want = np.array(data)
+        # plain list<float64>
+        col = pa.array(data, type=pa.list_(pa.float64()))
+        assert np.array_equal(list_col_to_matrix(col), want)
+        # chunked
+        chunked = pa.chunked_array([col[:1], col[1:]])
+        assert np.array_equal(list_col_to_matrix(chunked), want)
+        # sliced view (nonzero offset)
+        assert np.array_equal(list_col_to_matrix(col.slice(1, 2)), want[1:])
+        # fixed_size_list, including a sliced view
+        fsl = pa.array(data, type=pa.list_(pa.float64(), 2))
+        assert np.array_equal(list_col_to_matrix(fsl), want)
+        assert np.array_equal(list_col_to_matrix(fsl.slice(1, 2)), want[1:])
+        # float32 values upcast
+        f32 = pa.array(data, type=pa.list_(pa.float32()))
+        assert list_col_to_matrix(f32).dtype == np.float64
+        # empty
+        assert list_col_to_matrix(col.slice(0, 0)).shape == (0, 0)
+
+    def test_ragged_and_null_inputs_raise(self):
+        import pyarrow as pa
+        import pytest
+
+        from ctinexus_ray.ops.dedup import list_col_to_matrix
+
+        ragged = pa.array([[1.0], [2.0, 3.0]], type=pa.list_(pa.float64()))
+        with pytest.raises(ValueError, match="ragged"):
+            list_col_to_matrix(ragged)
+        nulls = pa.array([[1.0, 2.0], None], type=pa.list_(pa.float64()))
+        with pytest.raises(ValueError, match="null"):
+            list_col_to_matrix(nulls)
