@@ -1006,3 +1006,15 @@ class TestListColToMatrix:
         nulls = pa.array([[1.0, 2.0], None], type=pa.list_(pa.float64()))
         with pytest.raises(ValueError, match="null"):
             list_col_to_matrix(nulls)
+
+
+class TestEmbeddingBroadcastRefusal:
+    def test_oversized_matrix_defers_to_lsh(self, embeddings):
+        import pytest
+
+        from ctinexus_ray.ops.dedup import embedding_dup_pairs
+
+        with pytest.raises(ValueError, match="embedding_dup_pairs_lsh"):
+            embedding_dup_pairs(
+                embeddings, threshold=0.9, max_broadcast_bytes=64
+            ).take_all()
