@@ -386,7 +386,7 @@ def bucket_pairs_partition(
 
 
 def distinct_pairs(
-    pairs: ray.data.Dataset, num_partitions: int = 64
+    pairs: ray.data.Dataset, num_partitions: int | None = None
 ) -> ray.data.Dataset:
     """Global (a, b) distinct via one hash-partitioned shuffle with a
     VECTORIZED pandas drop_duplicates per partition.
@@ -398,6 +398,10 @@ def distinct_pairs(
     duplicates; per-partition dedup is one vectorized call."""
     import pyarrow.compute as pc
 
+    if num_partitions is None:
+        from ctinexus_ray.ops.groupagg import derive_num_partitions
+
+        num_partitions = derive_num_partitions(pairs)
     assert num_partitions & (num_partitions - 1) == 0, "power of two"
 
     def add_key(batch: pa.Table) -> pa.Table:
@@ -431,7 +435,7 @@ def minhash_candidate_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket: int = 200,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     pair_mode: str = "all",
 ) -> ray.data.Dataset:
     """LSH candidate pairs: docs sharing any band bucket. Returns distinct
@@ -451,8 +455,13 @@ def minhash_candidate_pairs(
       2. a tiny ``groupby(a, b)`` distinct over the candidate pairs.
 
     ``num_partitions`` bounds per-task memory: size it ~ (band rows /
-    comfortable task rows) at corpus scale.
+    comfortable task rows) at corpus scale; ``None`` derives it from the
+    input's plan metadata (``derive_num_partitions``).
     """
+    if num_partitions is None:
+        from ctinexus_ray.ops.groupagg import derive_num_partitions
+
+        num_partitions = derive_num_partitions(docs)
     assert num_partitions & (num_partitions - 1) == 0, "power of two"
     sigs = docs.select_columns(["doc_id", "text"]).map_batches(
         partial(
@@ -487,7 +496,7 @@ def minhash_dedup_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     pair_mode: str = "all",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """LSH candidates verified by exact Jaccard over word shingles.
 
@@ -500,8 +509,13 @@ def minhash_dedup_pairs(
     """
     from ctinexus_ray.ops.distjoin import hash_join
 
+    if num_partitions is None:
+        from ctinexus_ray.ops.groupagg import derive_num_partitions
+
+        num_partitions = derive_num_partitions(docs)
     candidates = minhash_candidate_pairs(
-        docs, num_perm, bands, shingle_n, pair_mode=pair_mode
+        docs, num_perm, bands, shingle_n,
+        pair_mode=pair_mode, num_partitions=num_partitions,
     )
     i64, s = pa.int64(), pa.string()
     texts = docs.select_columns(["doc_id", "text"])
@@ -612,7 +626,7 @@ def resolve_dup_groups(pairs: ray.data.Dataset) -> dict[int, int]:
 def minhash_dedup_keep(
     docs: ray.data.Dataset,
     threshold: float = 0.8,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     **kwargs,
 ) -> ray.data.Dataset:
     """Dedup filter: drop every document whose component survivor is a
@@ -638,6 +652,10 @@ def minhash_dedup_keep(
         connected_components,
     )
 
+    if num_partitions is None:
+        from ctinexus_ray.ops.groupagg import derive_num_partitions
+
+        num_partitions = derive_num_partitions(docs)
     pairs = minhash_dedup_pairs(
         docs, threshold=threshold, num_partitions=num_partitions, **kwargs
     ).materialize()  # consumed by every component-propagation round
@@ -718,7 +736,9 @@ def simhash_dup_pairs(
     B²-row merge frame in one task).
     """
     assert max_hamming < chunks, "pigeonhole guarantee needs max_hamming < chunks"
-    num_partitions = 64
+    from ctinexus_ray.ops.groupagg import derive_num_partitions
+
+    num_partitions = derive_num_partitions(docs)
     sigs = simhash_signatures(docs)
     bits_per_chunk = 64 // chunks
 
@@ -784,7 +804,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_posting: int = 1000,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """Exact all-pairs word-n-gram Jaccard >= threshold, computed
     distributedly in TWO shuffle rounds with no driver-side state:
@@ -801,8 +821,14 @@ def ngram_jaccard_pairs(
          map.
 
     Returns (a, b) with a < b. The SQL oracle mirrors the semantics
-    verbatim. ``num_partitions`` bounds per-task memory at corpus scale.
+    verbatim. ``num_partitions`` bounds per-task memory at corpus scale
+    (``None`` derives from plan metadata).
     """
+    if num_partitions is None:
+        from ctinexus_ray.ops.groupagg import derive_num_partitions
+
+        num_partitions = derive_num_partitions(docs)
+
     def shingle_rows(batch: pa.Table) -> pa.Table:
         out_doc, out_sh, out_size = [], [], []
         for doc_id, text in zip(
@@ -1053,7 +1079,9 @@ def embedding_dup_pairs_lsh(
 
     # distinct buckets are corpus-cardinality -> Ray-level group key is a
     # hash partition (O(P) overhead); the per-bucket loop runs in pandas
-    num_partitions = 64
+    from ctinexus_ray.ops.groupagg import derive_num_partitions
+
+    num_partitions = derive_num_partitions(embeddings)
 
     def add_pkey(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1084,7 +1112,7 @@ def embedding_dup_pairs_lsh(
 
 
 def dup_span_stats(
-    docs: ray.data.Dataset, n: int = 10, num_partitions: int = 64
+    docs: ray.data.Dataset, n: int = 10, num_partitions: int | None = None
 ) -> ray.data.Dataset:
     """Cross-document duplicated-span detection — the substring-dedup
     signal of Lee et al. 2021 ("Deduplicating Training Data Makes
@@ -1105,7 +1133,10 @@ def dup_span_stats(
 
     Returns (doc_id, n_dup_grams) for documents with at least one
     duplicated span."""
-    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.groupagg import derive_num_partitions, partitioned_agg
+
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(docs)
 
     def explode(batch: pa.Table):
         out_doc, out_sh = [], []

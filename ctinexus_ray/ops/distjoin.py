@@ -196,13 +196,17 @@ def anti_join_ids(
     key: str,
     drop: ray.data.Dataset,
     drop_key: str | None = None,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     key_type: pa.DataType = pa.int64(),
 ) -> ray.data.Dataset:
     """Keep the rows of ``ds`` whose ``key`` does NOT appear in ``drop``
     (distributed anti-join — the scale replacement for broadcasting a
     drop-set as a Python set). ``drop`` may be corpus-sized."""
     drop_key = drop_key or key
+    if num_partitions is None:
+        from ctinexus_ray.ops.groupagg import derive_num_partitions
+
+        num_partitions = derive_num_partitions(ds, drop)
     drops = drop.select_columns([drop_key])
     if drop_key != key:
 
@@ -510,7 +514,7 @@ def distinct_set_op(
     right: ray.data.Dataset,
     keys: list[str],
     op: str,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """SQL bag-to-set operators over arbitrary key tuples:
     ``INTERSECT`` (distinct keys present on BOTH sides), ``EXCEPT``
@@ -574,7 +578,7 @@ def salted_join(
     on: list[str],
     how: str = "inner",
     salt: int = 8,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     left_types: dict[str, pa.DataType] | None = None,
     right_types: dict[str, pa.DataType] | None = None,
 ) -> ray.data.Dataset:
@@ -636,7 +640,7 @@ def bloom_prefiltered_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     on: list[str],
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     m_bits: int = 1 << 23,
     k_hashes: int = 4,
     left_types: dict[str, pa.DataType] | None = None,
