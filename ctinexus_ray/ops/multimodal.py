@@ -149,8 +149,10 @@ def decode_features(
 # PPM (raw RGB) and RIFF/WAVE PCM16 (stdlib ``wave``). These give the
 # decode -> resize -> feature-extract path REAL payload parsing end to
 # end. PNG (zlib inflate + scanline unfilter) and BMP (BI_RGB) are also
-# real, stdlib-only codecs below; jpeg/mp4 remain honestly stubbed in
-# ``DecodeImageStage`` (their codecs are not in this container).
+# real, stdlib-only codecs below. Baseline JPEG (huffman + DCT) lives in
+# ``ops/jpeg.py``; MP4 frame sampling parses the real ISO-BMFF sample
+# tables in ``ops/mp4.py``. What remains honestly stubbed in
+# ``DecodeImageStage``: progressive JPEG, video codec decode (H.264 etc).
 
 
 def _encode_ppm(width: int, height: int, seed: int) -> bytes:
@@ -432,11 +434,33 @@ def _to_rgb(img: np.ndarray) -> np.ndarray:
 
 def make_real_media_table(n: int) -> pa.Table:
     """Deterministic media rows with REAL decodable payloads: P6 PPM /
-    PNG / BMP images and PCM16 WAV sines (hash-derived dims /
-    frequency / duration; PNG rows cycle the filter types)."""
+    PNG / BMP / baseline JPEG (both 4:4:4 and 4:2:0) images and PCM16
+    WAV sines (hash-derived dims / frequency / duration; PNG rows cycle
+    the filter types)."""
     rows = []
     for i in range(n):
         digest = hashlib.blake2b(f"realmedia:{i}".encode(), digest_size=8).digest()
+        if i % 8 in (4, 6):
+            # baseline JPEG rows (ops/jpeg.py): 4:2:0 on the i%8==4 slot,
+            # 4:4:4 on the i%8==6 slot — both land on "image" slots so the
+            # audio/image rotation (audio iff i%4==1) is unchanged
+            from ctinexus_ray.ops.jpeg import encode_jpeg
+
+            w, h = 8 + digest[0] % 25, 8 + digest[1] % 25
+            img = decode_ppm(_encode_ppm(w, h, digest[3]))
+            sub = "4:2:0" if i % 8 == 4 else "4:4:4"
+            rows.append(
+                {
+                    "media_id": i,
+                    "kind": "image",
+                    "payload": encode_jpeg(img, quality=90, subsampling=sub),
+                    "mime": "image/jpeg",
+                    "width": w,
+                    "height": h,
+                    "duration_ms": 0,
+                }
+            )
+            continue
         if i % 4 == 2:
             w, h = 8 + digest[0] % 25, 8 + digest[1] % 25
             img = decode_ppm(_encode_ppm(w, h, digest[2]))
@@ -507,6 +531,10 @@ class DecodeMediaStage:
              redundant with the mean)
       audio: [duration_s, rms, zero_cross_rate, peak, rate, n_samples,
              0, 0]
+      video: [duration_s, n_samples, mean_fps, mean_frame_bytes,
+             max_frame_bytes, total_frame_bytes, timescale, 0]
+             — real ISO-BMFF sample-table parse (``ops/mp4.py``), no
+             codec decode
 
     Compressed mimes raise ``ValueError`` listing the supported set —
     the honest boundary; ``DecodeImageStage`` remains the stub for them.
@@ -516,18 +544,24 @@ class DecodeMediaStage:
         "image/x-portable-pixmap",
         "image/png",
         "image/bmp",
+        "image/jpeg",
         "audio/wav",
+        "video/mp4",
     )
 
     def __init__(self, target_size: tuple[int, int] = (2, 2)):
         self.target_size = target_size
 
     def _features(self, mime: str, payload: bytes) -> list[float]:
-        if mime in ("image/x-portable-pixmap", "image/png", "image/bmp"):
+        if mime in ("image/x-portable-pixmap", "image/png", "image/bmp", "image/jpeg"):
             if mime == "image/png":
                 img = _to_rgb(decode_png(payload))
             elif mime == "image/bmp":
                 img = decode_bmp(payload)
+            elif mime == "image/jpeg":
+                from ctinexus_ray.ops.jpeg import decode_jpeg
+
+                img = _to_rgb(decode_jpeg(payload))
             else:
                 img = decode_ppm(payload)
             grid = area_resize_gray(img, *self.target_size)
@@ -539,6 +573,23 @@ class DecodeMediaStage:
                 float(means[1]),
                 float(means[2]),
                 *[float(v) for v in grid.ravel()[:3]],
+            ]
+        if mime == "video/mp4":
+            from ctinexus_ray.ops.mp4 import parse_mp4_samples
+
+            info = parse_mp4_samples(payload)
+            sizes = info["sizes"]
+            n = len(sizes)
+            dur_s = info["duration_ms"] / 1000.0
+            return [
+                dur_s,
+                float(n),
+                (n / dur_s) if dur_s else 0.0,  # mean fps
+                float(sizes.mean()) if n else 0.0,
+                float(sizes.max()) if n else 0.0,
+                float(sizes.sum()),
+                float(info["timescale"]),
+                0.0,
             ]
         if mime == "audio/wav":
             rate, samples = decode_wav(payload)
@@ -589,6 +640,123 @@ def decode_real_features(
     worker heap)."""
     return media.map_batches(
         DecodeMediaStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )
+
+
+def make_real_video_table(n: int) -> pa.Table:
+    """Deterministic video rows with REAL MP4 payloads (``ops/mp4.py``
+    builder): hash-derived frame counts / frame rates / chunking, so the
+    frame sampler exercises multi-run stts and partial chunks."""
+    rows = []
+    for i in range(n):
+        digest = hashlib.blake2b(f"realvideo:{i}".encode(), digest_size=8).digest()
+        from ctinexus_ray.ops.mp4 import build_mp4
+
+        n_frames = 6 + digest[0] % 40
+        frame_delta = 1001 if i % 2 == 0 else 1500
+        payload = build_mp4(
+            n_frames,
+            timescale=30000,
+            frame_delta=frame_delta,
+            seed=digest[1],
+            frames_per_chunk=2 + digest[2] % 4,
+            variable_rate=(i % 3 != 0),
+        )
+        from ctinexus_ray.ops.mp4 import parse_mp4_samples
+
+        dur_ms = int(parse_mp4_samples(payload)["duration_ms"])
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "video",
+                "payload": payload,
+                "mime": "video/mp4",
+                "width": 64,
+                "height": 64,
+                "duration_ms": dur_ms,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+class Mp4FrameSampleStage:
+    """REAL video frame sampling: parses each MP4 payload's ISO-BMFF
+    sample tables (``ops/mp4.py``) and emits one row per ``every_ms``
+    tick with the covering frame's index, pts, byte offset/size, and the
+    raw frame bytes sliced out of ``mdat`` (compressed codec data passed
+    through opaque — the layout a GPU-decode stage consumes).
+
+    Non-video rows pass through silently (a mixed media table is fine);
+    malformed MP4 payloads raise unless ``skip_bad=True``, in which case
+    they are dropped and counted in the ``parse_errors`` attribute.
+    """
+
+    def __init__(self, every_ms: int = 1000, skip_bad: bool = False,
+                 include_data: bool = True):
+        from ctinexus_ray.ops.mp4 import sample_frames_every
+
+        self._sample = sample_frames_every
+        self.every_ms = int(every_ms)
+        self.skip_bad = skip_bad
+        self.include_data = include_data
+        self.parse_errors = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {
+            "media_id": [], "tick_ms": [], "frame_index": [],
+            "pts_ms": [], "offset": [], "size": [],
+        }
+        if self.include_data:
+            out["data"] = []
+        for media_id, mime, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("mime").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if mime != "video/mp4":
+                continue
+            try:
+                frames = self._sample(payload or b"", self.every_ms)
+            except ValueError:
+                if not self.skip_bad:
+                    raise
+                self.parse_errors += 1
+                continue
+            for f in frames:
+                out["media_id"].append(media_id)
+                out["tick_ms"].append(f["tick_ms"])
+                out["frame_index"].append(f["frame_index"])
+                out["pts_ms"].append(f["pts_ms"])
+                out["offset"].append(f["offset"])
+                out["size"].append(f["size"])
+                if self.include_data:
+                    out["data"].append(f["data"])
+        schema_cols = {
+            "media_id": pa.int64(), "tick_ms": pa.float64(),
+            "frame_index": pa.int64(), "pts_ms": pa.float64(),
+            "offset": pa.int64(), "size": pa.int64(),
+        }
+        arrays = {k: pa.array(out[k], type=t) for k, t in schema_cols.items()}
+        if self.include_data:
+            arrays["data"] = pa.array(out["data"], type=pa.binary())
+        return pa.Table.from_pydict(arrays)
+
+
+def sample_video_frames(
+    media: ray.data.Dataset,
+    every_ms: int = 1000,
+    batch_size: int = 8,
+    include_data: bool = True,
+) -> ray.data.Dataset:
+    """Real MP4 frame sampling as an actor pool. Small batches: output
+    rows carry frame payload bytes, so a batch fans out to (frames per
+    tick x batch) binary rows that must fit the worker heap."""
+    return media.map_batches(
+        Mp4FrameSampleStage,
+        fn_constructor_kwargs={"every_ms": every_ms, "include_data": include_data},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, 4),

@@ -1,0 +1,161 @@
+"""Baseline JPEG codec tests (ops/jpeg.py) — roundtrip tolerance,
+table integrity, marker-level structure, and honest-boundary errors."""
+
+import numpy as np
+import pytest
+
+from ctinexus_ray.ops.jpeg import (
+    AC_CHROMA_BITS,
+    AC_CHROMA_VALS,
+    AC_LUMA_BITS,
+    AC_LUMA_VALS,
+    DC_CHROMA_BITS,
+    DC_LUMA_BITS,
+    UNZIGZAG,
+    ZIGZAG,
+    _canonical_codes,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _gradient(h: int, w: int) -> np.ndarray:
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    return np.stack(
+        [
+            np.clip(x * 2 + y, 0, 255) + 0 * y,
+            np.clip(255 - x - y * 2, 0, 255) + 0 * y,
+            np.clip(x + y, 0, 255) + 0 * y,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+class TestTables:
+    def test_huffman_table_sizes(self):
+        assert sum(DC_LUMA_BITS[1:]) == 12
+        assert sum(DC_CHROMA_BITS[1:]) == 12
+        assert sum(AC_LUMA_BITS[1:]) == len(AC_LUMA_VALS) == 162
+        assert sum(AC_CHROMA_BITS[1:]) == len(AC_CHROMA_VALS) == 162
+
+    def test_canonical_codes_prefix_free(self):
+        codes = _canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)
+        assert len(codes) == 162
+        # canonical codes are prefix-free: no code is a prefix of another
+        as_bits = {format(c, f"0{ln}b") for c, ln in codes.values()}
+        assert len(as_bits) == 162
+        for a in as_bits:
+            for b in as_bits:
+                if a is not b and len(a) < len(b):
+                    assert not b.startswith(a)
+
+    def test_zigzag_is_permutation(self):
+        assert sorted(ZIGZAG.tolist()) == list(range(64))
+        assert np.array_equal(ZIGZAG[UNZIGZAG], np.arange(64))
+
+
+class TestRoundtrip:
+    @pytest.mark.parametrize(
+        "quality,subsampling,tol",
+        [(95, "4:4:4", 6), (85, "4:4:4", 12), (90, "4:2:0", 14)],
+    )
+    def test_smooth_rgb(self, quality, subsampling, tol):
+        img = _gradient(37, 53)  # non-multiple-of-8/16 dims exercise padding
+        out = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=subsampling))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= tol
+
+    def test_noise_q100_near_lossless(self):
+        rng = np.random.RandomState(7)
+        img = rng.randint(0, 256, size=(24, 31, 3)).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=100))
+        # q100 quantizes by ~1: error bounded by DCT round-trip rounding
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+    def test_grayscale_single_component(self):
+        x = np.arange(53)[None, :]
+        y = np.arange(37)[:, None]
+        g = np.clip(x + 2 * y, 0, 255).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(g, quality=95))
+        assert out.shape == (37, 53, 1)
+        assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 2
+
+    def test_tiny_and_odd_dims(self):
+        for h, w in ((1, 1), (8, 8), (9, 17), (16, 16), (15, 1)):
+            img = _gradient(h, w)
+            out = decode_jpeg(encode_jpeg(img, quality=90))
+            assert out.shape == img.shape
+
+    def test_420_odd_dims(self):
+        # odd dims with subsampled chroma: crop/pad path both directions
+        for h, w in ((9, 9), (17, 15), (16, 17)):
+            img = _gradient(h, w)
+            out = decode_jpeg(encode_jpeg(img, quality=90, subsampling="4:2:0"))
+            assert out.shape == img.shape
+            assert np.abs(out.astype(int) - img.astype(int)).max() <= 20
+
+    def test_deterministic_bytes(self):
+        img = _gradient(12, 20)
+        a = encode_jpeg(img, quality=80)
+        b = encode_jpeg(img, quality=80)
+        assert a == b
+        assert a[:2] == b"\xff\xd8" and a[-2:] == b"\xff\xd9"
+
+    def test_byte_stuffing_roundtrips(self):
+        # flat mid-gray blocks produce long EOB/1-bit runs -> stuffed 0xFF
+        img = np.full((32, 32, 3), 128, dtype=np.uint8)
+        payload = encode_jpeg(img, quality=50)
+        out = decode_jpeg(payload)
+        assert np.abs(out.astype(int) - 128).max() <= 2
+
+
+class TestStructure:
+    def test_markers_present(self):
+        payload = encode_jpeg(_gradient(16, 16), quality=85)
+        for marker in (b"\xff\xd8", b"\xff\xe0", b"\xff\xdb", b"\xff\xc0",
+                       b"\xff\xc4", b"\xff\xda", b"\xff\xd9"):
+            assert marker in payload
+        assert b"JFIF\x00" in payload
+
+    def test_sof_dimensions(self):
+        import struct
+
+        payload = encode_jpeg(_gradient(19, 23), quality=85)
+        at = payload.index(b"\xff\xc0")
+        _len, prec, h, w, nc = struct.unpack(">HBHHB", payload[at + 2 : at + 10])
+        assert (prec, h, w, nc) == (8, 19, 23, 3)
+
+
+class TestHonestBoundary:
+    def test_not_jpeg(self):
+        with pytest.raises(ValueError, match="SOI"):
+            decode_jpeg(b"\x89PNG\r\n")
+
+    def test_truncated_scan(self):
+        payload = encode_jpeg(_gradient(16, 16), quality=85)
+        with pytest.raises(ValueError):
+            decode_jpeg(payload[: len(payload) // 2])
+
+    def test_progressive_rejected(self):
+        payload = bytearray(encode_jpeg(_gradient(16, 16), quality=85))
+        at = payload.index(b"\xff\xc0")
+        payload[at + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+        with pytest.raises(ValueError, match="SOF2"):
+            decode_jpeg(bytes(payload))
+
+    def test_dri_rejected(self):
+        payload = bytearray(encode_jpeg(_gradient(16, 16), quality=85))
+        at = payload.index(b"\xff\xdb")
+        dri = b"\xff\xdd\x00\x04\x00\x08"
+        payload[at:at] = dri
+        with pytest.raises(ValueError, match="restart"):
+            decode_jpeg(bytes(payload))
+
+    def test_bad_quality(self):
+        with pytest.raises(ValueError, match="quality"):
+            encode_jpeg(_gradient(8, 8), quality=0)
+
+    def test_bad_subsampling(self):
+        with pytest.raises(ValueError, match="subsampling"):
+            encode_jpeg(_gradient(8, 8), subsampling="4:1:1")

@@ -1,0 +1,174 @@
+"""ISO-BMFF sample-table parsing tests (ops/mp4.py) and the real MP4
+frame-sampling stage (ops/multimodal.py)."""
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+from ctinexus_ray.ops.mp4 import (
+    _box,
+    build_mp4,
+    parse_mp4_samples,
+    sample_frames_every,
+)
+
+
+def _frame_bytes(seed: int, i: int, size: int) -> bytes:
+    digest = hashlib.blake2b(f"frame:{seed}:{i}".encode(), digest_size=16).digest()
+    return (digest * ((size + 15) // 16))[:size]
+
+
+class TestParse:
+    def test_offsets_point_at_frame_bytes(self):
+        payload = build_mp4(20, seed=3)
+        info = parse_mp4_samples(payload)
+        assert len(info["sizes"]) == 20
+        for i in (0, 5, 9, 10, 19):
+            off, size = int(info["offsets"][i]), int(info["sizes"][i])
+            assert payload[off : off + size] == _frame_bytes(3, i, size)
+
+    def test_variable_rate_stts(self):
+        info = parse_mp4_samples(build_mp4(20, frame_delta=1001))
+        # two stts runs: first half delta 1001, second half 2002
+        assert info["durations"][0] == 1001
+        assert info["durations"][-1] == 2002
+        assert info["pts"][1] - info["pts"][0] == 1001
+        assert info["pts"][11] - info["pts"][10] == 2002
+        assert info["duration_ms"] == pytest.approx(
+            (10 * 1001 + 10 * 2002) * 1000 / 30000
+        )
+
+    def test_constant_rate_stts(self):
+        info = parse_mp4_samples(build_mp4(7, variable_rate=False))
+        assert np.all(info["durations"] == 1001)
+
+    def test_partial_last_chunk(self):
+        # 10 frames at 3 per chunk -> chunks of 3,3,3,1 (stsc two runs)
+        payload = build_mp4(10, frames_per_chunk=3)
+        info = parse_mp4_samples(payload)
+        for i in range(10):
+            off, size = int(info["offsets"][i]), int(info["sizes"][i])
+            assert payload[off : off + size] == _frame_bytes(0, i, size)
+
+    def test_co64_offsets(self):
+        a = parse_mp4_samples(build_mp4(12, seed=1))
+        b = parse_mp4_samples(build_mp4(12, seed=1, use_co64=True))
+        # co64 mdat sits 4 bytes later per chunk-offset width change?
+        # No: mdat precedes moov, so offsets are identical.
+        assert np.array_equal(a["offsets"], b["offsets"])
+        assert np.array_equal(a["sizes"], b["sizes"])
+
+    def test_single_frame(self):
+        info = parse_mp4_samples(build_mp4(1))
+        assert len(info["sizes"]) == 1 and info["pts"][0] == 0
+
+
+class TestSampleFramesEvery:
+    def test_ticks_cover_duration(self):
+        payload = build_mp4(20, seed=3)
+        info = parse_mp4_samples(payload)
+        frames = sample_frames_every(payload, 200)
+        assert len(frames) == int(np.ceil(info["duration_ms"] / 200))
+        for f in frames:
+            assert f["pts_ms"] <= f["tick_ms"]
+            assert f["data"] == payload[f["offset"] : f["offset"] + f["size"]]
+
+    def test_tick_picks_covering_frame(self):
+        payload = build_mp4(4, timescale=1000, frame_delta=100,
+                            variable_rate=False)
+        frames = sample_frames_every(payload, 150)  # ticks 0, 150, 300
+        assert [f["frame_index"] for f in frames] == [0, 1, 3]
+
+
+class TestHonestBoundary:
+    def test_not_mp4(self):
+        with pytest.raises(ValueError, match="ftyp"):
+            parse_mp4_samples(b"\xff\xd8\xff\xe0 not an mp4")
+
+    def test_fragmented_rejected(self):
+        payload = build_mp4(5)
+        with pytest.raises(ValueError, match="moof"):
+            parse_mp4_samples(payload + _box(b"moof", b""))
+
+    def test_ctts_rejected(self):
+        payload = bytearray(build_mp4(5))
+        at = payload.index(b"stts") - 4
+        # rewrite stts -> ctts: same layout, triggers the explicit check
+        payload[at + 4 : at + 8] = b"ctts"
+        with pytest.raises(ValueError, match="ctts|stts"):
+            parse_mp4_samples(bytes(payload))
+
+    def test_truncated_box(self):
+        payload = build_mp4(5)
+        with pytest.raises(ValueError, match="malformed|truncated"):
+            parse_mp4_samples(payload[: len(payload) - 40])
+
+    def test_no_video_track(self):
+        payload = bytearray(build_mp4(5))
+        at = payload.index(b"vide")
+        payload[at : at + 4] = b"soun"
+        with pytest.raises(ValueError, match="no video"):
+            parse_mp4_samples(bytes(payload))
+
+
+class TestMp4Stage:
+    def test_stage_end_to_end(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.multimodal import (
+            make_real_video_table,
+            sample_video_frames,
+        )
+
+        table = make_real_video_table(12)
+        media = ray.data.from_arrow(table).repartition(3)
+        rows = sample_video_frames(media, every_ms=300).take_all()
+        assert rows
+        meta = {m["media_id"]: m for m in table.to_pylist()}
+        per_media: dict[int, int] = {}
+        for r in rows:
+            per_media[r["media_id"]] = per_media.get(r["media_id"], 0) + 1
+            payload = meta[r["media_id"]]["payload"]
+            assert r["data"] == payload[r["offset"] : r["offset"] + r["size"]]
+        # every video produced ceil(duration/300) ticks
+        for i, m in meta.items():
+            info_ticks = int(np.ceil(
+                parse_mp4_samples(m["payload"])["duration_ms"] / 300
+            ))
+            assert per_media[i] == info_ticks
+
+    def test_stage_skip_bad(self, ray_session):
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.multimodal import MEDIA_SCHEMA, Mp4FrameSampleStage
+
+        batch = pa.Table.from_pylist(
+            [
+                {"media_id": 0, "kind": "video", "payload": b"garbage",
+                 "mime": "video/mp4", "width": 0, "height": 0,
+                 "duration_ms": 100},
+                {"media_id": 1, "kind": "image", "payload": b"x",
+                 "mime": "image/png", "width": 1, "height": 1,
+                 "duration_ms": 0},
+            ],
+            schema=MEDIA_SCHEMA,
+        )
+        with pytest.raises(ValueError):
+            Mp4FrameSampleStage(every_ms=100)(batch)
+        stage = Mp4FrameSampleStage(every_ms=100, skip_bad=True)
+        out = stage(batch)
+        assert out.num_rows == 0 and stage.parse_errors == 1
+
+    def test_video_metadata_features(self, ray_session):
+        from ctinexus_ray.ops.multimodal import DecodeMediaStage
+
+        payload = build_mp4(18, timescale=30000, frame_delta=1001,
+                            variable_rate=False)
+        feats = DecodeMediaStage()._features("video/mp4", payload)
+        dur_s, n, fps = feats[0], feats[1], feats[2]
+        assert n == 18
+        assert dur_s == pytest.approx(18 * 1001 / 30000)
+        assert fps == pytest.approx(30000 / 1001)
+        assert feats[6] == 30000.0

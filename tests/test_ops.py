@@ -766,8 +766,11 @@ class TestRealMultimodal:
 
         from ctinexus_ray.ops.multimodal import DecodeMediaStage
 
-        # png/bmp moved into SUPPORTED (real stdlib codecs); jpeg stays out
+        # every real codec is in SUPPORTED now; an unknown mime raises
         with pytest.raises(ValueError, match="unsupported mime"):
+            DecodeMediaStage()._features("image/tiff", b"II*\x00")
+        # a supported mime with a corrupt payload raises the codec error
+        with pytest.raises(ValueError, match="JPEG"):
             DecodeMediaStage()._features("image/jpeg", b"\xff\xd8\xff")
         # a supported mime with a corrupt payload raises the codec error
         with pytest.raises(ValueError, match="PNG"):
@@ -950,21 +953,22 @@ class TestPngBmpCodecs:
         table = make_real_media_table(12)
         mimes = set(table.column("mime").to_pylist())
         assert {"image/png", "image/bmp", "image/x-portable-pixmap",
-                "audio/wav"} <= mimes
+                "image/jpeg", "audio/wav"} <= mimes
         rows = decode_real_features(
             ray.data.from_arrow(table)
         ).take_all()
         assert len(rows) == 12
         by_id = {r["media_id"]: r for r in rows}
-        # PNG and BMP rows encode the same deterministic pattern family
+        # PNG/BMP/JPEG rows encode the same deterministic pattern family
         # as PPM: features must be finite and width/height-consistent
         for i, r in by_id.items():
             assert all(np.isfinite(v) for v in r["features"])
-        # i%4==2 rows are PNG images: feature[0]/[1] = width/height
+        # image rows (PNG at 2/10, JPEG at 4/6): feature[0]/[1] = dims
         meta = {m["media_id"]: m for m in table.to_pylist()}
-        for i in (2, 6, 10):
+        for i in (2, 4, 6, 10):
             assert by_id[i]["features"][0] == float(meta[i]["width"])
             assert by_id[i]["features"][1] == float(meta[i]["height"])
+        assert meta[4]["mime"] == meta[6]["mime"] == "image/jpeg"
 
 
 class TestListColToMatrix:
