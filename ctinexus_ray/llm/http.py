@@ -69,7 +69,7 @@ def post_json(url: str, payload: dict, *, timeout: float = 60.0,
 
 
 _ANTHROPIC_VERSION = "2023-06-01"
-_WIRES = ("openai", "anthropic", "gemini")
+_WIRES = ("openai", "anthropic", "gemini", "ollama")
 
 
 class HTTPLLMClient:
@@ -98,10 +98,18 @@ class HTTPLLMClient:
         ``x-goog-api-key`` header; temperature/max_tokens map into
         ``generationConfig`` and the json response_format becomes
         ``responseMimeType: application/json``.
+      * ``"ollama"`` — ollama's native chat API: ``POST
+        {base}/api/chat`` (a ``/v1`` suffix on the base is stripped)
+        with ``stream: false``; temperature/max_tokens map into
+        ``options`` (``num_predict``) and a json response_format becomes
+        ``format: "json"``. Token counts come from
+        ``prompt_eval_count``/``eval_count``.
 
     Default: the provider's native wire for anthropic/gemini, openai
-    otherwise (pass ``wire="openai"`` to drive those providers through
-    an OpenAI-compatible gateway instead).
+    otherwise — including for provider "ollama", whose configured base
+    (``resolve_base_url``) targets its OpenAI-compatible ``/v1``
+    gateway; pass ``wire="ollama"`` to use the native chat API instead,
+    or ``wire="openai"`` to drive anthropic/gemini through a gateway.
     """
 
     def __init__(
@@ -142,6 +150,8 @@ class HTTPLLMClient:
             return self._complete_anthropic(base, request, prompt)
         if self.wire == "gemini":
             return self._complete_gemini(base, request, prompt)
+        if self.wire == "ollama":
+            return self._complete_ollama(base, request, prompt)
         resp = post_json(f"{base}/chat/completions", request,
                          timeout=self.timeout, headers=self._headers())
         text = resp["choices"][0]["message"]["content"]
@@ -214,6 +224,28 @@ class HTTPLLMClient:
         meta = resp.get("usageMetadata") or {}
         in_tok = int(meta.get("promptTokenCount", len(prompt) // 4))
         out_tok = int(meta.get("candidatesTokenCount", len(text) // 4))
+        return text, in_tok, out_tok
+
+    def _complete_ollama(
+        self, base: str, request: dict, prompt: str
+    ) -> tuple[str, int, int]:
+        base = base.removesuffix("/v1")  # native API lives beside the gateway
+        payload = {
+            "model": request["model"].removeprefix("ollama/"),
+            "messages": request["messages"],
+            "stream": False,
+            "options": {
+                "temperature": request["temperature"],
+                "num_predict": request["max_tokens"],
+            },
+        }
+        if request.get("response_format", {}).get("type") == "json_object":
+            payload["format"] = "json"
+        resp = post_json(f"{base}/api/chat", payload,
+                         timeout=self.timeout, headers=self._headers())
+        text = (resp.get("message") or {}).get("content", "")
+        in_tok = int(resp.get("prompt_eval_count", len(prompt) // 4))
+        out_tok = int(resp.get("eval_count", len(text) // 4))
         return text, in_tok, out_tok
 
     def embed(self, texts: list[str]) -> tuple[list[list[float]], int]:

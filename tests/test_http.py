@@ -98,6 +98,19 @@ class _Handler(http.server.BaseHTTPRequestHandler):
                 "usage": {"input_tokens": 13, "output_tokens": 9},
             }
             self._send(200, json.dumps(body).encode())
+        elif self.path == "/api/chat":
+            # ollama native chat API stub
+            type(self).last_headers = {k.lower(): v for k, v in self.headers.items()}
+            prompt = payload["messages"][-1]["content"]
+            body = {
+                "message": {"role": "assistant",
+                            "content": json.dumps({"echo_len": len(prompt),
+                                                   "model": payload["model"]})},
+                "prompt_eval_count": 23,
+                "eval_count": 6,
+                "done": True,
+            }
+            self._send(200, json.dumps(body).encode())
         elif ":generateContent" in self.path:
             # Gemini generateContent stub
             type(self).last_headers = {k.lower(): v for k, v in self.headers.items()}
@@ -328,6 +341,31 @@ class TestNativeWireTransports:
         # json response_format becomes responseMimeType
         assert cfg["responseMimeType"] == "application/json"
         assert _Handler.last_headers.get("x-goog-api-key") == "gk-test"
+
+    def test_ollama_native_chat_wire(self, server, monkeypatch):
+        monkeypatch.setenv("OLLAMA_BASE_URL", server + "/v1")
+        client = HTTPLLMClient(server + "/v1", provider="ollama",
+                               model="llama3.1", wire="ollama")
+        text, in_tok, out_tok = client.complete("hi ollama", temperature=0.2)
+        parsed = json.loads(text)
+        # model ships WITHOUT the litellm ollama/ routing prefix
+        assert parsed["model"] == "llama3.1"
+        assert (in_tok, out_tok) == (23, 6)
+        req = _Handler.last_request
+        # native chat API: non-streaming, options carry the knobs
+        assert req["stream"] is False
+        assert req["options"]["temperature"] == 0.2
+        assert req["options"]["num_predict"] == 4096
+        # ollama shaping appends the JSON instruction to the prompt
+        assert "JSON" in req["messages"][-1]["content"]
+
+    def test_ollama_default_wire_is_openai_gateway(self, server, monkeypatch):
+        # provider ollama without an explicit wire keeps the /v1 gateway
+        monkeypatch.setenv("OLLAMA_BASE_URL", server)
+        client = HTTPLLMClient(server, provider="ollama", model="llama3.1")
+        assert client.wire == "openai"
+        text, _, _ = client.complete("via v1 gateway")
+        assert json.loads(text)["model"] == "ollama/llama3.1"
 
     def test_wire_override_forces_openai_gateway(self, server):
         # anthropic through an OpenAI-compatible gateway (LiteLLM proxy)
