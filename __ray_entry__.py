@@ -2194,6 +2194,21 @@ def _q_url_source(sf_dir: str):
     return url_source_dataset(read_testdata_as_cc(sf_dir), PipelineConfig())
 
 
+def _q_bm25_topk(sf_dir: str):
+    """Okapi BM25 ranked retrieval (Robertson/Lucene idf) for a fixed
+    3-term query over the corpus: query-term-pruned explode (corpus
+    never shuffles on vocabulary), driver-side idf for |q| terms,
+    micro-quantized per-term scores so the per-doc sum is bit-exact,
+    batch-local top-k cut + small driver merge. ✓SQL."""
+    from ctinexus_ray.ops.textstats import bm25_topk_docs
+
+    return bm25_topk_docs(
+        _docs(sf_dir, ["doc_id", "text"]),
+        query_terms=["hash", "join", "vector"],
+        k=20,
+    )
+
+
 def _q_multimodal_decode(sf_dir: str):
     """REAL media decode (no stub): P6 PPM / PNG / BMP / baseline JPEG
     images (4:4:4 and 4:2:0), PCM16 WAV audio — every payload parsed
@@ -2361,6 +2376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": _q_kg_edges,
         "kg_nodes_merged": _q_kg_nodes_merged,
         "url_source": _q_url_source,
+        "bm25_topk": _q_bm25_topk,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
@@ -2481,6 +2497,36 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score DESC, word) AS rn FROM scored) "
             "SELECT doc_id, CAST(rn AS BIGINT) AS rn, word, score "
             "FROM ranked WHERE rn <= 5"
+        ),
+        "bm25_topk": (
+            # expression order mirrors ops/textstats.py bm25_topk_docs
+            # exactly (micro-quantized per-term scores -> BIGINT sum)
+            "WITH words AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS word "
+            "FROM documents), "
+            "dl AS (SELECT doc_id, "
+            "len(regexp_split_to_array(trim(text), '\\s+')) AS dl "
+            "FROM documents), "
+            "n AS (SELECT count(*) AS n, "
+            "CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) "
+            "AS DOUBLE) / count(*) AS avgdl FROM documents), "
+            "tf AS (SELECT doc_id, word, count(*) AS tf FROM words "
+            "WHERE word IN ('hash', 'join', 'vector') "
+            "GROUP BY doc_id, word), "
+            "df AS (SELECT word, count(*) AS df FROM tf GROUP BY word), "
+            "scored AS (SELECT tf.doc_id, CAST(FLOOR("
+            "ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)) "
+            "* (tf.tf * (1.5 + 1.0)) "
+            "/ (tf.tf + 1.5 * ((1.0 - 0.75) + (0.75 * dl.dl) / n.avgdl)) "
+            "* 1000000.0 + 0.5) AS BIGINT) AS micro "
+            "FROM tf, df, dl, n "
+            "WHERE tf.word = df.word AND tf.doc_id = dl.doc_id), "
+            "per_doc AS (SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS "
+            "score_micro FROM scored GROUP BY doc_id), "
+            "ranked AS (SELECT doc_id, score_micro, row_number() OVER "
+            "(ORDER BY score_micro DESC, doc_id) AS rn FROM per_doc) "
+            "SELECT CAST(rn AS BIGINT) AS rn, doc_id, score_micro "
+            "FROM ranked WHERE rn <= 20"
         ),
         "dedup_incremental": (
             "WITH fps AS (SELECT doc_id, md5(lower(trim(text))) AS fp "

@@ -758,3 +758,159 @@ def compression_ratio_batch(batch: pa.Table, level: int = 6) -> pa.Table:
             "compression_ratio": pa.array(out, type=pa.float64()),
         }
     )
+
+
+def bm25_topk_docs(
+    docs: "ray.data.Dataset",
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> "pa.Table":
+    """BM25 ranked retrieval for ONE query over the corpus, distributed.
+
+    Okapi BM25 with the Robertson/Lucene idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``. Shape (100-TB-safe):
+
+      1. one corpus pass explodes each doc to (doc_id, term, tf, dl)
+         for the QUERY TERMS ONLY — the term set rides in the task
+         closure (tiny), so the corpus never shuffles on vocabulary;
+         the same pass emits one sentinel row per batch carrying
+         (n_docs, total_len) combiners for N and avgdl
+      2. per-term df = tiny hash-partitioned distinct-doc count
+         (|query| rows, collected to the driver)
+      3. per (doc_id, term) score, micro-quantized to int64
+         (``floor(score * 1e6 + 0.5)``) so the cross-term per-doc sum
+         is order-independent and bit-exact vs a SQL oracle
+      4. per-doc integer sum via a hash-partitioned reduce, then
+         global top-k as batch-local cuts merged on the driver
+         (<= blocks x k partial rows — never the whole score table)
+
+    Returns an arrow table (rn, doc_id, score_micro), rn = 1..k ordered
+    by (score desc, doc_id) — the same order a SQL ``row_number``
+    window over (score DESC, doc_id) produces.
+    """
+    import math
+
+    import numpy as np
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    term_set = frozenset(terms)
+
+    def explode_query_terms(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids, words, tfs, dls = [], [], [], []
+        stat_docs, stat_len = 0, 0
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            toks = _tokens(t or "")
+            stat_docs += 1
+            stat_len += len(toks)
+            c = Counter(tok for tok in toks if tok in term_set)
+            for w, tf in c.items():
+                ids.append(doc_id)
+                words.append(w)
+                tfs.append(tf)
+                dls.append(len(toks))
+        # one sentinel row per batch (word NULL): tf = docs, dl = tokens
+        ids.append(-1)
+        words.append(None)
+        tfs.append(stat_docs)
+        dls.append(stat_len)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "word": pa.array(words, type=pa.string()),
+                "tf": pa.array(tfs, type=pa.int64()),
+                "dl": pa.array(dls, type=pa.int64()),
+            }
+        )
+
+    # consumed twice (stats+df, scores): materialize the pruned explode,
+    # whose size is bounded by docs-matching-query, not corpus text
+    exploded = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(explode_query_terms, batch_format="pyarrow")
+        .materialize()
+    )
+
+    sentinel = exploded.map_batches(
+        lambda t: t.filter(pc.is_null(t.column("word"))),
+        batch_format="pyarrow",
+    )
+    stats = sentinel.aggregate(
+        ray.data.aggregate.Sum("tf", alias_name="n_docs"),
+        ray.data.aggregate.Sum("dl", alias_name="total_len"),
+    )
+    n_docs = int(stats["n_docs"])
+    avgdl = float(stats["total_len"]) / n_docs  # single division: bit-stable
+
+    matches = exploded.map_batches(
+        lambda t: t.filter(pc.is_valid(t.column("word"))),
+        batch_format="pyarrow",
+    )
+
+    df_rows = partitioned_agg(
+        matches.select_columns(["word"]),
+        keys=["word"],
+        named_aggs={"df": ("word", "size")},
+        num_partitions=16,
+    ).take_all()
+    idf = {
+        r["word"]: math.log(1.0 + (n_docs - int(r["df"]) + 0.5) / (int(r["df"]) + 0.5))
+        for r in df_rows
+    }
+
+    k1_ = float(k1)
+    b_ = float(b)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        words = batch.column("word").to_pylist()
+        tfs = batch.column("tf").to_numpy()
+        dls = batch.column("dl").to_numpy()
+        micros = np.empty(len(words), dtype=np.int64)
+        for i, (w, tf, dl) in enumerate(zip(words, tfs, dls)):
+            # expression order mirrors the SQL oracle exactly (IEEE-stable)
+            s = idf[w] * (tf * (k1_ + 1.0)) / (
+                tf + k1_ * ((1.0 - b_) + (b_ * dl) / avgdl)
+            )
+            micros[i] = math.floor(s * 1e6 + 0.5)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score_micro": pa.array(micros, type=pa.int64()),
+            }
+        )
+
+    per_doc = partitioned_agg(
+        matches.map_batches(score_batch, batch_format="pyarrow"),
+        keys=["doc_id"],
+        named_aggs={"score_micro": ("score_micro", "sum")},
+        num_partitions=16,
+    )
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        t = batch.sort_by(
+            [("score_micro", "descending"), ("doc_id", "ascending")]
+        )
+        return t.slice(0, k)
+
+    partials = per_doc.map_batches(batch_topk, batch_format="pyarrow").take_all()
+    partials.sort(key=lambda r: (-r["score_micro"], r["doc_id"]))
+    top = partials[:k]
+    return pa.Table.from_pydict(
+        {
+            "rn": pa.array(range(1, len(top) + 1), type=pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in top], type=pa.int64()),
+            "score_micro": pa.array(
+                [r["score_micro"] for r in top], type=pa.int64()
+            ),
+        }
+    )

@@ -1022,3 +1022,88 @@ class TestEmbeddingBroadcastRefusal:
             embedding_dup_pairs(
                 embeddings, threshold=0.9, max_broadcast_bytes=64
             ).take_all()
+
+
+class TestBM25:
+    def _docs(self):
+        import pyarrow as pa
+        import ray.data
+
+        texts = [
+            "hash join beats sort merge join on small tables",      # 0
+            "vector scan with hash probe",                          # 1
+            "the quick brown fox",                                  # 2
+            "hash hash hash join vector vector",                    # 3
+            "sort merge only here",                                 # 4
+        ]
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"doc_id": list(range(len(texts))), "text": texts}
+            )
+        ).repartition(3)
+
+    def test_matches_brute_force(self, ray_session):
+        import math
+
+        from ctinexus_ray.ops.textstats import bm25_topk_docs
+
+        terms = ["hash", "join", "vector"]
+        out = bm25_topk_docs(self._docs(), terms, k=5, k1=1.5, b=0.75)
+        got = {r["doc_id"]: r["score_micro"] for r in out.to_pylist()}
+
+        # brute force over the same 5 docs
+        texts = {
+            0: "hash join beats sort merge join on small tables",
+            1: "vector scan with hash probe",
+            2: "the quick brown fox",
+            3: "hash hash hash join vector vector",
+            4: "sort merge only here",
+        }
+        toks = {i: t.split() for i, t in texts.items()}
+        n = len(texts)
+        avgdl = float(sum(len(v) for v in toks.values())) / n
+        df = {w: sum(1 for v in toks.values() if w in v) for w in terms}
+        want: dict[int, int] = {}
+        for i, v in toks.items():
+            total = 0
+            matched = False
+            for w in terms:
+                tf = v.count(w)
+                if tf == 0:
+                    continue
+                matched = True
+                idf = math.log(1.0 + (n - df[w] + 0.5) / (df[w] + 0.5))
+                s = idf * (tf * 2.5) / (tf + 1.5 * (0.25 + (0.75 * len(v)) / avgdl))
+                total += math.floor(s * 1e6 + 0.5)
+            if matched:
+                want[i] = total
+        assert got == want
+        # doc 2 and 4 match no term: absent from the ranking
+        assert 2 not in got and 4 not in got
+        # ranking is by score desc
+        rows = out.to_pylist()
+        scores = [r["score_micro"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert [r["rn"] for r in rows] == list(range(1, len(rows) + 1))
+
+    def test_k_cut_and_tiebreak(self, ray_session):
+        from ctinexus_ray.ops.textstats import bm25_topk_docs
+
+        out = bm25_topk_docs(self._docs(), ["hash"], k=2)
+        assert out.num_rows == 2
+        rows = out.to_pylist()
+        assert rows[0]["score_micro"] >= rows[1]["score_micro"]
+
+    def test_empty_terms_raise(self, ray_session):
+        import pytest as _pytest
+
+        from ctinexus_ray.ops.textstats import bm25_topk_docs
+
+        with _pytest.raises(ValueError, match="query_terms"):
+            bm25_topk_docs(self._docs(), [])
+
+    def test_no_matches_returns_empty(self, ray_session):
+        from ctinexus_ray.ops.textstats import bm25_topk_docs
+
+        out = bm25_topk_docs(self._docs(), ["zzzmissing"], k=5)
+        assert out.num_rows == 0
