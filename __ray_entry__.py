@@ -2194,6 +2194,43 @@ def _q_url_source(sf_dir: str):
     return url_source_dataset(read_testdata_as_cc(sf_dir), PipelineConfig())
 
 
+def _q_warc_source(sf_dir: str):
+    """WARC ingestion (sources/warc.py): a deterministic synthetic crawl
+    is written as .warc.gz shards (per-record gzip members, chunked HTTP
+    bodies every 7th record — the Common-Crawl wire layout), then read
+    back one-parse-task-per-file into the CC table shape and E1-extracted.
+    Returns (url, warc_ts, n_html_bytes, n_text_chars). Rows-only (binary
+    wire format, not SQL-expressible); parse pinned in tests/test_warc.py."""
+    import pyarrow as pa
+
+    from ctinexus_ray.functions.extract import extract_hybrid_content
+    from ctinexus_ray.sources.warc import read_warc, write_warc_corpus
+
+    out = "/tmp/ctinexus_warc_source"
+    write_warc_corpus(out, 200, records_per_file=50)  # deterministic bytes
+
+    def shape(batch: pa.Table) -> pa.Table:
+        htmls = batch.column("html").to_pylist()
+        texts = [
+            extract_hybrid_content((h or b"").decode("utf-8", "replace"))["text"]
+            for h in htmls
+        ]
+        return pa.Table.from_pydict(
+            {
+                "url": batch.column("url"),
+                "warc_ts": batch.column("warc_ts"),
+                "n_html_bytes": pa.array(
+                    [len(h or b"") for h in htmls], type=pa.int64()
+                ),
+                "n_text_chars": pa.array(
+                    [len(t) for t in texts], type=pa.int64()
+                ),
+            }
+        )
+
+    return read_warc(out).map_batches(shape, batch_format="pyarrow")
+
+
 def _q_bm25_topk(sf_dir: str):
     """Okapi BM25 ranked retrieval (Robertson/Lucene idf) for a fixed
     3-term query over the corpus: query-term-pruned explode (corpus
@@ -2377,6 +2414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes_merged": _q_kg_nodes_merged,
         "url_source": _q_url_source,
         "bm25_topk": _q_bm25_topk,
+        "warc_source": _q_warc_source,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
