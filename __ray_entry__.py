@@ -2194,6 +2194,58 @@ def _q_url_source(sf_dir: str):
     return url_source_dataset(read_testdata_as_cc(sf_dir), PipelineConfig())
 
 
+def _q_perplexity_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail corpus partition: every document
+    scored by the corpus-trained unigram LM (micro-nat mean token
+    log-prob — the cheap perplexity stand-in), NTILE(3) over
+    (score desc, doc_id) via the distributed global row_number, then a
+    small per-bucket aggregate. All-integer output (bucket, n_docs,
+    min/max micro-nat score) — bit-exact vs the SQL window oracle. ✓SQL."""
+    import pyarrow.compute as pc
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.shards import global_row_number
+    from ctinexus_ray.ops.textstats import unigram_lm_scores
+
+    k = 3
+    # order by the PER-TOKEN score (CCNet buckets by perplexity, not by
+    # total log-likelihood): lm_score is a per-row double derived from
+    # two exact integers by the identical expression on both sides, so
+    # the order is bit-stable vs the SQL window
+    scores = unigram_lm_scores(_docs(sf_dir, ["doc_id", "text"])).select_columns(
+        ["doc_id", "lm_score_u", "lm_score"]
+    )
+    n = scores.count()
+    q, r = divmod(n, k)
+    ranked = global_row_number(
+        scores, ["lm_score", "doc_id"], descending=[True, False]
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        rank0 = pc.subtract(batch.column("rank"), 1)
+        big = (q + 1) * r  # rows covered by the r buckets of size q+1
+        in_big = pc.less(rank0, big)
+        b_big = pc.add(pc.divide(rank0, max(q + 1, 1)), 1)
+        b_small = pc.add(pc.divide(pc.subtract(rank0, big), max(q, 1)), r + 1)
+        return pa.Table.from_pydict(
+            {
+                "bucket": pc.if_else(in_big, b_big, b_small).cast(pa.int64()),
+                "lm_score_u": batch.column("lm_score_u"),
+            }
+        )
+
+    return partitioned_agg(
+        ranked.map_batches(bucketize, batch_format="pyarrow"),
+        keys=["bucket"],
+        named_aggs={
+            "n_docs": ("lm_score_u", "size"),
+            "min_score_u": ("lm_score_u", "min"),
+            "max_score_u": ("lm_score_u", "max"),
+        },
+        num_partitions=4,
+    )
+
+
 def _q_warc_source(sf_dir: str):
     """WARC ingestion (sources/warc.py): a deterministic synthetic crawl
     is written as .warc.gz shards (per-record gzip members, chunked HTTP
@@ -2414,6 +2466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes_merged": _q_kg_nodes_merged,
         "url_source": _q_url_source,
         "bm25_topk": _q_bm25_topk,
+        "perplexity_buckets": _q_perplexity_buckets,
         "warc_source": _q_warc_source,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_features": _q_multimodal_features,
@@ -2883,6 +2936,25 @@ def oracle_sql() -> dict[str, str]:
                 "FROM documents GROUP BY lang"
                 for q in (0.25, 0.5, 0.75, 0.99)
             )
+        ),
+        "perplexity_buckets": (
+            "WITH words AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "
+            "FROM documents), "
+            "cnt AS (SELECT w, count(*) AS c FROM words GROUP BY w), "
+            "tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM words), "
+            "lm AS (SELECT w.doc_id, "
+            "CAST(sum(CAST(FLOOR(ln(cnt.c / tot.n) * 1e6 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS lm_score_u, "
+            "CAST(sum(CAST(FLOOR(ln(cnt.c / tot.n) * 1e6 + 0.5) AS BIGINT)) "
+            "AS DOUBLE) / 1e6 / count(*) AS lm_score "
+            "FROM words w JOIN cnt ON w.w = cnt.w, tot GROUP BY w.doc_id), "
+            "b AS (SELECT lm_score_u, NTILE(3) OVER "
+            "(ORDER BY lm_score DESC, doc_id) AS bucket FROM lm) "
+            "SELECT CAST(bucket AS BIGINT) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "min(lm_score_u) AS min_score_u, max(lm_score_u) AS max_score_u "
+            "FROM b GROUP BY bucket"
         ),
         "unigram_lm": (
             "WITH words AS (SELECT doc_id, "
