@@ -2194,6 +2194,25 @@ def _q_url_source(sf_dir: str):
     return url_source_dataset(read_testdata_as_cc(sf_dir), PipelineConfig())
 
 
+def _q_dup_graph_triangles(sf_dir: str):
+    """Exact triangle count of the n-gram-Jaccard duplicate graph:
+    wedge-close plan as two hash-partitioned joins (ops/graph.py
+    triangle_count) over the same canonical (a < b) edge list the
+    ngram_jaccard_pairs ✓SQL query emits. ✓SQL (3-way self-join twin)."""
+    from ctinexus_ray.ops.graph import triangle_count
+
+    n = triangle_count(_q_ngram_jaccard_pairs(sf_dir), num_partitions=16)
+    return pa.Table.from_pydict({"n_triangles": pa.array([n], type=pa.int64())})
+
+
+def _q_dup_graph_degrees(sf_dir: str):
+    """Degree distribution (degree, n_nodes) of the n-gram-Jaccard
+    duplicate graph — two hash-partitioned counts. ✓SQL."""
+    from ctinexus_ray.ops.graph import degree_histogram
+
+    return degree_histogram(_q_ngram_jaccard_pairs(sf_dir), num_partitions=16)
+
+
 def _q_perplexity_buckets(sf_dir: str):
     """CCNet-style head/middle/tail corpus partition: every document
     scored by the corpus-trained unigram LM (micro-nat mean token
@@ -2466,6 +2485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes_merged": _q_kg_nodes_merged,
         "url_source": _q_url_source,
         "bm25_topk": _q_bm25_topk,
+        "dup_graph_triangles": _q_dup_graph_triangles,
+        "dup_graph_degrees": _q_dup_graph_degrees,
         "perplexity_buckets": _q_perplexity_buckets,
         "warc_source": _q_warc_source,
         "multimodal_decode": _q_multimodal_decode,
@@ -2936,6 +2957,48 @@ def oracle_sql() -> dict[str, str]:
                 "FROM documents GROUP BY lang"
                 for q in (0.25, 0.5, 0.75, 0.99)
             )
+        ),
+        "dup_graph_triangles": (
+            "WITH words AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), "
+            "eligible AS (SELECT * FROM words WHERE len(w) >= 3), "
+            "shingles AS (SELECT DISTINCT doc_id, "
+            "w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle "
+            "FROM eligible CROSS JOIN LATERAL "
+            "(SELECT unnest(generate_series(1, len(w) - 2)) AS i) t), "
+            "sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id), "
+            "inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS ix "
+            "FROM shingles s1 JOIN shingles s2 ON s1.shingle = s2.shingle "
+            "AND s1.doc_id < s2.doc_id GROUP BY 1, 2), "
+            "pairs AS (SELECT a, b FROM inter "
+            "JOIN sizes sa ON sa.doc_id = inter.a "
+            "JOIN sizes sb ON sb.doc_id = inter.b "
+            "WHERE CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) >= 0.5) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_triangles "
+            "FROM pairs e1 JOIN pairs e2 ON e2.a = e1.b "
+            "JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b"
+        ),
+        "dup_graph_degrees": (
+            "WITH words AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), "
+            "eligible AS (SELECT * FROM words WHERE len(w) >= 3), "
+            "shingles AS (SELECT DISTINCT doc_id, "
+            "w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle "
+            "FROM eligible CROSS JOIN LATERAL "
+            "(SELECT unnest(generate_series(1, len(w) - 2)) AS i) t), "
+            "sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id), "
+            "inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS ix "
+            "FROM shingles s1 JOIN shingles s2 ON s1.shingle = s2.shingle "
+            "AND s1.doc_id < s2.doc_id GROUP BY 1, 2), "
+            "pairs AS (SELECT a, b FROM inter "
+            "JOIN sizes sa ON sa.doc_id = inter.a "
+            "JOIN sizes sb ON sb.doc_id = inter.b "
+            "WHERE CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) >= 0.5), "
+            "nodes AS (SELECT a AS node FROM pairs "
+            "UNION ALL SELECT b FROM pairs), "
+            "deg AS (SELECT node, count(*) AS degree FROM nodes GROUP BY node) "
+            "SELECT CAST(degree AS BIGINT) AS degree, "
+            "CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY degree"
         ),
         "perplexity_buckets": (
             "WITH words AS (SELECT doc_id, "

@@ -97,3 +97,41 @@ class TestPageRank:
         by_s = dict(zip([1, 2, 3], r_single))
         by_d = dict(zip(nodes, r_double))
         assert by_d[2] > by_s[2]
+
+
+class TestTriangles:
+    def _edges(self, pairs):
+        import pyarrow as pa
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]}
+            )
+        ).repartition(3)
+
+    def test_k4_plus_pendant(self, ray_session):
+        from ctinexus_ray.ops.graph import degree_histogram, triangle_count
+
+        edges = self._edges(
+            [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (4, 5)]
+        )
+        assert triangle_count(edges, num_partitions=16) == 4
+        hist = sorted(
+            (r["degree"], r["n_nodes"])
+            for r in degree_histogram(edges, num_partitions=16).take_all()
+        )
+        assert hist == [(1, 2), (3, 4)]
+
+    def test_triangle_free_path(self, ray_session):
+        from ctinexus_ray.ops.graph import triangle_count
+
+        assert triangle_count(self._edges([(0, 1), (1, 2), (2, 3)]),
+                              num_partitions=16) == 0
+
+    def test_two_shared_edge_triangles(self, ray_session):
+        from ctinexus_ray.ops.graph import triangle_count
+
+        # triangles (0,1,2) and (1,2,3) share edge (1,2)
+        edges = self._edges([(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)])
+        assert triangle_count(edges, num_partitions=16) == 2
