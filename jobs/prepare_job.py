@@ -88,6 +88,58 @@ def dedup_phase(input_path: str, deduped_dir: str, threshold: float,
     return stats
 
 
+def lm_filter_phase(deduped_dir: str, filtered_dir: str, tail_drop: float,
+                    num_partitions: int) -> dict:
+    """CCNet-style global LM quality filter: score every document with
+    the corpus-trained unigram LM (``ops.textstats.unigram_lm_scores``)
+    and drop the worst ``tail_drop`` fraction by per-token score (the
+    rare-word-soup tail). The LM trains on the whole deduped corpus, so
+    this phase is global like dedup and commits atomically behind a
+    ``_LMFILTER_SUCCESS.json`` marker."""
+    import shutil
+
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.shards import global_row_number
+    from ctinexus_ray.ops.textstats import unigram_lm_scores
+
+    marker = Path(filtered_dir) / "_LMFILTER_SUCCESS.json"
+    if marker.exists():
+        stats = json.loads(marker.read_text())
+        stats["skipped"] = True
+        return stats
+    shutil.rmtree(filtered_dir, ignore_errors=True)
+    start = time.perf_counter()
+    docs = ray.data.read_parquet(deduped_dir)
+    n_in = docs.count()
+    keep_n = n_in - int(n_in * tail_drop)
+    scores = unigram_lm_scores(
+        docs.select_columns(["doc_id", "text"])
+    ).select_columns(["doc_id", "lm_score"])
+    ranked = global_row_number(
+        scores, ["lm_score", "doc_id"], descending=[True, False]
+    )
+    keep_ids = ranked.filter(expr=f"rank <= {keep_n}").select_columns(["doc_id"])
+    kept = hash_join(
+        docs, keep_ids, on=["doc_id"], how="left_semi",
+        num_partitions=num_partitions,
+    )
+    kept.write_parquet(filtered_dir)
+    stats = {
+        "input_docs": n_in,
+        "surviving_docs": keep_n,
+        "dropped": n_in - keep_n,
+        "tail_drop": tail_drop,
+        "sec": round(time.perf_counter() - start, 2),
+        "skipped": False,
+    }
+    tmp = marker.with_suffix(".tmp")
+    tmp.write_text(json.dumps(stats, indent=2))
+    tmp.rename(marker)
+    return stats
+
+
 def prep_pipeline(capacity: int, min_words: int):
     """Per-shard phase-2 pipeline: quality filter -> tokens -> packs."""
     import pyarrow as pa
@@ -155,6 +207,10 @@ def main() -> int:
     parser.add_argument("--capacity", type=int, default=2048,
                         help="tokens per training pack")
     parser.add_argument("--min-words", type=int, default=5)
+    parser.add_argument("--lm-tail-drop", type=float, default=0.0,
+                        help="drop this fraction of docs with the worst "
+                             "per-token unigram-LM score (0 disables the "
+                             "CCNet-style perplexity filter phase)")
     parser.add_argument("--num-partitions", type=int, default=64)
     args = parser.parse_args()
 
@@ -171,7 +227,15 @@ def main() -> int:
     dedup_stats = dedup_phase(
         args.input, deduped_dir, args.threshold, args.num_partitions
     )
-    shard_files = sorted(glob.glob(os.path.join(deduped_dir, "*.parquet")))
+    shard_src = deduped_dir
+    lm_stats = None
+    if args.lm_tail_drop > 0:
+        filtered_dir = os.path.join(args.output, "lm_filtered")
+        lm_stats = lm_filter_phase(
+            deduped_dir, filtered_dir, args.lm_tail_drop, args.num_partitions
+        )
+        shard_src = filtered_dir
+    shard_files = sorted(glob.glob(os.path.join(shard_src, "*.parquet")))
     summary = run_resumable(
         shard_files,
         shards_dir,
@@ -181,7 +245,10 @@ def main() -> int:
             "n_tokens": sum(t.column("n_tokens").to_pylist()),
         },
     )
-    print(json.dumps({"dedup": dedup_stats, "shards": summary}, indent=2))
+    report = {"dedup": dedup_stats, "shards": summary}
+    if lm_stats is not None:
+        report["lm_filter"] = lm_stats
+    print(json.dumps(report, indent=2))
     ray.shutdown()
     return 0
 

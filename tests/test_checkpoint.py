@@ -177,3 +177,42 @@ class TestShuffleAutoSelect:
         assert select_shuffle_strategy(mapped) == "pull"
         # restore the suite default
         select_shuffle_strategy(small)
+
+
+class TestLMFilterPhase:
+    def test_drops_rare_word_soup_and_marker_skips(self, ray_session, tmp_path):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        import jobs.prepare_job as pj
+
+        # three fluent docs sharing vocabulary + one rare-word soup
+        common = "data table scan join filter merge sort hash"
+        texts = [common, common + " batch", common + " row",
+                 "qqq zzz xxx www vvv uuu ttt sss"]
+        src = tmp_path / "deduped"
+        src.mkdir()
+        pq.write_table(
+            pa.Table.from_pydict(
+                {"doc_id": [1, 2, 3, 4], "text": texts}
+            ),
+            src / "part-0.parquet",
+        )
+        out = tmp_path / "lm_filtered"
+        s1 = pj.lm_filter_phase(str(src), str(out), tail_drop=0.25,
+                                num_partitions=16)
+        assert s1["skipped"] is False
+        assert (s1["input_docs"], s1["surviving_docs"]) == (4, 3)
+        kept = set(
+            r["doc_id"]
+            for r in ray.data.read_parquet(str(out)).take_all()
+        )
+        assert kept == {1, 2, 3}  # the soup doc (4) is the dropped tail
+        s2 = pj.lm_filter_phase(str(src), str(out), tail_drop=0.25,
+                                num_partitions=16)
+        assert s2["skipped"] is True and s2["surviving_docs"] == 3
+        marker = json.loads((out / "_LMFILTER_SUCCESS.json").read_text())
+        assert marker["tail_drop"] == 0.25
