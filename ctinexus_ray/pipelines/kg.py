@@ -350,6 +350,7 @@ def run_kg_resumable(
     out_dir: str,
     config: PipelineConfig | None = None,
     demos: list[dict] | None = None,
+    reader=None,
 ) -> dict:
     """Resumable corpus run: the expensive per-doc stages execute per INPUT
     SHARD, each committing a ``part-<pid>.parquet`` + ``_SUCCESS.<pid>.json``
@@ -357,6 +358,10 @@ def run_kg_resumable(
     ``out_dir/docs_kg``. A restarted run skips committed shards, then
     triples/nodes/edges/metrics are (re)derived from the full docs_kg
     checkpoint — idempotent and cheap relative to the LLM stages.
+
+    ``reader`` maps one shard path to a CC-shaped Dataset; default is the
+    parquet reader (``sources.documents.read_cc``) — pass
+    ``sources.warc.read_warc`` to run straight off a crawl archive.
     """
     from pathlib import Path
 
@@ -385,7 +390,8 @@ def run_kg_resumable(
         }
 
     summary = run_resumable(
-        input_files, docs_kg_dir, pipeline, reader=read_cc, lineage_fn=lineage_fn
+        input_files, docs_kg_dir, pipeline, reader=reader or read_cc,
+        lineage_fn=lineage_fn,
     )
 
     # derived outputs are idempotent re-computations over the docs_kg

@@ -31,8 +31,12 @@ if _REPO_ROOT not in sys.path:
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--input", required=True, help="parquet dir or glob (CC shape)")
+    parser.add_argument("--input", required=True,
+                        help="parquet dir (CC shape) or .warc/.warc.gz dir")
     parser.add_argument("--output", required=True)
+    parser.add_argument("--input-format", choices=("parquet", "warc"),
+                        default=None,
+                        help="default: auto-detect from the shard suffix")
     parser.add_argument("--similarity-threshold", type=float, default=0.6)
     parser.add_argument("--pool", type=int, default=0, help="KG actor pool size (0 = auto)")
     args = parser.parse_args()
@@ -45,14 +49,27 @@ def main() -> int:
     from ctinexus_ray.config import PipelineConfig
     from ctinexus_ray.pipelines.kg import run_kg_resumable
 
-    files = sorted(glob.glob(f"{args.input.rstrip('/')}/*.parquet")) or [args.input]
+    base = args.input.rstrip("/")
+    files = sorted(glob.glob(f"{base}/*.parquet"))
+    warc_files = sorted(
+        glob.glob(f"{base}/*.warc") + glob.glob(f"{base}/*.warc.gz")
+    )
+    fmt = args.input_format
+    if fmt is None:  # auto-detect from what the input dir/file contains
+        fmt = "warc" if (warc_files or base.endswith((".warc", ".warc.gz"))) else "parquet"
+    files = (warc_files if fmt == "warc" else files) or [args.input]
+    reader = None
+    if fmt == "warc":
+        from ctinexus_ray.sources.warc import read_warc
+
+        reader = read_warc
     num_cpus = int(ray.cluster_resources().get("CPU", 8))
     pool = args.pool or max(2, num_cpus - 4)
     config = PipelineConfig(
         similarity_threshold=args.similarity_threshold,
         llm_concurrency=(pool, pool),
     )
-    result = run_kg_resumable(files, args.output, config)
+    result = run_kg_resumable(files, args.output, config, reader=reader)
     print(json.dumps(result, indent=2))
     ray.shutdown()
     return 0
