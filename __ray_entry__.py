@@ -2277,7 +2277,10 @@ def _q_warc_source(sf_dir: str):
     from ctinexus_ray.functions.extract import extract_hybrid_content
     from ctinexus_ray.sources.warc import read_warc, write_warc_corpus
 
+    import shutil
+
     out = "/tmp/ctinexus_warc_source"
+    shutil.rmtree(out, ignore_errors=True)  # stale shards from prior runs
     write_warc_corpus(out, 200, records_per_file=50)  # deterministic bytes
 
     def shape(batch: pa.Table) -> pa.Table:

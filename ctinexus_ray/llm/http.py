@@ -143,8 +143,13 @@ class HTTPLLMClient:
     def complete(self, prompt: str, *, temperature: float = 0.8) -> tuple[str, int, int]:
         request = build_request(self.provider, self.model, prompt,
                                 temperature=temperature)
-        # api_base/api_key are litellm-isms; the wire payload excludes them.
-        base = request.pop("api_base", None) or self.base_url
+        # api_base/api_key are litellm-isms; the wire payload excludes
+        # them. The CLIENT's base_url wins: it came from resolve_base_url
+        # and already carries the gateway path (e.g. ollama's /v1 —
+        # build_request's raw OLLAMA_BASE_URL lacks it and would 404 the
+        # openai-wire POST against real ollama).
+        base = self.base_url or request.pop("api_base", None)
+        request.pop("api_base", None)
         request.pop("api_key", None)
         if self.wire == "anthropic":
             return self._complete_anthropic(base, request, prompt)

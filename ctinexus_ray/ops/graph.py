@@ -429,6 +429,10 @@ def triangle_count(
     """
     from ctinexus_ray.ops.distjoin import hash_join
 
+    # consumed three times (both wedge-join sides + the close join) —
+    # materialize once or the whole upstream edge plan re-executes 3x
+    edges = edges.materialize()
+
     def rename(ds, names):
         def do(batch: pa.Table) -> pa.Table:
             return batch.rename_columns(names)

@@ -457,6 +457,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad a marker
+        while payload[pos + 1] == 0xFF and pos + 2 < len(payload):
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -503,6 +506,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError("restart intervals (DRI) not supported")
         elif marker == 0xDA:  # SOS
             ns = seg[0]
+            if frame is not None and ns != len(frame[2]):
+                raise ValueError(
+                    "non-interleaved multi-scan baseline JPEG not supported "
+                    f"(scan covers {ns} of {len(frame[2])} components)"
+                )
             scan_comps = [(seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F) for i in range(ns)]
             scan_start = pos
             break

@@ -142,9 +142,12 @@ def build_mp4(
         b"mdhd", struct.pack(">IIII", 0, 0, timescale, duration) + struct.pack(">HH", 0x55C4, 0)
     )
     mdia = _box(b"mdia", mdhd + hdlr + minf)
+    # version-0 tkhd: creation, modification, track_ID (1-based, 0 is
+    # forbidden), reserved, duration — then 8 reserved bytes,
+    # layer/alt-group/volume/reserved, the identity matrix, width/height
     tkhd = _fullbox(
         b"tkhd",
-        struct.pack(">IIII", 0, 1, 0, duration)
+        struct.pack(">IIIII", 0, 0, 1, 0, duration)
         + b"\x00" * 8
         + struct.pack(">HHHH", 0, 0, 0, 0)
         + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
@@ -326,7 +329,12 @@ def sample_frames_every(payload: bytes, every_ms: int) -> list[dict]:
     scale = info["timescale"]
     pts_ms = info["pts"].astype(np.float64) * 1000.0 / scale
     out = []
-    ticks = np.arange(0, info["duration_ms"], float(every_ms))
+    # tick range comes from the stts sample durations, NOT the mdhd
+    # duration: writers leave mdhd at 0 (no ticks despite full sample
+    # tables) or the 0xFFFFFFFF unknown sentinel (~572k spurious ticks
+    # per video at every_ms=250 — a worker OOM with frame bytes attached)
+    total_ms = float(info["durations"].sum()) * 1000.0 / scale
+    ticks = np.arange(0, total_ms, float(every_ms))
     # frame covering tick t: last sample with pts <= t
     idx = np.searchsorted(pts_ms, ticks, side="right") - 1
     idx = np.clip(idx, 0, len(pts_ms) - 1)

@@ -691,7 +691,11 @@ class Mp4FrameSampleStage:
 
     Non-video rows pass through silently (a mixed media table is fine);
     malformed MP4 payloads raise unless ``skip_bad=True``, in which case
-    they are dropped and counted in the ``parse_errors`` attribute.
+    they are dropped. The per-instance ``parse_errors`` counter is only
+    observable when the stage is invoked directly — inside a
+    ``map_batches`` actor pool each actor keeps its own count and nothing
+    aggregates them, so leave ``skip_bad`` at its default (False, every
+    drop raises) when silent data loss would go unnoticed.
     """
 
     def __init__(self, every_ms: int = 1000, skip_bad: bool = False,

@@ -849,7 +849,15 @@ def bm25_topk_docs(
         ray.data.aggregate.Sum("tf", alias_name="n_docs"),
         ray.data.aggregate.Sum("dl", alias_name="total_len"),
     )
-    n_docs = int(stats["n_docs"])
+    n_docs = int(stats["n_docs"] or 0)
+    if n_docs == 0:  # empty corpus: empty ranking, not a crash
+        return pa.Table.from_pydict(
+            {
+                "rn": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "score_micro": pa.array([], type=pa.int64()),
+            }
+        )
     avgdl = float(stats["total_len"]) / n_docs  # single division: bit-stable
 
     matches = exploded.map_batches(

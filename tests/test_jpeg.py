@@ -159,3 +159,26 @@ class TestHonestBoundary:
     def test_bad_subsampling(self):
         with pytest.raises(ValueError, match="subsampling"):
             encode_jpeg(_gradient(8, 8), subsampling="4:1:1")
+
+
+class TestReviewRegressions:
+    def test_fill_bytes_before_marker(self):
+        """T.81 B.1.1.2: 0xFF fill padding before a marker must parse."""
+        img = _gradient(16, 16)
+        payload = bytearray(encode_jpeg(img, quality=85))
+        at = payload.index(b"\xff\xdb")
+        payload[at:at] = b"\xff\xff\xff"  # fill bytes, then the real DQT
+        out = decode_jpeg(bytes(payload))
+        assert out.shape == img.shape
+
+    def test_multi_scan_rejected_clearly(self):
+        """A 1-component SOS inside a 3-component frame must raise the
+        unsupported-feature error, not decode garbage."""
+        payload = bytearray(encode_jpeg(_gradient(16, 16), quality=85))
+        at = payload.index(b"\xff\xda")
+        # SOS segment: len(2) ns(1) [cid, tbls]*ns ss se ah/al
+        payload[at + 2 : at + 14] = bytes(
+            [0, 8, 1, 1, 0x00, 0x00, 0x3F, 0x00]
+        ) + payload[at + 10 : at + 14]
+        with pytest.raises(ValueError, match="multi-scan"):
+            decode_jpeg(bytes(payload))

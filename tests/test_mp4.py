@@ -172,3 +172,30 @@ class TestMp4Stage:
         assert dur_s == pytest.approx(18 * 1001 / 30000)
         assert fps == pytest.approx(30000 / 1001)
         assert feats[6] == 30000.0
+
+
+class TestReviewRegressions:
+    def test_tkhd_track_id_and_duration(self):
+        """tkhd must carry track_ID=1 (0 is forbidden) and the duration
+        in the right slot — the version-0 field layout is 80 bytes."""
+        payload = build_mp4(10, variable_rate=False)
+        at = payload.index(b"tkhd")
+        body = payload[at + 4 + 4 :]  # skip type + version/flags
+        creation, modification, track_id, reserved, duration = struct.unpack(
+            ">IIIII", body[:20]
+        )
+        assert track_id == 1 and reserved == 0
+        assert duration == 10 * 1001
+
+    def test_sample_ticks_survive_zero_mdhd_duration(self):
+        """Ticks derive from stts, not mdhd: a writer that left mdhd
+        duration at 0 must still yield every frame interval."""
+        payload = bytearray(build_mp4(8, timescale=1000, frame_delta=100,
+                                      variable_rate=False))
+        at = payload.index(b"mdhd")
+        # version-0 mdhd: ver/flags, creation, modification, timescale, duration
+        struct.pack_into(">I", payload, at + 4 + 4 + 8 + 4, 0)
+        info = parse_mp4_samples(bytes(payload))
+        assert info["duration_ms"] == 0  # mdhd says zero...
+        frames = sample_frames_every(bytes(payload), 200)
+        assert [f["frame_index"] for f in frames] == [0, 2, 4, 6]
