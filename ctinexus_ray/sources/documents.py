@@ -148,3 +148,56 @@ def read_cc_csv(paths: str | list[str]) -> ray.data.Dataset:
         yield _conform_table(_normalize_text_encodings(batch), CC_SCHEMA)
 
     return ray.data.read_csv(paths).map_batches(adapt, batch_format="pyarrow")
+
+
+def read_cc_orc(paths: str | list[str]) -> ray.data.Dataset:
+    """Common-Crawl-shaped corpus from ORC shards (the Hive-ecosystem
+    columnar format some crawl archives publish): one task per file,
+    streamed STRIPE by stripe (an ORC stripe is the format's row-group
+    analogue, typically 64 MB — each yields its own arrow table so a
+    multi-GB shard never materializes whole), then the shared
+    ``_conform_table`` ingestion guard pins the CC schema. Prefer
+    parquet where there is a choice; this exists so an ORC drop can
+    enter the engine without a pre-conversion job."""
+
+    def parse(batch: pa.Table):
+        import io
+
+        from pyarrow import orc
+
+        for data in batch.column("bytes").to_pylist():
+            f = orc.ORCFile(io.BytesIO(data))
+            for i in range(f.nstripes):
+                stripe = f.read_stripe(i)
+                table = (
+                    pa.Table.from_batches([stripe])
+                    if isinstance(stripe, pa.RecordBatch)
+                    else stripe
+                )
+                if table.num_rows:
+                    yield _conform_table(
+                        _normalize_text_encodings(table), CC_SCHEMA
+                    )
+
+    return ray.data.read_binary_files(paths).map_batches(
+        parse, batch_format="pyarrow", batch_size=1
+    )
+
+
+def write_cc_orc(out_dir: str | Path, n_docs: int,
+                 rows_per_file: int = 10000) -> list[Path]:
+    """Deterministic synthetic corpus as ORC shards (the ORC twin of
+    ``synth.write_cc_corpus``, for tests and ingestion drills)."""
+    from pyarrow import orc
+
+    from ctinexus_ray.sources.synth import make_cc_table
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    paths: list[Path] = []
+    for start in range(0, n_docs, rows_per_file):
+        count = min(rows_per_file, n_docs - start)
+        path = out / f"part-{start // rows_per_file:05d}.orc"
+        orc.write_table(make_cc_table(count, start_id=start), path)
+        paths.append(path)
+    return paths

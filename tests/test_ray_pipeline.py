@@ -227,3 +227,22 @@ class TestSourcesConform:
             zip(t.column("url").to_pylist(), t.column("html").to_pylist())
         )
         assert rows[0] == ("https://example.test/0", b"<html>0</html>")
+
+
+class TestOrcReader:
+    def test_read_cc_orc_roundtrip(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        from ctinexus_ray.sources.documents import read_cc_orc, write_cc_orc
+        from ctinexus_ray.sources.synth import CC_SCHEMA, make_cc_row
+
+        write_cc_orc(tmp_path, 25, rows_per_file=10)
+        assert len(list(tmp_path.glob("*.orc"))) == 3
+        ds = read_cc_orc(str(tmp_path))
+        t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+        assert t.schema == CC_SCHEMA and t.num_rows == 25
+        by_url = dict(zip(t.column("url").to_pylist(),
+                          t.column("html").to_pylist()))
+        for i in (0, 9, 10, 24):
+            want = make_cc_row(i)
+            assert by_url[want["url"]] == want["html"]
