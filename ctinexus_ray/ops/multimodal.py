@@ -440,6 +440,26 @@ def make_real_media_table(n: int) -> pa.Table:
     rows = []
     for i in range(n):
         digest = hashlib.blake2b(f"realmedia:{i}".encode(), digest_size=8).digest()
+        if i % 16 == 8:
+            # GIF rows (ops/gif.py): palette-quantized pattern, lossless
+            # roundtrip; lands on a PPM image slot so the audio/image
+            # rotation is unchanged. Odd ids interlace.
+            from ctinexus_ray.ops.gif import encode_gif
+
+            w, h = 8 + digest[0] % 25, 8 + digest[1] % 25
+            img = decode_ppm(_encode_ppm(w, h, digest[4] % 8))  # few colors
+            rows.append(
+                {
+                    "media_id": i,
+                    "kind": "image",
+                    "payload": encode_gif(img, interlace=bool(digest[5] & 1)),
+                    "mime": "image/gif",
+                    "width": w,
+                    "height": h,
+                    "duration_ms": 0,
+                }
+            )
+            continue
         if i % 8 in (4, 6):
             # baseline JPEG rows (ops/jpeg.py): 4:2:0 on the i%8==4 slot,
             # 4:4:4 on the i%8==6 slot — both land on "image" slots so the
@@ -545,6 +565,7 @@ class DecodeMediaStage:
         "image/png",
         "image/bmp",
         "image/jpeg",
+        "image/gif",
         "audio/wav",
         "video/mp4",
     )
@@ -553,7 +574,8 @@ class DecodeMediaStage:
         self.target_size = target_size
 
     def _features(self, mime: str, payload: bytes) -> list[float]:
-        if mime in ("image/x-portable-pixmap", "image/png", "image/bmp", "image/jpeg"):
+        if mime in ("image/x-portable-pixmap", "image/png", "image/bmp",
+                    "image/jpeg", "image/gif"):
             if mime == "image/png":
                 img = _to_rgb(decode_png(payload))
             elif mime == "image/bmp":
@@ -562,6 +584,10 @@ class DecodeMediaStage:
                 from ctinexus_ray.ops.jpeg import decode_jpeg
 
                 img = _to_rgb(decode_jpeg(payload))
+            elif mime == "image/gif":
+                from ctinexus_ray.ops.gif import decode_gif
+
+                img = decode_gif(payload)
             else:
                 img = decode_ppm(payload)
             grid = area_resize_gray(img, *self.target_size)
