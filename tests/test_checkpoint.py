@@ -216,3 +216,58 @@ class TestLMFilterPhase:
         assert s2["skipped"] is True and s2["surviving_docs"] == 3
         marker = json.loads((out / "_LMFILTER_SUCCESS.json").read_text())
         assert marker["tail_drop"] == 0.25
+
+
+class TestCompactJob:
+    def test_compacts_and_resumes(self, ray_session, tmp_path):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        import jobs.compact_job as cj
+
+        src = tmp_path / "many"
+        src.mkdir()
+        for i in range(7):
+            pq.write_table(
+                pa.Table.from_pydict(
+                    {"doc_id": [i * 10 + j for j in range(5)],
+                     "text": [f"doc {i}-{j}" for j in range(5)]}
+                ),
+                src / f"part-{i:05d}.parquet",
+            )
+        out = tmp_path / "compact"
+        s1 = cj.run_compaction(str(src), str(out), target_mb=1)
+        # tiny files all fit one 1 MB bucket
+        assert s1["input_files"] == 7 and s1["output_files"] == 1
+        assert s1["skipped"] == 0 and s1["rows_written"] == 35
+        got = ray.data.read_parquet(str(out)).take_all()
+        assert sorted(r["doc_id"] for r in got) == sorted(
+            i * 10 + j for i in range(7) for j in range(5)
+        )
+        # sidecar names its inputs; rerun skips the committed bucket
+        sidecar = json.loads((out / "_COMPACT.00000.json").read_text())
+        assert len(sidecar["inputs"]) == 7
+        s2 = cj.run_compaction(str(src), str(out), target_mb=1)
+        assert s2["skipped"] == 1 and s2["buckets_written"] == 0
+
+    def test_bucket_planning_respects_target(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import jobs.compact_job as cj
+
+        files = []
+        for i in range(4):
+            p = tmp_path / f"f{i}.parquet"
+            pq.write_table(
+                pa.Table.from_pydict({"x": list(range(2000))}), p
+            )
+            files.append(str(p))
+        one_size = max(1, (tmp_path / "f0.parquet").stat().st_size)
+        # target of ~2 files per bucket
+        buckets = cj.plan_buckets(files, target_bytes=one_size * 2)
+        assert len(buckets) == 2
+        assert [len(b) for b in buckets] == [2, 2]
