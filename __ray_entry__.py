@@ -892,6 +892,30 @@ def _q_unigram_lm(sf_dir: str):
     return unigram_lm_scores(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram
+    log-likelihood ratio of the lang='en' target slice vs the raw
+    corpus; fixed-size (1024-bucket) combiners, broadcast ratio array,
+    zero corpus shuffles."""
+    from ctinexus_ray.ops.textstats import dsir_scores
+
+    return dsir_scores(
+        _docs(sf_dir, ["doc_id", "text", "lang"]),
+        target_col="lang",
+        target_value="en",
+        n_buckets=1024,
+    )
+
+
+def _q_paragraph_dedup(sf_dir: str):
+    """C4-style paragraph dedup with doc rebuild: 20-word windows as the
+    paragraph unit (corpus has no newlines), global first-occurrence per
+    distinct window, surviving docs reassembled in chunk order."""
+    from ctinexus_ray.ops.dedup import paragraph_dedup
+
+    return paragraph_dedup(_docs(sf_dir, ["doc_id", "text"]), words_per_chunk=20)
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style within-doc repetition signals (duplicate-word
     fraction + top-word character fraction); stateless per-batch map."""
@@ -2438,6 +2462,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_with_returns": _q_suppliers_with_returns,
         "pagerank": _q_pagerank,
         "unigram_lm": _q_unigram_lm,
+        "dsir_weights": _q_dsir_weights,
+        "paragraph_dedup": _q_paragraph_dedup,
         "repetition_stats": _q_repetition_stats,
         "balanced_sample": _q_balanced_sample,
         "ranked_docs": _q_ranked_docs,
@@ -3021,6 +3047,43 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n_docs, "
             "min(lm_score_u) AS min_score_u, max(lm_score_u) AS max_score_u "
             "FROM b GROUP BY bucket"
+        ),
+        "dsir_weights": (
+            "WITH words AS (SELECT doc_id, lang, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "
+            "FROM documents), "
+            "b AS (SELECT doc_id, lang, "
+            "CAST(concat('0x', substr(md5(w), 1, 8)) AS UBIGINT) % 1024 AS bk "
+            "FROM words), "
+            "raw AS (SELECT bk, count(*) AS cr FROM b GROUP BY bk), "
+            "tgt AS (SELECT bk, count(*) AS ct FROM b WHERE lang = 'en' "
+            "GROUP BY bk), "
+            "tr AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM b), "
+            "tt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM b "
+            "WHERE lang = 'en'), "
+            "lr AS (SELECT raw.bk, CAST(FLOOR(("
+            "ln((coalesce(tgt.ct, 0) + 1) / (tt.n + 1024)) - "
+            "ln((raw.cr + 1) / (tr.n + 1024))) * 1e6 + 0.5) AS BIGINT) AS lr_u "
+            "FROM raw LEFT JOIN tgt ON raw.bk = tgt.bk, tr, tt) "
+            "SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(lr.lr_u) AS BIGINT) AS dsir_score_u, "
+            "CAST(sum(lr.lr_u) AS DOUBLE) / 1e6 / count(*) AS dsir_score "
+            "FROM b JOIN lr ON b.bk = lr.bk GROUP BY b.doc_id"
+        ),
+        "paragraph_dedup": (
+            "WITH w AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), "
+            "ch AS (SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx, "
+            "array_to_string(ws[(t.i*20+1):(t.i*20+20)], ' ') AS chunk "
+            "FROM w, UNNEST(range(CAST(ceil(len(ws)/20.0) AS BIGINT))) "
+            "AS t(i)), "
+            "win AS (SELECT chunk, min(doc_id*1000000 + chunk_idx) AS ord "
+            "FROM ch GROUP BY chunk), "
+            "keep AS (SELECT ord // 1000000 AS doc_id, "
+            "ord % 1000000 AS chunk_idx, chunk FROM win) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+            "string_agg(chunk, ' ' ORDER BY chunk_idx) AS new_text "
+            "FROM keep GROUP BY doc_id"
         ),
         "unigram_lm": (
             "WITH words AS (SELECT doc_id, "

@@ -1182,3 +1182,122 @@ def dup_span_stats(
         named_aggs={"n_dup_grams": ("doc_id", "size")},
         num_partitions=num_partitions,
     )
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup with document rebuild
+# ---------------------------------------------------------------------------
+
+
+def _chunk_explode_batch(batch: pa.Table, words_per_chunk: int) -> pa.Table:
+    """(doc_id, chunk_idx, chunk): split each document's whitespace token
+    stream into consecutive ``words_per_chunk``-word windows rejoined
+    with single spaces — the 'paragraph' unit for corpora without
+    newline structure. Matches the SQL
+    ``array_to_string(ws[(i*W+1):(i*W+W)], ' ')`` slicing exactly."""
+    import re as _re
+
+    ws_re = _re.compile(r"\s+")
+    ids, idxs, chunks = [], [], []
+    for doc_id, t in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        toks = ws_re.split((t or "").strip())
+        for i in range(0, max(len(toks), 1), words_per_chunk):
+            ids.append(doc_id)
+            idxs.append(i // words_per_chunk)
+            chunks.append(" ".join(toks[i : i + words_per_chunk]))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "chunk_idx": pa.array(idxs, type=pa.int64()),
+            "chunk": pa.array(chunks, type=pa.string()),
+        }
+    )
+
+
+_CHUNK_ORD_BASE = 1_000_000  # chunk_idx < 1e6 (a 20M-word doc) asserted
+
+
+def paragraph_dedup(
+    docs: ray.data.Dataset,
+    words_per_chunk: int = 20,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Paragraph-level exact dedup with document REBUILD — the C4/Dolma
+    pipeline step that drops repeated boilerplate paragraphs from every
+    document but the first occurrence, then reassembles the survivors
+    (C4 does this at the newline-delimited 'line' level; this corpus has
+    no newlines, so the paragraph unit is a fixed word window; swap
+    ``_chunk_explode_batch`` for a '\\n\\n' splitter on real web text —
+    the dedup/rebuild plan is unchanged).
+
+    Plan (two shuffles, both over chunk-sized rows):
+      1. explode into (doc_id, chunk_idx, chunk) — vectorized window
+         slicing per batch;
+      2. first-occurrence winner per distinct chunk text = min composite
+         order key ``doc_id * 1e6 + chunk_idx`` via a hash-partitioned
+         agg (chunk text is corpus-cardinality, so the partitioned
+         layout, never a built-in per-key groupby);
+      3. winners regroup by doc_id: per-partition vectorized sort +
+         join-with-spaces rebuilds each surviving document in chunk
+         order and counts kept chunks in the same pass.
+
+    Docs whose every chunk lost (pure duplicates) vanish — identical to
+    SQL GROUP BY over winners. Output: (doc_id, n_kept, new_text).
+    """
+    from .groupagg import add_hash_pkey, derive_num_partitions, partitioned_agg
+
+    chunks = docs.map_batches(
+        _chunk_explode_batch,
+        fn_kwargs={"words_per_chunk": words_per_chunk},
+        batch_format="pyarrow",
+    )
+
+    def add_ord(batch: pa.Table) -> pa.Table:
+        idx = batch.column("chunk_idx").to_numpy()
+        assert idx.max(initial=0) < _CHUNK_ORD_BASE, "chunk_idx overflow"
+        ordk = batch.column("doc_id").to_numpy() * _CHUNK_ORD_BASE + idx
+        return pa.Table.from_pydict(
+            {"chunk": batch.column("chunk"), "ord": pa.array(ordk, type=pa.int64())}
+        )
+
+    winners = partitioned_agg(
+        chunks.map_batches(add_ord, batch_format="pyarrow"),
+        keys=["chunk"],
+        named_aggs={"ord": ("ord", "min")},
+        num_partitions=num_partitions,
+    )
+
+    def split_ord(batch: pa.Table) -> pa.Table:
+        ordk = batch.column("ord").to_numpy()
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ordk // _CHUNK_ORD_BASE, type=pa.int64()),
+                "chunk_idx": pa.array(ordk % _CHUNK_ORD_BASE, type=pa.int64()),
+                "chunk": batch.column("chunk"),
+            }
+        )
+
+    kept = winners.map_batches(split_ord, batch_format="pyarrow")
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(kept)
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        return add_hash_pkey(batch, ["doc_id"], num_partitions)
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "chunk_idx"], kind="mergesort")
+        out = (
+            g.groupby("doc_id", sort=False)["chunk"]
+            .agg(n_kept="size", new_text=lambda s: " ".join(s))
+            .reset_index()
+        )
+        out["n_kept"] = out["n_kept"].astype("int64")
+        return out[["doc_id", "n_kept", "new_text"]]
+
+    return (
+        kept.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(rebuild, batch_format="pandas")
+    )

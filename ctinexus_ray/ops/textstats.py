@@ -922,3 +922,160 @@ def bm25_topk_docs(
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def _md5_bucket(word: str, n_buckets: int) -> int:
+    """SQL-compatible feature hash: first 8 hex digits of md5(word) as an
+    unsigned int, mod n_buckets — identical to DuckDB's
+    ``CAST(concat('0x', substr(md5(w),1,8)) AS UBIGINT) % n``."""
+    return int(hashlib.md5(word.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def _bucket_count_batch(
+    batch: pa.Table, n_buckets: int, target_col: str, target_value: str
+) -> pa.Table:
+    """Per-batch combiner: FIXED-SIZE (n_buckets-row) partial counts of
+    hashed-word features for the raw corpus and the target slice. The
+    moved data per batch is O(n_buckets) regardless of batch text volume
+    — the same combiner shape as the k-means partials."""
+    import numpy as np
+
+    raw = np.zeros(n_buckets, dtype=np.int64)
+    tgt = np.zeros(n_buckets, dtype=np.int64)
+    memo: dict[str, int] = {}
+    texts = batch.column("text").to_pylist()
+    flags = pc.equal(batch.column(target_col), pa.scalar(target_value))
+    for t, is_tgt in zip(texts, flags.to_pylist()):
+        for w in _tokens(t or ""):
+            bk = memo.get(w)
+            if bk is None:
+                bk = memo[w] = _md5_bucket(w, n_buckets)
+            raw[bk] += 1
+            if is_tgt:
+                tgt[bk] += 1
+    nz = np.nonzero(raw)[0]
+    return pa.Table.from_pydict(
+        {
+            "bk": pa.array(nz, type=pa.int64()),
+            "cr": pa.array(raw[nz], type=pa.int64()),
+            "ct": pa.array(tgt[nz], type=pa.int64()),
+        }
+    )
+
+
+def dsir_scores(
+    docs: "ray.data.Dataset",
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = 1024,
+) -> "ray.data.Dataset":
+    """DSIR importance weights (Xie et al. 2023, *Data Selection for
+    Language Models via Importance Resampling*): score every document by
+    the log-likelihood ratio of a TARGET hashed-ngram distribution (here:
+    the ``target_col == target_value`` slice of the corpus itself; in a
+    real run, a high-quality reference corpus) against the RAW corpus
+    distribution. High scores = documents that look like the target;
+    resampling by these weights steers a pretraining mixture toward the
+    target domain.
+
+    Feature space is ``n_buckets`` hashed unigram buckets (md5-based so
+    the DuckDB oracle computes the identical hash). Two passes over the
+    corpus, neither of which shuffles it:
+
+      1. bucket counts: per-batch FIXED-SIZE combiners (O(n_buckets) per
+         batch, not O(tokens)) -> one vocabulary-independent groupby of
+         at most ``n_buckets * num_blocks`` tiny rows -> a driver-side
+         table of exactly ``n_buckets`` rows. Unlike a word-level LM,
+         the broadcast is O(n_buckets) BY CONSTRUCTION — no head-vocab
+         fallback needed at 100 TB.
+      2. scoring: the quantized log-ratio array (micro-nats, exact
+         BIGINT per-doc sums — summation-order-independent, hash-stable
+         vs SQL) broadcast once via ``ray.put``; every doc scored by a
+         lookup pass with per-batch md5 memoization over distinct words.
+
+    Smoothing is add-1 over the bucket universe:
+    ``lr[b] = ln((ct[b]+1)/(Tt+B)) - ln((cr[b]+1)/(Tr+B))``, computed in
+    exactly the operation order the SQL oracle uses (libm ln on both
+    sides) so quantized values match bit-for-bit.
+
+    Output: (doc_id, n_tokens, dsir_score_u, dsir_score).
+    """
+    import math
+
+    import numpy as np
+    import ray as _ray
+
+    partials = docs.map_batches(
+        _bucket_count_batch,
+        fn_kwargs={
+            "n_buckets": n_buckets,
+            "target_col": target_col,
+            "target_value": target_value,
+        },
+        batch_format="pyarrow",
+    )
+    cr = np.zeros(n_buckets, dtype=np.int64)
+    ct = np.zeros(n_buckets, dtype=np.int64)
+    for b in (
+        partials.groupby("bk").sum(["cr", "ct"]).iter_batches(batch_format="pyarrow")
+    ):
+        idx = b.column("bk").to_numpy()
+        cr[idx] = b.column("sum(cr)").to_numpy()
+        ct[idx] = b.column("sum(ct)").to_numpy()
+    tr = float(cr.sum())
+    tt = float(ct.sum())
+    lr_u = np.zeros(n_buckets, dtype=np.int64)
+    for bk in np.nonzero(cr)[0]:
+        # same op order as the SQL: int+1 -> double divide -> ln -> diff
+        v = math.log((int(ct[bk]) + 1) / (tt + n_buckets)) - math.log(
+            (int(cr[bk]) + 1) / (tr + n_buckets)
+        )
+        lr_u[bk] = math.floor(v * 1e6 + 0.5)
+    lr_ref = _ray.put(lr_u)
+
+    class DsirScoreStage:
+        def __init__(self, lr_ref, n_buckets):
+            self.lr = _ray.get(lr_ref)
+            self.n_buckets = n_buckets
+            self.memo: dict[str, int] = {}  # actor-lifetime md5 memo
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lr, memo, nb = self.lr, self.memo, self.n_buckets
+            ids, ns, usums = [], [], []
+            for doc_id, t in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                toks = _tokens(t or "")
+                u = 0
+                for w in toks:
+                    bk = memo.get(w)
+                    if bk is None:
+                        bk = memo[w] = _md5_bucket(w, nb)
+                    u += int(lr[bk])
+                ids.append(doc_id)
+                ns.append(len(toks))
+                usums.append(u)
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "n_tokens": pa.array(ns, type=pa.int64()),
+                    "dsir_score_u": pa.array(usums, type=pa.int64()),
+                    "dsir_score": pa.array(
+                        [u / 1e6 / n for u, n in zip(usums, ns)],
+                        type=pa.float64(),
+                    ),
+                }
+            )
+
+    return docs.map_batches(
+        DsirScoreStage,
+        fn_constructor_kwargs={"lr_ref": lr_ref, "n_buckets": n_buckets},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

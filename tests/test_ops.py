@@ -1107,3 +1107,117 @@ class TestBM25:
 
         out = bm25_topk_docs(self._docs(), ["zzzmissing"], k=5)
         assert out.num_rows == 0
+
+
+class TestDsirScores:
+    def test_vs_duckdb(self, ray_session, con):
+        from ctinexus_ray.ops.textstats import dsir_scores
+
+        docs = ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        got = {
+            (r["doc_id"], r["n_tokens"], r["dsir_score_u"])
+            for r in dsir_scores(docs).take_all()
+        }
+        want = set(
+            con.sql(
+                r"""
+                WITH words AS (SELECT doc_id, lang,
+                  unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                  FROM documents),
+                b AS (SELECT doc_id, lang,
+                  CAST(concat('0x', substr(md5(w),1,8)) AS UBIGINT) % 1024 AS bk
+                  FROM words),
+                raw AS (SELECT bk, count(*) AS cr FROM b GROUP BY bk),
+                tgt AS (SELECT bk, count(*) AS ct FROM b WHERE lang='en' GROUP BY bk),
+                tr AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM b),
+                tt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM b WHERE lang='en'),
+                lr AS (SELECT raw.bk, CAST(FLOOR((
+                  ln((coalesce(tgt.ct,0)+1) / (tt.n + 1024)) -
+                  ln((raw.cr+1) / (tr.n + 1024))) * 1e6 + 0.5) AS BIGINT) AS lr_u
+                  FROM raw LEFT JOIN tgt ON raw.bk = tgt.bk, tr, tt)
+                SELECT b.doc_id, count(*), CAST(sum(lr.lr_u) AS BIGINT)
+                FROM b JOIN lr ON b.bk = lr.bk GROUP BY b.doc_id
+                """
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_target_scores_highest(self, ray_session):
+        """The target slice must out-score the rest on average — the
+        importance-resampling signal DSIR exists to produce."""
+        from ctinexus_ray.ops.textstats import dsir_scores
+
+        docs = ray.data.read_parquet(
+            f"{SF}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+        langs = {
+            r["doc_id"]: r["lang"]
+            for r in docs.select_columns(["doc_id", "lang"]).take_all()
+        }
+        scores = dsir_scores(docs).take_all()
+        en = [r["dsir_score"] for r in scores if langs[r["doc_id"]] == "en"]
+        rest = [r["dsir_score"] for r in scores if langs[r["doc_id"]] != "en"]
+        assert en and rest
+        assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+class TestParagraphDedup:
+    def test_vs_duckdb(self, docs, con):
+        from ctinexus_ray.ops.dedup import paragraph_dedup
+
+        got = {
+            (r["doc_id"], r["n_kept"], r["new_text"])
+            for r in paragraph_dedup(docs, words_per_chunk=20).take_all()
+        }
+        want = set(
+            con.sql(
+                r"""
+                WITH w AS (SELECT doc_id,
+                  regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+                ch AS (SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+                  array_to_string(ws[(t.i*20+1):(t.i*20+20)], ' ') AS chunk
+                  FROM w, UNNEST(range(CAST(ceil(len(ws)/20.0) AS BIGINT))) AS t(i)),
+                win AS (SELECT chunk, min(doc_id*1000000 + chunk_idx) AS ord
+                  FROM ch GROUP BY chunk)
+                SELECT ord // 1000000 AS doc_id, CAST(count(*) AS BIGINT),
+                  string_agg(chunk, ' ' ORDER BY ord % 1000000)
+                FROM win GROUP BY 1
+                """
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_drops_repeated_chunks(self, ray_session):
+        """A doc made of another doc's chunks vanishes; a half-dup doc
+        keeps only its novel half, rebuilt in order."""
+        from ctinexus_ray.ops.dedup import paragraph_dedup
+
+        a = "one two three four"       # 2 chunks of 2 words
+        b = "one two three four"       # pure dup of a -> vanishes
+        c = "one two five six"         # chunk1 dup, chunk2 novel
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": a},
+                {"doc_id": 1, "text": b},
+                {"doc_id": 2, "text": c},
+            ]
+        )
+        rows = {
+            r["doc_id"]: (r["n_kept"], r["new_text"])
+            for r in paragraph_dedup(ds, words_per_chunk=2).take_all()
+        }
+        assert rows == {0: (2, "one two three four"), 2: (1, "five six")}
+
+    def test_empty_text_is_one_empty_chunk(self, ray_session):
+        from ctinexus_ray.ops.dedup import paragraph_dedup
+
+        ds = ray.data.from_items(
+            [{"doc_id": 5, "text": ""}, {"doc_id": 9, "text": ""}]
+        )
+        rows = {
+            r["doc_id"]: (r["n_kept"], r["new_text"])
+            for r in paragraph_dedup(ds, words_per_chunk=3).take_all()
+        }
+        assert rows == {5: (1, "")}
