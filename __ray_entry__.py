@@ -916,6 +916,38 @@ def _q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(_docs(sf_dir, ["doc_id", "text"]), words_per_chunk=20)
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): drop semantic near-duplicates
+    WITHIN embedding clusters (the table's label column; kmeans_clusters
+    is the at-scale producer). One cluster-keyed shuffle; per-cluster
+    O(c^2) matmul — never corpus-wide pairwise."""
+    from ctinexus_ray.ops.dedup import semdedup_keep
+    from ctinexus_ray.sources.documents import read_testdata_embeddings
+
+    return semdedup_keep(
+        read_testdata_embeddings(sf_dir), cluster_col="label", threshold=0.3
+    )
+
+
+def _q_bpe_pair_counts(sf_dir: str):
+    """Exact BPE iteration-0 symbol-pair counts (chars + </w>): per-batch
+    pair combiners off a single corpus scan, one pair-cardinality agg."""
+    from ctinexus_ray.ops.bpe import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def _q_bpe_merges(sf_dir: str):
+    """Learned BPE merge table (Sennrich et al. 2016): 30 iterations of
+    most-frequent-pair merging over the distinct-word table. Iterative
+    argmax is not SQL-expressible -> rows-only; parity vs an independent
+    pure-Python learn-BPE is pinned in tests, and bpe_pair_counts is the
+    exact ✓SQL anchor for the counting machinery."""
+    from ctinexus_ray.ops.bpe import bpe_train
+
+    return bpe_train(_docs(sf_dir, ["doc_id", "text"]), n_merges=30)
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style within-doc repetition signals (duplicate-word
     fraction + top-word character fraction); stateless per-batch map."""
@@ -2464,6 +2496,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_lm": _q_unigram_lm,
         "dsir_weights": _q_dsir_weights,
         "paragraph_dedup": _q_paragraph_dedup,
+        "semdedup": _q_semdedup,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_merges": _q_bpe_merges,
         "repetition_stats": _q_repetition_stats,
         "balanced_sample": _q_balanced_sample,
         "ranked_docs": _q_ranked_docs,
@@ -3084,6 +3119,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
             "string_agg(chunk, ' ' ORDER BY chunk_idx) AS new_text "
             "FROM keep GROUP BY doc_id"
+        ),
+        "semdedup": (
+            "SELECT x.vec_id, CAST(x.label AS BIGINT) AS cluster "
+            "FROM embeddings x WHERE NOT EXISTS ("
+            "SELECT 1 FROM embeddings y "
+            "WHERE y.label = x.label AND y.vec_id < x.vec_id "
+            "AND list_cosine_similarity(CAST(y.embedding AS DOUBLE[]), "
+            "CAST(x.embedding AS DOUBLE[])) >= 0.3)"
+        ),
+        "bpe_pair_counts": (
+            "WITH words AS (SELECT unnest("
+            "regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents), "
+            "ne AS (SELECT w FROM words WHERE len(w) > 0), "
+            "inner_pairs AS (SELECT substr(w, i, 1) AS l, "
+            "substr(w, i + 1, 1) AS r FROM ne CROSS JOIN LATERAL "
+            "(SELECT unnest(generate_series(1, len(w) - 1)) AS i) t), "
+            "boundary AS (SELECT substr(w, len(w), 1) AS l, '</w>' AS r "
+            "FROM ne) "
+            "SELECT l, r, count(*) AS n FROM "
+            "(SELECT * FROM inner_pairs UNION ALL SELECT * FROM boundary) "
+            "GROUP BY l, r"
         ),
         "unigram_lm": (
             "WITH words AS (SELECT doc_id, "

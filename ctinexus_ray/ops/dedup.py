@@ -1301,3 +1301,106 @@ def paragraph_dedup(
         .groupby("pkey")
         .map_groups(rebuild, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside embedding clusters
+# ---------------------------------------------------------------------------
+
+
+def semdedup_keep(
+    embeddings: ray.data.Dataset,
+    cluster_col: str = "label",
+    threshold: float = 0.9,
+    num_partitions: int | None = None,
+    max_cluster_rows: int | None = None,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop semantic
+    near-duplicates WITHIN precomputed embedding clusters, never across
+    them — the clustering (k-means in the paper; any assignment column
+    here, e.g. ``kmeans_assign`` output or a label) bounds the pairwise
+    work to O(c^2 * dim) per cluster instead of O(n^2) corpus-wide,
+    which is the entire point of the method at 100-TB scale.
+
+    Keep rule (deterministic stand-in for the paper's "keep one random
+    example per duplicate group"): x survives iff NO y in the same
+    cluster with ``y.vec_id < x.vec_id`` has ``cos(x, y) >= threshold``.
+    First-occurrence-wins by vec_id — the same winner rule as
+    ``dedup_exact`` — and exactly SQL ``NOT EXISTS`` semantics, so the
+    driver query has a DuckDB ``list_cosine_similarity`` oracle.
+
+    Plan: ONE hash-partitioned shuffle on the cluster id; within each
+    partition clusters are sliced out of a (vec_id-sorted) matrix view
+    and scored with a single ``mat @ mat.T`` per cluster (float64).
+    Per-cluster memory is O(c^2); the paper sizes k so c ~ n/k stays
+    small. A skewed giant cluster is a misconfigured k — pass
+    ``max_cluster_rows`` to RAISE (never a silent cap) instead of
+    letting one group OOM a worker.
+
+    Output: (vec_id, cluster) of the survivors.
+    """
+    from .groupagg import add_hash_pkey, derive_num_partitions
+
+    sel = embeddings.select_columns(["vec_id", cluster_col, "embedding"])
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(sel)
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        return add_hash_pkey(batch, [cluster_col], num_partitions)
+
+    empty = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array([], type=pa.int64()),
+            "cluster": pa.array([], type=pa.int64()),
+        }
+    )
+
+    def per_partition(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0:
+            return empty
+        cl = (
+            part.column(cluster_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        vid = part.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = list_col_to_matrix(part.column("embedding"))
+        order = np.lexsort((vid, cl))
+        cl, vid, mat = cl[order], vid[order], mat[order]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        bounds = np.concatenate([starts, [len(cl)]])
+        keep_ids: list[np.ndarray] = []
+        keep_cl: list[np.ndarray] = []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            c = int(e - s)
+            if max_cluster_rows is not None and c > max_cluster_rows:
+                raise ValueError(
+                    f"semdedup cluster {int(cl[s])} has {c} rows "
+                    f"(> max_cluster_rows={max_cluster_rows}); re-cluster "
+                    "with a larger k rather than letting O(c^2) scoring "
+                    "blow up one partition"
+                )
+            if c == 1:
+                km = np.ones(1, dtype=bool)
+            else:
+                sims = mat[s:e] @ mat[s:e].T
+                # rows sorted by vec_id asc: x (col i) drops iff any
+                # earlier y (row j < i) clears the threshold
+                km = ~np.triu(sims >= threshold, k=1).any(axis=0)
+            keep_ids.append(vid[s:e][km])
+            keep_cl.append(cl[s:e][km])
+        return pa.Table.from_pydict(
+            {
+                "vec_id": pa.array(np.concatenate(keep_ids), type=pa.int64()),
+                "cluster": pa.array(np.concatenate(keep_cl), type=pa.int64()),
+            }
+        )
+
+    return (
+        sel.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
