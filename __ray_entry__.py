@@ -948,6 +948,21 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_train(_docs(sf_dir, ["doc_id", "text"]), n_merges=30)
 
 
+def _q_name_match_pairs(sf_dir: str):
+    """Entity-resolution edit-distance self-join (FastSS deletion-
+    neighborhood blocking, banded-Levenshtein verify): all customer-name
+    pairs within distance 1. Exact — sound+complete blocking, one
+    variant-hash shuffle, no quadratic scan."""
+    import ray.data
+
+    from ctinexus_ray.ops.fuzzyjoin import edit_distance_pairs
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=1)
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style within-doc repetition signals (duplicate-word
     fraction + top-word character fraction); stateless per-batch map."""
@@ -2499,6 +2514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
+        "name_match_pairs": _q_name_match_pairs,
         "repetition_stats": _q_repetition_stats,
         "balanced_sample": _q_balanced_sample,
         "ranked_docs": _q_ranked_docs,
@@ -3127,6 +3143,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE y.label = x.label AND y.vec_id < x.vec_id "
             "AND list_cosine_similarity(CAST(y.embedding AS DOUBLE[]), "
             "CAST(x.embedding AS DOUBLE[])) >= 0.3)"
+        ),
+        "name_match_pairs": (
+            "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+            "CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist "
+            "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1"
         ),
         "bpe_pair_counts": (
             "WITH words AS (SELECT unnest("
