@@ -948,6 +948,24 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_train(_docs(sf_dir, ["doc_id", "text"]), n_merges=30)
 
 
+def _q_bpe_encode(sf_dir: str):
+    """Subword token counts under a corpus-trained BPE table (10 merges
+    learned from the same sf_dir, then an actor-pool encode pass with a
+    per-actor word memo). Iterative training -> rows-only; apply-rule
+    parity is pinned in tests and token_counts is the exact anchor for
+    the zero-merge case."""
+    from ctinexus_ray.ops.bpe import bpe_encode, bpe_train
+
+    merges = [
+        (r["l"], r["r"])
+        for r in sorted(
+            bpe_train(_docs(sf_dir, ["doc_id", "text"]), n_merges=10).take_all(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    return bpe_encode(_docs(sf_dir, ["doc_id", "text"]), merges)
+
+
 def _q_name_match_pairs(sf_dir: str):
     """Entity-resolution edit-distance self-join (FastSS deletion-
     neighborhood blocking, banded-Levenshtein verify): all customer-name
@@ -961,6 +979,56 @@ def _q_name_match_pairs(sf_dir: str):
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
     return edit_distance_pairs(cust, "c_custkey", "c_name", max_dist=1)
+
+
+_KCORE_K = 27
+_KCORE_ROUNDS = 8
+
+
+def _q_name_kcore(sf_dir: str):
+    """k-core decomposition (k=27, 8 peel rounds with early exit) of the
+    edit-distance name-match graph: per round one endpoint-degree count
+    + two semi-joins; edge set only shrinks. Fixed round count keeps the
+    unrolled-CTE SQL twin exact (the PageRank pattern)."""
+    from ctinexus_ray.ops.graph import k_core
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["a", "b", "dist"])
+
+    edges = (
+        _q_name_match_pairs(sf_dir)
+        .map_batches(rn, batch_format="pyarrow")
+        .select_columns(["a", "b"])
+    )
+    return k_core(edges, _KCORE_K, rounds=_KCORE_ROUNDS, num_partitions=16)
+
+
+def _kcore_oracle() -> str:
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references the previous edge set ~5 times — inlining
+    # makes the scan count 5^rounds (measured: "too many open files")
+    sql = (
+        "WITH e0 AS MATERIALIZED (SELECT a.c_custkey AS u, b.c_custkey AS v "
+        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+        "WHERE levenshtein(a.c_name, b.c_name) <= 1)"
+    )
+    prev = "e0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        sql += (
+            f", d{i} AS MATERIALIZED (SELECT node, count(*) AS deg FROM "
+            f"(SELECT u AS node FROM {prev} UNION ALL "
+            f"SELECT v FROM {prev}) GROUP BY node), "
+            f"l{i} AS MATERIALIZED (SELECT node FROM d{i} "
+            f"WHERE deg >= {_KCORE_K}), "
+            f"e{i} AS MATERIALIZED (SELECT e.u, e.v FROM {prev} e "
+            f"JOIN l{i} x ON e.u = x.node JOIN l{i} y ON e.v = y.node)"
+        )
+        prev = f"e{i}"
+    return (
+        sql + " SELECT node, count(*) AS deg FROM "
+        f"(SELECT u AS node FROM {prev} UNION ALL SELECT v FROM {prev}) "
+        "GROUP BY node"
+    )
 
 
 def _q_repetition_stats(sf_dir: str):
@@ -2515,6 +2583,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
         "name_match_pairs": _q_name_match_pairs,
+        "name_kcore": _q_name_kcore,
+        "bpe_encode": _q_bpe_encode,
         "repetition_stats": _q_repetition_stats,
         "balanced_sample": _q_balanced_sample,
         "ranked_docs": _q_ranked_docs,
@@ -3150,6 +3220,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
             "WHERE levenshtein(a.c_name, b.c_name) <= 1"
         ),
+        "name_kcore": _kcore_oracle(),
         "bpe_pair_counts": (
             "WITH words AS (SELECT unnest("
             "regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents), "

@@ -241,3 +241,75 @@ def bpe_train(
             }
         )
     )
+
+
+class BpeEncodeStage:
+    """Actor-pool BPE application (Sennrich apply_bpe): state — the
+    merge-rank dict and a word->subwords memo — is built ONCE per actor
+    in ``__init__``; ``__call__`` encodes a batch. The memo is the whole
+    trick at corpus scale: natural text reuses words, so the per-word
+    merge loop runs once per DISTINCT word per actor, not per token.
+
+    Apply rule: repeatedly merge the LOWEST-rank pair present in the
+    symbol sequence (all occurrences, left-to-right non-overlapping)
+    until no learned pair remains — the standard subword-nmt/HF order,
+    pinned by a parity test against an independent reference.
+    """
+
+    def __init__(self, merges: list[tuple[str, str]]):
+        self.ranks = {tuple(p): i for i, p in enumerate(merges)}
+        self._memo: dict[str, int] = {}
+
+    def encode_word(self, w: str) -> list[str]:
+        syms = (list(w) + [END_OF_WORD]) if w else [END_OF_WORD]
+        while len(syms) > 1:
+            best_rank = None
+            best_pair = None
+            for a, b in zip(syms, syms[1:]):
+                r = self.ranks.get((a, b))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, (a, b)
+            if best_pair is None:
+                break
+            syms = _merge_syms(syms, best_pair[0], best_pair[1], best_pair[0] + best_pair[1])
+        return syms
+
+    def n_subwords(self, w: str) -> int:
+        n = self._memo.get(w)
+        if n is None:
+            n = len(self.encode_word(w))
+            self._memo[w] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .textstats import _tokens
+
+        counts = []
+        for t in batch.column("text").to_pylist():
+            if t is None:
+                counts.append(0)
+                continue
+            counts.append(sum(self.n_subwords(w) for w in _tokens(t)))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_subwords": pa.array(counts, type=pa.int64()),
+            }
+        )
+
+
+def bpe_encode(
+    docs: ray.data.Dataset,
+    merges: list[tuple[str, str]],
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Subword-token counts per document under a trained merge table.
+    The merge list is tiny (vocabulary growth, not corpus growth) and
+    ships once per actor as a constructor arg — never per batch. Output:
+    (doc_id, n_subwords)."""
+    return docs.map_batches(
+        BpeEncodeStage,
+        fn_constructor_args=(merges,),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

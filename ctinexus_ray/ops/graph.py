@@ -490,3 +490,128 @@ def degree_histogram(
         named_aggs={"n_nodes": ("degree", "size")},
         num_partitions=num_partitions,
     )
+
+
+def k_core(
+    edges: ray.data.Dataset,
+    k: int,
+    rounds: int = 8,
+    num_partitions: int | None = None,
+    dead_broadcast_rows: int = 4_000_000,
+) -> ray.data.Dataset:
+    """k-core peeling over an undirected canonical (a < b) edge list:
+    ``rounds`` iterations of "drop every node with degree < k and all
+    its edges", then the surviving nodes with their in-core degrees.
+
+    A FIXED round count (not run-to-convergence) keeps the op
+    SQL-expressible — the oracle is the same ``rounds`` unrolled CTE
+    stages, exactly like the PageRank twin — while an early exit fires
+    when an iteration removes nothing (further rounds are then no-ops on
+    both sides, so results still match bit-for-bit). Real graphs peel in
+    a handful of rounds; pass a larger ``rounds`` for pathological
+    chains.
+
+    Scale shape: per round one endpoint-exploded degree count (edge-2x
+    map volume, node-sized output), then edges touching DEAD nodes are
+    dropped. The dead set after round 1 is almost always tiny (peeling
+    removes the fringe), so when it fits ``dead_broadcast_rows`` it is
+    ``ray.put`` once and the filter is a zero-shuffle vectorized
+    ``searchsorted`` map; a large dead set falls back to two
+    hash-partitioned semi-joins against the live set. Each round
+    materializes the surviving edges so lineage stays O(1); convergence
+    (dead set empty) exits early — both sides then agree bit-for-bit
+    because the remaining oracle rounds are no-ops. Output:
+    (node:int64, deg:int64).
+    """
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nodes = pa.chunked_array(
+            [batch.column("a").combine_chunks(), batch.column("b").combine_chunks()]
+        )
+        return pa.Table.from_pydict({"node": pc.cast(nodes, pa.int64())})
+
+    def degrees(es: ray.data.Dataset) -> ray.data.Dataset:
+        return partitioned_agg(
+            es.map_batches(endpoints, batch_format="pyarrow"),
+            keys=["node"],
+            named_aggs={"deg": ("node", "size")},
+            num_partitions=num_partitions,
+        )
+
+    def rename(ds: ray.data.Dataset, src: str, dst: str) -> ray.data.Dataset:
+        def do(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [dst if c == src else c for c in batch.schema.names]
+            )
+
+        return ds.map_batches(do, batch_format="pyarrow")
+
+    cur = edges.select_columns(["a", "b"]).materialize()
+    for _ in range(rounds):
+        if cur.count() == 0:
+            break
+        deg = degrees(cur).materialize()
+        dead = deg.filter(expr=f"deg < {k}").select_columns(["node"])
+        n_dead = dead.count()
+        if n_dead == 0:
+            break  # converged: every remaining node is in the k-core
+        if n_dead <= dead_broadcast_rows:
+            # n_dead > 0 guarantees at least one non-empty block; empty
+            # filter partitions can carry a column-less schema, skip them
+            dead_ids = np.sort(
+                np.concatenate(
+                    [
+                        t.column("node").to_numpy(zero_copy_only=False)
+                        for t in ray.get(dead.to_arrow_refs())
+                        if t.num_rows
+                    ]
+                ).astype(np.int64)
+            )
+            dead_ref = ray.put(dead_ids)
+
+            def drop_dead(batch: pa.Table, dead_ref=dead_ref) -> pa.Table:
+                ids = ray.get(dead_ref)
+                a = batch.column("a").to_numpy(zero_copy_only=False)
+                b = batch.column("b").to_numpy(zero_copy_only=False)
+
+                def hit(x: np.ndarray) -> np.ndarray:
+                    pos = np.searchsorted(ids, x)
+                    pos[pos == len(ids)] = 0
+                    return ids[pos] == x if len(ids) else np.zeros(len(x), bool)
+
+                return batch.filter(pa.array(~(hit(a) | hit(b))))
+
+            cur = cur.map_batches(drop_dead, batch_format="pyarrow").materialize()
+        else:
+            live = deg.filter(expr=f"deg >= {k}").select_columns(["node"])
+            kept = rename(
+                hash_join(
+                    rename(cur, "a", "node"),
+                    live,
+                    on=["node"],
+                    how="left_semi",
+                    num_partitions=num_partitions,
+                ),
+                "node",
+                "a",
+            )
+            cur = (
+                rename(
+                    hash_join(
+                        rename(kept, "b", "node"),
+                        live,
+                        on=["node"],
+                        how="left_semi",
+                        num_partitions=num_partitions,
+                    ),
+                    "node",
+                    "b",
+                )
+                .select_columns(["a", "b"])
+                .materialize()
+            )
+    return degrees(cur)

@@ -120,3 +120,62 @@ class TestBpeTrain:
         rows = bpe_train(_docs(["aa aa aa bb bb"]), n_merges=4).take_all()
         ranks = sorted(r["rank"] for r in rows)
         assert ranks == list(range(len(rows)))
+
+
+def _ref_encode(w: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Independent apply_bpe reference: repeatedly merge the lowest-rank
+    pair present (all occurrences, left-to-right)."""
+    ranks = {p: i for i, p in enumerate(merges)}
+    syms = (list(w) + [END_OF_WORD]) if w else [END_OF_WORD]
+    while len(syms) > 1:
+        present = [(ranks[p], p) for p in zip(syms, syms[1:]) if p in ranks]
+        if not present:
+            break
+        _, (l, r) = min(present)
+        syms = _merge_syms(syms, l, r, l + r)
+    return syms
+
+
+class TestBpeEncode:
+    def test_parity_with_reference_apply(self, ray_session):
+        from ctinexus_ray.ops.bpe import BpeEncodeStage, bpe_encode
+
+        texts = [
+            "low lower lowest low low",
+            "new newer newest new newer",
+            "wide wider widest wide",
+            "low newer wide lowest",
+        ] * 3
+        merges = [
+            (r["l"], r["r"])
+            for r in sorted(
+                bpe_train(_docs(texts), n_merges=12).take_all(),
+                key=lambda r: r["rank"],
+            )
+        ]
+        stage = BpeEncodeStage(merges)
+        for w in {w for t in texts for w in t.split()}:
+            assert stage.encode_word(w) == _ref_encode(w, merges), w
+        got = {
+            r["doc_id"]: r["n_subwords"]
+            for r in bpe_encode(_docs(texts), merges).take_all()
+        }
+        want = {
+            i: sum(len(_ref_encode(w, merges)) for w in t.split())
+            for i, t in enumerate(texts)
+        }
+        assert got == want
+
+    def test_zero_merges_counts_symbols(self, ray_session):
+        from ctinexus_ray.ops.bpe import bpe_encode
+
+        # no merges: every word costs len(word) chars + </w>
+        got = bpe_encode(_docs(["ab c"]), []).take_all()
+        assert got == [{"doc_id": 0, "n_subwords": (2 + 1) + (1 + 1)}]
+
+    def test_apply_order_is_rank_not_position(self, ray_session):
+        from ctinexus_ray.ops.bpe import BpeEncodeStage
+
+        # rank 0 = (b, c) merges FIRST even though (a, b) appears earlier
+        stage = BpeEncodeStage([("b", "c"), ("a", "b")])
+        assert stage.encode_word("abc") == ["a", "bc", END_OF_WORD]

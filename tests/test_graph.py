@@ -135,3 +135,70 @@ class TestTriangles:
         # triangles (0,1,2) and (1,2,3) share edge (1,2)
         edges = self._edges([(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)])
         assert triangle_count(edges, num_partitions=16) == 2
+
+
+class TestKCore:
+    def _edges(self, pairs):
+        import pyarrow as pa
+
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                    "b": pa.array([p[1] for p in pairs], type=pa.int64()),
+                }
+            )
+        )
+
+    def test_triangle_with_tail(self, ray_session):
+        from ctinexus_ray.ops.graph import k_core
+
+        out = k_core(self._edges([(0, 1), (0, 2), (1, 2), (2, 3)]), 2).take_all()
+        assert sorted((r["node"], r["deg"]) for r in out) == [(0, 2), (1, 2), (2, 2)]
+
+    def test_cascading_peel(self, ray_session):
+        from ctinexus_ray.ops.graph import k_core
+
+        # chain 0-1-2-3-4: 2-core empty, but only after CASCADED rounds
+        out = k_core(self._edges([(0, 1), (1, 2), (2, 3), (3, 4)]), 2).take_all()
+        assert out == []
+
+    def test_clique_survives(self, ray_session):
+        from ctinexus_ray.ops.graph import k_core
+
+        import itertools
+
+        clique = list(itertools.combinations(range(4), 2))
+        tail = [(3, 9), (9, 10)]
+        out = k_core(self._edges(clique + tail), 3).take_all()
+        assert sorted((r["node"], r["deg"]) for r in out) == [
+            (0, 3), (1, 3), (2, 3), (3, 3),
+        ]
+
+    def test_rounds_cap_respected(self, ray_session):
+        from ctinexus_ray.ops.graph import k_core
+
+        # chain of 6 needs 3 peel rounds to empty at k=2; rounds=1 stops
+        # early by design (the SQL twin unrolls the same fixed count)
+        chain = [(i, i + 1) for i in range(6)]
+        one = k_core(self._edges(chain), 2, rounds=1).take_all()
+        assert len(one) > 0
+        full = k_core(self._edges(chain), 2, rounds=8).take_all()
+        assert full == []
+
+    def test_semijoin_fallback_matches_broadcast(self, ray_session):
+        from ctinexus_ray.ops.graph import k_core
+
+        import itertools
+
+        clique = list(itertools.combinations(range(5), 2))
+        tail = [(4, 20), (20, 21), (21, 22)]
+        fast = k_core(self._edges(clique + tail), 3).take_all()
+        slow = k_core(
+            self._edges(clique + tail), 3, dead_broadcast_rows=0
+        ).take_all()
+        key = lambda r: (r["node"], r["deg"])
+        assert sorted(fast, key=key) == sorted(slow, key=key)
+        assert {r["node"] for r in fast} == {0, 1, 2, 3, 4}
