@@ -948,6 +948,25 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_train(_docs(sf_dir, ["doc_id", "text"]), n_merges=30)
 
 
+def _q_user_running_totals(sf_dir: str):
+    """Per-user ordered running total of event value (the SUM ... OVER
+    (PARTITION BY user ORDER BY ts) window): one user-hash shuffle, one
+    vectorized groupby.cumsum per partition. Integer cents so the prefix
+    sum is order-independent and bit-exact vs DuckDB's segment-tree
+    window evaluator."""
+    import ray.data
+
+    from ctinexus_ray.ops.relational import grouped_running_sum
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+    return grouped_running_sum(
+        events, "user_id", ["ts", "event_id"], "value", scale=100
+    ).select_columns(["user_id", "event_id", "run_units", "run_n"])
+
+
 def _q_bpe_encode(sf_dir: str):
     """Subword token counts under a corpus-trained BPE table (10 merges
     learned from the same sf_dir, then an actor-pool encode pass with a
@@ -2585,6 +2604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_match_pairs": _q_name_match_pairs,
         "name_kcore": _q_name_kcore,
         "bpe_encode": _q_bpe_encode,
+        "user_running_totals": _q_user_running_totals,
         "repetition_stats": _q_repetition_stats,
         "balanced_sample": _q_balanced_sample,
         "ranked_docs": _q_ranked_docs,
@@ -3221,6 +3241,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE levenshtein(a.c_name, b.c_name) <= 1"
         ),
         "name_kcore": _kcore_oracle(),
+        "user_running_totals": (
+            "SELECT user_id, event_id, "
+            "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+            "AS run_units, "
+            "CAST(row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+            "AS run_n FROM events"
+        ),
         "bpe_pair_counts": (
             "WITH words AS (SELECT unnest("
             "regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents), "

@@ -969,3 +969,56 @@ def interval_overlap_pairs(
     return exploded.groupby("pkey").map_groups(
         pairs_partition, batch_format="pandas"
     )
+
+
+def grouped_running_sum(
+    ds: ray.data.Dataset,
+    group_key: str,
+    order_cols: list[str],
+    value_col: str,
+    scale: int = 100,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed running total per group — the ordered-window
+    ``SUM(x) OVER (PARTITION BY g ORDER BY o)`` plus its row counter.
+
+    One hash shuffle on the group key; each partition sorts its (many,
+    whole) groups once and computes every group's prefix sum in a single
+    vectorized pandas ``groupby.cumsum`` — O(P) per-group overhead.
+    Same partitioning assumption as sessionize/grouped_topn: one group's
+    rows fit in a partition (time-split giant groups upstream if not).
+
+    Values are quantized to integers (``FLOOR(x * scale + 0.5)``) BEFORE
+    summing: DuckDB evaluates window sums with a segment tree, so a
+    float prefix sum would drift from numpy's sequential order at the
+    ULP level — integer prefix sums are order-independent and bit-exact
+    on both sides. Output: (group_key, *order_cols, run_units:int64,
+    run_n:int64).
+    """
+    from ctinexus_ray.ops.groupagg import add_hash_pkey, derive_num_partitions
+
+    sel = ds.select_columns([group_key, *order_cols, value_col])
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(sel)
+
+    def add_units(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        units = np.floor(v * scale + 0.5).astype(np.int64)
+        batch = batch.drop_columns([value_col]).append_column(
+            "__units", pa.array(units, type=pa.int64())
+        )
+        return add_hash_pkey(batch, [group_key], num_partitions)
+
+    def run_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([group_key, *order_cols], kind="mergesort")
+        grp = g.groupby(group_key, sort=False, dropna=False)
+        out = g[[group_key, *order_cols]].reset_index(drop=True)
+        out["run_units"] = grp["__units"].cumsum().astype("int64").values
+        out["run_n"] = (grp.cumcount() + 1).astype("int64").values
+        return out
+
+    return (
+        sel.map_batches(add_units, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(run_partition, batch_format="pandas")
+    )

@@ -743,3 +743,54 @@ class TestIntervalOverlapCap:
             max_bucket=2,
         ).take_all()
         assert len(capped) < 6  # engaged cap -> approximate (and logged)
+
+
+class TestGroupedRunningSum:
+    def test_running_sum_and_count(self, ray_session):
+        import pyarrow as pa
+
+        import ray.data
+        from ctinexus_ray.ops.relational import grouped_running_sum
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "g": pa.array([1, 1, 1, 2, 2], type=pa.int64()),
+                    "o": pa.array([3, 1, 2, 1, 2], type=pa.int64()),
+                    "v": pa.array([0.5, 1.0, 2.25, 10.0, -0.25], type=pa.float64()),
+                }
+            )
+        )
+        rows = grouped_running_sum(ds, "g", ["o"], "v", scale=100).take_all()
+        got = {(r["g"], r["o"]): (r["run_units"], r["run_n"]) for r in rows}
+        # group 1 ordered by o: 1.0, 2.25, 0.5 -> 100, 325, 375
+        assert got == {
+            (1, 1): (100, 1),
+            (1, 2): (325, 2),
+            (1, 3): (375, 3),
+            (2, 1): (1000, 1),
+            (2, 2): (975, 2),
+        }
+
+    def test_stable_under_repartition(self, ray_session):
+        import pyarrow as pa
+
+        import ray.data
+        from ctinexus_ray.ops.relational import grouped_running_sum
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "g": pa.array([i % 7 for i in range(100)], type=pa.int64()),
+                    "o": pa.array(range(100), type=pa.int64()),
+                    "v": pa.array([i * 0.13 for i in range(100)], type=pa.float64()),
+                }
+            )
+        )
+        a = sorted(
+            map(tuple, (r.values() for r in grouped_running_sum(ds, "g", ["o"], "v").take_all()))
+        )
+        b = sorted(
+            map(tuple, (r.values() for r in grouped_running_sum(ds.repartition(13), "g", ["o"], "v").take_all()))
+        )
+        assert a == b
