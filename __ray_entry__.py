@@ -948,6 +948,60 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_train(_docs(sf_dir, ["doc_id", "text"]), n_merges=30)
 
 
+def _q_clean_funnel(sf_dir: str):
+    """Filter-funnel observability for the cleaning pipeline: how many
+    docs survive each successive gate (raw -> wellformed(>=5 words) ->
+    gopher -> exact-dedup). Stages 0-2 are ONE corpus pass emitting a
+    3-int partial per batch (O(#blocks) driver rows); stage 3 is the
+    distinct-text count among gopher survivors via one text-hash
+    shuffle. The per-stage counts are what a 100-TB prep run logs to
+    explain where the data went."""
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.textstats import gopher_quality_batch
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def stage_partial(batch: pa.Table) -> pa.Table:
+        q = gopher_quality_batch(batch)
+        nw = q.column("n_words").to_numpy(zero_copy_only=False)
+        keep = q.column("keep").to_numpy(zero_copy_only=False)
+        s1 = nw >= 5
+        s2 = s1 & keep
+        return pa.Table.from_pydict(
+            {
+                "n0": pa.array([len(nw)], type=pa.int64()),
+                "n1": pa.array([int(s1.sum())], type=pa.int64()),
+                "n2": pa.array([int(s2.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = docs.map_batches(stage_partial, batch_format="pyarrow").take_all()
+    n0 = sum(p["n0"] for p in parts)
+    n1 = sum(p["n1"] for p in parts)
+    n2 = sum(p["n2"] for p in parts)
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        q = gopher_quality_batch(batch)
+        nw = q.column("n_words").to_numpy(zero_copy_only=False)
+        keep = q.column("keep").to_numpy(zero_copy_only=False)
+        return batch.select(["text"]).filter(pa.array((nw >= 5) & keep))
+
+    n3 = partitioned_agg(
+        docs.map_batches(survivors, batch_format="pyarrow"),
+        keys=["text"],
+        named_aggs={"n": ("text", "size")},
+    ).count()
+    return pa.Table.from_pydict(
+        {
+            "stage": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "name": pa.array(
+                ["raw", "wellformed", "gopher", "dedup"], type=pa.string()
+            ),
+            "n_docs": pa.array([n0, n1, n2, n3], type=pa.int64()),
+        }
+    )
+
+
 def _q_user_running_totals(sf_dir: str):
     """Per-user ordered running total of event value (the SUM ... OVER
     (PARTITION BY user ORDER BY ts) window): one user-hash shuffle, one
@@ -2605,6 +2659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_kcore": _q_name_kcore,
         "bpe_encode": _q_bpe_encode,
         "user_running_totals": _q_user_running_totals,
+        "clean_funnel": _q_clean_funnel,
         "repetition_stats": _q_repetition_stats,
         "balanced_sample": _q_balanced_sample,
         "ranked_docs": _q_ranked_docs,
@@ -3241,6 +3296,27 @@ def oracle_sql() -> dict[str, str]:
             "WHERE levenshtein(a.c_name, b.c_name) <= 1"
         ),
         "name_kcore": _kcore_oracle(),
+        "clean_funnel": (
+            "WITH nw AS (SELECT doc_id, text, "
+            "len(regexp_split_to_array(trim(text), '\\s+')) AS n_words, "
+            "(length(trim(text)) - length(regexp_replace(trim(text), "
+            "'\\S', '', 'g'))) AS word_chars, "
+            "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+            "length(regexp_replace(text, '[^A-Za-z]', '', 'g')) "
+            "/ CAST(length(text) AS DOUBLE) END AS alpha_ratio "
+            "FROM documents), "
+            "s1 AS (SELECT * FROM nw WHERE n_words >= 5), "
+            "s2 AS (SELECT * FROM s1 WHERE "
+            "(n_words BETWEEN 50 AND 100000) "
+            "AND (word_chars / CAST(n_words AS DOUBLE) "
+            "BETWEEN 3.0 AND 10.0) AND alpha_ratio > 0.6) "
+            "SELECT 0 AS stage, 'raw' AS name, "
+            "(SELECT count(*) FROM documents) AS n_docs "
+            "UNION ALL SELECT 1, 'wellformed', (SELECT count(*) FROM s1) "
+            "UNION ALL SELECT 2, 'gopher', (SELECT count(*) FROM s2) "
+            "UNION ALL SELECT 3, 'dedup', "
+            "(SELECT count(DISTINCT text) FROM s2)"
+        ),
         "user_running_totals": (
             "SELECT user_id, event_id, "
             "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER "
