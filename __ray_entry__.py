@@ -1021,6 +1021,23 @@ def _q_user_running_totals(sf_dir: str):
     ).select_columns(["user_id", "event_id", "run_units", "run_n"])
 
 
+def _q_user_key_skew(sf_dir: str):
+    """Key-skew profile of events.user_id — the diagnostic a 100-TB run
+    executes BEFORE choosing partition counts / salting for a user-keyed
+    shuffle: per-key counts (one hash reduce, materialized once), then a
+    count-of-counts histogram walked on the driver. One row: n_keys,
+    n_rows, max_n, p50/p90/p99 of per-key counts (quantile_disc rule),
+    and the smallest user id holding the maximal count."""
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import key_skew_profile
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    return key_skew_profile(events, "user_id")
+
+
 def _q_bpe_encode(sf_dir: str):
     """Subword token counts under a corpus-trained BPE table (10 merges
     learned from the same sf_dir, then an actor-pool encode pass with a
@@ -2659,6 +2676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_kcore": _q_name_kcore,
         "bpe_encode": _q_bpe_encode,
         "user_running_totals": _q_user_running_totals,
+        "user_key_skew": _q_user_key_skew,
         "clean_funnel": _q_clean_funnel,
         "repetition_stats": _q_repetition_stats,
         "balanced_sample": _q_balanced_sample,
@@ -3325,6 +3343,19 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
             "AS run_n FROM events"
+        ),
+        "user_key_skew": (
+            "WITH c AS (SELECT user_id, count(*) AS n FROM events "
+            "GROUP BY user_id) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_keys, "
+            "CAST(SUM(n) AS BIGINT) AS n_rows, "
+            "CAST(MAX(n) AS BIGINT) AS max_n, "
+            "CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50_n, "
+            "CAST(quantile_disc(n, 0.90) AS BIGINT) AS p90_n, "
+            "CAST(quantile_disc(n, 0.99) AS BIGINT) AS p99_n, "
+            "(SELECT MIN(user_id) FROM c "
+            "WHERE n = (SELECT MAX(n) FROM c)) AS top_key "
+            "FROM c"
         ),
         "bpe_pair_counts": (
             "WITH words AS (SELECT unnest("

@@ -261,3 +261,72 @@ def grouped_string_agg(
         .groupby("pkey")
         .map_groups(agg_partition, batch_format="pandas")
     )
+
+
+def key_skew_profile(
+    ds: ray.data.Dataset,
+    key: str,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+    num_partitions: int | None = None,
+) -> pa.Table:
+    """Key-skew diagnostic run BEFORE picking a partitioning/salting plan:
+    one row with ``n_keys``, ``n_rows``, ``max_n``, the requested
+    discrete quantiles of per-key row counts (``p{q}_n``, DuckDB
+    ``quantile_disc`` index rule: sorted element at ``max(0,
+    ceil(q*n)-1)``), and ``top_key`` (smallest key among those with the
+    maximal count — deterministic under ties).
+
+    Scale shape: ONE hash-partitioned count reduce (corpus -> per-key
+    counts, key-cardinality sized), materialized ONCE so the two
+    downstream consumers don't re-execute the corpus shuffle; then a
+    count-of-counts reduce whose output is O(distinct count values) —
+    tiny in practice (a power-law corpus has far fewer distinct group
+    sizes than groups) — walked cumulatively on the driver. The driver
+    never holds per-key rows."""
+    counts = partitioned_agg(
+        ds.select_columns([key]),
+        keys=[key],
+        named_aggs={"n": (key, "size")},
+        num_partitions=num_partitions,
+    ).materialize()  # key-cardinality sized; consumed twice below
+
+    hist = partitioned_agg(
+        counts, keys=["n"], named_aggs={"freq": ("n", "size")}
+    ).take_all()  # O(distinct count values) rows by construction
+    hist.sort(key=lambda r: r["n"])
+    ns = np.array([r["n"] for r in hist], dtype=np.int64)
+    freqs = np.array([r["freq"] for r in hist], dtype=np.int64)
+    n_keys = int(freqs.sum())
+    n_rows = int((ns * freqs).sum())
+    max_n = int(ns[-1]) if len(ns) else 0
+    cum = np.cumsum(freqs)
+    q_vals = {}
+    for q in quantiles:
+        idx = max(0, int(np.ceil(q * n_keys)) - 1)
+        pos = int(np.searchsorted(cum, idx + 1))
+        q_vals[q] = int(ns[pos]) if len(ns) else 0
+
+    def keep_max(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("n"), max_n))
+
+    top_key = (
+        counts.map_batches(keep_max, batch_format="pyarrow").min(key)
+        if n_keys
+        else None
+    )
+
+    cols: dict[str, pa.Array] = {
+        "n_keys": pa.array([n_keys], type=pa.int64()),
+        "n_rows": pa.array([n_rows], type=pa.int64()),
+        "max_n": pa.array([max_n], type=pa.int64()),
+    }
+    for q in quantiles:
+        label = f"p{int(round(q * 100))}_n"
+        cols[label] = pa.array([q_vals[q]], type=pa.int64())
+    if top_key is None or isinstance(top_key, (int, np.integer)):
+        cols["top_key"] = pa.array(
+            [None if top_key is None else int(top_key)], type=pa.int64()
+        )
+    else:  # string keys keep their own type
+        cols["top_key"] = pa.array([top_key])
+    return pa.Table.from_pydict(cols)

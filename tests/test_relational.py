@@ -794,3 +794,46 @@ class TestGroupedRunningSum:
             map(tuple, (r.values() for r in grouped_running_sum(ds.repartition(13), "g", ["o"], "v").take_all()))
         )
         assert a == b
+
+
+class TestKeySkewProfile:
+    def test_vs_duckdb(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.groupagg import key_skew_profile
+
+        # skewed: key 7 has 10 rows, key 3 has 10 rows (tie -> min key 3)
+        keys = [7] * 10 + [3] * 10 + [1] * 4 + [2] * 2 + [5, 6, 8, 9]
+        t = pa.Table.from_pydict({"user_id": keys})
+        ds = ray.data.from_arrow(t).repartition(5)
+        got = key_skew_profile(ds, "user_id").to_pylist()[0]
+        want = duckdb.sql(
+            "WITH c AS (SELECT user_id, count(*) AS n FROM t "
+            "GROUP BY user_id) SELECT count(*), SUM(n), MAX(n), "
+            "quantile_disc(n, 0.5), quantile_disc(n, 0.9), "
+            "quantile_disc(n, 0.99), (SELECT MIN(user_id) FROM c "
+            "WHERE n = (SELECT MAX(n) FROM c)) FROM c"
+        ).fetchone()
+        assert (
+            got["n_keys"],
+            got["n_rows"],
+            got["max_n"],
+            got["p50_n"],
+            got["p90_n"],
+            got["p99_n"],
+            got["top_key"],
+        ) == want
+
+    def test_string_keys(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.groupagg import key_skew_profile
+
+        t = pa.Table.from_pydict({"k": ["a", "b", "a", "c", "a", "b"]})
+        got = key_skew_profile(ray.data.from_arrow(t), "k").to_pylist()[0]
+        assert got["n_keys"] == 3
+        assert got["max_n"] == 3
+        assert got["top_key"] == "a"
