@@ -1477,6 +1477,36 @@ def _q_orders_rollup(sf_dir: str):
     )
 
 
+def _q_orders_cube(sf_dir: str):
+    """GROUP BY CUBE(year, status) counts via ops.groupagg.cube_counts:
+    one corpus shuffle at the finest level; all 2^k - 1 coarser subsets
+    re-aggregate a one-key-larger parent's group-cardinality-sized
+    output (each level pinned once so Ray's lazy plan never re-executes
+    the corpus aggregate per consumer)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import cube_counts
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_orderstatus"]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "o_year": pc.year(batch.column("o_orderdate")),
+                "o_status": batch.column("o_orderstatus"),
+            }
+        )
+
+    return cube_counts(
+        orders.map_batches(keyed, batch_format="pyarrow"),
+        keys=["o_year", "o_status"],
+        out="n",
+    )
+
+
 def _q_doc_dense_rank(sf_dir: str):
     """DENSE_RANK() OVER (ORDER BY n_chars DESC): rank the DISTINCT value
     table (domain-bounded, one hash-partitioned distinct + one small
@@ -2693,6 +2723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding": _q_events_sliding,
         "orders_status_pivot": _q_orders_status_pivot,
         "orders_rollup": _q_orders_rollup,
+        "orders_cube": _q_orders_cube,
         "doc_dense_rank": _q_doc_dense_rank,
         "doc_ntile": _q_doc_ntile,
         "pmi_bigrams": _q_pmi_bigrams,
@@ -3425,6 +3456,12 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(o_status, 'ALL') AS o_status, count(*) AS n FROM "
             "(SELECT year(o_orderdate) AS o_year, o_orderstatus AS o_status "
             "FROM orders) GROUP BY ROLLUP(o_year, o_status)"
+        ),
+        "orders_cube": (
+            "SELECT COALESCE(CAST(o_year AS VARCHAR), 'ALL') AS o_year, "
+            "COALESCE(o_status, 'ALL') AS o_status, count(*) AS n FROM "
+            "(SELECT year(o_orderdate) AS o_year, o_orderstatus AS o_status "
+            "FROM orders) GROUP BY CUBE(o_year, o_status)"
         ),
         "doc_dense_rank": (
             "SELECT doc_id, n_chars, "

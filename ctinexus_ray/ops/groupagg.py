@@ -220,6 +220,89 @@ def rollup_counts(
     return result
 
 
+def cube_counts(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    out: str = "n",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """``GROUP BY CUBE(keys...)`` row counts: every subset of the key
+    list. Grouped-out key columns take the sentinel ``'ALL'`` (all key
+    columns are cast to string), matching
+    ``COALESCE(CAST(k AS VARCHAR), 'ALL')`` over SQL CUBE output when the
+    data itself has no NULL keys (same caveat as ``rollup_counts``).
+
+    Scale shape: the corpus is read and shuffled ONCE for the finest
+    level; every coarser subset re-aggregates a one-key-larger parent
+    subset's counts, so all 2^k - 1 derived levels work on
+    group-cardinality-sized inputs. Each level is materialized before
+    fan-out (a level feeds both its child subsets and the final union —
+    without pinning, Ray's lazy plan would re-execute the corpus
+    aggregate once per consumer). Output: keys + [out]."""
+    from itertools import combinations
+
+    def stringify(batch: pa.Table) -> pa.Table:
+        arrays = [batch.column(k).cast(pa.string()) for k in keys]
+        return pa.Table.from_arrays(arrays, names=keys)
+
+    full = tuple(keys)
+    raw: dict[tuple[str, ...], ray.data.Dataset] = {
+        full: partitioned_agg(
+            ds.map_batches(stringify, batch_format="pyarrow"),
+            keys=list(full),
+            named_aggs={out: (keys[0], "size")},
+            num_partitions=num_partitions,
+        ).materialize()
+    }
+    for r in range(len(keys) - 1, 0, -1):
+        for s in combinations(keys, r):
+            parent = next(
+                p for p in raw if set(s) < set(p) and len(p) == len(s) + 1
+            )
+            raw[s] = partitioned_agg(
+                raw[parent],
+                keys=list(s),
+                named_aggs={out: (out, "sum")},
+                num_partitions=16,
+            ).materialize()
+
+    any_single = (keys[0],)
+    total = int(raw[any_single].sum(out)) if keys else ds.count()
+
+    def widen(batch: pa.Table, present: tuple[str, ...]) -> pa.Table:
+        n = batch.num_rows
+        arrays, names = [], []
+        for k in keys:
+            if k in present:
+                arrays.append(batch.column(k).cast(pa.string()))
+            else:
+                arrays.append(pa.array(["ALL"] * n, type=pa.string()))
+            names.append(k)
+        arrays.append(batch.column(out).cast(pa.int64()))
+        names.append(out)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    import functools
+
+    levels = [
+        sub_ds.map_batches(
+            functools.partial(widen, present=s), batch_format="pyarrow"
+        )
+        for s, sub_ds in raw.items()
+    ]
+    grand = pa.Table.from_pydict(
+        {
+            **{k: pa.array(["ALL"], type=pa.string()) for k in keys},
+            out: pa.array([total], type=pa.int64()),
+        }
+    )
+    levels.append(ray.data.from_arrow(grand))
+    result = levels[0]
+    for lv in levels[1:]:
+        result = result.union(lv)
+    return result
+
+
 def grouped_string_agg(
     ds: ray.data.Dataset,
     key: str,

@@ -837,3 +837,34 @@ class TestKeySkewProfile:
         assert got["n_keys"] == 3
         assert got["max_n"] == 3
         assert got["top_key"] == "a"
+
+
+class TestCubeCounts:
+    def test_vs_duckdb_three_keys(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.groupagg import cube_counts
+
+        t = pa.Table.from_pydict(
+            {
+                "a": ["x", "x", "y", "y", "y", "z"],
+                "b": [1, 2, 1, 1, 2, 2],
+                "c": ["p", "p", "q", "p", "q", "q"],
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(3)
+        got = sorted(
+            (r["a"], r["b"], r["c"], r["n"])
+            for r in cube_counts(ds, ["a", "b", "c"]).take_all()
+        )
+        want = sorted(
+            duckdb.sql(
+                "SELECT COALESCE(a, 'ALL'), "
+                "COALESCE(CAST(b AS VARCHAR), 'ALL'), "
+                "COALESCE(c, 'ALL'), count(*) FROM t "
+                "GROUP BY CUBE(a, b, c)"
+            ).fetchall()
+        )
+        assert got == want
