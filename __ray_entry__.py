@@ -1477,6 +1477,26 @@ def _q_orders_rollup(sf_dir: str):
     )
 
 
+def _q_events_zscore(sf_dir: str):
+    """Per-event-type z-score of event value: one corpus pass of
+    per-batch combined integer power sums (event_type is domain-bounded,
+    so the stats broadcast back via ray.put — the corpus never
+    shuffles), one vectorized map pass. Integer-cents quantization makes
+    the distributed sums order-independent and the final double
+    expression bit-exact vs the SQL window twin."""
+    import ray.data
+
+    from ctinexus_ray.ops.relational import grouped_zscore
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    return grouped_zscore(
+        events, "event_type", "value", id_cols=["event_id"]
+    )
+
+
 def _q_orders_cube(sf_dir: str):
     """GROUP BY CUBE(year, status) counts via ops.groupagg.cube_counts:
     one corpus shuffle at the finest level; all 2^k - 1 coarser subsets
@@ -2724,6 +2744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_status_pivot": _q_orders_status_pivot,
         "orders_rollup": _q_orders_rollup,
         "orders_cube": _q_orders_cube,
+        "events_zscore": _q_events_zscore,
         "doc_dense_rank": _q_doc_dense_rank,
         "doc_ntile": _q_doc_ntile,
         "pmi_bigrams": _q_pmi_bigrams,
@@ -3456,6 +3477,19 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(o_status, 'ALL') AS o_status, count(*) AS n FROM "
             "(SELECT year(o_orderdate) AS o_year, o_orderstatus AS o_status "
             "FROM orders) GROUP BY ROLLUP(o_year, o_status)"
+        ),
+        "events_zscore": (
+            "WITH q AS (SELECT event_id, event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events), "
+            "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(SUM(vc) AS BIGINT) AS sq, "
+            "CAST(SUM(vc * vc) AS BIGINT) AS sq2 "
+            "FROM q GROUP BY event_type) "
+            "SELECT q.event_id, q.event_type, "
+            "(CAST(q.vc AS DOUBLE) - CAST(s.sq AS DOUBLE) / s.n) / "
+            "sqrt((CAST(s.sq2 AS DOUBLE) - CAST(s.sq AS DOUBLE) * "
+            "CAST(s.sq AS DOUBLE) / s.n) / s.n) AS z "
+            "FROM q JOIN s USING (event_type)"
         ),
         "orders_cube": (
             "SELECT COALESCE(CAST(o_year AS VARCHAR), 'ALL') AS o_year, "

@@ -1022,3 +1022,79 @@ def grouped_running_sum(
         .groupby("pkey")
         .map_groups(run_partition, batch_format="pandas")
     )
+
+
+def grouped_zscore(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    id_cols: list[str],
+    scale: int = 100,
+    out: str = "z",
+) -> ray.data.Dataset:
+    """Per-group z-score standardization (the feature-normalization
+    primitive): ``z = (v - mean_g) / stddev_pop_g`` with values quantized
+    to integer units (``floor(v*scale+0.5)``) so the distributed power
+    sums (n, Σv, Σv²) are order-independent and the final double
+    expression is bit-exact vs a SQL oracle writing the same expression.
+
+    Scale shape: ONE pass computes per-batch combined power sums (the
+    group column is assumed DOMAIN-BOUNDED — event types, languages,
+    shards — so the stats table is tiny and is broadcast back via
+    ``ray.put``; the corpus itself never shuffles). For
+    corpus-cardinality group keys, join the stats back with
+    ``ops.distjoin.hash_join`` instead of this broadcast path.
+
+    Groups with a single row (or constant values) have zero variance:
+    the z-score is ±inf/NaN exactly as SQL's division by zero produces —
+    callers filter such groups upstream if that matters."""
+    from ray.data.aggregate import Sum
+
+    sel = ds.select_columns([group_col, value_col, *id_cols])
+
+    def partial(batch: pa.Table):
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        vc = np.floor(v * scale + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                group_col: batch.column(group_col).to_pandas(),
+                "sq": vc,
+                "sq2": vc * vc,
+                "n": np.ones(len(vc), dtype=np.int64),
+            }
+        )
+        yield pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).sum().reset_index(),
+            preserve_index=False,
+        )
+
+    stats = (
+        sel.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Sum("sq"), Sum("sq2"), Sum("n"))
+        .take_all()
+    )  # domain-bounded rows by contract
+    mean_sd: dict = {}
+    for r in stats:
+        n = float(r["sum(n)"])
+        sq = float(r["sum(sq)"])
+        sq2 = float(r["sum(sq2)"])
+        mean = sq / n
+        sd = np.sqrt((sq2 - sq * sq / n) / n)
+        mean_sd[r[group_col]] = (mean, sd)
+    stats_ref = ray.put(mean_sd)
+
+    def zmap(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(stats_ref)
+        g = batch.column(group_col).to_pandas()
+        ms = g.map(lookup)
+        mean = np.array([m for m, _ in ms], dtype=np.float64)
+        sd = np.array([s for _, s in ms], dtype=np.float64)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        vc = np.floor(v * scale + 0.5).astype(np.int64)
+        z = (vc.astype(np.float64) - mean) / sd
+        return batch.select([*id_cols, group_col]).append_column(
+            out, pa.array(z, type=pa.float64())
+        )
+
+    return sel.map_batches(zmap, batch_format="pyarrow")

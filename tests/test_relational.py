@@ -868,3 +868,58 @@ class TestCubeCounts:
             ).fetchall()
         )
         assert got == want
+
+
+class TestGroupedZscore:
+    def test_vs_duckdb_bitexact(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.relational import grouped_zscore
+
+        rng = np.random.default_rng(7)
+        n = 400
+        t = pa.Table.from_pydict(
+            {
+                "rid": list(range(n)),
+                "g": [f"g{i % 3}" for i in range(n)],
+                "v": np.round(rng.uniform(0, 50, n), 2),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(4)
+        got = (
+            grouped_zscore(ds, "g", "v", id_cols=["rid"])
+            .to_pandas()
+            .sort_values("rid")
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            "WITH q AS (SELECT rid, g, "
+            "CAST(FLOOR(v * 100 + 0.5) AS BIGINT) AS vc FROM t), "
+            "s AS (SELECT g, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(SUM(vc) AS BIGINT) AS sq, "
+            "CAST(SUM(vc * vc) AS BIGINT) AS sq2 FROM q GROUP BY g) "
+            "SELECT q.rid, (CAST(q.vc AS DOUBLE) - "
+            "CAST(s.sq AS DOUBLE) / s.n) / "
+            "sqrt((CAST(s.sq2 AS DOUBLE) - CAST(s.sq AS DOUBLE) * "
+            "CAST(s.sq AS DOUBLE) / s.n) / s.n) AS z "
+            "FROM q JOIN s USING (g) ORDER BY rid"
+        ).df()
+        assert np.array_equal(got["z"].to_numpy(), want["z"].to_numpy())
+
+    def test_constant_group_is_nan(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.relational import grouped_zscore
+
+        t = pa.Table.from_pydict(
+            {"rid": [0, 1, 2], "g": ["a", "a", "a"], "v": [5.0, 5.0, 5.0]}
+        )
+        got = grouped_zscore(
+            ray.data.from_arrow(t), "g", "v", id_cols=["rid"]
+        ).to_pandas()
+        assert np.isnan(got["z"]).all()  # 0/0, same as the SQL expression
