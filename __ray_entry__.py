@@ -1477,6 +1477,53 @@ def _q_orders_rollup(sf_dir: str):
     )
 
 
+def _q_url_canonical_dedup(sf_dir: str):
+    """Canonical-URL keep-latest dedup (the CC re-crawl dedup step):
+    deterministic MESSY urls (case-varied scheme/host, default ports,
+    tracking params, shuffled query order, fragments) are synthesized
+    per (doc_id, source), pushed through the REAL canonicalizer
+    (ops.urlops), then reduced to one capture per canonical url (max
+    doc_id wins) with a dup count. The oracle constructs the canonical
+    form in closed form from the same (doc_id, source), so it checks the
+    parser got every messy variant right. One url-hash shuffle."""
+    from ctinexus_ray.ops.urlops import canonicalize_url_batch, keep_latest_by_key
+
+    docs = _docs(sf_dir, ["doc_id", "source"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        urls = []
+        for d, s in zip(ids, srcs):
+            scheme = "HTTPS" if d % 3 == 0 else "https"
+            host = (
+                f"WWW.{s}.Example.COM" if d % 2 == 0 else f"www.{s}.example.com"
+            )
+            port = ":443" if d % 5 == 0 else ""
+            path = f"/Articles/{d % 50}"
+            v = d % 4
+            if v == 0:
+                q = f"?utm_source=feed&ref={d % 3}"
+            elif v == 1:
+                q = f"?ref={d % 3}&utm_campaign=x"
+            elif v == 2:
+                q = "?b=2&a=1"
+            else:
+                q = ""
+            frag = "#sec" if d % 7 == 0 else ""
+            urls.append(f"{scheme}://{host}{port}{path}{q}{frag}")
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "url": pa.array(urls, type=pa.string()),
+            }
+        )
+
+    messy = docs.map_batches(synth, batch_format="pyarrow")
+    canon = messy.map_batches(canonicalize_url_batch, batch_format="pyarrow")
+    return keep_latest_by_key(canon, "url", ["doc_id"])
+
+
 def _q_events_zscore(sf_dir: str):
     """Per-event-type z-score of event value: one corpus pass of
     per-batch combined integer power sums (event_type is domain-bounded,
@@ -2745,6 +2792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _q_orders_rollup,
         "orders_cube": _q_orders_cube,
         "events_zscore": _q_events_zscore,
+        "url_canonical_dedup": _q_url_canonical_dedup,
         "doc_dense_rank": _q_doc_dense_rank,
         "doc_ntile": _q_doc_ntile,
         "pmi_bigrams": _q_pmi_bigrams,
@@ -3477,6 +3525,17 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(o_status, 'ALL') AS o_status, count(*) AS n FROM "
             "(SELECT year(o_orderdate) AS o_year, o_orderstatus AS o_status "
             "FROM orders) GROUP BY ROLLUP(o_year, o_status)"
+        ),
+        "url_canonical_dedup": (
+            "WITH raw AS (SELECT doc_id, "
+            "'https://www.' || source || '.example.com/Articles/' || "
+            "CAST(doc_id % 50 AS VARCHAR) || "
+            "CASE CAST(doc_id % 4 AS INTEGER) "
+            "WHEN 0 THEN '?ref=' || CAST(doc_id % 3 AS VARCHAR) "
+            "WHEN 1 THEN '?ref=' || CAST(doc_id % 3 AS VARCHAR) "
+            "WHEN 2 THEN '?a=1&b=2' ELSE '' END AS url FROM documents) "
+            "SELECT url, MAX(doc_id) AS doc_id, "
+            "CAST(count(*) AS BIGINT) AS n_dups FROM raw GROUP BY url"
         ),
         "events_zscore": (
             "WITH q AS (SELECT event_id, event_type, "
