@@ -1477,6 +1477,17 @@ def _q_orders_rollup(sf_dir: str):
     )
 
 
+def _q_kn_bigram_lm(sf_dir: str):
+    """Interpolated Kneser-Ney bigram LM fluency score per document:
+    one bigram-vocabulary-sized count reduce, derived KN statistics on
+    the driver, broadcast lookup scoring pass (no corpus shuffle).
+    Integer micro-nat quantization keeps the per-doc sums bit-exact vs
+    the SQL twin."""
+    from ctinexus_ray.ops.textstats import kn_bigram_scores
+
+    return kn_bigram_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def _q_url_canonical_dedup(sf_dir: str):
     """Canonical-URL keep-latest dedup (the CC re-crawl dedup step):
     deterministic MESSY urls (case-varied scheme/host, default ports,
@@ -2793,6 +2804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cube": _q_orders_cube,
         "events_zscore": _q_events_zscore,
         "url_canonical_dedup": _q_url_canonical_dedup,
+        "kn_bigram_lm": _q_kn_bigram_lm,
         "doc_dense_rank": _q_doc_dense_rank,
         "doc_ntile": _q_doc_ntile,
         "pmi_bigrams": _q_pmi_bigrams,
@@ -3525,6 +3537,33 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(o_status, 'ALL') AS o_status, count(*) AS n FROM "
             "(SELECT year(o_orderdate) AS o_year, o_orderstatus AS o_status "
             "FROM orders) GROUP BY ROLLUP(o_year, o_status)"
+        ),
+        "kn_bigram_lm": (
+            "WITH toks AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS a FROM documents), "
+            "bg AS (SELECT doc_id, a[i] AS w1, a[i + 1] AS w2 FROM toks "
+            "CROSS JOIN LATERAL (SELECT unnest("
+            "generate_series(1, len(a) - 1)) AS i) t), "
+            "c AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c "
+            "FROM bg GROUP BY w1, w2), "
+            "ct AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS ctot, "
+            "CAST(count(*) AS BIGINT) AS n1f FROM c GROUP BY w1), "
+            "cb AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b "
+            "FROM c GROUP BY w2), "
+            "b AS (SELECT CAST(count(*) AS BIGINT) AS btypes FROM c), "
+            "lp AS (SELECT c.w1, c.w2, CAST(FLOOR(ln("
+            "(CAST(c.c AS DOUBLE) - 0.75 + 0.75 * ct.n1f * "
+            "(CAST(cb.n1b AS DOUBLE) / b.btypes)) / ct.ctot) "
+            "* 1000000 + 0.5) AS BIGINT) AS u "
+            "FROM c JOIN ct USING (w1) JOIN cb USING (w2) CROSS JOIN b), "
+            "d AS (SELECT bg.doc_id, "
+            "CAST(SUM(lp.u) AS BIGINT) AS kn_score_u, "
+            "CAST(count(*) AS BIGINT) AS n_bigrams FROM bg "
+            "JOIN lp ON bg.w1 = lp.w1 AND bg.w2 = lp.w2 "
+            "GROUP BY bg.doc_id) "
+            "SELECT doc_id, n_bigrams, kn_score_u, "
+            "CAST(kn_score_u AS DOUBLE) / 1000000 / n_bigrams AS kn_score "
+            "FROM d"
         ),
         "url_canonical_dedup": (
             "WITH raw AS (SELECT doc_id, "

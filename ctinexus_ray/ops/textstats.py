@@ -1079,3 +1079,115 @@ def dsir_scores(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+def kn_bigram_scores(
+    docs: "ray.data.Dataset", discount: float = 0.75
+) -> "ray.data.Dataset":
+    """Per-document interpolated Kneser-Ney BIGRAM language-model score —
+    the next step up from ``unigram_lm_scores`` toward the KenLM-style
+    fluency filters CCNet uses:
+
+        P(w2|w1) = (C(w1,w2) - D + D * N1+(w1.) * Pcont(w2)) / C(w1.)
+        Pcont(w2) = N1+(.w2) / |distinct bigram types|
+
+    (no max(.,0) clamp needed: the model is trained on the corpus it
+    scores, so every scored bigram has C >= 1 > D).
+
+    Scale shape: ONE bigram-explode pass with per-batch combine (moved
+    data is bigram-vocabulary-sized, not corpus-sized); the count table
+    is collected once on the driver, where the context totals /
+    continuation counts / type count all derive locally, and the
+    (bigram -> micro-nat log-prob) table broadcasts via ``ray.put``;
+    scoring is a pure lookup pass, NO corpus shuffle. At 100 TB the
+    bigram vocabulary may exceed a broadcast — the documented fallback
+    is thresholding rare bigrams into an OOV class (count < k) exactly
+    as for the unigram LM, or keeping counts distributed and scoring
+    via two hash joins on (w1, w2).
+
+    Log-probs quantize to integer MICRO-NATS before the per-doc sum
+    (order-independent BIGINT sum; the mean is one double division of
+    exact integers — hash-stable vs the SQL oracle writing the identical
+    IEEE expression). Docs with < 2 tokens have no bigrams and emit no
+    row (matching the SQL per-doc GROUP BY). Output: (doc_id,
+    n_bigrams, kn_score_u, kn_score)."""
+    import math
+
+    import ray as _ray
+
+    freq = (
+        docs.map_batches(bigram_explode_batch, batch_format="pyarrow")
+        .groupby("bigram")
+        .sum("n")
+    )
+    counts: dict[str, int] = {}
+    for batch in freq.iter_batches(batch_format="pyarrow"):
+        counts.update(
+            zip(
+                batch.column("bigram").to_pylist(),
+                batch.column("sum(n)").to_pylist(),
+            )
+        )
+    ctot: dict[str, int] = {}
+    n1f: dict[str, int] = {}
+    n1b: dict[str, int] = {}
+    for bg, c in counts.items():
+        w1, _, w2 = bg.partition(" ")
+        ctot[w1] = ctot.get(w1, 0) + c
+        n1f[w1] = n1f.get(w1, 0) + 1
+        n1b[w2] = n1b.get(w2, 0) + 1
+    btypes = len(counts)
+    logp = {
+        bg: math.floor(
+            math.log(
+                (
+                    c
+                    - discount
+                    + discount
+                    * n1f[(w := bg.partition(" "))[0]]
+                    * (n1b[w[2]] / btypes)
+                )
+                / ctot[w[0]]
+            )
+            * 1e6
+            + 0.5
+        )
+        for bg, c in counts.items()
+    }
+    logp_ref = _ray.put(logp)
+
+    class KnScoreStage:
+        def __init__(self, logp_ref):
+            self.logp = _ray.get(logp_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, ns, usums = [], [], []
+            lp = self.logp
+            for doc_id, t in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                toks = _tokens(t or "")
+                if len(toks) < 2:
+                    continue
+                ids.append(doc_id)
+                ns.append(len(toks) - 1)
+                usums.append(
+                    sum(lp[f"{a} {b}"] for a, b in zip(toks, toks[1:]))
+                )
+            scores = [u / 1e6 / n for u, n in zip(usums, ns)]
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "n_bigrams": pa.array(ns, type=pa.int64()),
+                    "kn_score_u": pa.array(usums, type=pa.int64()),
+                    "kn_score": pa.array(scores, type=pa.float64()),
+                }
+            )
+
+    return docs.map_batches(
+        KnScoreStage,
+        fn_constructor_kwargs={"logp_ref": logp_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

@@ -1221,3 +1221,87 @@ class TestParagraphDedup:
             for r in paragraph_dedup(ds, words_per_chunk=3).take_all()
         }
         assert rows == {5: (1, "")}
+
+
+class TestKnBigramLM:
+    def test_probabilities_normalize_per_context(self, ray_session):
+        """Interpolated KN is a proper distribution: for every context w1,
+        sum over the OBSERVED continuations of (C-D)/Ctot plus the
+        reserved mass D*N1f/Ctot (spread over Pcont, which sums to 1 over
+        the full vocab) must equal 1 when summed over all bigram types
+        with that context -- check the reserved-mass identity directly
+        from the broadcast table the op builds."""
+        import math
+        from collections import Counter
+
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.textstats import (
+            _tokens,
+            kn_bigram_scores,
+        )
+
+        texts = [
+            "the cat sat on the mat",
+            "the cat ate the fish",
+            "a dog sat on a log",
+            "the dog ate a bone",
+        ]
+        t = pa.Table.from_pydict(
+            {"doc_id": list(range(len(texts))), "text": texts}
+        )
+        ds = ray.data.from_arrow(t).repartition(2)
+        got = {
+            r["doc_id"]: r for r in kn_bigram_scores(ds).take_all()
+        }
+        # independent reference: pure-python KN over the same corpus
+        D = 0.75
+        bg = Counter()
+        for txt in texts:
+            toks = _tokens(txt)
+            bg.update(zip(toks, toks[1:]))
+        ctot, n1f, n1b = Counter(), Counter(), Counter()
+        for (w1, w2), c in bg.items():
+            ctot[w1] += c
+            n1f[w1] += 1
+            n1b[w2] += 1
+        B = len(bg)
+        for i, txt in enumerate(texts):
+            toks = _tokens(txt)
+            u = sum(
+                math.floor(
+                    math.log(
+                        (bg[(a, b)] - D + D * n1f[a] * (n1b[b] / B))
+                        / ctot[a]
+                    )
+                    * 1e6
+                    + 0.5
+                )
+                for a, b in zip(toks, toks[1:])
+            )
+            assert got[i]["kn_score_u"] == u
+            assert got[i]["n_bigrams"] == len(toks) - 1
+        # distribution check: per context the total prob over the full
+        # vocabulary is 1 (observed mass + reserved mass * sum(Pcont)=1)
+        vocab = set(n1b)
+        for w1 in ctot:
+            total = sum(
+                (bg.get((w1, w2), 0) - D if (w1, w2) in bg else 0.0)
+                / ctot[w1]
+                + D * n1f[w1] / ctot[w1] * (n1b[w2] / B)
+                for w2 in vocab
+            )
+            assert abs(total - 1.0) < 1e-9
+
+    def test_short_docs_emit_no_row(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        t = pa.Table.from_pydict(
+            {"doc_id": [0, 1, 2], "text": ["one two three", "solo", ""]}
+        )
+        from ctinexus_ray.ops.textstats import kn_bigram_scores
+
+        rows = kn_bigram_scores(ray.data.from_arrow(t)).take_all()
+        assert sorted(r["doc_id"] for r in rows) == [0]
