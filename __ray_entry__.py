@@ -1477,6 +1477,53 @@ def _q_orders_rollup(sf_dir: str):
     )
 
 
+def _q_crawl_delta(sf_dir: str):
+    """Incremental crawl delta: two synthetic snapshots of the corpus
+    (docs present per doc_id modulus; a slice of texts mutated in the
+    new crawl) are reduced to (key, md5-of-payload) and diffed with ONE
+    full-outer hash join + vectorized classify — emitting only
+    added/removed/changed keys, the fraction a 100-TB incremental run
+    actually reprocesses."""
+    import hashlib
+
+    from ctinexus_ray.ops.distjoin import snapshot_delta
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def snap(batch: pa.Table, *, old: bool) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_ids, fps = [], []
+        for d, t in zip(ids, texts):
+            t = t or ""
+            if old:
+                if d % 7 == 0:
+                    continue
+            else:
+                if d % 5 == 0:
+                    continue
+                if d % 11 == 0:
+                    t = t + "!"
+            out_ids.append(d)
+            fps.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "fp": pa.array(fps, type=pa.string()),
+            }
+        )
+
+    import functools
+
+    old = docs.map_batches(
+        functools.partial(snap, old=True), batch_format="pyarrow"
+    )
+    new = docs.map_batches(
+        functools.partial(snap, old=False), batch_format="pyarrow"
+    )
+    return snapshot_delta(old, new, "doc_id", "fp")
+
+
 def _q_kn_bigram_lm(sf_dir: str):
     """Interpolated Kneser-Ney bigram LM fluency score per document:
     one bigram-vocabulary-sized count reduce, derived KN statistics on
@@ -2805,6 +2852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": _q_events_zscore,
         "url_canonical_dedup": _q_url_canonical_dedup,
         "kn_bigram_lm": _q_kn_bigram_lm,
+        "crawl_delta": _q_crawl_delta,
         "doc_dense_rank": _q_doc_dense_rank,
         "doc_ntile": _q_doc_ntile,
         "pmi_bigrams": _q_pmi_bigrams,
@@ -3537,6 +3585,19 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(o_status, 'ALL') AS o_status, count(*) AS n FROM "
             "(SELECT year(o_orderdate) AS o_year, o_orderstatus AS o_status "
             "FROM orders) GROUP BY ROLLUP(o_year, o_status)"
+        ),
+        "crawl_delta": (
+            "WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents "
+            "WHERE doc_id % 7 <> 0), "
+            "n AS (SELECT doc_id, md5(text || CASE WHEN doc_id % 11 = 0 "
+            "THEN '!' ELSE '' END) AS fp FROM documents "
+            "WHERE doc_id % 5 <> 0) "
+            "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "WHEN n.doc_id IS NULL THEN 'removed' "
+            "ELSE 'changed' END AS status "
+            "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id "
+            "WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.fp <> n.fp"
         ),
         "kn_bigram_lm": (
             "WITH toks AS (SELECT doc_id, "

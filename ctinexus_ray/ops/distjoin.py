@@ -719,3 +719,83 @@ def bloom_prefiltered_join(
         left_types=left_types,
         right_types=right_types,
     )
+
+
+def snapshot_delta(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    key: str,
+    fingerprint: str,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Crawl-to-crawl incremental delta: classify every key as ``added``
+    (in new only), ``removed`` (in old only) or ``changed`` (in both,
+    fingerprints differ). UNCHANGED keys are dropped — the point at
+    100 TB is that downstream stages reprocess only the delta, which is
+    typically a small fraction of the snapshot.
+
+    Shape: ONE full-outer hash join on the key (both sides corpus-sized
+    stream through the shuffle; no driver state), then a vectorized
+    classify/filter pass. Inputs need only (key, fingerprint) columns —
+    fingerprint is any content hash (e.g. md5 of the payload) computed
+    upstream so the join never moves payload bytes."""
+
+    def tag(ds: ray.data.Dataset, out: str) -> ray.data.Dataset:
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [batch.column(key), batch.column(fingerprint)],
+                names=[key, out],
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    # resolve the key type from whichever side knows its schema so a
+    # fully EMPTY side (first crawl: no old snapshot) still joins —
+    # schema inference over an empty mapped dataset returns None
+    ktype = None
+    for side in (old, new):
+        schema = side.schema(fetch_if_missing=True)
+        if schema is not None and key in schema.names:
+            ktype = _arrow_type(schema.types[schema.names.index(key)])
+            break
+    if ktype is None:
+        raise ValueError("both snapshots are empty — nothing to diff")
+
+    joined = hash_join(
+        tag(old, "fp_old"),
+        tag(new, "fp_new"),
+        on=[key],
+        how="full",
+        num_partitions=num_partitions,
+        left_types={key: ktype, "fp_old": pa.string()},
+        right_types={key: ktype, "fp_new": pa.string()},
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        fo = batch.column("fp_old")
+        fn_ = batch.column("fp_new")
+        added = pc.is_null(fo)
+        removed = pc.is_null(fn_)
+        changed = pc.and_kleene(
+            pc.and_(pc.is_valid(fo), pc.is_valid(fn_)),
+            pc.not_equal(fo, fn_),
+        )
+        changed = pc.fill_null(changed, False)
+        keep = pc.or_(pc.or_(added, removed), changed)
+        status = pc.if_else(
+            added,
+            pa.scalar("added", type=pa.string()),
+            pc.if_else(
+                removed,
+                pa.scalar("removed", type=pa.string()),
+                pa.scalar("changed", type=pa.string()),
+            ),
+        )
+        out = pa.Table.from_arrays(
+            [batch.column(key), status], names=[key, "status"]
+        )
+        return out.filter(keep)
+
+    return joined.map_batches(classify, batch_format="pyarrow")

@@ -361,3 +361,46 @@ class TestDerivedPartitionCount:
         assert sorted(map(dict, derived), key=key) == sorted(
             map(dict, explicit), key=key
         )
+
+
+class TestSnapshotDelta:
+    def test_classification(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.distjoin import snapshot_delta
+
+        old = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"k": [1, 2, 3, 4], "fp": ["a", "b", "c", "d"]}
+            )
+        ).repartition(2)
+        new = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"k": [2, 3, 4, 5], "fp": ["b", "X", "d", "e"]}
+            )
+        ).repartition(2)
+        got = {
+            r["k"]: r["status"]
+            for r in snapshot_delta(old, new, "k", "fp").take_all()
+        }
+        # k=2 and k=4 unchanged -> dropped; 1 removed; 3 changed; 5 added
+        assert got == {1: "removed", 3: "changed", 5: "added"}
+
+    def test_empty_sides(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.distjoin import snapshot_delta
+
+        empty = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"k": pa.array([], type=pa.int64()),
+                 "fp": pa.array([], type=pa.string())}
+            )
+        )
+        new = ray.data.from_arrow(
+            pa.Table.from_pydict({"k": [9], "fp": ["z"]})
+        )
+        rows = snapshot_delta(empty, new, "k", "fp").take_all()
+        assert [(r["k"], r["status"]) for r in rows] == [(9, "added")]
