@@ -271,3 +271,53 @@ class TestCompactJob:
         buckets = cj.plan_buckets(files, target_bytes=one_size * 2)
         assert len(buckets) == 2
         assert [len(b) for b in buckets] == [2, 2]
+
+
+class TestProfileJob:
+    def test_profile_totals_and_resume(self, ray_session, tmp_path):
+        import json
+        import shutil
+
+        import duckdb
+
+        import jobs.profile_job as pj
+
+        src = "/root/testdata/sf0.001/documents.parquet"
+        corpus = tmp_path / "corpus"
+        corpus.mkdir()
+        shutil.copy(src, corpus / "documents.parquet")
+        out = tmp_path / "profile"
+
+        report = pj.run_profile(str(corpus), str(out))
+        want = duckdb.sql(
+            f"SELECT count(*), SUM(length(text)), "
+            f"count(DISTINCT text), count(DISTINCT lang) "
+            f"FROM read_parquet('{src}')"
+        ).fetchone()
+        assert report["n_docs"] == want[0]
+        assert report["total_chars"] == want[1]
+        # HLL at p=14 on a few hundred texts: well within 2%
+        assert abs(report["approx_distinct_texts"] - want[2]) <= max(
+            2, 0.02 * want[2]
+        )
+        assert report["langs"] == want[3]
+        assert (out / "lang_counts.parquet").exists()
+        assert (out / "length_histogram.parquet").exists()
+        # per-lang parquet sums back to the totals
+        lang_sum = duckdb.sql(
+            f"SELECT SUM(n_docs), SUM(chars) FROM "
+            f"read_parquet('{out}/lang_counts.parquet')"
+        ).fetchone()
+        assert lang_sum == (report["n_docs"], report["total_chars"])
+        hist_sum = duckdb.sql(
+            f"SELECT SUM(n_docs) FROM "
+            f"read_parquet('{out}/length_histogram.parquet')"
+        ).fetchone()[0]
+        assert hist_sum == report["n_docs"]
+
+        rerun = pj.run_profile(str(corpus), str(out))
+        assert rerun["skipped"] is True
+        assert rerun["n_docs"] == report["n_docs"]
+
+        report_json = json.loads((out / "profile.json").read_text())
+        assert report_json["n_docs"] == report["n_docs"]
