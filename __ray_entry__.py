@@ -1477,6 +1477,41 @@ def _q_orders_rollup(sf_dir: str):
     )
 
 
+def _q_events_zorder(sf_dir: str):
+    """Z-order (Morton) layout key over (user_id, floor(value)): the
+    data-layout transform that co-locates rows close in BOTH dimensions
+    so parquet min/max stats prune two-dimensional scan predicates. The
+    key is a vectorized bit-interleave; the layout sort is Ray Data's
+    range-partitioned sort. Oracle: the identical interleave written as
+    a shift/mask CTE chain."""
+    import ray.data
+
+    from ctinexus_ray.ops.shards import zorder_layout
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def buckets(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "event_id": batch.column("event_id"),
+                "a": batch.column("user_id"),
+                "b": pa.array(
+                    np.floor(v).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    laid_out = zorder_layout(
+        events.map_batches(buckets, batch_format="pyarrow"), "a", "b"
+    )
+    return laid_out.select_columns(["event_id", "zval"])
+
+
 def _q_crawl_delta(sf_dir: str):
     """Incremental crawl delta: two synthetic snapshots of the corpus
     (docs present per doc_id modulus; a slice of texts mutated in the
@@ -2853,6 +2888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonical_dedup": _q_url_canonical_dedup,
         "kn_bigram_lm": _q_kn_bigram_lm,
         "crawl_delta": _q_crawl_delta,
+        "events_zorder": _q_events_zorder,
         "doc_dense_rank": _q_doc_dense_rank,
         "doc_ntile": _q_doc_ntile,
         "pmi_bigrams": _q_pmi_bigrams,
@@ -3585,6 +3621,19 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(o_status, 'ALL') AS o_status, count(*) AS n FROM "
             "(SELECT year(o_orderdate) AS o_year, o_orderstatus AS o_status "
             "FROM orders) GROUP BY ROLLUP(o_year, o_status)"
+        ),
+        "events_zorder": (
+            "WITH s0 AS (SELECT event_id, user_id & 65535 AS a, "
+            "CAST(FLOOR(value) AS BIGINT) & 65535 AS b FROM events), "
+            "s1 AS (SELECT event_id, (a | (a << 8)) & 16711935 AS a, "
+            "(b | (b << 8)) & 16711935 AS b FROM s0), "
+            "s2 AS (SELECT event_id, (a | (a << 4)) & 252645135 AS a, "
+            "(b | (b << 4)) & 252645135 AS b FROM s1), "
+            "s3 AS (SELECT event_id, (a | (a << 2)) & 858993459 AS a, "
+            "(b | (b << 2)) & 858993459 AS b FROM s2), "
+            "s4 AS (SELECT event_id, (a | (a << 1)) & 1431655765 AS a, "
+            "(b | (b << 1)) & 1431655765 AS b FROM s3) "
+            "SELECT event_id, a | (b << 1) AS zval FROM s4"
         ),
         "crawl_delta": (
             "WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents "

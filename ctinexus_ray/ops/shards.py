@@ -24,6 +24,7 @@ in-partition vectorized cumsum. The driver touches only the P partials
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -559,3 +560,57 @@ def weighted_sample_k(
         .repartition(1)
         .map_batches(final_cut, batch_format="pyarrow", batch_size=None)
     )
+
+
+# --- Z-order (Morton) layout -------------------------------------------------
+
+_ZSPREAD_STEPS = (
+    (8, np.uint64(0x00FF00FF)),
+    (4, np.uint64(0x0F0F0F0F)),
+    (2, np.uint64(0x33333333)),
+    (1, np.uint64(0x55555555)),
+)
+
+
+def _zspread16(x: np.ndarray) -> np.ndarray:
+    """Spread each value's low 16 bits to the even bit positions of a
+    uint64 (Morton interleave half), fully vectorized."""
+    x = x.astype(np.uint64) & np.uint64(0xFFFF)
+    for shift, mask in _ZSPREAD_STEPS:
+        x = (x | (x << np.uint64(shift))) & mask
+    return x
+
+
+def zorder_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Morton/Z-order value interleaving the low 16 bits of two integer
+    columns (a gets the even bits, b the odd): int64 in [0, 2^32)."""
+    return (_zspread16(a) | (_zspread16(b) << np.uint64(1))).astype(np.int64)
+
+
+def zorder_layout(
+    ds: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+    out: str = "zval",
+) -> ray.data.Dataset:
+    """Data-layout op: append the Z-order key of (col_a, col_b) and SORT
+    the dataset by it, so rows close in BOTH dimensions land in the same
+    blocks/files. At 100 TB this is what makes two-dimensional scan
+    predicates (lang x length, domain x time) prune row groups instead
+    of reading everything: after ``write_parquet`` of the sorted stream,
+    each file covers a small rectangle of the key space, and parquet
+    min/max stats on the plain columns stay tight.
+
+    The sort is the one wide operation (Ray Data range-partitions by
+    sampled boundaries); the key itself is a vectorized bit-interleave.
+    Columns must be non-negative integers; only the low 16 bits of each
+    participate (mask wider domains into buckets upstream)."""
+
+    def add_z(batch: pa.Table) -> pa.Table:
+        a = batch.column(col_a).to_numpy(zero_copy_only=False)
+        b = batch.column(col_b).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            out, pa.array(zorder_key(a, b), type=pa.int64())
+        )
+
+    return ds.map_batches(add_z, batch_format="pyarrow").sort(out)

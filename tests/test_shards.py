@@ -218,3 +218,64 @@ class TestDecontaminate:
         train = ray.data.from_items([{"doc_id": 1, "text": "a b c d e f g h"}])
         got = decontaminate(train, bench, n=8).take_all()
         assert got == [{"doc_id": 1, "contaminated": False}]
+
+
+class TestZorder:
+    def test_known_values(self):
+        import numpy as np
+
+        from ctinexus_ray.ops.shards import zorder_key
+
+        a = np.array([0, 1, 0, 1, 2, 0, 65535])
+        b = np.array([0, 0, 1, 1, 0, 2, 65535])
+        assert zorder_key(a, b).tolist() == [0, 1, 2, 3, 4, 8, 2**32 - 1]
+
+    def test_matches_bitwise_reference(self):
+        import numpy as np
+
+        from ctinexus_ray.ops.shards import zorder_key
+
+        rng = np.random.default_rng(3)
+        a = rng.integers(0, 65536, 200)
+        b = rng.integers(0, 65536, 200)
+
+        def ref(x, y):
+            z = 0
+            for i in range(16):
+                z |= ((x >> i) & 1) << (2 * i)
+                z |= ((y >> i) & 1) << (2 * i + 1)
+            return z
+
+        want = [ref(int(x), int(y)) for x, y in zip(a, b)]
+        assert zorder_key(a, b).tolist() == want
+
+    def test_layout_sorts_and_clusters(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.shards import zorder_layout
+
+        rng = np.random.default_rng(5)
+        n = 2000
+        t = pa.Table.from_pydict(
+            {
+                "a": rng.integers(0, 256, n),
+                "b": rng.integers(0, 256, n),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(8)
+        rows = zorder_layout(ds, "a", "b").take_all()
+        zs = [r["zval"] for r in rows]
+        assert zs == sorted(zs)
+        # locality: mean L1 jump between consecutive rows in (a, b) space
+        # must beat the random-order baseline by a wide margin
+        aa = np.array([r["a"] for r in rows], dtype=np.int64)
+        bb = np.array([r["b"] for r in rows], dtype=np.int64)
+        jump = np.abs(np.diff(aa)).mean() + np.abs(np.diff(bb)).mean()
+        perm = rng.permutation(n)
+        rand_jump = (
+            np.abs(np.diff(aa[perm])).mean()
+            + np.abs(np.diff(bb[perm])).mean()
+        )
+        assert jump < rand_jump / 3
