@@ -1477,6 +1477,20 @@ def _q_orders_rollup(sf_dir: str):
     )
 
 
+def _q_event_type_pairs(sf_dir: str):
+    """Market-basket co-occurrence over per-user event-type baskets
+    ("users who did X also did Y"): one user-hash shuffle generates each
+    basket's pairs vectorized, one pair-cardinality count reduce."""
+    import ray.data
+
+    from ctinexus_ray.ops.relational import basket_pairs
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return basket_pairs(events, "user_id", "event_type")
+
+
 def _q_events_zorder(sf_dir: str):
     """Z-order (Morton) layout key over (user_id, floor(value)): the
     data-layout transform that co-locates rows close in BOTH dimensions
@@ -2889,6 +2903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kn_bigram_lm": _q_kn_bigram_lm,
         "crawl_delta": _q_crawl_delta,
         "events_zorder": _q_events_zorder,
+        "event_type_pairs": _q_event_type_pairs,
         "doc_dense_rank": _q_doc_dense_rank,
         "doc_ntile": _q_doc_ntile,
         "pmi_bigrams": _q_pmi_bigrams,
@@ -3621,6 +3636,13 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(o_status, 'ALL') AS o_status, count(*) AS n FROM "
             "(SELECT year(o_orderdate) AS o_year, o_orderstatus AS o_status "
             "FROM orders) GROUP BY ROLLUP(o_year, o_status)"
+        ),
+        "event_type_pairs": (
+            "WITH d AS (SELECT DISTINCT user_id, event_type FROM events) "
+            "SELECT a.event_type AS t1, b.event_type AS t2, "
+            "CAST(count(*) AS BIGINT) AS support "
+            "FROM d a JOIN d b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type GROUP BY t1, t2"
         ),
         "events_zorder": (
             "WITH s0 AS (SELECT event_id, user_id & 65535 AS a, "

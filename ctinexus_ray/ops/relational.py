@@ -1098,3 +1098,77 @@ def grouped_zscore(
         )
 
     return sel.map_batches(zmap, batch_format="pyarrow")
+
+
+def basket_pairs(
+    ds: ray.data.Dataset,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 1,
+    max_basket: int | None = None,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Market-basket co-occurrence: support counts for every unordered
+    item pair appearing together in at least one basket (the frequent-
+    itemset / "users who did X also did Y" primitive). Output
+    (t1, t2, support) with t1 < t2 and support >= min_support.
+
+    Scale shape: ONE basket-hash shuffle; per partition a vectorized
+    dedup + self-merge generates each basket's pairs, then one
+    pair-cardinality count reduce. A basket with k distinct items emits
+    k*(k-1)/2 pairs — at web scale a single hot basket (a bot user
+    touching every item) explodes quadratically, so ``max_basket``
+    RAISES (never silently drops) when a basket exceeds it; pre-cap
+    baskets upstream with an explicit sample if that fires."""
+    from ctinexus_ray.ops.groupagg import (
+        add_hash_pkey,
+        derive_num_partitions,
+        partitioned_agg,
+    )
+
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(ds)
+    assert num_partitions & (num_partitions - 1) == 0, "power of two"
+
+    sel = ds.select_columns([basket_col, item_col])
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        return add_hash_pkey(batch, [basket_col], num_partitions)
+
+    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[[basket_col, item_col]].drop_duplicates()
+        if max_basket is not None:
+            sizes = g.groupby(basket_col, sort=False)[item_col].transform(
+                "size"
+            )
+            if (sizes > max_basket).any():
+                worst = g.loc[sizes.idxmax(), basket_col]
+                raise ValueError(
+                    f"basket {worst!r} has {int(sizes.max())} distinct items"
+                    f" > max_basket={max_basket}; cap baskets upstream"
+                )
+        m = g.merge(g, on=basket_col, suffixes=("_1", "_2"))
+        m = m[m[f"{item_col}_1"] < m[f"{item_col}_2"]]
+        return m.rename(
+            columns={f"{item_col}_1": "t1", f"{item_col}_2": "t2"}
+        )[["t1", "t2"]]
+
+    pair_rows = (
+        sel.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(pairs_partition, batch_format="pandas")
+    )
+    counts = partitioned_agg(
+        pair_rows,
+        keys=["t1", "t2"],
+        named_aggs={"support": ("t1", "size")},
+    )
+    if min_support > 1:
+
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.greater_equal(batch.column("support"), min_support)
+            )
+
+        counts = counts.map_batches(keep, batch_format="pyarrow")
+    return counts

@@ -923,3 +923,52 @@ class TestGroupedZscore:
             ray.data.from_arrow(t), "g", "v", id_cols=["rid"]
         ).to_pandas()
         assert np.isnan(got["z"]).all()  # 0/0, same as the SQL expression
+
+
+class TestBasketPairs:
+    def test_vs_duckdb_with_min_support(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.relational import basket_pairs
+
+        rng = np.random.default_rng(9)
+        n = 500
+        t = pa.Table.from_pydict(
+            {
+                "basket": rng.integers(0, 60, n),
+                "item": [f"i{int(x)}" for x in rng.integers(0, 8, n)],
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(4)
+        got = sorted(
+            (r["t1"], r["t2"], r["support"])
+            for r in basket_pairs(
+                ds, "basket", "item", min_support=3
+            ).take_all()
+        )
+        want = sorted(
+            duckdb.sql(
+                "WITH d AS (SELECT DISTINCT basket, item FROM t) "
+                "SELECT a.item, b.item, count(*) FROM d a JOIN d b "
+                "ON a.basket = b.basket AND a.item < b.item "
+                "GROUP BY 1, 2 HAVING count(*) >= 3"
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_max_basket_raises(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        from ctinexus_ray.ops.relational import basket_pairs
+
+        t = pa.Table.from_pydict(
+            {"basket": [1] * 5, "item": ["a", "b", "c", "d", "e"]}
+        )
+        ds = ray.data.from_arrow(t)
+        with pytest.raises(Exception, match="max_basket"):
+            basket_pairs(ds, "basket", "item", max_basket=3).take_all()
