@@ -1477,6 +1477,17 @@ def _q_orders_rollup(sf_dir: str):
     )
 
 
+def _q_lang_len_drift(sf_dir: str):
+    """Exact two-sample KS distance between the doc-length distributions
+    of two language slices (the corpus-drift monitor): one value-domain
+    count reduce, integer sup statistic, single final division."""
+    from ctinexus_ray.ops.relational import ks_drift
+
+    return ks_drift(
+        _docs(sf_dir, ["lang", "n_chars"]), "lang", "n_chars", "en", "de"
+    )
+
+
 def _q_event_type_pairs(sf_dir: str):
     """Market-basket co-occurrence over per-user event-type baskets
     ("users who did X also did Y"): one user-hash shuffle generates each
@@ -2904,6 +2915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_delta": _q_crawl_delta,
         "events_zorder": _q_events_zorder,
         "event_type_pairs": _q_event_type_pairs,
+        "lang_len_drift": _q_lang_len_drift,
         "doc_dense_rank": _q_doc_dense_rank,
         "doc_ntile": _q_doc_ntile,
         "pmi_bigrams": _q_pmi_bigrams,
@@ -3636,6 +3648,22 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(o_status, 'ALL') AS o_status, count(*) AS n FROM "
             "(SELECT year(o_orderdate) AS o_year, o_orderstatus AS o_status "
             "FROM orders) GROUP BY ROLLUP(o_year, o_status)"
+        ),
+        "lang_len_drift": (
+            "WITH f AS (SELECT lang AS g, n_chars AS v FROM documents "
+            "WHERE lang IN ('en', 'de')), "
+            "c AS (SELECT v, SUM(CASE WHEN g = 'en' THEN 1 ELSE 0 END) "
+            "AS c1, SUM(CASE WHEN g = 'de' THEN 1 ELSE 0 END) AS c2 "
+            "FROM f GROUP BY v), "
+            "w AS (SELECT v, CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) "
+            "AS cum1, CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS cum2 "
+            "FROM c), "
+            "t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, "
+            "CAST(SUM(c2) AS BIGINT) AS n2 FROM c) "
+            "SELECT t.n1, t.n2, "
+            "CAST(MAX(ABS(cum1 * t.n2 - cum2 * t.n1)) AS DOUBLE) / "
+            "CAST(t.n1 * t.n2 AS DOUBLE) AS ks "
+            "FROM w, t GROUP BY t.n1, t.n2"
         ),
         "event_type_pairs": (
             "WITH d AS (SELECT DISTINCT user_id, event_type FROM events) "

@@ -1172,3 +1172,63 @@ def basket_pairs(
 
         counts = counts.map_batches(keep, batch_format="pyarrow")
     return counts
+
+
+def ks_drift(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    g1,
+    g2,
+) -> pa.Table:
+    """EXACT two-sample Kolmogorov-Smirnov distance between the
+    ``value_col`` distributions of two slices (drift detection between
+    crawls / languages / shard generations). Returns one row
+    (n1, n2, ks).
+
+    Scale shape: one (group, value) count reduce whose output is
+    value-DOMAIN-sized (the op targets discrete/bucketed columns —
+    lengths, scores quantized upstream), then a cumulative walk on the
+    driver. The KS sup statistic is computed in INTEGERS
+    (``max |cum1*n2 - cum2*n1|``) and divided once at the end, so the
+    result is bit-exact vs the SQL window twin (exact while counts stay
+    below 2^53; at web scale bucket the value domain first)."""
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    def keep(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        mask = pc.or_(pc.equal(g, g1), pc.equal(g, g2))
+        return batch.select([group_col, value_col]).filter(mask)
+
+    counts = partitioned_agg(
+        ds.map_batches(keep, batch_format="pyarrow"),
+        keys=[group_col, value_col],
+        named_aggs={"n": (value_col, "size")},
+    ).take_all()  # O(2 x value domain) rows by construction
+
+    per_value: dict = {}
+    for r in counts:
+        c1, c2 = per_value.get(r[value_col], (0, 0))
+        if r[group_col] == g1:
+            per_value[r[value_col]] = (c1 + r["n"], c2)
+        else:
+            per_value[r[value_col]] = (c1, c2 + r["n"])
+    n1 = sum(c1 for c1, _ in per_value.values())
+    n2 = sum(c2 for _, c2 in per_value.values())
+    cum1 = cum2 = 0
+    best = 0
+    for v in sorted(per_value):
+        c1, c2 = per_value[v]
+        cum1 += c1
+        cum2 += c2
+        d = abs(cum1 * n2 - cum2 * n1)
+        if d > best:
+            best = d
+    ks = float(best) / float(n1 * n2) if n1 and n2 else float("nan")
+    return pa.Table.from_pydict(
+        {
+            "n1": pa.array([n1], type=pa.int64()),
+            "n2": pa.array([n2], type=pa.int64()),
+            "ks": pa.array([ks], type=pa.float64()),
+        }
+    )

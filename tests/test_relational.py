@@ -972,3 +972,48 @@ class TestBasketPairs:
         ds = ray.data.from_arrow(t)
         with pytest.raises(Exception, match="max_basket"):
             basket_pairs(ds, "basket", "item", max_basket=3).take_all()
+
+
+class TestKsDrift:
+    def test_matches_scipy_semantics(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.relational import ks_drift
+
+        rng = np.random.default_rng(17)
+        a = rng.integers(0, 100, 400)
+        b = rng.integers(20, 120, 300)  # shifted distribution
+        t = pa.Table.from_pydict(
+            {
+                "g": ["a"] * len(a) + ["b"] * len(b),
+                "v": np.concatenate([a, b]),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(4)
+        row = ks_drift(ds, "g", "v", "a", "b").to_pylist()[0]
+
+        # independent reference: step-CDF sup over the union of values
+        def cdf(xs, v):
+            return (xs <= v).sum() / len(xs)
+
+        union = np.unique(np.concatenate([a, b]))
+        want = max(abs(cdf(a, v) - cdf(b, v)) for v in union)
+        assert row["n1"] == len(a) and row["n2"] == len(b)
+        assert abs(row["ks"] - want) < 1e-12
+        assert row["ks"] > 0.1  # the shift is detected
+
+    def test_identical_slices_zero(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.relational import ks_drift
+
+        t = pa.Table.from_pydict(
+            {"g": ["a", "b"] * 50, "v": [x // 2 for x in range(100)]}
+        )
+        row = ks_drift(
+            ray.data.from_arrow(t), "g", "v", "a", "b"
+        ).to_pylist()[0]
+        assert row["ks"] == 0.0
