@@ -2147,6 +2147,157 @@ def _q_tpch_q5(sf_dir: str):
     return _rename(agg, {"sum(cents)": "revenue_cents"})
 
 
+def _q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 (volume shipping between two nations by year): the same
+    three-deep two-large-sides hash-join chain as Q5 with the ship-date
+    window pushed into the parquet scan, the 25-row nation dimension
+    broadcast as a plain dict lookup on BOTH endpoints, the
+    two-orientation nation-pair filter, and map-side-combined integer-
+    cents revenue so the distributed sums are order-independent."""
+    import datetime
+
+    import numpy as np
+    import pyarrow.dataset as pds
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ctinexus_ray.ops.distjoin import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+        filter=(
+            (pds.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
+            & (pds.field("l_shipdate") < datetime.datetime(1998, 1, 1))
+        ),
+    )
+
+    def prep_li(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return
+        ep = np.asarray(
+            batch.column("l_extendedprice").to_pylist(), dtype=np.float64
+        )
+        disc = np.asarray(
+            batch.column("l_discount").to_pylist(), dtype=np.float64
+        )
+        cents = np.floor(ep * (1 - disc) * 100 + 0.5).astype(np.int64)
+        yield pa.Table.from_pydict(
+            {
+                "okey": batch.column("l_orderkey").cast(pa.int64()),
+                "skey": batch.column("l_suppkey").cast(pa.int64()),
+                "l_year": pc.year(batch.column("l_shipdate")).cast(
+                    pa.int64()
+                ),
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    li_f = li.map_batches(prep_li, batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    ).rename_columns({"o_orderkey": "okey", "o_custkey": "ckey"})
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).rename_columns({"c_custkey": "ckey"})
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).rename_columns({"s_suppkey": "skey"})
+
+    i64 = pa.int64()
+    j1 = hash_join(
+        li_f,
+        orders,
+        on=["okey"],
+        left_types={"okey": i64, "skey": i64, "l_year": i64, "cents": i64},
+        right_types={"okey": i64, "ckey": i64},
+    )
+    j2 = hash_join(
+        j1,
+        cust,
+        on=["ckey"],
+        left_types={
+            "ckey": i64,
+            "okey": i64,
+            "skey": i64,
+            "l_year": i64,
+            "cents": i64,
+        },
+        right_types={"ckey": i64, "c_nationkey": i64},
+    )
+    j3 = hash_join(
+        j2,
+        supp,
+        on=["skey"],
+        left_types={
+            "skey": i64,
+            "ckey": i64,
+            "okey": i64,
+            "l_year": i64,
+            "cents": i64,
+            "c_nationkey": i64,
+        },
+        right_types={"skey": i64, "s_nationkey": i64},
+    )
+
+    nation = {
+        r["n_nationkey"]: r["n_name"]
+        for r in ray.data.read_parquet(f"{sf_dir}/nation.parquet").take_all()
+    }  # 25-row dimension — the canonical broadcast side
+    pair = {("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
+
+    def score(batch: pa.Table):
+        import pandas as pd
+
+        if batch.num_rows == 0:
+            return
+        sn = [nation[k] for k in batch.column("s_nationkey").to_pylist()]
+        cn = [nation[k] for k in batch.column("c_nationkey").to_pylist()]
+        df = pd.DataFrame(
+            {
+                "supp_nation": sn,
+                "cust_nation": cn,
+                "l_year": batch.column("l_year").to_numpy(
+                    zero_copy_only=False
+                ),
+                "cents": batch.column("cents").to_numpy(
+                    zero_copy_only=False
+                ),
+            }
+        )
+        df = df[
+            [
+                (a, b) in pair
+                for a, b in zip(df["supp_nation"], df["cust_nation"])
+            ]
+        ]
+        if df.empty:
+            return
+        yield pa.Table.from_pandas(
+            df.groupby(
+                ["supp_nation", "cust_nation", "l_year"], sort=False
+            )
+            .sum()
+            .reset_index(),
+            preserve_index=False,
+        )
+
+    agg = (
+        j3.map_batches(score, batch_format="pyarrow")
+        .groupby(["supp_nation", "cust_nation", "l_year"])
+        .aggregate(Sum("cents"))
+    )
+    return _rename(agg, {"sum(cents)": "revenue_cents"})
+
+
 def _q_overlapping_sessions(sf_dir: str):
     """Interval-overlap self-join over gap-1800s session intervals: how
     many session pairs of each user pair overlap in time (the
@@ -2925,6 +3076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": _q_dup_span_stats,
         "doc_percent_rank": _q_doc_percent_rank,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q7": _q_tpch_q7,
         "lang_len_tdigest": _q_lang_len_tdigest,
         "doc_sample_weighted": _q_doc_sample_weighted,
         "doc_len_histogram": _q_doc_len_histogram,
@@ -3846,6 +3998,22 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate >= TIMESTAMP '1996-01-01' "
             "AND o_orderdate < TIMESTAMP '1997-01-01' "
             "GROUP BY n_name"
+        ),
+        "tpch_q7": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+            "GROUP BY supp_nation, cust_nation, l_year"
         ),
         "overlapping_sessions": (
             "WITH lagd AS (SELECT user_id, ts, event_id, lag(ts) OVER ("
