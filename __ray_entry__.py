@@ -1477,6 +1477,43 @@ def _q_orders_rollup(sf_dir: str):
     )
 
 
+def _q_events_dq(sf_dir: str):
+    """Data-quality gate over the events stream: four named row rules
+    (value bound, known enum, timestamp window, non-negative key)
+    evaluated vectorized in ONE corpus pass emitting fixed-size
+    per-batch partials — the report is O(#batches) driver work, the
+    corpus never shuffles. Nulls fail (NOT coalesce(pred, false))."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.dq import data_quality_report
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    enum = ("click", "view", "purchase", "error", "signup")
+    lo = datetime.datetime(2024, 1, 1)
+    hi = datetime.datetime(2024, 1, 15)
+
+    rules = {
+        "value_in_bounds": lambda b: pc.and_(
+            pc.greater_equal(b.column("value"), 0.0),
+            pc.less(b.column("value"), 400.0),
+        ),
+        "type_in_enum": lambda b: pc.is_in(
+            b.column("event_type"), value_set=pa.array(enum)
+        ),
+        "ts_in_window": lambda b: pc.and_(
+            pc.greater_equal(b.column("ts"), pa.scalar(lo)),
+            pc.less(b.column("ts"), pa.scalar(hi)),
+        ),
+        "user_id_nonneg": lambda b: pc.greater_equal(
+            b.column("user_id"), 0
+        ),
+    }
+    return data_quality_report(events, rules)
+
+
 def _q_lang_len_drift(sf_dir: str):
     """Exact two-sample KS distance between the doc-length distributions
     of two language slices (the corpus-drift monitor): one value-domain
@@ -3067,6 +3104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zorder": _q_events_zorder,
         "event_type_pairs": _q_event_type_pairs,
         "lang_len_drift": _q_lang_len_drift,
+        "events_dq": _q_events_dq,
         "doc_dense_rank": _q_doc_dense_rank,
         "doc_ntile": _q_doc_ntile,
         "pmi_bigrams": _q_pmi_bigrams,
@@ -3800,6 +3838,27 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(o_status, 'ALL') AS o_status, count(*) AS n FROM "
             "(SELECT year(o_orderdate) AS o_year, o_orderstatus AS o_status "
             "FROM orders) GROUP BY ROLLUP(o_year, o_status)"
+        ),
+        "events_dq": (
+            "WITH v AS (SELECT "
+            "SUM(CASE WHEN NOT coalesce(value >= 0 AND value < 400, "
+            "false) THEN 1 ELSE 0 END) AS value_in_bounds, "
+            "SUM(CASE WHEN NOT coalesce(event_type IN ('click', 'view', "
+            "'purchase', 'error', 'signup'), false) THEN 1 ELSE 0 END) "
+            "AS type_in_enum, "
+            "SUM(CASE WHEN NOT coalesce(ts >= TIMESTAMP '2024-01-01' "
+            "AND ts < TIMESTAMP '2024-01-15', false) THEN 1 ELSE 0 END) "
+            "AS ts_in_window, "
+            "SUM(CASE WHEN NOT coalesce(user_id >= 0, false) "
+            "THEN 1 ELSE 0 END) AS user_id_nonneg, "
+            "count(*) AS n FROM events) "
+            "SELECT t.rule, CAST(v.n AS BIGINT) AS n_rows, "
+            "CAST(t.nv AS BIGINT) AS n_violations, "
+            "CAST(t.nv AS DOUBLE) / v.n AS violation_rate FROM v, "
+            "LATERAL (VALUES ('value_in_bounds', v.value_in_bounds), "
+            "('type_in_enum', v.type_in_enum), "
+            "('ts_in_window', v.ts_in_window), "
+            "('user_id_nonneg', v.user_id_nonneg)) AS t(rule, nv)"
         ),
         "lang_len_drift": (
             "WITH f AS (SELECT lang AS g, n_chars AS v FROM documents "

