@@ -1477,6 +1477,49 @@ def _q_orders_rollup(sf_dir: str):
     )
 
 
+def _q_pruned_range_scan(sf_dir: str):
+    """Index-pruned range scan: the corpus is laid out sorted by
+    n_chars into multi-row-group shards (fresh temp dir per call), a
+    footer-only min/max index is built distributed, the predicate
+    [120, 300] prunes row groups, and ONLY surviving groups are read.
+    The oracle is the plain full-scan SQL — so a false negative in the
+    pruning (a missed row) hash-mismatches immediately."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from ctinexus_ray.sources.pqindex import (
+        build_minmax_index,
+        prune_row_groups,
+        read_pruned,
+    )
+
+    lo, hi = 120, 300
+    tmp = tempfile.mkdtemp(prefix="pqindex_")
+    docs = (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .sort("n_chars")
+        .repartition(8)
+    )
+    # distributed write; small row groups so pruning happens INSIDE
+    # files too, not just at file granularity
+    docs.write_parquet(tmp, row_group_size=32)
+    import glob as _glob
+
+    paths = sorted(_glob.glob(f"{tmp}/*.parquet"))
+
+    idx = build_minmax_index(paths, ["n_chars"])
+    pairs = prune_row_groups(idx, "n_chars", lo, hi)
+
+    def in_range(batch: pa.Table) -> pa.Table:
+        c = batch.column("n_chars")
+        return batch.filter(
+            pc.and_(pc.greater_equal(c, lo), pc.less_equal(c, hi))
+        )
+
+    return read_pruned(pairs).map_batches(in_range, batch_format="pyarrow")
+
+
 def _q_events_dq(sf_dir: str):
     """Data-quality gate over the events stream: four named row rules
     (value bound, known enum, timestamp window, non-negative key)
@@ -3105,6 +3148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_pairs": _q_event_type_pairs,
         "lang_len_drift": _q_lang_len_drift,
         "events_dq": _q_events_dq,
+        "pruned_range_scan": _q_pruned_range_scan,
         "doc_dense_rank": _q_doc_dense_rank,
         "doc_ntile": _q_doc_ntile,
         "pmi_bigrams": _q_pmi_bigrams,
@@ -3838,6 +3882,10 @@ def oracle_sql() -> dict[str, str]:
             "COALESCE(o_status, 'ALL') AS o_status, count(*) AS n FROM "
             "(SELECT year(o_orderdate) AS o_year, o_orderstatus AS o_status "
             "FROM orders) GROUP BY ROLLUP(o_year, o_status)"
+        ),
+        "pruned_range_scan": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE n_chars BETWEEN 120 AND 300"
         ),
         "events_dq": (
             "WITH v AS (SELECT "
