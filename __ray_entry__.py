@@ -3056,6 +3056,365 @@ def _q_multimodal_video_frames(sf_dir: str):
     return sample_video_frames(media, every_ms=250, include_data=False)
 
 
+def _q_tpch_q6(sf_dir: str):
+    """TPC-H Q6 (forecast-revenue change): the pure filtered
+    scan-aggregate — EVERY predicate (ship-date window, discount band,
+    quantity cap) is pushed into the parquet read so filtered rows never
+    leave storage (predicate + row-group stats pruning), then one
+    map_batches computes integer cents and a single distributed Sum
+    reduces. No shuffle at all: the cheapest possible plan shape, and the
+    one that matters most at 100 TB (scan bandwidth bound)."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import ray.data
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+        filter=(
+            (pds.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
+            & (pds.field("l_shipdate") < datetime.datetime(1997, 1, 1))
+            & (pds.field("l_discount") >= 0.05)
+            & (pds.field("l_discount") <= 0.07)
+            & (pds.field("l_quantity") < 24)
+        ),
+    )
+
+    def cents(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        # revenue = extendedprice * discount, in exact integer cents so
+        # the distributed sum is order-independent (strict value-hash)
+        c = pc.floor(
+            pc.add(
+                pc.multiply(
+                    pc.multiply(
+                        batch.column("l_extendedprice"),
+                        batch.column("l_discount"),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                pa.scalar(0.5),
+            )
+        ).cast(pa.int64())
+        yield pa.Table.from_pydict({"c": c})
+
+    total = li.map_batches(cents, batch_format="pyarrow").sum("c")
+    return pd.DataFrame(
+        {"revenue_cents": np.array([total or 0], dtype=np.int64)}
+    )
+
+
+def _q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 (returned-item revenue by customer, top 20): orders
+    window-filtered at the scan, lineitem pre-filtered to returnflag='R'
+    at the scan, two two-large-sides hash joins (lineitem ⋈ orders ⋈
+    customer — all three grow with the corpus, so no broadcast), a
+    hash-partitioned group sum in integer cents, and a driver-side top-20
+    with a deterministic custkey tie-break."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pds.field("l_returnflag") == "R"),
+    )
+
+    def li_cents(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        c = pc.floor(
+            pc.add(
+                pc.multiply(
+                    pc.multiply(
+                        batch.column("l_extendedprice"),
+                        pc.subtract(
+                            pa.scalar(1.0), batch.column("l_discount")
+                        ),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                pa.scalar(0.5),
+            )
+        ).cast(pa.int64())
+        yield pa.Table.from_pydict(
+            {"okey": batch.column("l_orderkey").cast(pa.int64()), "c": c}
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(
+            (pds.field("o_orderdate") >= datetime.datetime(1996, 1, 1))
+            & (pds.field("o_orderdate") < datetime.datetime(1996, 7, 1))
+        ),
+    ).rename_columns({"o_orderkey": "okey", "o_custkey": "ckey"})
+
+    j1 = hash_join(
+        li.map_batches(li_cents, batch_format="pyarrow"),
+        orders,
+        on=["okey"],
+    )
+    per_cust = partitioned_agg(
+        j1, keys=["ckey"], named_aggs={"revenue_cents": ("c", "sum")}
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    ).rename_columns({"c_custkey": "ckey"})
+    joined = hash_join(per_cust, cust, on=["ckey"])
+    top = joined.sort(
+        ["revenue_cents", "ckey"], descending=[True, False]
+    ).limit(20)
+    return _rename(top, {"ckey": "c_custkey"})
+
+
+def _q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 (promotion-revenue share): month-filtered lineitem
+    joined to part on partkey via a two-large-sides hash join, then a
+    single map-side-combined conditional aggregate — promo cents where
+    p_type='PROMO' plus total cents, both exact int64 (the reference
+    formula's float division would never strict-hash, so the two sums ARE
+    the answer; the ratio is a trivial driver-side divide)."""
+    import datetime
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(
+            (pds.field("l_shipdate") >= datetime.datetime(1996, 9, 1))
+            & (pds.field("l_shipdate") < datetime.datetime(1996, 10, 1))
+        ),
+    ).rename_columns({"l_partkey": "pkey_part"})
+
+    def li_cents(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        c = pc.floor(
+            pc.add(
+                pc.multiply(
+                    pc.multiply(
+                        batch.column("l_extendedprice"),
+                        pc.subtract(
+                            pa.scalar(1.0), batch.column("l_discount")
+                        ),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                pa.scalar(0.5),
+            )
+        ).cast(pa.int64())
+        yield pa.Table.from_pydict(
+            {"pkey_part": batch.column("pkey_part").cast(pa.int64()), "c": c}
+        )
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    ).rename_columns({"p_partkey": "pkey_part"})
+    joined = hash_join(
+        li.map_batches(li_cents, batch_format="pyarrow"),
+        part,
+        on=["pkey_part"],
+    )
+
+    def split(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        c = batch.column("c")
+        is_promo = pc.equal(batch.column("p_type"), pa.scalar("PROMO"))
+        promo = pc.if_else(is_promo, c, pa.scalar(0, type=pa.int64()))
+        yield pa.Table.from_pydict({"promo": promo, "total": c})
+
+    from ray.data.aggregate import Sum
+
+    # ONE execution for both sums (a second .sum() call would re-run the
+    # whole join plan)
+    agg = joined.map_batches(split, batch_format="pyarrow").aggregate(
+        Sum("promo"), Sum("total")
+    )
+    return pd.DataFrame(
+        {
+            "promo_cents": np.array([agg["sum(promo)"] or 0], dtype=np.int64),
+            "total_cents": np.array([agg["sum(total)"] or 0], dtype=np.int64),
+        }
+    )
+
+
+def _q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 (large-volume orders): a hash-partitioned HAVING — group
+    lineitem by orderkey, keep orders whose total quantity exceeds 250
+    (the filter runs inside the reduce partition, so only qualifying keys
+    ever leave), then join the small survivor set back to orders and
+    customer. The group-then-filter-then-join plan ships survivor rows
+    only; quantity sums in exact integers."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def qty_int(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        q = pc.floor(
+            pc.add(batch.column("l_quantity"), pa.scalar(0.5))
+        ).cast(pa.int64())
+        yield pa.Table.from_pydict(
+            {"okey": batch.column("l_orderkey").cast(pa.int64()), "q": q}
+        )
+
+    sums = partitioned_agg(
+        li.map_batches(qty_int, batch_format="pyarrow"),
+        keys=["okey"],
+        named_aggs={"sum_qty": ("q", "sum")},
+    ).filter(expr="sum_qty > 250")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def ord_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        cents = pc.floor(
+            pc.add(
+                pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0)),
+                pa.scalar(0.5),
+            )
+        ).cast(pa.int64())
+        yield pa.Table.from_pydict(
+            {
+                "okey": batch.column("o_orderkey").cast(pa.int64()),
+                "ckey": batch.column("o_custkey").cast(pa.int64()),
+                "o_orderdate": batch.column("o_orderdate"),
+                "totalprice_cents": cents,
+            }
+        )
+
+    j1 = hash_join(
+        sums, orders.map_batches(ord_prep, batch_format="pyarrow"), on=["okey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).rename_columns({"c_custkey": "ckey"})
+    j2 = hash_join(j1, cust, on=["ckey"])
+    out = j2.sort(["sum_qty", "okey"], descending=[True, False]).limit(100)
+    return _rename(out, {"okey": "o_orderkey", "ckey": "o_custkey"})
+
+
+def _q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 (disjunctive brand/size/quantity predicate): lineitem ⋈
+    part on partkey (two large sides), then the OR-of-ANDs predicate
+    evaluated as vectorized Arrow boolean kernels in one pass — the shape
+    where a naive engine evaluates three separate scans; here the join
+    runs once and the disjunction costs three boolean columns."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).rename_columns({"l_partkey": "pkey_part"})
+
+    def li_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        c = pc.floor(
+            pc.add(
+                pc.multiply(
+                    pc.multiply(
+                        batch.column("l_extendedprice"),
+                        pc.subtract(
+                            pa.scalar(1.0), batch.column("l_discount")
+                        ),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                pa.scalar(0.5),
+            )
+        ).cast(pa.int64())
+        yield pa.Table.from_pydict(
+            {
+                "pkey_part": batch.column("pkey_part").cast(pa.int64()),
+                "qty": batch.column("l_quantity"),
+                "c": c,
+            }
+        )
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    ).rename_columns({"p_partkey": "pkey_part"})
+    joined = hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"), part, on=["pkey_part"]
+    )
+
+    def disjunct(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        brand = batch.column("p_brand")
+        size = batch.column("p_size")
+        qty = batch.column("qty")
+
+        def arm(b, s_lo, s_hi, q_lo, q_hi):
+            return pc.and_(
+                pc.and_(
+                    pc.equal(brand, pa.scalar(b)),
+                    pc.and_(
+                        pc.greater_equal(size, pa.scalar(s_lo)),
+                        pc.less_equal(size, pa.scalar(s_hi)),
+                    ),
+                ),
+                pc.and_(
+                    pc.greater_equal(qty, pa.scalar(float(q_lo))),
+                    pc.less_equal(qty, pa.scalar(float(q_hi))),
+                ),
+            )
+
+        keep = pc.or_(
+            pc.or_(
+                arm("Brand#1", 1, 15, 1, 20), arm("Brand#2", 10, 30, 10, 30)
+            ),
+            arm("Brand#3", 20, 50, 20, 40),
+        )
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return
+        yield pa.Table.from_pydict({"c": t.column("c")})
+
+    total = joined.map_batches(disjunct, batch_format="pyarrow").sum("c")
+    return pd.DataFrame(
+        {"revenue_cents": np.array([total or 0], dtype=np.int64)}
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3158,7 +3517,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_stats": _q_dup_span_stats,
         "doc_percent_rank": _q_doc_percent_rank,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
         "tpch_q7": _q_tpch_q7,
+        "tpch_q10": _q_tpch_q10,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q19": _q_tpch_q19,
         "lang_len_tdigest": _q_lang_len_tdigest,
         "doc_sample_weighted": _q_doc_sample_weighted,
         "doc_len_histogram": _q_doc_len_histogram,
@@ -4105,6 +4469,58 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate >= TIMESTAMP '1996-01-01' "
             "AND o_orderdate < TIMESTAMP '1997-01-01' "
             "GROUP BY n_name"
+        ),
+        "tpch_q6": (
+            "SELECT CAST(sum(CAST(FLOOR(l_extendedprice * l_discount * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "tpch_q10": (
+            "SELECT c_custkey, c_name, c_acctbal, "
+            "CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE l_returnflag = 'R' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-07-01' "
+            "GROUP BY c_custkey, c_name, c_acctbal "
+            "ORDER BY revenue_cents DESC, c_custkey ASC LIMIT 20"
+        ),
+        "tpch_q14": (
+            "SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) "
+            "AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents, "
+            "CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS total_cents "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-09-01' "
+            "AND l_shipdate < TIMESTAMP '1996-10-01'"
+        ),
+        "tpch_q18": (
+            "WITH big AS (SELECT l_orderkey AS o_orderkey, "
+            "CAST(sum(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_qty FROM lineitem GROUP BY l_orderkey "
+            "HAVING sum_qty > 250) "
+            "SELECT o_orderkey, o_custkey, o_orderdate, "
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) "
+            "AS totalprice_cents, sum_qty, c_name "
+            "FROM big JOIN orders USING (o_orderkey) "
+            "JOIN customer ON c_custkey = o_custkey "
+            "ORDER BY sum_qty DESC, o_orderkey ASC LIMIT 100"
+        ),
+        "tpch_q19": (
+            "SELECT CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) "
+            "* 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 1 AND 20) "
+            "OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 "
+            "AND l_quantity BETWEEN 10 AND 30) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 "
+            "AND l_quantity BETWEEN 20 AND 40)"
         ),
         "tpch_q7": (
             "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
