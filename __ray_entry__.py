@@ -3415,6 +3415,1019 @@ def _q_tpch_q19(sf_dir: str):
     )
 
 
+def _q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 plan shape (order-priority checking). Adapted predicate:
+    this corpus has no l_commitdate/l_receiptdate, so "late" means the
+    line shipped more than 90 days after the order date. The EXISTS
+    subquery becomes a per-order pre-aggregate — max(l_shipdate) per
+    orderkey, group-combined BEFORE the join so the join's left side is
+    order-cardinality, not lineitem-cardinality — then one
+    two-large-sides hash join to the window-filtered orders, a
+    vectorized lateness filter, and an O(#priorities) count reduce.
+    The EXISTS lower bound is constant-folded into the lineitem SCAN:
+    lateness needs l_shipdate > o_orderdate + 90d and every window order
+    has o_orderdate >= 1996-01-01, so rows with l_shipdate <=
+    1996-03-31 can never witness the EXISTS and never leave storage."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    us_90d = 90 * 86400 * 1_000_000
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"],
+        filter=(pds.field("l_shipdate") > datetime.datetime(1996, 3, 31)),
+    )
+
+    def li_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "okey": batch.column("l_orderkey").cast(pa.int64()),
+                "ship_us": batch.column("l_shipdate").cast(pa.int64()),
+            }
+        )
+
+    max_ship = partitioned_agg(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        keys=["okey"],
+        named_aggs={"max_ship_us": ("ship_us", "max")},
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(
+            (pds.field("o_orderdate") >= datetime.datetime(1996, 1, 1))
+            & (pds.field("o_orderdate") < datetime.datetime(1996, 4, 1))
+        ),
+    )
+
+    def ord_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "okey": batch.column("o_orderkey").cast(pa.int64()),
+                "odate_us": batch.column("o_orderdate").cast(pa.int64()),
+                "o_orderpriority": batch.column("o_orderpriority"),
+            }
+        )
+
+    i64 = pa.int64()
+    j = hash_join(
+        max_ship,
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        on=["okey"],
+        left_types={"okey": i64, "max_ship_us": i64},
+        right_types={
+            "okey": i64,
+            "odate_us": i64,
+            "o_orderpriority": pa.string(),
+        },
+    )
+
+    def late_only(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        keep = pc.greater(
+            batch.column("max_ship_us"),
+            pc.add(batch.column("odate_us"), pa.scalar(us_90d, type=i64)),
+        )
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {"o_orderpriority": t.column("o_orderpriority")}
+        )
+
+    return partitioned_agg(
+        j.map_batches(late_only, batch_format="pyarrow"),
+        keys=["o_orderpriority"],
+        named_aggs={"order_count": ("o_orderpriority", "size")},
+        num_partitions=16,
+    )
+
+
+def _q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 (national market share in one region's market for one
+    part type, by order year): part pre-filtered AT THE SCAN to the
+    target type, then a chain of two-large-sides hash joins (lineitem ⋈
+    part ⋈ orders ⋈ customer ⋈ supplier — every side grows with the
+    corpus, so none broadcasts), with the nation/region dimension
+    snowflake applied as broadcast map-side enrichment on BOTH ends
+    (customer's nation filtered to the region, supplier's nation named).
+    Revenue lands as exact integer cents; the market-share ratio is the
+    trivial driver-side divide of the two emitted sums (a float division
+    would never strict-hash)."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.relational import broadcast_enrich
+
+    i64 = pa.int64()
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filter=(pds.field("p_type") == "ECONOMY"),
+    ).rename_columns({"p_partkey": "pkey_part"})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_partkey",
+            "l_orderkey",
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def li_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        cents = pc.floor(
+            pc.add(
+                pc.multiply(
+                    pc.multiply(
+                        batch.column("l_extendedprice"),
+                        pc.subtract(
+                            pa.scalar(1.0), batch.column("l_discount")
+                        ),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                pa.scalar(0.5),
+            )
+        ).cast(i64)
+        yield pa.Table.from_pydict(
+            {
+                "pkey_part": batch.column("l_partkey").cast(i64),
+                "okey": batch.column("l_orderkey").cast(i64),
+                "skey": batch.column("l_suppkey").cast(i64),
+                "cents": cents,
+            }
+        )
+
+    j1 = hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        part,
+        on=["pkey_part"],
+        left_types={"pkey_part": i64, "okey": i64, "skey": i64, "cents": i64},
+        right_types={"pkey_part": i64},
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pds.field("o_orderdate") >= datetime.datetime(1995, 1, 1))
+            & (pds.field("o_orderdate") <= datetime.datetime(1996, 12, 31))
+        ),
+    )
+
+    def ord_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "okey": batch.column("o_orderkey").cast(i64),
+                "ckey": batch.column("o_custkey").cast(i64),
+                "o_year": pc.year(batch.column("o_orderdate")).cast(i64),
+            }
+        )
+
+    j2 = hash_join(
+        j1,
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        on=["okey"],
+        left_types={"okey": i64, "pkey_part": i64, "skey": i64, "cents": i64},
+        right_types={"okey": i64, "ckey": i64, "o_year": i64},
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).rename_columns({"c_custkey": "ckey"})
+    j3 = hash_join(
+        j2,
+        cust,
+        on=["ckey"],
+        left_types={
+            "ckey": i64,
+            "okey": i64,
+            "pkey_part": i64,
+            "skey": i64,
+            "cents": i64,
+            "o_year": i64,
+        },
+        right_types={"ckey": i64, "c_nationkey": pa.int32()},
+    )
+
+    # customer-side region filter via the broadcast dimension snowflake
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet")
+    in_region = broadcast_enrich(
+        nation, region, "n_regionkey", "r_regionkey", ["r_name"]
+    ).filter(expr="r_name == 'EUROPE'")
+    j3r = broadcast_enrich(
+        j3, in_region, "c_nationkey", "n_nationkey", ["n_name"]
+    )
+
+    def region_only(batch: pa.Table):
+        t = batch.filter(pc.is_valid(batch.column("n_name")))
+        if t.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "skey": t.column("skey"),
+                "o_year": t.column("o_year"),
+                "cents": t.column("cents"),
+            }
+        )
+
+    slim = j3r.map_batches(region_only, batch_format="pyarrow")
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).rename_columns({"s_suppkey": "skey"})
+    j4 = hash_join(
+        slim,
+        supp,
+        on=["skey"],
+        left_types={"skey": i64, "o_year": i64, "cents": i64},
+        right_types={"skey": i64, "s_nationkey": pa.int32()},
+    )
+    named = broadcast_enrich(
+        j4, nation, "s_nationkey", "n_nationkey", ["n_name"]
+    )
+
+    def split(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        c = batch.column("cents")
+        is_target = pc.equal(batch.column("n_name"), pa.scalar("NATION_3"))
+        yield pa.Table.from_pydict(
+            {
+                "o_year": batch.column("o_year"),
+                "nat": pc.if_else(is_target, c, pa.scalar(0, type=i64)),
+                "tot": c,
+            }
+        )
+
+    return partitioned_agg(
+        named.map_batches(split, batch_format="pyarrow"),
+        keys=["o_year"],
+        named_aggs={
+            "nation_cents": ("nat", "sum"),
+            "total_cents": ("tot", "sum"),
+        },
+        num_partitions=16,
+    )
+
+
+def _q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 plan shape (product-type profit by nation and year).
+    Adapted cost model: this corpus has no partsupp table, so unit cost
+    is p_retailprice (profit = revenue − retailprice × quantity, exact
+    integer cents, may be negative). Part is filtered by a vectorized
+    substring match on p_name, then lineitem ⋈ part ⋈ orders ⋈ supplier
+    two-large-sides hash joins, nation names via broadcast enrich, and
+    an O(nations × years) group reduce."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.relational import broadcast_enrich
+
+    i64 = pa.int64()
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_retailprice"],
+    )
+
+    def part_prep(batch: pa.Table):
+        t = batch.filter(pc.match_substring(batch.column("p_name"), "red"))
+        if t.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "pkey_part": t.column("p_partkey").cast(i64),
+                "p_retailprice": t.column("p_retailprice"),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_partkey",
+            "l_suppkey",
+            "l_orderkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def li_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "pkey_part": batch.column("l_partkey").cast(i64),
+                "skey": batch.column("l_suppkey").cast(i64),
+                "okey": batch.column("l_orderkey").cast(i64),
+                "l_quantity": batch.column("l_quantity"),
+                "l_extendedprice": batch.column("l_extendedprice"),
+                "l_discount": batch.column("l_discount"),
+            }
+        )
+
+    f64 = pa.float64()
+    j1 = hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        part.map_batches(part_prep, batch_format="pyarrow"),
+        on=["pkey_part"],
+        left_types={
+            "pkey_part": i64,
+            "skey": i64,
+            "okey": i64,
+            "l_quantity": f64,
+            "l_extendedprice": f64,
+            "l_discount": f64,
+        },
+        right_types={"pkey_part": i64, "p_retailprice": f64},
+    )
+
+    def profit(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        rev = pc.floor(
+            pc.add(
+                pc.multiply(
+                    pc.multiply(
+                        batch.column("l_extendedprice"),
+                        pc.subtract(
+                            pa.scalar(1.0), batch.column("l_discount")
+                        ),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                pa.scalar(0.5),
+            )
+        ).cast(i64)
+        cost = pc.floor(
+            pc.add(
+                pc.multiply(
+                    pc.multiply(
+                        batch.column("p_retailprice"),
+                        batch.column("l_quantity"),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                pa.scalar(0.5),
+            )
+        ).cast(i64)
+        yield pa.Table.from_pydict(
+            {
+                "okey": batch.column("okey"),
+                "skey": batch.column("skey"),
+                "p": pc.subtract(rev, cost),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def ord_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "okey": batch.column("o_orderkey").cast(i64),
+                "o_year": pc.year(batch.column("o_orderdate")).cast(i64),
+            }
+        )
+
+    j2 = hash_join(
+        j1.map_batches(profit, batch_format="pyarrow"),
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        on=["okey"],
+        left_types={"okey": i64, "skey": i64, "p": i64},
+        right_types={"okey": i64, "o_year": i64},
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).rename_columns({"s_suppkey": "skey"})
+    j3 = hash_join(
+        j2,
+        supp,
+        on=["skey"],
+        left_types={"skey": i64, "okey": i64, "p": i64, "o_year": i64},
+        right_types={"skey": i64, "s_nationkey": pa.int32()},
+    )
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
+    named = broadcast_enrich(
+        j3, nation, "s_nationkey", "n_nationkey", ["n_name"]
+    )
+
+    def slim(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "nation": batch.column("n_name"),
+                "o_year": batch.column("o_year"),
+                "p": batch.column("p"),
+            }
+        )
+
+    return partitioned_agg(
+        named.map_batches(slim, batch_format="pyarrow"),
+        keys=["nation", "o_year"],
+        named_aggs={"profit_cents": ("p", "sum")},
+        num_partitions=16,
+    )
+
+
+def _q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 plan shape (shipping-priority audit). Adapted: this
+    corpus has no l_shipmode/l_receiptdate, so the group is
+    l_linestatus and "late" means shipped more than 60 days after the
+    order date. Ship-year window pushed into the lineitem scan, ONE
+    two-large-sides hash join to orders, then a vectorized lateness
+    filter + conditional priority counts combined map-side — the
+    classic join + conditional-aggregate shape."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    i64 = pa.int64()
+    us_60d = 60 * 86400 * 1_000_000
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        filter=(
+            (pds.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
+            & (pds.field("l_shipdate") < datetime.datetime(1997, 1, 1))
+        ),
+    )
+
+    def li_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "okey": batch.column("l_orderkey").cast(i64),
+                "l_linestatus": batch.column("l_linestatus"),
+                "ship_us": batch.column("l_shipdate").cast(i64),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def ord_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "okey": batch.column("o_orderkey").cast(i64),
+                "odate_us": batch.column("o_orderdate").cast(i64),
+                "o_orderpriority": batch.column("o_orderpriority"),
+            }
+        )
+
+    j = hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        on=["okey"],
+        left_types={"okey": i64, "l_linestatus": pa.string(), "ship_us": i64},
+        right_types={
+            "okey": i64,
+            "odate_us": i64,
+            "o_orderpriority": pa.string(),
+        },
+    )
+    high_set = pa.array(["1-URGENT", "2-HIGH"], type=pa.string())
+
+    def classify(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        late = pc.greater(
+            batch.column("ship_us"),
+            pc.add(batch.column("odate_us"), pa.scalar(us_60d, type=i64)),
+        )
+        t = batch.filter(late)
+        if t.num_rows == 0:
+            return
+        is_high = pc.is_in(t.column("o_orderpriority"), value_set=high_set)
+        one = pa.scalar(1, type=i64)
+        zero = pa.scalar(0, type=i64)
+        yield pa.Table.from_pydict(
+            {
+                "l_linestatus": t.column("l_linestatus"),
+                "hi": pc.if_else(is_high, one, zero),
+                "lo": pc.if_else(is_high, zero, one),
+            }
+        )
+
+    return partitioned_agg(
+        j.map_batches(classify, batch_format="pyarrow"),
+        keys=["l_linestatus"],
+        named_aggs={
+            "high_line_count": ("hi", "sum"),
+            "low_line_count": ("lo", "sum"),
+        },
+        num_partitions=16,
+    )
+
+
+def _q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 (customer order-count distribution). Adapted filter:
+    this corpus has no o_comment, so the excluded class is
+    o_orderpriority = '1-URGENT' (pushed into the orders scan as the ON
+    predicate). Plan: hash-partitioned per-customer order counts, a
+    LEFT outer two-large-sides hash join back to customer so
+    zero-order customers survive with count 0, and a count-of-counts
+    reduce — the same distribution shape as the key-skew profiler."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    i64 = pa.int64()
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=(pds.field("o_orderpriority") != "1-URGENT"),
+    )
+
+    def ord_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {"ckey": batch.column("o_custkey").cast(i64)}
+        )
+
+    counts = partitioned_agg(
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        keys=["ckey"],
+        named_aggs={"n_orders": ("ckey", "size")},
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+
+    def cust_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {"ckey": batch.column("c_custkey").cast(i64)}
+        )
+
+    j = hash_join(
+        cust.map_batches(cust_prep, batch_format="pyarrow"),
+        counts,
+        on=["ckey"],
+        how="left",
+        left_types={"ckey": i64},
+        right_types={"ckey": i64, "n_orders": i64},
+    )
+
+    def fill(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "c_count": pc.fill_null(
+                    batch.column("n_orders"), pa.scalar(0, type=i64)
+                )
+            }
+        )
+
+    dist = partitioned_agg(
+        j.map_batches(fill, batch_format="pyarrow"),
+        keys=["c_count"],
+        named_aggs={"custdist": ("c_count", "size")},
+        num_partitions=16,
+    )
+    return dist.sort(["custdist", "c_count"], descending=[True, True])
+
+
+def _q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 (top supplier by revenue over a quarter): window pushed
+    into the lineitem scan, hash-partitioned per-supplier cents sums
+    (supplier-cardinality output, materialized ONCE because it feeds
+    both the global max and the winner filter — without pinning, Ray's
+    lazy plan would re-run the corpus aggregate per consumer), then the
+    winner set joins supplier for names. The subquery max is one scalar
+    on the driver — never a second corpus pass."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    i64 = pa.int64()
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(
+            (pds.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
+            & (pds.field("l_shipdate") < datetime.datetime(1996, 4, 1))
+        ),
+    )
+
+    def li_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        cents = pc.floor(
+            pc.add(
+                pc.multiply(
+                    pc.multiply(
+                        batch.column("l_extendedprice"),
+                        pc.subtract(
+                            pa.scalar(1.0), batch.column("l_discount")
+                        ),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                pa.scalar(0.5),
+            )
+        ).cast(i64)
+        yield pa.Table.from_pydict(
+            {"skey": batch.column("l_suppkey").cast(i64), "c": cents}
+        )
+
+    rev = partitioned_agg(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        keys=["skey"],
+        named_aggs={"total_revenue_cents": ("c", "sum")},
+    ).materialize()  # supplier-cardinality; feeds max + winner filter
+    best = int(rev.max("total_revenue_cents"))
+    winners = rev.filter(expr=f"total_revenue_cents == {best}")
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).rename_columns({"s_suppkey": "skey"})
+    out = hash_join(
+        winners,
+        supp,
+        on=["skey"],
+        left_types={"skey": i64, "total_revenue_cents": i64},
+        right_types={"skey": i64, "s_name": pa.string()},
+        num_partitions=16,
+    )
+    return _rename(out, {"skey": "s_suppkey"})
+
+
+def _q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 plan shape (small-quantity-order revenue). Adapted
+    filter: this corpus has no p_container, so the target slice is
+    p_brand='Brand#1' AND p_size<10 (both pushed into the part scan).
+    The correlated avg-quantity subquery becomes: join lineitem to the
+    target part keys, hash-partitioned per-part (sum_qty, count), join
+    back, and keep rows with 5*qty*count < sum_qty — the integer-exact
+    restatement of qty < 0.2*avg(qty) (no float division anywhere). The
+    target slice's plan deliberately executes twice (stats pass +
+    join-back pass) instead of materializing: two passes over a
+    column-pruned, predicate-pushed scan stay memory-bounded at 100 TB
+    where pinning the slice would not."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    i64 = pa.int64()
+    tgt = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filter=(
+            (pds.field("p_brand") == "Brand#1") & (pds.field("p_size") < 10)
+        ),
+    ).rename_columns({"p_partkey": "pkey_part"})
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def li_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        q = pc.floor(
+            pc.add(batch.column("l_quantity"), pa.scalar(0.5))
+        ).cast(i64)
+        c = pc.floor(
+            pc.add(
+                pc.multiply(
+                    batch.column("l_extendedprice"), pa.scalar(100.0)
+                ),
+                pa.scalar(0.5),
+            )
+        ).cast(i64)
+        yield pa.Table.from_pydict(
+            {
+                "pkey_part": batch.column("l_partkey").cast(i64),
+                "q": q,
+                "c": c,
+            }
+        )
+
+    def slice_ds():
+        return hash_join(
+            li.map_batches(li_prep, batch_format="pyarrow"),
+            tgt,
+            on=["pkey_part"],
+            left_types={"pkey_part": i64, "q": i64, "c": i64},
+            right_types={"pkey_part": i64},
+        )
+
+    stats = partitioned_agg(
+        slice_ds(),
+        keys=["pkey_part"],
+        named_aggs={"s": ("q", "sum"), "n": ("q", "size")},
+        num_partitions=16,
+    )
+    joined = hash_join(
+        slice_ds(),
+        stats,
+        on=["pkey_part"],
+        left_types={"pkey_part": i64, "q": i64, "c": i64},
+        right_types={"pkey_part": i64, "s": i64, "n": i64},
+        num_partitions=16,
+    )
+
+    def small_qty(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        keep = pc.less(
+            pc.multiply(
+                pc.multiply(batch.column("q"), pa.scalar(5, type=i64)),
+                batch.column("n"),
+            ),
+            batch.column("s"),
+        )
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return
+        yield pa.Table.from_pydict({"c": t.column("c")})
+
+    total = joined.map_batches(small_qty, batch_format="pyarrow").sum("c")
+    return pd.DataFrame(
+        {"sum_extprice_cents": np.array([total or 0], dtype=np.int64)}
+    )
+
+
+def _q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 plan shape (suppliers who kept orders waiting). Adapted
+    lateness: no l_receiptdate/l_commitdate in this corpus, so "late"
+    means shipped more than 60 days after the order date; order status
+    'F' filter pushed into the orders scan. The EXISTS / NOT-EXISTS pair
+    collapses into ONE okey-partitioned shuffle: within each order
+    partition a vectorized pandas pass computes per-(order, supplier)
+    late flags AND per-order supplier/late-supplier counts locally, so
+    a supplier qualifies (late, other suppliers exist, no OTHER supplier
+    late ⟺ exactly one late supplier) without any further corpus-wide
+    exchange — versus the naive four-self-join plan."""
+    import pandas as pd
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import (
+        add_hash_pkey,
+        derive_num_partitions,
+        partitioned_agg,
+    )
+
+    i64 = pa.int64()
+    us_60d = 60 * 86400 * 1_000_000
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"],
+        filter=(pds.field("o_orderstatus") == "F"),
+    )
+
+    def ord_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "okey": batch.column("o_orderkey").cast(i64),
+                "odate_us": batch.column("o_orderdate").cast(i64),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+
+    def li_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "okey": batch.column("l_orderkey").cast(i64),
+                "skey": batch.column("l_suppkey").cast(i64),
+                "ship_us": batch.column("l_shipdate").cast(i64),
+            }
+        )
+
+    j = hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        on=["okey"],
+        left_types={"okey": i64, "skey": i64, "ship_us": i64},
+        right_types={"okey": i64, "odate_us": i64},
+    )
+    num_partitions = derive_num_partitions(j)
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        return add_hash_pkey(batch, ["okey"], num_partitions)
+
+    def waiters(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(late=(g["ship_us"] > g["odate_us"] + us_60d))
+        per = (
+            g.groupby(["okey", "skey"], sort=False)["late"]
+            .max()
+            .reset_index()
+        )
+        ord_stats = per.groupby("okey", sort=False)["late"].agg(
+            n_supp="size", n_late="sum"
+        )
+        per = per.join(ord_stats, on="okey")
+        hit = per[per["late"] & (per["n_supp"] >= 2) & (per["n_late"] == 1)]
+        return hit[["skey"]]
+
+    cand = (
+        j.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(waiters, batch_format="pandas")
+    )
+    counts = partitioned_agg(
+        cand,
+        keys=["skey"],
+        named_aggs={"numwait": ("skey", "size")},
+        num_partitions=16,
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    ).rename_columns({"s_suppkey": "skey"})
+    named = hash_join(
+        counts,
+        supp,
+        on=["skey"],
+        left_types={"skey": i64, "numwait": i64},
+        right_types={"skey": i64, "s_name": pa.string()},
+        num_partitions=16,
+    )
+    return (
+        named.select_columns(["s_name", "numwait"])
+        .sort(["numwait", "s_name"], descending=[True, False])
+        .limit(100)
+    )
+
+
+def _q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 plan shape (global-sales-opportunity / idle customers).
+    Adapted: no c_phone in this corpus, so the country-code set is
+    c_nationkey IN (1,3,5,7,9,11,13), and "no orders" is scoped to
+    recent orders (o_orderdate >= 2000-06-01) so the anti-join is
+    non-degenerate on this data. The scalar AVG subquery is restated
+    integer-exact (bal_cents * n_pos > sum_pos_cents ⟺ bal > avg), its
+    two sums computed in ONE aggregate pass; the candidate pass re-runs
+    the column-pruned, predicate-pushed customer scan rather than
+    materializing it; NOT EXISTS is a distributed left-anti hash join."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    i64 = pa.int64()
+    nations = [1, 3, 5, 7, 9, 11, 13]
+
+    def cust_scan():
+        return ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_nationkey", "c_acctbal"],
+            filter=(pds.field("c_nationkey").isin(nations)),
+        )
+
+    def prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        bal = pc.floor(
+            pc.add(
+                pc.multiply(batch.column("c_acctbal"), pa.scalar(100.0)),
+                pa.scalar(0.5),
+            )
+        ).cast(i64)
+        zero = pa.scalar(0, type=i64)
+        is_pos = pc.greater(bal, zero)
+        yield pa.Table.from_pydict(
+            {
+                "ckey": batch.column("c_custkey").cast(i64),
+                "cntry": batch.column("c_nationkey").cast(i64),
+                "bal_cents": bal,
+                "pos_cents": pc.if_else(is_pos, bal, zero),
+                "is_pos": pc.if_else(
+                    is_pos, pa.scalar(1, type=i64), zero
+                ),
+            }
+        )
+
+    # ONE aggregate pass for both scalars of the AVG threshold
+    stats = cust_scan().map_batches(prep, batch_format="pyarrow").aggregate(
+        Sum("pos_cents"), Sum("is_pos")
+    )
+    s = int(stats["sum(pos_cents)"] or 0)
+    n = int(stats["sum(is_pos)"] or 0)
+
+    def above_avg(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        keep = pc.greater(
+            pc.multiply(batch.column("bal_cents"), pa.scalar(n, type=i64)),
+            pa.scalar(s, type=i64),
+        )
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return
+        yield t.select(["ckey", "cntry", "bal_cents"])
+
+    cand = (
+        cust_scan()
+        .map_batches(prep, batch_format="pyarrow")
+        .map_batches(above_avg, batch_format="pyarrow")
+    )
+    recent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=(
+            pds.field("o_orderdate") >= __import__("datetime").datetime(
+                2000, 6, 1
+            )
+        ),
+    )
+
+    def rec_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {"ckey": batch.column("o_custkey").cast(i64)}
+        )
+
+    idle = hash_join(
+        cand,
+        recent.map_batches(rec_prep, batch_format="pyarrow"),
+        on=["ckey"],
+        how="left_anti",
+        left_types={"ckey": i64, "cntry": i64, "bal_cents": i64},
+        right_types={"ckey": i64},
+        num_partitions=16,
+    )
+    return partitioned_agg(
+        idle,
+        keys=["cntry"],
+        named_aggs={
+            "numcust": ("cntry", "size"),
+            "totacctbal_cents": ("bal_cents", "sum"),
+        },
+        num_partitions=16,
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -3516,13 +4529,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1": _q_tpch_q1,
         "dup_span_stats": _q_dup_span_stats,
         "doc_percent_rank": _q_doc_percent_rank,
+        "tpch_q4": _q_tpch_q4,
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
         "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q9": _q_tpch_q9,
         "tpch_q10": _q_tpch_q10,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q13": _q_tpch_q13,
         "tpch_q14": _q_tpch_q14,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q17": _q_tpch_q17,
         "tpch_q18": _q_tpch_q18,
         "tpch_q19": _q_tpch_q19,
+        "tpch_q21": _q_tpch_q21,
+        "tpch_q22": _q_tpch_q22,
         "lang_len_tdigest": _q_lang_len_tdigest,
         "doc_sample_weighted": _q_doc_sample_weighted,
         "doc_len_histogram": _q_doc_len_histogram,
@@ -4456,6 +5478,120 @@ def oracle_sql() -> dict[str, str]:
         "doc_percent_rank": (
             "SELECT doc_id, n_chars, PERCENT_RANK() OVER "
             "(ORDER BY n_chars DESC, doc_id ASC) AS prank FROM documents"
+        ),
+        "tpch_q4": (
+            "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate > o_orderdate + INTERVAL 90 DAY) "
+            "GROUP BY o_orderpriority"
+        ),
+        "tpch_q8": (
+            "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN "
+            "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) "
+            "AS BIGINT) ELSE 0 END) AS BIGINT) AS nation_cents, "
+            "CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS total_cents "
+            "FROM part, supplier, lineitem, orders, customer, "
+            "nation n1, nation n2, region "
+            "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey "
+            "AND l_orderkey = o_orderkey AND o_custkey = c_custkey "
+            "AND c_nationkey = n1.n_nationkey "
+            "AND n1.n_regionkey = r_regionkey AND r_name = 'EUROPE' "
+            "AND s_nationkey = n2.n_nationkey "
+            "AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' "
+            "AND TIMESTAMP '1996-12-31' AND p_type = 'ECONOMY' "
+            "GROUP BY o_year"
+        ),
+        "tpch_q9": (
+            "SELECT n_name AS nation, "
+            "CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT) - CAST(FLOOR(p_retailprice * l_quantity * "
+            "100 + 0.5) AS BIGINT)) AS BIGINT) AS profit_cents "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_name LIKE '%red%' GROUP BY n_name, o_year"
+        ),
+        "tpch_q12": (
+            "SELECT l_linestatus, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority NOT IN "
+            "('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS low_line_count "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY l_linestatus"
+        ),
+        "tpch_q13": (
+            "WITH oc AS (SELECT c_custkey, count(o_orderkey) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) "
+            "SELECT c_count, count(*) AS custdist FROM oc "
+            "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+        ),
+        "tpch_q15": (
+            "WITH rev AS (SELECT l_suppkey AS s_suppkey, "
+            "CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS total_revenue_cents "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_revenue_cents "
+            "FROM rev JOIN supplier USING (s_suppkey) "
+            "WHERE total_revenue_cents = "
+            "(SELECT max(total_revenue_cents) FROM rev)"
+        ),
+        "tpch_q17": (
+            "WITH tgt AS (SELECT p_partkey FROM part "
+            "WHERE p_brand = 'Brand#1' AND p_size < 10), "
+            "li AS (SELECT l_partkey, "
+            "CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS q, "
+            "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS c "
+            "FROM lineitem JOIN tgt ON l_partkey = p_partkey), "
+            "st AS (SELECT l_partkey, sum(q) AS s, count(*) AS n "
+            "FROM li GROUP BY l_partkey) "
+            "SELECT CAST(sum(c) AS BIGINT) AS sum_extprice_cents "
+            "FROM li JOIN st USING (l_partkey) WHERE 5 * q * n < s"
+        ),
+        "tpch_q21": (
+            "WITH l AS (SELECT l_orderkey, l_suppkey, "
+            "(l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE o_orderstatus = 'F'), "
+            "per AS (SELECT l_orderkey, l_suppkey, max(late) AS late "
+            "FROM l GROUP BY l_orderkey, l_suppkey), "
+            "ord AS (SELECT l_orderkey, count(*) AS n_supp, "
+            "sum(CASE WHEN late THEN 1 ELSE 0 END) AS n_late "
+            "FROM per GROUP BY l_orderkey) "
+            "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait "
+            "FROM per JOIN ord USING (l_orderkey) "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE per.late AND n_supp >= 2 AND n_late = 1 "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name ASC LIMIT 100"
+        ),
+        "tpch_q22": (
+            "WITH cust AS (SELECT c_custkey, c_nationkey, "
+            "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents "
+            "FROM customer WHERE c_nationkey IN (1,3,5,7,9,11,13)), "
+            "pos AS (SELECT sum(bal_cents) AS s, count(*) AS n "
+            "FROM cust WHERE bal_cents > 0), "
+            "idle AS (SELECT c_custkey, c_nationkey, bal_cents "
+            "FROM cust, pos WHERE bal_cents * n > s "
+            "AND NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey "
+            "AND o_orderdate >= TIMESTAMP '2000-06-01')) "
+            "SELECT CAST(c_nationkey AS BIGINT) AS cntry, "
+            "CAST(count(*) AS BIGINT) AS numcust, "
+            "CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents "
+            "FROM idle GROUP BY cntry"
         ),
         "tpch_q5": (
             "SELECT n_name, CAST(sum(CAST(FLOOR(l_extendedprice * "
