@@ -892,6 +892,16 @@ def _q_unigram_lm(sf_dir: str):
     return unigram_lm_scores(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_nb_langid(sf_dir: str):
+    """Multinomial Naive Bayes language classifier trained on the
+    corpus's own labels (one vocabulary-sized count reduce + O(#labels)
+    priors), broadcast once, applied in a shuffle-free scoring pass.
+    Integer micro-nat log-posteriors so the argmax is bit-exact."""
+    from ctinexus_ray.ops.textstats import naive_bayes_predict
+
+    return naive_bayes_predict(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR importance weights (Xie et al. 2023): hashed-unigram
     log-likelihood ratio of the lang='en' target slice vs the raw
@@ -4485,6 +4495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_with_returns": _q_suppliers_with_returns,
         "pagerank": _q_pagerank,
         "unigram_lm": _q_unigram_lm,
+        "nb_langid": _q_nb_langid,
         "dsir_weights": _q_dsir_weights,
         "paragraph_dedup": _q_paragraph_dedup,
         "semdedup": _q_semdedup,
@@ -5212,6 +5223,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l, r, count(*) AS n FROM "
             "(SELECT * FROM inner_pairs UNION ALL SELECT * FROM boundary) "
             "GROUP BY l, r"
+        ),
+        "nb_langid": (
+            "WITH words AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "
+            "FROM documents), "
+            "labeled AS (SELECT wo.doc_id, d.lang, wo.w FROM words wo "
+            "JOIN documents d USING (doc_id)), "
+            "cnt AS (SELECT lang, w, count(*) AS c FROM labeled "
+            "GROUP BY lang, w), "
+            "tot AS (SELECT lang, sum(c) AS t FROM cnt GROUP BY lang), "
+            "vocab AS (SELECT count(DISTINCT w) AS v FROM words), "
+            "nl AS (SELECT lang, count(*) AS nd FROM documents "
+            "GROUP BY lang), "
+            "nall AS (SELECT count(*) AS n FROM documents), "
+            "prior AS (SELECT lang, CAST(FLOOR(ln(nd / n) * 1e6 + 0.5) "
+            "AS BIGINT) AS pr FROM nl, nall), "
+            "lp AS (SELECT lang, w, CAST(FLOOR(ln((c + 1) / (t + v + 1)) "
+            "* 1e6 + 0.5) AS BIGINT) AS u FROM cnt JOIN tot USING (lang), "
+            "vocab), "
+            "unk AS (SELECT lang, CAST(FLOOR(ln(1 / (t + v + 1)) * 1e6 "
+            "+ 0.5) AS BIGINT) AS u FROM tot, vocab), "
+            "scores AS (SELECT wo.doc_id, la.lang, "
+            "any_value(pr.pr) + sum(COALESCE(lp.u, unk.u)) AS s "
+            "FROM words wo CROSS JOIN nl la "
+            "LEFT JOIN lp ON lp.lang = la.lang AND lp.w = wo.w "
+            "JOIN unk ON unk.lang = la.lang "
+            "JOIN prior pr ON pr.lang = la.lang "
+            "GROUP BY wo.doc_id, la.lang), "
+            "best AS (SELECT doc_id, lang, s, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn "
+            "FROM scores) "
+            "SELECT doc_id, lang AS pred_label, CAST(s AS BIGINT) "
+            "AS score_u FROM best WHERE rn = 1"
         ),
         "unigram_lm": (
             "WITH words AS (SELECT doc_id, "

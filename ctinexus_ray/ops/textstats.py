@@ -1191,3 +1191,185 @@ def kn_bigram_scores(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+def naive_bayes_predict(
+    docs: "ray.data.Dataset",
+    label_col: str = "lang",
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    hash_buckets: int | None = None,
+) -> "ray.data.Dataset":
+    """Multinomial Naive Bayes text classifier, trained on the corpus's
+    own labels and applied back to every document — the fasttext-style
+    linear classifier shape web-corpus pipelines use for language ID and
+    quality filtering (CCNet trains exactly this kind of model; the
+    reference pipeline has no classifier, this is corpus-scale new
+    capability like ``dsir_scores``).
+
+    Train = ONE hash-partitioned (label, word) count reduce (per-batch
+    Counter combine first, so moved data is vocabulary-sized ×
+    #labels, never corpus-sized) plus an O(#labels) prior count.
+    Score = the (word -> per-label log-prob vector) model broadcast
+    once via ``ray.put``, then a pure lookup pass over the corpus — NO
+    shuffle of the documents. Laplace-smoothed with alpha=1 over
+    V+1 outcomes (V seen words + one unseen/UNK class).
+
+    Bit-exactness contract (same discipline as ``unigram_lm_scores``):
+    per-(label, word) log-probs quantize to integer MICRO-NATS
+    (``floor(ln((c+1)/(t+V+1)) * 1e6 + 0.5)``, libm ln == DuckDB ln)
+    BEFORE the per-document sum, so the distributed BIGINT sums are
+    summation-order-independent and the argmax is exact. Prediction
+    ties break to the lexicographically smallest label (oracle:
+    ``ORDER BY score_u DESC, label ASC``).
+
+    ``hash_buckets=N`` is the 100-TB path: words fold into N buckets
+    via the vectorized polynomial hash (``hash64_strings``), making the
+    model a fixed-size (N × #labels) int64 array independent of
+    vocabulary growth — same plan shape, no driver-side vocabulary.
+    (No SQL twin for the hashed variant; pin it against the exact
+    variant on a collision-free fixture.)
+
+    Output: (doc_id, pred_label, score_u) — one row per document,
+    score_u = the winning label's integer micro-nat log-posterior.
+    """
+    import math
+    from collections import Counter
+
+    import numpy as np
+    import ray as _ray
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    if hash_buckets is not None:
+        from ctinexus_ray.ops.dedup import hash64_strings
+
+    def fold(words: list[str]) -> list:
+        if hash_buckets is None:
+            return words
+        h = hash64_strings(pa.array(words, type=pa.string()))
+        return (h % np.uint64(hash_buckets)).astype(np.int64).tolist()
+
+    def explode(batch: pa.Table):
+        cnt: Counter = Counter()
+        for lab, t in zip(
+            batch.column(label_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+        ):
+            toks = _tokens(t or "")
+            for w, k in zip(fold(toks), [lab] * len(toks)):
+                cnt[(k, w)] += 1
+        if not cnt:
+            return
+        labs = [k for (k, _w) in cnt]
+        words = [w for (_k, w) in cnt]
+        word_type = pa.string() if hash_buckets is None else pa.int64()
+        yield pa.Table.from_pydict(
+            {
+                "label": pa.array(labs, type=pa.string()),
+                "word": pa.array(words, type=word_type),
+                "n": pa.array(list(cnt.values()), type=pa.int64()),
+            }
+        )
+
+    counts = partitioned_agg(
+        docs.map_batches(explode, batch_format="pyarrow"),
+        keys=["label", "word"],
+        named_aggs={"c": ("n", "sum")},
+    )
+
+    def label_only(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        yield pa.Table.from_pydict({"label": batch.column(label_col)})
+
+    doc_counts = partitioned_agg(
+        docs.map_batches(label_only, batch_format="pyarrow"),
+        keys=["label"],
+        named_aggs={"nd": ("label", "size")},
+        num_partitions=16,
+    )
+
+    # model collect: vocabulary × #labels rows — the documented 100-TB
+    # fallback is hash_buckets (fixed-size model) or head-vocabulary
+    # thresholding, same as unigram_lm_scores
+    model: dict = {}
+    label_tot: dict[str, int] = {}
+    vocab = set()
+    for batch in counts.iter_batches(batch_format="pyarrow"):
+        for lab, w, c in zip(
+            batch.column("label").to_pylist(),
+            batch.column("word").to_pylist(),
+            batch.column("c").to_pylist(),
+        ):
+            model[(lab, w)] = c
+            label_tot[lab] = label_tot.get(lab, 0) + c
+            vocab.add(w)
+    n_docs_by_label = {
+        r["label"]: r["nd"] for r in doc_counts.take_all()
+    }  # O(#labels) rows
+    labels = sorted(label_tot)
+    n_docs = sum(n_docs_by_label.values())
+    v_plus_1 = (hash_buckets if hash_buckets is not None else len(vocab)) + 1
+
+    priors = np.array(
+        [
+            math.floor(
+                math.log(n_docs_by_label[lab] / n_docs) * 1e6 + 0.5
+            )
+            for lab in labels
+        ],
+        dtype=np.int64,
+    )
+    unk = np.array(
+        [
+            math.floor(
+                math.log(1 / (label_tot[lab] + v_plus_1)) * 1e6 + 0.5
+            )
+            for lab in labels
+        ],
+        dtype=np.int64,
+    )
+    lp: dict = {}
+    for (lab, w), c in model.items():
+        vec = lp.get(w)
+        if vec is None:
+            vec = lp[w] = unk.copy()
+        li = labels.index(lab)
+        vec[li] = math.floor(
+            math.log((c + 1) / (label_tot[lab] + v_plus_1)) * 1e6 + 0.5
+        )
+    model_ref = _ray.put((labels, priors, unk, lp))
+
+    class NbScoreStage:
+        def __init__(self, model_ref):
+            self.labels, self.priors, self.unk, self.lp = _ray.get(model_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, preds, scores = [], [], []
+            lp, unk, priors, labels = self.lp, self.unk, self.priors, self.labels
+            for doc_id, t in zip(
+                batch.column(doc_id_col).to_pylist(),
+                batch.column(text_col).to_pylist(),
+            ):
+                total = priors.copy()
+                for w in fold(_tokens(t or "")):
+                    total += lp.get(w, unk)
+                best = int(np.argmax(total))  # labels sorted asc: first
+                ids.append(doc_id)  # max == smallest label on ties
+                preds.append(labels[best])
+                scores.append(int(total[best]))
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "pred_label": pa.array(preds, type=pa.string()),
+                    "score_u": pa.array(scores, type=pa.int64()),
+                }
+            )
+
+    return docs.map_batches(
+        NbScoreStage,
+        fn_constructor_kwargs={"model_ref": model_ref},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )

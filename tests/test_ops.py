@@ -1305,3 +1305,110 @@ class TestKnBigramLM:
 
         rows = kn_bigram_scores(ray.data.from_arrow(t)).take_all()
         assert sorted(r["doc_id"] for r in rows) == [0]
+
+
+class TestNaiveBayes:
+    def _corpus(self):
+        import pyarrow as pa
+
+        texts = [
+            "the cat sat on the mat",
+            "the dog ate the bone",
+            "a dog and a cat",
+            "el gato y el perro",
+            "el perro come la carne",
+            "la casa de el gato",
+        ]
+        langs = ["en", "en", "en", "es", "es", "es"]
+        return pa.Table.from_pydict(
+            {"doc_id": list(range(len(texts))), "text": texts, "lang": langs}
+        )
+
+    def test_matches_pure_python_nb(self, ray_session):
+        """Predictions and integer scores equal an independent pure-python
+        multinomial NB (Laplace alpha=1 over V+1 outcomes, micro-nat
+        quantization before the sum, smallest-label tie-break)."""
+        import math
+        from collections import Counter
+
+        import ray.data
+
+        from ctinexus_ray.ops.textstats import _tokens, naive_bayes_predict
+
+        t = self._corpus()
+        ds = ray.data.from_arrow(t).repartition(3)
+        got = {
+            r["doc_id"]: (r["pred_label"], r["score_u"])
+            for r in naive_bayes_predict(ds).take_all()
+        }
+
+        texts = t.column("text").to_pylist()
+        langs = t.column("lang").to_pylist()
+        cnt: Counter = Counter()
+        vocab = set()
+        for txt, lab in zip(texts, langs):
+            for w in _tokens(txt):
+                cnt[(lab, w)] += 1
+                vocab.add(w)
+        tot = Counter()
+        for (lab, _w), c in cnt.items():
+            tot[lab] += c
+        labels = sorted(tot)
+        nd = Counter(langs)
+        v1 = len(vocab) + 1
+        for i, txt in enumerate(texts):
+            best_lab, best_s = None, None
+            for lab in labels:
+                s = math.floor(
+                    math.log(nd[lab] / len(texts)) * 1e6 + 0.5
+                )
+                for w in _tokens(txt):
+                    c = cnt.get((lab, w), 0)
+                    s += math.floor(
+                        math.log((c + 1) / (tot[lab] + v1)) * 1e6 + 0.5
+                    )
+                if best_s is None or s > best_s:  # first max = asc label
+                    best_lab, best_s = lab, s
+            assert got[i] == (best_lab, best_s), f"doc {i}"
+
+    def test_self_training_separates_langs(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.textstats import naive_bayes_predict
+
+        ds = ray.data.from_arrow(self._corpus())
+        rows = naive_bayes_predict(ds).take_all()
+        langs = self._corpus().column("lang").to_pylist()
+        assert all(r["pred_label"] == langs[r["doc_id"]] for r in rows)
+
+    def test_hashed_variant_matches_exact_without_collisions(
+        self, ray_session
+    ):
+        """hash_buckets large enough to be collision-free on this tiny
+        vocabulary gives the same predictions (the model is then an exact
+        reparameterization, with V+1 replaced by buckets+1 — scores shift
+        by the smoothing denominator, so compare labels only, plus
+        determinism across runs)."""
+        import ray.data
+
+        from ctinexus_ray.ops.textstats import naive_bayes_predict
+
+        ds = ray.data.from_arrow(self._corpus())
+        exact = {
+            r["doc_id"]: r["pred_label"]
+            for r in naive_bayes_predict(ds).take_all()
+        }
+        h1 = {
+            r["doc_id"]: (r["pred_label"], r["score_u"])
+            for r in naive_bayes_predict(
+                ds, hash_buckets=1 << 20
+            ).take_all()
+        }
+        h2 = {
+            r["doc_id"]: (r["pred_label"], r["score_u"])
+            for r in naive_bayes_predict(
+                ds, hash_buckets=1 << 20
+            ).take_all()
+        }
+        assert h1 == h2  # deterministic
+        assert {k: v[0] for k, v in h1.items()} == exact
