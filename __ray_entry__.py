@@ -892,6 +892,32 @@ def _q_unigram_lm(sf_dir: str):
     return unigram_lm_scores(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def _q_name_bfs_hops(sf_dir: str):
+    """Multi-source BFS over the edit-distance name-match graph: hop
+    distance from the 10 lowest custkeys, capped at 4 hops. Edge set
+    materialized once; per round a broadcast-frontier zero-shuffle
+    expansion + distributed anti-join against the visited set."""
+    from ctinexus_ray.ops.graph import bfs_hops
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["a", "b", "dist"])
+
+    edges = (
+        _q_name_match_pairs(sf_dir)
+        .map_batches(rn, batch_format="pyarrow")
+        .select_columns(["a", "b"])
+    )
+    import pyarrow.dataset as pds
+    import ray.data
+
+    seeds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=(pds.field("c_custkey") <= 10),
+    ).rename_columns({"c_custkey": "node"})
+    return bfs_hops(edges, seeds, max_hops=4, num_partitions=16)
+
+
 def _q_nb_langid(sf_dir: str):
     """Multinomial Naive Bayes language classifier trained on the
     corpus's own labels (one vocabulary-sized count reduce + O(#labels)
@@ -4496,6 +4522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "unigram_lm": _q_unigram_lm,
         "nb_langid": _q_nb_langid,
+        "name_bfs_hops": _q_name_bfs_hops,
         "dsir_weights": _q_dsir_weights,
         "paragraph_dedup": _q_paragraph_dedup,
         "semdedup": _q_semdedup,
@@ -5223,6 +5250,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l, r, count(*) AS n FROM "
             "(SELECT * FROM inner_pairs UNION ALL SELECT * FROM boundary) "
             "GROUP BY l, r"
+        ),
+        "name_bfs_hops": (
+            "WITH RECURSIVE pairs AS MATERIALIZED ("
+            "SELECT a.c_custkey AS s, b.c_custkey AS d "
+            "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1), "
+            "edges AS MATERIALIZED ("
+            "SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs), "
+            "walk AS ("
+            "SELECT c_custkey AS node, 0 AS dist FROM customer "
+            "WHERE c_custkey <= 10 "
+            "UNION "
+            "SELECT e.d AS node, w.dist + 1 FROM walk w "
+            "JOIN edges e ON e.s = w.node WHERE w.dist < 4) "
+            "SELECT node, CAST(min(dist) AS BIGINT) AS dist "
+            "FROM walk GROUP BY node"
         ),
         "nb_langid": (
             "WITH words AS (SELECT doc_id, "

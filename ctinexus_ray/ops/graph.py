@@ -615,3 +615,154 @@ def k_core(
                 .materialize()
             )
     return degrees(cur)
+
+
+def bfs_hops(
+    edges: ray.data.Dataset,
+    seeds: ray.data.Dataset,
+    max_hops: int,
+    num_partitions: int | None = None,
+    frontier_broadcast_rows: int = 4_000_000,
+) -> ray.data.Dataset:
+    """Multi-source BFS hop distances over an undirected canonical
+    (a < b) edge list: every node reachable from any seed within
+    ``max_hops`` hops, with its minimum hop count — the
+    neighborhood-expansion shape (crawl frontier scheduling, dup-cluster
+    blast radius, graph feature generation).
+
+    A FIXED hop cap (not run-to-convergence) keeps the op
+    SQL-expressible — the oracle is a depth-capped recursive CTE with
+    ``min(dist)`` — while an early exit fires when a round discovers
+    nothing new (further rounds are no-ops on both sides, so results
+    still match bit-for-bit).
+
+    Scale shape: the symmetrized edge set materializes ONCE; each round
+    expands the frontier one hop. When the frontier fits
+    ``frontier_broadcast_rows`` it ships once via ``ray.put`` and edge
+    filtering is a zero-shuffle vectorized ``np.isin`` map (the k_core
+    dead-set pattern); a giant frontier falls back to a hash-partitioned
+    semi-join. Newly seen nodes are separated from the visited set by a
+    distributed left-anti join — the driver never holds the visited set.
+    Per-round moved data is frontier-edge-sized, never corpus-sized.
+    Output: (node:int64, dist:int64); seeds are dist 0.
+    """
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    i64 = pa.int64()
+
+    def symmetrize(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        a = batch.column("a").cast(i64)
+        b = batch.column("b").cast(i64)
+        yield pa.Table.from_pydict(
+            {
+                "s": pa.chunked_array(
+                    [a.combine_chunks(), b.combine_chunks()]
+                ),
+                "d": pa.chunked_array(
+                    [b.combine_chunks(), a.combine_chunks()]
+                ),
+            }
+        )
+
+    sym = edges.map_batches(
+        symmetrize, batch_format="pyarrow"
+    ).materialize()  # edge-sized, read every round; pinned once
+
+    def seed_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {"node": batch.column("node").cast(i64)}
+        )
+
+    # distinct seeds at dist 0
+    frontier = partitioned_agg(
+        seeds.map_batches(seed_prep, batch_format="pyarrow"),
+        keys=["node"],
+        named_aggs={"_one": ("node", "size")},
+        num_partitions=num_partitions or 16,
+    ).select_columns(["node"]).materialize()
+
+    def with_dist(ds: ray.data.Dataset, dist: int) -> ray.data.Dataset:
+        def tag(batch: pa.Table):
+            if batch.num_rows == 0:
+                return
+            n = batch.num_rows
+            yield pa.Table.from_pydict(
+                {
+                    "node": batch.column("node"),
+                    "dist": pa.array([dist] * n, type=i64),
+                }
+            )
+
+        return ds.map_batches(tag, batch_format="pyarrow")
+
+    out = with_dist(frontier, 0).materialize()
+    visited = frontier  # (node) only
+
+    for r in range(1, max_hops + 1):
+        n_frontier = frontier.count()
+        if n_frontier == 0:
+            break
+        if n_frontier <= frontier_broadcast_rows:
+            fr_sorted = np.sort(
+                np.concatenate(
+                    [
+                        np.asarray(b.column("node"))
+                        for b in frontier.iter_batches(
+                            batch_format="pyarrow"
+                        )
+                    ]
+                    or [np.array([], dtype=np.int64)]
+                )
+            )
+            fr_ref = ray.put(fr_sorted)
+
+            def expand(batch: pa.Table, fr_ref=fr_ref):
+                fr = ray.get(fr_ref)
+                s = np.asarray(batch.column("s"))
+                pos = np.searchsorted(fr, s)
+                pos[pos == len(fr)] = 0
+                hit = fr[pos] == s if len(fr) else np.zeros(len(s), bool)
+                if not hit.any():
+                    return
+                yield pa.Table.from_pydict(
+                    {"node": batch.column("d").filter(pa.array(hit))}
+                )
+
+            neighbors = sym.map_batches(expand, batch_format="pyarrow")
+        else:  # giant frontier: hash-partitioned semi-join
+            neighbors = hash_join(
+                sym.rename_columns({"s": "node", "d": "nbr"}),
+                frontier,
+                on=["node"],
+                how="left_semi",
+                left_types={"node": i64, "nbr": i64},
+                right_types={"node": i64},
+                num_partitions=num_partitions,
+            ).select_columns(["nbr"]).rename_columns({"nbr": "node"})
+
+        distinct_nb = partitioned_agg(
+            neighbors,
+            keys=["node"],
+            named_aggs={"_one": ("node", "size")},
+            num_partitions=num_partitions or 16,
+        ).select_columns(["node"])
+        new = hash_join(
+            distinct_nb,
+            visited,
+            on=["node"],
+            how="left_anti",
+            left_types={"node": i64},
+            right_types={"node": i64},
+            num_partitions=num_partitions or 16,
+        ).materialize()
+        if new.count() == 0:
+            break
+        out = out.union(with_dist(new, r)).materialize()
+        visited = visited.union(new).materialize()
+        frontier = new
+    return out

@@ -202,3 +202,44 @@ class TestKCore:
         key = lambda r: (r["node"], r["deg"])
         assert sorted(fast, key=key) == sorted(slow, key=key)
         assert {r["node"] for r in fast} == {0, 1, 2, 3, 4}
+
+
+class TestBfsHops:
+    def _run(self, edges, seeds, max_hops, **kw):
+        import ray.data
+
+        from ctinexus_ray.ops.graph import bfs_hops
+
+        e = ray.data.from_items([{"a": a, "b": b} for a, b in edges])
+        s = ray.data.from_items([{"node": n} for n in seeds])
+        got = bfs_hops(e, s, max_hops, num_partitions=16, **kw).take_all()
+        return {r["node"]: r["dist"] for r in got}
+
+    def test_chain_and_unreachable(self, ray_session):
+        # 1-2-3-4-5 chain plus disconnected 10-11
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+        assert self._run(edges, [1], 3) == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    def test_multi_source_min(self, ray_session):
+        # two seeds; node 3 is 2 hops from 1 but 1 hop from 4
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+        assert self._run(edges, [1, 4], 4) == {
+            1: 0, 4: 0, 2: 1, 3: 1, 5: 1,
+        }
+
+    def test_early_exit_on_converged_component(self, ray_session):
+        # triangle converges after 1 hop; max_hops far larger
+        edges = [(1, 2), (2, 3), (1, 3)]
+        assert self._run(edges, [1], 50) == {1: 0, 2: 1, 3: 1}
+
+    def test_duplicate_seeds_and_cycle(self, ray_session):
+        edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+        assert self._run(edges, [1, 1, 2], 2) == {
+            1: 0, 2: 0, 3: 1, 4: 2,
+        }
+
+    def test_semi_join_path_matches_broadcast(self, ray_session):
+        edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+        a = self._run(edges, [1], 5)
+        b = self._run(edges, [1], 5, frontier_broadcast_rows=0)
+        assert a == b == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5}
