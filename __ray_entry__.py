@@ -918,6 +918,58 @@ def _q_name_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=4, num_partitions=16)
 
 
+def _q_quality_melt(sf_dir: str):
+    """UNPIVOT the wide per-document quality-metric table into long
+    (doc_id, metric, val) form — zero-shuffle stateless map."""
+    from ctinexus_ray.ops.relational import melt
+
+    return melt(
+        _q_quality_scores(sf_dir),
+        id_cols=["doc_id"],
+        value_cols=["n_chars", "n_words", "n_unique_words", "n_punct"],
+        var_name="metric",
+        value_name="val",
+    )
+
+
+def _q_word_postings(sf_dir: str):
+    """Inverted index: per word, the comma-joined ascending doc_id
+    posting list. Per-row set dedup is globally exact (a doc_id lives in
+    exactly one row), so the ONLY shuffle is the word-keyed
+    grouped_string_agg. The deterministic order column makes the
+    concatenation reshard-stable."""
+    from ctinexus_ray.ops.groupagg import grouped_string_agg
+    from ctinexus_ray.ops.textstats import _tokens
+
+    def pairs(batch: pa.Table):
+        ids, words = [], []
+        for doc_id, t in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            for w in set(_tokens(t or "")):
+                ids.append(doc_id)
+                words.append(w)
+        if not ids:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "word": pa.array(words, type=pa.string()),
+                "doc_id": pa.array(ids, type=pa.int64()),
+            }
+        )
+
+    return grouped_string_agg(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            pairs, batch_format="pyarrow"
+        ),
+        key="word",
+        value_col="doc_id",
+        order_col="doc_id",
+        out="postings",
+    )
+
+
 def _q_nb_langid(sf_dir: str):
     """Multinomial Naive Bayes language classifier trained on the
     corpus's own labels (one vocabulary-sized count reduce + O(#labels)
@@ -4522,6 +4574,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "unigram_lm": _q_unigram_lm,
         "nb_langid": _q_nb_langid,
+        "quality_melt": _q_quality_melt,
+        "word_postings": _q_word_postings,
         "name_bfs_hops": _q_name_bfs_hops,
         "dsir_weights": _q_dsir_weights,
         "paragraph_dedup": _q_paragraph_dedup,
@@ -5266,6 +5320,26 @@ def oracle_sql() -> dict[str, str]:
             "JOIN edges e ON e.s = w.node WHERE w.dist < 4) "
             "SELECT node, CAST(min(dist) AS BIGINT) AS dist "
             "FROM walk GROUP BY node"
+        ),
+        "quality_melt": (
+            "WITH q AS (SELECT doc_id, length(text) AS n_chars, "
+            "len(regexp_split_to_array(trim(text), '\\s+')) AS n_words, "
+            "len(list_distinct(list_transform("
+            "regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)))) "
+            "AS n_unique_words, "
+            "length(regexp_replace(text, '[\\w\\s]', '', 'g')) AS n_punct "
+            "FROM documents) "
+            "SELECT doc_id, metric, val FROM q "
+            "UNPIVOT (val FOR metric IN "
+            "(n_chars, n_words, n_unique_words, n_punct))"
+        ),
+        "word_postings": (
+            "WITH pairs AS (SELECT DISTINCT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "
+            "FROM documents) "
+            "SELECT w AS word, "
+            "string_agg(doc_id, ',' ORDER BY doc_id) AS postings "
+            "FROM pairs GROUP BY w"
         ),
         "nb_langid": (
             "WITH words AS (SELECT doc_id, "

@@ -338,8 +338,9 @@ def grouped_string_agg(
         out_df.columns = [key, out]
         return out_df
 
-    return (
-        ds.select_columns([key, value_col, order_col])
+    cols = list(dict.fromkeys([key, value_col, order_col]))  # value may
+    return (  # BE the order column (e.g. posting lists sorted by id)
+        ds.select_columns(cols)
         .map_batches(add_pkey, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(agg_partition, batch_format="pandas")

@@ -1232,3 +1232,42 @@ def ks_drift(
             "ks": pa.array([ks], type=pa.float64()),
         }
     )
+
+
+def melt(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "key",
+    value_name: str = "val",
+) -> ray.data.Dataset:
+    """UNPIVOT / melt: one output row per (input row, value column) —
+    wide metric tables become long (id..., key, val) tables for grouped
+    analysis or sparse storage. Pure stateless ``map_batches`` (each
+    batch emits len(value_cols) stacked projections, all zero-copy
+    column slices + one constant dictionary column) — NO shuffle, so it
+    composes freely at any corpus size; the value columns must share one
+    Arrow type (cast upstream if mixed, same rule as SQL UNPIVOT)."""
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+
+    def unpivot(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        vt = batch.column(value_cols[0]).type
+        for c in value_cols[1:]:
+            if batch.column(c).type != vt:
+                raise TypeError(
+                    f"value column {c!r} has type {batch.column(c).type}, "
+                    f"expected {vt} — cast value columns to one type first"
+                )
+        n = batch.num_rows
+        for c in value_cols:
+            arrays = [batch.column(k) for k in id_cols]
+            arrays.append(pa.array([c] * n, type=pa.string()))
+            arrays.append(batch.column(c))
+            yield pa.Table.from_arrays(
+                arrays, names=id_cols + [var_name, value_name]
+            )
+
+    return ds.map_batches(unpivot, batch_format="pyarrow")

@@ -1017,3 +1017,46 @@ class TestKsDrift:
             ray.data.from_arrow(t), "g", "v", "a", "b"
         ).to_pylist()[0]
         assert row["ks"] == 0.0
+
+
+class TestMelt:
+    def test_unpivots_rows(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.relational import melt
+
+        t = pa.Table.from_pydict(
+            {"id": [1, 2], "a": [10, 20], "b": [30, 40]}
+        )
+        got = sorted(
+            (r["id"], r["key"], r["val"])
+            for r in melt(
+                ray.data.from_arrow(t), ["id"], ["a", "b"]
+            ).take_all()
+        )
+        assert got == [
+            (1, "a", 10), (1, "b", 30), (2, "a", 20), (2, "b", 40),
+        ]
+
+    def test_mixed_value_types_raise(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        from ctinexus_ray.ops.relational import melt
+
+        t = pa.Table.from_pydict({"id": [1], "a": [1], "b": [1.5]})
+        with pytest.raises(Exception, match="one type"):
+            melt(ray.data.from_arrow(t), ["id"], ["a", "b"]).take_all()
+
+    def test_empty_value_cols_raise(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        from ctinexus_ray.ops.relational import melt
+
+        t = pa.Table.from_pydict({"id": [1]})
+        with pytest.raises(ValueError):
+            melt(ray.data.from_arrow(t), ["id"], [])
