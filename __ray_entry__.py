@@ -970,6 +970,29 @@ def _q_word_postings(sf_dir: str):
     )
 
 
+def _q_event_props_sum(sf_dir: str):
+    """Semi-structured extraction: parse the JSON props column once
+    (NULL-safe json_extract semantics), then an O(#event-types) grouped
+    sum/count over the extracted typed scalar."""
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.semistruct import json_scalar
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    withk = json_scalar(
+        events, "props", "k", keep=["event_type"]
+    )
+    return partitioned_agg(
+        withk,
+        keys=["event_type"],
+        named_aggs={"sum_k": ("k", "sum"), "n": ("k", "size")},
+        num_partitions=16,
+    )
+
+
 def _q_nb_langid(sf_dir: str):
     """Multinomial Naive Bayes language classifier trained on the
     corpus's own labels (one vocabulary-sized count reduce + O(#labels)
@@ -4574,6 +4597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "unigram_lm": _q_unigram_lm,
         "nb_langid": _q_nb_langid,
+        "event_props_sum": _q_event_props_sum,
         "quality_melt": _q_quality_melt,
         "word_postings": _q_word_postings,
         "name_bfs_hops": _q_name_bfs_hops,
@@ -5340,6 +5364,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT w AS word, "
             "string_agg(doc_id, ',' ORDER BY doc_id) AS postings "
             "FROM pairs GROUP BY w"
+        ),
+        "event_props_sum": (
+            "SELECT event_type, "
+            "CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) "
+            "AS sum_k, count(*) AS n FROM events GROUP BY event_type"
         ),
         "nb_langid": (
             "WITH words AS (SELECT doc_id, "

@@ -1060,3 +1060,50 @@ class TestMelt:
         t = pa.Table.from_pydict({"id": [1]})
         with pytest.raises(ValueError):
             melt(ray.data.from_arrow(t), ["id"], [])
+
+
+class TestJsonScalar:
+    def test_extracts_and_null_safety(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.semistruct import json_scalar
+
+        t = pa.Table.from_pydict(
+            {
+                "id": [1, 2, 3, 4, 5, 6],
+                "js": [
+                    '{"k": 7}',
+                    '{"k": null}',
+                    '{"other": 1}',
+                    "not json",
+                    None,
+                    "[1, 2]",
+                ],
+            }
+        )
+        got = {
+            r["id"]: r["k"]
+            for r in json_scalar(
+                ray.data.from_arrow(t), "js", "k"
+            ).take_all()
+        }
+        assert got == {1: 7, 2: None, 3: None, 4: None, 5: None, 6: None}
+
+    def test_keep_projection_and_string_type(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.semistruct import json_scalar
+
+        t = pa.Table.from_pydict(
+            {"id": [1], "extra": ["x"], "js": ['{"name": "web"}']}
+        )
+        rows = json_scalar(
+            ray.data.from_arrow(t),
+            "js",
+            "name",
+            arrow_type=pa.string(),
+            keep=["id"],
+        ).take_all()
+        assert rows == [{"id": 1, "name": "web"}]
