@@ -993,6 +993,72 @@ def _q_event_props_sum(sf_dir: str):
     )
 
 
+def _q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (first-activity day × day offset →
+    distinct active users): per-user first-day reduce, a global
+    (user, day) distinct reduce, one user-keyed hash join, and an
+    O(cohorts × offsets) count — the classic event-analytics shape,
+    every aggregate hash-partitioned."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    i64 = pa.int64()
+    us_day = 86_400_000_000
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def days(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        d = pc.divide(
+            batch.column("ts").cast(i64), pa.scalar(us_day, type=i64)
+        )  # ts >= epoch here, so truncating divide == floor
+        yield pa.Table.from_pydict(
+            {"user_id": batch.column("user_id").cast(i64), "day": d}
+        )
+
+    ud = events.map_batches(days, batch_format="pyarrow")
+    firsts = partitioned_agg(
+        ud, keys=["user_id"], named_aggs={"cohort_d": ("day", "min")}
+    )
+    pairs = partitioned_agg(
+        ud,
+        keys=["user_id", "day"],
+        named_aggs={"_one": ("day", "size")},
+    ).select_columns(["user_id", "day"])
+    j = hash_join(
+        pairs,
+        firsts,
+        on=["user_id"],
+        left_types={"user_id": i64, "day": i64},
+        right_types={"user_id": i64, "cohort_d": i64},
+        num_partitions=16,
+    )
+
+    def offset(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "cohort_d": batch.column("cohort_d"),
+                "day_offset": pc.subtract(
+                    batch.column("day"), batch.column("cohort_d")
+                ),
+            }
+        )
+
+    return partitioned_agg(
+        j.map_batches(offset, batch_format="pyarrow"),
+        keys=["cohort_d", "day_offset"],
+        named_aggs={"n_users": ("cohort_d", "size")},
+        num_partitions=16,
+    )
+
+
 def _q_nb_langid(sf_dir: str):
     """Multinomial Naive Bayes language classifier trained on the
     corpus's own labels (one vocabulary-sized count reduce + O(#labels)
@@ -4597,6 +4663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "unigram_lm": _q_unigram_lm,
         "nb_langid": _q_nb_langid,
+        "cohort_retention": _q_cohort_retention,
         "event_props_sum": _q_event_props_sum,
         "quality_melt": _q_quality_melt,
         "word_postings": _q_word_postings,
@@ -5369,6 +5436,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, "
             "CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) "
             "AS sum_k, count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "cohort_retention": (
+            "WITH firsts AS (SELECT user_id, "
+            "CAST(min(epoch_us(ts)) // 86400000000 AS BIGINT) AS cohort_d "
+            "FROM events GROUP BY user_id), "
+            "acts AS (SELECT DISTINCT e.user_id, f.cohort_d, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS act_d "
+            "FROM events e JOIN firsts f USING (user_id)) "
+            "SELECT cohort_d, act_d - cohort_d AS day_offset, "
+            "count(*) AS n_users FROM acts GROUP BY cohort_d, day_offset"
         ),
         "nb_langid": (
             "WITH words AS (SELECT doc_id, "
