@@ -1059,6 +1059,98 @@ def _q_cohort_retention(sf_dir: str):
     )
 
 
+def _q_events_mad_outliers(sf_dir: str):
+    """Robust per-group outlier detection: median + MAD (median absolute
+    deviation, quantile_disc index rule) per event type, then count
+    values with |v − med| > 3·MAD. Three column-pruned corpus passes
+    (cents projection, deviation, flag count) — each reduce output is
+    O(#types × value-domain), never corpus-sized; integer cents
+    everywhere so the thresholds are bit-exact."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.relational import grouped_int_quantiles
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def cents(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return
+        v = pc.floor(
+            pc.add(
+                pc.multiply(batch.column("value"), pa.scalar(100.0)),
+                pa.scalar(0.5),
+            )
+        ).cast(pa.int64())
+        yield pa.Table.from_pydict(
+            {"event_type": batch.column("event_type"), "v": v}
+        )
+
+    ds_c = events.map_batches(cents, batch_format="pyarrow")
+    med = {
+        r["event_type"]: r["value"]
+        for r in grouped_int_quantiles(
+            ds_c, "event_type", "v", [0.5]
+        ).take_all()  # O(#types) rows
+    }
+
+    def dev(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["v"] - df["event_type"].map(med)).abs()
+        return pd.DataFrame(
+            {"event_type": df["event_type"], "d": d.astype(np.int64)}
+        )
+
+    ds_d = ds_c.map_batches(dev, batch_format="pandas")
+    mad = {
+        r["event_type"]: r["value"]
+        for r in grouped_int_quantiles(
+            ds_d, "event_type", "d", [0.5]
+        ).take_all()
+    }
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(med)
+        thr = 3 * df["event_type"].map(mad)
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "out": ((df["v"] - m).abs() > thr).astype(np.int64),
+            }
+        )
+
+    counts = partitioned_agg(
+        ds_c.map_batches(flag, batch_format="pandas"),
+        keys=["event_type"],
+        named_aggs={"n_outliers": ("out", "sum")},
+        num_partitions=16,
+    ).take_all()  # O(#types)
+    types = sorted(med)
+    return pd.DataFrame(
+        {
+            "event_type": types,
+            "med_cents": np.array([med[t] for t in types], dtype=np.int64),
+            "mad_cents": np.array([mad[t] for t in types], dtype=np.int64),
+            "n_outliers": np.array(
+                [
+                    next(
+                        r["n_outliers"]
+                        for r in counts
+                        if r["event_type"] == t
+                    )
+                    for t in types
+                ],
+                dtype=np.int64,
+            ),
+        }
+    )
+
+
 def _q_nb_langid(sf_dir: str):
     """Multinomial Naive Bayes language classifier trained on the
     corpus's own labels (one vocabulary-sized count reduce + O(#labels)
@@ -4663,6 +4755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "unigram_lm": _q_unigram_lm,
         "nb_langid": _q_nb_langid,
+        "events_mad_outliers": _q_events_mad_outliers,
         "cohort_retention": _q_cohort_retention,
         "event_props_sum": _q_event_props_sum,
         "quality_melt": _q_quality_melt,
@@ -5446,6 +5539,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN firsts f USING (user_id)) "
             "SELECT cohort_d, act_d - cohort_d AS day_offset, "
             "count(*) AS n_users FROM acts GROUP BY cohort_d, day_offset"
+        ),
+        "events_mad_outliers": (
+            "WITH c AS (SELECT event_type, "
+            "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v FROM events), "
+            "med AS (SELECT event_type, quantile_disc(v, 0.5) AS m "
+            "FROM c GROUP BY event_type), "
+            "dev AS (SELECT c.event_type, v, abs(v - m) AS d, m "
+            "FROM c JOIN med USING (event_type)), "
+            "mad AS (SELECT event_type, quantile_disc(d, 0.5) AS md "
+            "FROM dev GROUP BY event_type) "
+            "SELECT dev.event_type, "
+            "CAST(any_value(dev.m) AS BIGINT) AS med_cents, "
+            "CAST(any_value(mad.md) AS BIGINT) AS mad_cents, "
+            "CAST(sum(CASE WHEN dev.d > 3 * mad.md THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_outliers "
+            "FROM dev JOIN mad USING (event_type) GROUP BY dev.event_type"
         ),
         "nb_langid": (
             "WITH words AS (SELECT doc_id, "
