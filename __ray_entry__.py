@@ -985,8 +985,27 @@ def _q_event_props_sum(sf_dir: str):
     withk = json_scalar(
         events, "props", "k", keep=["event_type"]
     )
+
+    def fill(batch: pa.Table):
+        # NULL k rows: sum as 0 (matching the oracle's COALESCE) AND
+        # keep int64 through the pandas reduce — a nullable int64 column
+        # degrades to float64+NaN there, which would break the strict
+        # BIGINT value-hash
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "event_type": batch.column("event_type"),
+                "k": pc.fill_null(
+                    batch.column("k"), pa.scalar(0, type=pa.int64())
+                ),
+            }
+        )
+
     return partitioned_agg(
-        withk,
+        withk.map_batches(fill, batch_format="pyarrow"),
         keys=["event_type"],
         named_aggs={"sum_k": ("k", "sum"), "n": ("k", "size")},
         num_partitions=16,
@@ -3855,7 +3874,8 @@ def _q_tpch_q8(sf_dir: str):
         on=["pkey_part"],
         left_types={"pkey_part": i64, "okey": i64, "skey": i64, "cents": i64},
         right_types={"pkey_part": i64},
-    )
+    ).select_columns(["okey", "skey", "cents"])  # pkey_part is dead:
+    # don't ship it through two more corpus-sized shuffles
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -3881,9 +3901,9 @@ def _q_tpch_q8(sf_dir: str):
         j1,
         orders.map_batches(ord_prep, batch_format="pyarrow"),
         on=["okey"],
-        left_types={"okey": i64, "pkey_part": i64, "skey": i64, "cents": i64},
+        left_types={"okey": i64, "skey": i64, "cents": i64},
         right_types={"okey": i64, "ckey": i64, "o_year": i64},
-    )
+    ).select_columns(["ckey", "skey", "cents", "o_year"])  # okey dead
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).rename_columns({"c_custkey": "ckey"})
@@ -3893,8 +3913,6 @@ def _q_tpch_q8(sf_dir: str):
         on=["ckey"],
         left_types={
             "ckey": i64,
-            "okey": i64,
-            "pkey_part": i64,
             "skey": i64,
             "cents": i64,
             "o_year": i64,
@@ -3940,13 +3958,17 @@ def _q_tpch_q8(sf_dir: str):
     )
 
     def split(batch: pa.Table):
-        if batch.num_rows == 0:
+        # inner-join semantics vs the supplier->nation dimension: a
+        # referential gap (NULL n_name) must drop the row, as in the
+        # oracle's JOIN nation — broadcast_enrich alone is a left join
+        t = batch.filter(pc.is_valid(batch.column("n_name")))
+        if t.num_rows == 0:
             return
-        c = batch.column("cents")
-        is_target = pc.equal(batch.column("n_name"), pa.scalar("NATION_3"))
+        c = t.column("cents")
+        is_target = pc.equal(t.column("n_name"), pa.scalar("NATION_3"))
         yield pa.Table.from_pydict(
             {
-                "o_year": batch.column("o_year"),
+                "o_year": t.column("o_year"),
                 "nat": pc.if_else(is_target, c, pa.scalar(0, type=i64)),
                 "tot": c,
             }
@@ -4094,7 +4116,7 @@ def _q_tpch_q9(sf_dir: str):
         on=["okey"],
         left_types={"okey": i64, "skey": i64, "p": i64},
         right_types={"okey": i64, "o_year": i64},
-    )
+    ).select_columns(["skey", "p", "o_year"])  # okey dead past here
     supp = ray.data.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
     ).rename_columns({"s_suppkey": "skey"})
@@ -4102,7 +4124,7 @@ def _q_tpch_q9(sf_dir: str):
         j2,
         supp,
         on=["skey"],
-        left_types={"skey": i64, "okey": i64, "p": i64, "o_year": i64},
+        left_types={"skey": i64, "p": i64, "o_year": i64},
         right_types={"skey": i64, "s_nationkey": pa.int32()},
     )
     nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
@@ -4111,13 +4133,15 @@ def _q_tpch_q9(sf_dir: str):
     )
 
     def slim(batch: pa.Table):
-        if batch.num_rows == 0:
+        # inner-join semantics vs the nation dimension (see tpch_q8)
+        t = batch.filter(pc.is_valid(batch.column("n_name")))
+        if t.num_rows == 0:
             return
         yield pa.Table.from_pydict(
             {
-                "nation": batch.column("n_name"),
-                "o_year": batch.column("o_year"),
-                "p": batch.column("p"),
+                "nation": t.column("n_name"),
+                "o_year": t.column("o_year"),
+                "p": t.column("p"),
             }
         )
 
@@ -4356,7 +4380,18 @@ def _q_tpch_q15(sf_dir: str):
         keys=["skey"],
         named_aggs={"total_revenue_cents": ("c", "sum")},
     ).materialize()  # supplier-cardinality; feeds max + winner filter
-    best = int(rev.max("total_revenue_cents"))
+    best_raw = rev.max("total_revenue_cents")
+    if best_raw is None:  # window matched no lineitem: empty result,
+        import pandas as pd  # same schema as the oracle's empty set
+
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.Series([], dtype="int64"),
+                "s_name": pd.Series([], dtype="object"),
+                "total_revenue_cents": pd.Series([], dtype="int64"),
+            }
+        )
+    best = int(best_raw)
     winners = rev.filter(expr=f"total_revenue_cents == {best}")
     supp = ray.data.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
@@ -5527,8 +5562,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_props_sum": (
             "SELECT event_type, "
-            "CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) "
-            "AS sum_k, count(*) AS n FROM events GROUP BY event_type"
+            "CAST(sum(COALESCE(TRY_CAST(props ->> '$.k' AS BIGINT), 0)) "
+            "AS BIGINT) AS sum_k, count(*) AS n "
+            "FROM events GROUP BY event_type"
         ),
         "cohort_retention": (
             "WITH firsts AS (SELECT user_id, "

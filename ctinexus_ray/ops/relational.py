@@ -1240,6 +1240,7 @@ def melt(
     value_cols: list[str],
     var_name: str = "key",
     value_name: str = "val",
+    drop_nulls: bool = True,
 ) -> ray.data.Dataset:
     """UNPIVOT / melt: one output row per (input row, value column) —
     wide metric tables become long (id..., key, val) tables for grouped
@@ -1247,7 +1248,9 @@ def melt(
     batch emits len(value_cols) stacked projections, all zero-copy
     column slices + one constant dictionary column) — NO shuffle, so it
     composes freely at any corpus size; the value columns must share one
-    Arrow type (cast upstream if mixed, same rule as SQL UNPIVOT)."""
+    Arrow type (cast upstream if mixed, same rule as SQL UNPIVOT).
+    ``drop_nulls=True`` (default) skips NULL values, matching SQL
+    UNPIVOT's EXCLUDE NULLS default; pass False for INCLUDE NULLS."""
     if not value_cols:
         raise ValueError("value_cols must be non-empty")
 
@@ -1266,8 +1269,12 @@ def melt(
             arrays = [batch.column(k) for k in id_cols]
             arrays.append(pa.array([c] * n, type=pa.string()))
             arrays.append(batch.column(c))
-            yield pa.Table.from_arrays(
+            t = pa.Table.from_arrays(
                 arrays, names=id_cols + [var_name, value_name]
             )
+            if drop_nulls:
+                t = t.filter(pc.is_valid(t.column(value_name)))
+            if t.num_rows:
+                yield t
 
     return ds.map_batches(unpivot, batch_format="pyarrow")

@@ -1232,6 +1232,8 @@ def naive_bayes_predict(
 
     Output: (doc_id, pred_label, score_u) — one row per document,
     score_u = the winning label's integer micro-nat log-posterior.
+    NULL-labeled rows contribute nothing to training (SQL count(col)
+    semantics) but are still scored like every other document.
     """
     import math
     from collections import Counter
@@ -1256,6 +1258,8 @@ def naive_bayes_predict(
             batch.column(label_col).to_pylist(),
             batch.column(text_col).to_pylist(),
         ):
+            if lab is None:  # NULL labels train nothing — SQL count(col)
+                continue  # semantics, same rule as grouped_misra_gries
             toks = _tokens(t or "")
             for w, k in zip(fold(toks), [lab] * len(toks)):
                 cnt[(k, w)] += 1
@@ -1279,9 +1283,11 @@ def naive_bayes_predict(
     )
 
     def label_only(batch: pa.Table):
-        if batch.num_rows == 0:
+        col = batch.column(label_col)
+        col = col.filter(pc.is_valid(col))
+        if len(col) == 0:
             return
-        yield pa.Table.from_pydict({"label": batch.column(label_col)})
+        yield pa.Table.from_pydict({"label": col})
 
     doc_counts = partitioned_agg(
         docs.map_batches(label_only, batch_format="pyarrow"),
@@ -1330,15 +1336,16 @@ def naive_bayes_predict(
         ],
         dtype=np.int64,
     )
+    label_index = {lab: i for i, lab in enumerate(labels)}
     lp: dict = {}
     for (lab, w), c in model.items():
         vec = lp.get(w)
         if vec is None:
             vec = lp[w] = unk.copy()
-        li = labels.index(lab)
-        vec[li] = math.floor(
+        vec[label_index[lab]] = math.floor(
             math.log((c + 1) / (label_tot[lab] + v_plus_1)) * 1e6 + 0.5
         )
+    del model  # counts now live in lp; halve peak driver memory
     model_ref = _ray.put((labels, priors, unk, lp))
 
     class NbScoreStage:

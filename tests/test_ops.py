@@ -1412,3 +1412,24 @@ class TestNaiveBayes:
         }
         assert h1 == h2  # deterministic
         assert {k: v[0] for k, v in h1.items()} == exact
+
+
+class TestNaiveBayesNullLabel:
+    def test_null_label_rows_score_but_do_not_train(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.textstats import naive_bayes_predict
+
+        t = pa.Table.from_pydict(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["the cat", "el gato", "the dog"],
+                "lang": ["en", "es", None],
+            }
+        )
+        rows = naive_bayes_predict(ray.data.from_arrow(t)).take_all()
+        got = {r["doc_id"]: r["pred_label"] for r in rows}
+        assert len(got) == 3  # NULL-labeled doc still scored
+        assert got[1] == "en" and got[2] == "es"
+        assert got[3] in ("en", "es")  # model has only trained labels

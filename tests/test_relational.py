@@ -1107,3 +1107,51 @@ class TestJsonScalar:
             keep=["id"],
         ).take_all()
         assert rows == [{"id": 1, "name": "web"}]
+
+
+class TestReviewHardening:
+    def test_json_scalar_mixed_types_yield_null(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.semistruct import json_scalar
+
+        t = pa.Table.from_pydict(
+            {
+                "id": [1, 2, 3, 4, 5],
+                "js": [
+                    '{"k": 7}',
+                    '{"k": "abc"}',
+                    '{"k": [1]}',
+                    '{"k": 2.0}',
+                    '{"k": "12"}',
+                ],
+            }
+        )
+        got = {
+            r["id"]: r["k"]
+            for r in json_scalar(
+                ray.data.from_arrow(t), "js", "k"
+            ).take_all()
+        }
+        # TRY_CAST semantics: strings parse if numeric, integral floats
+        # convert, nested values and non-numeric strings are NULL
+        assert got == {1: 7, 2: None, 3: None, 4: 2, 5: 12}
+
+    def test_melt_null_handling(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.relational import melt
+
+        t = pa.Table.from_pydict(
+            {"id": [1, 2], "a": [10, None], "b": [None, 40]}
+        )
+        ds = ray.data.from_arrow(t)
+        dropped = sorted(
+            (r["id"], r["key"], r["val"])
+            for r in melt(ds, ["id"], ["a", "b"]).take_all()
+        )
+        assert dropped == [(1, "a", 10), (2, "b", 40)]  # EXCLUDE NULLS
+        kept = melt(ds, ["id"], ["a", "b"], drop_nulls=False).take_all()
+        assert len(kept) == 4  # INCLUDE NULLS
