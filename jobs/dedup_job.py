@@ -14,8 +14,10 @@ input size (see ctinexus_ray/rayutil.py select_shuffle_strategy).
 
 In this sandbox the same entrypoint runs standalone:
 ``python jobs/dedup_job.py --input <parquet dir> --output /tmp/out``.
-The documents table shape is (doc_id:int64, text:string, ...); extra
-columns pass through to the output.
+Two input shapes are accepted: the documents table (doc_id:int64,
+text:string, ...) and the url-keyed Common-Crawl corpus of input_hint
+(a stable int64 doc_id then derives from the url hash — see the
+collision note in main()). Extra columns pass through to the output.
 """
 
 from __future__ import annotations
@@ -52,6 +54,27 @@ def main() -> int:
 
     start = time.perf_counter()
     docs = ray.data.read_parquet(args.input)
+    # Accept BOTH table shapes: the documents table (doc_id:int64) and
+    # the Common-Crawl corpus per input_hint (url-keyed, no doc_id) — a
+    # stable int64 key derives from the url's vectorized 63-bit hash.
+    # At 10^12 docs the birthday bound puts ~50k hash collisions
+    # (~5e-8 of the corpus) each of which could merge two distinct
+    # urls' dedup identities; acceptable for a lossy dedup job, NOT for
+    # an exact-identity join — use the parquet doc_id path there.
+    names = docs.schema().names
+    if "doc_id" not in names and "url" in names:
+        import numpy as np
+        import pyarrow as pa
+
+        def add_id(batch: pa.Table) -> pa.Table:
+            from ctinexus_ray.ops.dedup import hash64_strings
+
+            h = (hash64_strings(batch.column("url")) >> np.uint64(1)).view(
+                np.int64
+            )
+            return batch.append_column("doc_id", pa.array(h))
+
+        docs = docs.map_batches(add_id, batch_format="pyarrow")
     # corpus-scale runs cross to push-based shuffle (driver metadata
     # stays flat); small runs keep pull-based. Env var still overrides.
     from ctinexus_ray.rayutil import select_shuffle_strategy
