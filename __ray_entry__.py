@@ -1767,12 +1767,15 @@ def _q_orders_rollup(sf_dir: str):
 
 def _q_pruned_range_scan(sf_dir: str):
     """Index-pruned range scan: the corpus is laid out sorted by
-    n_chars into multi-row-group shards (fresh temp dir per call), a
-    footer-only min/max index is built distributed, the predicate
-    [120, 300] prunes row groups, and ONLY surviving groups are read.
-    The oracle is the plain full-scan SQL — so a false negative in the
-    pruning (a missed row) hash-mismatches immediately."""
-    import tempfile
+    n_chars into multi-row-group shards (one deterministic scratch dir
+    per sf_dir, rebuilt in place so repeated sweeps don't accumulate
+    /tmp copies), a footer-only min/max index is built distributed, the
+    predicate [120, 300] prunes row groups, and ONLY surviving groups
+    are read. The oracle is the plain full-scan SQL — so a false
+    negative in the pruning (a missed row) hash-mismatches
+    immediately."""
+    import hashlib
+    import shutil
 
     import pyarrow.compute as pc
 
@@ -1783,7 +1786,9 @@ def _q_pruned_range_scan(sf_dir: str):
     )
 
     lo, hi = 120, 300
-    tmp = tempfile.mkdtemp(prefix="pqindex_")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"/tmp/pqindex_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
     docs = (
         _docs(sf_dir, ["doc_id", "n_chars"])
         .sort("n_chars")

@@ -120,10 +120,9 @@ def _top1_partial(batch: pa.Table) -> pa.Table:
     n = batch.column("n").to_numpy()
     best = int(n.max())
     at = np.flatnonzero(n == best)
-    cand = sorted(
-        (batch.column("l").to_pylist()[i], batch.column("r").to_pylist()[i])
-        for i in at.tolist()
-    )
+    ls = batch.column("l").to_pylist()  # hoisted: converting the whole
+    rs = batch.column("r").to_pylist()  # column per tied index is
+    cand = sorted((ls[i], rs[i]) for i in at.tolist())  # O(ties x rows)
     l, r = cand[0]
     return pa.Table.from_pydict(
         {

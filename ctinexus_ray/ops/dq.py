@@ -9,9 +9,7 @@ O(#batches) driver work and the corpus never shuffles.
 
 Rules are callables ``pa.Table -> pa.BooleanArray`` returning True where
 the row PASSES; nulls count as violations (SQL ``NOT coalesce(pred,
-false)`` semantics — an unknown is not a pass). An optional
-``sample_violations`` collects up to k offending rows per rule for the
-report (bounded, first-seen per batch — diagnostics, not a full list).
+false)`` semantics — an unknown is not a pass).
 """
 
 from __future__ import annotations
@@ -34,14 +32,16 @@ def data_quality_report(
     Rule order in the output follows the dict order."""
     names = list(rules)
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table):
+        if batch.num_rows == 0:  # pc.sum of an empty mask is null —
+            return  # `n_rows - None` would TypeError the whole report
         cols: dict[str, list[int]] = {"n_rows": [batch.num_rows]}
         for name in names:
             passed = pc.fill_null(rules[name](batch), False)
             if isinstance(passed, pa.ChunkedArray):
                 passed = passed.combine_chunks()
-            cols[name] = [batch.num_rows - pc.sum(passed).as_py()]
-        return pa.Table.from_pydict(
+            cols[name] = [batch.num_rows - (pc.sum(passed).as_py() or 0)]
+        yield pa.Table.from_pydict(
             {k: pa.array(v, type=pa.int64()) for k, v in cols.items()}
         )
 

@@ -221,8 +221,10 @@ def decode_gif(payload: bytes) -> np.ndarray:
             break
         if block == 0x21:  # extension: label + sub-blocks
             pos += 1
-            while payload[pos] != 0:
+            while pos < len(payload) and payload[pos] != 0:
                 pos += 1 + payload[pos]
+            if pos >= len(payload):  # contract: corrupt GIFs raise
+                raise ValueError("GIF truncated inside extension blocks")
             pos += 1
             continue
         if block != 0x2C:
@@ -239,10 +241,12 @@ def decode_gif(payload: bytes) -> np.ndarray:
         min_code_size = payload[pos]
         pos += 1
         data = bytearray()
-        while payload[pos] != 0:
+        while pos < len(payload) and payload[pos] != 0:
             ln = payload[pos]
             data.extend(payload[pos + 1 : pos + 1 + ln])
             pos += 1 + ln
+        if pos >= len(payload):  # contract: corrupt GIFs raise
+            raise ValueError("GIF truncated inside image data blocks")
         pos += 1
         idx = _lzw_decode(min_code_size, bytes(data), iw * ih).reshape(ih, iw)
         if ipacked & 0x40:  # interlaced: rows arrive in pass order

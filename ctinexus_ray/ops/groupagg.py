@@ -241,6 +241,9 @@ def cube_counts(
     aggregate once per consumer). Output: keys + [out]."""
     from itertools import combinations
 
+    if not keys:
+        raise ValueError("cube_counts requires at least one key")
+
     def stringify(batch: pa.Table) -> pa.Table:
         arrays = [batch.column(k).cast(pa.string()) for k in keys]
         return pa.Table.from_arrays(arrays, names=keys)
@@ -267,7 +270,7 @@ def cube_counts(
             ).materialize()
 
     any_single = (keys[0],)
-    total = int(raw[any_single].sum(out)) if keys else ds.count()
+    total = int(raw[any_single].sum(out) or 0)  # sum() is None when empty
 
     def widen(batch: pa.Table, present: tuple[str, ...]) -> pa.Table:
         n = batch.num_rows

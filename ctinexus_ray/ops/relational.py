@@ -1003,7 +1003,15 @@ def grouped_running_sum(
 
     def add_units(batch: pa.Table) -> pa.Table:
         v = batch.column(value_col).to_numpy(zero_copy_only=False)
-        units = np.floor(v * scale + 0.5).astype(np.int64)
+        if v.dtype != np.float64:  # an all-null block arrives as object
+            v = v.astype(np.float64)  # dtype (None -> nan under cast)
+        # NULL values contribute 0 but keep their row — exactly SQL's
+        # SUM(...) OVER (skips NULLs) + ROW_NUMBER() (counts all rows);
+        # without the mask, floor(NaN).astype(int64) is INT64_MIN and
+        # silently corrupts every later prefix sum in the group
+        units = np.where(
+            np.isnan(v), 0, np.floor(v * scale + 0.5)
+        ).astype(np.int64)
         batch = batch.drop_columns([value_col]).append_column(
             "__units", pa.array(units, type=pa.int64())
         )
@@ -1052,7 +1060,21 @@ def grouped_zscore(
 
     sel = ds.select_columns([group_col, value_col, *id_cols])
 
+    def drop_nulls(batch: pa.Table) -> pa.Table:
+        # NULL group or NULL value rows standardize to nothing — the
+        # SQL twin's stats CTE inner-joins back to the rows, dropping
+        # both; without this, floor(NaN) -> INT64_MIN poisons the power
+        # sums and a NaN stats-lookup miss crashes zmap
+        keep = pc.and_(
+            pc.is_valid(batch.column(group_col)),
+            pc.is_valid(batch.column(value_col)),
+        )
+        return batch.filter(keep)
+
     def partial(batch: pa.Table):
+        batch = drop_nulls(batch)
+        if batch.num_rows == 0:
+            return
         v = batch.column(value_col).to_numpy(zero_copy_only=False)
         vc = np.floor(v * scale + 0.5).astype(np.int64)
         df = pd.DataFrame(
@@ -1085,6 +1107,7 @@ def grouped_zscore(
     stats_ref = ray.put(mean_sd)
 
     def zmap(batch: pa.Table) -> pa.Table:
+        batch = drop_nulls(batch)
         lookup = ray.get(stats_ref)
         g = batch.column(group_col).to_pandas()
         ms = g.map(lookup)
@@ -1133,6 +1156,15 @@ def basket_pairs(
     sel = ds.select_columns([basket_col, item_col])
 
     def add_pkey(batch: pa.Table) -> pa.Table:
+        # NULL basket ids or items join to nothing in SQL (the oracle's
+        # equi-join emits no 'null basket'); pandas merge would instead
+        # match NaN==NaN and a null item would crash the < comparison
+        batch = batch.filter(
+            pc.and_(
+                pc.is_valid(batch.column(basket_col)),
+                pc.is_valid(batch.column(item_col)),
+            )
+        )
         return add_hash_pkey(batch, [basket_col], num_partitions)
 
     def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:

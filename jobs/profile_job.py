@@ -57,7 +57,13 @@ def _profile_partials(batch):
         dtype=np.int64,
     )
     langs = (
-        batch.column("lang").to_pylist()
+        # NULL lang buckets as "?" (same sentinel as a missing column):
+        # pandas groupby would otherwise DROP those rows from the
+        # per-lang sums while the histogram/HLL keep them, breaking the
+        # report's hist_sum == n_docs invariant. lang=None stays
+        # reserved for the batch-sentinel row carrying hist/regs.
+        [l if l is not None else "?" for l in
+         batch.column("lang").to_pylist()]
         if "lang" in batch.column_names
         else ["?"] * batch.num_rows
     )

@@ -132,3 +132,18 @@ class TestGifInMediaStage:
         meta = {m["media_id"]: m for m in table.to_pylist()}
         assert by_id[8]["features"][0] == float(meta[8]["width"])
         assert by_id[8]["features"][1] == float(meta[8]["height"])
+
+
+class TestGifTruncation:
+    def test_truncated_extension_raises_valueerror(self):
+        import numpy as np
+        import pytest
+
+        from ctinexus_ray.ops.gif import decode_gif, encode_gif
+
+        img = np.zeros((4, 4, 3), dtype=np.uint8)
+        payload = encode_gif(img)
+        # cut inside the image data sub-block chain
+        for cut in (len(payload) - 2, len(payload) // 2):
+            with pytest.raises(ValueError):
+                decode_gif(payload[:cut])

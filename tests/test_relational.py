@@ -1155,3 +1155,85 @@ class TestReviewHardening:
         assert dropped == [(1, "a", 10), (2, "b", 40)]  # EXCLUDE NULLS
         kept = melt(ds, ["id"], ["a", "b"], drop_nulls=False).take_all()
         assert len(kept) == 4  # INCLUDE NULLS
+
+
+class TestNullHardening:
+    def test_running_sum_null_value_contributes_zero(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.relational import grouped_running_sum
+
+        rows = [
+            {"g": 1, "o": 1, "v": 2.0},
+            {"g": 1, "o": 2, "v": None},
+            {"g": 1, "o": 3, "v": 3.0},
+        ]
+        got = sorted(
+            (r["o"], r["run_units"], r["run_n"])
+            for r in grouped_running_sum(
+                ray.data.from_items(rows), "g", ["o"], "v",
+                num_partitions=16,
+            ).take_all()
+        )
+        # NULL row kept (ROW_NUMBER semantics) with 0 contribution
+        assert got == [(1, 200, 1), (2, 200, 2), (3, 500, 3)]
+
+    def test_zscore_null_rows_dropped(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.relational import grouped_zscore
+
+        rows = [
+            {"g": "a", "id": 1, "v": 1.0},
+            {"g": "a", "id": 2, "v": 3.0},
+            {"g": None, "id": 3, "v": 9.0},
+            {"g": "a", "id": 4, "v": None},
+        ]
+        got = grouped_zscore(
+            ray.data.from_items(rows), "g", "v", ["id"]
+        ).take_all()
+        ids = sorted(r["id"] for r in got)
+        assert ids == [1, 2]  # null group and null value rows dropped
+        z = {r["id"]: r["z"] for r in got}
+        assert z[1] == -1.0 and z[2] == 1.0
+
+    def test_basket_pairs_null_keys_ignored(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.relational import basket_pairs
+
+        rows = [
+            {"b": 1, "t": "x"},
+            {"b": 1, "t": "y"},
+            {"b": None, "t": "x"},
+            {"b": None, "t": "z"},
+            {"b": 2, "t": None},
+            {"b": 2, "t": "x"},
+        ]
+        got = sorted(
+            (r["t1"], r["t2"], r["support"])
+            for r in basket_pairs(
+                ray.data.from_items(rows), "b", "t", num_partitions=16
+            ).take_all()
+        )
+        assert got == [("x", "y", 1)]  # no 'null basket', no null items
+
+    def test_dq_report_empty_blocks(self, ray_session):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data
+
+        from ctinexus_ray.ops.dq import data_quality_report
+
+        ds = ray.data.from_items(
+            [{"v": 1}, {"v": -2}]
+        ).repartition(8)  # most blocks empty
+        rep = data_quality_report(
+            ds, {"nonneg": lambda b: pc.greater_equal(b.column("v"), 0)}
+        )
+        assert rep.to_pydict() == {
+            "rule": ["nonneg"],
+            "n_rows": [2],
+            "n_violations": [1],
+            "violation_rate": [0.5],
+        }
