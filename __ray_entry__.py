@@ -1170,6 +1170,17 @@ def _q_events_mad_outliers(sf_dir: str):
     )
 
 
+def _q_corpus_checksum(sf_dir: str):
+    """Order-independent corpus checksum (migration / replica
+    verification without moving data): XOR of content-addressed 60-bit
+    row hashes + row count, one streaming pass, fixed-size partials."""
+    from ctinexus_ray.ops.dq import table_checksum
+
+    return table_checksum(
+        _docs(sf_dir, ["doc_id", "text"]), ["doc_id", "text"]
+    )
+
+
 def _q_nb_langid(sf_dir: str):
     """Multinomial Naive Bayes language classifier trained on the
     corpus's own labels (one vocabulary-sized count reduce + O(#labels)
@@ -4795,6 +4806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "unigram_lm": _q_unigram_lm,
         "nb_langid": _q_nb_langid,
+        "corpus_checksum": _q_corpus_checksum,
         "events_mad_outliers": _q_events_mad_outliers,
         "cohort_retention": _q_cohort_retention,
         "event_props_sum": _q_event_props_sum,
@@ -5596,6 +5608,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN dev.d > 3 * mad.md THEN 1 ELSE 0 END) "
             "AS BIGINT) AS n_outliers "
             "FROM dev JOIN mad USING (event_type) GROUP BY dev.event_type"
+        ),
+        "corpus_checksum": (
+            "SELECT CAST(bit_xor(CAST(concat('0x', substr(md5(concat("
+            "CAST(doc_id AS VARCHAR), '|', COALESCE(text, chr(0)))), "
+            "1, 15)) AS UBIGINT)) AS BIGINT) AS checksum, "
+            "count(*) AS n_rows FROM documents"
         ),
         "nb_langid": (
             "WITH words AS (SELECT doc_id, "

@@ -62,3 +62,64 @@ def data_quality_report(
             ),
         }
     )
+
+
+def table_checksum(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    sep: str = "|",
+) -> pa.Table:
+    """Order-independent corpus checksum: XOR of a content-addressed
+    60-bit hash (md5 prefix) of every row's ``sep``-joined column
+    values, plus the row count — the cheap way to verify a 100-TB copy,
+    migration, or replica WITHOUT moving or sorting the data (XOR is
+    commutative/associative, so block order, partitioning, and cluster
+    size cannot change the result; pair it with n_rows because XOR
+    alone cannot see a row duplicated an even number of times).
+
+    One streaming pass; each batch emits a fixed-size (xor, n) partial;
+    the driver folds O(#batches) partials. Values render like SQL:
+    CAST(x AS VARCHAR) for non-strings, NULL as the literal '' join gap
+    is avoided by using the sentinel chr(0) so ('a', NULL) and ('a'+'')
+    cannot collide. 60 bits keeps the result in a positive BIGINT on
+    both sides (DuckDB bit_xor over UBIGINT)."""
+    import hashlib
+
+    def partial(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        rendered = []
+        for c in cols:
+            col = batch.column(c)
+            if not (
+                pa.types.is_string(col.type)
+                or pa.types.is_large_string(col.type)
+            ):
+                col = col.cast(pa.string())
+            rendered.append(col.to_pylist())
+        acc = 0
+        for parts in zip(*rendered):
+            key = sep.join(
+                "\x00" if p is None else p for p in parts
+            )
+            acc ^= int(
+                hashlib.md5(key.encode("utf-8")).hexdigest()[:15], 16
+            )
+        yield pa.Table.from_pydict(
+            {
+                "x": pa.array([acc], type=pa.int64()),
+                "n": pa.array([batch.num_rows], type=pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc, n = 0, 0
+    for p in parts:  # O(#batches) driver rows
+        acc ^= p["x"]
+        n += p["n"]
+    return pa.Table.from_pydict(
+        {
+            "checksum": pa.array([acc], type=pa.int64()),
+            "n_rows": pa.array([n], type=pa.int64()),
+        }
+    )

@@ -48,3 +48,45 @@ class TestDataQualityReport:
         ).to_pylist()
         assert out[0]["n_violations"] == 0
         assert out[0]["violation_rate"] == 0.0
+
+
+class TestTableChecksum:
+    def test_order_and_partitioning_invariant(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.dq import table_checksum
+
+        rows = [{"id": i, "t": f"doc {i}"} for i in range(50)]
+        a = table_checksum(
+            ray.data.from_items(rows), ["id", "t"]
+        ).to_pydict()
+        b = table_checksum(
+            ray.data.from_items(list(reversed(rows))).repartition(7),
+            ["id", "t"],
+        ).to_pydict()
+        assert a == b and a["n_rows"] == [50]
+
+    def test_detects_single_row_change(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.dq import table_checksum
+
+        rows = [{"id": i, "t": f"doc {i}"} for i in range(10)]
+        a = table_checksum(ray.data.from_items(rows), ["id", "t"])
+        rows[3]["t"] = "doc 3 tampered"
+        b = table_checksum(ray.data.from_items(rows), ["id", "t"])
+        assert a.column("checksum") != b.column("checksum")
+        assert a.column("n_rows") == b.column("n_rows")
+
+    def test_null_vs_empty_distinct(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.dq import table_checksum
+
+        a = table_checksum(
+            ray.data.from_items([{"id": 1, "t": None}]), ["id", "t"]
+        )
+        b = table_checksum(
+            ray.data.from_items([{"id": 1, "t": ""}]), ["id", "t"]
+        )
+        assert a.column("checksum") != b.column("checksum")
