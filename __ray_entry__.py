@@ -1170,6 +1170,22 @@ def _q_events_mad_outliers(sf_dir: str):
     )
 
 
+def _q_media_probe(sf_dir: str):
+    """Header-only media probe: container format + dims / audio params
+    read from the first bytes of each payload, NO decode — the cheap
+    pre-filter before any decode actor pool at 100 TB. Rows-only
+    (binary pipeline); probe == full-decode dims pinned in tests."""
+    import ray.data
+
+    from ctinexus_ray.ops.multimodal import (
+        make_real_media_table,
+        probe_media,
+    )
+
+    media = ray.data.from_arrow(make_real_media_table(200)).repartition(4)
+    return probe_media(media)
+
+
 def _q_corpus_checksum(sf_dir: str):
     """Order-independent corpus checksum (migration / replica
     verification without moving data): XOR of content-addressed 60-bit
@@ -4807,6 +4823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_lm": _q_unigram_lm,
         "nb_langid": _q_nb_langid,
         "corpus_checksum": _q_corpus_checksum,
+        "media_probe": _q_media_probe,
         "events_mad_outliers": _q_events_mad_outliers,
         "cohort_retention": _q_cohort_retention,
         "event_props_sum": _q_event_props_sum,

@@ -791,3 +791,132 @@ def sample_video_frames(
         batch_size=batch_size,
         concurrency=(1, 4),
     )
+
+
+def probe_media_bytes(payload: bytes) -> dict:
+    """Header-only media probe: container format + dimensions (images)
+    or channels/sample-rate/frames (WAV audio) WITHOUT decoding pixel
+    or sample data — the 100-TB filter pattern (drop tiny/huge images,
+    wrong-format payloads, mono audio...) that reads a few hundred
+    bytes per payload instead of decompressing it. Formats: PNG (IHDR),
+    GIF (logical screen), BMP (BITMAPINFOHEADER), P6 PPM (text header),
+    baseline/progressive JPEG (marker walk to SOFn), RIFF/WAVE (fmt +
+    data chunks). Unknown/truncated payloads return fmt='unknown' with
+    null metrics — a probe never raises on data."""
+    import struct
+
+    out = {
+        "fmt": "unknown",
+        "width": None,
+        "height": None,
+        "channels": None,
+        "sample_rate": None,
+        "n_frames": None,
+    }
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 24:
+            w, h = struct.unpack(">II", payload[16:24])
+            out.update(fmt="png", width=w, height=h)
+        elif payload[:4] in (b"GIF8",) and len(payload) >= 10:
+            w, h = struct.unpack("<HH", payload[6:10])
+            out.update(fmt="gif", width=w, height=h)
+        elif payload[:2] == b"BM" and len(payload) >= 26:
+            w, h = struct.unpack("<ii", payload[18:26])
+            out.update(fmt="bmp", width=w, height=abs(h))
+        elif payload[:2] == b"P6":
+            fields: list[int] = []
+            pos = 2
+            while len(fields) < 3 and pos < min(len(payload), 64):
+                while pos < len(payload) and payload[pos : pos + 1].isspace():
+                    pos += 1
+                start = pos
+                while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                    pos += 1
+                fields.append(int(payload[start:pos]))
+            out.update(fmt="ppm", width=fields[0], height=fields[1])
+        elif payload[:2] == b"\xff\xd8":
+            pos = 2
+            while pos + 4 <= len(payload):
+                if payload[pos] != 0xFF:
+                    break
+                marker = payload[pos + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    pos += 2
+                    continue
+                seg_len = struct.unpack(">H", payload[pos + 2 : pos + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(
+                        ">HH", payload[pos + 5 : pos + 9]
+                    )
+                    nc = payload[pos + 9]
+                    out.update(fmt="jpeg", width=w, height=h, channels=nc)
+                    break
+                pos += 2 + seg_len
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            pos = 12
+            ch = sr = bits = nbytes = None
+            while pos + 8 <= len(payload):
+                cid = payload[pos : pos + 4]
+                sz = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+                if cid == b"fmt " and sz >= 16:
+                    ch, sr = struct.unpack(
+                        "<HI", payload[pos + 10 : pos + 16]
+                    )
+                    bits = struct.unpack(
+                        "<H", payload[pos + 22 : pos + 24]
+                    )[0]
+                elif cid == b"data":
+                    nbytes = sz
+                pos += 8 + sz + (sz & 1)
+            if ch and sr:
+                out.update(fmt="wav", channels=ch, sample_rate=sr)
+                if nbytes is not None and bits:
+                    out["n_frames"] = nbytes // (ch * (bits // 8))
+    except (ValueError, IndexError, struct.error):
+        out = {
+            "fmt": "unknown",
+            "width": None,
+            "height": None,
+            "channels": None,
+            "sample_rate": None,
+            "n_frames": None,
+        }
+    return out
+
+
+def probe_media(media: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Header-only probe over a media table (media_id, payload, ...):
+    stateless map, reads only container headers — the cheap pre-filter
+    stage before any decode actor pool. Output: (media_id, fmt, width,
+    height, channels, sample_rate, n_frames)."""
+
+    def probe(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        rows = [
+            probe_media_bytes(p or b"")
+            for p in batch.column("payload").to_pylist()
+        ]
+        yield pa.Table.from_pydict(
+            {
+                "media_id": batch.column("media_id").cast(pa.int64()),
+                "fmt": pa.array([r["fmt"] for r in rows], type=pa.string()),
+                "width": pa.array(
+                    [r["width"] for r in rows], type=pa.int64()
+                ),
+                "height": pa.array(
+                    [r["height"] for r in rows], type=pa.int64()
+                ),
+                "channels": pa.array(
+                    [r["channels"] for r in rows], type=pa.int64()
+                ),
+                "sample_rate": pa.array(
+                    [r["sample_rate"] for r in rows], type=pa.int64()
+                ),
+                "n_frames": pa.array(
+                    [r["n_frames"] for r in rows], type=pa.int64()
+                ),
+            }
+        )
+
+    return media.map_batches(probe, batch_format="pyarrow")

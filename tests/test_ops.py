@@ -1433,3 +1433,46 @@ class TestNaiveBayesNullLabel:
         assert len(got) == 3  # NULL-labeled doc still scored
         assert got[1] == "en" and got[2] == "es"
         assert got[3] in ("en", "es")  # model has only trained labels
+
+
+class TestProbeMedia:
+    def test_probe_matches_ground_truth_dims(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.multimodal import (
+            make_real_media_table,
+            probe_media,
+        )
+
+        t = make_real_media_table(64)
+        truth = {
+            mid: (k, w, h)
+            for mid, k, w, h in zip(
+                t.column("media_id").to_pylist(),
+                t.column("kind").to_pylist(),
+                t.column("width").to_pylist(),
+                t.column("height").to_pylist(),
+            )
+        }
+        got = probe_media(
+            ray.data.from_arrow(t).repartition(4)
+        ).take_all()
+        assert len(got) == 64
+        for r in got:
+            kind, w, h = truth[r["media_id"]]
+            if kind == "image":
+                assert r["fmt"] in ("png", "gif", "bmp", "ppm", "jpeg")
+                assert (r["width"], r["height"]) == (w, h), r
+            else:
+                assert r["fmt"] == "wav"
+                assert r["sample_rate"] and r["channels"] >= 1
+                assert r["n_frames"] and r["n_frames"] > 0
+
+    def test_unknown_and_truncated_payloads_never_raise(self, ray_session):
+        from ctinexus_ray.ops.multimodal import probe_media_bytes
+
+        for p in (b"", b"\xff\xd8", b"P6 9", b"RIFFxxxxWAVE",
+                  b"\x89PNG\r\n\x1a\n\x00", b"garbage" * 3):
+            out = probe_media_bytes(p)
+            assert out["fmt"] in ("unknown", "wav", "jpeg", "png", "ppm")
+            # truncated headers yield no dims rather than raising
