@@ -1170,6 +1170,503 @@ def _q_events_mad_outliers(sf_dir: str):
     )
 
 
+def _q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 plan shape (important stock — adapted: no partsupp
+    table in this corpus, so 'stock value' is revenue shipped by the
+    target nation's suppliers per part). One lineitem ⋈ supplier hash
+    join, broadcast nation filter, a part-keyed cents reduce
+    materialized ONCE (feeds both the global total and the share
+    filter), and the HAVING-vs-scalar-subquery comparison restated
+    integer-exact (cents·1000 > total ⟺ share > 0.001)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.relational import broadcast_enrich
+
+    i64 = pa.int64()
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        cents = pc.floor(
+            pc.add(
+                pc.multiply(
+                    pc.multiply(
+                        batch.column("l_extendedprice"),
+                        pc.subtract(
+                            pa.scalar(1.0), batch.column("l_discount")
+                        ),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                pa.scalar(0.5),
+            )
+        ).cast(i64)
+        yield pa.Table.from_pydict(
+            {
+                "p_partkey": batch.column("l_partkey").cast(i64),
+                "skey": batch.column("l_suppkey").cast(i64),
+                "c": cents,
+            }
+        )
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).rename_columns({"s_suppkey": "skey"})
+    j = hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        supp,
+        on=["skey"],
+        left_types={"skey": i64, "p_partkey": i64, "c": i64},
+        right_types={"skey": i64, "s_nationkey": pa.int32()},
+    )
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
+    named = broadcast_enrich(
+        j, nation, "s_nationkey", "n_nationkey", ["n_name"]
+    )
+
+    def in_nation(batch: pa.Table):
+        t = batch.filter(
+            pc.equal(batch.column("n_name"), pa.scalar("NATION_3"))
+        )
+        if t.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {"p_partkey": t.column("p_partkey"), "c": t.column("c")}
+        )
+
+    pr = partitioned_agg(
+        named.map_batches(in_nation, batch_format="pyarrow"),
+        keys=["p_partkey"],
+        named_aggs={"cents": ("c", "sum")},
+    ).materialize()  # part-cardinality; feeds total + share filter
+    total = int(pr.sum("cents") or 0)
+
+    def share(batch: pa.Table):
+        keep = pc.greater(
+            pc.multiply(batch.column("cents"), pa.scalar(1000, type=i64)),
+            pa.scalar(total, type=i64),
+        )
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return
+        yield t
+
+    return pr.map_batches(share, batch_format="pyarrow")
+
+
+def _q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 plan shape (parts/suppliers relationship count —
+    adapted: part↔supplier pairs come from lineitem, and the complaint
+    filter is s_acctbal < 0, since this corpus has no partsupp or
+    s_comment). The excluded supplier set is filtered at source and
+    broadcast (complaint suppliers are rare by construction — the
+    decontaminate pattern), the pair table reduces to DISTINCT once,
+    part attributes arrive by scan-filtered hash join, and
+    count(DISTINCT supplier) per attribute triple is the standard
+    two-level distinct-then-count reduce."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    i64 = pa.int64()
+    excl_rows = (
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet",
+            columns=["s_suppkey"],
+            filter=(pds.field("s_acctbal") < 0),
+        ).take_all()
+    )  # complaint suppliers: rare by construction -> broadcast set
+    excl = np.sort(
+        np.array([r["s_suppkey"] for r in excl_rows], dtype=np.int64)
+    )
+    excl_ref = __import__("ray").put(excl)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def pairs(batch: pa.Table, excl_ref=excl_ref):
+        import ray as _ray
+
+        if batch.num_rows == 0:
+            return
+        bad = _ray.get(excl_ref)
+        sk = np.asarray(batch.column("l_suppkey"), dtype=np.int64)
+        if len(bad):
+            pos = np.searchsorted(bad, sk)
+            pos[pos == len(bad)] = 0
+            keep = ~(bad[pos] == sk)
+        else:
+            keep = np.ones(len(sk), dtype=bool)
+        t = batch.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "pkey_part": t.column("l_partkey").cast(i64),
+                "skey": t.column("l_suppkey").cast(i64),
+            }
+        )
+
+    distinct_ps = partitioned_agg(
+        li.map_batches(pairs, batch_format="pyarrow"),
+        keys=["pkey_part", "skey"],
+        named_aggs={"_one": ("skey", "size")},
+    ).select_columns(["pkey_part", "skey"])
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        filter=(
+            (pds.field("p_brand") != "Brand#1")
+            & (pds.field("p_size").isin([1, 5, 9, 13, 17, 21, 25, 29]))
+        ),
+    ).rename_columns({"p_partkey": "pkey_part"})
+    j = hash_join(
+        distinct_ps,
+        part,
+        on=["pkey_part"],
+        left_types={"pkey_part": i64, "skey": i64},
+        right_types={
+            "pkey_part": i64,
+            "p_brand": pa.string(),
+            "p_type": pa.string(),
+            "p_size": pa.int32(),
+        },
+        num_partitions=16,
+    )
+    # two-level: distinct (brand,type,size,supplier), then count
+    distinct4 = partitioned_agg(
+        j.select_columns(["p_brand", "p_type", "p_size", "skey"]),
+        keys=["p_brand", "p_type", "p_size", "skey"],
+        named_aggs={"_one": ("skey", "size")},
+        num_partitions=16,
+    )
+    counts = partitioned_agg(
+        distinct4,
+        keys=["p_brand", "p_type", "p_size"],
+        named_aggs={"supplier_cnt": ("skey", "size")},
+        num_partitions=16,
+    )
+
+    def pin(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "p_brand": batch.column("p_brand"),
+                "p_type": batch.column("p_type"),
+                "p_size": batch.column("p_size").cast(pa.int32()),
+                "supplier_cnt": batch.column("supplier_cnt").cast(i64),
+            }
+        )
+
+    return counts.map_batches(pin, batch_format="pyarrow")
+
+
+def _q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 plan shape (part promotion — adapted: no partsupp, so
+    the availqty > half-of-shipped test becomes 'dominant supplier':
+    a supplier qualifies when for SOME target part it shipped more than
+    half that part's year total). Per-(part, supplier) quantity sums
+    materialized once (the slice is name-filtered), per-part totals
+    re-aggregate that slice, the inequality join-back keeps dominant
+    pairs, distinct suppliers semi-join to names, nation filter by
+    broadcast — the nested-correlated-subquery shape as two-level
+    aggregates plus one inequality join."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.relational import broadcast_enrich
+
+    i64 = pa.int64()
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+
+    def tgt_prep(batch: pa.Table):
+        t = batch.filter(pc.starts_with(batch.column("p_name"), "red"))
+        if t.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {"pkey_part": t.column("p_partkey").cast(i64)}
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=(
+            (pds.field("l_shipdate") >= datetime.datetime(1996, 1, 1))
+            & (pds.field("l_shipdate") < datetime.datetime(1997, 1, 1))
+        ),
+    )
+
+    def li_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        q = pc.floor(
+            pc.add(batch.column("l_quantity"), pa.scalar(0.5))
+        ).cast(i64)
+        yield pa.Table.from_pydict(
+            {
+                "pkey_part": batch.column("l_partkey").cast(i64),
+                "skey": batch.column("l_suppkey").cast(i64),
+                "q": q,
+            }
+        )
+
+    sliced = hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        part.map_batches(tgt_prep, batch_format="pyarrow"),
+        on=["pkey_part"],
+        left_types={"pkey_part": i64, "skey": i64, "q": i64},
+        right_types={"pkey_part": i64},
+    )
+    ps = partitioned_agg(
+        sliced,
+        keys=["pkey_part", "skey"],
+        named_aggs={"q": ("q", "sum")},
+        num_partitions=16,
+    ).materialize()  # (target part × supplier)-cardinality; reused
+    ptot = partitioned_agg(
+        ps,
+        keys=["pkey_part"],
+        named_aggs={"tq": ("q", "sum")},
+        num_partitions=16,
+    )
+    j = hash_join(
+        ps,
+        ptot,
+        on=["pkey_part"],
+        left_types={"pkey_part": i64, "skey": i64, "q": i64},
+        right_types={"pkey_part": i64, "tq": i64},
+        num_partitions=16,
+    )
+
+    def dominant(batch: pa.Table):
+        keep = pc.greater(
+            pc.multiply(batch.column("q"), pa.scalar(2, type=i64)),
+            batch.column("tq"),
+        )
+        t = batch.filter(keep)
+        if t.num_rows == 0:
+            return
+        yield pa.Table.from_pydict({"skey": t.column("skey")})
+
+    dom = partitioned_agg(
+        j.map_batches(dominant, batch_format="pyarrow"),
+        keys=["skey"],
+        named_aggs={"_one": ("skey", "size")},
+        num_partitions=16,
+    ).select_columns(["skey"])
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    ).rename_columns({"s_suppkey": "skey"})
+    named = hash_join(
+        dom,
+        supp,
+        on=["skey"],
+        left_types={"skey": i64},
+        right_types={
+            "skey": i64,
+            "s_name": pa.string(),
+            "s_nationkey": pa.int32(),
+        },
+        num_partitions=16,
+    )
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
+    enriched = broadcast_enrich(
+        named, nation, "s_nationkey", "n_nationkey", ["n_name"]
+    )
+    wanted = pa.array(
+        ["NATION_3", "NATION_7", "NATION_11"], type=pa.string()
+    )
+
+    def in_nations(batch: pa.Table):
+        t = batch.filter(
+            pc.is_in(batch.column("n_name"), value_set=wanted)
+        )
+        if t.num_rows == 0:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "s_suppkey": t.column("skey"),
+                "s_name": t.column("s_name"),
+            }
+        )
+
+    return enriched.map_batches(in_nations, batch_format="pyarrow")
+
+
+def _q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 plan shape (minimum-cost supplier per part in a region
+    — adapted: no partsupp table, so 'cost' is the minimum shipped unit
+    price floor(extprice·100/qty+0.5) from lineitem). Region suppliers
+    materialize once via the broadcast dimension snowflake (reused by
+    the semi-join AND the detail join); per-(part, supplier) min unit
+    cents materializes once feeding both the per-part min and the
+    equality join-back — the classic correlated-min aggregate-rejoin,
+    with deterministic acctbal/part/supplier tie-breaks on the top-100."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.relational import broadcast_enrich
+
+    i64 = pa.int64()
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"],
+    )
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet")
+    eur = broadcast_enrich(
+        nation, region, "n_regionkey", "r_regionkey", ["r_name"]
+    ).filter(expr="r_name == 'EUROPE'")
+    senr = broadcast_enrich(
+        supp, eur, "s_nationkey", "n_nationkey", ["n_name"]
+    )
+
+    def rs_prep(batch: pa.Table):
+        t = batch.filter(pc.is_valid(batch.column("n_name")))
+        if t.num_rows == 0:
+            return
+        bal = pc.floor(
+            pc.add(
+                pc.multiply(batch.column("s_acctbal"), pa.scalar(100.0)),
+                pa.scalar(0.5),
+            )
+        ).cast(i64)
+        bal = bal.filter(pc.is_valid(batch.column("n_name")))
+        yield pa.Table.from_pydict(
+            {
+                "skey": t.column("s_suppkey").cast(i64),
+                "s_name": t.column("s_name"),
+                "n_name": t.column("n_name"),
+                "acctbal_cents": bal,
+            }
+        )
+
+    rs = senr.map_batches(
+        rs_prep, batch_format="pyarrow"
+    ).materialize()  # region suppliers: reused by semi-join + details
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"],
+    )
+
+    def li_prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        unit = pc.floor(
+            pc.add(
+                pc.divide(
+                    pc.multiply(
+                        batch.column("l_extendedprice"), pa.scalar(100.0)
+                    ),
+                    batch.column("l_quantity"),
+                ),
+                pa.scalar(0.5),
+            )
+        ).cast(i64)
+        yield pa.Table.from_pydict(
+            {
+                "pk": batch.column("l_partkey").cast(i64),
+                "skey": batch.column("l_suppkey").cast(i64),
+                "u": unit,
+            }
+        )
+
+    in_region = hash_join(
+        li.map_batches(li_prep, batch_format="pyarrow"),
+        rs.select_columns(["skey"]),
+        on=["skey"],
+        how="left_semi",
+        left_types={"skey": i64, "pk": i64, "u": i64},
+        right_types={"skey": i64},
+    )
+    unit = partitioned_agg(
+        in_region,
+        keys=["pk", "skey"],
+        named_aggs={"unit_cents": ("u", "min")},
+    ).materialize()  # (part × region supplier); feeds min + join-back
+    best = partitioned_agg(
+        unit,
+        keys=["pk"],
+        named_aggs={"mc": ("unit_cents", "min")},
+        num_partitions=16,
+    )
+    j = hash_join(
+        unit,
+        best,
+        on=["pk"],
+        left_types={"pk": i64, "skey": i64, "unit_cents": i64},
+        right_types={"pk": i64, "mc": i64},
+        num_partitions=16,
+    )
+
+    def keep_min(batch: pa.Table):
+        t = batch.filter(
+            pc.equal(batch.column("unit_cents"), batch.column("mc"))
+        )
+        if t.num_rows == 0:
+            return
+        yield t.select(["pk", "skey", "unit_cents"])
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey"],
+        filter=(
+            (pds.field("p_type") == "STANDARD") & (pds.field("p_size") < 25)
+        ),
+    ).rename_columns({"p_partkey": "pk"})
+    j2 = hash_join(
+        j.map_batches(keep_min, batch_format="pyarrow"),
+        part,
+        on=["pk"],
+        left_types={"pk": i64, "skey": i64, "unit_cents": i64},
+        right_types={"pk": i64},
+        num_partitions=16,
+    )
+    j3 = hash_join(
+        j2,
+        rs,
+        on=["skey"],
+        left_types={"skey": i64, "pk": i64, "unit_cents": i64},
+        right_types={
+            "skey": i64,
+            "s_name": pa.string(),
+            "n_name": pa.string(),
+            "acctbal_cents": i64,
+        },
+        num_partitions=16,
+    )
+    out = j3.sort(
+        ["acctbal_cents", "pk", "skey"], descending=[True, False, False]
+    ).limit(100)
+    return _rename(out, {"pk": "p_partkey", "skey": "s_suppkey"})
+
+
 def _q_media_probe(sf_dir: str):
     """Header-only media probe: container format + dims / audio params
     read from the first bytes of each payload, NO decode — the cheap
@@ -4872,6 +5369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_word_counts": _q_cms_word_counts,
         "lineitem_orders_salted": _q_lineitem_orders_salted,
         "tpch_q1": _q_tpch_q1,
+        "tpch_q2": _q_tpch_q2,
         "dup_span_stats": _q_dup_span_stats,
         "doc_percent_rank": _q_doc_percent_rank,
         "tpch_q4": _q_tpch_q4,
@@ -4881,13 +5379,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
         "tpch_q10": _q_tpch_q10,
+        "tpch_q11": _q_tpch_q11,
         "tpch_q12": _q_tpch_q12,
         "tpch_q13": _q_tpch_q13,
         "tpch_q14": _q_tpch_q14,
         "tpch_q15": _q_tpch_q15,
+        "tpch_q16": _q_tpch_q16,
         "tpch_q17": _q_tpch_q17,
         "tpch_q18": _q_tpch_q18,
         "tpch_q19": _q_tpch_q19,
+        "tpch_q20": _q_tpch_q20,
         "tpch_q21": _q_tpch_q21,
         "tpch_q22": _q_tpch_q22,
         "lang_len_tdigest": _q_lang_len_tdigest,
@@ -5930,6 +6431,70 @@ def oracle_sql() -> dict[str, str]:
         "doc_percent_rank": (
             "SELECT doc_id, n_chars, PERCENT_RANK() OVER "
             "(ORDER BY n_chars DESC, doc_id ASC) AS prank FROM documents"
+        ),
+        "tpch_q11": (
+            "WITH pr AS (SELECT l_partkey AS p_partkey, "
+            "CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "WHERE n_name = 'NATION_3' GROUP BY l_partkey), "
+            "tot AS (SELECT sum(cents) AS t FROM pr) "
+            "SELECT p_partkey, cents FROM pr, tot WHERE cents * 1000 > t"
+        ),
+        "tpch_q16": (
+            "WITH excl AS (SELECT s_suppkey FROM supplier "
+            "WHERE s_acctbal < 0), "
+            "ps AS (SELECT DISTINCT l_partkey AS p_partkey, "
+            "l_suppkey AS s_suppkey FROM lineitem "
+            "WHERE l_suppkey NOT IN (SELECT s_suppkey FROM excl)) "
+            "SELECT p_brand, p_type, p_size, "
+            "CAST(count(DISTINCT s_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM ps JOIN part USING (p_partkey) "
+            "WHERE p_brand <> 'Brand#1' "
+            "AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29) "
+            "GROUP BY p_brand, p_type, p_size"
+        ),
+        "tpch_q20": (
+            "WITH tgt AS (SELECT p_partkey FROM part "
+            "WHERE p_name LIKE 'red%'), "
+            "ps AS (SELECT l_partkey, l_suppkey, "
+            "CAST(sum(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS q FROM lineitem JOIN tgt ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY l_partkey, l_suppkey), "
+            "ptot AS (SELECT l_partkey, sum(q) AS tq FROM ps "
+            "GROUP BY l_partkey), "
+            "dom AS (SELECT DISTINCT l_suppkey AS s_suppkey "
+            "FROM ps JOIN ptot USING (l_partkey) WHERE 2 * q > tq) "
+            "SELECT s.s_suppkey, s.s_name FROM dom "
+            "JOIN supplier s USING (s_suppkey) "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')"
+        ),
+        "tpch_q2": (
+            "WITH rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name "
+            "FROM supplier JOIN nation ON n_nationkey = s_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey "
+            "WHERE r_name = 'EUROPE'), "
+            "unit AS (SELECT l_partkey AS pk, l_suppkey AS sk, "
+            "CAST(min(CAST(FLOOR(l_extendedprice * 100 / l_quantity "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS unit_cents "
+            "FROM lineitem JOIN rs ON rs.s_suppkey = l_suppkey "
+            "GROUP BY l_partkey, l_suppkey), "
+            "best AS (SELECT pk, min(unit_cents) AS mc FROM unit "
+            "GROUP BY pk) "
+            "SELECT u.pk AS p_partkey, u.sk AS s_suppkey, s_name, n_name, "
+            "CAST(FLOOR(s_acctbal * 100 + 0.5) AS BIGINT) "
+            "AS acctbal_cents, u.unit_cents "
+            "FROM unit u JOIN best ON u.pk = best.pk "
+            "AND u.unit_cents = best.mc "
+            "JOIN rs ON rs.s_suppkey = u.sk "
+            "JOIN part ON p_partkey = u.pk "
+            "WHERE p_type = 'STANDARD' AND p_size < 25 "
+            "ORDER BY acctbal_cents DESC, p_partkey ASC, s_suppkey ASC "
+            "LIMIT 100"
         ),
         "tpch_q4": (
             "SELECT o_orderpriority, count(*) AS order_count FROM orders "
