@@ -146,3 +146,72 @@ class TestPartitionedAgg:
         }
         want = {(None if pd.isna(k) else k, mn, n) for k, mn, n in want}
         assert got == want
+
+
+class TestProbeNeverRaises:
+    @given(st.binary(max_size=200))
+    @settings(max_examples=200, deadline=None)
+    def test_random_bytes(self, payload):
+        from ctinexus_ray.ops.multimodal import probe_media_bytes
+
+        out = probe_media_bytes(payload)
+        assert "fmt" in out and isinstance(out["fmt"], str)
+
+    @given(st.binary(min_size=2, max_size=120), st.sampled_from(
+        [b"\x89PNG\r\n\x1a\n", b"GIF8", b"BM", b"P6 ", b"\xff\xd8", b"RIFF"]
+    ))
+    @settings(max_examples=200, deadline=None)
+    def test_magic_prefixed_garbage(self, tail, magic):
+        from ctinexus_ray.ops.multimodal import probe_media_bytes
+
+        out = probe_media_bytes(magic + tail)
+        assert isinstance(out, dict)  # never raises on truncated headers
+
+
+class TestJsonCoerce:
+    @given(json_values)
+    @settings(max_examples=200, deadline=None)
+    def test_coerce_total_int(self, v):
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.semistruct import _coerce
+
+        out = _coerce(v, pa.int64())
+        assert out is None or isinstance(out, int)
+
+    @given(json_values)
+    @settings(max_examples=200, deadline=None)
+    def test_coerce_total_string(self, v):
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.semistruct import _coerce
+
+        out = _coerce(v, pa.string())
+        assert out is None or isinstance(out, str)
+
+
+class TestChecksumXor:
+    @given(st.lists(st.tuples(st.integers(0, 10**6), st.text(max_size=20)),
+                    min_size=1, max_size=30, unique_by=lambda t: t[0]))
+    @settings(max_examples=30, deadline=None)
+    def test_permutation_invariant_partials(self, rows):
+        """The per-batch partial fold equals the whole-table fold for any
+        split — XOR associativity is what makes the op reshard-stable."""
+        import hashlib
+
+        def h(i, t):
+            return int(
+                hashlib.md5(f"{i}|{t}".encode()).hexdigest()[:15], 16
+            )
+
+        full = 0
+        for i, t in rows:
+            full ^= h(i, t)
+        mid = len(rows) // 2
+        a = 0
+        for i, t in rows[:mid]:
+            a ^= h(i, t)
+        b = 0
+        for i, t in rows[mid:]:
+            b ^= h(i, t)
+        assert a ^ b == full
