@@ -700,8 +700,9 @@ def bfs_hops(
 
         return ds.map_batches(tag, batch_format="pyarrow")
 
-    out = with_dist(frontier, 0).materialize()
-    visited = frontier  # (node) only
+    outs = [with_dist(frontier, 0)]  # per-round node-sized pieces;
+    visited = frontier  # unioned ONCE at the end (materializing the
+    # growing union every round would be O(rounds^2) executions)
 
     for r in range(1, max_hops + 1):
         n_frontier = frontier.count()
@@ -762,7 +763,10 @@ def bfs_hops(
         ).materialize()
         if new.count() == 0:
             break
-        out = out.union(with_dist(new, r)).materialize()
+        outs.append(with_dist(new, r))
         visited = visited.union(new).materialize()
         frontier = new
+    out = outs[0]
+    for piece in outs[1:]:
+        out = out.union(piece)
     return out
