@@ -1667,6 +1667,46 @@ def _q_tpch_q2(sf_dir: str):
     return _rename(out, {"pk": "p_partkey", "skey": "s_suppkey"})
 
 
+def _q_order_skyline(sf_dir: str):
+    """Pareto frontier of orders (cheapest-and-earliest): per-block
+    vectorized dominance prune, only block frontiers reach the driver,
+    one exact vectorized pass replays the NOT EXISTS. Integer cents /
+    epoch µs so the dominance comparisons are exact."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.relational import skyline_2d
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def prep(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        cents = pc.floor(
+            pc.add(
+                pc.multiply(batch.column("o_totalprice"), pa.scalar(100.0)),
+                pa.scalar(0.5),
+            )
+        ).cast(pa.int64())
+        yield pa.Table.from_pydict(
+            {
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "price_cents": cents,
+                "odate_us": batch.column("o_orderdate").cast(pa.int64()),
+            }
+        )
+
+    return skyline_2d(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        "price_cents",
+        "odate_us",
+        ["o_orderkey"],
+    )
+
+
 def _q_media_probe(sf_dir: str):
     """Header-only media probe: container format + dims / audio params
     read from the first bytes of each payload, NO decode — the cheap
@@ -5321,6 +5361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_langid": _q_nb_langid,
         "corpus_checksum": _q_corpus_checksum,
         "media_probe": _q_media_probe,
+        "order_skyline": _q_order_skyline,
         "events_mad_outliers": _q_events_mad_outliers,
         "cohort_retention": _q_cohort_retention,
         "event_props_sum": _q_event_props_sum,
@@ -6126,6 +6167,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN dev.d > 3 * mad.md THEN 1 ELSE 0 END) "
             "AS BIGINT) AS n_outliers "
             "FROM dev JOIN mad USING (event_type) GROUP BY dev.event_type"
+        ),
+        "order_skyline": (
+            "WITH o AS (SELECT o_orderkey, "
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) "
+            "AS price_cents, CAST(epoch_us(o_orderdate) AS BIGINT) "
+            "AS odate_us FROM orders) "
+            "SELECT o_orderkey, price_cents, odate_us FROM o "
+            "WHERE NOT EXISTS (SELECT 1 FROM o b "
+            "WHERE b.price_cents <= o.price_cents "
+            "AND b.odate_us <= o.odate_us "
+            "AND (b.price_cents < o.price_cents "
+            "OR b.odate_us < o.odate_us))"
         ),
         "corpus_checksum": (
             "SELECT CAST(bit_xor(CAST(concat('0x', substr(md5(concat("

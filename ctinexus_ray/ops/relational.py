@@ -1310,3 +1310,77 @@ def melt(
                 yield t
 
     return ds.map_batches(unpivot, batch_format="pyarrow")
+
+
+def skyline_2d(
+    ds: ray.data.Dataset,
+    x_col: str,
+    y_col: str,
+    keep_cols: list[str],
+    max_candidates: int = 1_000_000,
+) -> pa.Table:
+    """2-D skyline (Pareto frontier, minimize both columns): rows not
+    dominated by any other row (dominated = other is <= on both axes
+    and strictly < on at least one) — the multi-criteria shortlist
+    shape (cheapest-and-earliest, smallest-and-cleanest).
+
+    Scale shape: each block prunes LOCALLY with one vectorized
+    sort + running-min pass (sound: a row pruned locally is dominated
+    by its in-block witness, and dominance is transitive, so no global
+    skyline member is ever pruned; ties kept generously). Only the
+    per-block candidate frontiers — typically O(log block rows) each on
+    real data — reach the driver, where one exact vectorized dominance
+    pass replays the NOT EXISTS. A corpus that is ITSELF mostly
+    non-dominated has an output that large by definition;
+    ``max_candidates`` RAISES (never truncates) when the merged
+    candidate set exceeds it. NULLs on either axis are dropped (SQL
+    comparison semantics: an unknown never survives NOT EXISTS)."""
+    import numpy as np
+
+    def local_prune(batch: pa.Table):
+        keep = pc.and_(
+            pc.is_valid(batch.column(x_col)),
+            pc.is_valid(batch.column(y_col)),
+        )
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return
+        x = np.asarray(batch.column(x_col), dtype=np.int64)
+        y = np.asarray(batch.column(y_col), dtype=np.int64)
+        order = np.lexsort((y, x))  # x asc, then y asc
+        ys = y[order]
+        runmin = np.minimum.accumulate(ys)
+        mask = ys <= runmin  # generous on ties; driver pass is exact
+        yield batch.take(pa.array(order[mask]))
+
+    cand = ds.map_batches(local_prune, batch_format="pyarrow").take_all()
+    if len(cand) > max_candidates:
+        raise ValueError(
+            f"skyline candidate set has {len(cand)} rows > "
+            f"max_candidates={max_candidates}; the frontier itself is "
+            "corpus-sized — shard by a partition key upstream"
+        )
+    if not cand:
+        return pa.Table.from_pydict(
+            {c: pa.array([]) for c in keep_cols + [x_col, y_col]}
+        )
+    x = np.array([r[x_col] for r in cand], dtype=np.int64)
+    y = np.array([r[y_col] for r in cand], dtype=np.int64)
+    # exact dominance replay of the NOT EXISTS, fully vectorized over
+    # the (small) candidate set: sort (x asc, y asc); p is dominated iff
+    #   A. some earlier x-group reaches y <= y_p  (x strictly smaller), or
+    #   B. p's own x-group has min y < y_p        (x equal, y strict).
+    lex = np.lexsort((y, x))
+    x, y = x[lex], y[lex]
+    gid = np.concatenate(([0], np.cumsum(np.diff(x) != 0)))
+    first_idx = np.searchsorted(gid, gid)  # first row of own x-group
+    prefix_min = np.minimum.accumulate(y)
+    big = np.iinfo(np.int64).max
+    min_y_prev = np.where(first_idx > 0, prefix_min[np.maximum(first_idx, 1) - 1], big)
+    case_a = min_y_prev <= y
+    case_b = y[first_idx] < y  # group's min y (y sorted within group)
+    rows = [cand[lex[i]] for i in np.flatnonzero(~(case_a | case_b))]
+    cols = keep_cols + [x_col, y_col]
+    return pa.Table.from_pydict(
+        {c: pa.array([r[c] for r in rows]) for c in cols}
+    )

@@ -1237,3 +1237,68 @@ class TestNullHardening:
             "n_violations": [1],
             "violation_rate": [0.5],
         }
+
+
+class TestSkyline2D:
+    def _brute(self, pts):
+        out = []
+        for i, (xi, yi) in enumerate(pts):
+            dom = any(
+                xj <= xi and yj <= yi and (xj < xi or yj < yi)
+                for j, (xj, yj) in enumerate(pts)
+                if j != i
+            )
+            if not dom:
+                out.append((xi, yi))
+        return sorted(out)
+
+    def test_matches_brute_force_with_ties(self, ray_session):
+        import random
+
+        import ray.data
+
+        from ctinexus_ray.ops.relational import skyline_2d
+
+        rng = random.Random(7)
+        for trial in range(5):
+            pts = [
+                (rng.randint(0, 12), rng.randint(0, 12))
+                for _ in range(rng.randint(1, 60))
+            ]
+            rows = [
+                {"id": i, "x": a, "y": b} for i, (a, b) in enumerate(pts)
+            ]
+            t = skyline_2d(
+                ray.data.from_items(rows).repartition(4), "x", "y", ["id"]
+            )
+            got = sorted(
+                zip(t.column("x").to_pylist(), t.column("y").to_pylist())
+            )
+            assert got == self._brute(pts), f"trial {trial}: {pts}"
+
+    def test_duplicate_frontier_points_both_survive(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.relational import skyline_2d
+
+        rows = [
+            {"id": 1, "x": 0, "y": 5},
+            {"id": 2, "x": 0, "y": 5},
+            {"id": 3, "x": 1, "y": 9},
+        ]
+        t = skyline_2d(ray.data.from_items(rows), "x", "y", ["id"])
+        assert sorted(t.column("id").to_pylist()) == [1, 2]
+
+    def test_candidate_cap_raises(self, ray_session):
+        import pytest
+        import ray.data
+
+        from ctinexus_ray.ops.relational import skyline_2d
+
+        # anti-chain: every point is on the frontier
+        rows = [{"id": i, "x": i, "y": 100 - i} for i in range(50)]
+        with pytest.raises(ValueError, match="max_candidates"):
+            skyline_2d(
+                ray.data.from_items(rows), "x", "y", ["id"],
+                max_candidates=10,
+            )
