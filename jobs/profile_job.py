@@ -132,7 +132,23 @@ def run_profile(input_dir: str, output_dir: str) -> dict:
     ds = ray.data.read_parquet(paths)
     cols = ds.schema().names
     keep_cols = [c for c in ("doc_id", "text", "lang") if c in cols]
-    parts = ds.select_columns(keep_cols).map_batches(
+    if "doc_id" not in cols:
+        # CC-shaped corpus (url-keyed, per input_hint): the profile pass
+        # only needs SOME id column to ride through gopher_quality_batch;
+        # a zero id is enough (ids never leave the batch)
+        import pyarrow as pa
+
+        def add_id(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "doc_id", pa.nulls(batch.num_rows, type=pa.int64())
+            )
+
+        parts_ds = ds.select_columns(keep_cols).map_batches(
+            add_id, batch_format="pyarrow"
+        )
+    else:
+        parts_ds = ds.select_columns(keep_cols)
+    parts = parts_ds.map_batches(
         _profile_partials, batch_format="pyarrow"
     ).take_all()  # O(#batches x langs) small rows
 
