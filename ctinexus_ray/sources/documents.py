@@ -201,3 +201,32 @@ def write_cc_orc(out_dir: str | Path, n_docs: int,
         orc.write_table(make_cc_table(count, start_id=start), path)
         paths.append(path)
     return paths
+
+
+def ensure_doc_id(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Accept BOTH corpus shapes at a job boundary: the documents table
+    (doc_id:int64) passes through; the url-keyed Common-Crawl corpus of
+    input_hint gains a stable int64 ``doc_id`` derived from the url's
+    vectorized 63-bit hash. At 10^12 docs the birthday bound puts ~50k
+    hash collisions (~5e-8 of the corpus), each of which could merge two
+    distinct urls' identities — acceptable for lossy dedup / ranking
+    jobs, NOT for exact-identity joins (use the parquet doc_id path
+    there)."""
+    names = ds.schema().names
+    if "doc_id" in names:
+        return ds
+    if "url" not in names:
+        raise ValueError(
+            "corpus has neither doc_id nor url; cannot key documents"
+        )
+    import numpy as np
+
+    def add_id(batch: pa.Table) -> pa.Table:
+        from ctinexus_ray.ops.dedup import hash64_strings
+
+        h = (hash64_strings(batch.column("url")) >> np.uint64(1)).view(
+            np.int64
+        )
+        return batch.append_column("doc_id", pa.array(h))
+
+    return ds.map_batches(add_id, batch_format="pyarrow")

@@ -53,28 +53,11 @@ def main() -> int:
     from ctinexus_ray.ops.distjoin import hash_join
 
     start = time.perf_counter()
-    docs = ray.data.read_parquet(args.input)
-    # Accept BOTH table shapes: the documents table (doc_id:int64) and
-    # the Common-Crawl corpus per input_hint (url-keyed, no doc_id) — a
-    # stable int64 key derives from the url's vectorized 63-bit hash.
-    # At 10^12 docs the birthday bound puts ~50k hash collisions
-    # (~5e-8 of the corpus) each of which could merge two distinct
-    # urls' dedup identities; acceptable for a lossy dedup job, NOT for
-    # an exact-identity join — use the parquet doc_id path there.
-    names = docs.schema().names
-    if "doc_id" not in names and "url" in names:
-        import numpy as np
-        import pyarrow as pa
+    from ctinexus_ray.sources.documents import ensure_doc_id
 
-        def add_id(batch: pa.Table) -> pa.Table:
-            from ctinexus_ray.ops.dedup import hash64_strings
-
-            h = (hash64_strings(batch.column("url")) >> np.uint64(1)).view(
-                np.int64
-            )
-            return batch.append_column("doc_id", pa.array(h))
-
-        docs = docs.map_batches(add_id, batch_format="pyarrow")
+    # accepts both table shapes (documents doc_id / url-keyed CC corpus
+    # — see ensure_doc_id for the hash-collision caveat)
+    docs = ensure_doc_id(ray.data.read_parquet(args.input))
     # corpus-scale runs cross to push-based shuffle (driver metadata
     # stays flat); small runs keep pull-based. Env var still overrides.
     from ctinexus_ray.rayutil import select_shuffle_strategy

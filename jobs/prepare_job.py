@@ -61,7 +61,11 @@ def dedup_phase(input_path: str, deduped_dir: str, threshold: float,
 
     shutil.rmtree(deduped_dir, ignore_errors=True)
     start = time.perf_counter()
-    docs = ray.data.read_parquet(input_path)
+    from ctinexus_ray.sources.documents import ensure_doc_id
+
+    # url-keyed CC corpora gain a derived doc_id here; every later
+    # phase reads the deduped parquet, which then carries it
+    docs = ensure_doc_id(ray.data.read_parquet(input_path))
     from ctinexus_ray.rayutil import select_shuffle_strategy
 
     select_shuffle_strategy(docs)
