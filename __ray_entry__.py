@@ -6181,10 +6181,18 @@ def oracle_sql() -> dict[str, str]:
             "OR b.odate_us < o.odate_us))"
         ),
         "corpus_checksum": (
-            "SELECT CAST(bit_xor(CAST(concat('0x', substr(md5(concat("
-            "CAST(doc_id AS VARCHAR), '|', COALESCE(text, chr(0)))), "
-            "1, 15)) AS UBIGINT)) AS BIGINT) AS checksum, "
-            "count(*) AS n_rows FROM documents"
+            # length-prefixed injective rendering, mirroring
+            # ops/dq.py table_checksum: "<len>:<value>" per column,
+            # NULL -> bare "N"
+            "WITH r AS (SELECT concat("
+            "concat(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR), "
+            "':', CAST(doc_id AS VARCHAR)), '|', "
+            "CASE WHEN text IS NULL THEN 'N' ELSE "
+            "concat(CAST(length(text) AS VARCHAR), ':', text) END) "
+            "AS key FROM documents) "
+            "SELECT CAST(bit_xor(CAST(concat('0x', substr(md5(key), 1, "
+            "15)) AS UBIGINT)) AS BIGINT) AS checksum, "
+            "count(*) AS n_rows FROM r"
         ),
         "nb_langid": (
             "WITH words AS (SELECT doc_id, "

@@ -78,11 +78,14 @@ def table_checksum(
     alone cannot see a row duplicated an even number of times).
 
     One streaming pass; each batch emits a fixed-size (xor, n) partial;
-    the driver folds O(#batches) partials. Values render like SQL:
-    CAST(x AS VARCHAR) for non-strings, NULL as the literal '' join gap
-    is avoided by using the sentinel chr(0) so ('a', NULL) and ('a'+'')
-    cannot collide. 60 bits keeps the result in a positive BIGINT on
-    both sides (DuckDB bit_xor over UBIGINT)."""
+    the driver folds O(#batches) partials. Row rendering is
+    INJECTIVE: each value is length-prefixed ("<len>:<value>", SQL
+    CAST(x AS VARCHAR) for non-strings) and NULL renders as the bare
+    marker "N" — so a separator character INSIDE a value cannot make
+    two different rows render identically ('x|y'+'z' vs 'x'+'y|z'),
+    and NULL stays distinct from every string including ''. 60 bits
+    keeps the result in a positive BIGINT on both sides (DuckDB
+    bit_xor over UBIGINT)."""
     import hashlib
 
     def partial(batch: pa.Table):
@@ -100,7 +103,7 @@ def table_checksum(
         acc = 0
         for parts in zip(*rendered):
             key = sep.join(
-                "\x00" if p is None else p for p in parts
+                "N" if p is None else f"{len(p)}:{p}" for p in parts
             )
             acc ^= int(
                 hashlib.md5(key.encode("utf-8")).hexdigest()[:15], 16

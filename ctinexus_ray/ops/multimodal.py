@@ -839,6 +839,9 @@ def probe_media_bytes(payload: bytes) -> dict:
             while pos + 4 <= len(payload):
                 if payload[pos] != 0xFF:
                     break
+                # spec-valid 0xFF fill bytes may pad before any marker
+                while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+                    pos += 1
                 marker = payload[pos + 1]
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     pos += 2
@@ -870,7 +873,10 @@ def probe_media_bytes(payload: bytes) -> dict:
                 pos += 8 + sz + (sz & 1)
             if ch and sr:
                 out.update(fmt="wav", channels=ch, sample_rate=sr)
-                if nbytes is not None and bits:
+                # sub-byte sample widths (ADPCM etc.) have no whole-byte
+                # frame size — report no frame count rather than divide
+                # by zero
+                if nbytes is not None and bits and bits >= 8:
                     out["n_frames"] = nbytes // (ch * (bits // 8))
     except (ValueError, IndexError, struct.error):
         out = {

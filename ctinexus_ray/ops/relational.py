@@ -1353,16 +1353,36 @@ def skyline_2d(
         mask = ys <= runmin  # generous on ties; driver pass is exact
         yield batch.take(pa.array(order[mask]))
 
-    cand = ds.map_batches(local_prune, batch_format="pyarrow").take_all()
-    if len(cand) > max_candidates:
+    pruned = ds.map_batches(
+        local_prune, batch_format="pyarrow"
+    ).materialize()  # object-store resident (spillable), NOT driver heap
+    n_cand = pruned.count()
+    if n_cand > max_candidates:
+        # guard BEFORE the candidates ever reach the driver — a
+        # corpus-sized frontier must raise here, not OOM in take_all
         raise ValueError(
-            f"skyline candidate set has {len(cand)} rows > "
+            f"skyline candidate set has {n_cand} rows > "
             f"max_candidates={max_candidates}; the frontier itself is "
             "corpus-sized — shard by a partition key upstream"
         )
+    cand = pruned.take_all()
     if not cand:
+        from ctinexus_ray.ops.distjoin import _arrow_type
+
+        i64 = pa.int64()
+        sch = ds.schema()
+        types = {
+            n: _arrow_type(t) for n, t in zip(sch.names, sch.types)
+        }  # typed empty result: consumers union/write it like any other
         return pa.Table.from_pydict(
-            {c: pa.array([]) for c in keep_cols + [x_col, y_col]}
+            {
+                **{
+                    c: pa.array([], type=types.get(c, i64))
+                    for c in keep_cols
+                },
+                x_col: pa.array([], type=i64),
+                y_col: pa.array([], type=i64),
+            }
         )
     x = np.array([r[x_col] for r in cand], dtype=np.int64)
     y = np.array([r[y_col] for r in cand], dtype=np.int64)

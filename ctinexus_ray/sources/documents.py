@@ -220,13 +220,29 @@ def ensure_doc_id(ds: ray.data.Dataset) -> ray.data.Dataset:
             "corpus has neither doc_id nor url; cannot key documents"
         )
     import numpy as np
+    import pyarrow.compute as pc
 
     def add_id(batch: pa.Table) -> pa.Table:
         from ctinexus_ray.ops.dedup import hash64_strings
 
-        h = (hash64_strings(batch.column("url")) >> np.uint64(1)).view(
-            np.int64
-        )
+        col = batch.column("url")
+        # NULL or empty urls would all hash to ONE doc_id, silently
+        # collapsing distinct documents into a single dedup identity —
+        # refuse loudly instead (pre-filter or pre-key such shards)
+        bad = pc.sum(
+            pc.cast(
+                pc.or_kleene(
+                    pc.is_null(col), pc.equal(col, pa.scalar(""))
+                ),
+                pa.int64(),
+            )
+        ).as_py()
+        if bad:
+            raise ValueError(
+                f"{bad} rows have NULL/empty url; cannot derive a "
+                "document key — filter them or supply doc_id"
+            )
+        h = (hash64_strings(col) >> np.uint64(1)).view(np.int64)
         return batch.append_column("doc_id", pa.array(h))
 
     return ds.map_batches(add_id, batch_format="pyarrow")

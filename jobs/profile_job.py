@@ -135,12 +135,18 @@ def run_profile(input_dir: str, output_dir: str) -> dict:
     if "doc_id" not in cols:
         # CC-shaped corpus (url-keyed, per input_hint): the profile pass
         # only needs SOME id column to ride through gopher_quality_batch;
-        # a zero id is enough (ids never leave the batch)
+        # zeros (not nulls — null ids would trip any future numeric
+        # consumer) are enough since ids never leave the batch
+        import numpy as np
         import pyarrow as pa
 
         def add_id(batch: pa.Table) -> pa.Table:
             return batch.append_column(
-                "doc_id", pa.nulls(batch.num_rows, type=pa.int64())
+                "doc_id",
+                pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int64),
+                    type=pa.int64(),
+                ),
             )
 
         parts_ds = ds.select_columns(keep_cols).map_batches(

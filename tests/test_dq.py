@@ -90,3 +90,16 @@ class TestTableChecksum:
             ray.data.from_items([{"id": 1, "t": ""}]), ["id", "t"]
         )
         assert a.column("checksum") != b.column("checksum")
+
+    def test_separator_in_value_cannot_collide(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.dq import table_checksum
+
+        a = table_checksum(
+            ray.data.from_items([{"a": "x|y", "b": "z"}]), ["a", "b"]
+        )
+        b = table_checksum(
+            ray.data.from_items([{"a": "x", "b": "y|z"}]), ["a", "b"]
+        )
+        assert a.column("checksum") != b.column("checksum")

@@ -1476,3 +1476,57 @@ class TestProbeMedia:
             out = probe_media_bytes(p)
             assert out["fmt"] in ("unknown", "wav", "jpeg", "png", "ppm")
             # truncated headers yield no dims rather than raising
+
+
+class TestProbeEdgeCases:
+    def test_wav_subbyte_bits_no_crash(self):
+        import struct
+
+        from ctinexus_ray.ops.multimodal import probe_media_bytes
+
+        fmt = struct.pack("<HHIIHH", 17, 1, 8000, 4000, 1, 4)  # 4-bit
+        payload = (
+            b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", 8) + b"\x00" * 8
+        )
+        out = probe_media_bytes(payload)
+        assert out["fmt"] == "wav" and out["n_frames"] is None
+
+    def test_jpeg_fill_bytes_before_sof(self):
+        import numpy as np
+
+        from ctinexus_ray.ops.jpeg import encode_jpeg
+        from ctinexus_ray.ops.multimodal import probe_media_bytes
+
+        img = np.zeros((6, 9, 3), dtype=np.uint8)
+        payload = encode_jpeg(img, quality=90)
+        # inject spec-valid 0xFF fill bytes after SOI
+        padded = payload[:2] + b"\xff\xff" + payload[2:]
+        out = probe_media_bytes(padded)
+        assert (out["fmt"], out["width"], out["height"]) == ("jpeg", 9, 6)
+
+
+class TestEnsureDocIdGuards:
+    def test_null_or_empty_url_refused(self, ray_session):
+        import pytest
+        import ray.data
+
+        from ctinexus_ray.sources.documents import ensure_doc_id
+
+        ds = ray.data.from_items(
+            [{"url": "https://a", "text": "x"}, {"url": None, "text": "y"}]
+        )
+        with pytest.raises(Exception, match="NULL/empty url"):
+            ensure_doc_id(ds).take_all()
+
+    def test_distinct_urls_distinct_ids(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.sources.documents import ensure_doc_id
+
+        ds = ray.data.from_items(
+            [{"url": f"https://site/{i}", "text": "x"} for i in range(50)]
+        )
+        ids = [r["doc_id"] for r in ensure_doc_id(ds).take_all()]
+        assert len(set(ids)) == 50
