@@ -1707,6 +1707,21 @@ def _q_order_skyline(sf_dir: str):
     )
 
 
+def _q_embedding_gram(sf_dir: str):
+    """Distributed Gram matrix over the embedding column (the one-pass
+    covariance/PCA building block): per-batch fixed-size d×d int64
+    partials (per-row products quantized to nano-units BEFORE the sum),
+    one O(d²) reduce — the corpus never shuffles."""
+    import ray.data
+
+    from ctinexus_ray.ops.simsearch import gram_matrix
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return gram_matrix(emb)
+
+
 def _q_media_probe(sf_dir: str):
     """Header-only media probe: container format + dims / audio params
     read from the first bytes of each payload, NO decode — the cheap
@@ -5361,6 +5376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_langid": _q_nb_langid,
         "corpus_checksum": _q_corpus_checksum,
         "media_probe": _q_media_probe,
+        "embedding_gram": _q_embedding_gram,
         "order_skyline": _q_order_skyline,
         "events_mad_outliers": _q_events_mad_outliers,
         "cohort_retention": _q_cohort_retention,
@@ -6179,6 +6195,16 @@ def oracle_sql() -> dict[str, str]:
             "AND b.odate_us <= o.odate_us "
             "AND (b.price_cents < o.price_cents "
             "OR b.odate_us < o.odate_us))"
+        ),
+        "embedding_gram": (
+            "WITH dims AS (SELECT unnest(range(1, 65)) AS i), "
+            "pairs AS (SELECT a.i AS i, b.i AS j FROM dims a "
+            "JOIN dims b ON a.i <= b.i) "
+            "SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, "
+            "CAST(sum(CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * "
+            "CAST(embedding[j] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS g_nano "
+            "FROM embeddings, pairs GROUP BY i, j"
         ),
         "corpus_checksum": (
             # length-prefixed injective rendering, mirroring

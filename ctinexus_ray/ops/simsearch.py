@@ -721,3 +721,54 @@ def kmeans_fit_predict(
         )
 
     return vecs.map_batches(assign_final, batch_format="pyarrow")
+
+
+def gram_matrix(
+    ds: "ray.data.Dataset",
+    col: str = "embedding",
+    dim: int | None = None,
+    scale: float = 1e9,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Distributed Gram matrix of an embedding column — Σ xᵀx over the
+    corpus, the one-pass building block for covariance / PCA whitening /
+    linear-probe feature preprocessing at 100 TB.
+
+    Scale shape: each batch turns into ONE fixed-size d×d int64 partial
+    (per-row outer products, quantized to integer nano-units BEFORE the
+    sum so the distributed reduction is summation-order-independent and
+    bit-exact vs the SQL twin — a float matmul would drift at ULP
+    scale), then an O(d²) hash-partitioned sum. Moved data is
+    #batches × d(d+1)/2 rows — never corpus-sized; the corpus never
+    shuffles. Output: (i, j, g_nano) for the upper triangle, 1-BASED
+    indices matching SQL list indexing."""
+    import numpy as np
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    def partial(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        x = list_col_to_matrix(batch.column(col)).astype(np.float64)
+        d = x.shape[1]
+        # per-row outer products, quantized per cell BEFORE summing
+        prods = x[:, :, None] * x[:, None, :]
+        q = np.floor(prods * scale + 0.5).astype(np.int64).sum(axis=0)
+        iu, ju = np.triu_indices(d)
+        yield pa.Table.from_pydict(
+            {
+                "i": pa.array((iu + 1).astype(np.int64)),  # 1-based like
+                "j": pa.array((ju + 1).astype(np.int64)),  # SQL lists
+                "g": pa.array(q[iu, ju], type=pa.int64()),
+            }
+        )
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=1024
+    )  # batch_size bounds the n×d×d product tensor (~33 MB at d=64)
+    return partitioned_agg(
+        parts,
+        keys=["i", "j"],
+        named_aggs={"g_nano": ("g", "sum")},
+        num_partitions=num_partitions,
+    )

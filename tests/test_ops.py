@@ -1530,3 +1530,62 @@ class TestEnsureDocIdGuards:
         )
         ids = [r["doc_id"] for r in ensure_doc_id(ds).take_all()]
         assert len(set(ids)) == 50
+
+
+class TestGramMatrix:
+    def test_matches_direct_quantized_product(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.simsearch import gram_matrix
+
+        rng = np.random.default_rng(11)
+        x = rng.normal(size=(37, 5)).astype(np.float32)
+        t = pa.Table.from_pydict(
+            {"embedding": [row.tolist() for row in x]}
+        )
+        got = {
+            (r["i"], r["j"]): r["g_nano"]
+            for r in gram_matrix(
+                ray.data.from_arrow(t).repartition(4)
+            ).take_all()
+        }
+        x64 = x.astype(np.float64)
+        for i in range(5):
+            for j in range(i, 5):
+                want = int(
+                    np.floor(x64[:, i] * x64[:, j] * 1e9 + 0.5)
+                    .astype(np.int64)
+                    .sum()
+                )
+                assert got[(i + 1, j + 1)] == want, (i, j)
+        assert len(got) == 15  # upper triangle of d=5
+
+    def test_reshard_invariant(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.simsearch import gram_matrix
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(64, 4)).astype(np.float32)
+        t = pa.Table.from_pydict(
+            {"embedding": [row.tolist() for row in x]}
+        )
+        a = sorted(
+            map(tuple, (
+                (r["i"], r["j"], r["g_nano"])
+                for r in gram_matrix(ray.data.from_arrow(t)).take_all()
+            ))
+        )
+        b = sorted(
+            map(tuple, (
+                (r["i"], r["j"], r["g_nano"])
+                for r in gram_matrix(
+                    ray.data.from_arrow(t).repartition(9)
+                ).take_all()
+            ))
+        )
+        assert a == b
