@@ -1722,6 +1722,22 @@ def _q_embedding_gram(sf_dir: str):
     return gram_matrix(emb)
 
 
+def _q_embedding_pca(sf_dir: str):
+    """PCA projection onto the top-2 principal directions: one Gram +
+    mean pass (fixed-size integer partials, bit-stable covariance on
+    the driver), eigendecomposition of the tiny d×d matrix, broadcast
+    projection — shuffle-free. Rows-only (no SQL eigensolver); numpy
+    parity and reshard determinism pinned in tests."""
+    import ray.data
+
+    from ctinexus_ray.ops.simsearch import pca_project
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return pca_project(emb, k=2)
+
+
 def _q_media_probe(sf_dir: str):
     """Header-only media probe: container format + dims / audio params
     read from the first bytes of each payload, NO decode — the cheap
@@ -5377,6 +5393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_checksum": _q_corpus_checksum,
         "media_probe": _q_media_probe,
         "embedding_gram": _q_embedding_gram,
+        "embedding_pca": _q_embedding_pca,
         "order_skyline": _q_order_skyline,
         "events_mad_outliers": _q_events_mad_outliers,
         "cohort_retention": _q_cohort_retention,

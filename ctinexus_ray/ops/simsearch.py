@@ -772,3 +772,92 @@ def gram_matrix(
         named_aggs={"g_nano": ("g", "sum")},
         num_partitions=num_partitions,
     )
+
+
+def pca_project(
+    ds: "ray.data.Dataset",
+    k: int = 2,
+    col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """PCA projection of an embedding column onto its top-k principal
+    directions — dimensionality reduction / visualization / cheap
+    decorrelation at corpus scale.
+
+    Scale shape: ONE `gram_matrix` pass (fixed-size partials, corpus
+    never shuffles) plus a mean reduce gives the d×d covariance on the
+    driver; `numpy.linalg.eigh` there is O(d³) on a tiny matrix; the
+    eigenvector matrix broadcasts once and projection is a shuffle-free
+    per-batch matmul. Deterministic across runs and cluster sizes: the
+    covariance comes from the integer-quantized Gram sums
+    (order-independent), and each eigenvector's sign is fixed so its
+    largest-magnitude component is positive. Output: (id_col, pc1..pck
+    float64). No SQL twin (eigendecomposition); parity vs direct numpy
+    PCA is pinned in tests."""
+    import numpy as np
+    import ray as _ray
+    from ray.data.aggregate import Count, Sum
+
+    # mean via the same quantization discipline (exact int sums)
+    def mean_partial(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        x = list_col_to_matrix(batch.column(col)).astype(np.float64)
+        s = np.floor(x * 1e9 + 0.5).astype(np.int64).sum(axis=0)
+        yield pa.Table.from_pydict(
+            {
+                "dim": pa.array(
+                    np.arange(1, x.shape[1] + 1, dtype=np.int64)
+                ),
+                "s": pa.array(s, type=pa.int64()),
+                "n": pa.array(
+                    np.full(x.shape[1], batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    mean_rows = partitioned_agg(
+        ds.select_columns([col]).map_batches(
+            mean_partial, batch_format="pyarrow", batch_size=1024
+        ),
+        keys=["dim"],
+        named_aggs={"s": ("s", "sum"), "n": ("n", "sum")},
+        num_partitions=16,
+    ).take_all()  # O(d) rows
+    mean_rows.sort(key=lambda r: r["dim"])
+    d = len(mean_rows)
+    n = mean_rows[0]["n"]
+    mu = np.array([r["s"] / 1e9 / n for r in mean_rows])
+
+    gram_rows = gram_matrix(ds, col=col).take_all()  # O(d²) rows
+    g = np.zeros((d, d), dtype=np.float64)
+    for r in gram_rows:
+        v = r["g_nano"] / 1e9
+        g[r["i"] - 1, r["j"] - 1] = v
+        g[r["j"] - 1, r["i"] - 1] = v
+    cov = g / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    top = vecs[:, np.argsort(vals)[::-1][:k]]
+    # deterministic sign: largest-|component| of each vector positive
+    for c in range(top.shape[1]):
+        lead = np.argmax(np.abs(top[:, c]))
+        if top[lead, c] < 0:
+            top[:, c] = -top[:, c]
+    proj_ref = _ray.put((mu, top))
+
+    def project(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        m, w = _ray.get(proj_ref)
+        x = list_col_to_matrix(batch.column(col)).astype(np.float64)
+        p = (x - m) @ w
+        out = {id_col: batch.column(id_col).cast(pa.int64())}
+        for c in range(p.shape[1]):
+            out[f"pc{c + 1}"] = pa.array(p[:, c], type=pa.float64())
+        yield pa.Table.from_pydict(out)
+
+    return ds.select_columns([id_col, col]).map_batches(
+        project, batch_format="pyarrow", batch_size=1024
+    )

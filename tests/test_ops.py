@@ -1589,3 +1589,73 @@ class TestGramMatrix:
             ))
         )
         assert a == b
+
+
+class TestPcaProject:
+    def test_matches_numpy_pca(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.simsearch import pca_project
+
+        rng = np.random.default_rng(5)
+        # anisotropic cloud: PC1 along a known direction
+        base = rng.normal(size=(200, 6)).astype(np.float32)
+        base[:, 0] *= 10.0
+        t = pa.Table.from_pydict(
+            {
+                "vec_id": list(range(200)),
+                "embedding": [r.tolist() for r in base],
+            }
+        )
+        got = {
+            r["vec_id"]: (r["pc1"], r["pc2"])
+            for r in pca_project(
+                ray.data.from_arrow(t).repartition(5), k=2
+            ).take_all()
+        }
+        x = base.astype(np.float64)
+        mu = x.mean(axis=0)
+        cov = (x - mu).T @ (x - mu) / len(x)
+        vals, vecs = np.linalg.eigh(cov)
+        w = vecs[:, np.argsort(vals)[::-1][:2]]
+        for c in range(2):
+            lead = np.argmax(np.abs(w[:, c]))
+            if w[lead, c] < 0:
+                w[:, c] = -w[:, c]
+        want = (x - mu) @ w
+        for i in range(200):
+            assert abs(got[i][0] - want[i, 0]) < 1e-5
+            assert abs(got[i][1] - want[i, 1]) < 1e-5
+        # PC1 dominated by the stretched axis
+        assert abs(w[0, 0]) > 0.99
+
+    def test_deterministic_across_resharding(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.simsearch import pca_project
+
+        rng = np.random.default_rng(9)
+        t = pa.Table.from_pydict(
+            {
+                "vec_id": list(range(80)),
+                "embedding": [
+                    r.tolist()
+                    for r in rng.normal(size=(80, 4)).astype(np.float32)
+                ],
+            }
+        )
+        a = sorted(
+            (r["vec_id"], r["pc1"])
+            for r in pca_project(ray.data.from_arrow(t), k=1).take_all()
+        )
+        b = sorted(
+            (r["vec_id"], r["pc1"])
+            for r in pca_project(
+                ray.data.from_arrow(t).repartition(7), k=1
+            ).take_all()
+        )
+        assert a == b  # integer-quantized stats -> bit-stable model
