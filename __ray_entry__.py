@@ -1738,6 +1738,24 @@ def _q_embedding_pca(sf_dir: str):
     return pca_project(emb, k=2)
 
 
+def _q_linear_probe(sf_dir: str):
+    """Multinomial logistic-regression linear probe over the labeled
+    embeddings: 10 full-batch GD iterations, each ONE streaming pass
+    emitting fixed-size integer gradient partials; weights live on the
+    driver, predictions from a final broadcast argmax pass. Rows-only
+    (iterative optimizer); quantized-twin parity + reshard determinism
+    pinned in tests."""
+    import ray.data
+
+    from ctinexus_ray.ops.simsearch import linear_probe
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+    return linear_probe(emb, iters=10, lr=1.0)
+
+
 def _q_media_probe(sf_dir: str):
     """Header-only media probe: container format + dims / audio params
     read from the first bytes of each payload, NO decode — the cheap
@@ -5394,6 +5412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_probe": _q_media_probe,
         "embedding_gram": _q_embedding_gram,
         "embedding_pca": _q_embedding_pca,
+        "linear_probe": _q_linear_probe,
         "order_skyline": _q_order_skyline,
         "events_mad_outliers": _q_events_mad_outliers,
         "cohort_retention": _q_cohort_retention,

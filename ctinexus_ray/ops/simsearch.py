@@ -861,3 +861,122 @@ def pca_project(
     return ds.select_columns([id_col, col]).map_batches(
         project, batch_format="pyarrow", batch_size=1024
     )
+
+
+def linear_probe(
+    ds: "ray.data.Dataset",
+    col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    iters: int = 10,
+    lr: float = 1.0,
+) -> "ray.data.Dataset":
+    """Multinomial logistic-regression linear probe over an embedding
+    column — the standard representation-quality / cheap-classifier
+    tool for a labeled corpus slice — trained by FULL-BATCH gradient
+    descent expressed as Ray Data passes.
+
+    Scale shape: each of the ``iters`` iterations is ONE column-pruned
+    streaming pass; every batch emits a fixed-size (d+1)×k int64
+    gradient partial (per-row contributions x⊗(softmax−y) quantized to
+    nano-units BEFORE the sum), reduced O(d·k) and applied on the
+    driver. Full-batch GD is inherently one-corpus-scan-per-step — the
+    honest cost at 100 TB is iters passes, with NOTHING corpus-sized
+    materialized or shuffled. Bit-stable across runs/resharding: the
+    weight trajectory depends only on exact integer gradient sums.
+    Output: (id_col, pred_label int64) from a final broadcast argmax
+    pass (ties break to the smallest class). No SQL twin (iterative
+    optimizer); exact parity vs an identically-quantized numpy twin
+    and reshard determinism are pinned in tests."""
+    import numpy as np
+    import ray as _ray
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    labels_rows = partitioned_agg(
+        ds.select_columns([label_col]),
+        keys=[label_col],
+        named_aggs={"n": (label_col, "size")},
+        num_partitions=16,
+    ).take_all()  # O(#classes)
+    classes = sorted(int(r[label_col]) for r in labels_rows)
+    k = len(classes)
+    n_total = sum(int(r["n"]) for r in labels_rows)
+    class_index = {c: i for i, c in enumerate(classes)}
+
+    w = None  # (d+1, k), set after the first batch reveals d
+
+    def grad_pass(w_ref):
+        def partial(batch: pa.Table):
+            if batch.num_rows == 0:
+                return
+            wm = _ray.get(w_ref)
+            x = list_col_to_matrix(batch.column(col)).astype(np.float64)
+            xb = np.concatenate(
+                [x, np.ones((x.shape[0], 1), dtype=np.float64)], axis=1
+            )
+            y = np.array(
+                [class_index[int(v)] for v in
+                 batch.column(label_col).to_pylist()],
+                dtype=np.int64,
+            )
+            logits = xb @ wm
+            logits -= logits.max(axis=1, keepdims=True)
+            e = np.exp(logits)
+            p = e / e.sum(axis=1, keepdims=True)
+            p[np.arange(len(y)), y] -= 1.0
+            contrib = xb[:, :, None] * p[:, None, :]  # n×(d+1)×k
+            g = np.floor(contrib * 1e9 + 0.5).astype(np.int64).sum(axis=0)
+            d1 = g.shape[0]
+            iu, ju = np.divmod(np.arange(d1 * k), k)
+            yield pa.Table.from_pydict(
+                {
+                    "dim": pa.array(iu.astype(np.int64)),
+                    "cls": pa.array(ju.astype(np.int64)),
+                    "g": pa.array(g.ravel(), type=pa.int64()),
+                }
+            )
+
+        return partial
+
+    # probe dimensionality once from one row (metadata-cheap)
+    first = ds.select_columns([col]).take(1)[0][col]
+    d = len(first)
+    w = np.zeros((d + 1, k), dtype=np.float64)
+
+    for _ in range(iters):
+        w_ref = _ray.put(w)
+        grows = partitioned_agg(
+            ds.select_columns([col, label_col]).map_batches(
+                grad_pass(w_ref), batch_format="pyarrow", batch_size=1024
+            ),
+            keys=["dim", "cls"],
+            named_aggs={"g": ("g", "sum")},
+            num_partitions=16,
+        ).take_all()  # O((d+1)·k)
+        g = np.zeros((d + 1, k), dtype=np.float64)
+        for r in grows:
+            g[r["dim"], r["cls"]] = r["g"] / 1e9
+        w = w - lr * g / n_total
+
+    w_ref = _ray.put((w, np.array(classes, dtype=np.int64)))
+
+    def predict(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        wm, cls = _ray.get(w_ref)
+        x = list_col_to_matrix(batch.column(col)).astype(np.float64)
+        xb = np.concatenate(
+            [x, np.ones((x.shape[0], 1), dtype=np.float64)], axis=1
+        )
+        pred = cls[np.argmax(xb @ wm, axis=1)]  # first max = smallest
+        yield pa.Table.from_pydict(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "pred_label": pa.array(pred, type=pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, col]).map_batches(
+        predict, batch_format="pyarrow", batch_size=1024
+    )

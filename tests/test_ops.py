@@ -1659,3 +1659,88 @@ class TestPcaProject:
             ).take_all()
         )
         assert a == b  # integer-quantized stats -> bit-stable model
+
+
+class TestLinearProbe:
+    def _blobs(self, rng, n_per=40, d=6):
+        import numpy as np
+
+        centers = np.eye(3, d) * 6.0
+        xs, ys = [], []
+        for c in range(3):
+            xs.append(
+                centers[c] + rng.normal(size=(n_per, d)).astype(np.float64)
+            )
+            ys.extend([c] * n_per)
+        return np.concatenate(xs).astype(np.float32), ys
+
+    def test_matches_quantized_numpy_twin_and_separates(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.simsearch import linear_probe
+
+        rng = np.random.default_rng(2)
+        x, y = self._blobs(rng)
+        t = pa.Table.from_pydict(
+            {
+                "vec_id": list(range(len(y))),
+                "embedding": [r.tolist() for r in x],
+                "label": y,
+            }
+        )
+        got = {
+            r["vec_id"]: r["pred_label"]
+            for r in linear_probe(
+                ray.data.from_arrow(t).repartition(5), iters=10, lr=1.0
+            ).take_all()
+        }
+        # numpy twin with the SAME quantized full-batch updates
+        x64 = x.astype(np.float64)
+        xb = np.concatenate([x64, np.ones((len(y), 1))], axis=1)
+        yv = np.array(y)
+        w = np.zeros((x.shape[1] + 1, 3))
+        for _ in range(10):
+            logits = xb @ w
+            logits -= logits.max(axis=1, keepdims=True)
+            e = np.exp(logits)
+            p = e / e.sum(axis=1, keepdims=True)
+            p[np.arange(len(yv)), yv] -= 1.0
+            contrib = xb[:, :, None] * p[:, None, :]
+            g = np.floor(contrib * 1e9 + 0.5).astype(np.int64).sum(0) / 1e9
+            w = w - 1.0 * g / len(yv)
+        want = np.argmax(xb @ w, axis=1)
+        assert all(got[i] == want[i] for i in range(len(yv)))
+        acc = float(np.mean(want == yv))
+        assert acc > 0.95  # separable blobs: the probe must separate
+
+    def test_reshard_deterministic(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.simsearch import linear_probe
+
+        rng = np.random.default_rng(4)
+        x, y = self._blobs(rng, n_per=20)
+        t = pa.Table.from_pydict(
+            {
+                "vec_id": list(range(len(y))),
+                "embedding": [r.tolist() for r in x],
+                "label": y,
+            }
+        )
+        a = sorted(
+            (r["vec_id"], r["pred_label"])
+            for r in linear_probe(
+                ray.data.from_arrow(t), iters=5
+            ).take_all()
+        )
+        b = sorted(
+            (r["vec_id"], r["pred_label"])
+            for r in linear_probe(
+                ray.data.from_arrow(t).repartition(9), iters=5
+            ).take_all()
+        )
+        assert a == b
