@@ -670,17 +670,25 @@ def bfs_hops(
     def _coalesce(d: ray.data.Dataset) -> ray.data.Dataset:
         # iterative rounds multiply per-block task overhead: a dataset
         # inheriting 64 tiny blocks from an upstream shuffle costs 64
-        # sub-second tasks PER STAGE PER ROUND (measured 108 s -> 23 s
-        # on the name graph after coalescing). Target ~250k rows/block,
-        # capped so genuinely large inputs keep their parallelism.
-        # identity map pins ARROW block type first: upstream map_groups
-        # stages emit pandas blocks, and repartition refuses mixed types
-        m = d.map_batches(
-            lambda b: b, batch_format="pyarrow"
-        ).materialize()
-        target = max(1, min(64, m.count() // 250_000 + 1))
+        # sub-second tasks PER STAGE PER ROUND (measured 108 s -> 7 s
+        # on the name graph after coalescing). Target ~250k rows/block;
+        # inputs needing more than 64 such blocks are genuinely large —
+        # they SKIP coalescing entirely and keep their parallelism
+        # (clamping them to 64 giant blocks would be the opposite bug).
+        m = d.materialize()
+        need = m.count() // 250_000 + 1
+        if need > 64:
+            return m
+        target = max(1, need)
         if m.num_blocks() > 4 * target:
-            m = m.repartition(target).materialize()
+            # identity map pins ARROW block type (upstream map_groups
+            # stages emit pandas blocks; repartition refuses mixed
+            # types) — only paid when a repartition actually runs
+            m = (
+                m.map_batches(lambda b: b, batch_format="pyarrow")
+                .repartition(target)
+                .materialize()
+            )
         return m
 
     sym = _coalesce(

@@ -723,25 +723,61 @@ def kmeans_fit_predict(
     return vecs.map_batches(assign_final, batch_format="pyarrow")
 
 
+_NANO = 1e9  # shared quantization scale for the linear-algebra ops
+_I64_GUARD = float(1 << 62)  # abs-sum ceiling before int64 sums could wrap
+
+
+def _quantize_nano(arr: "np.ndarray", scale: float = _NANO) -> "np.ndarray":
+    """Round-half-up integer quantization shared by gram_matrix /
+    pca_project / linear_probe — ONE definition so the de-quantization
+    constants can never drift out of sync."""
+    return np.floor(arr * scale + 0.5).astype(np.int64)
+
+
+def _overflow_guard(batch: pa.Table) -> pa.Table:
+    """Raise when the float64 abs-sum tracker says the exact int64 sums
+    may have wrapped (wraps are otherwise silent and undetectable): the
+    caller must lower ``scale`` (coarser quantization) for corpora this
+    large. Drops the tracker column."""
+    import pyarrow.compute as pc
+
+    mx = pc.max(batch.column("a")).as_py()
+    if mx is not None and mx > _I64_GUARD:
+        raise OverflowError(
+            "quantized accumulator abs-sum exceeds the int64 safety "
+            "ceiling — rerun with a smaller scale (coarser quantization) "
+            "for a corpus this large"
+        )
+    return batch.drop_columns(["a"])
+
+
 def gram_matrix(
     ds: "ray.data.Dataset",
     col: str = "embedding",
-    dim: int | None = None,
-    scale: float = 1e9,
+    scale: float = _NANO,
     num_partitions: int = 16,
+    include_mean: bool = False,
 ) -> "ray.data.Dataset":
     """Distributed Gram matrix of an embedding column — Σ xᵀx over the
     corpus, the one-pass building block for covariance / PCA whitening /
-    linear-probe feature preprocessing at 100 TB.
+    linear-probe feature preprocessing at corpus scale.
 
-    Scale shape: each batch turns into ONE fixed-size d×d int64 partial
-    (per-row outer products, quantized to integer nano-units BEFORE the
-    sum so the distributed reduction is summation-order-independent and
-    bit-exact vs the SQL twin — a float matmul would drift at ULP
-    scale), then an O(d²) hash-partitioned sum. Moved data is
-    #batches × d(d+1)/2 rows — never corpus-sized; the corpus never
-    shuffles. Output: (i, j, g_nano) for the upper triangle, 1-BASED
-    indices matching SQL list indexing."""
+    Scale shape: each batch computes ONLY the upper triangle
+    (d(d+1)/2 cells, via paired index gathers — no full n×d×d tensor)
+    of per-row products, quantized to integer units BEFORE the sum so
+    the distributed reduction is summation-order-independent and
+    bit-exact vs the SQL twin; then an O(d²) hash-partitioned sum.
+    Moved data is #batches × d(d+1)/2 rows — never corpus-sized; the
+    corpus never shuffles. A float64 abs-sum tracker rides along and
+    RAISES if the exact int64 sums could have wrapped (at the default
+    nano scale that is ~9e9 unit-scale rows — pass a smaller ``scale``
+    beyond that, trading quantization precision for headroom).
+
+    ``include_mean=True`` additionally emits i=0 rows from the SAME
+    pass: (0, j) = Σ quantized xⱼ for the column means and (0, 0) = the
+    row count — so a consumer needing mean+count+Gram (PCA) pays one
+    corpus scan, not two. Output: (i, j, g_nano) upper triangle,
+    1-BASED indices matching SQL list indexing."""
     import numpy as np
 
     from ctinexus_ray.ops.groupagg import partitioned_agg
@@ -751,27 +787,55 @@ def gram_matrix(
             return
         x = list_col_to_matrix(batch.column(col)).astype(np.float64)
         d = x.shape[1]
-        # per-row outer products, quantized per cell BEFORE summing
-        prods = x[:, :, None] * x[:, None, :]
-        q = np.floor(prods * scale + 0.5).astype(np.int64).sum(axis=0)
         iu, ju = np.triu_indices(d)
+        prods = x[:, iu] * x[:, ju]  # n × d(d+1)/2, triangle only
+        qcells = _quantize_nano(prods, scale)
+        q = qcells.sum(axis=0)
+        a = np.abs(qcells.astype(np.float64)).sum(axis=0)
+        i_out = (iu + 1).astype(np.int64)  # 1-based like SQL lists
+        j_out = (ju + 1).astype(np.int64)
+        g_out = q
+        a_out = a
+        if include_mean:
+            qm = _quantize_nano(x, scale)
+            i_out = np.concatenate(
+                [np.zeros(d + 1, dtype=np.int64), i_out]
+            )
+            j_out = np.concatenate(
+                [np.arange(d + 1, dtype=np.int64), j_out]
+            )
+            g_out = np.concatenate(
+                [
+                    np.array([batch.num_rows], dtype=np.int64),
+                    qm.sum(axis=0),
+                    g_out,
+                ]
+            )
+            a_out = np.concatenate(
+                [
+                    np.array([float(batch.num_rows)]),
+                    np.abs(qm.astype(np.float64)).sum(axis=0),
+                    a_out,
+                ]
+            )
         yield pa.Table.from_pydict(
             {
-                "i": pa.array((iu + 1).astype(np.int64)),  # 1-based like
-                "j": pa.array((ju + 1).astype(np.int64)),  # SQL lists
-                "g": pa.array(q[iu, ju], type=pa.int64()),
+                "i": pa.array(i_out),
+                "j": pa.array(j_out),
+                "g": pa.array(g_out, type=pa.int64()),
+                "a": pa.array(a_out, type=pa.float64()),
             }
         )
 
     parts = ds.select_columns([col]).map_batches(
         partial, batch_format="pyarrow", batch_size=1024
-    )  # batch_size bounds the n×d×d product tensor (~33 MB at d=64)
+    )
     return partitioned_agg(
         parts,
         keys=["i", "j"],
-        named_aggs={"g_nano": ("g", "sum")},
+        named_aggs={"g_nano": ("g", "sum"), "a": ("a", "sum")},
         num_partitions=num_partitions,
-    )
+    ).map_batches(_overflow_guard, batch_format="pyarrow")
 
 
 def pca_project(
@@ -779,64 +843,49 @@ def pca_project(
     k: int = 2,
     col: str = "embedding",
     id_col: str = "vec_id",
+    num_partitions: int = 16,
 ) -> "ray.data.Dataset":
     """PCA projection of an embedding column onto its top-k principal
     directions — dimensionality reduction / visualization / cheap
     decorrelation at corpus scale.
 
-    Scale shape: ONE `gram_matrix` pass (fixed-size partials, corpus
-    never shuffles) plus a mean reduce gives the d×d covariance on the
-    driver; `numpy.linalg.eigh` there is O(d³) on a tiny matrix; the
-    eigenvector matrix broadcasts once and projection is a shuffle-free
-    per-batch matmul. Deterministic across runs and cluster sizes: the
-    covariance comes from the integer-quantized Gram sums
+    Scale shape: ONE `gram_matrix(include_mean=True)` pass (fixed-size
+    partials, corpus never shuffles) delivers count, column sums, and
+    the d×d Gram together; `numpy.linalg.eigh` on the driver is O(d³)
+    on a tiny matrix; the eigenvector matrix broadcasts once and
+    projection is a shuffle-free per-batch matmul — two corpus scans
+    total (stats + projection). Deterministic across runs and cluster
+    sizes: the covariance comes from the integer-quantized sums
     (order-independent), and each eigenvector's sign is fixed so its
-    largest-magnitude component is positive. Output: (id_col, pc1..pck
-    float64). No SQL twin (eigendecomposition); parity vs direct numpy
-    PCA is pinned in tests."""
+    largest-magnitude component is positive. Output: (id_col,
+    pc1..pck float64). No SQL twin (eigendecomposition); parity vs
+    direct numpy PCA is pinned in tests."""
     import numpy as np
     import ray as _ray
-    from ray.data.aggregate import Count, Sum
 
-    # mean via the same quantization discipline (exact int sums)
-    def mean_partial(batch: pa.Table):
-        if batch.num_rows == 0:
-            return
-        x = list_col_to_matrix(batch.column(col)).astype(np.float64)
-        s = np.floor(x * 1e9 + 0.5).astype(np.int64).sum(axis=0)
-        yield pa.Table.from_pydict(
-            {
-                "dim": pa.array(
-                    np.arange(1, x.shape[1] + 1, dtype=np.int64)
-                ),
-                "s": pa.array(s, type=pa.int64()),
-                "n": pa.array(
-                    np.full(x.shape[1], batch.num_rows, dtype=np.int64)
-                ),
-            }
-        )
-
-    from ctinexus_ray.ops.groupagg import partitioned_agg
-
-    mean_rows = partitioned_agg(
-        ds.select_columns([col]).map_batches(
-            mean_partial, batch_format="pyarrow", batch_size=1024
-        ),
-        keys=["dim"],
-        named_aggs={"s": ("s", "sum"), "n": ("n", "sum")},
-        num_partitions=16,
-    ).take_all()  # O(d) rows
-    mean_rows.sort(key=lambda r: r["dim"])
-    d = len(mean_rows)
-    n = mean_rows[0]["n"]
-    mu = np.array([r["s"] / 1e9 / n for r in mean_rows])
-
-    gram_rows = gram_matrix(ds, col=col).take_all()  # O(d²) rows
+    rows = gram_matrix(
+        ds,
+        col=col,
+        num_partitions=num_partitions,
+        include_mean=True,
+    ).take_all()  # O(d²) rows
+    n = None
+    sums: dict = {}
+    gram: dict = {}
+    for r in rows:
+        if r["i"] == 0:
+            if r["j"] == 0:
+                n = int(r["g_nano"])
+            else:
+                sums[r["j"]] = r["g_nano"]
+        else:
+            gram[(r["i"], r["j"])] = r["g_nano"]
+    d = max(sums)
+    mu = np.array([sums[j] / _NANO / n for j in range(1, d + 1)])
     g = np.zeros((d, d), dtype=np.float64)
-    for r in gram_rows:
-        v = r["g_nano"] / 1e9
-        g[r["i"] - 1, r["j"] - 1] = v
-        g[r["j"] - 1, r["i"] - 1] = v
+    for (i, j), v in gram.items():
+        g[i - 1, j - 1] = v / _NANO
+        g[j - 1, i - 1] = v / _NANO
     cov = g / n - np.outer(mu, mu)
     vals, vecs = np.linalg.eigh(cov)
     top = vecs[:, np.argsort(vals)[::-1][:k]]
@@ -870,6 +919,7 @@ def linear_probe(
     id_col: str = "vec_id",
     iters: int = 10,
     lr: float = 1.0,
+    num_partitions: int = 16,
 ) -> "ray.data.Dataset":
     """Multinomial logistic-regression linear probe over an embedding
     column — the standard representation-quality / cheap-classifier
@@ -879,15 +929,16 @@ def linear_probe(
     Scale shape: each of the ``iters`` iterations is ONE column-pruned
     streaming pass; every batch emits a fixed-size (d+1)×k int64
     gradient partial (per-row contributions x⊗(softmax−y) quantized to
-    nano-units BEFORE the sum), reduced O(d·k) and applied on the
-    driver. Full-batch GD is inherently one-corpus-scan-per-step — the
-    honest cost at 100 TB is iters passes, with NOTHING corpus-sized
-    materialized or shuffled. Bit-stable across runs/resharding: the
-    weight trajectory depends only on exact integer gradient sums.
-    Output: (id_col, pred_label int64) from a final broadcast argmax
-    pass (ties break to the smallest class). No SQL twin (iterative
-    optimizer); exact parity vs an identically-quantized numpy twin
-    and reshard determinism are pinned in tests."""
+    nano-units BEFORE the sum, with the same wrap guard as
+    gram_matrix), reduced O(d·k) and applied on the driver. Full-batch
+    GD is inherently one-corpus-scan-per-step — the honest cost at
+    100 TB is iters passes, with NOTHING corpus-sized materialized or
+    shuffled. Bit-stable across runs/resharding: the weight trajectory
+    depends only on exact integer gradient sums. Output: (id_col,
+    pred_label int64) from a final broadcast argmax pass (ties break
+    to the smallest class). No SQL twin (iterative optimizer); exact
+    parity vs an identically-quantized numpy twin and reshard
+    determinism are pinned in tests."""
     import numpy as np
     import ray as _ray
 
@@ -897,14 +948,12 @@ def linear_probe(
         ds.select_columns([label_col]),
         keys=[label_col],
         named_aggs={"n": (label_col, "size")},
-        num_partitions=16,
+        num_partitions=num_partitions,
     ).take_all()  # O(#classes)
     classes = sorted(int(r[label_col]) for r in labels_rows)
     k = len(classes)
     n_total = sum(int(r["n"]) for r in labels_rows)
     class_index = {c: i for i, c in enumerate(classes)}
-
-    w = None  # (d+1, k), set after the first batch reveals d
 
     def grad_pass(w_ref):
         def partial(batch: pa.Table):
@@ -926,7 +975,9 @@ def linear_probe(
             p = e / e.sum(axis=1, keepdims=True)
             p[np.arange(len(y)), y] -= 1.0
             contrib = xb[:, :, None] * p[:, None, :]  # n×(d+1)×k
-            g = np.floor(contrib * 1e9 + 0.5).astype(np.int64).sum(axis=0)
+            qc = _quantize_nano(contrib)
+            g = qc.sum(axis=0)
+            a = np.abs(qc.astype(np.float64)).sum(axis=0)
             d1 = g.shape[0]
             iu, ju = np.divmod(np.arange(d1 * k), k)
             yield pa.Table.from_pydict(
@@ -934,6 +985,7 @@ def linear_probe(
                     "dim": pa.array(iu.astype(np.int64)),
                     "cls": pa.array(ju.astype(np.int64)),
                     "g": pa.array(g.ravel(), type=pa.int64()),
+                    "a": pa.array(a.ravel(), type=pa.float64()),
                 }
             )
 
@@ -951,12 +1003,17 @@ def linear_probe(
                 grad_pass(w_ref), batch_format="pyarrow", batch_size=1024
             ),
             keys=["dim", "cls"],
-            named_aggs={"g": ("g", "sum")},
-            num_partitions=16,
+            named_aggs={"g": ("g", "sum"), "a": ("a", "sum")},
+            num_partitions=num_partitions,
         ).take_all()  # O((d+1)·k)
+        if any(r["a"] > _I64_GUARD for r in grows):
+            raise OverflowError(
+                "gradient accumulator abs-sum exceeds the int64 safety "
+                "ceiling — lower the quantization scale for this corpus"
+            )
         g = np.zeros((d + 1, k), dtype=np.float64)
         for r in grows:
-            g[r["dim"], r["cls"]] = r["g"] / 1e9
+            g[r["dim"], r["cls"]] = r["g"] / _NANO
         w = w - lr * g / n_total
 
     w_ref = _ray.put((w, np.array(classes, dtype=np.int64)))

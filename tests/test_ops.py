@@ -1744,3 +1744,20 @@ class TestLinearProbe:
             ).take_all()
         )
         assert a == b
+
+
+class TestQuantizedOverflowGuard:
+    def test_gram_raises_when_sums_could_wrap(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        from ctinexus_ray.ops.simsearch import gram_matrix
+
+        # huge values at full nano scale push the abs-sum tracker past
+        # the int64 ceiling within one batch
+        x = np.full((4, 3), 1e7, dtype=np.float32)
+        t = pa.Table.from_pydict({"embedding": [r.tolist() for r in x]})
+        with pytest.raises(Exception, match="int64 safety"):
+            gram_matrix(ray.data.from_arrow(t)).take_all()
