@@ -3962,6 +3962,25 @@ def _q_multimodal_video_frames(sf_dir: str):
     return sample_video_frames(media, every_ms=250, include_data=False)
 
 
+def _q_multimodal_video_decode(sf_dir: str):
+    """REAL end-to-end video decode: motion-JPEG MP4s (every sample an
+    actual baseline JPEG written through the 'jpeg' stsd fourcc) are
+    frame-sampled via the ISO-BMFF tables AND pixel-decoded per frame
+    with the pure-numpy T.81 codec (ops/jpeg.py), emitting decoded
+    dimensions + Rec.601 luma stats per sampled frame. Rows-only (binary
+    pipeline); codec correctness pinned in tests/test_mp4.py +
+    tests/test_jpeg.py."""
+    import ray.data
+
+    from ctinexus_ray.ops.multimodal import (
+        decode_video_frames,
+        make_real_mjpeg_table,
+    )
+
+    media = ray.data.from_arrow(make_real_mjpeg_table(48)).repartition(4)
+    return decode_video_frames(media, every_ms=250)
+
+
 def _q_tpch_q6(sf_dir: str):
     """TPC-H Q6 (forecast-revenue change): the pure filtered
     scan-aggregate — EVERY predicate (ship-date window, discount band,
@@ -5518,6 +5537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_video_frames": _q_multimodal_video_frames,
+        "multimodal_video_decode": _q_multimodal_video_decode,
     }
 
 

@@ -47,20 +47,41 @@ def build_mp4(
     frames_per_chunk: int = 3,
     variable_rate: bool = True,
     use_co64: bool = False,
+    frames: list[bytes] | None = None,
+    codec: bytes = b"mp4v",
+    width: int = 64,
+    height: int = 64,
 ) -> bytes:
     """Minimal progressive MP4 with ``n_frames`` deterministic fake video
     samples. ``variable_rate`` emits a two-run ``stts`` (second half at
     double the frame duration) so parsers must walk run-length entries.
+
+    ``frames`` (optional) supplies the real sample payloads instead of
+    the deterministic fakes — with ``codec=b"jpeg"`` this writes a
+    motion-JPEG track (each sample an independently-decodable JPEG, the
+    QuickTime/ISO 'jpeg' visual sample entry) that ``DecodeVideoStage``
+    can fully decode with the pure-numpy baseline codec in
+    ``ops/jpeg.py``.
     """
-    if n_frames < 1:
-        raise ValueError("n_frames must be >= 1")
-    sizes = []
-    frames = []
-    for i in range(n_frames):
-        digest = hashlib.blake2b(f"frame:{seed}:{i}".encode(), digest_size=16).digest()
-        size = 64 + digest[0] % 192
-        frames.append((digest * ((size + 15) // 16))[:size])
-        sizes.append(size)
+    if frames is not None:
+        if not frames:
+            raise ValueError("frames must be non-empty when provided")
+        n_frames = len(frames)
+        sizes = [len(f) for f in frames]
+    else:
+        if n_frames < 1:
+            raise ValueError("n_frames must be >= 1")
+        sizes = []
+        frames = []
+        for i in range(n_frames):
+            digest = hashlib.blake2b(
+                f"frame:{seed}:{i}".encode(), digest_size=16
+            ).digest()
+            size = 64 + digest[0] % 192
+            frames.append((digest * ((size + 15) // 16))[:size])
+            sizes.append(size)
+    if len(codec) != 4:
+        raise ValueError("codec must be a 4-byte fourcc")
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     # mdat directly after ftyp: chunk offsets are absolute file offsets
@@ -120,12 +141,13 @@ def build_mp4(
             struct.pack(">I", len(chunk_offsets))
             + b"".join(struct.pack(">I", o) for o in chunk_offsets),
         )
-    # minimal visual sample entry ('mp4v' shell; codec data is opaque here)
+    # minimal visual sample entry (codec fourcc shell; payload opacity
+    # depends on the fourcc — 'jpeg' samples are decodable JPEGs)
     sample_entry = _box(
-        b"mp4v",
+        codec,
         b"\x00" * 6 + struct.pack(">H", 1)  # reserved + data_reference_index
         + b"\x00" * 16
-        + struct.pack(">HH", 64, 64)  # width, height
+        + struct.pack(">HH", width, height)
         + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
         + struct.pack(">I", 0)
         + struct.pack(">H", 1)  # frame count
@@ -151,7 +173,7 @@ def build_mp4(
         + b"\x00" * 8
         + struct.pack(">HHHH", 0, 0, 0, 0)
         + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
-        + struct.pack(">II", 64 << 16, 64 << 16),
+        + struct.pack(">II", width << 16, height << 16),
         version=0,
     )
     trak = _box(b"trak", tkhd + mdia)
@@ -239,6 +261,20 @@ def parse_mp4_samples(payload: bytes) -> dict:
                 ">II", payload[mdhd[0] + 12 : mdhd[0] + 20]
             )
         boxes = {t: (s, e) for t, s, e in _iter_boxes(payload, *stbl)}
+        # stsd -> first visual sample entry's codec fourcc + coded dims
+        codec = None
+        coded_w = coded_h = 0
+        if b"stsd" in boxes:
+            s, e = boxes[b"stsd"]
+            s += _FULLBOX_HEADER + 4  # version/flags + entry_count
+            if s + 8 <= e:
+                codec = payload[s + 4 : s + 8].decode("latin-1")
+                # visual sample entry: 8 header + 6 reserved + 2 dri +
+                # 16 predefined/reserved, then u16 width, u16 height
+                if s + 36 <= e:
+                    coded_w, coded_h = struct.unpack(
+                        ">HH", payload[s + 32 : s + 36]
+                    )
         if b"ctts" in boxes:
             raise ValueError("MP4 composition offsets (ctts) not supported")
         for need in (b"stts", b"stsz", b"stsc"):
@@ -317,6 +353,9 @@ def parse_mp4_samples(payload: bytes) -> dict:
             "sizes": sizes,
             "pts": pts,
             "durations": durations,
+            "codec": codec,
+            "coded_width": int(coded_w),
+            "coded_height": int(coded_h),
         }
     raise ValueError("MP4 has no video (vide) track")
 

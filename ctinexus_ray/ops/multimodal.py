@@ -793,6 +793,148 @@ def sample_video_frames(
     )
 
 
+def make_real_mjpeg_table(n: int) -> pa.Table:
+    """Deterministic motion-JPEG videos: every MP4 sample is a REAL
+    baseline JPEG (``ops/jpeg.py`` encoder) of a per-frame-shifted
+    gradient, written as a QuickTime/ISO ``jpeg`` visual track — so the
+    full video path (container sample-table walk AND per-frame pixel
+    decode) runs on actual codec bytes, not opaque fakes."""
+    from ctinexus_ray.ops.jpeg import encode_jpeg
+    from ctinexus_ray.ops.mp4 import build_mp4, parse_mp4_samples
+
+    base_y, base_x = np.mgrid[0:16, 0:16]
+    rows = []
+    for i in range(n):
+        digest = hashlib.blake2b(f"mjpeg:{i}".encode(), digest_size=8).digest()
+        n_frames = 3 + digest[0] % 6
+        frames = []
+        for f in range(n_frames):
+            shift = (digest[1] + 11 * f) % 16
+            img = np.stack(
+                [
+                    ((base_x + shift) % 16) * 16,
+                    ((base_y + f) % 16) * 16,
+                    np.full((16, 16), digest[2], dtype=np.int64),
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            frames.append(encode_jpeg(img, quality=85))
+        payload = build_mp4(
+            0,
+            timescale=1000,
+            frame_delta=200 + digest[3] % 4 * 100,
+            frames=frames,
+            codec=b"jpeg",
+            width=16,
+            height=16,
+            frames_per_chunk=2,
+            variable_rate=(i % 2 == 0),
+        )
+        dur_ms = int(parse_mp4_samples(payload)["duration_ms"])
+        rows.append(
+            {
+                "media_id": i,
+                "kind": "video",
+                "payload": payload,
+                "mime": "video/mp4",
+                "width": 16,
+                "height": 16,
+                "duration_ms": dur_ms,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
+class DecodeVideoStage:
+    """REAL video frame decode: walks each MP4 payload's sample tables,
+    slices the frame covering every ``every_ms`` tick, and — when the
+    track's ``stsd`` fourcc is ``jpeg`` (motion-JPEG) — pixel-decodes the
+    frame with the pure-numpy baseline JPEG codec (``ops/jpeg.py``).
+    Emits one row per sampled frame with decoded dimensions and luma
+    statistics (Rec.601 weights), the shape a frame-embedding stage
+    consumes.
+
+    Honest boundary: inter-frame codecs (H.264/H.265/VP9/AV1 fourccs like
+    ``avc1``) raise ``NotImplementedError`` naming the codec — their
+    bitstream decoders aren't in this environment. Motion-JPEG is a real,
+    publicly-specified video codec (every sample an independent T.81
+    baseline JPEG), so the decode here is genuine end-to-end video work.
+    """
+
+    def __init__(self, every_ms: int = 500, batch_format_cols: bool = True):
+        from ctinexus_ray.ops.jpeg import decode_jpeg
+        from ctinexus_ray.ops.mp4 import parse_mp4_samples, sample_frames_every
+
+        self._decode = decode_jpeg
+        self._parse = parse_mp4_samples
+        self._sample = sample_frames_every
+        self.every_ms = int(every_ms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {
+            "media_id": [], "tick_ms": [], "frame_index": [], "pts_ms": [],
+            "width": [], "height": [], "mean_luma": [], "luma_std": [],
+        }
+        for media_id, mime, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("mime").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if mime != "video/mp4":
+                continue
+            payload = payload or b""
+            codec = self._parse(payload)["codec"]
+            if codec != "jpeg":
+                raise NotImplementedError(
+                    f"video codec {codec!r} not decodable here — only "
+                    "motion-JPEG ('jpeg' fourcc) has an in-environment "
+                    "bitstream decoder; inter-frame codecs need a GPU/"
+                    "library decode stage"
+                )
+            for f in self._sample(payload, self.every_ms):
+                img = self._decode(f["data"])
+                if img.shape[2] == 1:
+                    luma = img[..., 0].astype(np.float64)
+                else:
+                    luma = (
+                        0.299 * img[..., 0]
+                        + 0.587 * img[..., 1]
+                        + 0.114 * img[..., 2]
+                    )
+                out["media_id"].append(media_id)
+                out["tick_ms"].append(f["tick_ms"])
+                out["frame_index"].append(f["frame_index"])
+                out["pts_ms"].append(f["pts_ms"])
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+                out["mean_luma"].append(float(luma.mean()))
+                out["luma_std"].append(float(luma.std()))
+        types = {
+            "media_id": pa.int64(), "tick_ms": pa.float64(),
+            "frame_index": pa.int64(), "pts_ms": pa.float64(),
+            "width": pa.int64(), "height": pa.int64(),
+            "mean_luma": pa.float64(), "luma_std": pa.float64(),
+        }
+        return pa.Table.from_pydict(
+            {k: pa.array(out[k], type=t) for k, t in types.items()}
+        )
+
+
+def decode_video_frames(
+    media: ray.data.Dataset, every_ms: int = 500, batch_size: int = 4
+) -> ray.data.Dataset:
+    """Motion-JPEG frame decode as an actor pool. Small batches: each
+    input row fans out to (ticks × decoded frames) and JPEG decode is
+    the compute-heavy stage, so batch × concurrency sizes the heap."""
+    return media.map_batches(
+        DecodeVideoStage,
+        fn_constructor_kwargs={"every_ms": every_ms},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )
+
+
 def probe_media_bytes(payload: bytes) -> dict:
     """Header-only media probe: container format + dimensions (images)
     or channels/sample-rate/frames (WAV audio) WITHOUT decoding pixel
