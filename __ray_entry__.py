@@ -844,6 +844,103 @@ def _q_pagerank(sf_dir: str):
     return ranks.map_batches(to_e9, batch_format="pyarrow")
 
 
+_HITS_ITERS = 2
+
+
+def _q_hits_trade(sf_dir: str):
+    """HITS hubs/authorities over the DIRECTED customer->supplier trade
+    graph (distinct purchase pairs from orders x lineitem; supplier ids
+    offset). Customers are pure hubs, suppliers pure authorities — the
+    bipartite co-purchase ranking. Integer e9 scores with exact int64
+    mass sums + per-row pinned-order renormalization, so the unrolled
+    SQL twin value-hashes bit-for-bit. ✓SQL."""
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.graph import hits_scores
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_suppkey"]
+    )
+
+    def li_keyed(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"o_orderkey": batch.column("l_orderkey"),
+             "l_suppkey": batch.column("l_suppkey").cast(pa.int64())}
+        )
+
+    pairs = partitioned_agg(
+        hash_join(
+            orders,
+            lineitem.map_batches(li_keyed, batch_format="pyarrow"),
+            on=["o_orderkey"],
+        ),
+        keys=["o_custkey", "l_suppkey"],
+        named_aggs={"_n": ("o_custkey", "size")},
+    )
+
+    def directed(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cust = batch.column("o_custkey").cast(pa.int64())
+        supp = pa.array(
+            np.asarray(
+                batch.column("l_suppkey").to_pylist(), dtype=np.int64
+            )
+            + _PAGERANK_SUPP_OFFSET,
+            type=pa.int64(),
+        )
+        return pa.Table.from_pydict({"src": cust, "dst": supp})
+
+    edges = pairs.map_batches(directed, batch_format="pyarrow")
+    return hits_scores(edges, iterations=_HITS_ITERS)
+
+
+def _hits_oracle_sql() -> str:
+    """Unrolled-iteration SQL twin of _q_hits_trade: the same integer
+    mass sums and the same pinned-order double renormalization
+    FLOOR(mass * 1e9 / total + 0.5) per half-step."""
+    sql = (
+        "WITH pairs AS (SELECT DISTINCT o_custkey AS c, "
+        f"l_suppkey + {_PAGERANK_SUPP_OFFSET} AS s "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+        "edges AS (SELECT c AS src, s AS dst FROM pairs), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges), "
+        "h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS hub FROM nodes)"
+    )
+    prev = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        sql += (
+            f", ar{i} AS (SELECT e.dst AS node, "
+            f"CAST(sum(h.hub) AS BIGINT) AS mass "
+            f"FROM edges e JOIN {prev} h ON e.src = h.node GROUP BY e.dst), "
+            f"at{i} AS (SELECT CAST(sum(mass) AS DOUBLE) AS t FROM ar{i}), "
+            f"a{i} AS (SELECT n.node, CAST(FLOOR("
+            f"CAST(coalesce(m.mass, 0) AS DOUBLE) * 1000000000.0 / t.t "
+            f"+ 0.5) AS BIGINT) AS auth "
+            f"FROM nodes n LEFT JOIN ar{i} m ON n.node = m.node, at{i} t), "
+            f"hr{i} AS (SELECT e.src AS node, "
+            f"CAST(sum(a.auth) AS BIGINT) AS mass "
+            f"FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src), "
+            f"ht{i} AS (SELECT CAST(sum(mass) AS DOUBLE) AS t FROM hr{i}), "
+            f"h{i} AS (SELECT n.node, CAST(FLOOR("
+            f"CAST(coalesce(m.mass, 0) AS DOUBLE) * 1000000000.0 / t.t "
+            f"+ 0.5) AS BIGINT) AS hub "
+            f"FROM nodes n LEFT JOIN hr{i} m ON n.node = m.node, ht{i} t)"
+        )
+        prev = f"h{i}"
+    return (
+        sql
+        + f" SELECT a.node, a.auth AS auth_e9, h.hub AS hub_e9 "
+        f"FROM a{_HITS_ITERS} a JOIN h{_HITS_ITERS} h ON a.node = h.node"
+    )
+
+
 def _pagerank_oracle_sql() -> str:
     """Unrolled-iteration SQL twin of _q_pagerank (recursive CTEs cannot
     aggregate in the recursive term, so each iteration is its own CTE)."""
@@ -3901,6 +3998,43 @@ def _q_bm25_topk(sf_dir: str):
     )
 
 
+def _q_hybrid_retrieval(sf_dir: str):
+    """Hybrid search: BM25 lexical leg (3-term query, top-25) fused
+    with an embedding-cosine semantic leg (query = vec_id 0, top-25,
+    self excluded) by reciprocal-rank fusion — pure-integer
+    10^12 // (60 + rank) points so the SQL twin value-hashes exactly.
+    Both legs are distributed rankers; fusion is O(leg sizes). ✓SQL."""
+    import pyarrow as pa
+    import ray.data
+
+    from ctinexus_ray.ops.simsearch import self_topk
+    from ctinexus_ray.ops.textstats import bm25_topk_docs, rrf_fuse
+
+    lex = bm25_topk_docs(
+        _docs(sf_dir, ["doc_id", "text"]),
+        query_terms=["hash", "join", "vector"],
+        k=25,
+    )
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    sem_ds = self_topk(emb, n_queries=1, k=25)
+    sem = pa.concat_tables(
+        [
+            b
+            for b in sem_ds.iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+    )
+    return ray.data.from_arrow(
+        rrf_fuse(
+            [(lex, "doc_id", "rn"), (sem, "neighbor_id", "rank")],
+            k_rrf=60,
+            k=20,
+        )
+    )
+
+
 def _q_multimodal_decode(sf_dir: str):
     """REAL media decode (no stub): P6 PPM / PNG / BMP / baseline JPEG
     images (4:4:4 and 4:2:0), PCM16 WAV audio — every payload parsed
@@ -5425,6 +5559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "suppliers_with_returns": _q_suppliers_with_returns,
         "pagerank": _q_pagerank,
+        "hits_trade": _q_hits_trade,
         "unigram_lm": _q_unigram_lm,
         "nb_langid": _q_nb_langid,
         "corpus_checksum": _q_corpus_checksum,
@@ -5529,6 +5664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes_merged": _q_kg_nodes_merged,
         "url_source": _q_url_source,
         "bm25_topk": _q_bm25_topk,
+        "hybrid_retrieval": _q_hybrid_retrieval,
         "dup_graph_triangles": _q_dup_graph_triangles,
         "dup_graph_degrees": _q_dup_graph_degrees,
         "perplexity_buckets": _q_perplexity_buckets,
@@ -5683,6 +5819,53 @@ def oracle_sql() -> dict[str, str]:
             "ranked AS (SELECT doc_id, score_micro, row_number() OVER "
             "(ORDER BY score_micro DESC, doc_id) AS rn FROM per_doc) "
             "SELECT CAST(rn AS BIGINT) AS rn, doc_id, score_micro "
+            "FROM ranked WHERE rn <= 20"
+        ),
+        "hybrid_retrieval": (
+            # lexical leg = the bm25_topk pipeline above at rn <= 25;
+            # semantic leg mirrors similarity_topk for query vec_id 0;
+            # fusion is pure integer 10^12 // (60 + rank) per leg
+            "WITH words AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS word "
+            "FROM documents), "
+            "dl AS (SELECT doc_id, "
+            "len(regexp_split_to_array(trim(text), '\\s+')) AS dl "
+            "FROM documents), "
+            "n AS (SELECT count(*) AS n, "
+            "CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) "
+            "AS DOUBLE) / count(*) AS avgdl FROM documents), "
+            "tf AS (SELECT doc_id, word, count(*) AS tf FROM words "
+            "WHERE word IN ('hash', 'join', 'vector') "
+            "GROUP BY doc_id, word), "
+            "df AS (SELECT word, count(*) AS df FROM tf GROUP BY word), "
+            "scored AS (SELECT tf.doc_id, CAST(FLOOR("
+            "ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)) "
+            "* (tf.tf * (1.5 + 1.0)) "
+            "/ (tf.tf + 1.5 * ((1.0 - 0.75) + (0.75 * dl.dl) / n.avgdl)) "
+            "* 1000000.0 + 0.5) AS BIGINT) AS micro "
+            "FROM tf, df, dl, n "
+            "WHERE tf.word = df.word AND tf.doc_id = dl.doc_id), "
+            "per_doc AS (SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS "
+            "score_micro FROM scored GROUP BY doc_id), "
+            "lex AS (SELECT doc_id, row_number() OVER "
+            "(ORDER BY score_micro DESC, doc_id) AS rn FROM per_doc), "
+            "semp AS (SELECT e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) AS sim "
+            "FROM embeddings e, embeddings q "
+            "WHERE q.vec_id = 0 AND e.vec_id <> 0), "
+            "sem AS (SELECT neighbor_id, row_number() OVER "
+            "(ORDER BY sim DESC, neighbor_id) AS rank FROM semp), "
+            "pts AS (SELECT doc_id, 1000000000000 // (60 + rn) AS pts "
+            "FROM lex WHERE rn <= 25 "
+            "UNION ALL SELECT neighbor_id, 1000000000000 // (60 + rank) "
+            "FROM sem WHERE rank <= 25), "
+            "fused AS (SELECT doc_id, CAST(sum(pts) AS BIGINT) AS "
+            "rrf_score, CAST(count(*) AS BIGINT) AS n_legs FROM pts "
+            "GROUP BY doc_id), "
+            "ranked AS (SELECT doc_id, rrf_score, n_legs, row_number() "
+            "OVER (ORDER BY rrf_score DESC, doc_id) AS rn FROM fused) "
+            "SELECT CAST(rn AS BIGINT) AS rn, doc_id, rrf_score, n_legs "
             "FROM ranked WHERE rn <= 20"
         ),
         "dedup_incremental": (
@@ -5887,6 +6070,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')"
         ),
         "pagerank": _pagerank_oracle_sql(),
+        "hits_trade": _hits_oracle_sql(),
         "repetition_stats": (
             "WITH words AS (SELECT doc_id, "
             "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "

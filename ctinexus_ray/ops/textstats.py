@@ -1380,3 +1380,57 @@ def naive_bayes_predict(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
+
+
+def rrf_fuse(
+    legs: list[tuple["pa.Table", str, str]],
+    k_rrf: int = 60,
+    k: int = 20,
+) -> "pa.Table":
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of ranked
+    retrieval legs — the standard hybrid-search combiner (BM25 leg +
+    embedding leg, each ranked independently, fused by rank position
+    only so score scales never need calibration).
+
+    ``legs`` is a list of ``(table, id_col, rank_col)`` — each table a
+    TOP-K RESULT (driver-small BY CONSTRUCTION: every leg is the k-row
+    output of a distributed ranker like ``bm25_topk_docs`` or
+    ``brute_force_topk``, so fusion is O(sum of leg sizes), never
+    corpus-sized). Pure integer scoring keeps the SQL twin bit-exact:
+    each appearance contributes ``10^12 // (k_rrf + rank)`` points
+    (integer floor division — no floats anywhere), summed per doc.
+
+    Returns (rn, doc_id, rrf_score, n_legs) ordered by
+    (rrf_score desc, doc_id), rn = 1..k — the same order a SQL
+    ``row_number`` window produces.
+    """
+    import numpy as np
+
+    ids_all, pts_all = [], []
+    for table, id_col, rank_col in legs:
+        ids = np.asarray(table.column(id_col)).astype(np.int64)
+        ranks = np.asarray(table.column(rank_col)).astype(np.int64)
+        if (ranks < 1).any():
+            raise ValueError("ranks must be 1-based positive integers")
+        ids_all.append(ids)
+        pts_all.append(10**12 // (k_rrf + ranks))
+    if not ids_all:
+        raise ValueError("at least one leg required")
+    ids = np.concatenate(ids_all)
+    pts = np.concatenate(pts_all)
+    uniq, inv = np.unique(ids, return_inverse=True)
+    score = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(score, inv, pts)
+    n_legs = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(n_legs, inv, 1)
+    order = np.lexsort((uniq, -score))[:k]
+    return pa.Table.from_pydict(
+        {
+            "rn": pa.array(
+                np.arange(1, len(order) + 1, dtype=np.int64), type=pa.int64()
+            ),
+            "doc_id": pa.array(uniq[order], type=pa.int64()),
+            "rrf_score": pa.array(score[order], type=pa.int64()),
+            "n_legs": pa.array(n_legs[order], type=pa.int64()),
+        }
+    )

@@ -243,3 +243,97 @@ class TestBfsHops:
         a = self._run(edges, [1], 5)
         b = self._run(edges, [1], 5, frontier_broadcast_rows=0)
         assert a == b == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5}
+
+
+class TestHits:
+    """HITS integer e9 scores: broadcast path vs join path vs a
+    from-first-principles numpy reference with identical quantization."""
+
+    @staticmethod
+    def _numpy_hits(src, dst, iterations=2):
+        nodes = np.unique(np.concatenate([src, dst]))
+        idx = {int(n): i for i, n in enumerate(nodes)}
+        s = np.array([idx[int(v)] for v in src])
+        d = np.array([idx[int(v)] for v in dst])
+        n = len(nodes)
+        hub = np.full(n, 10**9, dtype=np.int64)
+        auth = np.zeros(n, dtype=np.int64)
+
+        def step(scores, frm, to):
+            raw = np.zeros(n, dtype=np.int64)
+            np.add.at(raw, to, scores[frm])
+            total = float(raw.sum())
+            if total <= 0:
+                return np.zeros(n, dtype=np.int64)
+            return np.floor(raw.astype(np.float64) * 1e9 / total + 0.5).astype(
+                np.int64
+            )
+
+        for _ in range(iterations):
+            auth = step(hub, s, d)
+            hub = step(auth, d, s)
+        return nodes, auth, hub
+
+    def _table(self, ds):
+        df = ds.to_pandas().sort_values("node").reset_index(drop=True)
+        return (
+            df["node"].to_numpy(),
+            df["auth_e9"].to_numpy(),
+            df["hub_e9"].to_numpy(),
+        )
+
+    def test_matches_numpy_reference(self, ray_session):
+        from ctinexus_ray.ops.graph import hits_scores
+
+        rng = np.random.default_rng(7)
+        src = rng.integers(0, 40, 300)
+        dst = rng.integers(40, 70, 300)
+        got = self._table(hits_scores(_edges(src, dst), iterations=2))
+        want = self._numpy_hits(src, dst, iterations=2)
+        np.testing.assert_array_equal(got[0], want[0])
+        np.testing.assert_array_equal(got[1], want[1])
+        np.testing.assert_array_equal(got[2], want[2])
+
+    def test_join_path_matches_broadcast_path(self, ray_session):
+        from ctinexus_ray.ops.graph import hits_scores
+
+        rng = np.random.default_rng(11)
+        src = rng.integers(0, 50, 400)
+        dst = rng.integers(0, 50, 400)
+        edges = _edges(src, dst)
+        a = self._table(hits_scores(edges, iterations=2))
+        b = self._table(hits_scores(edges, iterations=2, broadcast_max=0))
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+    def test_bipartite_pure_roles(self, ray_session):
+        """In a directed bipartite graph sources are pure hubs (auth 0)
+        and sinks pure authorities (hub 0)."""
+        from ctinexus_ray.ops.graph import hits_scores
+
+        src = np.array([1, 1, 2, 3])
+        dst = np.array([10, 11, 10, 11])
+        nodes, auth, hub = self._table(hits_scores(_edges(src, dst)))
+        is_src = nodes < 10
+        assert (auth[is_src] == 0).all() and (hub[~is_src] == 0).all()
+        # node 10 and 11 both get mass; hub 1 points at both
+        assert auth[~is_src].sum() > 0 and hub[is_src].sum() > 0
+
+    def test_star_authority_dominates(self, ray_session):
+        from ctinexus_ray.ops.graph import hits_scores
+
+        # everyone points at node 99; node 1 also points at 50
+        src = np.array([1, 2, 3, 4, 1])
+        dst = np.array([99, 99, 99, 99, 50])
+        nodes, auth, hub = self._table(hits_scores(_edges(src, dst)))
+        assert auth[nodes == 99][0] > auth[nodes == 50][0]
+        assert hub[nodes == 1][0] >= hub[nodes == 2][0]
+
+    def test_empty_edges(self, ray_session):
+        from ctinexus_ray.ops.graph import hits_scores
+
+        ds = hits_scores(_edges([], []), iterations=2)
+        # Ray's to_pandas drops columns on zero-block datasets; the
+        # schema is the contract here
+        assert sorted(ds.schema().names) == ["auth_e9", "hub_e9", "node"]
+        assert ds.count() == 0

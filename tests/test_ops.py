@@ -1761,3 +1761,74 @@ class TestQuantizedOverflowGuard:
         t = pa.Table.from_pydict({"embedding": [r.tolist() for r in x]})
         with pytest.raises(Exception, match="int64 safety"):
             gram_matrix(ray.data.from_arrow(t)).take_all()
+
+
+class TestRrfFuse:
+    """Reciprocal-rank fusion: pure-integer scoring, leg union, ordering."""
+
+    @staticmethod
+    def _leg(ids, ranks, id_col="doc_id", rank_col="rn"):
+        import pyarrow as pa
+
+        return (
+            pa.Table.from_pydict(
+                {
+                    id_col: pa.array(ids, type=pa.int64()),
+                    rank_col: pa.array(ranks, type=pa.int64()),
+                }
+            ),
+            id_col,
+            rank_col,
+        )
+
+    def test_single_leg_preserves_order(self):
+        from ctinexus_ray.ops.textstats import rrf_fuse
+
+        out = rrf_fuse([self._leg([5, 3, 9], [1, 2, 3])], k=10).to_pydict()
+        assert out["doc_id"] == [5, 3, 9]
+        assert out["rn"] == [1, 2, 3]
+        assert out["rrf_score"] == [
+            10**12 // 61, 10**12 // 62, 10**12 // 63
+        ]
+        assert out["n_legs"] == [1, 1, 1]
+
+    def test_doc_in_both_legs_wins(self):
+        from ctinexus_ray.ops.textstats import rrf_fuse
+
+        # doc 7: rank 3 lexically + rank 2 semantically beats doc 1 at
+        # rank 1 in one leg only (1/63 + 1/62 > 1/61)
+        lex = self._leg([1, 2, 7], [1, 2, 3])
+        sem = self._leg([4, 7, 5], [1, 2, 3], "neighbor_id", "rank")
+        out = rrf_fuse([lex, sem], k=10).to_pydict()
+        assert out["doc_id"][0] == 7
+        assert out["n_legs"][0] == 2
+        assert out["rrf_score"][0] == 10**12 // 63 + 10**12 // 62
+
+    def test_tie_breaks_by_doc_id(self):
+        from ctinexus_ray.ops.textstats import rrf_fuse
+
+        lex = self._leg([9, 2], [1, 2])
+        sem = self._leg([2, 9], [1, 2], "neighbor_id", "rank")
+        out = rrf_fuse([lex, sem], k=10).to_pydict()
+        # identical scores -> ascending doc_id
+        assert out["doc_id"] == [2, 9]
+        assert out["rrf_score"][0] == out["rrf_score"][1]
+
+    def test_k_cuts(self):
+        from ctinexus_ray.ops.textstats import rrf_fuse
+
+        out = rrf_fuse(
+            [self._leg(list(range(50)), list(range(1, 51)))], k=5
+        ).to_pydict()
+        assert len(out["doc_id"]) == 5
+        assert out["rn"] == [1, 2, 3, 4, 5]
+
+    def test_bad_rank_raises(self):
+        import pytest
+
+        from ctinexus_ray.ops.textstats import rrf_fuse
+
+        with pytest.raises(ValueError):
+            rrf_fuse([self._leg([1], [0])])
+        with pytest.raises(ValueError):
+            rrf_fuse([])
