@@ -77,8 +77,16 @@ class LLMClient(Protocol):
         """Return (response_text, input_tokens, output_tokens)."""
         ...
 
-    def embed(self, texts: list[str]) -> tuple[list[list[float]], int]:
-        """Return (vectors, input_tokens)."""
+    def embed(self, texts: list[str]) -> tuple[list[list[float]], list[int]]:
+        """Return (vectors, per_text_token_counts).
+
+        Per-TEXT counts (not one call total) so usage attribution is a
+        pure function of each text: with the actor-lifetime embed cache,
+        a document's metered embed tokens must not depend on which other
+        document warmed the cache first (or on thread interleaving when
+        ``llm_max_inflight`` > 1) — a call-total can only be attributed
+        to whichever doc happened to trigger the call.
+        """
         ...
 
 

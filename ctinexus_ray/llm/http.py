@@ -253,7 +253,7 @@ class HTTPLLMClient:
         out_tok = int(resp.get("eval_count", len(text) // 4))
         return text, in_tok, out_tok
 
-    def embed(self, texts: list[str]) -> tuple[list[list[float]], int]:
+    def embed(self, texts: list[str]) -> tuple[list[list[float]], list[int]]:
         resp = post_json(
             f"{self.base_url}/embeddings",
             {"model": self.embedding_model, "input": texts},
@@ -264,9 +264,30 @@ class HTTPLLMClient:
         rows = sorted(resp["data"], key=lambda d: d["index"])
         vecs = [r["embedding"] for r in rows]
         usage = resp.get("usage") or {}
-        tokens = int(usage.get("prompt_tokens",
-                               sum(len(t) // 4 for t in texts)))
-        return vecs, tokens
+        total = int(usage.get("prompt_tokens",
+                              sum(len(t) // 4 for t in texts)))
+        return vecs, _apportion_tokens(total, texts)
+
+
+def _apportion_tokens(total: int, texts: list[str]) -> list[int]:
+    """Deterministic largest-remainder split of a billed call-total
+    into per-text counts, weighted by the length estimate ``len//4``
+    (the reference's own fallback estimator). Exactly sums to
+    ``total``; remainder tokens go to the earliest texts. The split
+    can differ by ±1 token per text across different call
+    compositions — a metering estimate on the real-API path only (the
+    mock client counts per text exactly)."""
+    n = len(texts)
+    if n == 0:
+        return []
+    weights = [len(t) // 4 for t in texts]
+    w_sum = sum(weights)
+    if w_sum == 0:
+        weights = [1] * n
+        w_sum = n
+    base = [total * w // w_sum for w in weights]
+    rem = total - sum(base)
+    return [b + (1 if i < rem else 0) for i, b in enumerate(base)]
 
 
 def fetch_url(url: str, *, timeout: float = 30.0,

@@ -213,10 +213,10 @@ class MockLLM:
         text = self._render(payload, prompt)
         return text, len(prompt) // 4, len(text) // 4
 
-    def embed(self, texts: list[str]) -> tuple[list[list[float]], int]:
+    def embed(self, texts: list[str]) -> tuple[list[list[float]], list[int]]:
         vecs = [embed_text(t, self.dim).tolist() for t in texts]
-        tokens = sum(len(t) // 4 for t in texts)
-        return vecs, tokens
+        # per-text counts: deterministic pure function of each text
+        return vecs, [len(t) // 4 for t in texts]
 
     # -- stage dispatch -----------------------------------------------------
 

@@ -127,14 +127,20 @@ def run_ea(
     typed_triplets: list[dict],
     client: LLMClient,
     config: PipelineConfig,
-    embed_cache: dict[str, list[float]] | None = None,
+    embed_cache: dict[str, tuple[list[float], int]] | None = None,
 ) -> dict:
     """Preprocess + embedding merge + IOC unmerge
     (reference ctinexus/cti_processor.py + ctinexus/graph_constructor.py:246-441).
 
-    ``embed_cache`` (normalized mention text -> vector) is actor-lifetime
-    state in the Ray stage — head mentions repeat across documents, so the
-    cache turns the dominant embedding cost into a lookup.
+    ``embed_cache`` (normalized mention text -> (vector, token_count))
+    is actor-lifetime state in the Ray stage — head mentions repeat
+    across documents, so the cache turns the dominant embedding cost
+    into a lookup. Metering charges EVERY document for its own mention
+    texts, cache hit or not (the reference runs one document per
+    process with no cross-doc cache, so its per-doc usage equals this
+    full-text accounting): the per-doc usage columns are a pure
+    function of the document — independent of batch composition, batch
+    order, and thread interleaving under ``llm_max_inflight`` > 1.
     """
     aligned, mentions_num, pre_dropped = preprocess_doc(typed_triplets)
 
@@ -146,17 +152,20 @@ def run_ea(
     for m_id, text in mention_texts.items():
         key = text.casefold().strip()
         if key in cache:
-            embeddings[m_id] = cache[key]
+            vec, tok = cache[key]
+            embeddings[m_id] = vec
+            embed_tokens += tok
         else:
             to_embed.append((m_id, text))
     if to_embed:
-        vectors, embed_tokens = call_with_retry(
+        vectors, counts = call_with_retry(
             lambda: client.embed([t for _, t in to_embed]),
             max_attempts=config.max_retries,
         )
-        for (m_id, text), vec in zip(to_embed, vectors):
+        for (m_id, text), vec, tok in zip(to_embed, vectors, counts):
             embeddings[m_id] = vec
-            cache[text.casefold().strip()] = vec
+            embed_tokens += tok
+            cache[text.casefold().strip()] = (vec, tok)
 
     merged, entity_num, merge_dropped = merge_doc(
         aligned, embeddings, config.similarity_threshold

@@ -55,15 +55,17 @@ class _ActorBase:
         self.ie_prefix = make_ie_prefix(self.demos)
         # corpus-level embedding cache (normalized mention text -> vector);
         # lives for the actor's lifetime, shared across batches
-        self.embed_cache: dict[str, list[float]] = {}
+        self.embed_cache: dict[str, tuple[list[float], int]] = {}
 
     def _map_docs(self, items: list, fn) -> list:
         """Run ``fn`` over the batch's documents with at most
         ``config.llm_max_inflight`` concurrent LLM requests in flight
         (order-preserving). Serial when the knob is 1 — exact reference
         parity. The embed cache is shared across threads; the worst race
-        is recomputing one deterministic vector twice (dict get/set are
-        GIL-atomic), never a wrong result."""
+        is recomputing one deterministic (vector, token_count) pair
+        twice (dict get/set are GIL-atomic), never a wrong result —
+        per-doc embed metering charges each document for its own texts
+        (run_ea), so cache state cannot leak into outputs."""
         inflight = getattr(self.config, "llm_max_inflight", 1)
         if inflight <= 1 or len(items) <= 1:
             return [fn(x) for x in items]

@@ -159,7 +159,9 @@ class TestHTTPLLMClient:
         client = HTTPLLMClient(server, embedding_model="text-embedding-3-large")
         vecs, tokens = client.embed(["a", "bbb", "cc"])
         assert vecs == [[1.0, 0.0], [3.0, 1.0], [2.0, 2.0]]
-        assert tokens == 5
+        # billed total 5, zero-length weights -> equal largest-remainder
+        assert tokens == [2, 2, 1]
+        assert sum(tokens) == 5
         assert _Handler.last_request["model"] == "text-embedding-3-large"
 
     def test_non_2xx_raises_status_error(self, server):

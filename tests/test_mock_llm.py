@@ -153,3 +153,66 @@ class TestBoundedInflight:
         out = stage._map_docs(list(range(12)), fake_llm_call)
         assert out == [x * 2 for x in range(12)]  # order preserved
         assert 2 <= state["peak"] <= 3  # overlapped, but bounded
+
+
+class TestEmbedMeteringDeterminism:
+    """Per-doc embed usage is a pure function of the document: cache
+    state (who warmed it, in which order, on which thread) must never
+    change any output column — the race this pins showed up as a rare
+    serial-vs-threaded embed_tokens mismatch."""
+
+    def test_warm_cache_charges_same_tokens(self):
+        import json
+
+        from ctinexus_ray.config import PipelineConfig
+        from ctinexus_ray.llm.mock import MockLLM
+        from ctinexus_ray.pipelines import singledoc
+
+        config = PipelineConfig()
+        client = MockLLM()
+        text = (
+            "APT29 used Mimikatz to dump credentials from 10.0.0.5. "
+            "The actor then exfiltrated data to evil.example.com."
+        )
+        ie = singledoc.run_ie(text, client, config, demos=[])
+        et = singledoc.run_et(ie["triplets"], client, config)
+
+        cold = singledoc.run_ea(
+            json.loads(json.dumps(et["typed_triplets"])), client, config, {}
+        )
+        warm_cache = {}
+        singledoc.run_ea(
+            json.loads(json.dumps(et["typed_triplets"])),
+            client, config, warm_cache,
+        )
+        warm = singledoc.run_ea(
+            json.loads(json.dumps(et["typed_triplets"])),
+            client, config, warm_cache,
+        )
+        assert (
+            cold["model_usage"]["input"]["tokens"]
+            == warm["model_usage"]["input"]["tokens"]
+        )
+        assert cold["aligned_triplets"] == warm["aligned_triplets"]
+
+    def test_threaded_equals_serial_with_shared_mentions(self, ray_session):
+        """Duplicated docs run concurrently (inflight >= batch) so
+        threads race on the shared cache for identical mention texts —
+        outputs must still match the serial run bit for bit."""
+        import pyarrow as pa
+
+        from ctinexus_ray.config import PipelineConfig
+        from ctinexus_ray.stages.kg import KGDocStage
+
+        texts = [
+            "APT29 used Mimikatz to dump credentials from 10.0.0.5.",
+            "APT29 used Mimikatz to dump credentials from 10.0.0.5.",
+            "Lazarus Group deployed AppleJeus against exchanges. "
+            "APT29 used Mimikatz there too.",
+        ] * 4
+        batch = pa.Table.from_pydict(
+            {"cti_text": pa.array(texts, type=pa.string())}
+        )
+        serial = KGDocStage(PipelineConfig(llm_max_inflight=1))(batch)
+        threaded = KGDocStage(PipelineConfig(llm_max_inflight=12))(batch)
+        assert serial.to_pydict() == threaded.to_pydict()
