@@ -1880,6 +1880,55 @@ def _q_corpus_checksum(sf_dir: str):
     )
 
 
+def _q_lineitem_corr(sf_dir: str):
+    """Pairwise Pearson correlation of three lineitem measures in ONE
+    streaming pass, zero shuffle: per-batch fixed-size quantized
+    sufficient statistics (int64 in-batch, arbitrary-precision Python
+    ints across batches = SQL HUGEINT sums), final per-pair double with
+    pinned operand order. ✓SQL."""
+    import ray.data
+
+    from ctinexus_ray.ops.dq import corr_matrix
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return ray.data.from_arrow(
+        corr_matrix(
+            li, ["l_quantity", "l_extendedprice", "l_discount"], scale=100
+        )
+    )
+
+
+_LINEITEM_CORR_SQL = (
+    "WITH q AS (SELECT "
+    "CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS a, "
+    "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS b, "
+    "CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS c FROM lineitem), "
+    "s AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    "sum(a) AS sa, sum(b) AS sb, sum(c) AS sc, "
+    "sum(a * a) AS saa, sum(b * b) AS sbb, sum(c * c) AS scc, "
+    "sum(a * b) AS sab, sum(a * c) AS sac, sum(b * c) AS sbc FROM q) "
+    + " UNION ALL ".join(
+        (
+            f"SELECT '{cx}' AS col_x, '{cy}' AS col_y, n, "
+            f"CASE WHEN (n * s{x}{x} - s{x} * s{x}) <= 0 "
+            f"OR (n * s{y}{y} - s{y} * s{y}) <= 0 THEN NULL ELSE "
+            f"CAST(n * s{x}{y} - s{x} * s{y} AS DOUBLE) / "
+            f"sqrt(CAST(n * s{x}{x} - s{x} * s{x} AS DOUBLE) * "
+            f"CAST(n * s{y}{y} - s{y} * s{y} AS DOUBLE)) END AS corr "
+            "FROM s"
+        )
+        for x, y, cx, cy in (
+            ("a", "b", "l_quantity", "l_extendedprice"),
+            ("a", "c", "l_quantity", "l_discount"),
+            ("b", "c", "l_extendedprice", "l_discount"),
+        )
+    )
+)
+
+
 def _q_nb_langid(sf_dir: str):
     """Multinomial Naive Bayes language classifier trained on the
     corpus's own labels (one vocabulary-sized count reduce + O(#labels)
@@ -2304,6 +2353,37 @@ def _q_doc_len_quantiles(sf_dir: str):
 
     return int_column_quantiles(
         _docs(sf_dir, ["n_chars"]), "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
+def _q_doc_len_quantiles_cont(sf_dir: str):
+    """Interpolated percentile_cont quantiles of document length via the
+    same value-domain histogram (no global sort) + the two order
+    statistics around each fractional position; pinned-order double
+    interpolation so the SQL formula twin is bit-exact. ✓SQL."""
+    from ctinexus_ray.ops.relational import int_column_quantiles_cont
+
+    return int_column_quantiles_cont(
+        _docs(sf_dir, ["n_chars"]), "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
+def _doc_len_quantiles_cont_sql() -> str:
+    parts = []
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        h = f"(CAST({q} AS DOUBLE) * CAST(nn.n - 1 AS DOUBLE))"
+        parts.append(
+            f"SELECT CAST({q} AS DOUBLE) AS q, "
+            f"CAST(lo.x AS DOUBLE) + (CAST(hi.x AS DOUBLE) - "
+            f"CAST(lo.x AS DOUBLE)) * ({h} - FLOOR({h})) AS value "
+            f"FROM nn JOIN r lo ON lo.rk = CAST(FLOOR({h}) AS BIGINT) "
+            f"JOIN r hi ON hi.rk = CAST(CEIL({h}) AS BIGINT)"
+        )
+    return (
+        "WITH v AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents), "
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v), "
+        "r AS (SELECT x, row_number() OVER (ORDER BY x) - 1 AS rk FROM v) "
+        + " UNION ALL ".join(parts)
     )
 
 
@@ -5553,6 +5633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": _q_top_orders_per_customer,
         "events_asof_purchase": _q_events_asof_purchase,
         "doc_len_quantiles": _q_doc_len_quantiles,
+        "doc_len_quantiles_cont": _q_doc_len_quantiles_cont,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "event_windows": _q_event_windows,
         "doc_sample": _q_doc_sample,
@@ -5563,6 +5644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_lm": _q_unigram_lm,
         "nb_langid": _q_nb_langid,
         "corpus_checksum": _q_corpus_checksum,
+        "lineitem_corr": _q_lineitem_corr,
         "media_probe": _q_media_probe,
         "embedding_gram": _q_embedding_gram,
         "embedding_pca": _q_embedding_pca,
@@ -6071,6 +6153,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pagerank": _pagerank_oracle_sql(),
         "hits_trade": _hits_oracle_sql(),
+        "lineitem_corr": _LINEITEM_CORR_SQL,
+        "doc_len_quantiles_cont": _doc_len_quantiles_cont_sql(),
         "repetition_stats": (
             "WITH words AS (SELECT doc_id, "
             "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "

@@ -126,3 +126,107 @@ def table_checksum(
             "n_rows": pa.array([n], type=pa.int64()),
         }
     )
+
+
+def corr_matrix(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    scale: int = 100,
+) -> pa.Table:
+    """Exact Pearson correlation for every column pair in ONE streaming
+    pass — the profiling shape for wide numeric tables at 100 TB: each
+    batch emits a single fixed-size partial row of quantized sufficient
+    statistics (n, Σx, Σx², Σxy per pair), so nothing corpus-sized
+    moves and no shuffle happens at all.
+
+    Bit-exactness: values quantize per row to ``FLOOR(x * scale + 0.5)``
+    int64 BEFORE any sum, per-batch sums stay int64 (bound: batch_rows ×
+    max|x_q·y_q| < 2^63 — overflow raises, it never wraps), and the
+    cross-batch accumulation uses arbitrary-precision Python ints — the
+    exact match of a SQL engine's HUGEINT sums. The final per-pair
+    correlation is the textbook
+    ``(n·Σxy − Σx·Σy) / sqrt((n·Σx²−Σx²)·(n·Σy²−Σy²))`` evaluated in
+    doubles with pinned operand order, so a SQL twin reproduces the
+    identical bit pattern (IEEE sqrt is correctly rounded).
+
+    Returns an arrow table (col_x, col_y, n, corr) for pairs x < y in
+    ``cols`` order; a zero-variance column yields NULL corr (SQL
+    semantics). Quantization at ``scale`` IS the contract — both sides
+    correlate the quantized values.
+    """
+    import math
+
+    import numpy as np
+
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    pairs = [
+        (i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))
+    ]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mats = []
+        for c in cols:
+            if batch.column(c).null_count:
+                raise ValueError(
+                    f"corr_matrix: column {c!r} contains NULLs — filter "
+                    "or impute upstream (SQL corr drops pairwise, which "
+                    "a one-pass all-pairs reduce cannot mirror)"
+                )
+            x = batch.column(c).to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            mats.append(np.floor(x * scale + 0.5).astype(np.int64))
+        out = {"n": pa.array([batch.num_rows], type=pa.int64())}
+        with np.errstate(over="raise"):
+            for i, c in enumerate(cols):
+                out[f"s_{i}"] = pa.array(
+                    [int(mats[i].sum())], type=pa.int64()
+                )
+                out[f"ss_{i}"] = pa.array(
+                    [int((mats[i] * mats[i]).sum())], type=pa.int64()
+                )
+            for i, j in pairs:
+                out[f"sp_{i}_{j}"] = pa.array(
+                    [int((mats[i] * mats[j]).sum())], type=pa.int64()
+                )
+        return pa.Table.from_pydict(out)
+
+    partials = ds.select_columns(list(cols)).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    # exact cross-batch reduce: Python ints (arbitrary precision), the
+    # bit-match of SQL HUGEINT sums; O(#batches) driver rows, each tiny
+    totals: dict[str, int] = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for name in b.column_names:
+            col_sum = sum(int(v) for v in b.column(name).to_pylist())
+            totals[name] = totals.get(name, 0) + col_sum
+    n = totals.get("n", 0)
+
+    out_x, out_y, out_n, out_r = [], [], [], []
+    for i, j in pairs:
+        out_x.append(cols[i])
+        out_y.append(cols[j])
+        out_n.append(n)
+        if n == 0:
+            out_r.append(None)
+            continue
+        sx, sy = totals[f"s_{i}"], totals[f"s_{j}"]
+        sxx, syy = totals[f"ss_{i}"], totals[f"ss_{j}"]
+        sxy = totals[f"sp_{i}_{j}"]
+        num = float(n * sxy - sx * sy)
+        dx = float(n * sxx - sx * sx)
+        dy = float(n * syy - sy * sy)
+        if dx <= 0.0 or dy <= 0.0:
+            out_r.append(None)
+            continue
+        out_r.append(num / math.sqrt(dx * dy))
+    return pa.Table.from_pydict(
+        {
+            "col_x": pa.array(out_x, type=pa.string()),
+            "col_y": pa.array(out_y, type=pa.string()),
+            "n": pa.array(out_n, type=pa.int64()),
+            "corr": pa.array(out_r, type=pa.float64()),
+        }
+    )

@@ -490,6 +490,60 @@ def rolling_user_windows(
     )
 
 
+def int_column_quantiles_cont(
+    ds: ray.data.Dataset, col: str, quantiles: list[float]
+) -> ray.data.Dataset:
+    """EXACT interpolated quantiles (``percentile_cont`` semantics: at
+    fractional position ``h = q * (n - 1)`` the result is
+    ``v[floor(h)] + (v[ceil(h)] - v[floor(h)]) * (h - floor(h))``) for a
+    bounded-cardinality integer column — same histogram shape as
+    ``int_column_quantiles`` (one value-domain-sized reduce, no global
+    sort), plus a driver-side walk that pulls the TWO order statistics
+    around each target position. The interpolation arithmetic uses
+    doubles with pinned operand order, so a SQL twin computing the same
+    documented formula is bit-exact. Returns (q, value:double)."""
+    import math
+
+    import numpy as np
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    counts = partitioned_agg(
+        ds.select_columns([col]),
+        keys=[col],
+        named_aggs={"n": (col, "size")},
+    ).take_all()
+    values = np.array([r[col] for r in counts], dtype=np.int64)
+    ns = np.array([r["n"] for r in counts], dtype=np.int64)
+    order = np.argsort(values, kind="stable")
+    values, ns = values[order], ns[order]
+    cum = np.cumsum(ns)
+    total = int(cum[-1]) if len(cum) else 0
+
+    def order_stat(rank: int) -> int:
+        # 0-based rank -> value of the rank-th element of the sorted col
+        return int(values[int(np.searchsorted(cum, rank + 1))])
+
+    out_q, out_v = [], []
+    for q in quantiles:
+        if not total:
+            continue
+        h = q * float(total - 1)
+        lo = order_stat(int(math.floor(h)))
+        hi = order_stat(int(math.ceil(h)))
+        out_q.append(float(q))
+        # pinned operand order — the SQL twin mirrors this expression
+        out_v.append(float(lo) + (float(hi) - float(lo)) * (h - math.floor(h)))
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "q": pa.array(out_q, type=pa.float64()),
+                "value": pa.array(out_v, type=pa.float64()),
+            }
+        )
+    )
+
+
 def grouped_int_quantiles(
     ds: ray.data.Dataset,
     group_col: str,

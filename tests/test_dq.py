@@ -103,3 +103,60 @@ class TestTableChecksum:
             ray.data.from_items([{"a": "x", "b": "y|z"}]), ["a", "b"]
         )
         assert a.column("checksum") != b.column("checksum")
+
+
+class TestCorrMatrix:
+    def _ds(self, rows):
+        import pyarrow as pa
+        import ray.data
+
+        return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    def test_matches_numpy_corrcoef(self, ray_session):
+        import numpy as np
+
+        from ctinexus_ray.ops.dq import corr_matrix
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(10, 2, 500)
+        y = 0.5 * x + rng.normal(0, 1, 500)
+        z = rng.normal(0, 5, 500)
+        rows = [{"x": float(a), "y": float(b), "z": float(c)}
+                for a, b, c in zip(x, y, z)]
+        out = corr_matrix(
+            self._ds(rows), ["x", "y", "z"], scale=10**6
+        ).to_pydict()
+        # quantized at 1e-6 -> matches float corrcoef to ~1e-6
+        xq = np.floor(x * 1e6 + 0.5)
+        yq = np.floor(y * 1e6 + 0.5)
+        zq = np.floor(z * 1e6 + 0.5)
+        want = {
+            ("x", "y"): np.corrcoef(xq, yq)[0, 1],
+            ("x", "z"): np.corrcoef(xq, zq)[0, 1],
+            ("y", "z"): np.corrcoef(yq, zq)[0, 1],
+        }
+        for cx, cy, r in zip(out["col_x"], out["col_y"], out["corr"]):
+            assert abs(r - want[(cx, cy)]) < 1e-9
+
+    def test_constant_column_yields_null(self, ray_session):
+        from ctinexus_ray.ops.dq import corr_matrix
+
+        rows = [{"a": 1.0, "b": float(i)} for i in range(10)]
+        out = corr_matrix(self._ds(rows), ["a", "b"]).to_pydict()
+        assert out["corr"] == [None]
+
+    def test_null_refuses(self, ray_session):
+        import pytest
+
+        from ctinexus_ray.ops.dq import corr_matrix
+
+        rows = [{"a": 1.0, "b": 2.0}, {"a": None, "b": 3.0}]
+        with pytest.raises(Exception, match="NULL"):
+            corr_matrix(self._ds(rows), ["a", "b"])
+
+    def test_perfect_correlation(self, ray_session):
+        from ctinexus_ray.ops.dq import corr_matrix
+
+        rows = [{"a": float(i), "b": 2.0 * i + 3} for i in range(20)]
+        out = corr_matrix(self._ds(rows), ["a", "b"]).to_pydict()
+        assert abs(out["corr"][0] - 1.0) < 1e-12

@@ -1302,3 +1302,35 @@ class TestSkyline2D:
                 ray.data.from_items(rows), "x", "y", ["id"],
                 max_candidates=10,
             )
+
+
+class TestContQuantiles:
+    def test_matches_numpy_linear_interpolation(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.relational import int_column_quantiles_cont
+
+        rng = np.random.default_rng(5)
+        vals = rng.integers(0, 300, 997)
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict({"v": pa.array(vals, type=pa.int64())})
+        )
+        qs = [0.0, 0.1, 0.5, 0.77, 0.9, 1.0]
+        out = int_column_quantiles_cont(ds, "v", qs).to_pandas()
+        want = np.quantile(vals, qs, method="linear")
+        np.testing.assert_allclose(
+            out.sort_values("q")["value"].to_numpy(), want, rtol=0, atol=1e-9
+        )
+
+    def test_empty_column(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.relational import int_column_quantiles_cont
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict({"v": pa.array([], type=pa.int64())})
+        )
+        assert int_column_quantiles_cont(ds, "v", [0.5]).count() == 0
