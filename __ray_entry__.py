@@ -2356,6 +2356,22 @@ def _q_doc_len_quantiles(sf_dir: str):
     )
 
 
+def _q_sorted_neighborhood(sf_dir: str):
+    """Sorted-neighborhood blocking candidates over (n_chars, doc_id)
+    order, window 3: ONE range-partitioned sort, vectorized
+    within-batch pairs, O(w x batches) boundary rows close the
+    cross-batch pairs on the driver. The hash-free blocking paradigm
+    beside MinHash/SimHash. ✓SQL."""
+    from ctinexus_ray.ops.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _docs(sf_dir, ["doc_id", "n_chars"]),
+        sort_cols=["n_chars", "doc_id"],
+        id_col="doc_id",
+        window=3,
+    )
+
+
 def _q_doc_len_quantiles_cont(sf_dir: str):
     """Interpolated percentile_cont quantiles of document length via the
     same value-domain histogram (no global sort) + the two order
@@ -5634,6 +5650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_purchase": _q_events_asof_purchase,
         "doc_len_quantiles": _q_doc_len_quantiles,
         "doc_len_quantiles_cont": _q_doc_len_quantiles_cont,
+        "sorted_neighborhood": _q_sorted_neighborhood,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "event_windows": _q_event_windows,
         "doc_sample": _q_doc_sample,
@@ -6155,6 +6172,13 @@ def oracle_sql() -> dict[str, str]:
         "hits_trade": _hits_oracle_sql(),
         "lineitem_corr": _LINEITEM_CORR_SQL,
         "doc_len_quantiles_cont": _doc_len_quantiles_cont_sql(),
+        "sorted_neighborhood": (
+            "WITH r AS (SELECT doc_id, row_number() OVER "
+            "(ORDER BY n_chars, doc_id) AS rn FROM documents) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(b.rn - a.rn AS BIGINT) AS gap "
+            "FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn < 3"
+        ),
         "repetition_stats": (
             "WITH words AS (SELECT doc_id, "
             "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "

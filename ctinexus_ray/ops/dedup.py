@@ -1404,3 +1404,127 @@ def semdedup_keep(
         .groupby("pkey")
         .map_groups(per_partition, batch_format="pyarrow")
     )
+
+
+def sorted_neighborhood_pairs(
+    ds: "ray.data.Dataset",
+    sort_cols: list[str],
+    id_col: str,
+    window: int = 3,
+) -> "ray.data.Dataset":
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): candidate
+    pairs are rows within ``window - 1`` positions of each other in the
+    GLOBAL order by ``sort_cols`` — the classic complement to
+    hash-bucket blocking (MinHash/SimHash here): O(n·w) candidates with
+    locality along any sortable key (length, normalized prefix, zip
+    code), no hash collisions needed.
+
+    Distributed shape: ONE range-partitioned sort (via
+    ``global_row_number`` — the only all-to-all), then every batch
+    emits its within-batch pairs vectorized; the only cross-batch work
+    is each batch's first/last ``window - 1`` (rank, id) rows — O(w ·
+    #batches) tiny rows collected once — whose cross-BATCH pairs are
+    closed on the driver by rank arithmetic. Nothing corpus-sized
+    re-shuffles after the sort.
+
+    ``sort_cols`` must end in a unique key (the usual id tie-break) so
+    ranks are deterministic. Returns (id_a, id_b, gap) with ``id_a``
+    the lower-ranked row and ``1 <= gap < window``.
+    """
+    import ray.data
+
+    from ctinexus_ray.ops.shards import global_row_number
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    w = int(window)
+    ranked = global_row_number(
+        ds.select_columns(sort_cols if id_col in sort_cols
+                          else sort_cols + [id_col]),
+        sort_cols,
+        descending=[False] * len(sort_cols),
+    ).select_columns([id_col, "rank"]).materialize()
+
+    i64 = pa.int64()
+    empty = pa.Table.from_pydict(
+        {
+            "id_a": pa.array([], type=i64),
+            "id_b": pa.array([], type=i64),
+            "gap": pa.array([], type=i64),
+        }
+    )
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ranks = batch.column("rank").to_numpy(zero_copy_only=False)
+        order = np.argsort(ranks, kind="stable")
+        ids, ranks = ids[order], ranks[order]
+        out_a, out_b, out_g = [], [], []
+        for d in range(1, w):
+            if d >= len(ids):
+                break
+            # ranks are contiguous within a sorted block, but guard on
+            # the actual difference so split blocks stay correct
+            ok = (ranks[d:] - ranks[:-d]) == d
+            out_a.append(ids[:-d][ok])
+            out_b.append(ids[d:][ok])
+            out_g.append(np.full(int(ok.sum()), d, dtype=np.int64))
+        if not out_a:
+            return empty
+        return pa.Table.from_pydict(
+            {
+                "id_a": pa.array(np.concatenate(out_a), type=i64),
+                "id_b": pa.array(np.concatenate(out_b), type=i64),
+                "gap": pa.array(np.concatenate(out_g), type=i64),
+            }
+        )
+
+    inner = ranked.map_batches(batch_pairs, batch_format="pyarrow")
+
+    def boundary_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ranks = batch.column("rank").to_numpy(zero_copy_only=False)
+        order = np.argsort(ranks, kind="stable")
+        ids, ranks = ids[order], ranks[order]
+        take = min(w - 1, len(ids))
+        sel = np.unique(np.concatenate([np.arange(take),
+                                        np.arange(len(ids) - take, len(ids))]))
+        tag = int(ranks[0]) if len(ranks) else -1
+        return pa.Table.from_pydict(
+            {
+                id_col: pa.array(ids[sel], type=i64),
+                "rank": pa.array(ranks[sel], type=i64),
+                "tag": pa.array(np.full(len(sel), tag, dtype=np.int64),
+                                type=i64),
+            }
+        )
+
+    edge = ranked.map_batches(boundary_rows, batch_format="pyarrow").take_all()
+    if edge:
+        ids = np.array([r[id_col] for r in edge], dtype=np.int64)
+        ranks = np.array([r["rank"] for r in edge], dtype=np.int64)
+        tags = np.array([r["tag"] for r in edge], dtype=np.int64)
+        # a rank may appear under two batch tags only if batches were
+        # re-split; dedup by rank keeps one copy per row
+        _, keep = np.unique(ranks, return_index=True)
+        ids, ranks, tags = ids[keep], ranks[keep], tags[keep]
+        out_a, out_b, out_g = [], [], []
+        for i in range(len(ranks)):
+            for j in range(i + 1, len(ranks)):
+                d = int(ranks[j] - ranks[i])
+                if d >= w:
+                    break
+                if d >= 1 and tags[i] != tags[j]:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[j]))
+                    out_g.append(d)
+        cross = pa.Table.from_pydict(
+            {
+                "id_a": pa.array(out_a, type=i64),
+                "id_b": pa.array(out_b, type=i64),
+                "gap": pa.array(out_g, type=i64),
+            }
+        )
+    else:
+        cross = empty
+    return inner.union(ray.data.from_arrow(cross))

@@ -70,3 +70,72 @@ class TestSemDedup:
         ds = _emb([(0, 7, [1.0, 0.0])])
         rows = semdedup_keep(ds, cluster_col="label", threshold=0.9).take_all()
         assert rows == [{"vec_id": 0, "cluster": 7}]
+
+
+class TestSortedNeighborhood:
+    """Sorted-neighborhood blocking vs a brute-force rank-window oracle,
+    including cross-batch boundary pairs."""
+
+    @staticmethod
+    def _brute(keys, ids, window):
+        import numpy as np
+
+        order = np.lexsort((ids, keys))
+        sids = np.asarray(ids)[order]
+        want = set()
+        for i in range(len(sids)):
+            for d in range(1, window):
+                if i + d < len(sids):
+                    want.add((int(sids[i]), int(sids[i + d]), d))
+        return want
+
+    def _run(self, keys, ids, window, parts):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.dedup import sorted_neighborhood_pairs
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "k": pa.array(keys, type=pa.int64()),
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                }
+            )
+        ).repartition(parts)
+        out = sorted_neighborhood_pairs(
+            ds, sort_cols=["k", "doc_id"], id_col="doc_id", window=window
+        ).to_pandas()
+        return set(
+            (int(a), int(b), int(g))
+            for a, b, g in zip(out["id_a"], out["id_b"], out["gap"])
+        )
+
+    def test_matches_brute_force(self, ray_session):
+        import numpy as np
+
+        rng = np.random.default_rng(2)
+        n = 400
+        keys = rng.integers(0, 50, n).tolist()  # heavy ties
+        ids = rng.permutation(n).tolist()
+        for w in (2, 3, 5):
+            assert self._run(keys, ids, w, parts=7) == self._brute(
+                keys, ids, w
+            )
+
+    def test_many_tiny_blocks(self, ray_session):
+        """Blocks smaller than the window force every pair through the
+        driver-side boundary closure."""
+        import numpy as np
+
+        keys = list(range(12))
+        ids = list(range(100, 112))
+        assert self._run(keys, ids, 4, parts=12) == self._brute(
+            keys, ids, 4
+        )
+
+    def test_window_validation(self, ray_session):
+        import pytest
+
+        with pytest.raises(ValueError):
+            self._run([1], [1], 1, parts=1)
