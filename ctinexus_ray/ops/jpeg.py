@@ -2,19 +2,26 @@
 
 Real compressed-image support for the multimodal decode stage
 (``ops/multimodal.py``): the container has no PIL/libjpeg, so this module
-implements the baseline sequential DCT process from the public spec —
-enough to round-trip the JPEGs the encoder here produces and to decode
-any 8-bit baseline (SOF0) Huffman JPEG with 4:4:4 / 4:2:2 / 4:2:0
-sampling and no restart markers.
+implements the baseline sequential (SOF0/SOF1) and progressive (SOF2)
+Huffman DCT processes from the public spec — enough to round-trip the
+JPEGs the encoders here produce and to decode any 8-bit Huffman JPEG
+with 4:4:4 / 4:2:2 / 4:2:0 sampling and no restart markers. Progressive
+covers both spectral selection and successive approximation (T.81
+Annex G), the scan shapes libjpeg's default progression emits.
 
 Scope (the honest boundary — out-of-scope inputs raise ``ValueError``
-with the reason): progressive (SOF2), arithmetic coding, 12-bit
-precision, DRI/restart intervals, >4 components.
+with the reason): arithmetic coding, lossless/hierarchical processes,
+12-bit precision, DRI/restart intervals, >4 components.
 
-Encoder: standard Annex K quantization + Huffman tables, libjpeg-style
-quality scaling, 4:4:4 or 4:2:0 subsampling. The DCT/quantize path is
-vectorized over all blocks (einsum batch DCT); only entropy coding walks
-blocks in Python — fine for the payload sizes the media table carries.
+Encoders: ``encode_jpeg`` (baseline, standard Annex K quantization +
+Huffman tables) and ``encode_jpeg_progressive`` (libjpeg default scan
+script with per-scan optimal Huffman tables built by the T.81 K.2
+procedure — the Annex K tables lack the EOBn symbols progressive scans
+need). Both share the same libjpeg-style quality scaling and 4:4:4 or
+4:2:0 subsampling, and decode to bit-identical pixels at equal settings.
+The DCT/quantize path is vectorized over all blocks (einsum batch DCT);
+only entropy coding walks blocks in Python — fine for the payload sizes
+the media table carries.
 
 Reference parity note: the reference repo has no image pipeline at all
 (single-document CTI text tool); this codec exists for the SURVEY's
@@ -235,6 +242,34 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _parse_dqt(seg: bytes, qtabs: dict[int, np.ndarray]) -> None:
+    """Parse a DQT segment body (may hold several tables) into ``qtabs``."""
+    off = 0
+    while off < len(seg):
+        pq, tq = seg[off] >> 4, seg[off] & 0x0F
+        if pq != 0:
+            raise ValueError("16-bit quantization tables not supported")
+        tab = np.frombuffer(seg[off + 1 : off + 65], dtype=np.uint8)
+        full = np.zeros(64, dtype=np.int64)
+        full[ZIGZAG] = tab
+        qtabs[tq] = full.reshape(8, 8)
+        off += 65
+
+
+def _parse_dht(
+    seg: bytes, huff: dict[tuple[int, int], dict[tuple[int, int], int]]
+) -> None:
+    """Parse a DHT segment body (may hold several tables) into ``huff``."""
+    off = 0
+    while off < len(seg):
+        cls, tid = seg[off] >> 4, seg[off] & 0x0F
+        bits = [0] + list(seg[off + 1 : off + 17])
+        n = sum(bits)
+        vals = list(seg[off + 17 : off + 17 + n])
+        huff[(cls, tid)] = _decode_table(bits, vals)
+        off += 17 + n
+
+
 # ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------
@@ -328,14 +363,13 @@ def _dht_segment(cls: int, tid: int, bits: list[int], vals: list[int]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(
-    img: np.ndarray, quality: int = 85, subsampling: str = "4:4:4"
-) -> bytes:
-    """Baseline JFIF JPEG bytes from (h, w, 3) RGB or (h, w) gray uint8.
-
-    ``subsampling``: "4:4:4" (no chroma subsampling) or "4:2:0"
-    (chroma halved both axes). Grayscale input emits a 1-component scan.
-    """
+def _prepare_components(
+    img: np.ndarray, quality: int, subsampling: str
+) -> tuple:
+    """Shared encoder front half: color transform, subsample, pad to MCU
+    multiples, batch DCT + quantize. Returns (h, w, ncomp, sampling,
+    qluma, qchroma, comp_zz) where comp_zz is a (blocks_y, blocks_x, 64)
+    zigzag grid per component."""
     if img.ndim == 2:
         planes = [img.astype(np.float64)]
         sampling = [(1, 1)]
@@ -382,6 +416,22 @@ def encode_jpeg(
             plane = np.pad(plane, ((0, max(ph, 0)), (0, max(pw, 0))), mode="edge")
         zz = _fdct_quant(_plane_blocks(plane), qt)
         comp_zz.append(zz.reshape(plane.shape[0] // 8, plane.shape[1] // 8, 64))
+    return h, w, ncomp, sampling, qluma, qchroma, comp_zz
+
+
+def encode_jpeg(
+    img: np.ndarray, quality: int = 85, subsampling: str = "4:4:4"
+) -> bytes:
+    """Baseline JFIF JPEG bytes from (h, w, 3) RGB or (h, w) gray uint8.
+
+    ``subsampling``: "4:4:4" (no chroma subsampling) or "4:2:0"
+    (chroma halved both axes). Grayscale input emits a 1-component scan.
+    """
+    h, w, ncomp, sampling, qluma, qchroma, comp_zz = _prepare_components(
+        img, quality, subsampling
+    )
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
 
     dc_tables = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)] + [
         _canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
@@ -440,11 +490,12 @@ def encode_jpeg(
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """(h, w, 3) RGB (or (h, w, 1) gray) uint8 from baseline JPEG bytes.
+    """(h, w, 3) RGB (or (h, w, 1) gray) uint8 from JPEG bytes.
 
-    Supports 8-bit baseline sequential Huffman (SOF0), 1 or 3 components,
-    any sampling factors up to 2x2 (covers 4:4:4 / 4:2:2 / 4:2:0).
-    Raises ``ValueError`` for progressive / arithmetic / 12-bit / DRI.
+    Supports 8-bit baseline sequential Huffman (SOF0/SOF1) and
+    progressive Huffman (SOF2, dispatched to ``_decode_progressive``),
+    1 or 3 components, any sampling factors up to 2x2 (covers 4:4:4 /
+    4:2:2 / 4:2:0). Raises ``ValueError`` for arithmetic / 12-bit / DRI.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -469,25 +520,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         seg = payload[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
         if marker == 0xDB:  # DQT (may hold several tables)
-            off = 0
-            while off < len(seg):
-                pq, tq = seg[off] >> 4, seg[off] & 0x0F
-                if pq != 0:
-                    raise ValueError("16-bit quantization tables not supported")
-                tab = np.frombuffer(seg[off + 1 : off + 65], dtype=np.uint8)
-                full = np.zeros(64, dtype=np.int64)
-                full[ZIGZAG] = tab
-                qtabs[tq] = full.reshape(8, 8)
-                off += 65
+            _parse_dqt(seg, qtabs)
         elif marker == 0xC4:  # DHT (may hold several tables)
-            off = 0
-            while off < len(seg):
-                cls, tid = seg[off] >> 4, seg[off] & 0x0F
-                bits = [0] + list(seg[off + 1 : off + 17])
-                n = sum(bits)
-                vals = list(seg[off + 17 : off + 17 + n])
-                huff[(cls, tid)] = _decode_table(bits, vals)
-                off += 17 + n
+            _parse_dht(seg, huff)
         elif marker == 0xC0 or marker == 0xC1:  # SOF0 / SOF1 (baseline)
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
@@ -497,10 +532,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, samp, qid = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append((cid, samp >> 4, samp & 0x0F, qid))
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # SOF2: progressive Huffman
+            return _decode_progressive(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG process (SOF{marker - 0xC0}); "
-                "only baseline sequential Huffman (SOF0/SOF1) is supported"
+                "baseline sequential (SOF0/SOF1) and progressive (SOF2) "
+                "Huffman are supported"
             )
         elif marker == 0xDD:
             raise ValueError("restart intervals (DRI) not supported")
@@ -575,10 +613,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         x0 = (mx * sh + bx) * 8
                         planes[i][y0 : y0 + 8, x0 : x0 + 8] = pix
 
+    return _assemble_image(fh, fw, comps, planes)
+
+
+def _assemble_image(
+    fh: int, fw: int, comps: list, planes: list[np.ndarray]
+) -> np.ndarray:
+    """Upsample chroma by replication, crop to frame dims, convert."""
     if len(comps) == 1:
         gray = np.clip(planes[0][:fh, :fw].round(), 0, 255).astype(np.uint8)
         return gray[:, :, None]
-    # upsample chroma to luma resolution by replication, crop, convert
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     full = []
     for plane, (_cid, sh, sv, _qid) in zip(planes, comps):
         if sh < hmax:
@@ -587,3 +633,603 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             plane = np.repeat(plane, vmax // sv, axis=0)
         full.append(plane[:fh, :fw])
     return _ycbcr_to_rgb(full[0], full[1], full[2])
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — T.81 Annex G: spectral selection + successive
+# approximation, Huffman entropy coding. No restart intervals.
+# ---------------------------------------------------------------------------
+
+
+def _find_scan_end(payload: bytes, start: int) -> int:
+    """Index of the first real marker (0xFF + non-zero, non-RST byte) at or
+    after ``start`` — the end of an entropy-coded scan segment."""
+    pos = start
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt == 0x00:
+                pos += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                raise ValueError(
+                    "restart markers inside scan not supported (no DRI)"
+                )
+            return pos
+        pos += 1
+    return n
+
+
+def _comp_block_dims(
+    fh: int, fw: int, sh: int, sv: int, hmax: int, vmax: int
+) -> tuple[int, int]:
+    """Non-interleaved block-grid dims of a component (T.81 A.2.2)."""
+    comp_h = -(-fh * sv // vmax)
+    comp_w = -(-fw * sh // hmax)
+    return -(-comp_h // 8), -(-comp_w // 8)
+
+
+def _refine_nonzero(zz: np.ndarray, k: int, reader: _BitReader, p1: int, m1: int) -> None:
+    """One AC-refinement correction bit for a history-nonzero coefficient
+    (T.81 G.1.2.3 / the standard jdphuff algorithm)."""
+    if reader.read_bit():
+        if (int(zz[k]) & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+
+def _decode_ac_first_block(
+    reader: _BitReader,
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    ac_tab: dict[tuple[int, int], int],
+    eobrun: int,
+) -> int:
+    """First AC scan of a band for one block; returns the new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = reader.decode_symbol(ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s:
+            k += r
+            if k > se:
+                raise ValueError("AC run overflows spectral band")
+            zz[k] = _extend(reader.receive(s), s) << al
+            k += 1
+        else:
+            if r != 15:
+                run = (1 << r) + (reader.receive(r) if r else 0)
+                return run - 1  # current block ends here
+            k += 16  # ZRL
+    return 0
+
+
+def _decode_ac_refine_block(
+    reader: _BitReader,
+    zz: np.ndarray,
+    ss: int,
+    se: int,
+    al: int,
+    ac_tab: dict[tuple[int, int], int],
+    eobrun: int,
+) -> int:
+    """AC successive-approximation refinement for one block (G.1.2.3)."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = reader.decode_symbol(ac_tab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("invalid magnitude in AC refinement scan")
+                val = p1 if reader.read_bit() else m1
+            else:
+                if r != 15:
+                    eobrun = (1 << r) + (reader.receive(r) if r else 0)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            while k <= se:
+                if zz[k] != 0:
+                    _refine_nonzero(zz, k, reader, p1, m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("AC refinement position overflows band")
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if zz[k] != 0:
+                _refine_nonzero(zz, k, reader, p1, m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive(payload: bytes) -> np.ndarray:
+    """Decode a progressive (SOF2) Huffman JPEG: accumulate coefficients
+    across all scans, then dequantize + batch IDCT + assemble."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (fh, fw, [(cid, sh, sv, qid)])
+    coefs: list[np.ndarray] = []  # per component: (by, bx, 64) zigzag int32
+    preds: list[int] = []
+    n = len(payload)
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at byte {pos}")
+        while payload[pos + 1] == 0xFF and pos + 2 < n:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > n:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if pos + 2 + seglen > n:
+            raise ValueError("truncated JPEG segment")
+        seg = payload[pos + 4 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:
+            _parse_dqt(seg, qtabs)
+        elif marker == 0xC4:
+            _parse_dht(seg, huff)
+        elif marker == 0xC2:  # SOF2
+            prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"only 8-bit precision supported, got {prec}")
+            if nc not in (1, 3):
+                raise ValueError(f"{nc}-component JPEG not supported")
+            comps = []
+            for i in range(nc):
+                cid, samp, qid = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 0x0F, qid))
+            frame = (fh, fw, comps)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            coefs = [
+                np.zeros((mcus_y * sv, mcus_x * sh, 64), dtype=np.int32)
+                for (_, sh, sv, _) in comps
+            ]
+            preds = [0] * nc
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("multiple/mixed frame markers in progressive JPEG")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals (DRI) not supported")
+        elif marker == 0xDA:  # SOS — one progressive scan
+            if frame is None:
+                raise ValueError("SOS before SOF2")
+            fh, fw, comps = frame
+            ns = seg[0]
+            scan_comps = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F)
+                for i in range(ns)
+            ]
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            order = {cid: i for i, (cid, _, _, _) in enumerate(comps)}
+            scan_end = _find_scan_end(payload, pos)
+            reader = _BitReader(payload[pos:scan_end])
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if ss == 0:
+                if se != 0:
+                    raise ValueError(
+                        "progressive DC scan must have Se=0 "
+                        "(DC and AC cannot share a scan)"
+                    )
+                first = ah == 0
+                if first:
+                    dctabs = {}
+                    for cid, dct, _act in scan_comps:
+                        tab = huff.get((0, dct))
+                        if tab is None:
+                            raise ValueError("DC scan references missing DHT")
+                        dctabs[order[cid]] = tab
+                if ns > 1:
+                    # interleaved MCU order over all scan components
+                    mcus_x = -(-fw // (8 * hmax))
+                    mcus_y = -(-fh // (8 * vmax))
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            for cid, _dct, _act in scan_comps:
+                                i = order[cid]
+                                _, sh, sv, _ = comps[i]
+                                for by in range(sv):
+                                    for bx in range(sh):
+                                        cell = coefs[i][my * sv + by, mx * sh + bx]
+                                        if first:
+                                            s = reader.decode_symbol(dctabs[i])
+                                            preds[i] += _extend(reader.receive(s), s)
+                                            cell[0] = preds[i] << al
+                                        elif reader.read_bit():
+                                            cell[0] |= 1 << al
+                else:
+                    cid = scan_comps[0][0]
+                    i = order[cid]
+                    _, sh, sv, _ = comps[i]
+                    bh, bw = _comp_block_dims(fh, fw, sh, sv, hmax, vmax)
+                    for by in range(bh):
+                        for bx in range(bw):
+                            cell = coefs[i][by, bx]
+                            if first:
+                                s = reader.decode_symbol(dctabs[i])
+                                preds[i] += _extend(reader.receive(s), s)
+                                cell[0] = preds[i] << al
+                            elif reader.read_bit():
+                                cell[0] |= 1 << al
+            else:
+                if ns != 1:
+                    raise ValueError("progressive AC scan must be single-component")
+                if not ss <= se <= 63:
+                    raise ValueError("invalid spectral band in AC scan")
+                cid, _dct, act = scan_comps[0]
+                ac_tab = huff.get((1, act))
+                if ac_tab is None:
+                    raise ValueError("AC scan references missing DHT")
+                i = order[cid]
+                _, sh, sv, _ = comps[i]
+                bh, bw = _comp_block_dims(fh, fw, sh, sv, hmax, vmax)
+                block_fn = (
+                    _decode_ac_first_block if ah == 0 else _decode_ac_refine_block
+                )
+                eobrun = 0
+                for by in range(bh):
+                    for bx in range(bw):
+                        eobrun = block_fn(
+                            reader, coefs[i][by, bx], ss, se, al, ac_tab, eobrun
+                        )
+            pos = scan_end
+        # APPn / COM / others: skipped
+    if frame is None:
+        raise ValueError("progressive JPEG missing SOF2")
+    fh, fw, comps = frame
+
+    planes = []
+    for i, (_cid, _sh, _sv, qid) in enumerate(comps):
+        qt = qtabs.get(qid)
+        if qt is None:
+            raise ValueError("frame references missing DQT table")
+        by, bx, _ = coefs[i].shape
+        zzflat = coefs[i].reshape(-1, 64).astype(np.float64)
+        nat = np.zeros_like(zzflat)
+        nat[:, ZIGZAG] = zzflat  # dezigzag
+        blocks = nat.reshape(-1, 8, 8) * qt.astype(np.float64)
+        pix = _A.T @ blocks @ _A + 128.0  # batch IDCT, same math as baseline
+        plane = (
+            pix.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+        planes.append(plane)
+    return _assemble_image(fh, fw, comps, planes)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder — libjpeg-style scan script with per-scan optimal
+# Huffman tables (the Annex K tables lack the EOBn symbols progressive
+# scans need, so tables are built from measured symbol frequencies using
+# the public T.81 K.2 procedure).
+# ---------------------------------------------------------------------------
+
+
+def _optimal_table(freq_in: dict[int, int]) -> tuple[list[int], list[int]]:
+    """(BITS, HUFFVAL) via T.81 Annex K.2: pairwise least-frequency merge
+    with a reserved 257th symbol, then the >16-bit length adjustment."""
+    freq = [0] * 257
+    for sym, c in freq_in.items():
+        freq[sym] = c
+    freq[256] = 1  # reserved: guarantees no all-1-bits code
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1 = -1
+        v = None
+        for i in range(257):
+            if freq[i] > 0 and (v is None or freq[i] <= v):
+                v = freq[i]
+                c1 = i
+        c2 = -1
+        v = None
+        for i in range(257):
+            if freq[i] > 0 and i != c1 and (v is None or freq[i] <= v):
+                v = freq[i]
+                c2 = i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for i in range(257):
+        if codesize[i]:
+            bits[codesize[i]] += 1
+    # limit code lengths to 16 bits (K.2 adjust_bits)
+    for i in range(32, 16, -1):
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved symbol's slot
+    huffval = []
+    for length in range(1, 33):
+        for sym in range(256):
+            if codesize[sym] == length:
+                huffval.append(sym)
+    return bits[:17], huffval
+
+
+class _FreqCounter:
+    """Pass-1 sink: counts Huffman symbol frequencies, ignores raw bits."""
+
+    def __init__(self) -> None:
+        self.freq: dict[int, int] = {}
+
+    def sym(self, s: int) -> None:
+        self.freq[s] = self.freq.get(s, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _ScanWriter:
+    """Pass-2 sink: emits codes from a built table into a _BitWriter."""
+
+    def __init__(self, codes: dict[int, tuple[int, int]], writer: _BitWriter) -> None:
+        self.codes = codes
+        self.writer = writer
+
+    def sym(self, s: int) -> None:
+        code, ln = self.codes[s]
+        self.writer.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.writer.write(v, n)
+
+
+def _encode_dc_scan(blocks: list[tuple[int, int, np.ndarray]], al: int,
+                    first: bool, sinks: dict[int, object]) -> None:
+    """DC scan over (comp_idx, table_dest, zz) blocks in MCU order.
+    ``first``: coded diffs of the point-transformed DC; else: one
+    refinement bit each. Predictors are per COMPONENT (G.1.2.1) even when
+    two chroma components share one Huffman table destination."""
+    preds: dict[int, int] = {}
+    for ci, dest, zz in blocks:
+        sink = sinks[dest]
+        t = int(zz[0]) >> al  # arithmetic shift per G.1.2.1
+        if first:
+            diff = t - preds.get(ci, 0)
+            preds[ci] = t
+            s, bits = _magnitude(diff)
+            sink.sym(s)
+            sink.bits(bits, s)
+        else:
+            sink.bits(t & 1, 1)
+
+
+def _flush_eobrun(state: dict, sink) -> None:
+    if state["eobrun"] > 0:
+        nb = state["eobrun"].bit_length() - 1
+        sink.sym(nb << 4)
+        sink.bits(state["eobrun"] & ((1 << nb) - 1), nb)
+        state["eobrun"] = 0
+        for b in state["pending"]:
+            sink.bits(b, 1)
+        state["pending"] = []
+
+
+def _encode_ac_first_scan(blocks: list[np.ndarray], ss: int, se: int, al: int,
+                          sink) -> None:
+    state = {"eobrun": 0, "pending": []}
+    for zz in blocks:
+        vals = [int(v) for v in zz[ss : se + 1]]
+        t = [(-((-v) >> al) if v < 0 else v >> al) for v in vals]
+        if not any(t):
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                _flush_eobrun(state, sink)
+            continue
+        _flush_eobrun(state, sink)
+        r = 0
+        for v in t:
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                sink.sym(0xF0)
+                r -= 16
+            s, bits = _magnitude(v)
+            sink.sym((r << 4) | s)
+            sink.bits(bits, s)
+            r = 0
+        if r > 0:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                _flush_eobrun(state, sink)
+    _flush_eobrun(state, sink)
+
+
+def _encode_ac_refine_scan(blocks: list[np.ndarray], ss: int, se: int, al: int,
+                           sink) -> None:
+    """AC successive-approximation refinement (G.1.2.3, jcphuff shape)."""
+    state = {"eobrun": 0, "pending": []}
+    for zz in blocks:
+        vals = [int(v) for v in zz[ss : se + 1]]
+        absval = [abs(v) >> al for v in vals]
+        eob = -1  # band-relative index of the last newly-visible coefficient
+        for idx, a in enumerate(absval):
+            if a == 1:
+                eob = idx
+        r = 0
+        br: list[int] = []
+        for idx, a in enumerate(absval):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and idx <= eob:
+                _flush_eobrun(state, sink)
+                sink.sym(0xF0)
+                r -= 16
+                for b in br:
+                    sink.bits(b, 1)
+                br = []
+            if a > 1:
+                br.append(a & 1)  # correction bit for history-nonzero coef
+                continue
+            _flush_eobrun(state, sink)
+            sink.sym((r << 4) | 1)
+            sink.bits(1 if vals[idx] >= 0 else 0, 1)
+            for b in br:
+                sink.bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            state["eobrun"] += 1
+            state["pending"].extend(br)
+            if state["eobrun"] == 0x7FFF or len(state["pending"]) > 1000:
+                _flush_eobrun(state, sink)
+    _flush_eobrun(state, sink)
+
+
+def _default_scan_script(ncomp: int) -> list[tuple]:
+    """libjpeg's standard progression: (comp_indices, Ss, Se, Ah, Al)."""
+    if ncomp == 1:
+        return [
+            ((0,), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2),
+            ((0,), 6, 63, 0, 2),
+            ((0,), 1, 63, 2, 1),
+            ((0,), 0, 0, 1, 0),
+            ((0,), 1, 63, 1, 0),
+        ]
+    return [
+        ((0, 1, 2), 0, 0, 0, 1),
+        ((0,), 1, 5, 0, 2),
+        ((2,), 1, 63, 0, 1),
+        ((1,), 1, 63, 0, 1),
+        ((0,), 6, 63, 0, 2),
+        ((0,), 1, 63, 2, 1),
+        ((0, 1, 2), 0, 0, 1, 0),
+        ((2,), 1, 63, 1, 0),
+        ((1,), 1, 63, 1, 0),
+        ((0,), 1, 63, 1, 0),
+    ]
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsampling: str = "4:4:4"
+) -> bytes:
+    """Progressive (SOF2) JFIF JPEG bytes from (h, w, 3) RGB or (h, w)
+    gray uint8, using libjpeg's default scan script (spectral selection +
+    successive approximation) and per-scan optimal Huffman tables.
+
+    Decodes to exactly the same pixels as ``encode_jpeg`` at the same
+    quality/subsampling — both paths share ``_prepare_components``.
+    """
+    h, w, ncomp, sampling, qluma, qchroma, comp_zz = _prepare_components(
+        img, quality, subsampling
+    )
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += _dqt_segment(0, qluma)
+    if ncomp > 1:
+        out += _dqt_segment(1, qchroma)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = sampling[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+
+    for comp_sel, ss, se, ah, al in _default_scan_script(ncomp):
+        if ss == 0:
+            # DC scan: MCU-interleaved block sequence tagged by table dest
+            blocks: list[tuple[int, int, np.ndarray]] = []
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci in comp_sel:
+                        sh, sv = sampling[ci]
+                        dest = 0 if ci == 0 else 1
+                        for by in range(sv):
+                            for bx in range(sh):
+                                blocks.append(
+                                    (ci, dest, comp_zz[ci][my * sv + by, mx * sh + bx])
+                                )
+            dests = sorted({d for _, d, _ in blocks})
+            if ah == 0:
+                counters = {d: _FreqCounter() for d in dests}
+                _encode_dc_scan(blocks, al, True, counters)
+                tables = {d: _optimal_table(counters[d].freq) for d in dests}
+                for d in dests:
+                    out += _dht_segment(0, d, tables[d][0], tables[d][1])
+                writer = _BitWriter()
+                sinks = {
+                    d: _ScanWriter(_canonical_codes(*tables[d]), writer)
+                    for d in dests
+                }
+                _encode_dc_scan(blocks, al, True, sinks)
+            else:
+                writer = _BitWriter()
+                sinks = {d: _ScanWriter({}, writer) for d in dests}
+                _encode_dc_scan(blocks, al, False, sinks)
+        else:
+            ci = comp_sel[0]
+            sh, sv = sampling[ci]
+            bh, bw = _comp_block_dims(h, w, sh, sv, hmax, vmax)
+            blocks = [comp_zz[ci][by, bx] for by in range(bh) for bx in range(bw)]
+            scan_fn = _encode_ac_first_scan if ah == 0 else _encode_ac_refine_scan
+            counter = _FreqCounter()
+            scan_fn(blocks, ss, se, al, counter)
+            dest = 0 if ci == 0 else 1
+            bits, vals = _optimal_table(counter.freq)
+            out += _dht_segment(1, dest, bits, vals)
+            writer = _BitWriter()
+            scan_fn(blocks, ss, se, al, _ScanWriter(_canonical_codes(bits, vals), writer))
+
+        sos = bytes([len(comp_sel)])
+        for ci in comp_sel:
+            dest = 0 if ci == 0 else 1
+            sos += bytes([ci + 1, (dest << 4) | dest])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+        out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

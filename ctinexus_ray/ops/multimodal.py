@@ -461,19 +461,22 @@ def make_real_media_table(n: int) -> pa.Table:
             )
             continue
         if i % 8 in (4, 6):
-            # baseline JPEG rows (ops/jpeg.py): 4:2:0 on the i%8==4 slot,
-            # 4:4:4 on the i%8==6 slot — both land on "image" slots so the
-            # audio/image rotation (audio iff i%4==1) is unchanged
-            from ctinexus_ray.ops.jpeg import encode_jpeg
+            # JPEG rows (ops/jpeg.py): 4:2:0 on the i%8==4 slot, 4:4:4 on
+            # the i%8==6 slot — and the i%16==14 half of the 4:4:4 slot is
+            # PROGRESSIVE (SOF2), exercising the Annex G decode path. All
+            # land on "image" slots so the audio/image rotation (audio iff
+            # i%4==1) is unchanged.
+            from ctinexus_ray.ops.jpeg import encode_jpeg, encode_jpeg_progressive
 
             w, h = 8 + digest[0] % 25, 8 + digest[1] % 25
             img = decode_ppm(_encode_ppm(w, h, digest[3]))
             sub = "4:2:0" if i % 8 == 4 else "4:4:4"
+            enc = encode_jpeg_progressive if i % 16 == 14 else encode_jpeg
             rows.append(
                 {
                     "media_id": i,
                     "kind": "image",
-                    "payload": encode_jpeg(img, quality=90, subsampling=sub),
+                    "payload": enc(img, quality=90, subsampling=sub),
                     "mime": "image/jpeg",
                     "width": w,
                     "height": h,

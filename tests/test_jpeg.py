@@ -16,6 +16,7 @@ from ctinexus_ray.ops.jpeg import (
     _canonical_codes,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 
 
@@ -137,11 +138,21 @@ class TestHonestBoundary:
         with pytest.raises(ValueError):
             decode_jpeg(payload[: len(payload) // 2])
 
-    def test_progressive_rejected(self):
+    def test_malformed_progressive_scan_rejected(self):
+        # A baseline stream whose SOF0 is rewritten to SOF2 carries a
+        # baseline scan header (Ss=0, Se=63) that is invalid for
+        # progressive: DC and AC may not share a scan.
         payload = bytearray(encode_jpeg(_gradient(16, 16), quality=85))
         at = payload.index(b"\xff\xc0")
         payload[at + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-        with pytest.raises(ValueError, match="SOF2"):
+        with pytest.raises(ValueError, match="Se=0"):
+            decode_jpeg(bytes(payload))
+
+    def test_lossless_sof_rejected(self):
+        payload = bytearray(encode_jpeg(_gradient(16, 16), quality=85))
+        at = payload.index(b"\xff\xc0")
+        payload[at + 1] = 0xC3  # SOF3: lossless sequential
+        with pytest.raises(ValueError, match="SOF3"):
             decode_jpeg(bytes(payload))
 
     def test_dri_rejected(self):
@@ -182,3 +193,90 @@ class TestReviewRegressions:
         ) + payload[at + 10 : at + 14]
         with pytest.raises(ValueError, match="multi-scan"):
             decode_jpeg(bytes(payload))
+
+
+class TestProgressive:
+    """Progressive (SOF2) codec: spectral selection + successive
+    approximation must reconstruct bit-identical pixels to the baseline
+    codec at the same quality/subsampling (both share the coefficient
+    front half)."""
+
+    @pytest.mark.parametrize(
+        "shape,subsampling",
+        [
+            ((16, 16), "4:4:4"),
+            ((19, 23), "4:4:4"),
+            ((19, 23), "4:2:0"),
+            ((64, 48), "4:2:0"),
+            ((8, 8), "4:4:4"),
+        ],
+    )
+    def test_matches_baseline_exactly(self, shape, subsampling):
+        img = _gradient(*shape)
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsampling=subsampling))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=85, subsampling=subsampling)
+        )
+        assert np.array_equal(base, prog)
+
+    @pytest.mark.parametrize("quality", [5, 30, 85, 95, 100])
+    def test_noise_all_qualities(self, quality):
+        rng = np.random.default_rng(41)
+        img = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=quality, subsampling="4:2:0"))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=quality, subsampling="4:2:0")
+        )
+        assert np.array_equal(base, prog)
+
+    def test_grayscale(self):
+        rng = np.random.default_rng(42)
+        img = rng.integers(0, 256, (33, 41)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=70))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=70))
+        assert np.array_equal(base, prog)
+
+    def test_flat_image_long_eob_runs(self):
+        # every AC band is zero -> the EOBRUN path covers whole scans
+        img = np.full((48, 48, 3), 128, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=50))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=50))
+        assert np.array_equal(base, prog)
+
+    def test_structure_sof2_and_multiple_scans(self):
+        payload = encode_jpeg_progressive(_gradient(32, 32), quality=85)
+        assert b"\xff\xc2" in payload and b"\xff\xc0" not in payload
+        assert payload.count(b"\xff\xda") >= 6  # libjpeg default scan script
+        assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+
+    def test_smaller_than_baseline_on_typical_content(self):
+        # per-scan optimal Huffman tables should beat fixed Annex K tables
+        img = _gradient(128, 128)
+        assert len(encode_jpeg_progressive(img, quality=85)) < len(
+            encode_jpeg(img, quality=85)
+        )
+
+    def test_truncated_progressive_raises(self):
+        payload = encode_jpeg_progressive(_gradient(32, 32), quality=85)
+        with pytest.raises(ValueError):
+            decode_jpeg(payload[: len(payload) // 3])
+
+    def test_optimal_table_is_valid_prefix_code(self):
+        from ctinexus_ray.ops.jpeg import _optimal_table
+
+        bits, vals = _optimal_table({0: 1000, 1: 500, 0xF0: 3, 0x71: 1})
+        assert sum(bits[1:]) == len(vals) == 4
+        codes = _canonical_codes(bits, vals)
+        as_bits = {format(c, f"0{ln}b") for c, ln in codes.values()}
+        assert len(as_bits) == 4
+        for a in as_bits:
+            for b in as_bits:
+                if a != b:
+                    assert not b.startswith(a)
+
+    def test_optimal_table_single_symbol(self):
+        from ctinexus_ray.ops.jpeg import _optimal_table
+
+        bits, vals = _optimal_table({0: 7})
+        codes = _canonical_codes(bits, vals)
+        assert 0 in codes  # a lone EOB symbol still gets a real code
