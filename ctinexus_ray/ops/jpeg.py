@@ -5,13 +5,14 @@ Real compressed-image support for the multimodal decode stage
 implements the baseline sequential (SOF0/SOF1) and progressive (SOF2)
 Huffman DCT processes from the public spec — enough to round-trip the
 JPEGs the encoders here produce and to decode any 8-bit Huffman JPEG
-with 4:4:4 / 4:2:2 / 4:2:0 sampling and no restart markers. Progressive
-covers both spectral selection and successive approximation (T.81
-Annex G), the scan shapes libjpeg's default progression emits.
+with 4:4:4 / 4:2:2 / 4:2:0 sampling, with or without restart intervals
+(DRI/RSTn). Progressive covers both spectral selection and successive
+approximation (T.81 Annex G), the scan shapes libjpeg's default
+progression emits.
 
 Scope (the honest boundary — out-of-scope inputs raise ``ValueError``
 with the reason): arithmetic coding, lossless/hierarchical processes,
-12-bit precision, DRI/restart intervals, >4 components.
+12-bit precision, >4 components.
 
 Encoders: ``encode_jpeg`` (baseline, standard Annex K quantization +
 Huffman tables) and ``encode_jpeg_progressive`` (libjpeg default scan
@@ -188,6 +189,12 @@ class _BitWriter:
             self.write(0xFF, 8 - self._n)  # pad with 1-bits
         return bytes(self.out)
 
+    def restart(self, idx: int) -> None:
+        """1-pad to a byte boundary and emit RSTn (n = idx mod 8)."""
+        if self._n:
+            self.write(0xFF, 8 - self._n)
+        self.out += bytes([0xFF, 0xD0 + (idx & 7)])
+
 
 class _BitReader:
     """MSB-first bit reader over an entropy segment with stuffing removal."""
@@ -212,7 +219,7 @@ class _BitReader:
                 if marker != 0x00:
                     raise ValueError(
                         f"unexpected marker 0xFF{marker:02X} inside scan "
-                        "(restart intervals not supported)"
+                        "(desynchronized or unsupported entropy stream)"
                     )
             self._acc = byte
             self._n = 8
@@ -233,6 +240,22 @@ class _BitReader:
             if sym is not None:
                 return sym
         raise ValueError("invalid JPEG Huffman code")
+
+    def restart(self, idx: int) -> None:
+        """Discard alignment padding and consume the expected RSTn marker
+        (n = idx mod 8). The reader's bit position mirrors the encoder's,
+        so a partially-consumed byte IS the encoder's pad byte; any 0x00
+        stuffed after a 0xFF pad byte was already consumed at load time."""
+        self._n = 0
+        if self.pos + 1 >= len(self.data) or self.data[self.pos] != 0xFF:
+            raise ValueError("expected restart marker in scan")
+        m = self.data[self.pos + 1]
+        if m != 0xD0 + (idx & 7):
+            raise ValueError(
+                f"restart marker out of sequence: got 0xFF{m:02X}, "
+                f"expected RST{idx & 7}"
+            )
+        self.pos += 2
 
 
 def _extend(v: int, s: int) -> int:
@@ -420,12 +443,17 @@ def _prepare_components(
 
 
 def encode_jpeg(
-    img: np.ndarray, quality: int = 85, subsampling: str = "4:4:4"
+    img: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline JFIF JPEG bytes from (h, w, 3) RGB or (h, w) gray uint8.
 
     ``subsampling``: "4:4:4" (no chroma subsampling) or "4:2:0"
     (chroma halved both axes). Grayscale input emits a 1-component scan.
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    (with DC-predictor reset) after every that many MCUs.
     """
     h, w, ncomp, sampling, qluma, qchroma, comp_zz = _prepare_components(
         img, quality, subsampling
@@ -444,6 +472,9 @@ def encode_jpeg(
     preds = [0] * ncomp
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    mcu_idx = 0
+    rst_idx = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
             for ci in range(ncomp):
@@ -454,6 +485,15 @@ def encode_jpeg(
                         preds[ci] = _encode_block(
                             writer, zz, preds[ci], dc_tables[ci], ac_tables[ci]
                         )
+            mcu_idx += 1
+            if (
+                restart_interval
+                and mcu_idx % restart_interval == 0
+                and mcu_idx < n_mcus
+            ):
+                writer.restart(rst_idx)
+                rst_idx += 1
+                preds = [0] * ncomp
     scan = writer.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -474,6 +514,8 @@ def encode_jpeg(
     if ncomp > 1:
         out += _dht_segment(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
         out += _dht_segment(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -494,8 +536,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
     Supports 8-bit baseline sequential Huffman (SOF0/SOF1) and
     progressive Huffman (SOF2, dispatched to ``_decode_progressive``),
-    1 or 3 components, any sampling factors up to 2x2 (covers 4:4:4 /
-    4:2:2 / 4:2:0). Raises ``ValueError`` for arithmetic / 12-bit / DRI.
+    restart intervals, 1 or 3 components, any sampling factors up to 2x2
+    (covers 4:4:4 / 4:2:2 / 4:2:0). Raises ``ValueError`` for
+    arithmetic coding and 12-bit precision.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -505,6 +548,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None  # (h, w, [(cid, sh, sv, qid)])
     scan_comps = None
     scan_start = None
+    ri = 0  # restart interval in MCUs (0 = none)
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at byte {pos}")
@@ -540,8 +584,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 "baseline sequential (SOF0/SOF1) and progressive (SOF2) "
                 "Huffman are supported"
             )
-        elif marker == 0xDD:
-            raise ValueError("restart intervals (DRI) not supported")
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             if frame is not None and ns != len(frame[2]):
@@ -577,8 +621,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         i = order[cid]
         dcsel[i], acsel[i] = dct, act
 
+    mcu_idx = 0
+    rst_idx = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if ri and mcu_idx and mcu_idx % ri == 0:
+                reader.restart(rst_idx)
+                rst_idx += 1
+                preds = [0] * len(comps)
+            mcu_idx += 1
             for i, (_cid, sh, sv, qid) in enumerate(comps):
                 dc_tab = huff.get((0, dcsel[i]))
                 ac_tab = huff.get((1, acsel[i]))
@@ -637,25 +688,22 @@ def _assemble_image(
 
 # ---------------------------------------------------------------------------
 # Progressive (SOF2) — T.81 Annex G: spectral selection + successive
-# approximation, Huffman entropy coding. No restart intervals.
+# approximation, Huffman entropy coding, optional restart intervals.
 # ---------------------------------------------------------------------------
 
 
 def _find_scan_end(payload: bytes, start: int) -> int:
     """Index of the first real marker (0xFF + non-zero, non-RST byte) at or
-    after ``start`` — the end of an entropy-coded scan segment."""
+    after ``start`` — the end of an entropy-coded scan segment. RSTn
+    markers belong to the scan (consumed by the reader) and are skipped."""
     pos = start
     n = len(payload)
     while pos + 1 < n:
         if payload[pos] == 0xFF:
             nxt = payload[pos + 1]
-            if nxt == 0x00:
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
                 pos += 2
                 continue
-            if 0xD0 <= nxt <= 0xD7:
-                raise ValueError(
-                    "restart markers inside scan not supported (no DRI)"
-                )
             return pos
         pos += 1
     return n
@@ -768,6 +816,7 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
     frame = None  # (fh, fw, [(cid, sh, sv, qid)])
     coefs: list[np.ndarray] = []  # per component: (by, bx, 64) zigzag int32
     preds: list[int] = []
+    ri = 0  # restart interval in MCUs (0 = none)
     n = len(payload)
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
@@ -811,8 +860,8 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("multiple/mixed frame markers in progressive JPEG")
-        elif marker == 0xDD:
-            raise ValueError("restart intervals (DRI) not supported")
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — one progressive scan
             if frame is None:
                 raise ValueError("SOS before SOF2")
@@ -843,12 +892,20 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
                         if tab is None:
                             raise ValueError("DC scan references missing DHT")
                         dctabs[order[cid]] = tab
+                preds = [0] * len(comps)  # DC predictors reset per scan
+                unit = 0
+                rst = 0
                 if ns > 1:
                     # interleaved MCU order over all scan components
                     mcus_x = -(-fw // (8 * hmax))
                     mcus_y = -(-fh // (8 * vmax))
                     for my in range(mcus_y):
                         for mx in range(mcus_x):
+                            if ri and unit and unit % ri == 0:
+                                reader.restart(rst)
+                                rst += 1
+                                preds = [0] * len(comps)
+                            unit += 1
                             for cid, _dct, _act in scan_comps:
                                 i = order[cid]
                                 _, sh, sv, _ = comps[i]
@@ -868,6 +925,11 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
                     bh, bw = _comp_block_dims(fh, fw, sh, sv, hmax, vmax)
                     for by in range(bh):
                         for bx in range(bw):
+                            if ri and unit and unit % ri == 0:
+                                reader.restart(rst)
+                                rst += 1
+                                preds = [0] * len(comps)
+                            unit += 1
                             cell = coefs[i][by, bx]
                             if first:
                                 s = reader.decode_symbol(dctabs[i])
@@ -891,8 +953,15 @@ def _decode_progressive(payload: bytes) -> np.ndarray:
                     _decode_ac_first_block if ah == 0 else _decode_ac_refine_block
                 )
                 eobrun = 0
+                unit = 0
+                rst = 0
                 for by in range(bh):
                     for bx in range(bw):
+                        if ri and unit and unit % ri == 0:
+                            reader.restart(rst)
+                            rst += 1
+                            eobrun = 0
+                        unit += 1
                         eobrun = block_fn(
                             reader, coefs[i][by, bx], ss, se, al, ac_tab, eobrun
                         )
@@ -1018,24 +1087,33 @@ class _ScanWriter:
             self.writer.write(v, n)
 
 
-def _encode_dc_scan(blocks: list[tuple[int, int, np.ndarray]], al: int,
-                    first: bool, sinks: dict[int, object]) -> None:
-    """DC scan over (comp_idx, table_dest, zz) blocks in MCU order.
-    ``first``: coded diffs of the point-transformed DC; else: one
-    refinement bit each. Predictors are per COMPONENT (G.1.2.1) even when
-    two chroma components share one Huffman table destination."""
+def _encode_dc_scan(mcus: list[list[tuple[int, int, np.ndarray]]], al: int,
+                    first: bool, sinks: dict[int, object],
+                    ri: int = 0, restart_cb=None) -> None:
+    """DC scan over MCUs of (comp_idx, table_dest, zz) blocks. ``first``:
+    coded diffs of the point-transformed DC; else: one refinement bit
+    each. Predictors are per COMPONENT (G.1.2.1) even when two chroma
+    components share one Huffman table destination; ``ri`` > 0 resets
+    them and calls ``restart_cb`` every that many MCUs."""
     preds: dict[int, int] = {}
-    for ci, dest, zz in blocks:
-        sink = sinks[dest]
-        t = int(zz[0]) >> al  # arithmetic shift per G.1.2.1
-        if first:
-            diff = t - preds.get(ci, 0)
-            preds[ci] = t
-            s, bits = _magnitude(diff)
-            sink.sym(s)
-            sink.bits(bits, s)
-        else:
-            sink.bits(t & 1, 1)
+    rst = 0
+    for unit, mcu in enumerate(mcus):
+        if ri and unit and unit % ri == 0:
+            if restart_cb is not None:
+                restart_cb(rst)
+            rst += 1
+            preds = {}
+        for ci, dest, zz in mcu:
+            sink = sinks[dest]
+            t = int(zz[0]) >> al  # arithmetic shift per G.1.2.1
+            if first:
+                diff = t - preds.get(ci, 0)
+                preds[ci] = t
+                s, bits = _magnitude(diff)
+                sink.sym(s)
+                sink.bits(bits, s)
+            else:
+                sink.bits(t & 1, 1)
 
 
 def _flush_eobrun(state: dict, sink) -> None:
@@ -1050,9 +1128,15 @@ def _flush_eobrun(state: dict, sink) -> None:
 
 
 def _encode_ac_first_scan(blocks: list[np.ndarray], ss: int, se: int, al: int,
-                          sink) -> None:
+                          sink, ri: int = 0, restart_cb=None) -> None:
     state = {"eobrun": 0, "pending": []}
-    for zz in blocks:
+    rst = 0
+    for unit, zz in enumerate(blocks):
+        if ri and unit and unit % ri == 0:
+            _flush_eobrun(state, sink)
+            if restart_cb is not None:
+                restart_cb(rst)
+            rst += 1
         vals = [int(v) for v in zz[ss : se + 1]]
         t = [(-((-v) >> al) if v < 0 else v >> al) for v in vals]
         if not any(t):
@@ -1081,10 +1165,16 @@ def _encode_ac_first_scan(blocks: list[np.ndarray], ss: int, se: int, al: int,
 
 
 def _encode_ac_refine_scan(blocks: list[np.ndarray], ss: int, se: int, al: int,
-                           sink) -> None:
+                           sink, ri: int = 0, restart_cb=None) -> None:
     """AC successive-approximation refinement (G.1.2.3, jcphuff shape)."""
     state = {"eobrun": 0, "pending": []}
-    for zz in blocks:
+    rst = 0
+    for unit, zz in enumerate(blocks):
+        if ri and unit and unit % ri == 0:
+            _flush_eobrun(state, sink)
+            if restart_cb is not None:
+                restart_cb(rst)
+            rst += 1
         vals = [int(v) for v in zz[ss : se + 1]]
         absval = [abs(v) >> al for v in vals]
         eob = -1  # band-relative index of the last newly-visible coefficient
@@ -1148,11 +1238,16 @@ def _default_scan_script(ncomp: int) -> list[tuple]:
 
 
 def encode_jpeg_progressive(
-    img: np.ndarray, quality: int = 85, subsampling: str = "4:4:4"
+    img: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) JFIF JPEG bytes from (h, w, 3) RGB or (h, w)
     gray uint8, using libjpeg's default scan script (spectral selection +
     successive approximation) and per-scan optimal Huffman tables.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers (with
+    predictor/EOB-run reset) every that many MCUs in every scan.
 
     Decodes to exactly the same pixels as ``encode_jpeg`` at the same
     quality/subsampling — both paths share ``_prepare_components``.
@@ -1178,25 +1273,30 @@ def encode_jpeg_progressive(
         sh, sv = sampling[ci]
         sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
     out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    ri = restart_interval
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
 
     for comp_sel, ss, se, ah, al in _default_scan_script(ncomp):
         if ss == 0:
             # DC scan: MCU-interleaved block sequence tagged by table dest
-            blocks: list[tuple[int, int, np.ndarray]] = []
+            mcus: list[list[tuple[int, int, np.ndarray]]] = []
             for my in range(mcus_y):
                 for mx in range(mcus_x):
+                    mcu = []
                     for ci in comp_sel:
                         sh, sv = sampling[ci]
                         dest = 0 if ci == 0 else 1
                         for by in range(sv):
                             for bx in range(sh):
-                                blocks.append(
+                                mcu.append(
                                     (ci, dest, comp_zz[ci][my * sv + by, mx * sh + bx])
                                 )
-            dests = sorted({d for _, d, _ in blocks})
+                    mcus.append(mcu)
+            dests = sorted({d for mcu in mcus for _, d, _ in mcu})
             if ah == 0:
                 counters = {d: _FreqCounter() for d in dests}
-                _encode_dc_scan(blocks, al, True, counters)
+                _encode_dc_scan(mcus, al, True, counters, ri)
                 tables = {d: _optimal_table(counters[d].freq) for d in dests}
                 for d in dests:
                     out += _dht_segment(0, d, tables[d][0], tables[d][1])
@@ -1205,11 +1305,11 @@ def encode_jpeg_progressive(
                     d: _ScanWriter(_canonical_codes(*tables[d]), writer)
                     for d in dests
                 }
-                _encode_dc_scan(blocks, al, True, sinks)
+                _encode_dc_scan(mcus, al, True, sinks, ri, writer.restart)
             else:
                 writer = _BitWriter()
                 sinks = {d: _ScanWriter({}, writer) for d in dests}
-                _encode_dc_scan(blocks, al, False, sinks)
+                _encode_dc_scan(mcus, al, False, sinks, ri, writer.restart)
         else:
             ci = comp_sel[0]
             sh, sv = sampling[ci]
@@ -1217,12 +1317,16 @@ def encode_jpeg_progressive(
             blocks = [comp_zz[ci][by, bx] for by in range(bh) for bx in range(bw)]
             scan_fn = _encode_ac_first_scan if ah == 0 else _encode_ac_refine_scan
             counter = _FreqCounter()
-            scan_fn(blocks, ss, se, al, counter)
+            scan_fn(blocks, ss, se, al, counter, ri)
             dest = 0 if ci == 0 else 1
             bits, vals = _optimal_table(counter.freq)
             out += _dht_segment(1, dest, bits, vals)
             writer = _BitWriter()
-            scan_fn(blocks, ss, se, al, _ScanWriter(_canonical_codes(bits, vals), writer))
+            scan_fn(
+                blocks, ss, se, al,
+                _ScanWriter(_canonical_codes(bits, vals), writer),
+                ri, writer.restart,
+            )
 
         sos = bytes([len(comp_sel)])
         for ci in comp_sel:

@@ -472,11 +472,14 @@ def make_real_media_table(n: int) -> pa.Table:
             img = decode_ppm(_encode_ppm(w, h, digest[3]))
             sub = "4:2:0" if i % 8 == 4 else "4:4:4"
             enc = encode_jpeg_progressive if i % 16 == 14 else encode_jpeg
+            # a third of the JPEG rows carry restart intervals (DRI/RSTn)
+            ri = digest[7] % 3 if digest[7] % 3 != 2 else 4
             rows.append(
                 {
                     "media_id": i,
                     "kind": "image",
-                    "payload": enc(img, quality=90, subsampling=sub),
+                    "payload": enc(img, quality=90, subsampling=sub,
+                                   restart_interval=ri),
                     "mime": "image/jpeg",
                     "width": w,
                     "height": h,

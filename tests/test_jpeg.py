@@ -155,10 +155,13 @@ class TestHonestBoundary:
         with pytest.raises(ValueError, match="SOF3"):
             decode_jpeg(bytes(payload))
 
-    def test_dri_rejected(self):
+    def test_missing_restart_marker_rejected(self):
+        # a DRI header promising restarts the scan doesn't contain must
+        # raise, not silently desync (16x16 4:4:4 = 4 MCUs, Ri=2 -> one
+        # RST expected after MCU 2)
         payload = bytearray(encode_jpeg(_gradient(16, 16), quality=85))
         at = payload.index(b"\xff\xdb")
-        dri = b"\xff\xdd\x00\x04\x00\x08"
+        dri = b"\xff\xdd\x00\x04\x00\x02"
         payload[at:at] = dri
         with pytest.raises(ValueError, match="restart"):
             decode_jpeg(bytes(payload))
@@ -280,3 +283,53 @@ class TestProgressive:
         bits, vals = _optimal_table({0: 7})
         codes = _canonical_codes(bits, vals)
         assert 0 in codes  # a lone EOB symbol still gets a real code
+
+
+class TestRestartIntervals:
+    """DRI/RSTn markers: decode must byte-align, validate marker sequence,
+    and reset DC predictors (and EOB runs in progressive scans) — pixels
+    must be identical with and without restarts."""
+
+    @pytest.mark.parametrize("ri", [1, 3, 7, 100])
+    def test_baseline_dri_roundtrip(self, ri):
+        img = _gradient(64, 48)
+        plain = decode_jpeg(encode_jpeg(img, quality=85, subsampling="4:2:0"))
+        with_dri = decode_jpeg(
+            encode_jpeg(img, quality=85, subsampling="4:2:0", restart_interval=ri)
+        )
+        assert np.array_equal(plain, with_dri)
+
+    @pytest.mark.parametrize("ri", [1, 4])
+    def test_progressive_dri_roundtrip(self, ri):
+        img = _gradient(64, 48)
+        plain = decode_jpeg(
+            encode_jpeg_progressive(img, quality=85, subsampling="4:2:0")
+        )
+        with_dri = decode_jpeg(
+            encode_jpeg_progressive(
+                img, quality=85, subsampling="4:2:0", restart_interval=ri
+            )
+        )
+        assert np.array_equal(plain, with_dri)
+
+    def test_noise_dri_roundtrip(self):
+        rng = np.random.default_rng(43)
+        img = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+        for enc in (encode_jpeg, encode_jpeg_progressive):
+            plain = decode_jpeg(enc(img, quality=90))
+            with_dri = decode_jpeg(enc(img, quality=90, restart_interval=2))
+            assert np.array_equal(plain, with_dri)
+
+    def test_dri_markers_present(self):
+        payload = encode_jpeg(_gradient(64, 64), quality=85, restart_interval=4)
+        assert b"\xff\xdd" in payload
+        assert b"\xff\xd0" in payload and b"\xff\xd1" in payload
+
+    def test_out_of_sequence_restart_rejected(self):
+        payload = bytearray(
+            encode_jpeg(_gradient(64, 64), quality=85, restart_interval=4)
+        )
+        at = payload.index(b"\xff\xd0")
+        payload[at + 1] = 0xD5  # wrong RSTn ordinal
+        with pytest.raises(ValueError, match="out of sequence"):
+            decode_jpeg(bytes(payload))
