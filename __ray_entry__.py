@@ -1835,6 +1835,48 @@ def _q_embedding_pca(sf_dir: str):
     return pca_project(emb, k=2)
 
 
+def _q_embedding_svd(sf_dir: str):
+    """Top-2 singular triplets of the embedding matrix via distributed
+    block subspace iteration (ops/simsearch.py svd_topk): never forms
+    the d×d Gram — only d×k panels broadcast and d×k integer-quantized
+    partial sums move per round, the wide-feature scale path where
+    embedding_gram/embedding_pca's d² cells would not fit. Rows-only
+    (no SQL SVD); exact-numpy parity and reshard determinism pinned in
+    tests."""
+    import ray.data
+
+    from ctinexus_ray.ops.simsearch import svd_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    out = svd_topk(emb, k=2)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        # (j, sigma, v list) -> (j, i, sigma, v_i) rows for a flat schema
+        js, iis, sig, vs = [], [], [], []
+        for j, s, v in zip(
+            batch.column("j").to_pylist(),
+            batch.column("sigma").to_pylist(),
+            batch.column("v").to_pylist(),
+        ):
+            for i, x in enumerate(v, start=1):
+                js.append(j)
+                iis.append(i)
+                sig.append(s)
+                vs.append(x)
+        return pa.Table.from_pydict(
+            {
+                "j": pa.array(js, type=pa.int64()),
+                "i": pa.array(iis, type=pa.int64()),
+                "sigma": pa.array(sig, type=pa.float64()),
+                "v_i": pa.array(vs, type=pa.float64()),
+            }
+        )
+
+    return out.map_batches(flatten, batch_format="pyarrow")
+
+
 def _q_linear_probe(sf_dir: str):
     """Multinomial logistic-regression linear probe over the labeled
     embeddings: 10 full-batch GD iterations, each ONE streaming pass
@@ -5665,6 +5707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_probe": _q_media_probe,
         "embedding_gram": _q_embedding_gram,
         "embedding_pca": _q_embedding_pca,
+        "embedding_svd": _q_embedding_svd,
         "linear_probe": _q_linear_probe,
         "order_skyline": _q_order_skyline,
         "events_mad_outliers": _q_events_mad_outliers,

@@ -1037,3 +1037,125 @@ def linear_probe(
     return ds.select_columns([id_col, col]).map_batches(
         predict, batch_format="pyarrow", batch_size=1024
     )
+
+
+def svd_topk(
+    ds: "ray.data.Dataset",
+    k: int = 2,
+    col: str = "embedding",
+    iters: int = 8,
+    num_partitions: int = 16,
+    seed: int = 7,
+) -> "ray.data.Dataset":
+    """Top-k singular triplets of the n×d embedding matrix via
+    distributed block subspace iteration — the WIDE-feature scale path.
+    ``gram_matrix``/``pca_project`` move d(d+1)/2 cells (quadratic in
+    d); this op never forms d×d: only the d×k panel V broadcasts and
+    d×k partial sums move per round, so it stays feasible when d is
+    10^5+ and the Gram itself would not fit.
+
+    Each round computes W = Aᵀ(A V) in ONE corpus pass — per batch two
+    small matmuls (n_b×d · d×k, then d×n_b · n_b×k), quantized to
+    integer nano-units per batch so the distributed sum is
+    order-independent and bit-reproducible across runs / cluster sizes
+    (same ``_quantize_nano`` contract as the other linear-algebra ops,
+    with the same int64 overflow guard) — then a QR re-orthonormalization
+    of the tiny d×k panel on the driver with the R-diagonal sign fixed
+    for determinism. A final pass takes σⱼ = ‖A vⱼ‖ from per-column
+    quantized square sums. V₀ is a seeded Gaussian (PCG64), so the whole
+    factorization is reproducible. Subspace iteration converges
+    geometrically in (σ_{k+1}/σ_k)^iters; ``iters`` trades corpus passes
+    for accuracy. No SQL twin (no SQL SVD) — parity vs exact
+    ``numpy.linalg.svd`` is pinned in tests.
+
+    Output: one row per component j = 1..k, (j:int64, sigma:float64,
+    v:list<float64>), each vⱼ sign-fixed (largest-|component| positive).
+    """
+    import numpy as np
+    import ray as _ray
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    head = ds.select_columns([col]).take(1)
+    if not head:
+        raise ValueError("svd_topk: empty dataset")
+    d = len(head[0][col])
+    if not 1 <= k <= d:
+        raise ValueError(f"svd_topk: need 1 <= k <= d={d}, got k={k}")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    v_panel, _ = np.linalg.qr(rng.standard_normal((d, k)))
+
+    def one_pass(v_ref, final: bool):
+        """Stream the corpus once: partial Aᵀ(A V) sums (or per-column
+        ‖A vⱼ‖² square sums when ``final``), quantized per batch."""
+
+        def partial(batch: pa.Table, _v=v_ref):
+            if batch.num_rows == 0:
+                return
+            v = _ray.get(_v)
+            x = list_col_to_matrix(batch.column(col)).astype(np.float64)
+            y = x @ v  # n_b × k
+            if final:
+                cells = _quantize_nano((y * y).sum(axis=0))  # k sums
+                idx = np.arange(k, dtype=np.int64)
+            else:
+                w = x.T @ y  # d × k
+                cells = _quantize_nano(w).reshape(-1)
+                idx = np.arange(d * k, dtype=np.int64)
+            yield pa.Table.from_pydict(
+                {
+                    "cell": pa.array(idx),
+                    "w": pa.array(cells, type=pa.int64()),
+                    "a": pa.array(
+                        np.abs(cells).astype(np.float64), type=pa.float64()
+                    ),
+                }
+            )
+
+        parts = ds.select_columns([col]).map_batches(
+            partial, batch_format="pyarrow", batch_size=1024
+        )
+        rows = (
+            partitioned_agg(
+                parts,
+                keys=["cell"],
+                named_aggs={"w": ("w", "sum"), "a": ("a", "sum")},
+                num_partitions=num_partitions,
+            )
+            .map_batches(_overflow_guard, batch_format="pyarrow")
+            .take_all()
+        )  # O(d·k) rows — linear in d, never d×d
+        out = np.zeros(d * k if not final else k, dtype=np.float64)
+        for r in rows:
+            out[r["cell"]] = r["w"] / _NANO
+        return out
+
+    for _ in range(iters):
+        w = one_pass(_ray.put(v_panel), final=False).reshape(d, k)
+        q, r = np.linalg.qr(w)
+        # deterministic QR: force positive R diagonal (sign convention)
+        signs = np.sign(np.diag(r))
+        signs[signs == 0] = 1.0
+        v_panel = q * signs
+
+    s2 = one_pass(_ray.put(v_panel), final=True)
+    order = np.argsort(s2)[::-1]  # descending singular values
+    v_panel = v_panel[:, order]
+    sigma = np.sqrt(np.maximum(s2[order], 0.0))
+    for c in range(k):  # sign fix, as in pca_project
+        lead = np.argmax(np.abs(v_panel[:, c]))
+        if v_panel[lead, c] < 0:
+            v_panel[:, c] = -v_panel[:, c]
+
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "j": pa.array(np.arange(1, k + 1, dtype=np.int64)),
+                "sigma": pa.array(sigma, type=pa.float64()),
+                "v": pa.array(
+                    [v_panel[:, c].tolist() for c in range(k)],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        )
+    )

@@ -1832,3 +1832,76 @@ class TestRrfFuse:
             rrf_fuse([self._leg([1], [0])])
         with pytest.raises(ValueError):
             rrf_fuse([])
+
+
+class TestSvdTopk:
+    def test_matches_numpy_svd(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.simsearch import svd_topk
+
+        rng = np.random.default_rng(5)
+        base = rng.normal(size=(300, 6)).astype(np.float32)
+        base[:, 0] *= 10.0  # separated spectrum -> fast subspace converge
+        base[:, 1] *= 4.0
+        t = pa.Table.from_pydict(
+            {
+                "vec_id": list(range(300)),
+                "embedding": [r.tolist() for r in base],
+            }
+        )
+        got = svd_topk(ray.data.from_arrow(t).repartition(5), k=2).take_all()
+        _u, s, vt = np.linalg.svd(base.astype(np.float64), full_matrices=False)
+        assert [r["j"] for r in got] == [1, 2]
+        for r in got:
+            j = r["j"]
+            assert abs(r["sigma"] - s[j - 1]) < 1e-6 * s[j - 1] + 1e-6
+            want = vt[j - 1]
+            lead = int(np.argmax(np.abs(want)))
+            if want[lead] < 0:
+                want = -want
+            assert np.abs(np.array(r["v"]) - want).max() < 1e-4
+
+    def test_deterministic_across_resharding(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.simsearch import svd_topk
+
+        rng = np.random.default_rng(9)
+        t = pa.Table.from_pydict(
+            {
+                "vec_id": list(range(80)),
+                "embedding": [
+                    r.tolist()
+                    for r in rng.normal(size=(80, 4)).astype(np.float32)
+                ],
+            }
+        )
+        a = svd_topk(ray.data.from_arrow(t), k=2).take_all()
+        b = svd_topk(ray.data.from_arrow(t).repartition(7), k=2).take_all()
+        assert a == b  # integer-quantized partials -> bit-stable panels
+
+    def test_bad_k_and_empty(self, ray_session):
+        import pyarrow as pa
+        import pytest as _pytest
+        import ray.data
+
+        from ctinexus_ray.ops.simsearch import svd_topk
+
+        t = pa.Table.from_pydict(
+            {"vec_id": [0], "embedding": [[1.0, 2.0, 3.0]]}
+        )
+        with _pytest.raises(ValueError, match="k"):
+            svd_topk(ray.data.from_arrow(t), k=4)
+        empty = pa.Table.from_pydict(
+            {
+                "vec_id": pa.array([], type=pa.int64()),
+                "embedding": pa.array([], type=pa.list_(pa.float64())),
+            }
+        )
+        with _pytest.raises(ValueError, match="empty"):
+            svd_topk(ray.data.from_arrow(empty), k=1)
