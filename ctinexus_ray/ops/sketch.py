@@ -792,3 +792,116 @@ def grouped_misra_gries_topk(
         )
 
     return partials.groupby(key).map_groups(merge_group, batch_format="pandas")
+
+
+def hll_set_cardinalities(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    column: str,
+    p: int = 14,
+) -> ray.data.Dataset:
+    """Approximate set-operation cardinalities between two corpora's
+    distinct values of ``column`` via two HyperLogLog register sets:
+    |A|, |B|, |A∪B| (elementwise register max — exact HLL union), then
+    |A∩B| = |A|+|B|−|A∪B| (inclusion–exclusion, clamped at 0) and the
+    two differences from the union. The constant-memory scale path for
+    corpus-overlap questions (crawl-vs-crawl vocabulary overlap,
+    contamination screening) where ``distinct_set_op`` would shuffle
+    both vocabularies; the exact op is the anchor this sketch is judged
+    against (same pattern as ``hll_distinct`` ↔ the exact distinct).
+
+    Scale shape: each batch of each side emits one side-tagged 2^p-byte
+    register partial; merges are elementwise max per side — fixed-size,
+    mergeable, nothing corpus-sized moves. Intersection error grows as
+    the true intersection shrinks relative to the union (standard
+    inclusion–exclusion caveat) — accuracy pinned in tests.
+
+    Returns six (op: string, approx: int64) rows: distinct_left,
+    distinct_right, union, intersect, except_left, except_right."""
+    m = 1 << p
+    zero = np.zeros(m, dtype=np.uint8).tobytes()
+
+    def make_partial(side: int):
+        def partial(batch: pa.Table):
+            regs = _hll_partial(batch.column(column), p)
+            yield pa.Table.from_pydict(
+                {
+                    "side": pa.array([side], type=pa.int64()),
+                    "regs": pa.array([regs.tobytes()], type=pa.binary()),
+                }
+            )
+
+        return partial
+
+    parts = (
+        left.select_columns([column])
+        .map_batches(make_partial(0), batch_format="pyarrow")
+        .union(
+            right.select_columns([column]).map_batches(
+                make_partial(1), batch_format="pyarrow"
+            )
+        )
+    )
+    # zero seeds guarantee both sides exist even on empty inputs
+    seed = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "side": pa.array([0, 1], type=pa.int64()),
+                "regs": pa.array([zero, zero], type=pa.binary()),
+            }
+        )
+    )
+    parts = parts.union(seed)
+
+    def merge(batch: pa.Table):
+        acc = {0: np.zeros(m, dtype=np.uint8), 1: np.zeros(m, dtype=np.uint8)}
+        for side, buf in zip(
+            batch.column("side").to_pylist(), batch.column("regs").to_pylist()
+        ):
+            acc[side] = np.maximum(acc[side], np.frombuffer(buf, dtype=np.uint8))
+        yield pa.Table.from_pydict(
+            {
+                "side": pa.array([0, 1], type=pa.int64()),
+                "regs": pa.array(
+                    [acc[0].tobytes(), acc[1].tobytes()], type=pa.binary()
+                ),
+            }
+        )
+
+    merged = (
+        parts.repartition(8)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
+
+    def finalize(batch: pa.Table):
+        regs = {
+            side: np.frombuffer(buf, dtype=np.uint8)
+            for side, buf in zip(
+                batch.column("side").to_pylist(),
+                batch.column("regs").to_pylist(),
+            )
+        }
+        a = _hll_estimate(regs[0])
+        b = _hll_estimate(regs[1])
+        u = _hll_estimate(np.maximum(regs[0], regs[1]))
+        inter = max(0.0, a + b - u)
+        ops = [
+            ("distinct_left", a),
+            ("distinct_right", b),
+            ("union", u),
+            ("intersect", inter),
+            ("except_left", max(0.0, u - b)),
+            ("except_right", max(0.0, u - a)),
+        ]
+        yield pa.Table.from_pydict(
+            {
+                "op": pa.array([o for o, _ in ops], type=pa.string()),
+                "approx": pa.array(
+                    [int(round(v)) for _, v in ops], type=pa.int64()
+                ),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")

@@ -331,3 +331,54 @@ class TestWeightedMisraGries:
         ).repartition(4)
         got = misra_gries_topk(ds, "v", k=4, top=1, weight="n").take_all()
         assert got[0]["value"] == "heavy"
+
+
+class TestHllSetCardinalities:
+    def test_accuracy_vs_exact(self, ray_session):
+        from ctinexus_ray.ops.sketch import hll_set_cardinalities
+
+        # two overlapping value universes with known exact set sizes
+        a_vals = [f"v{i}" for i in range(0, 6000)]  # |A| = 6000
+        b_vals = [f"v{i}" for i in range(4000, 9000)]  # |B| = 5000
+        # |A∪B| = 9000, |A∩B| = 2000, |A\B| = 4000, |B\A| = 3000
+        left = ray.data.from_arrow(
+            pa.Table.from_pydict({"w": a_vals * 2})  # dups must not matter
+        ).repartition(4)
+        right = ray.data.from_arrow(
+            pa.Table.from_pydict({"w": b_vals})
+        ).repartition(3)
+        got = {
+            r["op"]: r["approx"]
+            for r in hll_set_cardinalities(left, right, "w").take_all()
+        }
+        exact = {
+            "distinct_left": 6000,
+            "distinct_right": 5000,
+            "union": 9000,
+            "intersect": 2000,
+            "except_left": 4000,
+            "except_right": 3000,
+        }
+        assert set(got) == set(exact)
+        for op, want in exact.items():
+            # p=14 -> ~0.8% on the HLLs; inclusion-exclusion compounds to
+            # a few % on the derived intersection/differences
+            assert abs(got[op] - want) <= 0.05 * want, (op, got[op], want)
+
+    def test_empty_side(self, ray_session):
+        from ctinexus_ray.ops.sketch import hll_set_cardinalities
+
+        left = ray.data.from_arrow(
+            pa.Table.from_pydict({"w": ["x", "y", "z"]})
+        )
+        empty = ray.data.from_arrow(
+            pa.Table.from_pydict({"w": pa.array([], type=pa.string())})
+        )
+        got = {
+            r["op"]: r["approx"]
+            for r in hll_set_cardinalities(left, empty, "w").take_all()
+        }
+        assert got["distinct_right"] == 0
+        assert got["intersect"] == 0
+        assert got["union"] == got["distinct_left"] == got["except_left"] == 3
+        assert got["except_right"] == 0
