@@ -1099,6 +1099,57 @@ def _q_name_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=4, num_partitions=16)
 
 
+def _name_edges(sf_dir: str):
+    """The edit-distance name-match graph as a canonical (a, b) edge
+    list — shared input of the kcore/bfs/link-prediction/clustering
+    family."""
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["a", "b", "dist"])
+
+    return (
+        _q_name_match_pairs(sf_dir)
+        .map_batches(rn, batch_format="pyarrow")
+        .select_columns(["a", "b"])
+    )
+
+
+def _q_name_link_prediction(sf_dir: str):
+    """Common-neighbors + Adamic-Adar link prediction over the
+    edit-distance name-match graph: top-100 non-adjacent pairs by
+    shared-neighbor count, AA in integer nano-units (per-wedge
+    FLOOR(1e9/ln(deg)+0.5) summed as int64 — order-independent, so the
+    cross-row sum is bit-exact vs SQL). The KG-completion "suggest
+    missing edges" primitive: one degree join + one wedge self-join +
+    one (u,v) reduce + one anti-join, all hash-partitioned. ✓SQL."""
+    from ctinexus_ray.ops.graph import link_prediction
+
+    return link_prediction(_name_edges(sf_dir), top=100, num_partitions=16)
+
+
+def _q_name_clustering_coeff(sf_dir: str):
+    """Per-node triangle participation (node, tri, deg) over the
+    name-match graph for nodes with deg >= 2 — the exact integer
+    numerator/denominator of the local clustering coefficient
+    2*tri/(deg*(deg-1)); wedge-close semi-join plan. ✓SQL."""
+    from ctinexus_ray.ops.graph import local_clustering
+
+    return local_clustering(_name_edges(sf_dir), num_partitions=16)
+
+
+_NAME_GRAPH_CTE = (
+    "WITH e AS MATERIALIZED (SELECT a.c_custkey AS u, b.c_custkey AS v "
+    "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+    "WHERE levenshtein(a.c_name, b.c_name) <= 1), "
+    "sym AS MATERIALIZED (SELECT u AS c, v AS n FROM e "
+    "UNION ALL SELECT v AS c, u AS n FROM e), "
+    "deg AS MATERIALIZED (SELECT c AS node, count(*) AS deg "
+    "FROM sym GROUP BY c), "
+    "w AS MATERIALIZED (SELECT s1.c AS c, s1.n AS x, s2.n AS y "
+    "FROM sym s1 JOIN sym s2 ON s1.c = s2.c AND s1.n < s2.n)"
+)
+
+
 def _q_quality_melt(sf_dir: str):
     """UNPIVOT the wide per-document quality-metric table into long
     (doc_id, metric, val) form — zero-shuffle stateless map."""
@@ -5809,6 +5860,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "name_match_pairs": _q_name_match_pairs,
         "name_kcore": _q_name_kcore,
+        "name_link_prediction": _q_name_link_prediction,
+        "name_clustering_coeff": _q_name_clustering_coeff,
         "bpe_encode": _q_bpe_encode,
         "user_running_totals": _q_user_running_totals,
         "user_key_skew": _q_user_key_skew,
@@ -6553,6 +6606,25 @@ def oracle_sql() -> dict[str, str]:
             "WHERE levenshtein(a.c_name, b.c_name) <= 1"
         ),
         "name_kcore": _kcore_oracle(),
+        "name_link_prediction": (
+            _NAME_GRAPH_CTE + ", "
+            "wd AS (SELECT w.x, w.y, CAST(FLOOR(1000000000.0 / ln(d.deg) "
+            "+ 0.5) AS BIGINT) AS w_u FROM w JOIN deg d ON w.c = d.node), "
+            "cand AS (SELECT x AS u, y AS v, CAST(count(*) AS BIGINT) AS cn, "
+            "CAST(SUM(w_u) AS BIGINT) AS aa_u FROM wd GROUP BY x, y) "
+            "SELECT u, v, cn, aa_u FROM cand "
+            "WHERE NOT EXISTS (SELECT 1 FROM e "
+            "WHERE e.u = cand.u AND e.v = cand.v) "
+            "ORDER BY cn DESC, aa_u DESC, u, v LIMIT 100"
+        ),
+        "name_clustering_coeff": (
+            _NAME_GRAPH_CTE + ", "
+            "t AS (SELECT w.c AS node, count(*) AS tri FROM w "
+            "JOIN e ON e.u = w.x AND e.v = w.y GROUP BY w.c) "
+            "SELECT d.node, CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri, "
+            "CAST(d.deg AS BIGINT) AS deg FROM deg d "
+            "LEFT JOIN t ON d.node = t.node WHERE d.deg >= 2"
+        ),
         "clean_funnel": (
             "WITH nw AS (SELECT doc_id, text, "
             "len(regexp_split_to_array(trim(text), '\\s+')) AS n_words, "

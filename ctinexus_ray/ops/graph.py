@@ -1062,3 +1062,220 @@ def _hits_broadcast(
             }
         )
     )
+
+
+def _wedges(
+    edges: ray.data.Dataset,
+    num_partitions: int | None,
+    with_center_degree: bool,
+) -> ray.data.Dataset:
+    """All open-or-closed 2-paths (x, y, center) of an undirected
+    canonical (a < b) edge list, with x < y — each unordered neighbor
+    pair of each center exactly once. Expressed as ONE self hash-join
+    of the symmetrized edge list on the center (the triangle_count
+    plan generalized to centers in any position), so wedge fan-out
+    streams through the exchange and no adjacency list materializes.
+    ``with_center_degree`` joins the center's degree in (for
+    Adamic-Adar weights) before the wedge join so the degree rides the
+    same shuffle. ``edges`` must already be materialized (it is
+    consumed by both join sides)."""
+
+    def rename(ds: ray.data.Dataset, names: list[str]) -> ray.data.Dataset:
+        def do(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(names)
+
+        return ds.map_batches(do, batch_format="pyarrow")
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        return pa.Table.from_pydict(
+            {
+                "c": pc.cast(pa.chunked_array([a, b]), pa.int64()),
+                "n": pc.cast(pa.chunked_array([b, a]), pa.int64()),
+            }
+        )
+
+    int64 = pa.int64()
+    sym = edges.select_columns(["a", "b"]).map_batches(
+        symmetrize, batch_format="pyarrow"
+    )
+    left = rename(sym, ["c", "x"])
+    left_types = {"c": int64, "x": int64}
+    if with_center_degree:
+        deg = rename(node_degrees(edges, num_partitions), ["c", "deg"])
+        left = hash_join(
+            left,
+            deg,
+            on=["c"],
+            num_partitions=num_partitions,
+            left_types=left_types,
+            right_types={"c": int64, "deg": int64},
+        )
+        left_types = {"c": int64, "x": int64, "deg": int64}
+    wedge = hash_join(
+        left,
+        rename(sym, ["c", "y"]),
+        on=["c"],
+        num_partitions=num_partitions,
+        left_types=left_types,
+        right_types={"c": int64, "y": int64},
+    )
+
+    def ordered(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less(batch.column("x"), batch.column("y")))
+
+    return wedge.map_batches(ordered, batch_format="pyarrow")
+
+
+def node_degrees(
+    edges: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """(node, deg) of an undirected canonical edge list — endpoint
+    explode (2x edge map volume) + one hash-partitioned count."""
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        nodes = pa.chunked_array(
+            [batch.column("a").combine_chunks(), batch.column("b").combine_chunks()]
+        )
+        return pa.Table.from_pydict({"node": pc.cast(nodes, pa.int64())})
+
+    return partitioned_agg(
+        edges.select_columns(["a", "b"]).map_batches(
+            endpoints, batch_format="pyarrow"
+        ),
+        keys=["node"],
+        named_aggs={"deg": ("node", "size")},
+        num_partitions=num_partitions,
+    )
+
+
+def link_prediction(
+    edges: ray.data.Dataset,
+    top: int = 100,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Common-neighbors + Adamic-Adar link prediction over an
+    undirected canonical (a:int64, b:int64, a < b) edge list: for every
+    NON-adjacent node pair sharing >= 1 neighbor, the shared-neighbor
+    count ``cn`` and the Adamic-Adar score ``aa_u`` (sum over shared
+    neighbors c of 1/ln(deg(c)), in integer nano-units — per-wedge
+    FLOOR(1e9/ln(deg)+0.5) summed as int64, so the cross-row sum is
+    order-independent and bit-exact vs a SQL twin). Returns the ``top``
+    candidate edges by (cn desc, aa_u desc, u, v) as
+    (u, v, cn, aa_u) — the KG-completion / entity-resolution
+    "suggest missing edges" primitive.
+
+    Scale shape: one degree count, one degree join, one wedge
+    self-join on the center (all hash-partitioned streams; the
+    triangle_count plan), one (u,v)-partitioned aggregate, one
+    anti-join against the edge list, then sort+limit on the
+    candidate table. Hub fan-out is deg^2 wedges, same caveat as
+    triangle_count — cap or sample celebrity nodes upstream."""
+    int64 = pa.int64()
+    edges = edges.select_columns(["a", "b"]).materialize()
+
+    wedge = _wedges(edges, num_partitions, with_center_degree=True)
+
+    def weight(batch: pa.Table) -> pa.Table:
+        deg = batch.column("deg").to_numpy(zero_copy_only=False)
+        # pinned operand order — must mirror the SQL twin exactly
+        w = np.floor(1e9 / np.log(deg.astype(np.float64)) + 0.5).astype(
+            np.int64
+        )
+        return pa.Table.from_pydict(
+            {
+                "u": batch.column("x"),
+                "v": batch.column("y"),
+                "w_u": pa.array(w, type=pa.int64()),
+            }
+        )
+
+    cand = partitioned_agg(
+        wedge.map_batches(weight, batch_format="pyarrow"),
+        keys=["u", "v"],
+        named_aggs={"cn": ("w_u", "size"), "aa_u": ("w_u", "sum")},
+        num_partitions=num_partitions,
+    )
+
+    def as_uv(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["u", "v"])
+
+    pred = hash_join(
+        cand,
+        edges.map_batches(as_uv, batch_format="pyarrow"),
+        on=["u", "v"],
+        how="left_anti",
+        num_partitions=num_partitions,
+        left_types={"u": int64, "v": int64, "cn": int64, "aa_u": int64},
+        right_types={"u": int64, "v": int64},
+    )
+    return pred.sort(
+        ["cn", "aa_u", "u", "v"], descending=[True, True, False, False]
+    ).limit(top)
+
+
+def local_clustering(
+    edges: ray.data.Dataset, num_partitions: int | None = None
+) -> ray.data.Dataset:
+    """Per-node triangle participation over an undirected canonical
+    (a < b) edge list: (node, tri, deg) for every node with deg >= 2 —
+    the exact integer numerator/denominator of the local clustering
+    coefficient 2*tri/(deg*(deg-1)), kept rational so the output is
+    bit-exact (callers divide if they want the float).
+
+    Plan: wedge self-join on the center (triangle_count generalized),
+    close each wedge with a semi-join against the edge list, count
+    closed wedges per center, left-join onto the deg >= 2 node set
+    with tri defaulting to 0. All stages hash-partitioned streams."""
+    int64 = pa.int64()
+    edges = edges.select_columns(["a", "b"]).materialize()
+
+    wedge = _wedges(edges, num_partitions, with_center_degree=False)
+
+    def rename(ds: ray.data.Dataset, names: list[str]) -> ray.data.Dataset:
+        def do(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(names)
+
+        return ds.map_batches(do, batch_format="pyarrow")
+
+    closed = hash_join(
+        wedge.select_columns(["x", "y", "c"]),
+        rename(edges, ["x", "y"]),
+        on=["x", "y"],
+        how="left_semi",
+        num_partitions=num_partitions,
+        left_types={"x": int64, "y": int64, "c": int64},
+        right_types={"x": int64, "y": int64},
+    )
+    tri = rename(
+        partitioned_agg(
+            closed.select_columns(["c"]),
+            keys=["c"],
+            named_aggs={"tri": ("c", "size")},
+            num_partitions=num_partitions,
+        ),
+        ["node", "tri"],
+    )
+    deg2 = node_degrees(edges, num_partitions).filter(expr="deg >= 2")
+    out = hash_join(
+        deg2,
+        tri,
+        on=["node"],
+        how="left",
+        num_partitions=num_partitions,
+        left_types={"node": int64, "deg": int64},
+        right_types={"node": int64, "tri": int64},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        tri_col = pc.fill_null(pc.cast(batch.column("tri"), pa.int64()), 0)
+        return pa.Table.from_pydict(
+            {
+                "node": batch.column("node"),
+                "tri": tri_col,
+                "deg": batch.column("deg"),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")

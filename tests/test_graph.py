@@ -337,3 +337,79 @@ class TestHits:
         # schema is the contract here
         assert sorted(ds.schema().names) == ["auth_e9", "hub_e9", "node"]
         assert ds.count() == 0
+
+
+def _canon_edges(a, b):
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "a": pa.array(np.asarray(a, dtype=np.int64)),
+                "b": pa.array(np.asarray(b, dtype=np.int64)),
+            }
+        )
+    ).repartition(3)
+
+
+class TestLinkPrediction:
+    def test_square_with_diagonal(self, ray_session):
+        """Square 1-2-3-4-1 plus diagonal 1-3 plus pendant 5 on 1:
+        hand-computed CN / Adamic-Adar for every non-adjacent pair."""
+        from ctinexus_ray.ops.graph import link_prediction
+
+        edges = _canon_edges([1, 2, 3, 1, 1, 1], [2, 3, 4, 4, 3, 5])
+        got = link_prediction(edges, top=10, num_partitions=4).take_all()
+        rows = {(r["u"], r["v"]): (r["cn"], r["aa_u"]) for r in got}
+        # degrees: 1->4, 2->2, 3->3, 4->2, 5->1
+        w = lambda d: int(np.floor(1e9 / np.log(float(d)) + 0.5))
+        assert rows == {
+            (2, 4): (2, w(4) + w(3)),  # shared neighbors {1, 3}
+            (2, 5): (1, w(4)),
+            (3, 5): (1, w(4)),
+            (4, 5): (1, w(4)),
+        }
+        # ordering: cn desc first
+        assert (got[0]["u"], got[0]["v"]) == (2, 4)
+
+    def test_adjacent_pairs_excluded(self, ray_session):
+        from ctinexus_ray.ops.graph import link_prediction
+
+        # triangle: every 2-path closes into an existing edge
+        edges = _canon_edges([1, 1, 2], [2, 3, 3])
+        assert link_prediction(edges, num_partitions=4).count() == 0
+
+    def test_top_limit(self, ray_session):
+        from ctinexus_ray.ops.graph import link_prediction
+
+        # star around 0: all leaf pairs are candidates (cn=1)
+        leaves = list(range(1, 12))
+        edges = _canon_edges([0] * 11, leaves)
+        got = link_prediction(edges, top=5, num_partitions=4).take_all()
+        assert len(got) == 5
+        # deterministic tie-break: (u, v) ascending
+        assert [(r["u"], r["v"]) for r in got] == [
+            (1, 2), (1, 3), (1, 4), (1, 5), (1, 6)
+        ]
+
+
+class TestLocalClustering:
+    def test_square_with_diagonal(self, ray_session):
+        from ctinexus_ray.ops.graph import local_clustering
+
+        edges = _canon_edges([1, 2, 3, 1, 1, 1], [2, 3, 4, 4, 3, 5])
+        got = {
+            r["node"]: (r["tri"], r["deg"])
+            for r in local_clustering(edges, num_partitions=4).take_all()
+        }
+        # triangles: (1,2,3) and (1,3,4); node 5 has deg 1 -> excluded
+        assert got == {1: (2, 4), 2: (1, 2), 3: (2, 3), 4: (1, 2)}
+
+    def test_triangle_free(self, ray_session):
+        from ctinexus_ray.ops.graph import local_clustering
+
+        # path 1-2-3-4: middle nodes have deg 2, tri 0
+        edges = _canon_edges([1, 2, 3], [2, 3, 4])
+        got = {
+            r["node"]: (r["tri"], r["deg"])
+            for r in local_clustering(edges, num_partitions=4).take_all()
+        }
+        assert got == {2: (0, 2), 3: (0, 2)}
