@@ -1150,6 +1150,72 @@ _NAME_GRAPH_CTE = (
 )
 
 
+def _q_cdc_chunk_stats(sf_dir: str):
+    """Content-defined chunking (gear-hash CDC, the rsync/LBFS/FastCDC
+    primitive) over the document corpus, reduced to chunk-level dedup
+    stats: total chunks / distinct chunk fingerprints / bytes a
+    chunk-store would hold vs raw bytes. Rows-only by design (a rolling
+    gear hash is not SQL-expressible); the boundary rule is pinned
+    against a per-byte naive reference and a shift-resilience property
+    in tests/test_shards.py::TestCdcChunks. Scale shape: stateless
+    vectorized chunking map, ONE fp-partitioned reduce, O(P) totals."""
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.shards import cdc_chunks
+
+    chunks = cdc_chunks(
+        _docs(sf_dir, ["doc_id", "text"]), min_size=16, avg_size=64,
+        max_size=256,
+    )
+    per_fp = partitioned_agg(
+        chunks.select_columns(["fp", "length"]),
+        keys=["fp"],
+        named_aggs={
+            "n": ("length", "size"),
+            "raw_bytes": ("length", "sum"),
+            "stored_bytes": ("length", "min"),
+        },
+    )
+
+    def totals(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        yield pa.Table.from_pydict(
+            {
+                "n_chunks": pa.array(
+                    [pc.sum(batch.column("n")).as_py() or 0], type=pa.int64()
+                ),
+                "n_distinct": pa.array([batch.num_rows], type=pa.int64()),
+                "raw_bytes": pa.array(
+                    [pc.sum(batch.column("raw_bytes")).as_py() or 0],
+                    type=pa.int64(),
+                ),
+                "stored_bytes": pa.array(
+                    [pc.sum(batch.column("stored_bytes")).as_py() or 0],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    def merge(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        yield pa.Table.from_pydict(
+            {
+                c: pa.array(
+                    [pc.sum(batch.column(c)).as_py() or 0], type=pa.int64()
+                )
+                for c in ["n_chunks", "n_distinct", "raw_bytes", "stored_bytes"]
+            }
+        )
+
+    # O(P) one-row partials -> single final row
+    return (
+        per_fp.map_batches(totals, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def _q_quality_melt(sf_dir: str):
     """UNPIVOT the wide per-document quality-metric table into long
     (doc_id, metric, val) form — zero-shuffle stateless map."""
@@ -5793,6 +5859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "word_freq_top100": _q_word_freq_top100,
         "doc_chunks": _q_doc_chunks,
+        "cdc_chunk_stats": _q_cdc_chunk_stats,
         "gopher_quality": _q_gopher_quality,
         "pack_sequences": _q_pack_sequences,
         "leakage_safe_split": _q_leakage_safe_split,

@@ -614,3 +614,138 @@ def zorder_layout(
         )
 
     return ds.map_batches(add_z, batch_format="pyarrow").sort(out)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (gear-hash CDC)
+# ---------------------------------------------------------------------------
+
+_GEAR_TABLE: np.ndarray | None = None
+
+
+def _gear_table() -> np.ndarray:
+    """256 deterministic uint64 gear constants (blake2b of the byte
+    value — no RNG, so every worker and every run agrees)."""
+    global _GEAR_TABLE
+    if _GEAR_TABLE is None:
+        import hashlib
+
+        vals = [
+            int.from_bytes(
+                hashlib.blake2b(bytes([b]), digest_size=8).digest(), "big"
+            )
+            for b in range(256)
+        ]
+        _GEAR_TABLE = np.array(vals, dtype=np.uint64)
+    return _GEAR_TABLE
+
+
+def _gear_hashes(codes: np.ndarray) -> np.ndarray:
+    """Rolling gear hash h_i = (h_{i-1} << 1) + GEAR[b_i] (mod 2^64) for
+    every byte position, vectorized. Because 2^k vanishes mod 2^64 at
+    k >= 64, h_i depends on the last 64 bytes only, so the recurrence
+    unrolls into 64 shifted vectorized adds (the winnowing trick —
+    the only Python loop is over the 64 shift offsets)."""
+    g = _gear_table()[codes]
+    n = len(g)
+    h = np.zeros(n, dtype=np.uint64)
+    for k in range(min(64, n)):
+        h[k:] += g[: n - k] << np.uint64(k)
+    return h
+
+
+def cdc_boundaries(
+    data: bytes, min_size: int, avg_size: int, max_size: int
+) -> list[int]:
+    """Content-defined cut points (end offsets, last == len(data)) via
+    gear-hash CDC: cut after byte i when (h_i & (avg_size-1)) == 0,
+    subject to min_size/max_size — the greedy rule of LBFS/FastCDC.
+    Boundaries depend on CONTENT, not position, so an insertion early
+    in a document shifts only the chunks it touches: the cut sequence
+    re-synchronizes at the next content-defined boundary and every
+    later chunk is byte-identical — the property that makes chunk-level
+    dedup robust where fixed-size chunking is not."""
+    if not (0 < min_size <= avg_size <= max_size):
+        raise ValueError("need 0 < min_size <= avg_size <= max_size")
+    if avg_size & (avg_size - 1):
+        raise ValueError("avg_size must be a power of two")
+    n = len(data)
+    if n == 0:
+        return []
+    codes = np.frombuffer(data, dtype=np.uint8)
+    mask = np.uint64(avg_size - 1)
+    # +1: a match at byte i cuts AFTER i
+    cand = np.flatnonzero((_gear_hashes(codes) & mask) == 0) + 1
+    cuts: list[int] = []
+    prev = 0
+    while prev < n:
+        limit = min(prev + max_size, n)
+        i = int(np.searchsorted(cand, prev + min_size))
+        if i < len(cand) and cand[i] <= limit:
+            cut = int(cand[i])
+        else:
+            cut = limit
+        cuts.append(cut)
+        prev = cut
+    return cuts
+
+
+def cdc_chunk_batch(
+    batch: pa.Table,
+    min_size: int = 64,
+    avg_size: int = 256,
+    max_size: int = 1024,
+) -> pa.Table:
+    """(doc_id, chunk_id, start, length, fp) — content-defined chunks of
+    each document's utf-8 bytes; fp is a 63-bit blake2b content
+    fingerprint of the chunk bytes (the chunk-level dedup key). The
+    per-doc loop is over CHUNKS (~len/avg_size picks), the hash pass is
+    vectorized; mirrors winnow_batch's shape."""
+    import hashlib
+
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_doc, out_cid, out_start, out_len, out_fp = [], [], [], [], []
+    for doc_id, text in zip(doc_ids, texts):
+        data = (text or "").encode("utf-8", "surrogatepass")
+        prev = 0
+        for cid, cut in enumerate(
+            cdc_boundaries(data, min_size, avg_size, max_size)
+        ):
+            fp = int.from_bytes(
+                hashlib.blake2b(data[prev:cut], digest_size=8).digest(), "big"
+            ) >> 1
+            out_doc.append(doc_id)
+            out_cid.append(cid)
+            out_start.append(prev)
+            out_len.append(cut - prev)
+            out_fp.append(fp)
+            prev = cut
+    i64 = pa.int64()
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(out_doc, type=i64),
+            "chunk_id": pa.array(out_cid, type=i64),
+            "start": pa.array(out_start, type=i64),
+            "length": pa.array(out_len, type=i64),
+            "fp": pa.array(out_fp, type=i64),
+        }
+    )
+
+
+def cdc_chunks(
+    docs: ray.data.Dataset,
+    min_size: int = 64,
+    avg_size: int = 256,
+    max_size: int = 1024,
+) -> ray.data.Dataset:
+    """Content-defined chunking over a (doc_id, text) corpus — the
+    rsync/LBFS/FastCDC primitive for chunk-level dedup of crawl
+    snapshots: re-crawled pages that differ by one edit share every
+    chunk outside the edit, so storing/deduping by chunk fingerprint
+    collapses the redundancy that document-level exact dedup misses.
+    Stateless vectorized map; nothing shuffles."""
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        lambda b: cdc_chunk_batch(b, min_size, avg_size, max_size),
+        batch_format="pyarrow",
+    )

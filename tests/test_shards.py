@@ -279,3 +279,128 @@ class TestZorder:
             + np.abs(np.diff(bb[perm])).mean()
         )
         assert jump < rand_jump / 3
+
+
+class TestCdcChunks:
+    @staticmethod
+    def _naive_boundaries(data: bytes, mn: int, avg: int, mx: int) -> list[int]:
+        """Per-byte reference: h = (h<<1) + GEAR[b] mod 2^64, greedy
+        min/max rule — the definition, no vectorization."""
+        from ctinexus_ray.ops.shards import _gear_table
+
+        gear = [int(x) for x in _gear_table()]
+        mask = avg - 1
+        n = len(data)
+        cuts, prev = [], 0
+        while prev < n:
+            h = 0
+            cut = None
+            limit = min(prev + mx, n)
+            # rolling hash restarts nowhere: h_i depends on all bytes
+            # since 0, but mod 2^64 only the last 64 matter — recompute
+            # from scratch for the reference (slow, exact)
+            for i in range(prev, limit):
+                lo = max(0, i - 63)
+                h = 0
+                for j in range(lo, i + 1):
+                    h = ((h << 1) + gear[data[j]]) & (2**64 - 1)
+                if i + 1 - prev >= mn and (h & mask) == 0:
+                    cut = i + 1
+                    break
+            cuts.append(cut if cut is not None else limit)
+            prev = cuts[-1]
+        return cuts
+
+    @staticmethod
+    def _bytes(n: int, seed: bytes = b"s") -> bytes:
+        import hashlib
+
+        out = bytearray()
+        i = 0
+        while len(out) < n:
+            out += hashlib.blake2b(seed + i.to_bytes(4, "big")).digest()
+            i += 1
+        return bytes(out[:n])
+
+    def test_matches_naive_reference(self):
+        from ctinexus_ray.ops.shards import cdc_boundaries
+
+        data = self._bytes(3000)
+        got = cdc_boundaries(data, 16, 64, 256)
+        assert got == self._naive_boundaries(data, 16, 64, 256)
+
+    def test_short_input_parity(self):
+        # the naive reference recomputes h from the last 64 bytes; the
+        # vectorized op unrolls the same window — parity on short input
+        # where the window is never full
+        from ctinexus_ray.ops.shards import cdc_boundaries
+
+        data = self._bytes(40)
+        assert cdc_boundaries(data, 4, 8, 32) == self._naive_boundaries(
+            data, 4, 8, 32
+        )
+
+    def test_size_bounds(self):
+        from ctinexus_ray.ops.shards import cdc_boundaries
+
+        data = self._bytes(10_000)
+        cuts = cdc_boundaries(data, 32, 128, 512)
+        sizes = [b - a for a, b in zip([0] + cuts[:-1], cuts)]
+        assert cuts[-1] == len(data)
+        assert all(s <= 512 for s in sizes)
+        # every chunk except possibly the tail respects the minimum
+        assert all(s >= 32 for s in sizes[:-1])
+
+    def test_insertion_resynchronizes(self):
+        """An edit near the front leaves the suffix chunks identical —
+        the content-defined property fixed-size chunking lacks."""
+        import hashlib
+
+        from ctinexus_ray.ops.shards import cdc_boundaries
+
+        base = self._bytes(8_000)
+        edited = base[:100] + b"XYZ" + base[100:]
+
+        def fps(data):
+            cuts = cdc_boundaries(data, 32, 128, 512)
+            return [
+                hashlib.blake2b(data[a:b], digest_size=8).digest()
+                for a, b in zip([0] + cuts[:-1], cuts)
+            ]
+
+        f1, f2 = fps(base), fps(edited)
+        # the chunk sets re-align after the edit: all but a handful of
+        # chunks are shared
+        shared = len(set(f1) & set(f2))
+        assert shared >= len(f1) - 3
+
+    def test_empty_and_tiny(self):
+        from ctinexus_ray.ops.shards import cdc_boundaries
+
+        assert cdc_boundaries(b"", 16, 64, 256) == []
+        assert cdc_boundaries(b"ab", 16, 64, 256) == [2]
+
+    def test_dataset_op(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.shards import cdc_chunks
+
+        t1 = self._bytes(2000).decode("latin-1")
+        docs = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                    "text": [t1, t1, ""],
+                }
+            )
+        ).repartition(2)
+        out = cdc_chunks(docs, 16, 64, 256).to_pandas()
+        # identical docs produce identical chunk streams
+        a = out[out.doc_id == 1].sort_values("chunk_id")
+        b = out[out.doc_id == 2].sort_values("chunk_id")
+        assert list(a.fp) == list(b.fp)
+        assert (out.doc_id != 3).all()  # empty doc yields nothing
+        # chunks tile the document exactly
+        assert a.length.sum() == len(t1.encode("utf-8"))
+        assert (a.start + a.length).max() == len(t1.encode("utf-8"))
