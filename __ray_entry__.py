@@ -1150,6 +1150,20 @@ _NAME_GRAPH_CTE = (
 )
 
 
+def _q_phrase_search(sf_dir: str):
+    """Exact phrase search ("table hash" as consecutive whitespace
+    tokens) with per-document match counts — the anchor-bitmask plan:
+    phrase-word-pruned positional postings, ONE (doc, anchor) bitmask
+    sum + one per-doc count; no positional self-join, no corpus-sized
+    shuffle. ✓SQL (positional unnest self-join twin)."""
+    from ctinexus_ray.ops.textstats import phrase_match_counts
+
+    return phrase_match_counts(
+        _docs(sf_dir, ["doc_id", "text"]), ["table", "hash"],
+        num_partitions=16,
+    )
+
+
 def _q_cdc_chunk_stats(sf_dir: str):
     """Content-defined chunking (gear-hash CDC, the rsync/LBFS/FastCDC
     primitive) over the document corpus, reduced to chunk-level dedup
@@ -5860,6 +5874,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_freq_top100": _q_word_freq_top100,
         "doc_chunks": _q_doc_chunks,
         "cdc_chunk_stats": _q_cdc_chunk_stats,
+        "phrase_search": _q_phrase_search,
         "gopher_quality": _q_gopher_quality,
         "pack_sequences": _q_pack_sequences,
         "leakage_safe_split": _q_leakage_safe_split,
@@ -6683,6 +6698,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT EXISTS (SELECT 1 FROM e "
             "WHERE e.u = cand.u AND e.v = cand.v) "
             "ORDER BY cn DESC, aa_u DESC, u, v LIMIT 100"
+        ),
+        "phrase_search": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), "
+            "p AS (SELECT doc_id, unnest(w) AS word, "
+            "unnest(range(1, len(w) + 1)) AS pos FROM t) "
+            "SELECT p1.doc_id, CAST(count(*) AS BIGINT) AS n_matches "
+            "FROM p p1 JOIN p p2 ON p1.doc_id = p2.doc_id "
+            "AND p2.pos = p1.pos + 1 "
+            "WHERE p1.word = 'table' AND p2.word = 'hash' "
+            "GROUP BY p1.doc_id"
         ),
         "name_clustering_coeff": (
             _NAME_GRAPH_CTE + ", "

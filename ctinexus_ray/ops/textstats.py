@@ -1434,3 +1434,90 @@ def rrf_fuse(
             "n_legs": pa.array(n_legs[order], type=pa.int64()),
         }
     )
+
+
+def phrase_match_counts(
+    docs: ray.data.Dataset,
+    words: list[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact phrase search over a (doc_id, text) corpus: documents
+    containing the K-word phrase ``words`` as consecutive whitespace
+    tokens, with per-document match counts — (doc_id, n_matches).
+
+    Plan (ONE posting volume, zero self-joins, any K): each document
+    emits only the positions of the K phrase words (pruned at the
+    tokenizer — the rest of the corpus never leaves the map), each as
+    (doc_id, anchor = pos - k, 1 << k). A phrase instance at anchor a
+    has every slot k occupied, and a position can emit a given k at
+    most once, so SUM(bit k) over (doc_id, anchor) equals 2^K - 1
+    exactly on full matches — one hash-partitioned bitmask sum + one
+    per-doc count instead of K-1 positional joins. Works verbatim for
+    phrases with repeated words.
+
+    At 100 TB: posting volume is occurrences-of-phrase-words, not
+    corpus tokens; both reduces are hash-partitioned; nothing
+    corpus-sized shuffles."""
+    if not words or any(not w or w != w.strip() or " " in w for w in words):
+        raise ValueError("words must be non-empty single tokens")
+    K = len(words)
+    if K > 62:
+        raise ValueError("phrase too long for the int64 bitmask plan")
+    full = (1 << K) - 1
+    # word -> [slots] (a repeated word occupies several k's)
+    slots: dict[str, list[int]] = {}
+    for k, w in enumerate(words):
+        slots.setdefault(w, []).append(k)
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    def postings(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        docs_, anchors_, bits_ = [], [], []
+        for doc_id, t in zip(ids, texts):
+            toks = np.array((t or "").split(), dtype=object)
+            if len(toks) < K:
+                continue
+            for w, ks in slots.items():
+                pos = np.flatnonzero(toks == w)
+                for k in ks:
+                    a = pos - k
+                    a = a[(a >= 0) & (a <= len(toks) - K)]
+                    if len(a):
+                        docs_.append(np.full(len(a), doc_id, dtype=np.int64))
+                        anchors_.append(a.astype(np.int64))
+                        bits_.append(np.full(len(a), 1 << k, dtype=np.int64))
+        i64 = pa.int64()
+        empty = np.zeros(0, dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(docs_) if docs_ else empty, type=i64
+                ),
+                "anchor": pa.array(
+                    np.concatenate(anchors_) if anchors_ else empty, type=i64
+                ),
+                "bit": pa.array(
+                    np.concatenate(bits_) if bits_ else empty, type=i64
+                ),
+            }
+        )
+
+    anchors = partitioned_agg(
+        docs.select_columns(["doc_id", "text"]).map_batches(
+            postings, batch_format="pyarrow"
+        ),
+        keys=["doc_id", "anchor"],
+        named_aggs={"mask": ("bit", "sum")},
+        num_partitions=num_partitions,
+    )
+    hits = anchors.filter(expr=f"mask == {full}")
+    return partitioned_agg(
+        hits.select_columns(["doc_id"]),
+        keys=["doc_id"],
+        named_aggs={"n_matches": ("doc_id", "size")},
+        num_partitions=num_partitions,
+    )

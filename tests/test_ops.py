@@ -1905,3 +1905,73 @@ class TestSvdTopk:
         )
         with _pytest.raises(ValueError, match="empty"):
             svd_topk(ray.data.from_arrow(empty), k=1)
+
+
+class TestPhraseSearch:
+    @staticmethod
+    def _docs(texts):
+        import pyarrow as pa
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": texts,
+                }
+            )
+        ).repartition(2)
+
+    def test_basic_counts(self, ray_session):
+        from ctinexus_ray.ops.textstats import phrase_match_counts
+
+        ds = self._docs(
+            [
+                "a b c a b",        # "a b" twice
+                "b a",              # zero (wrong order)
+                "x a b y a b a b",  # three
+                "",                 # empty
+                "a",                # shorter than phrase
+            ]
+        )
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_match_counts(ds, ["a", "b"], num_partitions=4).take_all()
+        }
+        assert got == {0: 2, 2: 3}
+
+    def test_repeated_word_phrase(self, ray_session):
+        from ctinexus_ray.ops.textstats import phrase_match_counts
+
+        # "x x" in "x x x" matches at anchors 0 and 1
+        ds = self._docs(["x x x", "x y x", "x x"])
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_match_counts(ds, ["x", "x"], num_partitions=4).take_all()
+        }
+        assert got == {0: 2, 2: 1}
+
+    def test_three_word_phrase(self, ray_session):
+        from ctinexus_ray.ops.textstats import phrase_match_counts
+
+        ds = self._docs(["a b c d a b c", "a b x c", "c b a"])
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_match_counts(
+                ds, ["a", "b", "c"], num_partitions=4
+            ).take_all()
+        }
+        assert got == {0: 2}
+
+    def test_validation(self, ray_session):
+        import pytest
+
+        from ctinexus_ray.ops.textstats import phrase_match_counts
+
+        ds = self._docs(["a b"])
+        with pytest.raises(ValueError):
+            phrase_match_counts(ds, [])
+        with pytest.raises(ValueError):
+            phrase_match_counts(ds, ["a b"])
+        with pytest.raises(ValueError):
+            phrase_match_counts(ds, [""])
