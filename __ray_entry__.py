@@ -1150,6 +1150,43 @@ _NAME_GRAPH_CTE = (
 )
 
 
+def _q_doc_token_entropy(sf_dir: str):
+    """Shannon entropy of each document's token distribution in integer
+    nano-nats (low entropy = templated/repetitive text — a corpus
+    quality signal): per-(n_w, N) terms quantized BEFORE the int64 sum,
+    so the value is order-independent and bit-exact vs SQL. Stateless
+    map, zero shuffle. ✓SQL."""
+    from ctinexus_ray.ops.textstats import token_entropy_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_entropy_batch, batch_format="pyarrow"
+    )
+
+
+def _q_user_first_last_event(sf_dir: str):
+    """FIRST_VALUE/LAST_VALUE per user over event time (entry/exit event
+    of every user's history): grouped arg-extremum with event_id
+    tie-break — per-batch two-candidate combine + ONE hash-partitioned
+    reduce; group cardinality never materializes. ✓SQL (row_number
+    window twin)."""
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import grouped_arg_extremum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return grouped_arg_extremum(
+        ev,
+        keys=["user_id"],
+        order_col="ts",
+        tie_col="event_id",
+        payload_cols=["event_type"],
+        num_partitions=16,
+    )
+
+
 def _q_phrase_search(sf_dir: str):
     """Exact phrase search ("table hash" as consecutive whitespace
     tokens) with per-document match counts — the anchor-bitmask plan:
@@ -5875,6 +5912,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": _q_doc_chunks,
         "cdc_chunk_stats": _q_cdc_chunk_stats,
         "phrase_search": _q_phrase_search,
+        "user_first_last_event": _q_user_first_last_event,
+        "doc_token_entropy": _q_doc_token_entropy,
         "gopher_quality": _q_gopher_quality,
         "pack_sequences": _q_pack_sequences,
         "leakage_safe_split": _q_leakage_safe_split,
@@ -6698,6 +6737,32 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT EXISTS (SELECT 1 FROM e "
             "WHERE e.u = cand.u AND e.v = cand.v) "
             "ORDER BY cn DESC, aa_u DESC, u, v LIMIT 100"
+        ),
+        "doc_token_entropy": (
+            "WITH tok AS (SELECT doc_id, unnest("
+            "regexp_split_to_array(trim(text), '\\s+')) AS w "
+            "FROM documents), "
+            "cnt AS (SELECT doc_id, w, count(*) AS n "
+            "FROM tok GROUP BY doc_id, w), "
+            "tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS N "
+            "FROM cnt GROUP BY doc_id) "
+            "SELECT c.doc_id, t.N AS n_tokens, "
+            "CAST(SUM(c.n * CAST(FLOOR(1000000000.0 * "
+            "ln(CAST(t.N AS DOUBLE) / c.n) + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS entropy_u "
+            "FROM cnt c JOIN tot t USING (doc_id) GROUP BY c.doc_id, t.N"
+        ),
+        "user_first_last_event": (
+            "WITH r AS (SELECT user_id, ts, event_type, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts ASC, event_id ASC) AS rf, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id ASC) AS rl FROM events) "
+            "SELECT f.user_id, f.ts AS first_ts, "
+            "f.event_type AS first_event_type, l.ts AS last_ts, "
+            "l.event_type AS last_event_type "
+            "FROM (SELECT * FROM r WHERE rf = 1) f "
+            "JOIN (SELECT * FROM r WHERE rl = 1) l USING (user_id)"
         ),
         "phrase_search": (
             "WITH t AS (SELECT doc_id, "

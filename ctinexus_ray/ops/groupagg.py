@@ -417,3 +417,81 @@ def key_skew_profile(
     else:  # string keys keep their own type
         cols["top_key"] = pa.array([top_key])
     return pa.Table.from_pydict(cols)
+
+
+def grouped_arg_extremum(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    order_col: str,
+    tie_col: str,
+    payload_cols: list[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """FIRST_VALUE / LAST_VALUE per group over a total order: for each
+    key group, the ``payload_cols`` (and ``order_col``) of the row with
+    the smallest and the largest ``order_col`` — ties broken by the
+    smallest ``tie_col`` on BOTH ends, so the result is deterministic
+    whenever (order_col, tie_col) is unique per group (pass a unique id
+    as the tie). The arg-extremum shape SQL spells as
+    ``row_number() OVER (ORDER BY order, tie) = 1``.
+
+    Scale shape: per input batch a vectorized combine keeps at most TWO
+    candidate rows per group (the batch's own first/last), then ONE
+    hash-partitioned reduce applies the identical rule — classic
+    mergeable-partial aggregation; group cardinality never
+    materializes anywhere. Output columns: keys + first_<c> / last_<c>
+    for order_col and every payload column.
+    """
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(ds)
+    assert num_partitions & (num_partitions - 1) == 0, "power of two"
+    cols = keys + [order_col, tie_col] + list(payload_cols)
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        firsts = (
+            df.sort_values([order_col, tie_col])
+            .groupby(keys, sort=False, dropna=False)
+            .head(1)
+        )
+        lasts = (
+            df.sort_values(
+                [order_col, tie_col], ascending=[False, True]
+            )
+            .groupby(keys, sort=False, dropna=False)
+            .head(1)
+        )
+        return pd.concat([firsts, lasts], ignore_index=True)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        df = candidates(batch.select(cols).to_pandas())
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return add_hash_pkey(out, keys, num_partitions)
+
+    def reduce_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[cols]
+        f = (
+            g.sort_values([order_col, tie_col])
+            .groupby(keys, sort=False, dropna=False)
+            .head(1)
+            .set_index(keys)
+        )
+        l = (
+            g.sort_values([order_col, tie_col], ascending=[False, True])
+            .groupby(keys, sort=False, dropna=False)
+            .head(1)
+            .set_index(keys)
+        )
+        out = f[[order_col, *payload_cols]].rename(
+            columns={c: f"first_{c}" for c in [order_col, *payload_cols]}
+        )
+        lastr = l[[order_col, *payload_cols]].rename(
+            columns={c: f"last_{c}" for c in [order_col, *payload_cols]}
+        )
+        return out.join(lastr).reset_index()
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(combine, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(reduce_partition, batch_format="pandas")
+    )

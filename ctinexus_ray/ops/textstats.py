@@ -1521,3 +1521,41 @@ def phrase_match_counts(
         named_aggs={"n_matches": ("doc_id", "size")},
         num_partitions=num_partitions,
     )
+
+
+def token_entropy_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, entropy_u) — Shannon entropy of each
+    document's token distribution in integer NANO-nats:
+    sum over distinct tokens w of n_w * FLOOR(1e9 * ln(N / n_w) + 0.5),
+    all divisions/logs in float64 with a pinned expression order, the
+    cross-term sum in int64 — order-independent, so a SQL twin computes
+    the identical value (divide by 1e9 * N for nats). Low entropy =
+    repetitive/templated text; a standard corpus quality signal.
+    Stateless map; nothing shuffles."""
+    import numpy as np
+    from collections import Counter
+
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_n, out_e = [], []
+    for t in texts:
+        counts = Counter(_tokens(t or ""))
+        if not counts:
+            out_n.append(0)
+            out_e.append(0)
+            continue
+        n = np.array(list(counts.values()), dtype=np.int64)
+        total = int(n.sum())
+        # pinned operand order — must mirror the SQL twin exactly
+        term = np.floor(
+            1e9 * np.log(np.float64(total) / n.astype(np.float64)) + 0.5
+        ).astype(np.int64)
+        out_n.append(total)
+        out_e.append(int((n * term).sum()))
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(out_n, type=pa.int64()),
+            "entropy_u": pa.array(out_e, type=pa.int64()),
+        }
+    )

@@ -1975,3 +1975,121 @@ class TestPhraseSearch:
             phrase_match_counts(ds, ["a b"])
         with pytest.raises(ValueError):
             phrase_match_counts(ds, [""])
+
+
+class TestGroupedArgExtremum:
+    @staticmethod
+    def _ds(rows):
+        import pyarrow as pa
+        import ray.data
+
+        k, o, t, v = zip(*rows)
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "k": pa.array(k, type=pa.int64()),
+                    "o": pa.array(o, type=pa.int64()),
+                    "tie": pa.array(t, type=pa.int64()),
+                    "v": list(v),
+                }
+            )
+        ).repartition(3)
+
+    def _run(self, ds):
+        from ctinexus_ray.ops.groupagg import grouped_arg_extremum
+
+        out = grouped_arg_extremum(
+            ds, keys=["k"], order_col="o", tie_col="tie",
+            payload_cols=["v"], num_partitions=4,
+        ).take_all()
+        return {
+            r["k"]: (r["first_o"], r["first_v"], r["last_o"], r["last_v"])
+            for r in out
+        }
+
+    def test_basic_first_last(self, ray_session):
+        got = self._run(
+            self._ds(
+                [
+                    (1, 10, 1, "a"),
+                    (1, 30, 2, "c"),
+                    (1, 20, 3, "b"),
+                    (2, 5, 4, "x"),
+                ]
+            )
+        )
+        assert got == {1: (10, "a", 30, "c"), 2: (5, "x", 5, "x")}
+
+    def test_ties_break_by_tie_col(self, ray_session):
+        # same order value on both ends: smallest tie wins on BOTH
+        got = self._run(
+            self._ds(
+                [
+                    (1, 10, 5, "late-tie"),
+                    (1, 10, 2, "early-tie"),
+                    (1, 99, 7, "hi-late"),
+                    (1, 99, 3, "hi-early"),
+                ]
+            )
+        )
+        assert got == {1: (10, "early-tie", 99, "hi-early")}
+
+    def test_merge_across_many_blocks(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        n = 5000
+        rows = [(i % 7, (i * 37) % 1009, i, f"v{i}") for i in range(n)]
+        ds = self._ds(rows).repartition(16)
+        got = self._run(ds)
+        # brute-force oracle
+        import collections
+
+        by_k = collections.defaultdict(list)
+        for k, o, t, v in rows:
+            by_k[k].append((o, t, v))
+        for k, items in by_k.items():
+            fo, ft, fv = min(items)
+            lo_sorted = sorted(items, key=lambda x: (-x[0], x[1]))
+            lo, lt, lv = lo_sorted[0]
+            assert got[k] == (fo, fv, lo, lv), k
+
+
+class TestTokenEntropy:
+    def test_known_values(self, ray_session):
+        import math
+
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.textstats import token_entropy_batch
+
+        batch = pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                "text": ["a a a a", "a b c d", "a a b b"],
+            }
+        )
+        out = {
+            r["doc_id"]: (r["n_tokens"], r["entropy_u"])
+            for r in token_entropy_batch(batch).to_pylist()
+        }
+        # uniform single token -> 0 entropy
+        assert out[1] == (4, 0)
+        # 4 distinct tokens: each term = 1 * floor(1e9*ln(4)+0.5)
+        t4 = math.floor(1e9 * math.log(4.0) + 0.5)
+        assert out[2] == (4, 4 * t4)
+        # two tokens twice each: 2 * floor(1e9*ln(2)+0.5) per token
+        t2 = math.floor(1e9 * math.log(2.0) + 0.5)
+        assert out[3] == (4, 4 * t2)
+
+    def test_empty_text_matches_sql_edge(self, ray_session):
+        # trim('') splits to [''] on both sides -> one token, entropy 0
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.textstats import token_entropy_batch
+
+        batch = pa.Table.from_pydict(
+            {"doc_id": pa.array([1], type=pa.int64()), "text": [""]}
+        )
+        row = token_entropy_batch(batch).to_pylist()[0]
+        assert (row["n_tokens"], row["entropy_u"]) == (1, 0)
