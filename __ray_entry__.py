@@ -1137,6 +1137,50 @@ def _q_name_clustering_coeff(sf_dir: str):
     return local_clustering(_name_edges(sf_dir), num_partitions=16)
 
 
+_WALK_LEN = 3
+
+
+def _q_name_random_walks(sf_dir: str):
+    """Deterministic DeepWalk-style walks over the name-match graph
+    (one walk per node, 3 steps; RNG replaced by the pinned integer
+    hash (w*A + t*B) mod deg over sorted neighbors so every run and
+    the SQL twin agree exactly). Frontier-join plan: edge set
+    materialized once, per step one frontier-edge join + one
+    walk-partitioned vectorized pick. ✓SQL (unrolled window CTE)."""
+    from ctinexus_ray.ops.graph import random_walks
+
+    return random_walks(
+        _name_edges(sf_dir), walk_len=_WALK_LEN, num_partitions=16
+    )
+
+
+def _walks_oracle() -> str:
+    a, b = 2654435761, 40503
+    sql = (
+        "WITH e AS MATERIALIZED (SELECT a.c_custkey AS u, b.c_custkey AS v "
+        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+        "WHERE levenshtein(a.c_name, b.c_name) <= 1), "
+        "sym AS MATERIALIZED (SELECT u AS c, v AS n FROM e "
+        "UNION ALL SELECT v AS c, u AS n FROM e), "
+        "s0 AS MATERIALIZED (SELECT DISTINCT c AS walk_id, c AS node "
+        "FROM sym)"
+    )
+    for t in range(1, _WALK_LEN + 1):
+        sql += (
+            f", s{t} AS MATERIALIZED (SELECT walk_id, nbr AS node FROM ("
+            f"SELECT f.walk_id, s.n AS nbr, "
+            f"row_number() OVER (PARTITION BY f.walk_id ORDER BY s.n) AS rk, "
+            f"count(*) OVER (PARTITION BY f.walk_id) AS deg "
+            f"FROM s{t - 1} f JOIN sym s ON s.c = f.node) "
+            f"WHERE rk = 1 + (walk_id * {a} + {t} * {b}) % deg)"
+        )
+    parts = [
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, node FROM s{t}"
+        for t in range(_WALK_LEN + 1)
+    ]
+    return sql + " " + " UNION ALL ".join(parts)
+
+
 _NAME_GRAPH_CTE = (
     "WITH e AS MATERIALIZED (SELECT a.c_custkey AS u, b.c_custkey AS v "
     "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
@@ -5983,6 +6027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_kcore": _q_name_kcore,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
+        "name_random_walks": _q_name_random_walks,
         "bpe_encode": _q_bpe_encode,
         "user_running_totals": _q_user_running_totals,
         "user_key_skew": _q_user_key_skew,
@@ -6727,6 +6772,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE levenshtein(a.c_name, b.c_name) <= 1"
         ),
         "name_kcore": _kcore_oracle(),
+        "name_random_walks": _walks_oracle(),
         "name_link_prediction": (
             _NAME_GRAPH_CTE + ", "
             "wd AS (SELECT w.x, w.y, CAST(FLOOR(1000000000.0 / ln(d.deg) "

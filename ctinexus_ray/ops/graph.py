@@ -1279,3 +1279,124 @@ def local_clustering(
         )
 
     return out.map_batches(finalize, batch_format="pyarrow")
+
+
+_WALK_A = 2654435761  # Knuth multiplicative constant
+_WALK_B = 40503
+
+
+def random_walks(
+    edges: ray.data.Dataset,
+    walk_len: int = 3,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic 'random' walks over an undirected canonical
+    (a < b) edge list — the DeepWalk/node2vec corpus-generation
+    primitive, made reproducible (and SQL-verifiable) by replacing the
+    RNG with a pinned integer hash: one walk starts at every node, and
+    at step t walk w moves to sorted-neighbors[(w*A + t*B) mod deg].
+    Every worker, every run, and the SQL twin agree exactly.
+
+    Scale shape: the frontier is walk-sized (one row per walk), the
+    symmetrized edge set is materialized ONCE; each step is one
+    hash-partitioned frontier-edge join (fan-out = frontier degrees)
+    plus one walk-partitioned vectorized pick — no adjacency list and
+    no walk history ever sit on the driver. Output:
+    (walk_id, step, node) for steps 0..walk_len.
+    """
+    from ctinexus_ray.ops.groupagg import add_hash_pkey
+
+    int64 = pa.int64()
+    edges = edges.select_columns(["a", "b"]).materialize()
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        return pa.Table.from_pydict(
+            {
+                "node": pc.cast(pa.chunked_array([a, b]), int64),
+                "nbr": pc.cast(pa.chunked_array([b, a]), int64),
+            }
+        )
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    # one walk per node; endpoints of the edge list are the node set
+    def seed(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"walk_id": batch.column("node"), "node": batch.column("node")}
+        )
+
+    frontier = (
+        node_degrees(edges, num_partitions)
+        .select_columns(["node"])
+        .map_batches(seed, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def tag(ds: ray.data.Dataset, step: int) -> ray.data.Dataset:
+        def do(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "walk_id": batch.column("walk_id"),
+                    "step": pa.array(
+                        np.full(batch.num_rows, step, dtype=np.int64),
+                        type=int64,
+                    ),
+                    "node": batch.column("node"),
+                }
+            )
+
+        return ds.map_batches(do, batch_format="pyarrow")
+
+    if num_partitions is None:
+        from ctinexus_ray.ops.groupagg import derive_num_partitions
+
+        num_partitions = derive_num_partitions(sym)
+
+    out = [tag(frontier, 0)]
+    for t in range(1, walk_len + 1):
+        fan = hash_join(
+            frontier,
+            sym,
+            on=["node"],
+            num_partitions=num_partitions,
+            left_types={"walk_id": int64, "node": int64},
+            right_types={"node": int64, "nbr": int64},
+        )
+
+        def add_pkey(batch: pa.Table) -> pa.Table:
+            return add_hash_pkey(batch, ["walk_id"], num_partitions)
+
+        def pick(g: "pd.DataFrame", _t=t) -> "pd.DataFrame":
+            # per walk: sorted neighbors, index (w*A + t*B) mod deg —
+            # vectorized via group offsets on the partition frame
+            g = g.sort_values(["walk_id", "nbr"], kind="mergesort")
+            w = g["walk_id"].to_numpy()
+            # group boundaries on the sorted frame
+            starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+            sizes = np.diff(np.r_[starts, len(w)])
+            wid = w[starts]
+            if len(wid) and int(wid.max()) >= (1 << 31):
+                # w*A must stay inside int64 exactly like the SQL twin
+                raise ValueError(
+                    "random_walks requires node ids < 2^31 "
+                    "(the pinned walk hash multiplies by a 32-bit constant)"
+                )
+            idx = (wid * _WALK_A + _t * _WALK_B) % sizes
+            rows = g.iloc[starts + idx]
+            return rows[["walk_id", "nbr"]].rename(columns={"nbr": "node"})
+
+        frontier = (
+            fan.select_columns(["walk_id", "nbr"])
+            .map_batches(add_pkey, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(pick, batch_format="pandas")
+            .materialize()
+        )
+        out.append(tag(frontier, t))
+
+    result = out[0]
+    for ds in out[1:]:
+        result = result.union(ds)
+    return result

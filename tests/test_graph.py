@@ -413,3 +413,50 @@ class TestLocalClustering:
             for r in local_clustering(edges, num_partitions=4).take_all()
         }
         assert got == {2: (0, 2), 3: (0, 2)}
+
+
+class TestRandomWalks:
+    def test_pinned_hash_parity(self, ray_session):
+        """Walks follow sorted-neighbors[(w*A + t*B) mod deg] exactly —
+        verified against a from-first-principles Python oracle."""
+        from ctinexus_ray.ops.graph import _WALK_A, _WALK_B, random_walks
+
+        a = [1, 2, 3, 2, 1]
+        b = [2, 3, 4, 4, 4]
+        out = random_walks(_canon_edges(a, b), walk_len=4, num_partitions=4)
+        got = {
+            (r["walk_id"], r["step"]): r["node"] for r in out.take_all()
+        }
+        sym: dict[int, list[int]] = {}
+        for x, y in zip(a, b):
+            sym.setdefault(x, []).append(y)
+            sym.setdefault(y, []).append(x)
+        for k in sym:
+            sym[k].sort()
+        for w in sym:
+            assert got[(w, 0)] == w
+            node = w
+            for t in range(1, 5):
+                nbrs = sym[node]
+                node = nbrs[(w * _WALK_A + t * _WALK_B) % len(nbrs)]
+                assert got[(w, t)] == node, (w, t)
+
+    def test_walk_counts(self, ray_session):
+        from ctinexus_ray.ops.graph import random_walks
+
+        out = random_walks(
+            _canon_edges([1, 2], [2, 3]), walk_len=2, num_partitions=4
+        )
+        # 3 nodes x (1 + 2 steps) rows
+        assert out.count() == 9
+
+    def test_id_overflow_guard(self, ray_session):
+        import pytest
+
+        from ctinexus_ray.ops.graph import random_walks
+
+        big = 1 << 32
+        with pytest.raises(Exception, match="2\\^31"):
+            random_walks(
+                _canon_edges([big], [big + 1]), walk_len=1, num_partitions=4
+            ).materialize()
