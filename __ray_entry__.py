@@ -1194,6 +1194,109 @@ _NAME_GRAPH_CTE = (
 )
 
 
+def _q_user_top_event(sf_dir: str):
+    """Grouped MODE with deterministic tie-break: each user's most
+    frequent event_type (count desc, type asc) — ONE (user, type) count
+    reduce, then the grouped arg-extremum takes the per-user max; no
+    per-user cardinality anywhere. ✓SQL (window twin)."""
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import grouped_arg_extremum, partitioned_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    counts = partitioned_agg(
+        ev,
+        keys=["user_id", "event_type"],
+        named_aggs={"n": ("event_type", "size")},
+        num_partitions=16,
+    )
+    # max count; ties -> smallest event_type (the "last_" end of the
+    # extremum with tie asc)
+    ext = grouped_arg_extremum(
+        counts,
+        keys=["user_id"],
+        order_col="n",
+        tie_col="event_type",
+        payload_cols=["event_type"],
+        num_partitions=16,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch.column("user_id"),
+                "top_event": batch.column("last_event_type"),
+                "n": batch.column("last_n"),
+            }
+        )
+
+    return ext.map_batches(project, batch_format="pyarrow")
+
+
+def _q_cumulative_users(sf_dir: str):
+    """Cumulative distinct users per day (running reach): first-seen
+    day per user (ONE user-partitioned min reduce — the corpus-sized
+    axis), day-sized new-user counts, then a prefix sum over the tiny
+    day table. Running COUNT(DISTINCT) without ever holding a distinct
+    set. ✓SQL (window twin)."""
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def day_of(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch.column("user_id"),
+                "day": pc.cast(
+                    pc.floor_temporal(batch.column("ts"), unit="day"),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+
+    first_day = partitioned_agg(
+        ev.map_batches(day_of, batch_format="pyarrow"),
+        keys=["user_id"],
+        named_aggs={"first_day": ("day", "min")},
+        num_partitions=16,
+    )
+    per_day = partitioned_agg(
+        first_day.select_columns(["first_day"]),
+        keys=["first_day"],
+        named_aggs={"new_users": ("first_day", "size")},
+        num_partitions=4,
+    )
+
+    def running(batch: pa.Table):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(batch.column("first_day"))
+        days = batch.column("first_day").take(order)
+        new = batch.column("new_users").take(order)
+        cum = np.cumsum(new.to_numpy(zero_copy_only=False))
+        yield pa.Table.from_pydict(
+            {
+                "day": days,
+                "new_users": new,
+                "cum_users": pa.array(cum, type=pa.int64()),
+            }
+        )
+
+    # day axis is calendar-sized -> safe single block for the scan
+    return per_day.repartition(1).map_batches(
+        running, batch_format="pyarrow", batch_size=None
+    )
+
+
 def _q_doc_token_entropy(sf_dir: str):
     """Shannon entropy of each document's token distribution in integer
     nano-nats (low entropy = templated/repetitive text — a corpus
@@ -5958,6 +6061,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "user_first_last_event": _q_user_first_last_event,
         "doc_token_entropy": _q_doc_token_entropy,
+        "user_top_event": _q_user_top_event,
+        "cumulative_users": _q_cumulative_users,
         "gopher_quality": _q_gopher_quality,
         "pack_sequences": _q_pack_sequences,
         "leakage_safe_split": _q_leakage_safe_split,
@@ -6783,6 +6888,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT EXISTS (SELECT 1 FROM e "
             "WHERE e.u = cand.u AND e.v = cand.v) "
             "ORDER BY cn DESC, aa_u DESC, u, v LIMIT 100"
+        ),
+        "user_top_event": (
+            "WITH c AS (SELECT user_id, event_type, count(*) AS n "
+            "FROM events GROUP BY user_id, event_type), "
+            "r AS (SELECT user_id, event_type, n, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rk "
+            "FROM c) "
+            "SELECT user_id, event_type AS top_event, "
+            "CAST(n AS BIGINT) AS n FROM r WHERE rk = 1"
+        ),
+        "cumulative_users": (
+            "WITH f AS (SELECT user_id, min(date_trunc('day', ts)) AS day "
+            "FROM events GROUP BY user_id), "
+            "d AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users "
+            "FROM f GROUP BY day) "
+            "SELECT day, new_users, CAST(SUM(new_users) OVER ("
+            "ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users "
+            "FROM d"
         ),
         "doc_token_entropy": (
             "WITH tok AS (SELECT doc_id, unnest("

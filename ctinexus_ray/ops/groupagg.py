@@ -445,7 +445,8 @@ def grouped_arg_extremum(
     if num_partitions is None:
         num_partitions = derive_num_partitions(ds)
     assert num_partitions & (num_partitions - 1) == 0, "power of two"
-    cols = keys + [order_col, tie_col] + list(payload_cols)
+    # order-preserving dedupe: tie_col may double as a payload column
+    cols = list(dict.fromkeys(keys + [order_col, tie_col] + list(payload_cols)))
 
     def candidates(df: pd.DataFrame) -> pd.DataFrame:
         firsts = (

@@ -2093,3 +2093,25 @@ class TestTokenEntropy:
         )
         row = token_entropy_batch(batch).to_pylist()[0]
         assert (row["n_tokens"], row["entropy_u"]) == (1, 0)
+
+    def test_payload_equals_tie_col(self, ray_session):
+        """tie_col doubling as the payload (the grouped-MODE shape) must
+        not duplicate columns."""
+        from ctinexus_ray.ops.groupagg import grouped_arg_extremum
+
+        ds = TestGroupedArgExtremum._ds(
+            [
+                (1, 3, 10, "_"),
+                (1, 3, 5, "_"),
+                (1, 1, 7, "_"),
+            ]
+        )
+        out = grouped_arg_extremum(
+            ds, keys=["k"], order_col="o", tie_col="tie",
+            payload_cols=["tie"], num_partitions=4,
+        ).take_all()
+        assert len(out) == 1
+        r = out[0]
+        # max o = 3 twice; smallest tie (5) wins the "last" end
+        assert (r["last_o"], r["last_tie"]) == (3, 5)
+        assert (r["first_o"], r["first_tie"]) == (1, 7)
