@@ -1194,6 +1194,68 @@ _NAME_GRAPH_CTE = (
 )
 
 
+def _q_user_activity_gini(sf_dir: str):
+    """Gini coefficient of per-user event counts (activity
+    concentration / key-skew signal), kept as an EXACT integer rational
+    (gini_num, gini_den) with gini = num/den — no float ever crosses a
+    row boundary. num = 2*sum(rank*n) - (N+1)*sum(n), den = N*sum(n)
+    over ranks of the ascending (n, user_id) order; tied n values make
+    sum(rank*n) order-invariant, so the value is deterministic. Plan:
+    ONE user count reduce, the distributed global row_number, then
+    O(blocks) integer partials. ✓SQL (window twin)."""
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.shards import global_row_number
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    counts = partitioned_agg(
+        ev,
+        keys=["user_id"],
+        named_aggs={"n": ("user_id", "size")},
+        num_partitions=16,
+    )
+    ranked = global_row_number(
+        counts, ["n", "user_id"], descending=[False, False], out_col="rk"
+    )
+
+    def partial(batch: pa.Table):
+        import numpy as np
+
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        rk = batch.column("rk").to_numpy(zero_copy_only=False).astype(np.int64)
+        yield pa.Table.from_pydict(
+            {
+                "s_rn": pa.array([int((rk * n).sum())], type=pa.int64()),
+                "s_n": pa.array([int(n.sum())], type=pa.int64()),
+                "cnt": pa.array([len(n)], type=pa.int64()),
+            }
+        )
+
+    def final(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        s_rn = pc.sum(batch.column("s_rn")).as_py() or 0
+        s_n = pc.sum(batch.column("s_n")).as_py() or 0
+        cnt = pc.sum(batch.column("cnt")).as_py() or 0
+        yield pa.Table.from_pydict(
+            {
+                "gini_num": pa.array(
+                    [2 * s_rn - (cnt + 1) * s_n], type=pa.int64()
+                ),
+                "gini_den": pa.array([cnt * s_n], type=pa.int64()),
+            }
+        )
+
+    return (
+        ranked.map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow", batch_size=None)
+    )
+
+
 def _q_user_top_event(sf_dir: str):
     """Grouped MODE with deterministic tie-break: each user's most
     frequent event_type (count desc, type asc) — ONE (user, type) count
@@ -6062,6 +6124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last_event": _q_user_first_last_event,
         "doc_token_entropy": _q_doc_token_entropy,
         "user_top_event": _q_user_top_event,
+        "user_activity_gini": _q_user_activity_gini,
         "cumulative_users": _q_cumulative_users,
         "gopher_quality": _q_gopher_quality,
         "pack_sequences": _q_pack_sequences,
@@ -6888,6 +6951,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT EXISTS (SELECT 1 FROM e "
             "WHERE e.u = cand.u AND e.v = cand.v) "
             "ORDER BY cn DESC, aa_u DESC, u, v LIMIT 100"
+        ),
+        "user_activity_gini": (
+            "WITH c AS (SELECT user_id, count(*) AS n "
+            "FROM events GROUP BY user_id), "
+            "r AS (SELECT n, row_number() OVER (ORDER BY n, user_id) AS rk "
+            "FROM c) "
+            "SELECT CAST(2 * SUM(rk * n) - (COUNT(*) + 1) * SUM(n) "
+            "AS BIGINT) AS gini_num, "
+            "CAST(COUNT(*) * SUM(n) AS BIGINT) AS gini_den FROM r"
         ),
         "user_top_event": (
             "WITH c AS (SELECT user_id, event_type, count(*) AS n "
