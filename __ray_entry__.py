@@ -1194,6 +1194,92 @@ _NAME_GRAPH_CTE = (
 )
 
 
+def _q_event_trend(sf_dir: str):
+    """Per-event-type daily-volume linear trend (drift detection for
+    monitoring pipelines), as EXACT integer rationals: slope =
+    slope_num/slope_den from the closed-form least-squares sums
+    (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over (epoch-day, count) points —
+    every sum an int64, no float anywhere. Plan: one (type, day) count
+    reduce (the corpus axis), then one type-partitioned reduce over the
+    tiny day table. ✓SQL (explicit integer-sum twin; avoids DuckDB's
+    float regr_slope)."""
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def day_of(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = pc.cast(
+            pc.floor_temporal(batch.column("ts"), unit="day"), pa.int64()
+        )
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch.column("event_type"),
+                "day": pc.divide(us, 86_400_000_000),
+            }
+        )
+
+    daily = partitioned_agg(
+        ev.map_batches(day_of, batch_format="pyarrow"),
+        keys=["event_type", "day"],
+        named_aggs={"y": ("day", "size")},
+        num_partitions=16,
+    )
+
+    def sums(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        x = batch.column("day").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column("y").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch.column("event_type"),
+                "n": pa.array(np.ones(len(x), dtype=np.int64), type=pa.int64()),
+                "sx": pa.array(x, type=pa.int64()),
+                "sy": pa.array(y, type=pa.int64()),
+                "sxy": pa.array(x * y, type=pa.int64()),
+                "sxx": pa.array(x * x, type=pa.int64()),
+            }
+        )
+
+    agg = partitioned_agg(
+        daily.map_batches(sums, batch_format="pyarrow"),
+        keys=["event_type"],
+        named_aggs={
+            "n": ("n", "sum"),
+            "sx": ("sx", "sum"),
+            "sy": ("sy", "sum"),
+            "sxy": ("sxy", "sum"),
+            "sxx": ("sxx", "sum"),
+        },
+        num_partitions=4,
+    )
+
+    def closed_form(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        sx = batch.column("sx").to_numpy(zero_copy_only=False)
+        sy = batch.column("sy").to_numpy(zero_copy_only=False)
+        sxy = batch.column("sxy").to_numpy(zero_copy_only=False)
+        sxx = batch.column("sxx").to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "event_type": batch.column("event_type"),
+                "n_days": pa.array(n, type=pa.int64()),
+                "slope_num": pa.array(n * sxy - sx * sy, type=pa.int64()),
+                "slope_den": pa.array(n * sxx - sx * sx, type=pa.int64()),
+            }
+        )
+
+    return agg.map_batches(closed_form, batch_format="pyarrow")
+
+
 def _q_user_activity_gini(sf_dir: str):
     """Gini coefficient of per-user event counts (activity
     concentration / key-skew signal), kept as an EXACT integer rational
@@ -6125,6 +6211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_entropy": _q_doc_token_entropy,
         "user_top_event": _q_user_top_event,
         "user_activity_gini": _q_user_activity_gini,
+        "event_trend": _q_event_trend,
         "cumulative_users": _q_cumulative_users,
         "gopher_quality": _q_gopher_quality,
         "pack_sequences": _q_pack_sequences,
@@ -6951,6 +7038,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE NOT EXISTS (SELECT 1 FROM e "
             "WHERE e.u = cand.u AND e.v = cand.v) "
             "ORDER BY cn DESC, aa_u DESC, u, v LIMIT 100"
+        ),
+        "event_trend": (
+            "WITH d AS (SELECT event_type, "
+            "(CAST(ts AS DATE) - DATE '1970-01-01') AS day, "
+            "count(*) AS y FROM events GROUP BY 1, 2), "
+            "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(SUM(day) AS BIGINT) AS sx, "
+            "CAST(SUM(y) AS BIGINT) AS sy, "
+            "CAST(SUM(day * y) AS BIGINT) AS sxy, "
+            "CAST(SUM(day * day) AS BIGINT) AS sxx FROM d GROUP BY 1) "
+            "SELECT event_type, n AS n_days, "
+            "CAST(n * sxy - sx * sy AS BIGINT) AS slope_num, "
+            "CAST(n * sxx - sx * sx AS BIGINT) AS slope_den FROM s"
         ),
         "user_activity_gini": (
             "WITH c AS (SELECT user_id, count(*) AS n "
