@@ -1080,14 +1080,7 @@ def _q_name_bfs_hops(sf_dir: str):
     expansion + distributed anti-join against the visited set."""
     from ctinexus_ray.ops.graph import bfs_hops
 
-    def rn(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["a", "b", "dist"])
-
-    edges = (
-        _q_name_match_pairs(sf_dir)
-        .map_batches(rn, batch_format="pyarrow")
-        .select_columns(["a", "b"])
-    )
+    edges = _name_edges(sf_dir)
     import pyarrow.dataset as pds
     import ray.data
 
@@ -1099,19 +1092,35 @@ def _q_name_bfs_hops(sf_dir: str):
     return bfs_hops(edges, seeds, max_hops=4, num_partitions=16)
 
 
+_NAME_EDGES_CACHE: dict = {}
+
+
 def _name_edges(sf_dir: str):
     """The edit-distance name-match graph as a canonical (a, b) edge
-    list — shared input of the kcore/bfs/link-prediction/clustering
-    family."""
+    list — shared input of the kcore/bfs/walks/link-prediction/
+    clustering family. Materialized ONCE per (Ray job, sf_dir) and
+    memoized: the driver sweep calls five independent name-graph
+    queries in one session, and recomputing the blocking+verify join
+    per query would multiply its cost by five. The job-id key drops
+    stale object refs if the process re-inits Ray."""
+    import ray as _ray
 
-    def rn(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["a", "b", "dist"])
+    key = (_ray.get_runtime_context().get_job_id(), sf_dir)
+    ds = _NAME_EDGES_CACHE.get(key)
+    if ds is None:
 
-    return (
-        _q_name_match_pairs(sf_dir)
-        .map_batches(rn, batch_format="pyarrow")
-        .select_columns(["a", "b"])
-    )
+        def rn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(["a", "b", "dist"])
+
+        ds = (
+            _q_name_match_pairs(sf_dir)
+            .map_batches(rn, batch_format="pyarrow")
+            .select_columns(["a", "b"])
+            .materialize()
+        )
+        _NAME_EDGES_CACHE.clear()  # one graph at a time is plenty
+        _NAME_EDGES_CACHE[key] = ds
+    return ds
 
 
 def _q_name_link_prediction(sf_dir: str):
@@ -2718,15 +2727,10 @@ def _q_name_kcore(sf_dir: str):
     unrolled-CTE SQL twin exact (the PageRank pattern)."""
     from ctinexus_ray.ops.graph import k_core
 
-    def rn(batch: pa.Table) -> pa.Table:
-        return batch.rename_columns(["a", "b", "dist"])
-
-    edges = (
-        _q_name_match_pairs(sf_dir)
-        .map_batches(rn, batch_format="pyarrow")
-        .select_columns(["a", "b"])
+    return k_core(
+        _name_edges(sf_dir), _KCORE_K, rounds=_KCORE_ROUNDS,
+        num_partitions=16,
     )
-    return k_core(edges, _KCORE_K, rounds=_KCORE_ROUNDS, num_partitions=16)
 
 
 def _kcore_oracle() -> str:
