@@ -215,3 +215,92 @@ class TestChecksumXor:
         for i, t in rows[mid:]:
             b ^= h(i, t)
         assert a ^ b == full
+
+
+class TestCdcBoundaries:
+    @given(
+        st.binary(min_size=0, max_size=2000),
+        st.sampled_from([(4, 16, 64), (8, 32, 128), (16, 64, 256)]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_tiling_and_bounds(self, data, params):
+        """Cuts tile the input exactly; every chunk <= max and every
+        non-tail chunk >= min."""
+        from ctinexus_ray.ops.shards import cdc_boundaries
+
+        mn, avg, mx = params
+        cuts = cdc_boundaries(data, mn, avg, mx)
+        if not data:
+            assert cuts == []
+            return
+        assert cuts[-1] == len(data)
+        assert all(a < b for a, b in zip(cuts, cuts[1:]))
+        sizes = [b - a for a, b in zip([0] + cuts[:-1], cuts)]
+        assert all(s <= mx for s in sizes)
+        assert all(s >= mn for s in sizes[:-1])
+
+    @given(st.binary(min_size=64, max_size=1500), st.binary(min_size=1, max_size=8))
+    @settings(max_examples=40, deadline=None)
+    def test_suffix_stability(self, data, insert):
+        """Appending a PREFIX never changes cuts in the far suffix once
+        the cut streams re-synchronize (content-defined property)."""
+        from ctinexus_ray.ops.shards import cdc_boundaries
+
+        mn, avg, mx = 8, 32, 128
+        base = cdc_boundaries(data, mn, avg, mx)
+        shifted = cdc_boundaries(insert + data, mn, avg, mx)
+        k = len(insert)
+        # compare cut positions relative to the original data
+        base_set = set(base)
+        shifted_set = {c - k for c in shifted}
+        common = base_set & shifted_set
+        if common:
+            resync = min(common)
+            # after the first shared cut, the streams are identical
+            assert {c for c in base_set if c >= resync} == {
+                c for c in shifted_set if c >= resync
+            }
+
+
+class TestPhraseSearchProperty:
+    @given(
+        st.lists(
+            st.lists(st.sampled_from("ab"), min_size=0, max_size=12).map(
+                " ".join
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        st.lists(st.sampled_from("ab"), min_size=1, max_size=3),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_matches_naive_scan(self, ray_session, texts, phrase):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.textstats import phrase_match_counts
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": texts,
+                }
+            )
+        ).repartition(2)
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_match_counts(ds, list(phrase), num_partitions=4).take_all()
+        }
+        want = {}
+        k = len(phrase)
+        for i, t in enumerate(texts):
+            toks = t.split()
+            n = sum(
+                1
+                for j in range(len(toks) - k + 1)
+                if toks[j : j + k] == list(phrase)
+            )
+            if n:
+                want[i] = n
+        assert got == want
