@@ -460,3 +460,85 @@ class TestRandomWalks:
             random_walks(
                 _canon_edges([big], [big + 1]), walk_len=1, num_partitions=4
             ).materialize()
+
+
+class TestWedgeOpsBruteForce:
+    """link_prediction / local_clustering vs from-first-principles
+    oracles on seeded pseudo-random graphs."""
+
+    @staticmethod
+    def _random_graph(seed: int, n: int = 18, m: int = 40):
+        import hashlib
+
+        edges = set()
+        i = 0
+        while len(edges) < m:
+            h = hashlib.blake2b(f"{seed}:{i}".encode(), digest_size=8).digest()
+            a = int.from_bytes(h[:4], "big") % n
+            b = int.from_bytes(h[4:], "big") % n
+            i += 1
+            if a == b:
+                continue
+            edges.add((min(a, b), max(a, b)))
+        return sorted(edges)
+
+    def test_link_prediction_matches_bruteforce(self, ray_session):
+        import math
+
+        from ctinexus_ray.ops.graph import link_prediction
+
+        for seed in [1, 2, 3]:
+            edges = self._random_graph(seed)
+            ds = _canon_edges([a for a, _ in edges], [b for _, b in edges])
+            got = {
+                (r["u"], r["v"]): (r["cn"], r["aa_u"])
+                for r in link_prediction(ds, top=10**6, num_partitions=4).take_all()
+            }
+            adj: dict[int, set[int]] = {}
+            for a, b in edges:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            want = {}
+            nodes = sorted(adj)
+            for i, u in enumerate(nodes):
+                for v in nodes[i + 1 :]:
+                    if v in adj[u]:
+                        continue
+                    common = adj[u] & adj[v]
+                    if not common:
+                        continue
+                    aa = sum(
+                        math.floor(1e9 / math.log(float(len(adj[c]))) + 0.5)
+                        for c in common
+                    )
+                    want[(u, v)] = (len(common), aa)
+            assert got == want, seed
+
+    def test_local_clustering_matches_bruteforce(self, ray_session):
+        from ctinexus_ray.ops.graph import local_clustering
+
+        for seed in [4, 5]:
+            edges = self._random_graph(seed)
+            ds = _canon_edges([a for a, _ in edges], [b for _, b in edges])
+            got = {
+                r["node"]: (r["tri"], r["deg"])
+                for r in local_clustering(ds, num_partitions=4).take_all()
+            }
+            adj: dict[int, set[int]] = {}
+            eset = set(edges)
+            for a, b in edges:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            want = {}
+            for v, nb in adj.items():
+                if len(nb) < 2:
+                    continue
+                nbs = sorted(nb)
+                tri = sum(
+                    1
+                    for i, x in enumerate(nbs)
+                    for y in nbs[i + 1 :]
+                    if (x, y) in eset
+                )
+                want[v] = (tri, len(nb))
+            assert got == want, seed
