@@ -3101,6 +3101,19 @@ def _q_events_sliding(sf_dir: str):
     )
 
 
+def _q_events_sliding_users(sf_dir: str):
+    """Windowed COUNT(DISTINCT): unique users per 1-hour sliding window
+    (15-minute hop) — the rolling-reach shape. Vectorized fan-out, one
+    (window, user) presence reduce, one window count; no distinct set
+    ever materializes in one place. ✓SQL."""
+    from ctinexus_ray.ops.relational import sliding_window_counts
+
+    return sliding_window_counts(
+        _events(sf_dir), ts_col="ts", window_s=3600, slide_s=900,
+        distinct_col="user_id",
+    )
+
+
 def _q_orders_status_pivot(sf_dir: str):
     """Pivot (long -> wide): per order-year counts by status as columns.
     One vectorized indicator-column pass + one hash-partitioned sum —
@@ -6304,6 +6317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_orders_full": _q_customer_orders_full,
         "purchase_click_band": _q_purchase_click_band,
         "events_sliding": _q_events_sliding,
+        "events_sliding_users": _q_events_sliding_users,
         "orders_status_pivot": _q_orders_status_pivot,
         "orders_rollup": _q_orders_rollup,
         "orders_cube": _q_orders_cube,
@@ -7363,6 +7377,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ((epoch_us(ts) // 1000000) // 900) * 900 - k * 900 "
             "AS window_start_s, count(*) AS n_events FROM events, "
             "LATERAL (SELECT unnest(range(4)) AS k) t GROUP BY 1"
+        ),
+        "events_sliding_users": (
+            "SELECT ((epoch_us(ts) // 1000000) // 900) * 900 - k * 900 "
+            "AS window_start_s, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
+            "FROM events, LATERAL (SELECT unnest(range(4)) AS k) t "
+            "GROUP BY 1"
         ),
         "orders_status_pivot": (
             "SELECT year(o_orderdate) AS o_year, "

@@ -1068,6 +1068,7 @@ def _wedges(
     edges: ray.data.Dataset,
     num_partitions: int | None,
     with_center_degree: bool,
+    max_center_degree: int | None = None,
 ) -> ray.data.Dataset:
     """All open-or-closed 2-paths (x, y, center) of an undirected
     canonical (a < b) edge list, with x < y — each unordered neighbor
@@ -1113,6 +1114,11 @@ def _wedges(
             right_types={"c": int64, "deg": int64},
         )
         left_types = {"c": int64, "x": int64, "deg": int64}
+        if max_center_degree is not None:
+            # opt-in celebrity-node cap (deg^2 wedge fan-out): scores
+            # become "via neighbors of degree <= cap" — an explicit,
+            # caller-requested approximation, never a silent default
+            left = left.filter(expr=f"deg <= {int(max_center_degree)}")
     wedge = hash_join(
         left,
         rename(sym, ["c", "y"]),
@@ -1154,6 +1160,7 @@ def link_prediction(
     edges: ray.data.Dataset,
     top: int = 100,
     num_partitions: int | None = None,
+    max_center_degree: int | None = None,
 ) -> ray.data.Dataset:
     """Common-neighbors + Adamic-Adar link prediction over an
     undirected canonical (a:int64, b:int64, a < b) edge list: for every
@@ -1171,11 +1178,18 @@ def link_prediction(
     triangle_count plan), one (u,v)-partitioned aggregate, one
     anti-join against the edge list, then sort+limit on the
     candidate table. Hub fan-out is deg^2 wedges, same caveat as
-    triangle_count — cap or sample celebrity nodes upstream."""
+    triangle_count — pass ``max_center_degree`` to EXPLICITLY drop
+    celebrity wedge centers (scores become "via neighbors of degree
+    <= cap"; default None stays exact — never a silent cap)."""
     int64 = pa.int64()
     edges = edges.select_columns(["a", "b"]).materialize()
 
-    wedge = _wedges(edges, num_partitions, with_center_degree=True)
+    wedge = _wedges(
+        edges,
+        num_partitions,
+        with_center_degree=True,
+        max_center_degree=max_center_degree,
+    )
 
     def weight(batch: pa.Table) -> pa.Table:
         deg = batch.column("deg").to_numpy(zero_copy_only=False)

@@ -741,17 +741,22 @@ def sliding_window_counts(
     ts_col: str = "ts",
     window_s: int = 3600,
     slide_s: int = 900,
+    distinct_col: str | None = None,
 ) -> ray.data.Dataset:
     """Sliding (hopping) event-time window counts: windows start at every
     multiple of ``slide_s`` seconds and span ``[start, start + window_s)``;
     each event lands in ``window_s / slide_s`` windows. Output:
-    ``(window_start_s, n_events)`` with int64 epoch-second starts.
+    ``(window_start_s, n_events)`` with int64 epoch-second starts — or,
+    with ``distinct_col``, ``(window_start_s, n_distinct)``: the exact
+    windowed COUNT(DISTINCT col) (rolling reach), computed as one extra
+    (window, col)-partitioned presence reduce before the count, so no
+    distinct set ever materializes in one place.
 
     Vectorized fan-out (np.repeat of epoch buckets — the per-event window
     replication never materializes payload columns) + one hash-partitioned
     count reduce. Only non-empty windows are emitted (same as SQL GROUP
     BY). Scale: output rows ~ time-span / slide, shuffle volume ~
-    events x fan-out of one int64 column.
+    events x fan-out of one (or two) int64 columns.
     """
     import numpy as np
 
@@ -759,6 +764,7 @@ def sliding_window_counts(
 
     assert window_s % slide_s == 0, "window must be a multiple of slide"
     fanout = window_s // slide_s
+    cols = [ts_col] + ([distinct_col] if distinct_col else [])
 
     def explode(batch: pa.Table):
         if batch.num_rows == 0:
@@ -770,13 +776,27 @@ def sliding_window_counts(
         base = (secs // slide_s) * slide_s
         ks = np.arange(fanout, dtype=np.int64) * slide_s
         starts = (base[:, None] - ks[None, :]).ravel()
-        yield pa.Table.from_pydict(
-            {"window_start_s": pa.array(starts, type=pa.int64())}
-        )
+        out = {"window_start_s": pa.array(starts, type=pa.int64())}
+        if distinct_col:
+            vals = batch.column(distinct_col)
+            idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), fanout)
+            out[distinct_col] = vals.take(pa.array(idx, type=pa.int64()))
+        yield pa.Table.from_pydict(out)
 
-    exploded = events.select_columns([ts_col]).map_batches(
+    exploded = events.select_columns(cols).map_batches(
         explode, batch_format="pyarrow"
     )
+    if distinct_col:
+        present = partitioned_agg(
+            exploded,
+            keys=["window_start_s", distinct_col],
+            named_aggs={"one": (distinct_col, "size")},
+        )
+        return partitioned_agg(
+            present.select_columns(["window_start_s"]),
+            keys=["window_start_s"],
+            named_aggs={"n_distinct": ("window_start_s", "size")},
+        )
     return partitioned_agg(
         exploded,
         keys=["window_start_s"],

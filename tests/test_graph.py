@@ -542,3 +542,24 @@ class TestWedgeOpsBruteForce:
                 )
                 want[v] = (tri, len(nb))
             assert got == want, seed
+
+    def test_link_prediction_center_degree_cap(self, ray_session):
+        """The opt-in celebrity cap drops wedges through high-degree
+        centers only; default stays exact."""
+        from ctinexus_ray.ops.graph import link_prediction
+
+        # hub 0 connected to 1..6 (deg 6); besides, 1-2-3 path (deg<=3)
+        a = [0] * 6 + [1, 2]
+        b = list(range(1, 7)) + [2, 3]
+        ds = _canon_edges(a, b)
+        exact = link_prediction(ds, top=10**6, num_partitions=4).take_all()
+        capped = link_prediction(
+            ds, top=10**6, num_partitions=4, max_center_degree=3
+        ).take_all()
+        exact_pairs = {(r["u"], r["v"]) for r in exact}
+        capped_pairs = {(r["u"], r["v"]) for r in capped}
+        # pairs that exist ONLY via hub 0 disappear under the cap
+        assert (4, 5) in exact_pairs and (4, 5) not in capped_pairs
+        # pair (1, 3) goes via center 2 (deg 3) — survives
+        assert (1, 3) in exact_pairs and (1, 3) in capped_pairs
+        assert capped_pairs < exact_pairs
