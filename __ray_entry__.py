@@ -1454,6 +1454,47 @@ def _q_cumulative_users(sf_dir: str):
     )
 
 
+_SWEEP_THRESHOLDS = [10, 20, 50, 100, 200]
+
+
+def _q_quality_threshold_sweep(sf_dir: str):
+    """What-if threshold tuning in ONE corpus pass: for each candidate
+    min-word-count threshold, how many documents survive. Per batch the
+    word counts are computed once and ALL thresholds answered by a
+    single vectorized searchsorted on the sorted counts; K one-row
+    partials per batch, one tiny sum reduce — the corpus is read once
+    no matter how many thresholds are swept. ✓SQL."""
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    thrs = _SWEEP_THRESHOLDS
+
+    def partial(batch: pa.Table):
+        import numpy as np
+
+        texts = batch.column("text").to_pylist()
+        nw = np.sort(
+            np.array(
+                [len((t or "").strip().split() or [""]) for t in texts],
+                dtype=np.int64,
+            )
+        )
+        # count of docs with n_words >= thr, for every thr at once
+        n_pass = len(nw) - np.searchsorted(nw, np.array(thrs), side="left")
+        yield pa.Table.from_pydict(
+            {
+                "thr": pa.array(thrs, type=pa.int64()),
+                "n_pass": pa.array(n_pass, type=pa.int64()),
+            }
+        )
+
+    return partitioned_agg(
+        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow"),
+        keys=["thr"],
+        named_aggs={"n_pass": ("n_pass", "sum")},
+        num_partitions=4,
+    )
+
+
 def _q_doc_token_entropy(sf_dir: str):
     """Shannon entropy of each document's token distribution in integer
     nano-nats (low entropy = templated/repetitive text — a corpus
@@ -6226,6 +6267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "user_first_last_event": _q_user_first_last_event,
         "doc_token_entropy": _q_doc_token_entropy,
+        "quality_threshold_sweep": _q_quality_threshold_sweep,
         "user_top_event": _q_user_top_event,
         "user_activity_gini": _q_user_activity_gini,
         "event_trend": _q_event_trend,
@@ -7096,6 +7138,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT day, new_users, CAST(SUM(new_users) OVER ("
             "ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users "
             "FROM d"
+        ),
+        "quality_threshold_sweep": (
+            "SELECT t.thr, CAST(count(*) FILTER (WHERE d.nw >= t.thr) "
+            "AS BIGINT) AS n_pass "
+            "FROM (SELECT len(regexp_split_to_array(trim(text), '\\s+')) "
+            "AS nw FROM documents) d, "
+            "(SELECT unnest([10, 20, 50, 100, 200]) AS thr) t "
+            "GROUP BY t.thr"
         ),
         "doc_token_entropy": (
             "WITH tok AS (SELECT doc_id, unnest("
