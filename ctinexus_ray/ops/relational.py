@@ -780,7 +780,17 @@ def sliding_window_counts(
         if distinct_col:
             vals = batch.column(distinct_col)
             idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), fanout)
-            out[distinct_col] = vals.take(pa.array(idx, type=pa.int64()))
+            t = pa.Table.from_pydict(
+                {
+                    "window_start_s": out["window_start_s"],
+                    distinct_col: vals.take(pa.array(idx, type=pa.int64())),
+                }
+            )
+            # SQL COUNT(DISTINCT col) ignores NULLs — match it
+            import pyarrow.compute as pc
+
+            yield t.filter(pc.is_valid(t.column(distinct_col)))
+            return
         yield pa.Table.from_pydict(out)
 
     exploded = events.select_columns(cols).map_batches(

@@ -1334,3 +1334,53 @@ class TestContQuantiles:
             pa.Table.from_pydict({"v": pa.array([], type=pa.int64())})
         )
         assert int_column_quantiles_cont(ds, "v", [0.5]).count() == 0
+
+
+class TestSlidingDistinct:
+    def test_windowed_distinct_ignores_nulls(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.relational import sliding_window_counts
+
+        # 4 events in one slide bucket: users 1, 1, 2, NULL
+        base = 1_000_000 * 900 * 100  # epoch µs aligned to a 900 s bucket
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "ts": pa.array(
+                        [base, base + 1, base + 2, base + 3],
+                        type=pa.timestamp("us"),
+                    ),
+                    "user_id": pa.array([1, 1, 2, None], type=pa.int64()),
+                }
+            )
+        ).repartition(2)
+        out = {
+            r["window_start_s"]: r["n_distinct"]
+            for r in sliding_window_counts(
+                ds, ts_col="ts", window_s=3600, slide_s=900,
+                distinct_col="user_id",
+            ).take_all()
+        }
+        # every one of the 4 covering windows sees exactly 2 distinct
+        # users — the NULL never counts (SQL COUNT(DISTINCT) semantics)
+        assert len(out) == 4
+        assert set(out.values()) == {2}
+
+    def test_windowed_count_unchanged(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.relational import sliding_window_counts
+
+        base = 1_000_000 * 900 * 100
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "ts": pa.array([base, base + 5], type=pa.timestamp("us")),
+                }
+            )
+        )
+        out = sliding_window_counts(ds, window_s=3600, slide_s=900).take_all()
+        assert len(out) == 4 and all(r["n_events"] == 2 for r in out)
