@@ -441,6 +441,13 @@ def grouped_arg_extremum(
     mergeable-partial aggregation; group cardinality never
     materializes anywhere. Output columns: keys + first_<c> / last_<c>
     for order_col and every payload column.
+
+    NULL order values sort LAST on both ends (pandas na_position,
+    matching DuckDB's default NULLS LAST for ASC and DESC), so a null
+    row is only ever picked when the whole group is null. Caveat: an
+    int64 order/payload column CONTAINING nulls round-trips through
+    pandas as float64 in the output (the usual Arrow->pandas nullable
+    degradation) — pass non-null columns for exact integer outputs.
     """
     if num_partitions is None:
         num_partitions = derive_num_partitions(ds)

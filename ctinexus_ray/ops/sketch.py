@@ -817,7 +817,12 @@ def hll_set_cardinalities(
     inclusion–exclusion caveat) — accuracy pinned in tests.
 
     Returns six (op: string, approx: int64) rows: distinct_left,
-    distinct_right, union, intersect, except_left, except_right."""
+    distinct_right, union, intersect, except_left, except_right.
+
+    NULL semantics: NULLs hash as "" (the hash64_strings convention),
+    so a corpus containing BOTH NULL and '' sees them conflated into
+    one distinct value — filter upstream if that distinction matters
+    (the exact anchor counts them separately, as SQL DISTINCT does)."""
     m = 1 << p
     zero = np.zeros(m, dtype=np.uint8).tobytes()
 
