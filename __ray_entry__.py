@@ -1457,6 +1457,23 @@ def _q_cumulative_users(sf_dir: str):
 _SWEEP_THRESHOLDS = [10, 20, 50, 100, 200]
 
 
+def _q_doc_sample_k_by_lang(sf_dir: str):
+    """Balanced eval holdout: exactly 20 documents PER LANGUAGE, chosen
+    by smallest md5(doc_id) — deterministic, reshard-stable,
+    maximal-overlap-on-regrowth (grouped_sample_k). Batch-local
+    per-group cut + ONE group-partitioned reduce. ✓SQL."""
+    from ctinexus_ray.ops.shards import grouped_sample_k
+
+    out = grouped_sample_k(
+        _docs(sf_dir, ["doc_id", "lang"]),
+        group_col="lang",
+        id_col="doc_id",
+        k=20,
+        num_partitions=4,
+    )
+    return out.select_columns(["lang", "doc_id"])
+
+
 def _q_quality_threshold_sweep(sf_dir: str):
     """What-if threshold tuning in ONE corpus pass: for each candidate
     min-word-count threshold, how many documents survive. Per batch the
@@ -6268,6 +6285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last_event": _q_user_first_last_event,
         "doc_token_entropy": _q_doc_token_entropy,
         "quality_threshold_sweep": _q_quality_threshold_sweep,
+        "doc_sample_k_by_lang": _q_doc_sample_k_by_lang,
         "user_top_event": _q_user_top_event,
         "user_activity_gini": _q_user_activity_gini,
         "event_trend": _q_event_trend,
@@ -7138,6 +7156,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT day, new_users, CAST(SUM(new_users) OVER ("
             "ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users "
             "FROM d"
+        ),
+        "doc_sample_k_by_lang": (
+            "SELECT lang, doc_id FROM ("
+            "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk "
+            "FROM documents) WHERE rk <= 20"
         ),
         "quality_threshold_sweep": (
             "SELECT t.thr, CAST(count(*) FILTER (WHERE d.nw >= t.thr) "

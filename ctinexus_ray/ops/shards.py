@@ -749,3 +749,61 @@ def cdc_chunks(
         lambda b: cdc_chunk_batch(b, min_size, avg_size, max_size),
         batch_format="pyarrow",
     )
+
+
+def grouped_sample_k(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str,
+    k: int,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exactly-k-PER-GROUP deterministic sample (the balanced
+    eval-holdout shape: k docs per language/domain): within each group
+    the k rows with the smallest ``md5(str(id))`` hex digest — the same
+    content-addressed, reshard-stable ranking as ``uniform_sample_k``,
+    partitioned by group. Groups with fewer than k rows keep all rows.
+
+    Shape: each batch cuts locally to its per-group k smallest digests
+    (output <= groups-in-batch x k rows), then ONE group-partitioned
+    reduce applies the identical rule — group cardinality never
+    concentrates anywhere; the digest rides the shuffle as one string
+    column. SQL oracle: ``row_number() OVER (PARTITION BY g ORDER BY
+    md5(CAST(id AS VARCHAR)), id) <= k``."""
+    import hashlib
+
+    import pandas as pd
+
+    from ctinexus_ray.ops.groupagg import add_hash_pkey, derive_num_partitions
+
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(ds)
+    assert num_partitions & (num_partitions - 1) == 0, "power of two"
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        # md5 ties are broken by the id itself so the pick is total
+        return (
+            df.sort_values(["__digest", id_col], kind="mergesort")
+            .groupby(group_col, sort=False, dropna=False)
+            .head(k)
+        )
+
+    def local_cut(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        digests = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        t = batch.append_column("__digest", pa.array(digests, type=pa.string()))
+        out = cut(t.to_pandas())
+        return add_hash_pkey(
+            pa.Table.from_pandas(out, preserve_index=False),
+            [group_col],
+            num_partitions,
+        )
+
+    def reduce_group(df: pd.DataFrame) -> pd.DataFrame:
+        return cut(df).drop(columns=["__digest", "pkey"])
+
+    return (
+        ds.map_batches(local_cut, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(reduce_group, batch_format="pandas")
+    )

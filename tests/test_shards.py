@@ -404,3 +404,57 @@ class TestCdcChunks:
         # chunks tile the document exactly
         assert a.length.sum() == len(t1.encode("utf-8"))
         assert (a.start + a.length).max() == len(t1.encode("utf-8"))
+
+
+class TestGroupedSampleK:
+    def test_exact_k_per_group_and_short_groups(self, ray_session):
+        import hashlib
+
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.shards import grouped_sample_k
+
+        rows = [("a", i) for i in range(30)] + [("b", i) for i in range(100, 103)]
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "g": [g for g, _ in rows],
+                    "id": pa.array([i for _, i in rows], type=pa.int64()),
+                }
+            )
+        ).repartition(4)
+        got = grouped_sample_k(ds, "g", "id", k=5, num_partitions=4).take_all()
+        by_g: dict = {}
+        for r in got:
+            by_g.setdefault(r["g"], set()).add(r["id"])
+        # exactly k for the big group; ALL rows for the short group
+        assert len(by_g["a"]) == 5
+        assert by_g["b"] == {100, 101, 102}
+        # the winners are the md5-smallest — reshard-stable contract
+        want = set(
+            sorted(range(30), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:5]
+        )
+        assert by_g["a"] == want
+
+    def test_deterministic_across_reshard(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.shards import grouped_sample_k
+
+        t = pa.Table.from_pydict(
+            {
+                "g": ["x"] * 50,
+                "id": pa.array(range(50), type=pa.int64()),
+            }
+        )
+        a = grouped_sample_k(
+            ray.data.from_arrow(t).repartition(2), "g", "id", 7,
+            num_partitions=4,
+        ).take_all()
+        b = grouped_sample_k(
+            ray.data.from_arrow(t).repartition(9), "g", "id", 7,
+            num_partitions=4,
+        ).take_all()
+        assert {r["id"] for r in a} == {r["id"] for r in b}
