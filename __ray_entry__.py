@@ -1474,6 +1474,128 @@ def _q_doc_sample_k_by_lang(sf_dir: str):
     return out.select_columns(["lang", "doc_id"])
 
 
+def _q_cdc_chunk_delta(sf_dir: str):
+    """Chunk-level incremental crawl delta: the same two synthetic
+    snapshots as ``crawl_delta`` (docs dropped per modulus, a slice of
+    texts mutated), but diffed at CDC-chunk granularity — the new
+    snapshot's chunks are anti-joined by fingerprint against the old
+    chunk store, so a re-crawled page with one edit contributes only
+    the chunks the edit touched, not the whole document. Output: the
+    new snapshot's chunk/byte totals and the UNSEEN (to-store) subset —
+    the number a content-addressed 100-TB chunk store actually writes.
+    Rows-only (gear hash not SQL-expressible); CDC boundary rule pinned
+    in tests."""
+    import functools
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.shards import cdc_chunks
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def snap(batch: pa.Table, *, old: bool) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_ids, out_texts = [], []
+        for d, t in zip(ids, texts):
+            t = t or ""
+            if old:
+                if d % 7 == 0:
+                    continue
+            else:
+                if d % 5 == 0:
+                    continue
+                if d % 11 == 0:
+                    t = t + "!"
+            out_ids.append(d)
+            out_texts.append(t)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_ids, type=pa.int64()),
+                "text": pa.array(out_texts, type=pa.string()),
+            }
+        )
+
+    kw = dict(min_size=16, avg_size=64, max_size=256)
+    old_fps = partitioned_agg(
+        cdc_chunks(
+            docs.map_batches(
+                functools.partial(snap, old=True), batch_format="pyarrow"
+            ),
+            **kw,
+        ).select_columns(["fp"]),
+        keys=["fp"],
+        named_aggs={"n_old": ("fp", "size")},
+    )
+    new_per_fp = partitioned_agg(
+        cdc_chunks(
+            docs.map_batches(
+                functools.partial(snap, old=False), batch_format="pyarrow"
+            ),
+            **kw,
+        ).select_columns(["fp", "length"]),
+        keys=["fp"],
+        named_aggs={"n": ("length", "size"), "stored": ("length", "min")},
+    ).materialize()  # consumed by totals AND the anti-join
+
+    i64 = pa.int64()
+    unseen = hash_join(
+        new_per_fp,
+        old_fps.select_columns(["fp"]),
+        on=["fp"],
+        how="left_anti",
+        left_types={"fp": i64, "n": i64, "stored": i64},
+        right_types={"fp": i64},
+    )
+
+    def totals(name_new: str, name_bytes: str):
+        def partial(batch: pa.Table):
+            import pyarrow.compute as pc
+
+            yield pa.Table.from_pydict(
+                {
+                    name_new: pa.array([batch.num_rows], type=i64),
+                    name_bytes: pa.array(
+                        [pc.sum(batch.column("stored")).as_py() or 0],
+                        type=i64,
+                    ),
+                }
+            )
+
+        return partial
+
+    def merge(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        yield pa.Table.from_pydict(
+            {
+                c: pa.array([pc.sum(batch.column(c)).as_py() or 0], type=i64)
+                for c in batch.column_names
+            }
+        )
+
+    new_tot = (
+        new_per_fp.map_batches(
+            totals("new_distinct", "new_bytes"), batch_format="pyarrow"
+        )
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
+    unseen_tot = (
+        unseen.map_batches(
+            totals("unseen_distinct", "unseen_bytes"), batch_format="pyarrow"
+        )
+        .repartition(1)
+        .map_batches(merge, batch_format="pyarrow", batch_size=None)
+    )
+
+    import pandas as pd
+
+    a = new_tot.to_pandas()
+    b = unseen_tot.to_pandas()
+    return pd.concat([a.reset_index(drop=True), b.reset_index(drop=True)], axis=1)
+
+
 def _q_quality_threshold_sweep(sf_dir: str):
     """What-if threshold tuning in ONE corpus pass: for each candidate
     min-word-count threshold, how many documents survive. Per batch the
@@ -6286,6 +6408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_entropy": _q_doc_token_entropy,
         "quality_threshold_sweep": _q_quality_threshold_sweep,
         "doc_sample_k_by_lang": _q_doc_sample_k_by_lang,
+        "cdc_chunk_delta": _q_cdc_chunk_delta,
         "user_top_event": _q_user_top_event,
         "user_activity_gini": _q_user_activity_gini,
         "event_trend": _q_event_trend,
