@@ -406,6 +406,23 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def _q_mmr_topk(sf_dir: str):
+    """Maximal-marginal-relevance diverse top-k (lam=0.7, pool=50):
+    exact top-pool candidate cut corpus-side (broadcast query matrix,
+    batch-local cuts), greedy re-rank on the bounded shortlist.
+    Rows-only by design (the greedy is sequential, not
+    SQL-expressible); anchored by tests/test_semdedup.py::TestMmrTopk —
+    lam=1.0 equals self_topk exactly, whose twin similarity_topk is
+    oracle-checked."""
+    from ctinexus_ray.ops.simsearch import mmr_topk
+    from ctinexus_ray.sources.documents import read_testdata_embeddings
+
+    return mmr_topk(
+        read_testdata_embeddings(sf_dir), n_queries=10, k=5, pool=50,
+        lam=0.7,
+    )
+
+
 def _q_ann_ivf(sf_dir: str):
     """IVF approximate nearest neighbors (scale path). Full-probe
     configuration so the result is exactly the brute-force ranking and
@@ -6425,6 +6442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_words_approx": _q_distinct_words_approx,
         "heavy_hitters": _q_heavy_hitters,
         "similarity_topk": _q_similarity_topk,
+        "mmr_topk": _q_mmr_topk,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,

@@ -1159,3 +1159,110 @@ def svd_topk(
             }
         )
     )
+
+
+def mmr_topk(
+    embeddings: ray.data.Dataset,
+    n_queries: int,
+    k: int = 5,
+    pool: int = 50,
+    lam: float = 0.7,
+) -> ray.data.Dataset:
+    """Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    1998): for each query vector, greedily pick k results maximizing
+    ``lam * sim(q, d) - (1 - lam) * max_{s in S} sim(d, s)`` — relevance
+    traded against redundancy with the already-selected set S. The
+    diversity-aware sibling of ``self_topk`` (lam = 1 reduces to plain
+    top-k).
+
+    Scale shape: the corpus-sized work is ONE exact top-``pool``
+    candidate cut (broadcast query matrix, batch-local top-k, small
+    merge — the brute_force_topk plan) plus ONE broadcast-id filter
+    pass to gather the candidates' vectors; the greedy re-rank then
+    runs on the bounded n_queries x pool shortlist only (MMR's
+    sequential dependence makes the greedy inherently serial per query,
+    so the right distributed split is exactly "cut corpus-side, rank
+    shortlist-side"). Deterministic: candidates are ordered
+    (relevance desc, neighbor_id asc) and ties take the first argmax.
+    Returns (query_id, rank, neighbor_id)."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    head = (
+        embeddings.filter(expr=f"vec_id < {n_queries}")
+        .select_columns(["vec_id", "embedding"])
+        .take_all()
+    )
+    out_schema = pa.Table.from_pydict(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64()),
+            "neighbor_id": pa.array([], type=pa.int64()),
+        }
+    )
+    if not head:
+        return ray.data.from_arrow(out_schema)
+    head.sort(key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in head], dtype=np.int64)
+    q_mat = _normalize(
+        np.array([r["embedding"] for r in head], dtype=np.float64)
+    )
+
+    cand = brute_force_topk(
+        embeddings, list(q_ids), q_mat, k=pool, exclude_self=True
+    ).take_all()  # bounded: n_queries * pool rows
+    cand_ids = sorted({r["neighbor_id"] for r in cand})
+    ids_ref = ray.put(np.array(cand_ids, dtype=np.int64))
+
+    def gather(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ids_ref)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = np.isin(vid, wanted)
+        return batch.select(["vec_id", "embedding"]).filter(
+            pa.array(mask)
+        )
+
+    rows = embeddings.map_batches(gather, batch_format="pyarrow").take_all()
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in rows
+    }
+
+    by_q: dict[int, list] = {}
+    for r in cand:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["sim"])
+        )
+    out_q, out_rank, out_n = [], [], []
+    for qi, q in zip(q_ids, q_mat):
+        pool_rows = sorted(
+            by_q.get(int(qi), []), key=lambda t: (-t[1], t[0])
+        )
+        ids = np.array([i for i, _ in pool_rows], dtype=np.int64)
+        rel = np.array([s for _, s in pool_rows], dtype=np.float64)
+        if len(ids) == 0:
+            continue
+        mat = _normalize(np.stack([vecs[int(i)] for i in ids]))
+        chosen: list[int] = []
+        max_red = np.zeros(len(ids), dtype=np.float64)
+        picked = np.zeros(len(ids), dtype=bool)
+        for rank in range(1, min(k, len(ids)) + 1):
+            score = lam * rel - (1.0 - lam) * max_red
+            score[picked] = -np.inf
+            # deterministic: fixed (rel desc, id asc) candidate order,
+            # argmax takes the first of any score tie
+            best = int(np.argmax(score))
+            picked[best] = True
+            chosen.append(best)
+            out_q.append(int(qi))
+            out_rank.append(rank)
+            out_n.append(int(ids[best]))
+            max_red = np.maximum(max_red, mat @ mat[best])
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_rank, type=pa.int64()),
+                "neighbor_id": pa.array(out_n, type=pa.int64()),
+            }
+        )
+    )

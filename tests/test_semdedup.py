@@ -139,3 +139,90 @@ class TestSortedNeighborhood:
 
         with pytest.raises(ValueError):
             self._run([1], [1], 1, parts=1)
+
+
+class TestMmrTopk:
+    @staticmethod
+    def _emb(vectors):
+        import pyarrow as pa
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "vec_id": pa.array(range(len(vectors)), type=pa.int64()),
+                    "embedding": [list(map(float, v)) for v in vectors],
+                }
+            )
+        ).repartition(2)
+
+    def test_lambda_one_equals_plain_topk(self, ray_session):
+        import numpy as np
+
+        from ctinexus_ray.ops.simsearch import mmr_topk, self_topk
+
+        rng = np.random.RandomState(7)
+        vecs = rng.randn(40, 8)
+        ds = self._emb(vecs)
+        plain = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in self_topk(ds, n_queries=3, k=5).take_all()
+        }
+        mmr = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in mmr_topk(ds, n_queries=3, k=5, pool=40, lam=1.0).take_all()
+        }
+        assert mmr == plain
+
+    def test_diversity_breaks_near_duplicate_block(self, ray_session):
+        from ctinexus_ray.ops.simsearch import mmr_topk
+
+        # query q = [1, 0]; three near-clones of q; one orthogonal-ish doc
+        vecs = [
+            [1.0, 0.0],        # 0: the query itself
+            [0.999, 0.001],    # 1: clone
+            [0.998, 0.002],    # 2: clone
+            [0.997, 0.003],    # 3: clone
+            [0.5, 0.8],        # 4: different
+        ]
+        plain = mmr_topk(self._emb(vecs), 1, k=2, pool=4, lam=1.0).take_all()
+        plain_ids = [r["neighbor_id"] for r in sorted(plain, key=lambda r: r["rank"])]
+        assert plain_ids == [1, 2]  # pure relevance: two clones
+        div = mmr_topk(self._emb(vecs), 1, k=2, pool=4, lam=0.3).take_all()
+        div_ids = [r["neighbor_id"] for r in sorted(div, key=lambda r: r["rank"])]
+        # diversity kicks the second clone out for the different doc
+        assert div_ids[0] == 1 and div_ids[1] == 4
+
+    def test_matches_naive_mmr(self, ray_session):
+        import numpy as np
+
+        from ctinexus_ray.ops.simsearch import mmr_topk
+
+        rng = np.random.RandomState(3)
+        vecs = rng.randn(25, 6)
+        lam, k, nq = 0.6, 4, 2
+        got = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in mmr_topk(self._emb(vecs), nq, k=k, pool=24, lam=lam).take_all()
+        }
+        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = unit @ unit.T
+        want = {}
+        for q in range(nq):
+            cand = sorted(
+                (i for i in range(len(vecs)) if i != q),
+                key=lambda i: (-sims[q, i], i),
+            )[:24]
+            chosen = []
+            for rank in range(1, k + 1):
+                best, best_score = None, -np.inf
+                for i in cand:
+                    if i in chosen:
+                        continue
+                    red = max((sims[i, j] for j in chosen), default=0.0)
+                    s = lam * sims[q, i] - (1 - lam) * red
+                    if s > best_score:
+                        best, best_score = i, s
+                chosen.append(best)
+                want[(q, rank)] = best
+        assert got == want
