@@ -1180,6 +1180,66 @@ def _q_name_random_walks(sf_dir: str):
     )
 
 
+_N2V_P, _N2V_Q = 2.0, 0.5
+
+
+def _q_name_biased_walks(sf_dir: str):
+    """node2vec second-order biased walks (p=2, q=0.5 — outward/DFS
+    regime) over the name-match graph, RNG replaced by the pinned
+    integer hash so the walk is SQL-verifiable: per step one
+    frontier-edge join, one canonical-pair LEFT join marking
+    prev-adjacency (the only second-order state), one walk-partitioned
+    vectorized weighted pick over integer milli-weights. ✓SQL
+    (unrolled window-cumsum CTE)."""
+    from ctinexus_ray.ops.graph import biased_random_walks
+
+    return biased_random_walks(
+        _name_edges(sf_dir), walk_len=_WALK_LEN, p=_N2V_P, q=_N2V_Q,
+        num_partitions=16,
+    )
+
+
+def _biased_walks_oracle() -> str:
+    a, b = 2654435761, 40503
+    w_ret = round(1000 / _N2V_P)
+    w_mid = 1000
+    w_out = round(1000 / _N2V_Q)
+    sql = (
+        "WITH e AS MATERIALIZED (SELECT a.c_custkey AS u, b.c_custkey AS v "
+        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+        "WHERE levenshtein(a.c_name, b.c_name) <= 1), "
+        "sym AS MATERIALIZED (SELECT u AS c, v AS n FROM e "
+        "UNION ALL SELECT v AS c, u AS n FROM e), "
+        "s0 AS MATERIALIZED (SELECT DISTINCT c AS walk_id, "
+        "CAST(-1 AS BIGINT) AS prev, c AS node FROM sym)"
+    )
+    for t in range(1, _WALK_LEN + 1):
+        sql += (
+            f", s{t} AS MATERIALIZED ("
+            f"SELECT walk_id, cur AS prev, nbr AS node FROM ("
+            f"SELECT walk_id, cur, nbr, wt, "
+            f"SUM(wt) OVER (PARTITION BY walk_id ORDER BY nbr "
+            f"ROWS UNBOUNDED PRECEDING) AS cum, "
+            f"SUM(wt) OVER (PARTITION BY walk_id) AS tot FROM ("
+            f"SELECT f.walk_id, f.cur, f.nbr, "
+            f"CASE WHEN f.prev = -1 THEN 1 "
+            f"WHEN f.nbr = f.prev THEN {w_ret} "
+            f"WHEN ex.u IS NOT NULL THEN {w_mid} "
+            f"ELSE {w_out} END AS wt FROM ("
+            f"SELECT f0.walk_id, f0.prev, f0.node AS cur, s.n AS nbr "
+            f"FROM s{t - 1} f0 JOIN sym s ON s.c = f0.node) f "
+            f"LEFT JOIN e ex ON ex.u = least(f.nbr, f.prev) "
+            f"AND ex.v = greatest(f.nbr, f.prev))) "
+            f"WHERE cum > (walk_id * {a} + {t} * {b}) % tot "
+            f"AND cum - wt <= (walk_id * {a} + {t} * {b}) % tot)"
+        )
+    parts = [
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, node FROM s{t}"
+        for t in range(_WALK_LEN + 1)
+    ]
+    return sql + " " + " UNION ALL ".join(parts)
+
+
 def _walks_oracle() -> str:
     a, b = 2654435761, 40503
     sql = (
@@ -6501,6 +6561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
+        "name_biased_walks": _q_name_biased_walks,
         "bpe_encode": _q_bpe_encode,
         "user_running_totals": _q_user_running_totals,
         "user_key_skew": _q_user_key_skew,
@@ -7247,6 +7308,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "name_kcore": _kcore_oracle(),
         "name_random_walks": _walks_oracle(),
+        "name_biased_walks": _biased_walks_oracle(),
         "name_link_prediction": (
             _NAME_GRAPH_CTE + ", "
             "wd AS (SELECT w.x, w.y, CAST(FLOOR(1000000000.0 / ln(d.deg) "

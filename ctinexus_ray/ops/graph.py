@@ -1414,3 +1414,194 @@ def random_walks(
     for ds in out[1:]:
         result = result.union(ds)
     return result
+
+
+def biased_random_walks(
+    edges: ray.data.Dataset,
+    walk_len: int = 3,
+    p: float = 1.0,
+    q: float = 1.0,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """node2vec second-order biased walks (Grover & Leskovec 2016) with
+    the RNG replaced by a pinned integer hash — reproducible across
+    workers and runs. From (prev, cur), each sorted neighbor cand of
+    cur gets the classic integer milli-weight: round(1000/p) if cand ==
+    prev (return), 1000 if cand is adjacent to prev (BFS-ish), else
+    round(1000/q) (DFS-ish); the walk picks the first candidate whose
+    cumulative weight exceeds hash(walk, t) mod total. p > 1 / q < 1
+    push outward (depth), p < 1 / q > 1 keep walks local (breadth).
+    Step 1 has no prev, so it follows the unbiased first-order rule.
+
+    Scale shape per step: one frontier-edge join (fan-out = frontier
+    degrees), one canonical-pair left-semi join against the edge list
+    to mark prev-adjacency (the only second-order state — no adjacency
+    list ever materializes), one walk-partitioned vectorized pick.
+    Output: (walk_id, step, node). Node ids must be < 2^31 (same
+    pinned-hash contract as ``random_walks``)."""
+    from ctinexus_ray.ops.groupagg import add_hash_pkey, derive_num_partitions
+
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be positive")
+    w_ret = int(round(1000.0 / p))
+    w_mid = 1000
+    w_out = int(round(1000.0 / q))
+    int64 = pa.int64()
+    edges = edges.select_columns(["a", "b"]).materialize()
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        return pa.Table.from_pydict(
+            {
+                "node": pc.cast(pa.chunked_array([a, b]), int64),
+                "nbr": pc.cast(pa.chunked_array([b, a]), int64),
+            }
+        )
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(sym)
+
+    def seed(batch: pa.Table) -> pa.Table:
+        n = batch.column("node")
+        return pa.Table.from_pydict(
+            {
+                "walk_id": n,
+                "prev": pa.array(
+                    np.full(len(n), -1, dtype=np.int64), type=int64
+                ),
+                "node": n,
+            }
+        )
+
+    frontier = (
+        node_degrees(edges, num_partitions)
+        .select_columns(["node"])
+        .map_batches(seed, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def tag(ds: ray.data.Dataset, step: int) -> ray.data.Dataset:
+        def do(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "walk_id": batch.column("walk_id"),
+                    "step": pa.array(
+                        np.full(batch.num_rows, step, dtype=np.int64),
+                        type=int64,
+                    ),
+                    "node": batch.column("node"),
+                }
+            )
+
+        return ds.map_batches(do, batch_format="pyarrow")
+
+    out = [tag(frontier, 0)]
+    for t in range(1, walk_len + 1):
+        fan = hash_join(
+            frontier,
+            sym,
+            on=["node"],
+            num_partitions=num_partitions,
+            left_types={"walk_id": int64, "prev": int64, "node": int64},
+            right_types={"node": int64, "nbr": int64},
+        )
+
+        def keyed(batch: pa.Table) -> pa.Table:
+            prev = batch.column("prev").to_numpy(zero_copy_only=False)
+            nbr = batch.column("nbr").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict(
+                {
+                    "walk_id": batch.column("walk_id"),
+                    "prev": batch.column("prev"),
+                    "cur": batch.column("node"),
+                    "nbr": batch.column("nbr"),
+                    # canonical (a, b) of the prev-nbr pair for the
+                    # adjacency probe; -1 prev probes (-1, nbr): absent
+                    "pa_": pa.array(np.minimum(prev, nbr), type=int64),
+                    "pb_": pa.array(np.maximum(prev, nbr), type=int64),
+                }
+            )
+
+        probe = fan.map_batches(keyed, batch_format="pyarrow")
+        # mark candidates adjacent to prev: LEFT join edge list with a
+        # presence flag riding the shuffle
+        def flag_edges(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "pa_": pc.cast(batch.column("a"), int64),
+                    "pb_": pc.cast(batch.column("b"), int64),
+                    "adj": pa.array(
+                        np.ones(batch.num_rows, dtype=np.int64), type=int64
+                    ),
+                }
+            )
+
+        marked = hash_join(
+            probe,
+            edges.map_batches(flag_edges, batch_format="pyarrow"),
+            on=["pa_", "pb_"],
+            how="left",
+            num_partitions=num_partitions,
+            left_types={
+                "pa_": int64,
+                "pb_": int64,
+                "walk_id": int64,
+                "prev": int64,
+                "cur": int64,
+                "nbr": int64,
+            },
+            right_types={"pa_": int64, "pb_": int64, "adj": int64},
+        )
+
+        def add_pkey(batch: pa.Table) -> pa.Table:
+            return add_hash_pkey(batch, ["walk_id"], num_partitions)
+
+        def pick(g: "pd.DataFrame", _t=t) -> "pd.DataFrame":
+            g = g.sort_values(["walk_id", "nbr"], kind="mergesort")
+            w = g["walk_id"].to_numpy()
+            prev = g["prev"].to_numpy()
+            nbr = g["nbr"].to_numpy()
+            adj = g["adj"].to_numpy()
+            if len(w) and int(w.max()) >= (1 << 31):
+                raise ValueError(
+                    "biased_random_walks requires node ids < 2^31 "
+                    "(the pinned walk hash multiplies by a 32-bit constant)"
+                )
+            # integer milli-weights per candidate
+            wt = np.where(
+                nbr == prev,
+                w_ret,
+                np.where(~np.isnan(adj.astype(np.float64)), w_mid, w_out),
+            ).astype(np.int64)
+            # first-order step (prev == -1): uniform
+            wt = np.where(prev == -1, 1, wt)
+            starts = np.flatnonzero(np.r_[True, w[1:] != w[:-1]])
+            sizes = np.diff(np.r_[starts, len(w)])
+            totals = np.add.reduceat(wt, starts)
+            wid = w[starts]
+            draw = (wid * _WALK_A + _t * _WALK_B) % totals
+            cum = np.cumsum(wt)
+            base = np.r_[0, cum[:-1]][starts]  # cum before each group
+            # pick: first index in group where running-sum > draw
+            targets = base + draw
+            idx = np.searchsorted(cum, targets, side="right")
+            rows = g.iloc[idx]
+            out_ = rows[["walk_id", "nbr"]].rename(columns={"nbr": "node"})
+            out_ = out_.assign(prev=rows["cur"].to_numpy())
+            return out_[["walk_id", "prev", "node"]]
+
+        frontier = (
+            marked.select_columns(["walk_id", "prev", "cur", "nbr", "adj"])
+            .map_batches(add_pkey, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(pick, batch_format="pandas")
+            .materialize()
+        )
+        out.append(tag(frontier, t))
+
+    result = out[0]
+    for ds in out[1:]:
+        result = result.union(ds)
+    return result

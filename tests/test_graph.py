@@ -563,3 +563,77 @@ class TestWedgeOpsBruteForce:
         # pair (1, 3) goes via center 2 (deg 3) — survives
         assert (1, 3) in exact_pairs and (1, 3) in capped_pairs
         assert capped_pairs < exact_pairs
+
+
+class TestBiasedRandomWalks:
+    @staticmethod
+    def _naive(edges, walk_len, p, q):
+        from ctinexus_ray.ops.graph import _WALK_A, _WALK_B
+
+        w_ret, w_mid, w_out = round(1000 / p), 1000, round(1000 / q)
+        sym: dict[int, list[int]] = {}
+        eset = set()
+        for a, b in edges:
+            sym.setdefault(a, []).append(b)
+            sym.setdefault(b, []).append(a)
+            eset.add((min(a, b), max(a, b)))
+        for k in sym:
+            sym[k].sort()
+        out = {}
+        for w in sym:
+            prev, cur = -1, w
+            out[(w, 0)] = w
+            for t in range(1, walk_len + 1):
+                nbrs = sym[cur]
+                if prev == -1:
+                    wts = [1] * len(nbrs)
+                else:
+                    wts = [
+                        w_ret
+                        if n == prev
+                        else w_mid
+                        if (min(n, prev), max(n, prev)) in eset
+                        else w_out
+                        for n in nbrs
+                    ]
+                total = sum(wts)
+                draw = (w * _WALK_A + t * _WALK_B) % total
+                acc = 0
+                for n, wt in zip(nbrs, wts):
+                    acc += wt
+                    if acc > draw:
+                        pick = n
+                        break
+                out[(w, t)] = pick
+                prev, cur = cur, pick
+        return out
+
+    def _run(self, edges, walk_len, p, q):
+        from ctinexus_ray.ops.graph import biased_random_walks
+
+        ds = _canon_edges([a for a, _ in edges], [b for _, b in edges])
+        got = biased_random_walks(
+            ds, walk_len=walk_len, p=p, q=q, num_partitions=4
+        ).take_all()
+        return {(r["walk_id"], r["step"]): r["node"] for r in got}
+
+    def test_matches_naive_oracle(self, ray_session):
+        edges = [(1, 2), (2, 3), (3, 4), (2, 4), (1, 5), (4, 5), (1, 3)]
+        for p, q in [(1.0, 1.0), (4.0, 0.25), (0.25, 4.0)]:
+            got = self._run(edges, 4, p, q)
+            want = self._naive(edges, 4, p, q)
+            assert got == want, (p, q)
+
+    def test_seeded_random_graph(self, ray_session):
+        edges = TestWedgeOpsBruteForce._random_graph(9, n=14, m=26)
+        got = self._run(edges, 3, 2.0, 0.5)
+        want = self._naive(edges, 3, 2.0, 0.5)
+        assert got == want
+
+    def test_param_validation(self, ray_session):
+        import pytest
+
+        from ctinexus_ray.ops.graph import biased_random_walks
+
+        with pytest.raises(ValueError):
+            biased_random_walks(_canon_edges([1], [2]), p=0.0)
