@@ -1163,6 +1163,63 @@ def _q_name_clustering_coeff(sf_dir: str):
     return local_clustering(_name_edges(sf_dir), num_partitions=16)
 
 
+_HARMONIC_SOURCES = 5
+_HARMONIC_HOPS = 4
+
+
+def _q_name_harmonic_centrality(sf_dir: str):
+    """Sampled harmonic centrality over the name-match graph: for the
+    5 lowest-custkey sources, per-source BFS hop distances (the
+    bfs_hops frontier-expansion plan, edge set shared via the memoized
+    cache), then per node the integer micro-reciprocal sum
+    FLOOR(1e6/dist) over sources — the standard sampled-centrality
+    estimator (Eppstein-Wang shape) with an exact SQL twin. Distances
+    are small ints so the reciprocal quantization is identical on both
+    sides. ✓SQL (multi-source recursive CTE carrying the source id)."""
+    import ray.data
+
+    from ctinexus_ray.ops.graph import bfs_hops
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    edges = _name_edges(sf_dir)
+    parts = []
+    # custkeys are 0-based: sources are the 5 lowest ids 0..4
+    for s in range(_HARMONIC_SOURCES):
+        seed = ray.data.from_arrow(
+            pa.Table.from_pydict({"node": pa.array([s], type=pa.int64())})
+        )
+        d = bfs_hops(edges, seed, max_hops=_HARMONIC_HOPS, num_partitions=16)
+
+        def h(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            import pyarrow.compute as pc
+
+            t = batch.filter(pc.greater(batch.column("dist"), 0))
+            dist = t.column("dist").to_numpy(zero_copy_only=False)
+            return pa.Table.from_pydict(
+                {
+                    "node": t.column("node"),
+                    "h": pa.array(
+                        np.floor(1e6 / dist.astype(np.float64)).astype(
+                            np.int64
+                        ),
+                        type=pa.int64(),
+                    ),
+                }
+            )
+
+        parts.append(d.map_batches(h, batch_format="pyarrow"))
+    uni = parts[0]
+    for ds in parts[1:]:
+        uni = uni.union(ds)
+    return partitioned_agg(
+        uni,
+        keys=["node"],
+        named_aggs={"harmonic_u": ("h", "sum")},
+        num_partitions=16,
+    )
+
+
 _WALK_LEN = 3
 
 
@@ -6562,6 +6619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
         "name_biased_walks": _q_name_biased_walks,
+        "name_harmonic_centrality": _q_name_harmonic_centrality,
         "bpe_encode": _q_bpe_encode,
         "user_running_totals": _q_user_running_totals,
         "user_key_skew": _q_user_key_skew,
@@ -7309,6 +7367,24 @@ def oracle_sql() -> dict[str, str]:
         "name_kcore": _kcore_oracle(),
         "name_random_walks": _walks_oracle(),
         "name_biased_walks": _biased_walks_oracle(),
+        "name_harmonic_centrality": (
+            "WITH RECURSIVE pairs AS MATERIALIZED ("
+            "SELECT a.c_custkey AS s, b.c_custkey AS d "
+            "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1), "
+            "edges AS MATERIALIZED ("
+            "SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs), "
+            "walk AS ("
+            "SELECT c_custkey AS src, c_custkey AS node, 0 AS dist "
+            "FROM customer WHERE c_custkey < 5 "
+            "UNION "
+            "SELECT w.src, e.d, w.dist + 1 FROM walk w "
+            "JOIN edges e ON e.s = w.node WHERE w.dist < 4), "
+            "md AS (SELECT src, node, min(dist) AS dist FROM walk "
+            "GROUP BY src, node) "
+            "SELECT node, CAST(SUM(FLOOR(1000000.0 / dist)) AS BIGINT) "
+            "AS harmonic_u FROM md WHERE dist > 0 GROUP BY node"
+        ),
         "name_link_prediction": (
             _NAME_GRAPH_CTE + ", "
             "wd AS (SELECT w.x, w.y, CAST(FLOOR(1000000000.0 / ln(d.deg) "
