@@ -2781,6 +2781,22 @@ def _q_media_probe(sf_dir: str):
     return probe_media(media)
 
 
+def _q_corpus_checksum_ranges(sf_dir: str):
+    """Merkle-style range checksums: the corpus checksum per 100-doc_id
+    bucket, localizing a replica divergence to one bucket instead of a
+    full re-scan. Same injective rendering as corpus_checksum, ONE
+    bucket-partitioned XOR reduce. ✓SQL (bit_xor GROUP BY twin)."""
+    from ctinexus_ray.ops.dq import range_checksums
+
+    return range_checksums(
+        _docs(sf_dir, ["doc_id", "text"]),
+        cols=["doc_id", "text"],
+        key_col="doc_id",
+        bucket_size=100,
+        num_partitions=4,
+    )
+
+
 def _q_corpus_checksum(sf_dir: str):
     """Order-independent corpus checksum (migration / replica
     verification without moving data): XOR of content-addressed 60-bit
@@ -6595,6 +6611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_lm": _q_unigram_lm,
         "nb_langid": _q_nb_langid,
         "corpus_checksum": _q_corpus_checksum,
+        "corpus_checksum_ranges": _q_corpus_checksum_ranges,
         "lineitem_corr": _q_lineitem_corr,
         "media_probe": _q_media_probe,
         "embedding_gram": _q_embedding_gram,
@@ -7640,6 +7657,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(embedding[j] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) "
             "AS BIGINT) AS g_nano "
             "FROM embeddings, pairs GROUP BY i, j"
+        ),
+        "corpus_checksum_ranges": (
+            "WITH r AS (SELECT doc_id // 100 AS bucket, concat("
+            "concat(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR), "
+            "':', CAST(doc_id AS VARCHAR)), '|', "
+            "CASE WHEN text IS NULL THEN 'N' ELSE "
+            "concat(CAST(length(text) AS VARCHAR), ':', text) END) "
+            "AS key FROM documents) "
+            "SELECT bucket, CAST(bit_xor(CAST(concat('0x', "
+            "substr(md5(key), 1, 15)) AS UBIGINT)) AS BIGINT) AS checksum, "
+            "count(*) AS n_rows FROM r GROUP BY bucket"
         ),
         "corpus_checksum": (
             # length-prefixed injective rendering, mirroring

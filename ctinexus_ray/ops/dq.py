@@ -230,3 +230,91 @@ def corr_matrix(
             "corr": pa.array(out_r, type=pa.float64()),
         }
     )
+
+
+def range_checksums(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    key_col: str,
+    bucket_size: int,
+    sep: str = "|",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Merkle-style range-bucketed checksums: ``table_checksum``'s
+    order-independent 60-bit XOR, computed per key range
+    (``key_col // bucket_size``) — so two replicas of a 100-TB table
+    can be compared range-by-range and a divergence localized to ONE
+    bucket's worth of rows instead of re-scanning everything (the
+    anti-entropy / replica-repair shape). Same injective
+    length-prefixed row rendering as ``table_checksum``, so the two
+    agree: XOR of all bucket checksums == the whole-table checksum.
+
+    One streaming pass emitting per-batch per-bucket (xor, n) partials,
+    then ONE bucket-partitioned XOR/sum reduce. Output:
+    (bucket, checksum, n_rows)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from ctinexus_ray.ops.groupagg import add_hash_pkey, derive_num_partitions
+
+    if bucket_size <= 0:
+        raise ValueError("bucket_size must be positive")
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(ds)
+    assert num_partitions & (num_partitions - 1) == 0, "power of two"
+
+    def partial(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        keys = (
+            batch.column(key_col).cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        buckets = keys // bucket_size
+        rendered = []
+        for c in cols:
+            col = batch.column(c)
+            if not (
+                pa.types.is_string(col.type)
+                or pa.types.is_large_string(col.type)
+            ):
+                col = col.cast(pa.string())
+            rendered.append(col.to_pylist())
+        acc: dict[int, list[int]] = {}
+        for b, parts in zip(buckets.tolist(), zip(*rendered)):
+            key = sep.join(
+                "N" if p is None else f"{len(p)}:{p}" for p in parts
+            )
+            h = int(hashlib.md5(key.encode("utf-8")).hexdigest()[:15], 16)
+            slot = acc.setdefault(b, [0, 0])
+            slot[0] ^= h
+            slot[1] += 1
+        out = pa.Table.from_pydict(
+            {
+                "bucket": pa.array(list(acc), type=pa.int64()),
+                "x": pa.array([v[0] for v in acc.values()], type=pa.int64()),
+                "n": pa.array([v[1] for v in acc.values()], type=pa.int64()),
+            }
+        )
+        yield add_hash_pkey(out, ["bucket"], num_partitions)
+
+    def reduce_partition(g: pd.DataFrame) -> pd.DataFrame:
+        def fold(s: pd.Series) -> int:
+            return int(np.bitwise_xor.reduce(s.to_numpy(dtype=np.int64)))
+
+        out = (
+            g.groupby("bucket", sort=False)
+            .agg(checksum=("x", fold), n_rows=("n", "sum"))
+            .reset_index()
+        )
+        return out[["bucket", "checksum", "n_rows"]]
+
+    return (
+        ds.select_columns(list(dict.fromkeys([key_col] + cols)))
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(reduce_partition, batch_format="pandas")
+    )

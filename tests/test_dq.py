@@ -160,3 +160,62 @@ class TestCorrMatrix:
         rows = [{"a": float(i), "b": 2.0 * i + 3} for i in range(20)]
         out = corr_matrix(self._ds(rows), ["a", "b"]).to_pydict()
         assert abs(out["corr"][0] - 1.0) < 1e-12
+
+
+class TestRangeChecksums:
+    def test_buckets_fold_to_table_checksum(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.dq import range_checksums, table_checksum
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "id": pa.array(range(37), type=pa.int64()),
+                    "text": [f"row {i}" if i % 5 else None for i in range(37)],
+                }
+            )
+        ).repartition(4)
+        ranged = range_checksums(
+            ds, cols=["id", "text"], key_col="id", bucket_size=10,
+            num_partitions=4,
+        ).take_all()
+        whole = table_checksum(ds, cols=["id", "text"])
+        # XOR of bucket checksums == the whole-table checksum; counts add
+        fold = int(
+            np.bitwise_xor.reduce(
+                np.array([r["checksum"] for r in ranged], dtype=np.int64)
+            )
+        )
+        assert fold == whole.column("checksum")[0].as_py()
+        assert sum(r["n_rows"] for r in ranged) == 37
+        assert sorted(r["bucket"] for r in ranged) == [0, 1, 2, 3]
+
+    def test_divergence_localized(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.dq import range_checksums
+
+        base = {
+            "id": pa.array(range(30), type=pa.int64()),
+            "text": [f"r{i}" for i in range(30)],
+        }
+        a = range_checksums(
+            ray.data.from_arrow(pa.Table.from_pydict(base)),
+            ["id", "text"], "id", 10, num_partitions=4,
+        ).take_all()
+        mutated = dict(base)
+        mutated["text"] = [
+            "CHANGED" if i == 17 else f"r{i}" for i in range(30)
+        ]
+        b = range_checksums(
+            ray.data.from_arrow(pa.Table.from_pydict(mutated)),
+            ["id", "text"], "id", 10, num_partitions=4,
+        ).take_all()
+        ca = {r["bucket"]: r["checksum"] for r in a}
+        cb = {r["bucket"]: r["checksum"] for r in b}
+        diff = [k for k in ca if ca[k] != cb[k]]
+        assert diff == [1]  # only the bucket holding row 17
