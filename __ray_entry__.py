@@ -1423,6 +1423,62 @@ def _q_event_trend(sf_dir: str):
     return agg.map_batches(closed_form, batch_format="pyarrow")
 
 
+def _q_weighted_median_qty(sf_dir: str):
+    """Grouped WEIGHTED median: per return flag, the smallest quantity
+    v with 2*cum_weight(v) >= total_weight, weights = exact
+    extended-price cents (revenue-weighted "typical order size" — the
+    weighted-percentile shape). Plan: ONE (flag, v) integer weight
+    reduce collapses the corpus to the tiny value domain, then a
+    per-flag vectorized scan. All-integer, bit-exact. ✓SQL (window
+    cumsum twin)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cents = pc.floor(
+            pc.add(
+                pc.multiply(batch.column("l_extendedprice"), pa.scalar(100.0)),
+                pa.scalar(0.5),
+            )
+        ).cast(pa.int64())
+        return pa.Table.from_pydict(
+            {
+                "flag": batch.column("l_returnflag"),
+                "v": pc.cast(batch.column("l_quantity"), pa.int64()),
+                "w": cents,
+            }
+        )
+
+    hist = partitioned_agg(
+        li.map_batches(prep, batch_format="pyarrow"),
+        keys=["flag", "v"],
+        named_aggs={"w": ("w", "sum")},
+        num_partitions=4,
+    )
+
+    def pick(g: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        g = g.sort_values("v")
+        cum = np.cumsum(g["w"].to_numpy(dtype=np.int64))
+        tot = int(cum[-1])
+        i = int(np.searchsorted(2 * cum, tot, side="left"))
+        return pd.DataFrame(
+            {"flag": [g["flag"].iloc[0]], "wmedian": [int(g["v"].iloc[i])]}
+        )
+
+    # flag cardinality is tiny (3) — built-in small-key groupby is fine
+    return hist.groupby("flag").map_groups(pick, batch_format="pandas")
+
+
 def _q_user_activity_gini(sf_dir: str):
     """Gini coefficient of per-user event counts (activity
     concentration / key-skew signal), kept as an EXACT integer rational
@@ -6561,6 +6617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunk_delta": _q_cdc_chunk_delta,
         "user_top_event": _q_user_top_event,
         "user_activity_gini": _q_user_activity_gini,
+        "weighted_median_qty": _q_weighted_median_qty,
         "event_trend": _q_event_trend,
         "cumulative_users": _q_cumulative_users,
         "gopher_quality": _q_gopher_quality,
@@ -7425,6 +7482,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, n AS n_days, "
             "CAST(n * sxy - sx * sy AS BIGINT) AS slope_num, "
             "CAST(n * sxx - sx * sx AS BIGINT) AS slope_den FROM s"
+        ),
+        "weighted_median_qty": (
+            "WITH h AS (SELECT l_returnflag AS flag, "
+            "CAST(l_quantity AS BIGINT) AS v, "
+            "SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS w "
+            "FROM lineitem GROUP BY 1, 2), "
+            "c AS (SELECT flag, v, SUM(w) OVER (PARTITION BY flag "
+            "ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum, "
+            "SUM(w) OVER (PARTITION BY flag) AS tot FROM h) "
+            "SELECT flag, CAST(min(v) AS BIGINT) AS wmedian FROM c "
+            "WHERE 2 * cum >= tot GROUP BY flag"
         ),
         "user_activity_gini": (
             "WITH c AS (SELECT user_id, count(*) AS n "
