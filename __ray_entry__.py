@@ -1430,7 +1430,9 @@ def _q_weighted_median_qty(sf_dir: str):
     weighted-percentile shape). Plan: ONE (flag, v) integer weight
     reduce collapses the corpus to the tiny value domain, then a
     per-flag vectorized scan. All-integer, bit-exact. ✓SQL (window
-    cumsum twin)."""
+    cumsum twin). Cast note: TPC-H quantities are whole numbers, so
+    Arrow's truncating float->int cast and DuckDB's rounding CAST
+    agree; for fractional domains round explicitly on both sides."""
     import pyarrow.compute as pc
     import ray.data
 
