@@ -1826,6 +1826,20 @@ def _q_quality_threshold_sweep(sf_dir: str):
     )
 
 
+def _q_tfidf_cosine_pairs(sf_dir: str):
+    """All-pairs TF-IDF cosine similarity join at >= 0.9: the
+    weighted sibling of ngram_jaccard_pairs — integer micro-nat
+    weights, int64 dots/norms, pinned-expression final ratio. One
+    term-keyed self-join + one (a,b) dot reduce + two norm joins.
+    ✓SQL."""
+    from ctinexus_ray.ops.textstats import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), threshold_u=900_000,
+        num_partitions=16,
+    )
+
+
 def _q_doc_token_entropy(sf_dir: str):
     """Shannon entropy of each document's token distribution in integer
     nano-nats (low entropy = templated/repetitive text — a corpus
@@ -6614,6 +6628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "user_first_last_event": _q_user_first_last_event,
         "doc_token_entropy": _q_doc_token_entropy,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "quality_threshold_sweep": _q_quality_threshold_sweep,
         "doc_sample_k_by_lang": _q_doc_sample_k_by_lang,
         "cdc_chunk_delta": _q_cdc_chunk_delta,
@@ -7528,6 +7543,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, doc_id, row_number() OVER (PARTITION BY lang "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk "
             "FROM documents) WHERE rk <= 20"
+        ),
+        "tfidf_cosine_pairs": (
+            "WITH tfs AS (SELECT doc_id, word, count(*) AS tf FROM ("
+            "SELECT doc_id, unnest(regexp_split_to_array(trim(text), "
+            "'\\s+')) AS word FROM documents) GROUP BY doc_id, word), "
+            "dfs AS (SELECT word, count(*) AS df FROM tfs GROUP BY word), "
+            "w AS (SELECT t.doc_id, t.word, t.tf * CAST(FLOOR(1000000.0 * "
+            "ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / d.df) "
+            "+ 0.5) AS BIGINT) AS w FROM tfs t JOIN dfs d USING (word)), "
+            "norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 "
+            "FROM w GROUP BY doc_id), "
+            "dots AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, "
+            "CAST(SUM(x.w * y.w) AS BIGINT) AS dot FROM w x JOIN w y "
+            "ON x.word = y.word AND x.doc_id < y.doc_id "
+            "GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, cos_u FROM ("
+            "SELECT doc_a, doc_b, CAST(FLOOR(1000000.0 * dot / "
+            "(sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) "
+            "+ 0.5) AS BIGINT) AS cos_u FROM dots "
+            "JOIN norms na ON na.doc_id = doc_a "
+            "JOIN norms nb ON nb.doc_id = doc_b) "
+            "WHERE cos_u >= 900000"
         ),
         "quality_threshold_sweep": (
             "SELECT t.thr, CAST(count(*) FILTER (WHERE d.nw >= t.thr) "

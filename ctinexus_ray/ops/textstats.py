@@ -1559,3 +1559,166 @@ def token_entropy_batch(batch: pa.Table) -> pa.Table:
             "entropy_u": pa.array(out_e, type=pa.int64()),
         }
     )
+
+
+def tfidf_cosine_pairs(
+    docs: ray.data.Dataset,
+    threshold_u: int = 900_000,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """All-pairs WEIGHTED similarity join (Bayardo et al. 2007 shape):
+    document pairs whose TF-IDF cosine similarity clears ``threshold_u``
+    micro-units — the weighted sibling of ``ngram_jaccard_pairs`` (sets
+    -> weighted vectors). Everything that crosses a row boundary is an
+    int64: per-term weight w = tf * FLOOR(1e6 * ln(N/df) + 0.5),
+    norms = SUM(w^2), dots = SUM(w_a * w_b), and the final
+    cos_u = FLOOR(1e6 * dot / (sqrt(na) * sqrt(nb)) + 0.5) is a pinned
+    per-row float expression over two exact integers — bit-exact vs a
+    SQL twin. Terms with zero weight (df == N) are dropped engine-side;
+    they contribute nothing to dots or norms, so results are identical.
+
+    Plan: (doc, term, tf) explode -> term-partitioned df count ->
+    df join -> ONE term-keyed self hash-join emits pairwise products
+    (the triangle_count plan over postings; hot-term fan-out is
+    posting^2 — IDF filtering already removes the hottest terms, cap
+    df upstream for adversarial corpora) -> (a, b)-partitioned dot
+    reduce -> two norm joins -> threshold. Output (doc_a, doc_b,
+    cos_u), doc_a < doc_b."""
+    import numpy as np
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    i64 = pa.int64()
+    n_docs = docs.count()
+    exploded = docs.select_columns(["doc_id", "text"]).map_batches(
+        doc_term_freq_batch, batch_format="pyarrow"
+    )
+    df = partitioned_agg(
+        exploded.select_columns(["word"]),
+        keys=["word"],
+        named_aggs={"df": ("word", "size")},
+        num_partitions=num_partitions,
+    )
+    joined = hash_join(
+        exploded,
+        df,
+        on=["word"],
+        num_partitions=num_partitions,
+        left_types={"word": pa.string(), "doc_id": i64, "tf": i64},
+        right_types={"word": pa.string(), "df": i64},
+    )
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        dfv = batch.column("df").to_numpy(zero_copy_only=False)
+        tfv = batch.column("tf").to_numpy(zero_copy_only=False)
+        # pinned operand order — must mirror the SQL twin exactly
+        idf_u = np.floor(
+            1e6 * np.log(np.float64(n_docs) / dfv.astype(np.float64)) + 0.5
+        ).astype(np.int64)
+        w = tfv * idf_u
+        t = pa.Table.from_pydict(
+            {
+                "word": batch.column("word"),
+                "doc_id": batch.column("doc_id"),
+                "w": pa.array(w, type=i64),
+            }
+        )
+        return t.filter(pa.array(w != 0))
+
+    weighted = joined.map_batches(weigh, batch_format="pyarrow").materialize()
+
+    norms = partitioned_agg(
+        weighted.map_batches(
+            lambda b: pa.Table.from_pydict(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "w2": pa.array(
+                        b.column("w").to_numpy(zero_copy_only=False) ** 2,
+                        type=pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        keys=["doc_id"],
+        named_aggs={"n2": ("w2", "sum")},
+        num_partitions=num_partitions,
+    )
+
+    def rename(ds: ray.data.Dataset, names: list[str]) -> ray.data.Dataset:
+        def do(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(names)
+
+        return ds.map_batches(do, batch_format="pyarrow")
+
+    pairs = hash_join(
+        rename(weighted, ["word", "a", "wa"]),
+        rename(weighted, ["word", "b", "wb"]),
+        on=["word"],
+        num_partitions=num_partitions,
+        left_types={"word": pa.string(), "a": i64, "wa": i64},
+        right_types={"word": pa.string(), "b": i64, "wb": i64},
+    )
+
+    def products(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        keep = a < b
+        t = batch.filter(pa.array(keep))
+        p = t.column("wa").to_numpy(zero_copy_only=False) * t.column(
+            "wb"
+        ).to_numpy(zero_copy_only=False)
+        return pa.Table.from_pydict(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "p": pa.array(p, type=i64),
+            }
+        )
+
+    dots = partitioned_agg(
+        pairs.map_batches(products, batch_format="pyarrow"),
+        keys=["a", "b"],
+        named_aggs={"dot": ("p", "sum")},
+        num_partitions=num_partitions,
+    )
+    with_na = hash_join(
+        dots,
+        rename(norms, ["a", "na"]),
+        on=["a"],
+        num_partitions=num_partitions,
+        left_types={"a": i64, "b": i64, "dot": i64},
+        right_types={"a": i64, "na": i64},
+    )
+    with_nb = hash_join(
+        with_na,
+        rename(norms, ["b", "nb"]),
+        on=["b"],
+        num_partitions=num_partitions,
+        left_types={"b": i64, "a": i64, "dot": i64, "na": i64},
+        right_types={"b": i64, "nb": i64},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        dot = batch.column("dot").to_numpy(zero_copy_only=False)
+        na = batch.column("na").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        nb = batch.column("nb").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        # pinned operand order — must mirror the SQL twin exactly
+        cos_u = np.floor(
+            1e6 * dot.astype(np.float64) / (np.sqrt(na) * np.sqrt(nb)) + 0.5
+        ).astype(np.int64)
+        t = pa.Table.from_pydict(
+            {
+                "doc_a": batch.column("a"),
+                "doc_b": batch.column("b"),
+                "cos_u": pa.array(cos_u, type=pa.int64()),
+            }
+        )
+        return t.filter(pa.array(cos_u >= threshold_u))
+
+    return with_nb.map_batches(finalize, batch_format="pyarrow")

@@ -2115,3 +2115,73 @@ class TestTokenEntropy:
         # max o = 3 twice; smallest tie (5) wins the "last" end
         assert (r["last_o"], r["last_tie"]) == (3, 5)
         assert (r["first_o"], r["first_tie"]) == (1, 7)
+
+
+class TestTfidfCosinePairs:
+    def test_known_geometry(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.textstats import tfidf_cosine_pairs
+
+        # docs 0 and 1 identical (cos 1.0); doc 2 disjoint terms from
+        # both (cos 0 with them); "common" appears everywhere -> idf 0
+        docs = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                    "text": [
+                        "alpha beta common",
+                        "alpha beta common",
+                        "gamma delta common",
+                    ],
+                }
+            )
+        ).repartition(2)
+        got = {
+            (r["doc_a"], r["doc_b"]): r["cos_u"]
+            for r in tfidf_cosine_pairs(
+                docs, threshold_u=500_000, num_partitions=4
+            ).take_all()
+        }
+        # identical docs at exactly 1e6; disjoint pairs absent
+        assert got == {(0, 1): 1_000_000}
+
+    def test_partial_overlap_value(self, ray_session):
+        import math
+
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.textstats import tfidf_cosine_pairs
+
+        # three docs; a & b share one of their two informative terms
+        docs = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                    "text": ["x y", "x z", "q r"],
+                }
+            )
+        ).repartition(2)
+        got = {
+            (r["doc_a"], r["doc_b"]): r["cos_u"]
+            for r in tfidf_cosine_pairs(
+                docs, threshold_u=100_000, num_partitions=4
+            ).take_all()
+        }
+        # every term has df 1 except x (df 2): weights w_x = floor(1e6*ln(3/2)+.5),
+        # w_y = w_z = floor(1e6*ln(3)+.5); cos(0,1) = w_x^2/(w_x^2+w_y^2)
+        wx = math.floor(1e6 * math.log(3.0 / 2.0) + 0.5)
+        wy = math.floor(1e6 * math.log(3.0) + 0.5)
+        # engine computes sqrt(na)*sqrt(nb) with na == nb
+        want = math.floor(
+            1e6
+            * (wx * wx)
+            / (
+                math.sqrt(float(wx * wx + wy * wy))
+                * math.sqrt(float(wx * wx + wy * wy))
+            )
+            + 0.5
+        )
+        assert got == {(0, 1): want}
