@@ -2853,6 +2853,39 @@ def _q_media_probe(sf_dir: str):
     return probe_media(media)
 
 
+def _q_jsonl_source(sf_dir: str):
+    """JSONL(.gz) ingestion round trip: the documents table is sharded
+    into deterministic .jsonl.gz files (one Ray task per shard, atomic
+    rename, fixed gzip bytes), read back through the streaming
+    ray.data.read_json path, and projected to (doc_id, n_chars). The
+    ✓SQL twin reads the ORIGINAL parquet — a hash MATCH proves the
+    write→read round trip is byte-faithful including unicode. Same
+    one-scratch-dir-per-sf rebuild discipline as warc_source."""
+    import hashlib
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from ctinexus_ray.sources.jsonl import read_jsonl, write_jsonl_corpus
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"/tmp/jsonl_src_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    paths = write_jsonl_corpus(f"{sf_dir}/documents.parquet", tmp, n_shards=4)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pc.cast(
+                    pc.utf8_length(batch.column("text")), pa.int64()
+                ),
+            }
+        )
+
+    return read_jsonl(paths).map_batches(project, batch_format="pyarrow")
+
+
 def _q_corpus_checksum_ranges(sf_dir: str):
     """Merkle-style range checksums: the corpus checksum per 100-doc_id
     bucket, localizing a replica divergence to one bucket instead of a
@@ -6686,6 +6719,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_langid": _q_nb_langid,
         "corpus_checksum": _q_corpus_checksum,
         "corpus_checksum_ranges": _q_corpus_checksum_ranges,
+        "jsonl_source": _q_jsonl_source,
         "lineitem_corr": _q_lineitem_corr,
         "media_probe": _q_media_probe,
         "embedding_gram": _q_embedding_gram,
@@ -7764,6 +7798,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(embedding[j] AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) "
             "AS BIGINT) AS g_nano "
             "FROM embeddings, pairs GROUP BY i, j"
+        ),
+        "jsonl_source": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "
+            "FROM documents"
         ),
         "corpus_checksum_ranges": (
             "WITH r AS (SELECT doc_id // 100 AS bucket, concat("

@@ -1,0 +1,61 @@
+"""JSONL corpus source: deterministic sharded write + streaming read
+(sources/jsonl.py)."""
+
+import gzip
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+
+def _corpus(tmp_path, rows):
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.Table.from_pydict(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": [r[1] for r in rows],
+            }
+        ),
+        p,
+    )
+    return p
+
+
+class TestJsonlSource:
+    def test_round_trip_exact(self, ray_session, tmp_path):
+        from ctinexus_ray.sources.jsonl import read_jsonl, write_jsonl_corpus
+
+        rows = [(i, f"döc {i} with ünïcode \"quotes\" and \\ slashes") for i in range(23)]
+        rows.append((23, None))  # NULL text survives the round trip
+        src = _corpus(tmp_path, rows)
+        paths = write_jsonl_corpus(src, str(tmp_path / "out"), n_shards=4)
+        got = sorted(
+            (r["doc_id"], r["text"]) for r in read_jsonl(paths).take_all()
+        )
+        assert got == sorted(rows)
+
+    def test_deterministic_shard_bytes(self, ray_session, tmp_path):
+        from ctinexus_ray.sources.jsonl import write_jsonl_corpus
+
+        rows = [(i, f"t{i}") for i in range(17)]
+        src = _corpus(tmp_path, rows)
+        a = write_jsonl_corpus(src, str(tmp_path / "a"), n_shards=4)
+        b = write_jsonl_corpus(src, str(tmp_path / "b"), n_shards=4)
+        for pa_, pb_ in zip(a, b):
+            assert open(pa_, "rb").read() == open(pb_, "rb").read()
+
+    def test_shard_assignment_and_order(self, ray_session, tmp_path):
+        from ctinexus_ray.sources.jsonl import write_jsonl_corpus
+
+        rows = [(i, "x") for i in range(40)]
+        src = _corpus(tmp_path, rows)
+        paths = write_jsonl_corpus(src, str(tmp_path / "out"), n_shards=4)
+        for s, p in enumerate(paths):
+            ids = [
+                json.loads(line)["doc_id"]
+                for line in gzip.open(p, "rt", encoding="utf-8")
+            ]
+            assert ids == sorted(ids)
+            assert all(i % 4 == s for i in ids)
