@@ -2886,6 +2886,38 @@ def _q_jsonl_source(sf_dir: str):
     return read_jsonl(paths).map_batches(project, batch_format="pyarrow")
 
 
+def _q_csv_source(sf_dir: str):
+    """CSV ingestion round trip (jsonl_source's sibling): deterministic
+    QUOTE_ALL shards written one Ray task each, streamed back through
+    ray.data.read_csv with the matching NULL convention (quoted empty =
+    '', unquoted empty = NULL), projected to (doc_id, n_chars); the
+    ✓SQL twin reads the original parquet — MATCH proves byte-faithful
+    round trip."""
+    import hashlib
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from ctinexus_ray.sources.jsonl import read_csv_corpus, write_csv_corpus
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"/tmp/csv_src_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    paths = write_csv_corpus(f"{sf_dir}/documents.parquet", tmp, n_shards=4)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pc.cast(
+                    pc.utf8_length(batch.column("text")), pa.int64()
+                ),
+            }
+        )
+
+    return read_csv_corpus(paths).map_batches(project, batch_format="pyarrow")
+
+
 def _q_corpus_checksum_ranges(sf_dir: str):
     """Merkle-style range checksums: the corpus checksum per 100-doc_id
     bucket, localizing a replica divergence to one bucket instead of a
@@ -6720,6 +6752,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_checksum": _q_corpus_checksum,
         "corpus_checksum_ranges": _q_corpus_checksum_ranges,
         "jsonl_source": _q_jsonl_source,
+        "csv_source": _q_csv_source,
         "lineitem_corr": _q_lineitem_corr,
         "media_probe": _q_media_probe,
         "embedding_gram": _q_embedding_gram,
@@ -7800,6 +7833,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings, pairs GROUP BY i, j"
         ),
         "jsonl_source": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "
+            "FROM documents"
+        ),
+        "csv_source": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "
             "FROM documents"
         ),

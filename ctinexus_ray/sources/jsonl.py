@@ -26,17 +26,13 @@ def _write_shard(
     """Write one deterministic shard: rows with doc_id % n_shards ==
     shard, ordered by doc_id, one JSON object per line, gzip -9 (fixed
     level + mtime=0 so shard bytes are run-independent)."""
-    import pyarrow.compute as pc
+    import numpy as np
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
     t = pq.read_table(parquet_path, columns=["doc_id", "text"])
-    mask = pc.equal(
-        pc.bit_wise_and(t.column("doc_id"), n_shards - 1)
-        if (n_shards & (n_shards - 1)) == 0
-        else pc.mod(t.column("doc_id"), n_shards),
-        shard,
-    )
-    t = t.filter(mask).sort_by("doc_id")
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    t = t.filter(pa.array(ids % n_shards == shard)).sort_by("doc_id")
     tmp = out_path + ".tmp"
     with open(tmp, "wb") as raw:
         with gzip.GzipFile(fileobj=raw, mode="wb", compresslevel=9, mtime=0) as f:
@@ -75,4 +71,61 @@ def read_jsonl(paths: list[str] | str) -> ray.data.Dataset:
     group, Arrow-native parse, no driver materialization."""
     return ray.data.read_json(
         paths, arrow_open_stream_args={"compression": "gzip"}
+    )
+
+
+@ray.remote
+def _write_csv_shard(
+    parquet_path: str, out_path: str, shard: int, n_shards: int
+) -> int:
+    """CSV sibling of ``_write_shard``: arrow csv writer, QUOTE_ALL
+    strings so empty string and embedded delimiters survive; NULL
+    renders as an UNQUOTED empty field (arrow convention), so
+    NULL != '' round-trips when read back with the same convention."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(parquet_path, columns=["doc_id", "text"])
+    ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+    t = t.filter(pa.array(ids % n_shards == shard)).sort_by("doc_id")
+    tmp = out_path + ".tmp"
+    pacsv.write_csv(
+        t,
+        tmp,
+        write_options=pacsv.WriteOptions(quoting_style="all_valid"),
+    )
+    os.replace(tmp, out_path)
+    return t.num_rows
+
+
+def write_csv_corpus(
+    parquet_path: str, out_dir: str, n_shards: int = 4
+) -> list[str]:
+    """Shard a (doc_id, text) parquet corpus into deterministic .csv
+    files — one Ray task per shard, atomic rename commit."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = [
+        os.path.join(out_dir, f"part-{s:05d}.csv") for s in range(n_shards)
+    ]
+    ray.get(
+        [
+            _write_csv_shard.remote(parquet_path, p, s, n_shards)
+            for s, p in enumerate(paths)
+        ]
+    )
+    return paths
+
+
+def read_csv_corpus(paths: list[str] | str) -> ray.data.Dataset:
+    """Streaming CSV reader matching ``write_csv_corpus``'s dialect:
+    quoted strings are data (even empty), unquoted empty is NULL."""
+    from pyarrow import csv as pacsv
+
+    return ray.data.read_csv(
+        paths,
+        convert_options=pacsv.ConvertOptions(
+            strings_can_be_null=True, quoted_strings_can_be_null=False
+        ),
     )

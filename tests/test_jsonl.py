@@ -59,3 +59,32 @@ class TestJsonlSource:
             ]
             assert ids == sorted(ids)
             assert all(i % 4 == s for i in ids)
+
+
+class TestCsvSource:
+    def test_round_trip_hostile_values(self, ray_session, tmp_path):
+        from ctinexus_ray.sources.jsonl import read_csv_corpus, write_csv_corpus
+
+        rows = [
+            (0, 'comma, quote " and\tencoded'),
+            (1, ""),            # empty string stays ''
+            (2, None),          # NULL stays NULL (unquoted empty)
+            (3, "plain"),
+            (4, "ünïcode"),
+        ]
+        src = _corpus(tmp_path, rows)
+        paths = write_csv_corpus(src, str(tmp_path / "out"), n_shards=2)
+        got = sorted(
+            (r["doc_id"], r["text"]) for r in read_csv_corpus(paths).take_all()
+        )
+        assert got == sorted(rows)
+
+    def test_deterministic_bytes(self, ray_session, tmp_path):
+        from ctinexus_ray.sources.jsonl import write_csv_corpus
+
+        rows = [(i, f"t{i}") for i in range(9)]
+        src = _corpus(tmp_path, rows)
+        a = write_csv_corpus(src, str(tmp_path / "a"), n_shards=3)
+        b = write_csv_corpus(src, str(tmp_path / "b"), n_shards=3)
+        for pa_, pb_ in zip(a, b):
+            assert open(pa_, "rb").read() == open(pb_, "rb").read()
