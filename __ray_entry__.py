@@ -2866,7 +2866,7 @@ def _q_jsonl_source(sf_dir: str):
 
     import pyarrow.compute as pc
 
-    from ctinexus_ray.sources.jsonl import read_jsonl, write_jsonl_corpus
+    from ctinexus_ray.sources.flatfiles import read_jsonl, write_jsonl_corpus
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     tmp = f"/tmp/jsonl_src_{tag}"
@@ -2898,7 +2898,7 @@ def _q_csv_source(sf_dir: str):
 
     import pyarrow.compute as pc
 
-    from ctinexus_ray.sources.jsonl import read_csv_corpus, write_csv_corpus
+    from ctinexus_ray.sources.flatfiles import read_csv_corpus, write_csv_corpus
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     tmp = f"/tmp/csv_src_{tag}"

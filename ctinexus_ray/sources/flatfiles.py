@@ -1,4 +1,4 @@
-"""JSONL (newline-delimited JSON) corpus source — the other common
+"""Flat-file corpus sources: JSONL (newline-delimited JSON) and CSV — the other common
 wire format for crawl-derived text corpora beside parquet and WARC
 (e.g. jsonl.gz shard dumps). The reference ingests single documents
 (reference ctinexus/app.py CLI); this module exists for the

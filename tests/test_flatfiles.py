@@ -25,7 +25,7 @@ def _corpus(tmp_path, rows):
 
 class TestJsonlSource:
     def test_round_trip_exact(self, ray_session, tmp_path):
-        from ctinexus_ray.sources.jsonl import read_jsonl, write_jsonl_corpus
+        from ctinexus_ray.sources.flatfiles import read_jsonl, write_jsonl_corpus
 
         rows = [(i, f"döc {i} with ünïcode \"quotes\" and \\ slashes") for i in range(23)]
         rows.append((23, None))  # NULL text survives the round trip
@@ -37,7 +37,7 @@ class TestJsonlSource:
         assert got == sorted(rows)
 
     def test_deterministic_shard_bytes(self, ray_session, tmp_path):
-        from ctinexus_ray.sources.jsonl import write_jsonl_corpus
+        from ctinexus_ray.sources.flatfiles import write_jsonl_corpus
 
         rows = [(i, f"t{i}") for i in range(17)]
         src = _corpus(tmp_path, rows)
@@ -47,7 +47,7 @@ class TestJsonlSource:
             assert open(pa_, "rb").read() == open(pb_, "rb").read()
 
     def test_shard_assignment_and_order(self, ray_session, tmp_path):
-        from ctinexus_ray.sources.jsonl import write_jsonl_corpus
+        from ctinexus_ray.sources.flatfiles import write_jsonl_corpus
 
         rows = [(i, "x") for i in range(40)]
         src = _corpus(tmp_path, rows)
@@ -63,7 +63,7 @@ class TestJsonlSource:
 
 class TestCsvSource:
     def test_round_trip_hostile_values(self, ray_session, tmp_path):
-        from ctinexus_ray.sources.jsonl import read_csv_corpus, write_csv_corpus
+        from ctinexus_ray.sources.flatfiles import read_csv_corpus, write_csv_corpus
 
         rows = [
             (0, 'comma, quote " and\tencoded'),
@@ -80,7 +80,7 @@ class TestCsvSource:
         assert got == sorted(rows)
 
     def test_deterministic_bytes(self, ray_session, tmp_path):
-        from ctinexus_ray.sources.jsonl import write_csv_corpus
+        from ctinexus_ray.sources.flatfiles import write_csv_corpus
 
         rows = [(i, f"t{i}") for i in range(9)]
         src = _corpus(tmp_path, rows)
