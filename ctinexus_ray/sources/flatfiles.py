@@ -67,11 +67,17 @@ def write_jsonl_corpus(
 
 
 def read_jsonl(paths: list[str] | str) -> ray.data.Dataset:
-    """Streaming JSONL reader (.gz transparent) — one block per file
-    group, Arrow-native parse, no driver materialization."""
-    return ray.data.read_json(
-        paths, arrow_open_stream_args={"compression": "gzip"}
+    """Streaming JSONL reader — one block per file group, Arrow-native
+    parse, no driver materialization. Gzip is detected from the .gz
+    suffix (all-or-nothing per call: split mixed path lists)."""
+    plist = [paths] if isinstance(paths, str) else list(paths)
+    gz = [p.endswith(".gz") for p in plist]
+    if any(gz) and not all(gz):
+        raise ValueError("mix of .gz and plain JSONL — split the read")
+    kwargs = (
+        {"arrow_open_stream_args": {"compression": "gzip"}} if all(gz) else {}
     )
+    return ray.data.read_json(plist, **kwargs)
 
 
 @ray.remote

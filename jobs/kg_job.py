@@ -32,9 +32,10 @@ if _REPO_ROOT not in sys.path:
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--input", required=True,
-                        help="parquet dir (CC shape) or .warc/.warc.gz dir")
+                        help="parquet dir (CC shape), .warc/.warc.gz dir, "
+                             "or .jsonl/.jsonl.gz dir")
     parser.add_argument("--output", required=True)
-    parser.add_argument("--input-format", choices=("parquet", "warc"),
+    parser.add_argument("--input-format", choices=("parquet", "warc", "jsonl"),
                         default=None,
                         help="default: auto-detect from the shard suffix")
     parser.add_argument("--similarity-threshold", type=float, default=0.6)
@@ -54,15 +55,38 @@ def main() -> int:
     warc_files = sorted(
         glob.glob(f"{base}/*.warc") + glob.glob(f"{base}/*.warc.gz")
     )
+    jsonl_files = sorted(
+        glob.glob(f"{base}/*.jsonl") + glob.glob(f"{base}/*.jsonl.gz")
+    )
     fmt = args.input_format
     if fmt is None:  # auto-detect from what the input dir/file contains
-        fmt = "warc" if (warc_files or base.endswith((".warc", ".warc.gz"))) else "parquet"
-    files = (warc_files if fmt == "warc" else files) or [args.input]
+        if warc_files or base.endswith((".warc", ".warc.gz")):
+            fmt = "warc"
+        elif jsonl_files or base.endswith((".jsonl", ".jsonl.gz")):
+            fmt = "jsonl"
+        else:
+            fmt = "parquet"
+    files = {
+        "warc": warc_files, "jsonl": jsonl_files, "parquet": files
+    }[fmt] or [args.input]
     reader = None
     if fmt == "warc":
         from ctinexus_ray.sources.warc import read_warc
 
         reader = read_warc
+    elif fmt == "jsonl":
+        # generic (doc_id/url, text) JSONL shards -> CC shape: full
+        # CC-shaped lines pass through conform_schema untouched; bare
+        # (doc_id, text) corpora ride the synthetic-html adapter
+        from ctinexus_ray.sources.documents import CC_SCHEMA, _adapt_batch, conform_schema
+        from ctinexus_ray.sources.flatfiles import read_jsonl
+
+        def reader(paths):
+            ds = read_jsonl(paths)
+            names = ds.schema().names
+            if "url" in names or "html" in names:
+                return conform_schema(ds)
+            return ds.map_batches(_adapt_batch, batch_format="pyarrow")
     num_cpus = int(ray.cluster_resources().get("CPU", 8))
     pool = args.pool or max(2, num_cpus - 4)
     config = PipelineConfig(
