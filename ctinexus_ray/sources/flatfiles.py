@@ -135,3 +135,19 @@ def read_csv_corpus(paths: list[str] | str) -> ray.data.Dataset:
             strings_can_be_null=True, quoted_strings_can_be_null=False
         ),
     )
+
+
+def read_corpus_auto(path: str) -> ray.data.Dataset:
+    """Point-a-job-at-whatever-the-crawl-dumped adapter: a directory of
+    .jsonl/.jsonl.gz shards (or a single such file) streams through
+    ``read_jsonl``; anything else is read as parquet. Used by the
+    dedup/prepare job entrypoints so corpora need no conversion pass."""
+    import glob as _glob
+
+    base = path.rstrip("/")
+    jl = sorted(
+        _glob.glob(f"{base}/*.jsonl") + _glob.glob(f"{base}/*.jsonl.gz")
+    )
+    if jl or base.endswith((".jsonl", ".jsonl.gz")):
+        return read_jsonl(jl or [base])
+    return ray.data.read_parquet(path)

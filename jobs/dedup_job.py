@@ -57,7 +57,9 @@ def main() -> int:
 
     # accepts both table shapes (documents doc_id / url-keyed CC corpus
     # — see ensure_doc_id for the hash-collision caveat)
-    docs = ensure_doc_id(ray.data.read_parquet(args.input))
+    from ctinexus_ray.sources.flatfiles import read_corpus_auto
+
+    docs = ensure_doc_id(read_corpus_auto(args.input))
     # corpus-scale runs cross to push-based shuffle (driver metadata
     # stays flat); small runs keep pull-based. Env var still overrides.
     from ctinexus_ray.rayutil import select_shuffle_strategy

@@ -65,7 +65,9 @@ def dedup_phase(input_path: str, deduped_dir: str, threshold: float,
 
     # url-keyed CC corpora gain a derived doc_id here; every later
     # phase reads the deduped parquet, which then carries it
-    docs = ensure_doc_id(ray.data.read_parquet(input_path))
+    from ctinexus_ray.sources.flatfiles import read_corpus_auto
+
+    docs = ensure_doc_id(read_corpus_auto(input_path))
     from ctinexus_ray.rayutil import select_shuffle_strategy
 
     select_shuffle_strategy(docs)
