@@ -140,8 +140,9 @@ def read_csv_corpus(paths: list[str] | str) -> ray.data.Dataset:
 def read_corpus_auto(path: str) -> ray.data.Dataset:
     """Point-a-job-at-whatever-the-crawl-dumped adapter: a directory of
     .jsonl/.jsonl.gz shards (or a single such file) streams through
-    ``read_jsonl``; anything else is read as parquet. Used by the
-    dedup/prepare job entrypoints so corpora need no conversion pass."""
+    ``read_jsonl``, .csv shards through ``read_csv_corpus``; anything
+    else is read as parquet. Used by the dedup/prepare job entrypoints
+    so corpora need no conversion pass."""
     import glob as _glob
 
     base = path.rstrip("/")
@@ -150,4 +151,7 @@ def read_corpus_auto(path: str) -> ray.data.Dataset:
     )
     if jl or base.endswith((".jsonl", ".jsonl.gz")):
         return read_jsonl(jl or [base])
+    cs = sorted(_glob.glob(f"{base}/*.csv"))
+    if cs or base.endswith(".csv"):
+        return read_csv_corpus(cs or [base])
     return ray.data.read_parquet(path)
