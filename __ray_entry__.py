@@ -259,27 +259,30 @@ def _q_vocab_overlap_exact(sf_dir: str):
     from ctinexus_ray.ops.groupagg import partitioned_agg
     from ctinexus_ray.ops.textstats import word_explode_batch
 
-    def side_words(lang: str, flag_l: int, flag_r: int):
-        def explode(batch: pa.Table) -> pa.Table:
-            words = word_explode_batch(batch).column("word")
+    def explode(batch: pa.Table):
+        # ONE corpus scan emits both side flags: per batch, each
+        # language slice explodes separately (per-batch combined) with
+        # its flag column — no second read/tokenize pass
+        for lang, fl, fr in (("en", 1, 0), ("de", 0, 1)):
+            import pyarrow.compute as pc
+
+            t = batch.filter(pc.equal(batch.column("lang"), lang))
+            if t.num_rows == 0:
+                continue
+            words = word_explode_batch(t).column("word")
             n = len(words)
-            return pa.Table.from_pydict(
+            yield pa.Table.from_pydict(
                 {
                     "word": words,
-                    "l": pa.array([flag_l] * n, type=pa.int64()),
-                    "r": pa.array([flag_r] * n, type=pa.int64()),
+                    "l": pa.array([fl] * n, type=pa.int64()),
+                    "r": pa.array([fr] * n, type=pa.int64()),
                 }
             )
 
-        return (
-            _docs(sf_dir, ["text", "lang"])
-            .filter(expr=f"lang == '{lang}'")
-            .select_columns(["text"])
-            .map_batches(explode, batch_format="pyarrow")
-        )
-
     flagged = partitioned_agg(
-        side_words("en", 1, 0).union(side_words("de", 0, 1)),
+        _docs(sf_dir, ["text", "lang"]).map_batches(
+            explode, batch_format="pyarrow"
+        ),
         keys=["word"],
         named_aggs={"l": ("l", "max"), "r": ("r", "max")},
     )

@@ -44,6 +44,32 @@ from ctinexus_ray.ops.groupagg import partitioned_agg
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _symmetrize_edges(
+    edges: ray.data.Dataset, out_a: str, out_b: str
+) -> ray.data.Dataset:
+    """Both directions of a canonical (a, b) edge list as int64
+    (out_a, out_b) — the shared first step of the wedge/walk family."""
+
+    def do(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").combine_chunks()
+        b = batch.column("b").combine_chunks()
+        return pa.Table.from_pydict(
+            {
+                out_a: pc.cast(pa.chunked_array([a, b]), pa.int64()),
+                out_b: pc.cast(pa.chunked_array([b, a]), pa.int64()),
+            }
+        )
+
+    return edges.map_batches(do, batch_format="pyarrow")
+
+
+def _rename_cols(ds: ray.data.Dataset, names: list[str]) -> ray.data.Dataset:
+    def do(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(names)
+
+    return ds.map_batches(do, batch_format="pyarrow")
+
+
 def _node_part(nodes: np.ndarray, p: int) -> np.ndarray:
     """Deterministic partition of int64 node ids: Fibonacci multiply-mix
     then mod P (plain ``% P`` would collide with structured id spaces
@@ -1081,26 +1107,9 @@ def _wedges(
     same shuffle. ``edges`` must already be materialized (it is
     consumed by both join sides)."""
 
-    def rename(ds: ray.data.Dataset, names: list[str]) -> ray.data.Dataset:
-        def do(batch: pa.Table) -> pa.Table:
-            return batch.rename_columns(names)
-
-        return ds.map_batches(do, batch_format="pyarrow")
-
-    def symmetrize(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").combine_chunks()
-        b = batch.column("b").combine_chunks()
-        return pa.Table.from_pydict(
-            {
-                "c": pc.cast(pa.chunked_array([a, b]), pa.int64()),
-                "n": pc.cast(pa.chunked_array([b, a]), pa.int64()),
-            }
-        )
-
+    rename = _rename_cols
     int64 = pa.int64()
-    sym = edges.select_columns(["a", "b"]).map_batches(
-        symmetrize, batch_format="pyarrow"
-    )
+    sym = _symmetrize_edges(edges.select_columns(["a", "b"]), "c", "n")
     left = rename(sym, ["c", "x"])
     left_types = {"c": int64, "x": int64}
     if with_center_degree:
@@ -1247,11 +1256,7 @@ def local_clustering(
 
     wedge = _wedges(edges, num_partitions, with_center_degree=False)
 
-    def rename(ds: ray.data.Dataset, names: list[str]) -> ray.data.Dataset:
-        def do(batch: pa.Table) -> pa.Table:
-            return batch.rename_columns(names)
-
-        return ds.map_batches(do, batch_format="pyarrow")
+    rename = _rename_cols
 
     closed = hash_join(
         wedge.select_columns(["x", "y", "c"]),
@@ -1323,17 +1328,7 @@ def random_walks(
     int64 = pa.int64()
     edges = edges.select_columns(["a", "b"]).materialize()
 
-    def symmetrize(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").combine_chunks()
-        b = batch.column("b").combine_chunks()
-        return pa.Table.from_pydict(
-            {
-                "node": pc.cast(pa.chunked_array([a, b]), int64),
-                "nbr": pc.cast(pa.chunked_array([b, a]), int64),
-            }
-        )
-
-    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    sym = _symmetrize_edges(edges, "node", "nbr").materialize()
 
     # one walk per node; endpoints of the edge list are the node set
     def seed(batch: pa.Table) -> pa.Table:
@@ -1446,20 +1441,18 @@ def biased_random_walks(
     w_ret = int(round(1000.0 / p))
     w_mid = 1000
     w_out = int(round(1000.0 / q))
+    if w_ret == 0 or w_out == 0:
+        # a zero milli-weight can make a candidate group sum to 0 —
+        # integer % 0 silently corrupts the vectorized pick (and the
+        # SQL twin would error); refuse loudly instead
+        raise ValueError(
+            "p and q must be <= 2000 (round(1000/p) and round(1000/q) "
+            "must stay >= 1 so no candidate group has zero total weight)"
+        )
     int64 = pa.int64()
     edges = edges.select_columns(["a", "b"]).materialize()
 
-    def symmetrize(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").combine_chunks()
-        b = batch.column("b").combine_chunks()
-        return pa.Table.from_pydict(
-            {
-                "node": pc.cast(pa.chunked_array([a, b]), int64),
-                "nbr": pc.cast(pa.chunked_array([b, a]), int64),
-            }
-        )
-
-    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    sym = _symmetrize_edges(edges, "node", "nbr").materialize()
     if num_partitions is None:
         num_partitions = derive_num_partitions(sym)
 

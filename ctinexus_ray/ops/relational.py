@@ -780,16 +780,14 @@ def sliding_window_counts(
         if distinct_col:
             vals = batch.column(distinct_col)
             idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), fanout)
-            t = pa.Table.from_pydict(
+            # NULL rows stay: they must keep their windows alive (SQL
+            # GROUP BY emits a window of only-NULL rows with count 0)
+            yield pa.Table.from_pydict(
                 {
                     "window_start_s": out["window_start_s"],
                     distinct_col: vals.take(pa.array(idx, type=pa.int64())),
                 }
             )
-            # SQL COUNT(DISTINCT col) ignores NULLs — match it
-            import pyarrow.compute as pc
-
-            yield t.filter(pc.is_valid(t.column(distinct_col)))
             return
         yield pa.Table.from_pydict(out)
 
@@ -797,15 +795,31 @@ def sliding_window_counts(
         explode, batch_format="pyarrow"
     )
     if distinct_col:
+        # dropna=False keeps the NULL group, so an only-NULL window
+        # still emits one presence row; the indicator then counts only
+        # non-NULL values — SQL COUNT(DISTINCT col) semantics exactly
         present = partitioned_agg(
             exploded,
             keys=["window_start_s", distinct_col],
             named_aggs={"one": (distinct_col, "size")},
         )
+
+        def indicator(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.Table.from_pydict(
+                {
+                    "window_start_s": batch.column("window_start_s"),
+                    "ind": pc.cast(
+                        pc.is_valid(batch.column(distinct_col)), pa.int64()
+                    ),
+                }
+            )
+
         return partitioned_agg(
-            present.select_columns(["window_start_s"]),
+            present.map_batches(indicator, batch_format="pyarrow"),
             keys=["window_start_s"],
-            named_aggs={"n_distinct": ("window_start_s", "size")},
+            named_aggs={"n_distinct": ("ind", "sum")},
         )
     return partitioned_agg(
         exploded,

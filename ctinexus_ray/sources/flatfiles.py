@@ -26,7 +26,6 @@ def _write_shard(
     """Write one deterministic shard: rows with doc_id % n_shards ==
     shard, ordered by doc_id, one JSON object per line, gzip -9 (fixed
     level + mtime=0 so shard bytes are run-independent)."""
-    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -88,7 +87,6 @@ def _write_csv_shard(
     strings so empty string and embedded delimiters survive; NULL
     renders as an UNQUOTED empty field (arrow convention), so
     NULL != '' round-trips when read back with the same convention."""
-    import numpy as np
     import pyarrow as pa
     import pyarrow.csv as pacsv
     import pyarrow.parquet as pq
@@ -126,11 +124,15 @@ def write_csv_corpus(
 
 def read_csv_corpus(paths: list[str] | str) -> ray.data.Dataset:
     """Streaming CSV reader matching ``write_csv_corpus``'s dialect:
-    quoted strings are data (even empty), unquoted empty is NULL."""
+    quoted strings are data (even empty), unquoted empty is NULL.
+    ``newlines_in_values`` is load-bearing: crawl text contains
+    newlines, and without it a quoted multi-line value desynchronizes
+    arrow's block chunker as soon as a shard spans read blocks."""
     from pyarrow import csv as pacsv
 
     return ray.data.read_csv(
         paths,
+        parse_options=pacsv.ParseOptions(newlines_in_values=True),
         convert_options=pacsv.ConvertOptions(
             strings_can_be_null=True, quoted_strings_can_be_null=False
         ),
@@ -150,7 +152,12 @@ def read_corpus_auto(path: str) -> ray.data.Dataset:
         _glob.glob(f"{base}/*.jsonl") + _glob.glob(f"{base}/*.jsonl.gz")
     )
     if jl or base.endswith((".jsonl", ".jsonl.gz")):
-        return read_jsonl(jl or [base])
+        jl = jl or [base]
+        plain = [p for p in jl if not p.endswith(".gz")]
+        gz = [p for p in jl if p.endswith(".gz")]
+        if plain and gz:  # partially recompressed dump: split + union
+            return read_jsonl(plain).union(read_jsonl(gz))
+        return read_jsonl(jl)
     cs = sorted(_glob.glob(f"{base}/*.csv"))
     if cs or base.endswith(".csv"):
         return read_csv_corpus(cs or [base])

@@ -78,7 +78,7 @@ def main() -> int:
         # generic (doc_id/url, text) JSONL shards -> CC shape: full
         # CC-shaped lines pass through conform_schema untouched; bare
         # (doc_id, text) corpora ride the synthetic-html adapter
-        from ctinexus_ray.sources.documents import CC_SCHEMA, _adapt_batch, conform_schema
+        from ctinexus_ray.sources.documents import _adapt_batch, conform_schema
         from ctinexus_ray.sources.flatfiles import read_jsonl
 
         def reader(paths):

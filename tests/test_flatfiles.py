@@ -88,3 +88,37 @@ class TestCsvSource:
         b = write_csv_corpus(src, str(tmp_path / "b"), n_shards=3)
         for pa_, pb_ in zip(a, b):
             assert open(pa_, "rb").read() == open(pb_, "rb").read()
+
+    def test_mixed_compression_dir(self, ray_session, tmp_path):
+        """read_corpus_auto handles a partially recompressed dump
+        (.jsonl and .jsonl.gz side by side) by splitting the read."""
+        import gzip
+        import json
+        import os
+
+        from ctinexus_ray.sources.flatfiles import read_corpus_auto
+
+        d = tmp_path / "mix"
+        os.makedirs(d)
+        with open(d / "part-0.jsonl", "w") as f:
+            f.write(json.dumps({"doc_id": 1, "text": "a"}) + "\n")
+        with gzip.open(d / "part-1.jsonl.gz", "wt") as f:
+            f.write(json.dumps({"doc_id": 2, "text": "b"}) + "\n")
+        got = sorted(
+            (r["doc_id"], r["text"])
+            for r in read_corpus_auto(str(d)).take_all()
+        )
+        assert got == [(1, "a"), (2, "b")]
+
+    def test_csv_multiline_text(self, ray_session, tmp_path):
+        """Quoted newlines in text survive the CSV round trip (the
+        newlines_in_values parse option is load-bearing)."""
+        from ctinexus_ray.sources.flatfiles import read_csv_corpus, write_csv_corpus
+
+        rows = [(i, f"line one {i}\nline two {i}\r\nline three") for i in range(12)]
+        src = _corpus(tmp_path, rows)
+        paths = write_csv_corpus(src, str(tmp_path / "out"), n_shards=2)
+        got = sorted(
+            (r["doc_id"], r["text"]) for r in read_csv_corpus(paths).take_all()
+        )
+        assert got == sorted(rows)

@@ -637,3 +637,15 @@ class TestBiasedRandomWalks:
 
         with pytest.raises(ValueError):
             biased_random_walks(_canon_edges([1], [2]), p=0.0)
+
+    def test_extreme_pq_refused(self, ray_session):
+        """p/q large enough to zero a milli-weight would silently
+        corrupt the vectorized pick (int % 0) — refuse loudly."""
+        import pytest
+
+        from ctinexus_ray.ops.graph import biased_random_walks
+
+        with pytest.raises(ValueError, match="<= 2000"):
+            biased_random_walks(_canon_edges([1], [2]), p=3000.0)
+        with pytest.raises(ValueError, match="<= 2000"):
+            biased_random_walks(_canon_edges([1], [2]), q=5000.0)

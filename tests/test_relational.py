@@ -1368,6 +1368,35 @@ class TestSlidingDistinct:
         assert len(out) == 4
         assert set(out.values()) == {2}
 
+    def test_only_null_window_emits_zero(self, ray_session):
+        """A window whose only events carry NULL still appears with
+        n_distinct = 0 — SQL GROUP BY emits the window row."""
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.relational import sliding_window_counts
+
+        base = 1_000_000 * 900 * 200
+        far = base + 50_000 * 1_000_000  # a different slide bucket
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "ts": pa.array([base, far], type=pa.timestamp("us")),
+                    "user_id": pa.array([None, 7], type=pa.int64()),
+                }
+            )
+        )
+        out = {
+            r["window_start_s"]: r["n_distinct"]
+            for r in sliding_window_counts(
+                ds, ts_col="ts", window_s=3600, slide_s=900,
+                distinct_col="user_id",
+            ).take_all()
+        }
+        # both events produce their 4 windows; the NULL-only ones say 0
+        assert len(out) == 8
+        assert sorted(out.values()) == [0, 0, 0, 0, 1, 1, 1, 1]
+
     def test_windowed_count_unchanged(self, ray_session):
         import pyarrow as pa
         import ray.data
