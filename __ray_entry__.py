@@ -1652,6 +1652,19 @@ def _q_cumulative_users(sf_dir: str):
 _SWEEP_THRESHOLDS = [10, 20, 50, 100, 200]
 
 
+def _q_rendezvous_shards(sf_dir: str):
+    """Rendezvous (highest-random-weight) shard assignment of every
+    document to 5 shards — the elastic reshard primitive: N -> N+1
+    moves only the keys the new shard wins (minimal-movement property
+    pinned in tests). argmax of md5("<id>:<s>"), smallest shard on
+    ties. ✓SQL (window argmax twin)."""
+    from ctinexus_ray.ops.shards import rendezvous_assign
+
+    return rendezvous_assign(
+        _docs(sf_dir, ["doc_id"]), id_col="doc_id", n_shards=5
+    )
+
+
 def _q_doc_sample_k_by_lang(sf_dir: str):
     """Balanced eval holdout: exactly 20 documents PER LANGUAGE, chosen
     by smallest md5(doc_id) — deterministic, reshard-stable,
@@ -6699,6 +6712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "quality_threshold_sweep": _q_quality_threshold_sweep,
         "doc_sample_k_by_lang": _q_doc_sample_k_by_lang,
+        "rendezvous_shards": _q_rendezvous_shards,
         "cdc_chunk_delta": _q_cdc_chunk_delta,
         "user_top_event": _q_user_top_event,
         "user_activity_gini": _q_user_activity_gini,
@@ -7607,6 +7621,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT day, new_users, CAST(SUM(new_users) OVER ("
             "ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users "
             "FROM d"
+        ),
+        "rendezvous_shards": (
+            "SELECT doc_id, CAST(s AS BIGINT) AS shard FROM ("
+            "SELECT d.doc_id, t.s, row_number() OVER ("
+            "PARTITION BY d.doc_id ORDER BY "
+            "md5(CAST(d.doc_id AS VARCHAR) || ':' || "
+            "CAST(t.s AS VARCHAR)) DESC, t.s) AS rn "
+            "FROM documents d, (SELECT unnest(range(5)) AS s) t) "
+            "WHERE rn = 1"
         ),
         "doc_sample_k_by_lang": (
             "SELECT lang, doc_id FROM ("

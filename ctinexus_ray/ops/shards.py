@@ -807,3 +807,46 @@ def grouped_sample_k(
         .groupby("pkey")
         .map_groups(reduce_group, batch_format="pandas")
     )
+
+
+def rendezvous_assign(
+    ds: ray.data.Dataset,
+    id_col: str,
+    n_shards: int,
+    out_col: str = "shard",
+) -> ray.data.Dataset:
+    """Rendezvous (highest-random-weight) shard assignment: each key
+    goes to argmax over shards s of md5("<id>:<s>") — the elastic
+    partitioner for 100-TB reshards: growing N -> N+1 moves ONLY the
+    ~1/(N+1) of keys that the new shard wins, and they move ONLY to the
+    new shard (every surviving shard keeps its keys verbatim, unlike
+    mod-N hashing which reshuffles almost everything). Deterministic,
+    coordinator-free, identical on every worker.
+
+    Ties break toward the smallest shard id (md5 collisions across
+    shard suffixes — astronomically rare but pinned for SQL parity).
+    Stateless vectorized-ish map (one md5 pass per shard candidate,
+    N_shards small by definition); nothing shuffles."""
+    import hashlib
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        best_s = [0] * len(ids)
+        best_h = [""] * len(ids)
+        for s in range(n_shards):
+            suffix = f":{s}"
+            for i, v in enumerate(ids):
+                h = hashlib.md5(f"{v}{suffix}".encode()).hexdigest()
+                # (md5 desc, shard asc): strictly-greater keeps the
+                # smallest shard on a tie
+                if h > best_h[i]:
+                    best_h[i] = h
+                    best_s[i] = s
+        return batch.append_column(
+            out_col, pa.array(best_s, type=pa.int64())
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -458,3 +458,58 @@ class TestGroupedSampleK:
             num_partitions=4,
         ).take_all()
         assert {r["id"] for r in a} == {r["id"] for r in b}
+
+
+class TestRendezvousAssign:
+    def test_minimal_movement_on_growth(self, ray_session):
+        """Adding a shard moves ~1/(N+1) of keys, and ONLY to the new
+        shard — the rendezvous property mod-N hashing lacks."""
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.shards import rendezvous_assign
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"doc_id": pa.array(range(3000), type=pa.int64())}
+            )
+        ).repartition(4)
+        a5 = {
+            r["doc_id"]: r["shard"]
+            for r in rendezvous_assign(ds, "doc_id", 5).take_all()
+        }
+        a6 = {
+            r["doc_id"]: r["shard"]
+            for r in rendezvous_assign(ds, "doc_id", 6).take_all()
+        }
+        moved = [k for k in a5 if a5[k] != a6[k]]
+        # every moved key lands on the NEW shard only
+        assert all(a6[k] == 5 for k in moved)
+        # moved fraction ~ 1/6 (generous band for 3000 keys)
+        frac = len(moved) / len(a5)
+        assert 0.10 < frac < 0.24, frac
+
+    def test_balanced_and_deterministic(self, ray_session):
+        import collections
+
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.shards import rendezvous_assign
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"doc_id": pa.array(range(2000), type=pa.int64())}
+            )
+        )
+        got = [
+            r["shard"] for r in rendezvous_assign(ds, "doc_id", 4).take_all()
+        ]
+        counts = collections.Counter(got)
+        assert set(counts) == {0, 1, 2, 3}
+        # uniform-ish: each shard within 2x of fair share
+        assert all(250 < c < 1000 for c in counts.values()), counts
+        again = [
+            r["shard"] for r in rendezvous_assign(ds, "doc_id", 4).take_all()
+        ]
+        assert got == again
