@@ -2869,6 +2869,85 @@ def _q_media_probe(sf_dir: str):
     return probe_media(media)
 
 
+def _q_table_time_travel(sf_dir: str):
+    """Versioned-table commits + time travel (state/tableformat.py,
+    the Iceberg-lite shape): even-doc_id rows land as immutable parquet
+    and commit as v1, odd rows append as v2; the query time-travel
+    reads BOTH versions and returns (version, n_rows, sum_chars) —
+    matched against plain SQL over the source table, so a MATCH proves
+    the manifest isolation reads exactly the committed file sets. ✓SQL."""
+    import hashlib
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    from ctinexus_ray.state.tableformat import commit_version, read_version
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"/tmp/tblfmt_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    data_dir = f"{tmp}/data"
+    table_dir = f"{tmp}/table"
+
+    @ray.remote
+    def write_half(parity: int) -> str:
+        import os
+
+        import pyarrow as pa_
+        import pyarrow.parquet as pq_
+
+        os.makedirs(data_dir, exist_ok=True)
+        t = pq_.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa_.array(ids % 2 == parity))
+        path = f"{data_dir}/half-{parity}.parquet"
+        pq_.write_table(t, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        return path
+
+    even, odd = ray.get([write_half.remote(0), write_half.remote(1)])
+    v1 = commit_version(table_dir, [even], mode="overwrite")
+    v2 = commit_version(table_dir, [odd], mode="append")
+
+    rows = []
+    for v in (v1, v2):
+        ds = read_version(table_dir, v)
+
+        def stats(batch: pa.Table):
+            yield pa.Table.from_pydict(
+                {
+                    "n_rows": pa.array([batch.num_rows], type=pa.int64()),
+                    "sum_chars": pa.array(
+                        [
+                            pc.sum(
+                                pc.utf8_length(batch.column("text"))
+                            ).as_py()
+                            or 0
+                        ],
+                        type=pa.int64(),
+                    ),
+                }
+            )
+
+        import pandas as pd
+
+        agg = ds.map_batches(stats, batch_format="pyarrow").to_pandas().sum()
+        rows.append(
+            {
+                "version": v,
+                "n_rows": int(agg["n_rows"]),
+                "sum_chars": int(agg["sum_chars"]),
+            }
+        )
+    import pandas as pd
+
+    return pd.DataFrame(rows)
+
+
 def _q_jsonl_source(sf_dir: str):
     """JSONL(.gz) ingestion round trip: the documents table is sharded
     into deterministic .jsonl.gz files (one Ray task per shard, atomic
@@ -6769,6 +6848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_checksum": _q_corpus_checksum,
         "corpus_checksum_ranges": _q_corpus_checksum_ranges,
         "jsonl_source": _q_jsonl_source,
+        "table_time_travel": _q_table_time_travel,
         "csv_source": _q_csv_source,
         "lineitem_corr": _q_lineitem_corr,
         "media_probe": _q_media_probe,
@@ -7861,6 +7941,16 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_source": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "
             "FROM documents"
+        ),
+        "table_time_travel": (
+            "SELECT 1 AS version, "
+            "CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) "
+            "AS n_rows, "
+            "CAST(COALESCE(SUM(length(text)) "
+            "FILTER (WHERE doc_id % 2 = 0), 0) AS BIGINT) AS sum_chars "
+            "FROM documents "
+            "UNION ALL SELECT 2, CAST(count(*) AS BIGINT), "
+            "CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) FROM documents"
         ),
         "csv_source": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "

@@ -321,3 +321,84 @@ class TestProfileJob:
 
         report_json = json.loads((out / "profile.json").read_text())
         assert report_json["n_docs"] == report["n_docs"]
+
+
+class TestTableFormat:
+    @staticmethod
+    def _write(tmp_path, name, ids):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / name)
+        pq.write_table(
+            pa.Table.from_pydict({"doc_id": pa.array(ids, type=pa.int64())}),
+            p,
+        )
+        return p
+
+    def test_append_overwrite_and_time_travel(self, ray_session, tmp_path):
+        from ctinexus_ray.state.tableformat import (
+            commit_version,
+            latest_version,
+            read_version,
+        )
+
+        t = str(tmp_path / "tbl")
+        a = self._write(tmp_path, "a.parquet", [1, 2])
+        b = self._write(tmp_path, "b.parquet", [3])
+        c = self._write(tmp_path, "c.parquet", [4, 5, 6])
+        assert commit_version(t, [a]) == 1
+        assert commit_version(t, [b], mode="append") == 2
+        assert commit_version(t, [c], mode="overwrite") == 3
+        assert latest_version(t) == 3
+        assert read_version(t, 1).count() == 2
+        assert read_version(t, 2).count() == 3  # a ∪ b
+        assert read_version(t).count() == 3     # latest = overwrite c
+        got = sorted(r["doc_id"] for r in read_version(t, 3).take_all())
+        assert got == [4, 5, 6]
+
+    def test_duplicate_file_not_doubled(self, ray_session, tmp_path):
+        from ctinexus_ray.state.tableformat import commit_version, read_version
+
+        t = str(tmp_path / "tbl")
+        a = self._write(tmp_path, "a.parquet", [1, 2])
+        commit_version(t, [a])
+        commit_version(t, [a], mode="append")  # re-append same file
+        assert read_version(t).count() == 2
+
+    def test_optimistic_commit_race(self, ray_session, tmp_path):
+        """Two committers racing on the same parent both land, on
+        distinct consecutive versions, and the union is complete."""
+        import ray
+
+        from ctinexus_ray.state.tableformat import (
+            commit_version,
+            read_version,
+        )
+
+        t = str(tmp_path / "tbl")
+        base = self._write(tmp_path, "base.parquet", [0])
+        commit_version(t, [base])
+        files = [
+            self._write(tmp_path, f"r{i}.parquet", [10 + i]) for i in range(6)
+        ]
+
+        @ray.remote
+        def committer(path):
+            from ctinexus_ray.state.tableformat import commit_version as cv
+
+            return cv(t, [path], mode="append")
+
+        versions = ray.get([committer.remote(p) for p in files])
+        assert sorted(versions) == [2, 3, 4, 5, 6, 7]  # all landed
+        # the final version sees every row exactly once
+        got = sorted(r["doc_id"] for r in read_version(t).take_all())
+        assert got == [0, 10, 11, 12, 13, 14, 15]
+
+    def test_read_empty_table_raises(self, ray_session, tmp_path):
+        import pytest
+
+        from ctinexus_ray.state.tableformat import read_version
+
+        with pytest.raises(FileNotFoundError):
+            read_version(str(tmp_path / "nope"))
