@@ -3323,6 +3323,47 @@ def _kcore_oracle() -> str:
     )
 
 
+_LPA_ROUNDS = 3
+
+
+def _q_name_lpa_communities(sf_dir: str):
+    """Synchronous label-propagation community detection (3 rounds) over
+    the edit-distance name-match graph: per round one node-sized label
+    join + one map-side-combined count+argmax reduce; fixed round count
+    keeps the unrolled-CTE SQL twin exact (the k-core pattern). ✓SQL."""
+    from ctinexus_ray.ops.graph import lpa_communities
+
+    return lpa_communities(
+        _name_edges(sf_dir), rounds=_LPA_ROUNDS, num_partitions=16
+    )
+
+
+def _lpa_oracle() -> str:
+    # same AS MATERIALIZED discipline as _kcore_oracle: each round
+    # references the previous label set, inlining would blow up scans
+    sql = (
+        "WITH e0 AS MATERIALIZED (SELECT a.c_custkey AS u, b.c_custkey AS v "
+        "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+        "WHERE levenshtein(a.c_name, b.c_name) <= 1), "
+        "d AS MATERIALIZED (SELECT u AS src, v AS dst FROM e0 "
+        "UNION ALL SELECT v, u FROM e0), "
+        "l0 AS MATERIALIZED (SELECT src AS node, src AS label "
+        "FROM d GROUP BY src)"
+    )
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        sql += (
+            f", c{i} AS MATERIALIZED (SELECT d.dst AS node, "
+            f"p.label AS label, count(*) AS cnt FROM d "
+            f"JOIN {prev} p ON d.src = p.node GROUP BY d.dst, p.label), "
+            f"l{i} AS MATERIALIZED (SELECT node, label FROM "
+            f"(SELECT node, label, row_number() OVER (PARTITION BY node "
+            f"ORDER BY cnt DESC, label ASC) AS rn FROM c{i}) WHERE rn = 1)"
+        )
+        prev = f"l{i}"
+    return sql + f" SELECT node, label FROM {prev}"
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style within-doc repetition signals (duplicate-word
     fraction + top-word character fraction); stateless per-batch map."""
@@ -6870,6 +6911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "name_match_pairs": _q_name_match_pairs,
         "name_kcore": _q_name_kcore,
+        "name_lpa_communities": _q_name_lpa_communities,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -7620,6 +7662,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE levenshtein(a.c_name, b.c_name) <= 1"
         ),
         "name_kcore": _kcore_oracle(),
+        "name_lpa_communities": _lpa_oracle(),
         "name_random_walks": _walks_oracle(),
         "name_biased_walks": _biased_walks_oracle(),
         "name_harmonic_centrality": (

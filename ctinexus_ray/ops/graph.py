@@ -1598,3 +1598,98 @@ def biased_random_walks(
     for ds in out[1:]:
         result = result.union(ds)
     return result
+
+
+def lpa_communities(
+    edges: ray.data.Dataset,
+    rounds: int = 4,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over an undirected canonical (a, b) edge list: every node
+    starts in its own community (label = node id); each round every
+    node simultaneously adopts the label most frequent among its
+    neighbors, ties broken by the SMALLEST label. A FIXED round count
+    (not run-to-convergence) keeps the op SQL-expressible — the oracle
+    is the same ``rounds`` unrolled CTE stages (count + row_number
+    QUALIFY per round), the PageRank/k-core twin pattern. Synchronous
+    updates make the result order-independent and bit-deterministic;
+    the usual async-LPA tie flapping cannot occur.
+
+    The reference system has no corpus-scale community detection (its
+    graphs are per-document, reference ctinexus/graph_constructor.py);
+    this is the dup-cluster / host-community shape for crawl curation.
+
+    Scale shape: edges symmetrized and materialized ONCE; per round ONE
+    hash join (labels onto edge sources — node-sized stream against the
+    static edge set) and ONE hash-partitioned count+argmax reduce with a
+    map-side (dst, label) count combine, so the shuffle carries at most
+    one row per distinct (node, neighbor-label) pair, never the raw
+    edge multiplicity. Labels are node-sized throughout; nothing is
+    ever driver-materialized. Output: (node:int64, label:int64).
+    """
+    import pandas as pd
+
+    from ctinexus_ray.ops.groupagg import add_hash_pkey, derive_num_partitions
+
+    directed = _symmetrize_edges(edges, "src", "dst").materialize()
+    if directed.count() == 0:
+        # a fully-empty dataset carries no schema — short-circuit with
+        # the typed empty result instead of feeding hash_join nothing
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "node": pa.array([], type=pa.int64()),
+                    "label": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(directed)
+
+    # round 0: every endpoint is its own community (min(node) == node)
+    labels = partitioned_agg(
+        _rename_cols(directed.select_columns(["src"]), ["node"]),
+        keys=["node"],
+        named_aggs={"label": ("node", "min")},
+        num_partitions=num_partitions,
+    ).materialize()
+
+    def combine(batch: pa.Table) -> pa.Table:
+        # map-side (dst, label) count: the shuffle ships partials, not
+        # raw neighbor rows
+        df = (
+            batch.select(["dst", "label"])
+            .to_pandas()
+            .groupby(["dst", "label"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return add_hash_pkey(out, ["dst"], num_partitions)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (
+            g.groupby(["dst", "label"], sort=False)["n"].sum().reset_index()
+        )
+        cnt = cnt.sort_values(
+            ["n", "label"], ascending=[False, True], kind="mergesort"
+        )
+        top = cnt.groupby("dst", sort=False).head(1)
+        out = top[["dst", "label"]].rename(columns={"dst": "node"})
+        return out.astype({"node": "int64", "label": "int64"})
+
+    for _ in range(rounds):
+        joined = hash_join(
+            directed,
+            _rename_cols(labels, ["src", "label"]),
+            on=["src"],
+            num_partitions=num_partitions,
+        )
+        labels = (
+            joined.map_batches(combine, batch_format="pyarrow")
+            .groupby("pkey")
+            .map_groups(pick, batch_format="pandas")
+            .materialize()
+        )
+    return labels

@@ -649,3 +649,82 @@ class TestBiasedRandomWalks:
             biased_random_walks(_canon_edges([1], [2]), p=3000.0)
         with pytest.raises(ValueError, match="<= 2000"):
             biased_random_walks(_canon_edges([1], [2]), q=5000.0)
+
+
+class TestLpaCommunities:
+    def _edges(self, pairs):
+        import pyarrow as pa
+
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                    "b": pa.array([p[1] for p in pairs], type=pa.int64()),
+                }
+            )
+        )
+
+    @staticmethod
+    def _brute_lpa(pairs, rounds):
+        """From-first-principles synchronous LPA: most-frequent neighbor
+        label, tie -> smallest label, all nodes update simultaneously."""
+        from collections import Counter, defaultdict
+
+        adj = defaultdict(list)
+        for a, b in pairs:
+            adj[a].append(b)
+            adj[b].append(a)
+        labels = {n: n for n in adj}
+        for _ in range(rounds):
+            new = {}
+            for n, nbrs in adj.items():
+                cnt = Counter(labels[m] for m in nbrs)
+                best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+                new[n] = best[0]
+            labels = new
+        return labels
+
+    def _run(self, pairs, rounds):
+        from ctinexus_ray.ops.graph import lpa_communities
+
+        out = lpa_communities(
+            self._edges(pairs), rounds=rounds, num_partitions=4
+        ).take_all()
+        return {r["node"]: r["label"] for r in out}
+
+    def test_two_cliques_with_bridge(self, ray_session):
+        clique1 = [(0, 1), (0, 2), (1, 2)]
+        clique2 = [(10, 11), (10, 12), (11, 12)]
+        pairs = clique1 + clique2 + [(2, 10)]
+        for rounds in (1, 2, 4):
+            assert self._run(pairs, rounds) == self._brute_lpa(pairs, rounds)
+        final = self._run(pairs, 4)
+        # the two triangles settle into distinct communities
+        assert final[0] == final[1] == final[2]
+        assert final[10] == final[11] == final[12]
+        assert final[0] != final[10]
+
+    def test_random_graph_matches_brute_force(self, ray_session):
+        rng = np.random.RandomState(7)
+        pairs = set()
+        while len(pairs) < 120:
+            a, b = rng.randint(0, 40, 2)
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        pairs = sorted(pairs)
+        for rounds in (1, 3):
+            assert self._run(pairs, rounds) == self._brute_lpa(pairs, rounds)
+
+    def test_star_collapses_to_hub_label(self, ray_session):
+        # spokes see only the hub; hub sees all spokes (each labeled
+        # uniquely round 1 -> tie -> smallest spoke id)
+        pairs = [(5, s) for s in (1, 2, 3, 4)]
+        got = self._run(pairs, 1)
+        assert got == {5: 1, 1: 5, 2: 5, 3: 5, 4: 5}
+
+    def test_empty_edges(self, ray_session):
+        from ctinexus_ray.ops.graph import lpa_communities
+
+        assert lpa_communities(self._edges([]), rounds=2).take_all() == []
