@@ -3323,6 +3323,35 @@ def _kcore_oracle() -> str:
     )
 
 
+def _q_lang_len_auc(sf_dir: str):
+    """Exact ROC-AUC (Mann-Whitney rank-sum, midrank ties) of document
+    length as a predictor of lang='en' — the "does this score actually
+    separate the classes" gate for any corpus quality classifier. One
+    distinct-score reduce + a two-phase prefix scan; output is a single
+    row of exact int64 rationals (auc = auc_num / auc_den). ✓SQL."""
+    import pyarrow.compute as pc
+
+    from ctinexus_ray.ops.mleval import auc_rank
+
+    def lab(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "score": batch.column("n_chars").cast(pa.int64()),
+                "pos": pc.cast(
+                    pc.equal(batch.column("lang"), "en"), pa.int64()
+                ),
+            }
+        )
+
+    return auc_rank(
+        _docs(sf_dir, ["lang", "n_chars"]).map_batches(
+            lab, batch_format="pyarrow"
+        ),
+        "score",
+        "pos",
+    )
+
+
 _LPA_ROUNDS = 3
 
 
@@ -6912,6 +6941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_match_pairs": _q_name_match_pairs,
         "name_kcore": _q_name_kcore,
         "name_lpa_communities": _q_name_lpa_communities,
+        "lang_len_auc": _q_lang_len_auc,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -7663,6 +7693,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "name_kcore": _kcore_oracle(),
         "name_lpa_communities": _lpa_oracle(),
+        "lang_len_auc": (
+            "WITH s AS (SELECT n_chars AS score, "
+            "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos "
+            "FROM documents), "
+            "g AS (SELECT score, CAST(SUM(pos) AS BIGINT) AS npos, "
+            "CAST(COUNT(*) - SUM(pos) AS BIGINT) AS nneg "
+            "FROM s GROUP BY score), "
+            "c AS (SELECT npos, nneg, CAST(COALESCE(SUM(nneg) OVER ("
+            "ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS BIGINT) AS nneg_less FROM g) "
+            "SELECT CAST(SUM(npos) AS BIGINT) AS n_pos, "
+            "CAST(SUM(nneg) AS BIGINT) AS n_neg, "
+            "CAST(SUM(npos * (2 * nneg_less + nneg)) AS BIGINT) "
+            "AS auc_num, "
+            "CAST(2 * SUM(npos) * SUM(nneg) AS BIGINT) AS auc_den FROM c"
+        ),
         "name_random_walks": _walks_oracle(),
         "name_biased_walks": _biased_walks_oracle(),
         "name_harmonic_centrality": (
