@@ -3323,6 +3323,18 @@ def _kcore_oracle() -> str:
     )
 
 
+def _q_chi2_terms(sf_dir: str):
+    """Chi-square feature selection: top-20 terms most associated with
+    each language (presence-based 2x2 contingency). One corpus-shuffled
+    (lang, word) count reduce; df re-aggregates the vocabulary table;
+    per-lang totals broadcast; micro-quantized pinned-order IEEE. ✓SQL."""
+    from ctinexus_ray.ops.textstats import chi2_terms
+
+    return chi2_terms(
+        _docs(sf_dir, ["lang", "text"]), k=20, num_partitions=64
+    )
+
+
 def _q_lang_len_auc(sf_dir: str):
     """Exact ROC-AUC (Mann-Whitney rank-sum, midrank ties) of document
     length as a predictor of lang='en' — the "does this score actually
@@ -6942,6 +6954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_kcore": _q_name_kcore,
         "name_lpa_communities": _q_name_lpa_communities,
         "lang_len_auc": _q_lang_len_auc,
+        "chi2_terms": _q_chi2_terms,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -7693,6 +7706,35 @@ def oracle_sql() -> dict[str, str]:
         ),
         "name_kcore": _kcore_oracle(),
         "name_lpa_communities": _lpa_oracle(),
+        "chi2_terms": (
+            "WITH w AS (SELECT lang, unnest(list_distinct("
+            "regexp_split_to_array(trim(text), '\\s+'))) AS word "
+            "FROM documents WHERE lang IS NOT NULL), "
+            "a AS (SELECT lang, word, count(*) AS a FROM w "
+            "GROUP BY lang, word), "
+            "dft AS (SELECT word, CAST(SUM(a) AS BIGINT) AS df "
+            "FROM a GROUP BY word), "
+            "nlt AS (SELECT lang, count(*) AS nl FROM documents "
+            "WHERE lang IS NOT NULL GROUP BY lang), "
+            "nt AS (SELECT count(*) AS n FROM documents), "
+            "cells AS (SELECT a.lang, a.word, a.a AS a, "
+            "dft.df - a.a AS b, nlt.nl - a.a AS c, "
+            "nt.n - dft.df - (nlt.nl - a.a) AS d, nt.n AS n "
+            "FROM a JOIN dft ON a.word = dft.word "
+            "JOIN nlt ON a.lang = nlt.lang CROSS JOIN nt "
+            "WHERE dft.df < nt.n AND nlt.nl < nt.n), "
+            # pinned IEEE order — mirrors ops/textstats.py chi2_terms
+            "sc AS (SELECT lang, word, CAST(FLOOR("
+            "(1e6 * (CAST(n AS DOUBLE) * (CAST(a*d - b*c AS DOUBLE) * "
+            "CAST(a*d - b*c AS DOUBLE)))) / "
+            "((CAST(a+b AS DOUBLE) * CAST(c+d AS DOUBLE)) * "
+            "CAST(a+c AS DOUBLE) * CAST(b+d AS DOUBLE)) + 0.5) "
+            "AS BIGINT) AS chi2_micro FROM cells) "
+            "SELECT lang, CAST(rn AS BIGINT) AS rn, word, chi2_micro "
+            "FROM (SELECT lang, word, chi2_micro, row_number() OVER ("
+            "PARTITION BY lang ORDER BY chi2_micro DESC, word ASC) AS rn "
+            "FROM sc) WHERE rn <= 20"
+        ),
         "lang_len_auc": (
             "WITH s AS (SELECT n_chars AS score, "
             "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos "

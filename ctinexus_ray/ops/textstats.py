@@ -1722,3 +1722,134 @@ def tfidf_cosine_pairs(
         return t.filter(pa.array(cos_u >= threshold_u))
 
     return with_nb.map_batches(finalize, batch_format="pyarrow")
+
+
+def chi2_terms(
+    docs, k: int = 20, num_partitions: int = 64
+) -> "ray.data.Dataset":
+    """Chi-square feature selection: the k terms most associated with
+    each language by the presence-based 2x2 contingency test — the
+    classic "which words give this class away" primitive behind
+    fasttext-style classifier feature pruning and corpus-contamination
+    triage. For each (lang, word):
+
+        a = docs of lang containing word     b = other docs containing it
+        c = docs of lang without it          d = other docs without it
+        chi2 = N * (ad - bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+
+    Scale shape: per-batch presence combine -> ONE hash-partitioned
+    (lang, word) count reduce (the corpus shuffles once, as partials);
+    per-word document frequency re-aggregates the (lang, word) table
+    (vocabulary-sized, never the corpus); per-lang doc counts are a
+    tiny broadcast dict. Scores are micro-quantized with a pinned IEEE
+    expression order so the SQL twin matches bit-for-bit; exact while
+    a*d fits int64 (~3e9 docs per class — beyond that, sample).
+
+    Rows with NULL lang are EXCLUDED (SQL inner-join-on-lang
+    semantics); words present in every doc and langs covering every
+    doc are excluded (zero denominator). Output:
+    (lang, rn, word, chi2_micro), rn = 1..k by (chi2_micro DESC, word).
+    """
+    from collections import Counter
+
+    import numpy as np
+    import ray
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.relational import grouped_topn
+
+    n_total = docs.count()
+    lang_counts = {
+        r["lang"]: int(r["n"])
+        for r in partitioned_agg(
+            docs.select_columns(["lang"]),
+            keys=["lang"],
+            named_aggs={"n": ("lang", "size")},
+            num_partitions=16,
+        ).take_all()
+        if r["lang"] is not None
+    }
+    lc_ref = ray.put(lang_counts)
+
+    def presence(batch: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for lang, text in zip(
+            batch.column("lang").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if lang is None:
+                continue
+            for w in set(_tokens(text or "")):
+                cnt[(lang, w)] += 1
+        keys = list(cnt.keys())
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array([kk[0] for kk in keys], type=pa.string()),
+                "word": pa.array([kk[1] for kk in keys], type=pa.string()),
+                "pn": pa.array([cnt[kk] for kk in keys], type=pa.int64()),
+            }
+        )
+
+    part = docs.select_columns(["lang", "text"]).map_batches(
+        presence, batch_format="pyarrow"
+    )
+    a_tab = partitioned_agg(
+        part,
+        keys=["lang", "word"],
+        named_aggs={"a": ("pn", "sum")},
+        num_partitions=num_partitions,
+    )
+    df_tab = partitioned_agg(
+        a_tab.select_columns(["word", "a"]),
+        keys=["word"],
+        named_aggs={"df": ("a", "sum")},
+        num_partitions=num_partitions,
+    )
+    joined = hash_join(
+        a_tab,
+        df_tab,
+        on=["word"],
+        num_partitions=num_partitions,
+        left_types={"word": pa.string(), "lang": pa.string(), "a": pa.int64()},
+        right_types={"word": pa.string(), "df": pa.int64()},
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        lc = ray.get(lc_ref)
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        df = batch.column("df").to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = batch.column("lang").to_pylist()
+        nl = np.array([lc[la] for la in langs], dtype=np.int64)
+        b = df - a
+        c = nl - a
+        d = n_total - df - c
+        keep = (df < n_total) & (nl < n_total)
+        a, b, c, d = a[keep], b[keep], c[keep], d[keep]
+        # pinned IEEE order — mirrors the SQL twin term for term
+        diff = (a * d - b * c).astype(np.float64)
+        num = np.float64(n_total) * (diff * diff)
+        den = (
+            ((a + b).astype(np.float64) * (c + d).astype(np.float64))
+            * (a + c).astype(np.float64)
+        ) * (b + d).astype(np.float64)
+        chi2 = np.floor((1e6 * num) / den + 0.5).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "lang": pa.array(
+                    [la for la, kp in zip(langs, keep) if kp],
+                    type=pa.string(),
+                ),
+                "word": batch.column("word").filter(pa.array(keep)),
+                "chi2_micro": pa.array(chi2, type=pa.int64()),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+    return grouped_topn(
+        scored,
+        group_key="lang",
+        order_col="chi2_micro",
+        n=k,
+        tiebreak_col="word",
+        num_partitions=num_partitions,
+    )

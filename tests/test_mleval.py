@@ -78,3 +78,99 @@ class TestAucRank:
         assert _run(scores, labels, range_size=16) == _brute_auc(
             scores, labels
         )
+
+
+class TestChi2Terms:
+    """chi2_terms (ops/textstats.py) vs a from-first-principles
+    contingency computation."""
+
+    def _docs(self, rows):
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "lang": pa.array([r[0] for r in rows], type=pa.string()),
+                    "text": pa.array([r[1] for r in rows], type=pa.string()),
+                }
+            )
+        )
+
+    @staticmethod
+    def _brute(rows, k):
+        import math
+        from collections import defaultdict
+
+        # N spans ALL docs (a NULL-lang doc counts as "not containing"
+        # on the d diagonal); the (lang, word) cells exclude NULL lang —
+        # mirrors the engine/oracle contract
+        n = len(rows)
+        rows = [(la, t) for la, t in rows if la is not None]
+        docs = [(la, set((t or "").strip().split())) for la, t in rows]
+        nl = defaultdict(int)
+        for la, _ in docs:
+            nl[la] += 1
+        a = defaultdict(int)
+        for la, ws in docs:
+            for w in ws:
+                a[(la, w)] += 1
+        df = defaultdict(int)
+        for (la, w), v in a.items():
+            df[w] += v
+        out = defaultdict(list)
+        for (la, w), av in a.items():
+            if df[w] >= n or nl[la] >= n:
+                continue
+            b = df[w] - av
+            c = nl[la] - av
+            d = n - df[w] - c
+            diff = float(av * d - b * c)
+            num = float(n) * (diff * diff)
+            den = (
+                (float(av + b) * float(c + d)) * float(av + c)
+            ) * float(b + d)
+            out[la].append((int(math.floor((1e6 * num) / den + 0.5)), w))
+        ranked = {}
+        for la, terms in out.items():
+            terms.sort(key=lambda t: (-t[0], t[1]))
+            ranked[la] = [
+                (i + 1, w, s) for i, (s, w) in enumerate(terms[:k])
+            ]
+        return ranked
+
+    def test_matches_brute_force(self, ray_session):
+        from ctinexus_ray.ops.textstats import chi2_terms
+
+        rng = np.random.RandomState(13)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = []
+        for i in range(80):
+            la = ("aa", "bb", "cc")[i % 3]
+            words = list(rng.choice(vocab, size=6))
+            if la == "aa":
+                words.append("shibboleth")  # planted discriminative term
+            rows.append((la, " ".join(words)))
+        got = {}
+        for r in chi2_terms(self._docs(rows), k=5, num_partitions=4).take_all():
+            got.setdefault(r["lang"], []).append(
+                (r["rn"], r["word"], r["chi2_micro"])
+            )
+        for la in got:
+            got[la].sort()
+        assert got == self._brute(rows, 5)
+        assert got["aa"][0][1] == "shibboleth"
+
+    def test_null_lang_excluded(self, ray_session):
+        from ctinexus_ray.ops.textstats import chi2_terms
+
+        rows = [("aa", "x y"), ("bb", "y z"), (None, "x z q")]
+        out = chi2_terms(self._docs(rows), k=10, num_partitions=4).take_all()
+        assert {r["lang"] for r in out} == {"aa", "bb"}
+        assert self._brute(rows, 10) == {
+            la: sorted(
+                [
+                    (r["rn"], r["word"], r["chi2_micro"])
+                    for r in out
+                    if r["lang"] == la
+                ]
+            )
+            for la in ("aa", "bb")
+        }
