@@ -3013,6 +3013,39 @@ def _q_csv_source(sf_dir: str):
     return read_csv_corpus(paths).map_batches(project, batch_format="pyarrow")
 
 
+def _q_avro_source(sf_dir: str):
+    """Avro OCF ingestion round trip (csv/jsonl_source's sibling): the
+    documents table sharded into deterministic .avro files (pure-stdlib
+    writer, deflate blocks, pinned sync markers, one Ray task per
+    shard), read back through the per-file parse tasks, projected to
+    (doc_id, n_chars); the ✓SQL twin reads the ORIGINAL parquet — a
+    hash MATCH proves the write→read round trip is byte-faithful
+    including unicode and NULL text."""
+    import hashlib
+    import shutil
+
+    import pyarrow.compute as pc
+
+    from ctinexus_ray.sources.avro import read_avro, write_avro_corpus
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"/tmp/avro_src_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    paths = write_avro_corpus(f"{sf_dir}/documents.parquet", tmp, n_shards=4)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pc.cast(
+                    pc.utf8_length(batch.column("text")), pa.int64()
+                ),
+            }
+        )
+
+    return read_avro(paths).map_batches(project, batch_format="pyarrow")
+
+
 def _q_corpus_checksum_ranges(sf_dir: str):
     """Merkle-style range checksums: the corpus checksum per 100-doc_id
     bucket, localizing a replica divergence to one bucket instead of a
@@ -6932,6 +6965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_source": _q_jsonl_source,
         "table_time_travel": _q_table_time_travel,
         "csv_source": _q_csv_source,
+        "avro_source": _q_avro_source,
         "lineitem_corr": _q_lineitem_corr,
         "media_probe": _q_media_probe,
         "embedding_gram": _q_embedding_gram,
@@ -8084,6 +8118,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) FROM documents"
         ),
         "csv_source": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "
+            "FROM documents"
+        ),
+        "avro_source": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars "
             "FROM documents"
         ),

@@ -161,4 +161,9 @@ def read_corpus_auto(path: str) -> ray.data.Dataset:
     cs = sorted(_glob.glob(f"{base}/*.csv"))
     if cs or base.endswith(".csv"):
         return read_csv_corpus(cs or [base])
+    av = sorted(_glob.glob(f"{base}/*.avro"))
+    if av or base.endswith(".avro"):
+        from ctinexus_ray.sources.avro import read_avro
+
+        return read_avro(av or [base])
     return ray.data.read_parquet(path)

@@ -52,6 +52,23 @@ def main() -> int:
     from ctinexus_ray.ops.dedup import minhash_dedup_keep
     from ctinexus_ray.ops.distjoin import hash_join
 
+    # all-or-nothing phase resume (prepare_job's _DEDUP_SUCCESS pattern):
+    # a completed output is skipped wholesale; a partial one — parquet
+    # files but no marker — is a crashed run and is rebuilt from scratch
+    # (ray write_parquet APPENDS into an existing dir, so rerunning over
+    # a partial output would double-count rows).
+    import shutil
+    from pathlib import Path
+
+    marker = Path(args.output) / "_DEDUP_SUCCESS.json"
+    if marker.exists():
+        stats = json.loads(marker.read_text())
+        stats["skipped"] = True
+        print(json.dumps(stats, indent=2))
+        ray.shutdown()
+        return 0
+    shutil.rmtree(args.output, ignore_errors=True)
+
     start = time.perf_counter()
     from ctinexus_ray.sources.documents import ensure_doc_id
 
@@ -78,14 +95,21 @@ def main() -> int:
     )
     kept.write_parquet(args.output)
     n_out = ray.data.read_parquet(args.output).count()
-    print(json.dumps({
+    stats = {
         "input_docs": n_in,
         "surviving_docs": n_out,
         "dropped": n_in - n_out,
         "sec": round(time.perf_counter() - start, 2),
         "shuffle_strategy": strategy,
         "output": args.output,
-    }, indent=2))
+        "skipped": False,
+    }
+    # atomic commit: the marker only appears after a complete write
+    tmp = str(marker) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(stats, f)
+    os.replace(tmp, marker)
+    print(json.dumps(stats, indent=2))
     ray.shutdown()
     return 0
 
