@@ -3356,6 +3356,40 @@ def _kcore_oracle() -> str:
     )
 
 
+def _q_orders_scd2(sf_dir: str):
+    """Type-2 SCD history of each customer's order-status change log:
+    valid_from = the order's date, valid_to = the customer's NEXT order
+    date (NULL = current) — one hash shuffle, vectorized boundary-masked
+    window, NULLs carried as masked int64 (never float64). ✓SQL (LEAD
+    window twin)."""
+    import ray.data
+
+    from ctinexus_ray.ops.relational import scd2_history
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "ckey": batch.column("o_custkey").cast(pa.int64()),
+                "ts_us": batch.column("o_orderdate").cast(pa.int64()),
+                "okey": batch.column("o_orderkey").cast(pa.int64()),
+                "o_status": batch.column("o_orderstatus"),
+            }
+        )
+
+    return scd2_history(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        key_col="ckey",
+        ts_col="ts_us",
+        tie_col="okey",
+        payload_cols=["o_status"],
+    )
+
+
 def _q_chi2_terms(sf_dir: str):
     """Chi-square feature selection: top-20 terms most associated with
     each language (presence-based 2x2 contingency). One corpus-shuffled
@@ -6989,6 +7023,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_lpa_communities": _q_name_lpa_communities,
         "lang_len_auc": _q_lang_len_auc,
         "chi2_terms": _q_chi2_terms,
+        "orders_scd2": _q_orders_scd2,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -7740,6 +7775,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "name_kcore": _kcore_oracle(),
         "name_lpa_communities": _lpa_oracle(),
+        "orders_scd2": (
+            "SELECT o_custkey AS ckey, "
+            "CAST(epoch_us(o_orderdate) AS BIGINT) AS valid_from, "
+            "o_orderkey AS okey, o_orderstatus AS o_status, "
+            "CAST(LEAD(epoch_us(o_orderdate)) OVER ("
+            "PARTITION BY o_custkey "
+            "ORDER BY epoch_us(o_orderdate), o_orderkey) AS BIGINT) "
+            "AS valid_to FROM orders"
+        ),
         "chi2_terms": (
             "WITH w AS (SELECT lang, unnest(list_distinct("
             "regexp_split_to_array(trim(text), '\\s+'))) AS word "

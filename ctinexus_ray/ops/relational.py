@@ -1502,3 +1502,62 @@ def skyline_2d(
     return pa.Table.from_pydict(
         {c: pa.array([r[c] for r in rows]) for c in cols}
     )
+
+
+def scd2_history(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    tie_col: str,
+    payload_cols: list[str],
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Type-2 slowly-changing-dimension history from a change log: one
+    row per version with ``valid_from`` = its own timestamp and
+    ``valid_to`` = the NEXT version's timestamp within the key (NULL
+    for the current version) — the warehouse upsert-history shape
+    (Kimball SCD2) and the crawl analogue "which snapshot of this url
+    was live at time t". The within-key total order is (ts_col,
+    tie_col); pass a unique tie (event/order id) so output is
+    deterministic under timestamp ties — a tied earlier row gets an
+    empty [ts, ts) window, exactly like SQL ``LEAD``.
+
+    Scale shape: ONE hash shuffle on the key; each partition windows
+    MANY whole keys in a single vectorized pass (sort + boundary-masked
+    shift, no per-key Python) — the sessionize partitioning assumption
+    (one key's versions fit a partition). ``ts_col``/``tie_col`` must
+    be int64; ``valid_to`` is built as a masked IntegerArray, so NULLs
+    never round-trip through float64 (timestamps above 2^53 stay
+    exact). Output: (key, valid_from, tie, *payload, valid_to).
+    """
+    import numpy as np
+
+    from ctinexus_ray.ops.groupagg import add_hash_pkey
+
+    cols = [key_col, ts_col, tie_col, *payload_cols]
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        return add_hash_pkey(batch.select(cols), [key_col], num_partitions)
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[cols].sort_values([key_col, ts_col, tie_col], kind="mergesort")
+        ts = g[ts_col].to_numpy(dtype=np.int64)
+        keys = g[key_col].to_numpy()
+        n = len(ts)
+        nxt = np.zeros(n, dtype=np.int64)
+        same = np.zeros(n, dtype=bool)
+        if n > 1:
+            nxt[:-1] = ts[1:]
+            same[:-1] = keys[1:] == keys[:-1]
+        out = g.rename(columns={ts_col: "valid_from"})
+        out["valid_to"] = pd.arrays.IntegerArray(
+            np.where(same, nxt, 0).astype(np.int64), mask=~same
+        )
+        return out.reset_index(drop=True)
+
+    return (
+        ds.select_columns(cols)
+        .map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(window, batch_format="pandas")
+    )

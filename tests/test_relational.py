@@ -1413,3 +1413,80 @@ class TestSlidingDistinct:
         )
         out = sliding_window_counts(ds, window_s=3600, slide_s=900).take_all()
         assert len(out) == 4 and all(r["n_events"] == 2 for r in out)
+
+
+class TestScd2History:
+    def _ds(self, rows):
+        import pyarrow as pa
+
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "k": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], type=pa.int64()),
+                    "id": pa.array([r[2] for r in rows], type=pa.int64()),
+                    "v": pa.array([r[3] for r in rows], type=pa.string()),
+                }
+            )
+        )
+
+    def _run(self, rows, **kw):
+        from ctinexus_ray.ops.relational import scd2_history
+
+        out = scd2_history(
+            self._ds(rows), "k", "ts", "id", ["v"], **kw
+        ).take_all()
+        return sorted(
+            (r["k"], r["valid_from"], r["id"], r["v"], r["valid_to"])
+            for r in out
+        )
+
+    def test_basic_versions(self, ray_session):
+        rows = [(1, 10, 100, "a"), (1, 20, 101, "b"), (2, 15, 102, "x")]
+        assert self._run(rows, num_partitions=4) == [
+            (1, 10, 100, "a", 20),
+            (1, 20, 101, "b", None),
+            (2, 15, 102, "x", None),
+        ]
+
+    def test_timestamp_tie_gives_empty_window(self, ray_session):
+        rows = [(1, 10, 101, "late"), (1, 10, 100, "early")]
+        assert self._run(rows, num_partitions=4) == [
+            (1, 10, 100, "early", 10),  # [10, 10): superseded instantly
+            (1, 10, 101, "late", None),
+        ]
+
+    def test_matches_pandas_lead(self, ray_session):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.RandomState(21)
+        rows = [
+            (int(rng.randint(0, 12)), int(rng.randint(0, 50)), i, f"v{i}")
+            for i in range(300)
+        ]
+        df = pd.DataFrame(rows, columns=["k", "ts", "id", "v"])
+        df = df.sort_values(["k", "ts", "id"])
+        df["valid_to"] = df.groupby("k")["ts"].shift(-1)
+        want = sorted(
+            (
+                int(r.k),
+                int(r.ts),
+                int(r.id),
+                r.v,
+                None if pd.isna(r.valid_to) else int(r.valid_to),
+            )
+            for r in df.itertuples()
+        )
+        assert self._run(rows, num_partitions=8) == want
+
+    def test_big_int64_ts_exact(self, ray_session):
+        # beyond 2^53: a float64 round trip would corrupt these
+        big = (1 << 62) + 1
+        rows = [(5, big, 1, "a"), (5, big + 1, 2, "b")]
+        assert self._run(rows, num_partitions=4) == [
+            (5, big, 1, "a", big + 1),
+            (5, big + 1, 2, "b", None),
+        ]
