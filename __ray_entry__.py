@@ -3390,6 +3390,52 @@ def _q_orders_scd2(sf_dir: str):
     )
 
 
+def _q_event_gap_quantiles(sf_dir: str):
+    """Exact quantiles of per-user inter-arrival gaps (whole seconds):
+    the LAG-diff composed from scd2_history (valid_to - valid_from of
+    each user's event log) + the value-domain histogram quantile walk —
+    no new shuffle shape, two existing ops composed. ✓SQL (LAG window +
+    quantile_disc twin)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.relational import int_column_quantiles, scd2_history
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "event_id": batch.column("event_id").cast(pa.int64()),
+            }
+        )
+
+    hist = scd2_history(
+        events.map_batches(prep, batch_format="pyarrow"),
+        key_col="user_id",
+        ts_col="ts_us",
+        tie_col="event_id",
+        payload_cols=[],
+    )
+
+    def gaps(batch: pa.Table) -> pa.Table:
+        vt = batch.column("valid_to")
+        vf = batch.column("valid_from")
+        gap_s = pc.divide(pc.subtract(vt, vf), pa.scalar(1_000_000, pa.int64()))
+        t = pa.Table.from_pydict({"gap_s": gap_s})
+        return t.filter(pc.is_valid(t.column("gap_s")))
+
+    return int_column_quantiles(
+        hist.map_batches(gaps, batch_format="pyarrow"),
+        "gap_s",
+        [0.1, 0.5, 0.9, 0.99],
+    )
+
+
 def _q_chi2_terms(sf_dir: str):
     """Chi-square feature selection: top-20 terms most associated with
     each language (presence-based 2x2 contingency). One corpus-shuffled
@@ -7024,6 +7070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_len_auc": _q_lang_len_auc,
         "chi2_terms": _q_chi2_terms,
         "orders_scd2": _q_orders_scd2,
+        "event_gap_quantiles": _q_event_gap_quantiles,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -7775,6 +7822,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "name_kcore": _kcore_oracle(),
         "name_lpa_communities": _lpa_oracle(),
+        "event_gap_quantiles": (
+            "WITH g AS (SELECT (epoch_us(ts) - LAG(epoch_us(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY epoch_us(ts), event_id)) "
+            "// 1000000 AS gap_s FROM events), "
+            "f AS (SELECT gap_s FROM g WHERE gap_s IS NOT NULL) "
+            + " UNION ALL ".join(
+                f"SELECT CAST({q} AS DOUBLE) AS q, "
+                f"CAST(quantile_disc(gap_s, {q}) AS BIGINT) AS value "
+                "FROM f"
+                for q in (0.1, 0.5, 0.9, 0.99)
+            )
+        ),
         "orders_scd2": (
             "SELECT o_custkey AS ckey, "
             "CAST(epoch_us(o_orderdate) AS BIGINT) AS valid_from, "
