@@ -3122,6 +3122,72 @@ _LINEITEM_CORR_SQL = (
 )
 
 
+# the full NB train+score SQL twin, shared by nb_langid and nb_confusion
+_NB_LANGID_SQL = (
+    "WITH words AS (SELECT doc_id, "
+    "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "
+    "FROM documents), "
+    "labeled AS (SELECT wo.doc_id, d.lang, wo.w FROM words wo "
+    "JOIN documents d USING (doc_id)), "
+    "cnt AS (SELECT lang, w, count(*) AS c FROM labeled "
+    "GROUP BY lang, w), "
+    "tot AS (SELECT lang, sum(c) AS t FROM cnt GROUP BY lang), "
+    "vocab AS (SELECT count(DISTINCT w) AS v FROM words), "
+    "nl AS (SELECT lang, count(*) AS nd FROM documents "
+    "GROUP BY lang), "
+    "nall AS (SELECT count(*) AS n FROM documents), "
+    "prior AS (SELECT lang, CAST(FLOOR(ln(nd / n) * 1e6 + 0.5) "
+    "AS BIGINT) AS pr FROM nl, nall), "
+    "lp AS (SELECT lang, w, CAST(FLOOR(ln((c + 1) / (t + v + 1)) "
+    "* 1e6 + 0.5) AS BIGINT) AS u FROM cnt JOIN tot USING (lang), "
+    "vocab), "
+    "unk AS (SELECT lang, CAST(FLOOR(ln(1 / (t + v + 1)) * 1e6 "
+    "+ 0.5) AS BIGINT) AS u FROM tot, vocab), "
+    "scores AS (SELECT wo.doc_id, la.lang, "
+    "any_value(pr.pr) + sum(COALESCE(lp.u, unk.u)) AS s "
+    "FROM words wo CROSS JOIN nl la "
+    "LEFT JOIN lp ON lp.lang = la.lang AND lp.w = wo.w "
+    "JOIN unk ON unk.lang = la.lang "
+    "JOIN prior pr ON pr.lang = la.lang "
+    "GROUP BY wo.doc_id, la.lang), "
+    "best AS (SELECT doc_id, lang, s, row_number() OVER "
+    "(PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn "
+    "FROM scores) "
+    "SELECT doc_id, lang AS pred_label, CAST(s AS BIGINT) "
+    "AS score_u FROM best WHERE rn = 1"
+)
+
+
+def _q_nb_confusion(sf_dir: str):
+    """Confusion matrix of the corpus-trained Naive Bayes language
+    classifier: (true_lang, pred_label, n) — the self-consistency
+    check a learned corpus filter gets before it gates anything. One
+    doc_id hash join of predictions to truth + one count reduce on top
+    of the nb_langid plan. ✓SQL (the full NB twin wrapped in a join +
+    GROUP BY)."""
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.textstats import naive_bayes_predict
+
+    pred = naive_bayes_predict(
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+    ).select_columns(["doc_id", "pred_label"])
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "true_lang"])
+
+    truth = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        ren, batch_format="pyarrow"
+    )
+    joined = hash_join(pred, truth, on=["doc_id"], num_partitions=16)
+    return partitioned_agg(
+        joined.select_columns(["true_lang", "pred_label"]),
+        keys=["true_lang", "pred_label"],
+        named_aggs={"n": ("pred_label", "size")},
+        num_partitions=16,
+    )
+
+
 def _q_nb_langid(sf_dir: str):
     """Multinomial Naive Bayes language classifier trained on the
     corpus's own labels (one vocabulary-sized count reduce + O(#labels)
@@ -7071,6 +7137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_terms": _q_chi2_terms,
         "orders_scd2": _q_orders_scd2,
         "event_gap_quantiles": _q_event_gap_quantiles,
+        "nb_confusion": _q_nb_confusion,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -8253,38 +8320,13 @@ def oracle_sql() -> dict[str, str]:
             "15)) AS UBIGINT)) AS BIGINT) AS checksum, "
             "count(*) AS n_rows FROM r"
         ),
-        "nb_langid": (
-            "WITH words AS (SELECT doc_id, "
-            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "
-            "FROM documents), "
-            "labeled AS (SELECT wo.doc_id, d.lang, wo.w FROM words wo "
-            "JOIN documents d USING (doc_id)), "
-            "cnt AS (SELECT lang, w, count(*) AS c FROM labeled "
-            "GROUP BY lang, w), "
-            "tot AS (SELECT lang, sum(c) AS t FROM cnt GROUP BY lang), "
-            "vocab AS (SELECT count(DISTINCT w) AS v FROM words), "
-            "nl AS (SELECT lang, count(*) AS nd FROM documents "
-            "GROUP BY lang), "
-            "nall AS (SELECT count(*) AS n FROM documents), "
-            "prior AS (SELECT lang, CAST(FLOOR(ln(nd / n) * 1e6 + 0.5) "
-            "AS BIGINT) AS pr FROM nl, nall), "
-            "lp AS (SELECT lang, w, CAST(FLOOR(ln((c + 1) / (t + v + 1)) "
-            "* 1e6 + 0.5) AS BIGINT) AS u FROM cnt JOIN tot USING (lang), "
-            "vocab), "
-            "unk AS (SELECT lang, CAST(FLOOR(ln(1 / (t + v + 1)) * 1e6 "
-            "+ 0.5) AS BIGINT) AS u FROM tot, vocab), "
-            "scores AS (SELECT wo.doc_id, la.lang, "
-            "any_value(pr.pr) + sum(COALESCE(lp.u, unk.u)) AS s "
-            "FROM words wo CROSS JOIN nl la "
-            "LEFT JOIN lp ON lp.lang = la.lang AND lp.w = wo.w "
-            "JOIN unk ON unk.lang = la.lang "
-            "JOIN prior pr ON pr.lang = la.lang "
-            "GROUP BY wo.doc_id, la.lang), "
-            "best AS (SELECT doc_id, lang, s, row_number() OVER "
-            "(PARTITION BY doc_id ORDER BY s DESC, lang ASC) AS rn "
-            "FROM scores) "
-            "SELECT doc_id, lang AS pred_label, CAST(s AS BIGINT) "
-            "AS score_u FROM best WHERE rn = 1"
+        "nb_langid": _NB_LANGID_SQL,
+        "nb_confusion": (
+            f"WITH pred AS ({_NB_LANGID_SQL}) "
+            "SELECT d.lang AS true_lang, p.pred_label, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM pred p JOIN documents d USING (doc_id) "
+            "GROUP BY d.lang, p.pred_label"
         ),
         "unigram_lm": (
             "WITH words AS (SELECT doc_id, "
