@@ -3422,6 +3422,65 @@ def _kcore_oracle() -> str:
     )
 
 
+def _q_consistent_sample_join(sf_dir: str):
+    """Join-consistent sampling: sample the KEY DOMAIN (10% of
+    customers by content-addressed md5), then keep every order of a
+    sampled customer via a hash semi-join — the sampling discipline
+    that preserves join structure across tables (sampling each table
+    independently would destroy the foreign-key overlap quadratically).
+    Zero-RNG, reshard-stable, one shuffle. ✓SQL (identical md5
+    predicate + semi join)."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.shards import deterministic_sample
+
+    cust = deterministic_sample(
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+        ),
+        key_col="c_custkey",
+        pct=10,
+        salt="csample",
+    )
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["ckey"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "ckey": batch.column("o_custkey").cast(pa.int64()),
+                "okey": batch.column("o_orderkey").cast(pa.int64()),
+                "total_cents": pc.cast(
+                    pc.floor(
+                        pc.add(
+                            pc.multiply(
+                                batch.column("o_totalprice"),
+                                pa.scalar(100.0),
+                            ),
+                            pa.scalar(0.5),
+                        )
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return hash_join(
+        orders,
+        cust.map_batches(ren, batch_format="pyarrow"),
+        on=["ckey"],
+        how="left_semi",
+        num_partitions=16,
+    )
+
+
 def _q_orders_scd2(sf_dir: str):
     """Type-2 SCD history of each customer's order-status change log:
     valid_from = the order's date, valid_to = the customer's NEXT order
@@ -7138,6 +7197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_scd2": _q_orders_scd2,
         "event_gap_quantiles": _q_event_gap_quantiles,
         "nb_confusion": _q_nb_confusion,
+        "consistent_sample_join": _q_consistent_sample_join,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -7900,6 +7960,15 @@ def oracle_sql() -> dict[str, str]:
                 "FROM f"
                 for q in (0.1, 0.5, 0.9, 0.99)
             )
+        ),
+        "consistent_sample_join": (
+            "SELECT o_custkey AS ckey, o_orderkey AS okey, "
+            "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) "
+            "AS total_cents FROM orders WHERE o_custkey IN ("
+            "SELECT c_custkey FROM customer "
+            "WHERE CAST(concat('0x', substr("
+            "md5(concat('csample', CAST(c_custkey AS VARCHAR))), 1, 8)) "
+            "AS UBIGINT) % 100 < 10)"
         ),
         "orders_scd2": (
             "SELECT o_custkey AS ckey, "
