@@ -3422,6 +3422,76 @@ def _kcore_oracle() -> str:
     )
 
 
+def _q_table_merge(sf_dir: str):
+    """MERGE INTO the versioned table: documents committed as v1, then
+    one merge applying updates (doc_id % 3 == 0 get ' u' appended),
+    deletes (doc_id % 30 == 1) and inserts (doc_id + 1000000 for
+    doc_id % 50 == 0) — v2 read back as (doc_id, text). Copy-on-write
+    with parquet-footer key-range pruning; v1 stays readable. ✓SQL
+    (LEFT JOIN + anti + UNION ALL twin)."""
+    import hashlib
+    import shutil
+
+    import ray.data
+
+    from ctinexus_ray.state.tableformat import (
+        commit_version,
+        merge_upsert,
+        read_version,
+    )
+
+    import os as _os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tdir = f"/tmp/table_merge_{tag}"
+    shutil.rmtree(tdir, ignore_errors=True)
+    base_dir = f"{tdir}/base"
+    _docs(sf_dir, ["doc_id", "text"]).write_parquet(base_dir)
+    commit_version(
+        tdir,
+        sorted(
+            f"{base_dir}/{n}"
+            for n in _os.listdir(base_dir)
+            if n.endswith(".parquet")
+        ),
+        mode="overwrite",
+    )
+
+    def make_updates(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_text, out_del = [], [], []
+        for i, t in zip(ids, texts):
+            if i % 3 == 0:
+                out_id.append(i)
+                out_text.append(None if t is None else t + " u")
+                out_del.append(False)
+            if i % 30 == 1:
+                out_id.append(i)
+                out_text.append(None)
+                out_del.append(True)
+            if i % 50 == 0:
+                out_id.append(i + 1_000_000)
+                out_text.append("inserted")
+                out_del.append(False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "text": pa.array(out_text, type=pa.string()),
+                "is_del": pa.array(out_del, type=pa.bool_()),
+            }
+        )
+
+    updates = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        make_updates, batch_format="pyarrow"
+    )
+    merge_upsert(
+        tdir, updates, key_col="doc_id", delete_col="is_del",
+        num_partitions=16,
+    )
+    return read_version(tdir).select_columns(["doc_id", "text"])
+
+
 def _q_consistent_sample_join(sf_dir: str):
     """Join-consistent sampling: sample the KEY DOMAIN (10% of
     customers by content-addressed md5), then keep every order of a
@@ -7198,6 +7268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gap_quantiles": _q_event_gap_quantiles,
         "nb_confusion": _q_nb_confusion,
         "consistent_sample_join": _q_consistent_sample_join,
+        "table_merge": _q_table_merge,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -7960,6 +8031,17 @@ def oracle_sql() -> dict[str, str]:
                 "FROM f"
                 for q in (0.1, 0.5, 0.9, 0.99)
             )
+        ),
+        "table_merge": (
+            "WITH upd AS (SELECT doc_id, text || ' u' AS text "
+            "FROM documents WHERE doc_id % 3 = 0), "
+            "del AS (SELECT doc_id FROM documents WHERE doc_id % 30 = 1), "
+            "ins AS (SELECT doc_id + 1000000 AS doc_id, "
+            "'inserted' AS text FROM documents WHERE doc_id % 50 = 0) "
+            "SELECT d.doc_id, COALESCE(u.text, d.text) AS text "
+            "FROM documents d LEFT JOIN upd u USING (doc_id) "
+            "WHERE d.doc_id NOT IN (SELECT doc_id FROM del) "
+            "UNION ALL SELECT doc_id, text FROM ins"
         ),
         "consistent_sample_join": (
             "SELECT o_custkey AS ckey, o_orderkey AS okey, "

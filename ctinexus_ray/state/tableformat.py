@@ -106,3 +106,190 @@ def read_version(
     with open(_manifest_path(table_dir, version)) as fh:
         manifest = json.load(fh)
     return ray.data.read_parquet(manifest["files"])
+
+
+def merge_upsert(
+    table_dir: str,
+    updates: ray.data.Dataset,
+    key_col: str,
+    delete_col: str | None = None,
+    max_broadcast_keys: int = 4_000_000,
+    num_partitions: int | None = None,
+    assume_unique: bool = False,
+) -> dict:
+    """MERGE INTO the table's latest version: update rows replace base
+    rows with the same key, rows with new keys are inserted, and rows
+    flagged TRUE in ``delete_col`` remove the key (insert-flavored
+    deletes of absent keys are no-ops). Commits a new version; every
+    prior version stays readable (copy-on-write, files immutable).
+
+    Scale shape (the Iceberg/Delta copy-on-write discipline):
+
+      * updates with at most ``max_broadcast_keys`` rows broadcast a
+        sorted key array ONCE (``ray.put``); base files whose parquet
+        FOOTER min/max key range contains no update key are carried
+        into the new version BY REFERENCE — zero read, zero write —
+        and only overlapping files are rewritten through a vectorized
+        ``searchsorted`` drop filter. A merge touching one key range
+        rewrites one file, not the table.
+      * larger update sets fall back to a full distributed anti-join
+        (``ops.distjoin.hash_join`` left_anti) — every base file is
+        rewritten, both sides stream, nothing driver-sized.
+
+    Update keys must be unique (SQL MERGE's "multiple matching rows"
+    error) — verified with one count reduce unless ``assume_unique``.
+    Returns {"version", "files_kept", "files_rewritten", "n_inserts"}.
+    ``key_col`` must be int64-compatible.
+    """
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    if not assume_unique:
+        dups = (
+            partitioned_agg(
+                updates.select_columns([key_col]),
+                keys=[key_col],
+                named_aggs={"n": (key_col, "size")},
+                num_partitions=num_partitions,
+            )
+            .filter(expr="n > 1")
+            .count()
+        )
+        if dups:
+            raise ValueError(
+                f"merge_upsert: {dups} update keys appear more than once "
+                "(SQL MERGE multiple-matching-rows error)"
+            )
+
+    parent = latest_version(table_dir)
+    base_files: list[str] = []
+    if parent is not None:
+        with open(_manifest_path(table_dir, parent)) as fh:
+            base_files = json.load(fh)["files"]
+
+    data_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:12]}")
+    os.makedirs(data_dir, exist_ok=True)
+
+    def survivors_filter(keys_ref):
+        def drop_updated(batch: pa.Table) -> pa.Table:
+            keys = ray.get(keys_ref)
+            col = batch.column(key_col).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(keys, col)
+            pos[pos == len(keys)] = 0
+            hit = keys[pos] == col if len(keys) else np.zeros(len(col), bool)
+            return batch.filter(pa.array(~hit))
+
+        return drop_updated
+
+    inserts = updates
+    if delete_col is not None:
+
+        def not_deleted(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            flag = pc.fill_null(
+                batch.column(delete_col).cast(pa.bool_()), False
+            )
+            return batch.drop_columns([delete_col]).filter(pc.invert(flag))
+
+        inserts = updates.map_batches(not_deleted, batch_format="pyarrow")
+
+    if base_files:
+        # align insert columns to the base file order so the union (and
+        # the committed table) has ONE schema; extra/missing columns are
+        # a caller error, surfaced loudly
+        base_names = list(pq.read_schema(base_files[0]).names)
+
+        def align(batch: pa.Table) -> pa.Table:
+            if sorted(batch.schema.names) != sorted(base_names):
+                raise ValueError(
+                    f"merge_upsert: update columns {batch.schema.names} "
+                    f"!= base columns {base_names}"
+                )
+            return batch.select(base_names)
+
+        inserts = inserts.map_batches(align, batch_format="pyarrow")
+
+    n_updates = updates.count()
+    kept: list[str] = []
+    if n_updates <= max_broadcast_keys:
+        # broadcast path: footer-stats pruning + vectorized drop
+        key_blocks = [
+            t.column(key_col).to_numpy(zero_copy_only=False)
+            for t in ray.get(updates.select_columns([key_col]).to_arrow_refs())
+            if t.num_rows
+        ]
+        keys = np.sort(
+            np.concatenate(key_blocks).astype(np.int64)
+            if key_blocks
+            else np.empty(0, dtype=np.int64)
+        )
+        keys_ref = ray.put(keys)
+        touched: list[str] = []
+        for f in base_files:
+            meta = pq.ParquetFile(f).metadata
+            idx = next(
+                (
+                    i
+                    for i in range(meta.num_columns)
+                    if meta.schema.column(i).name == key_col
+                ),
+                None,
+            )
+            lo = hi = None
+            if idx is not None:
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        lo = None
+                        break
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+            if lo is None or hi is None:
+                touched.append(f)  # no stats: must rewrite
+                continue
+            i0 = int(np.searchsorted(keys, int(lo), side="left"))
+            i1 = int(np.searchsorted(keys, int(hi), side="right"))
+            (touched if i1 > i0 else kept).append(f)
+        to_write = inserts
+        if touched:
+            to_write = (
+                ray.data.read_parquet(touched)
+                .map_batches(survivors_filter(keys_ref), batch_format="pyarrow")
+                .union(inserts)
+            )
+    else:
+        # big-updates path: full distributed anti-join rewrite
+        from ctinexus_ray.ops.distjoin import hash_join
+
+        to_write = inserts
+        if base_files:
+            to_write = hash_join(
+                ray.data.read_parquet(base_files),
+                updates.select_columns([key_col]),
+                on=[key_col],
+                how="left_anti",
+                num_partitions=num_partitions,
+            ).union(inserts)
+
+    # ONE write executes the whole merge pipeline exactly once
+    to_write.write_parquet(data_dir)
+    new_files = sorted(
+        os.path.join(data_dir, n)
+        for n in os.listdir(data_dir)
+        if n.endswith(".parquet")
+    )
+    version = commit_version(table_dir, kept + new_files, mode="overwrite")
+    return {
+        "version": version,
+        "files_kept": len(kept),
+        "files_rewritten": len(base_files) - len(kept),
+        "n_updates": n_updates,
+    }

@@ -402,3 +402,176 @@ class TestTableFormat:
 
         with pytest.raises(FileNotFoundError):
             read_version(str(tmp_path / "nope"))
+
+
+class TestMergeUpsert:
+    """MERGE INTO the versioned table (state/tableformat.py
+    merge_upsert): update/insert/delete semantics, footer-stats file
+    pruning, the big-updates anti-join fallback, and time travel."""
+
+    @staticmethod
+    def _write(path, ids, texts):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string()),
+                }
+            ),
+            path,
+        )
+        return str(path)
+
+    @staticmethod
+    def _updates(rows):
+        import pyarrow as pa
+
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "text": pa.array([r[1] for r in rows], type=pa.string()),
+                    "is_del": pa.array(
+                        [r[2] for r in rows], type=pa.bool_()
+                    ),
+                }
+            )
+        )
+
+    def _seed(self, tmp_path):
+        from ctinexus_ray.state.tableformat import commit_version
+
+        t = str(tmp_path / "tbl")
+        f1 = self._write(tmp_path / "a.parquet", [0, 1, 2], ["a0", "a1", "a2"])
+        f2 = self._write(
+            tmp_path / "b.parquet", [100, 101], ["b100", "b101"]
+        )
+        commit_version(t, [f1, f2], mode="overwrite")
+        return t
+
+    @staticmethod
+    def _state(t, version=None):
+        from ctinexus_ray.state.tableformat import read_version
+
+        return sorted(
+            (r["doc_id"], r["text"]) for r in read_version(t, version).take_all()
+        )
+
+    def test_update_insert_delete(self, ray_session, tmp_path):
+        from ctinexus_ray.state.tableformat import merge_upsert
+
+        t = self._seed(tmp_path)
+        res = merge_upsert(
+            t,
+            self._updates(
+                [(1, "UPDATED", False), (2, None, True), (500, "NEW", False)]
+            ),
+            key_col="doc_id",
+            delete_col="is_del",
+            num_partitions=4,
+        )
+        assert res["version"] == 2
+        assert self._state(t) == [
+            (0, "a0"),
+            (1, "UPDATED"),
+            (100, "b100"),
+            (101, "b101"),
+            (500, "NEW"),
+        ]
+        # time travel: version 1 unchanged
+        assert self._state(t, 1) == [
+            (0, "a0"),
+            (1, "a1"),
+            (2, "a2"),
+            (100, "b100"),
+            (101, "b101"),
+        ]
+
+    def test_untouched_file_kept_by_reference(self, ray_session, tmp_path):
+        from ctinexus_ray.state.tableformat import merge_upsert
+
+        t = self._seed(tmp_path)
+        # keys 0-2 live in a.parquet only; b.parquet must not be rewritten
+        res = merge_upsert(
+            t,
+            self._updates([(1, "U", False)]),
+            key_col="doc_id",
+            delete_col="is_del",
+            num_partitions=4,
+        )
+        assert res["files_kept"] == 1
+        assert res["files_rewritten"] == 1
+        assert (1, "U") in self._state(t)
+        assert (101, "b101") in self._state(t)
+
+    def test_big_updates_anti_join_path(self, ray_session, tmp_path):
+        from ctinexus_ray.state.tableformat import merge_upsert
+
+        t = self._seed(tmp_path)
+        res = merge_upsert(
+            t,
+            self._updates([(1, "U", False), (2, "V", False)]),
+            key_col="doc_id",
+            delete_col="is_del",
+            max_broadcast_keys=1,  # force the anti-join fallback
+            num_partitions=4,
+        )
+        assert res["files_kept"] == 0
+        assert self._state(t) == [
+            (0, "a0"),
+            (1, "U"),
+            (2, "V"),
+            (100, "b100"),
+            (101, "b101"),
+        ]
+
+    def test_duplicate_update_keys_rejected(self, ray_session, tmp_path):
+        import pytest
+
+        from ctinexus_ray.state.tableformat import merge_upsert
+
+        t = self._seed(tmp_path)
+        with pytest.raises(ValueError, match="more than once"):
+            merge_upsert(
+                t,
+                self._updates([(1, "U", False), (1, "V", False)]),
+                key_col="doc_id",
+                delete_col="is_del",
+                num_partitions=4,
+            )
+
+    def test_merge_into_empty_table_is_create(self, ray_session, tmp_path):
+        from ctinexus_ray.state.tableformat import merge_upsert
+
+        t = str(tmp_path / "fresh")
+        res = merge_upsert(
+            t,
+            self._updates([(7, "seven", False), (8, None, True)]),
+            key_col="doc_id",
+            delete_col="is_del",
+            num_partitions=4,
+        )
+        assert res["version"] == 1
+        assert self._state(t) == [(7, "seven")]
+
+    def test_mismatched_update_columns_rejected(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pytest
+
+        import ray.data
+
+        from ctinexus_ray.state.tableformat import merge_upsert
+
+        t = self._seed(tmp_path)
+        bad = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"doc_id": pa.array([1], type=pa.int64())}
+            )
+        )
+        with pytest.raises(Exception, match="columns"):
+            merge_upsert(t, bad, key_col="doc_id", num_partitions=4)
