@@ -138,7 +138,7 @@ def merge_upsert(
 
     Update keys must be unique (SQL MERGE's "multiple matching rows"
     error) — verified with one count reduce unless ``assume_unique``.
-    Returns {"version", "files_kept", "files_rewritten", "n_inserts"}.
+    Returns {"version", "files_kept", "files_rewritten", "n_updates"}.
     ``key_col`` must be int64-compatible.
     """
     import uuid
@@ -292,4 +292,55 @@ def merge_upsert(
         "files_kept": len(kept),
         "files_rewritten": len(base_files) - len(kept),
         "n_updates": n_updates,
+    }
+
+
+def vacuum(table_dir: str, keep_versions: int = 1) -> dict:
+    """Garbage-collect table history: drop all but the newest
+    ``keep_versions`` manifests, then delete every parquet file UNDER
+    ``table_dir`` that no surviving manifest references (merge/commit
+    never deletes, so history accumulates until an explicit vacuum —
+    the Iceberg ``expire_snapshots`` + ``remove_orphan_files`` pair).
+
+    SAFETY: only files physically inside ``table_dir`` are ever
+    deleted. Externally committed paths (e.g. a shared input parquet
+    referenced by an early version) are left untouched — they may be
+    someone else's data. Returns {"manifests_dropped",
+    "files_deleted", "files_kept"}.
+    """
+    if keep_versions < 1:
+        raise ValueError("vacuum: keep_versions must be >= 1")
+    vs = _versions(table_dir)
+    keep = set(vs[-keep_versions:])
+    referenced: set[str] = set()
+    for v in keep:
+        with open(_manifest_path(table_dir, v)) as fh:
+            referenced.update(
+                os.path.realpath(f) for f in json.load(fh)["files"]
+            )
+    dropped = 0
+    for v in vs:
+        if v not in keep:
+            os.remove(_manifest_path(table_dir, v))
+            dropped += 1
+    root = os.path.realpath(table_dir)
+    deleted = kept = 0
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for name in filenames:
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.realpath(os.path.join(dirpath, name))
+            if path in referenced:
+                kept += 1
+            else:
+                os.remove(path)
+                deleted += 1
+    # prune now-empty data dirs so vacuumed tables stay tidy
+    for dirpath, dirnames, filenames in os.walk(root, topdown=False):
+        if dirpath != root and not dirnames and not filenames:
+            os.rmdir(dirpath)
+    return {
+        "manifests_dropped": dropped,
+        "files_deleted": deleted,
+        "files_kept": kept,
     }

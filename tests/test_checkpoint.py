@@ -575,3 +575,73 @@ class TestMergeUpsert:
         )
         with pytest.raises(Exception, match="columns"):
             merge_upsert(t, bad, key_col="doc_id", num_partitions=4)
+
+
+class TestVacuum:
+    def test_expire_and_orphan_collection(self, ray_session, tmp_path):
+        from ctinexus_ray.state.tableformat import (
+            latest_version,
+            merge_upsert,
+            read_version,
+            vacuum,
+        )
+
+        t = str(tmp_path / "tbl")
+        m = TestMergeUpsert
+        # v1 from INTERNAL files (safety rule applies only to externals)
+        import shutil
+
+        base = tmp_path / "tbl"
+        base.mkdir()
+        f1 = m._write(base / "a.parquet", [0, 1], ["a0", "a1"])
+        from ctinexus_ray.state.tableformat import commit_version
+
+        commit_version(t, [f1], mode="overwrite")
+        merge_upsert(
+            t, m._updates([(1, "U", False)]), key_col="doc_id",
+            delete_col="is_del", num_partitions=4,
+        )
+        merge_upsert(
+            t, m._updates([(0, "W", False)]), key_col="doc_id",
+            delete_col="is_del", num_partitions=4,
+        )
+        res = vacuum(t, keep_versions=1)
+        assert res["manifests_dropped"] == 2
+        assert res["files_deleted"] > 0
+        assert latest_version(t) == 3
+        got = sorted((r["doc_id"], r["text"]) for r in read_version(t).take_all())
+        assert got == [(0, "W"), (1, "U")]
+        # expired versions no longer readable
+        import pytest
+
+        with pytest.raises(FileNotFoundError):
+            read_version(t, 1)
+
+    def test_external_files_never_deleted(self, ray_session, tmp_path):
+        import os
+
+        from ctinexus_ray.state.tableformat import (
+            commit_version,
+            merge_upsert,
+            vacuum,
+        )
+
+        m = TestMergeUpsert
+        ext = m._write(tmp_path / "shared.parquet", [5], ["ext"])
+        t = str(tmp_path / "tbl2")
+        commit_version(t, [ext], mode="overwrite")
+        merge_upsert(
+            t, m._updates([(5, "mine", False)]), key_col="doc_id",
+            delete_col="is_del", num_partitions=4,
+        )
+        vacuum(t, keep_versions=1)
+        # the external input (referenced only by the EXPIRED v1) survives
+        assert os.path.exists(ext)
+
+    def test_keep_versions_validated(self, ray_session, tmp_path):
+        import pytest
+
+        from ctinexus_ray.state.tableformat import vacuum
+
+        with pytest.raises(ValueError, match="keep_versions"):
+            vacuum(str(tmp_path), keep_versions=0)
