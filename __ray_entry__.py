@@ -1085,6 +1085,100 @@ def _pagerank_oracle_sql() -> str:
     )
 
 
+# the full unigram-LM train+score SQL twin, shared by unigram_lm and
+# lm_calibration
+_UNIGRAM_LM_SQL = (
+    "WITH words AS (SELECT doc_id, "
+    "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "
+    "FROM documents), "
+    "cnt AS (SELECT w, count(*) AS c FROM words GROUP BY w), "
+    "tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM words) "
+    "SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(sum(CAST(FLOOR(ln(cnt.c / tot.n) * 1e6 + 0.5) AS BIGINT)) "
+    "AS BIGINT) AS lm_score_u, "
+    "CAST(sum(CAST(FLOOR(ln(cnt.c / tot.n) * 1e6 + 0.5) AS BIGINT)) "
+    "AS DOUBLE) / 1e6 / count(*) AS lm_score "
+    "FROM words w JOIN cnt ON w.w = cnt.w, tot "
+    "GROUP BY w.doc_id"
+)
+
+
+def _q_lm_calibration(sf_dir: str):
+    """Reliability curve of the unigram-LM fluency score against
+    lang='en': NTILE(10) score deciles (per-token micro-nats, ties by
+    doc_id) with per-bucket doc and positive counts — the "is this
+    quality score actually monotone in the label" diagnostic next to
+    lang_len_auc's single-number AUC. One scoring pass + one doc_id
+    join + one range-partitioned sort. ✓SQL (LM twin + NTILE)."""
+    import pyarrow.compute as pc
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.shards import global_row_number
+    from ctinexus_ray.ops.textstats import unigram_lm_scores
+
+    k = 10
+    sc = unigram_lm_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        s = pc.divide(
+            pc.cast(batch.column("lm_score_u"), pa.float64()),
+            pc.cast(batch.column("n_tokens"), pa.float64()),
+        )
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("doc_id").cast(pa.int64()), "s": s}
+        )
+
+    def lab(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "pos": pc.cast(
+                    pc.fill_null(
+                        pc.equal(batch.column("lang"), "en"), False
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    joined = hash_join(
+        sc.map_batches(proj, batch_format="pyarrow"),
+        _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+            lab, batch_format="pyarrow"
+        ),
+        on=["doc_id"],
+        num_partitions=16,
+    )
+    n = _docs(sf_dir, ["doc_id"]).count()
+    q, r = divmod(n, k)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        rank0 = pc.subtract(batch.column("rank"), 1)
+        big = (q + 1) * r
+        in_big = pc.less(rank0, big)
+        b_big = pc.add(pc.divide(rank0, max(q + 1, 1)), 1)
+        b_small = pc.add(
+            pc.divide(pc.subtract(rank0, big), max(q, 1)), r + 1
+        )
+        return pa.Table.from_pydict(
+            {
+                "bucket": pc.if_else(in_big, b_big, b_small).cast(pa.int64()),
+                "pos": batch.column("pos"),
+            }
+        )
+
+    ranked = global_row_number(
+        joined, sort_keys=["s", "doc_id"], descending=[False, False]
+    )
+    return partitioned_agg(
+        ranked.map_batches(bucketize, batch_format="pyarrow"),
+        keys=["bucket"],
+        named_aggs={"n": ("pos", "size"), "n_pos": ("pos", "sum")},
+        num_partitions=16,
+    )
+
+
 def _q_unigram_lm(sf_dir: str):
     """Unigram LM fluency scores: corpus word distribution reduced once
     (vocabulary-sized), broadcast, then a shuffle-free scoring pass."""
@@ -7269,6 +7363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_confusion": _q_nb_confusion,
         "consistent_sample_join": _q_consistent_sample_join,
         "table_merge": _q_table_merge,
+        "lm_calibration": _q_lm_calibration,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -8479,19 +8574,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM pred p JOIN documents d USING (doc_id) "
             "GROUP BY d.lang, p.pred_label"
         ),
-        "unigram_lm": (
-            "WITH words AS (SELECT doc_id, "
-            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "
-            "FROM documents), "
-            "cnt AS (SELECT w, count(*) AS c FROM words GROUP BY w), "
-            "tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM words) "
-            "SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
-            "CAST(sum(CAST(FLOOR(ln(cnt.c / tot.n) * 1e6 + 0.5) AS BIGINT)) "
-            "AS BIGINT) AS lm_score_u, "
-            "CAST(sum(CAST(FLOOR(ln(cnt.c / tot.n) * 1e6 + 0.5) AS BIGINT)) "
-            "AS DOUBLE) / 1e6 / count(*) AS lm_score "
-            "FROM words w JOIN cnt ON w.w = cnt.w, tot "
-            "GROUP BY w.doc_id"
+        "unigram_lm": _UNIGRAM_LM_SQL,
+        "lm_calibration": (
+            f"WITH sc AS ({_UNIGRAM_LM_SQL}), "
+            "j AS (SELECT sc.doc_id, "
+            "CAST(sc.lm_score_u AS DOUBLE) / sc.n_tokens AS s, "
+            "CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos "
+            "FROM sc JOIN documents d USING (doc_id)), "
+            "t AS (SELECT NTILE(10) OVER (ORDER BY s, doc_id) AS bucket, "
+            "pos FROM j) "
+            "SELECT CAST(bucket AS BIGINT) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(SUM(pos) AS BIGINT) AS n_pos FROM t GROUP BY bucket"
         ),
         # floor(epoch) matches the engine's integer microsecond division
         # (CAST alone would round-to-nearest on fractional seconds)
