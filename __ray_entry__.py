@@ -880,17 +880,13 @@ _PAGERANK_ITERS = 5
 _PAGERANK_SUPP_OFFSET = 1_000_000
 
 
-def _q_pagerank(sf_dir: str):
-    """Distributed PageRank (5 iterations, d=0.85) over the
-    customer<->supplier trade graph (distinct custkey<->suppkey pairs
-    from orders x lineitem, edges in BOTH directions; supplier node ids
-    offset to avoid key collision). Per iteration: one rank join + one
-    hash-partitioned contribution reduce; only the scalar total-contrib
-    touches the driver."""
+def _trade_edges(sf_dir: str):
+    """The undirected customer<->supplier trade graph as a directed
+    (src, dst) edge dataset (both directions; supplier ids offset) —
+    shared by pagerank and pagerank_personalized."""
     import ray.data
 
     from ctinexus_ray.ops.distjoin import hash_join
-    from ctinexus_ray.ops.graph import pagerank
     from ctinexus_ray.ops.groupagg import partitioned_agg
 
     orders = ray.data.read_parquet(
@@ -926,11 +922,10 @@ def _q_pagerank(sf_dir: str):
         yield pa.Table.from_pydict({"src": cust, "dst": supp})
         yield pa.Table.from_pydict({"src": supp, "dst": cust})
 
-    edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
-    ranks = pagerank(
-        edges, damping=_PAGERANK_DAMPING, iterations=_PAGERANK_ITERS
-    )
+    return pairs.map_batches(both_dirs, batch_format="pyarrow")
 
+
+def _ranks_to_e9(ranks):
     def to_e9(batch: pa.Table):
         import numpy as np
 
@@ -946,6 +941,48 @@ def _q_pagerank(sf_dir: str):
         )
 
     return ranks.map_batches(to_e9, batch_format="pyarrow")
+
+
+def _q_pagerank(sf_dir: str):
+    """Distributed PageRank (5 iterations, d=0.85) over the
+    customer<->supplier trade graph (distinct custkey<->suppkey pairs
+    from orders x lineitem, edges in BOTH directions; supplier node ids
+    offset to avoid key collision). Per iteration: one rank join + one
+    hash-partitioned contribution reduce; only the scalar total-contrib
+    touches the driver."""
+    from ctinexus_ray.ops.graph import pagerank
+
+    ranks = pagerank(
+        _trade_edges(sf_dir),
+        damping=_PAGERANK_DAMPING,
+        iterations=_PAGERANK_ITERS,
+    )
+    return _ranks_to_e9(ranks)
+
+
+_PPR_SEEDS = list(range(1, 11))  # the 10 lowest custkeys
+_PPR_ITERS = 3  # fewer unrolled rounds than pagerank: the joins path
+# pays ~2 joins/round of fixed task overhead and 3 rounds already
+# demonstrates seed-biased convergence
+
+
+def _q_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank (TrustRank shape): teleport mass
+    concentrated on the 10 lowest custkeys instead of uniform — the
+    trusted-seed relevance/crawl-prioritization primitive. Same
+    joins-path plan as pagerank (one rank join + one contribution
+    reduce per iteration); the seed set broadcasts once. ✓SQL
+    (unrolled-CTE twin with the seed-conditional teleport)."""
+    from ctinexus_ray.ops.graph import pagerank_joins
+
+    ranks = pagerank_joins(
+        _trade_edges(sf_dir),
+        damping=_PAGERANK_DAMPING,
+        iterations=_PPR_ITERS,
+        num_partitions=8,
+        seeds=_PPR_SEEDS,
+    )
+    return _ranks_to_e9(ranks)
 
 
 _HITS_ITERS = 2
@@ -1078,6 +1115,49 @@ def _pagerank_oracle_sql() -> str:
     # rank_e9: double sums are summation-order-dependent at the ULP level
     # (measured 2e-17 drift vs the Pregel actors) — emit ranks rounded to
     # 1e-9 as exact BIGINTs on BOTH sides so the value-hash is stable
+    return (
+        sql
+        + " SELECT node, CAST(FLOOR(rank * 1e9 + 0.5) AS BIGINT) AS rank_e9"
+        + f" FROM {prev}"
+    )
+
+
+def _ppr_oracle_sql() -> str:
+    """Unrolled-iteration SQL twin of _q_pagerank_personalized. The
+    damping factor is CAST to DOUBLE everywhere so (1 - d) is the same
+    IEEE subtraction the engine computes (a bare 0.85 literal is
+    DECIMAL in DuckDB and (1 - 0.85) would be the exactly-rounded 0.15
+    instead, one ULP away)."""
+    dd = f"CAST({_PAGERANK_DAMPING} AS DOUBLE)"
+    lo, hi = min(_PPR_SEEDS), max(_PPR_SEEDS)
+    k = len(_PPR_SEEDS)
+    p = f"(CASE WHEN {{n}} BETWEEN {lo} AND {hi} THEN 1.0/{k} ELSE 0.0 END)"
+    sql = (
+        "WITH pairs AS (SELECT DISTINCT o_custkey AS c, "
+        f"l_suppkey + {_PAGERANK_SUPP_OFFSET} AS s "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+        "edges AS (SELECT c AS src, s AS dst FROM pairs "
+        "UNION ALL SELECT s, c FROM pairs), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges), "
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src), "
+        f"r0 AS (SELECT node, {p.format(n='node')} AS rank FROM nodes)"
+    )
+    prev = "r0"
+    for i in range(1, _PPR_ITERS + 1):
+        pn = p.format(n="n.node")
+        sql += (
+            f", c{i} AS (SELECT e.dst AS node, "
+            f"sum(r.rank / g.outdeg) AS contrib "
+            f"FROM edges e JOIN {prev} r ON e.src = r.node "
+            "JOIN deg g ON e.src = g.src GROUP BY e.dst), "
+            f"t{i} AS (SELECT coalesce(sum(contrib), 0.0) AS tot FROM c{i}), "
+            f"r{i} AS (SELECT n.node, "
+            f"(1 - {dd}) * {pn} + {dd} * coalesce(c.contrib, 0) "
+            f"+ ({dd} * (1.0 - t{i}.tot)) * {pn} AS rank "
+            f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.node, t{i})"
+        )
+        prev = f"r{i}"
     return (
         sql
         + " SELECT node, CAST(FLOOR(rank * 1e9 + 0.5) AS BIGINT) AS rank_e9"
@@ -7326,6 +7406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         "suppliers_with_returns": _q_suppliers_with_returns,
         "pagerank": _q_pagerank,
+        "pagerank_personalized": _q_pagerank_personalized,
         "hits_trade": _q_hits_trade,
         "unigram_lm": _q_unigram_lm,
         "nb_langid": _q_nb_langid,
@@ -7875,6 +7956,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_suppkey = s_suppkey AND l_returnflag = 'R')"
         ),
         "pagerank": _pagerank_oracle_sql(),
+        "pagerank_personalized": _ppr_oracle_sql(),
         "hits_trade": _hits_oracle_sql(),
         "lineitem_corr": _LINEITEM_CORR_SQL,
         "doc_len_quantiles_cont": _doc_len_quantiles_cont_sql(),

@@ -315,9 +315,22 @@ def pagerank_joins(
     damping: float = 0.85,
     iterations: int = 5,
     num_partitions: int = 16,
+    seeds: list[int] | None = None,
 ) -> ray.data.Dataset:
     """Pure-Dataset PageRank (parity twin of ``pagerank`` — see module
     docstring).
+
+    ``seeds`` switches on PERSONALIZED PageRank: the teleport vector
+    concentrates on the seed set (p(v) = 1/len(seeds) for seeds, 0
+    elsewhere) instead of being uniform — initial rank, the (1-d) base
+    term and the dangling-mass redistribution all follow p(v). This is
+    the topic-/trust-biased relevance primitive (TrustRank seed
+    propagation, crawl-frontier prioritization from trusted hosts).
+    Seeds absent from the graph silently drop their teleport share on
+    both engine and oracle (total rank < 1), keeping the SQL twin
+    exact. The seed array is broadcast once; the plan is otherwise
+    identical to uniform PageRank. The Pregel ``pagerank`` actor path
+    stays uniform-teleport; use this joins path for PPR.
 
     Per iteration: ranks (node-sized) hash-join the edge list on src,
     contributions ``rank / outdeg`` reduce by dst (hash-partitioned,
@@ -331,6 +344,11 @@ def pagerank_joins(
     made the first cut of this function minutes-slow on a 1 600-node
     graph. Multi-edges are NOT deduplicated. Returns (node, rank).
     """
+    # the edge input feeds FOUR scans below (src/dst node universe,
+    # out-degree, the weighted-edge join) — materialize once so a lazy
+    # upstream pipeline (e.g. an orders x lineitem join) doesn't
+    # re-execute per scan (measured 30 s -> 14 s on the trade graph)
+    edges = edges.materialize()
     # node universe + out-degree (computed once)
     src_nodes = edges.select_columns(["src"]).map_batches(
         lambda b: b.rename_columns(["node"]), batch_format="pyarrow"
@@ -365,12 +383,34 @@ def pagerank_joins(
         .materialize()
     )
 
+    seed_arr = None
+    if seeds is not None:
+        if not seeds:
+            raise ValueError("pagerank_joins: seeds must be non-empty")
+        seed_arr = np.sort(np.asarray(sorted(set(seeds)), dtype=np.int64))
+        if len(seed_arr) != len(seeds):
+            raise ValueError("pagerank_joins: duplicate seed ids")
+        seed_ref = ray.put(seed_arr)
+        p_seed = 1.0 / len(seeds)
+
+        def p_of(node_col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+            sa = ray.get(seed_ref)
+            nodes_np = np.asarray(
+                node_col.to_numpy(zero_copy_only=False), dtype=np.int64
+            )
+            pos = np.searchsorted(sa, nodes_np)
+            pos[pos == len(sa)] = 0
+            hit = sa[pos] == nodes_np
+            return np.where(hit, p_seed, 0.0)
+
     init = 1.0 / n_nodes
 
     def seed(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "rank", pa.array([init] * batch.num_rows, type=pa.float64())
-        )
+        if seed_arr is None:
+            rank = pa.array([init] * batch.num_rows, type=pa.float64())
+        else:
+            rank = pa.array(p_of(batch.column("node")), type=pa.float64())
+        return batch.append_column("rank", rank)
 
     ranks = nodes.map_batches(seed, batch_format="pyarrow").materialize()
     base = (1.0 - damping) / n_nodes
@@ -415,13 +455,25 @@ def pagerank_joins(
 
         def new_rank(batch: pa.Table) -> pa.Table:
             c = batch.column("contrib").combine_chunks().fill_null(0.0)
-            rank = pc.add(
-                pc.add(
-                    pa.scalar(base),
-                    pc.multiply(pa.scalar(damping), c),
-                ),
-                pa.scalar(damping * dangling / n_nodes),
-            )
+            if seed_arr is None:
+                rank = pc.add(
+                    pc.add(
+                        pa.scalar(base),
+                        pc.multiply(pa.scalar(damping), c),
+                    ),
+                    pa.scalar(damping * dangling / n_nodes),
+                )
+            else:
+                # mirrors the SQL twin term for term:
+                # (1-d)*p + d*contrib + (d*(1-tot))*p
+                p = p_of(batch.column("node"))
+                cf = np.asarray(c.to_numpy(zero_copy_only=False))
+                rank = pa.array(
+                    (1.0 - damping) * p
+                    + damping * cf
+                    + (damping * dangling) * p,
+                    type=pa.float64(),
+                )
             return pa.Table.from_pydict(
                 {"node": batch.column("node"), "rank": rank}
             )

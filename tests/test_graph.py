@@ -728,3 +728,64 @@ class TestLpaCommunities:
         from ctinexus_ray.ops.graph import lpa_communities
 
         assert lpa_communities(self._edges([]), rounds=2).take_all() == []
+
+
+class TestPersonalizedPagerank:
+    @staticmethod
+    def _numpy_ppr(src, dst, seeds, damping=0.85, iterations=3):
+        nodes = np.unique(np.concatenate([src, dst]))
+        idx = {int(n): i for i, n in enumerate(nodes)}
+        s = np.array([idx[int(v)] for v in src])
+        d = np.array([idx[int(v)] for v in dst])
+        n = len(nodes)
+        outdeg = np.zeros(n)
+        np.add.at(outdeg, s, 1.0)
+        p = np.zeros(n)
+        for sd in seeds:
+            if sd in idx:
+                p[idx[sd]] = 1.0 / len(seeds)
+        rank = p.copy()
+        for _ in range(iterations):
+            contrib = np.zeros(n)
+            np.add.at(contrib, d, rank[s] / outdeg[s])
+            tot = contrib.sum()
+            rank = (1 - damping) * p + damping * contrib + (
+                damping * (1.0 - tot)
+            ) * p
+        return nodes, rank
+
+    def test_matches_numpy(self, ray_session):
+        from ctinexus_ray.ops.graph import pagerank_joins
+
+        rng = np.random.RandomState(17)
+        src = rng.randint(0, 60, 400)
+        dst = rng.randint(0, 60, 400)
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        seeds = [0, 1, 2, 99]  # 99 absent from the graph: teleport lost
+        want_nodes, want = self._numpy_ppr(src, dst, seeds)
+        got = pagerank_joins(
+            _edges(src, dst), iterations=3, num_partitions=4, seeds=seeds
+        ).to_pandas().sort_values("node")
+        assert np.array_equal(got["node"].to_numpy(), want_nodes)
+        assert np.allclose(got["rank"].to_numpy(), want, rtol=1e-9, atol=1e-12)
+        # mass concentrates near seeds: every present seed outranks the median
+        med = np.median(want)
+        for sd in (0, 1, 2):
+            assert got.set_index("node")["rank"][sd] > med
+
+    def test_empty_seeds_rejected(self, ray_session):
+        from ctinexus_ray.ops.graph import pagerank_joins
+
+        import pytest
+
+        with pytest.raises(ValueError, match="non-empty"):
+            pagerank_joins(_edges([0], [1]), seeds=[])
+
+    def test_duplicate_seeds_rejected(self, ray_session):
+        from ctinexus_ray.ops.graph import pagerank_joins
+
+        import pytest
+
+        with pytest.raises(ValueError, match="duplicate"):
+            pagerank_joins(_edges([0], [1]), seeds=[3, 3])
