@@ -78,15 +78,23 @@ def commit_version(
             "mode": mode,
             "files": base + [f for f in files if f not in base],
         }
-        try:
-            fd = os.open(
-                _manifest_path(table_dir, version),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
-        except FileExistsError:
-            continue  # lost the race — re-resolve the parent and retry
-        with os.fdopen(fd, "w") as fh:
+        # write the FULL manifest to a private temp file first, then
+        # os.link() it into place: link is atomic create-if-absent, so
+        # a concurrent reader can never observe a half-written manifest
+        # (O_EXCL + streaming json.dump had exactly that window — a
+        # racing append-mode committer reading its parent crashed with
+        # JSONDecodeError under test_optimistic_commit_race)
+        tmp = os.path.join(
+            table_dir, f".manifest-{version}.{os.getpid()}.tmp"
+        )
+        with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1)
+        try:
+            os.link(tmp, _manifest_path(table_dir, version))
+        except FileExistsError:
+            os.remove(tmp)
+            continue  # lost the race — re-resolve the parent and retry
+        os.remove(tmp)
         return version
     raise RuntimeError(
         f"commit contention: {max_retries} losing races in {table_dir}"
