@@ -3666,6 +3666,21 @@ def _q_table_merge(sf_dir: str):
     return read_version(tdir).select_columns(["doc_id", "text"])
 
 
+def _q_regex_extract(sf_dir: str):
+    """Generic regex extract-all: every non-overlapping '[a-z]+a[a-z]*'
+    match per document as (doc_id, idx, match) — the ad-hoc sibling of
+    the pinned IOC detector. Stateless explode map, regex compiled once
+    per task. ✓SQL (regexp_extract_all + unnest twin)."""
+    from ctinexus_ray.ops.semistruct import regex_extract_all
+
+    return regex_extract_all(
+        _docs(sf_dir, ["doc_id", "text"]),
+        id_col="doc_id",
+        text_col="text",
+        pattern="[a-z]+a[a-z]*",
+    )
+
+
 def _q_consistent_sample_join(sf_dir: str):
     """Join-consistent sampling: sample the KEY DOMAIN (10% of
     customers by content-addressed md5), then keep every order of a
@@ -7445,6 +7460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "consistent_sample_join": _q_consistent_sample_join,
         "table_merge": _q_table_merge,
         "lm_calibration": _q_lm_calibration,
+        "regex_extract": _q_regex_extract,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -8208,6 +8224,12 @@ def oracle_sql() -> dict[str, str]:
                 "FROM f"
                 for q in (0.1, 0.5, 0.9, 0.99)
             )
+        ),
+        "regex_extract": (
+            "SELECT doc_id, CAST(generate_subscripts(m, 1) AS BIGINT) "
+            "AS idx, unnest(m) AS match FROM (SELECT doc_id, "
+            "regexp_extract_all(text, '[a-z]+a[a-z]*') AS m "
+            "FROM documents)"
         ),
         "table_merge": (
             "WITH upd AS (SELECT doc_id, text || ' u' AS text "

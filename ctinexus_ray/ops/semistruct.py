@@ -90,3 +90,63 @@ def json_scalar(
         yield t.append_column(out, arr)
 
     return ds.map_batches(extract, batch_format="pyarrow")
+
+
+def regex_extract_all(
+    ds: ray.data.Dataset,
+    id_col: str,
+    text_col: str,
+    pattern: str,
+) -> ray.data.Dataset:
+    """All non-overlapping matches of ``pattern`` per row, exploded to
+    (id, idx, match) with a 1-based per-row match index — the generic
+    "pull every <entity> out of the text" primitive behind the IOC
+    detector (``functions/ioc.py`` is its domain-specific sibling with
+    16 pinned patterns; this is the ad-hoc-analysis form).
+
+    Match semantics are leftmost non-overlapping like both Python
+    ``re`` and RE2 — stick to the RE2-compatible subset (no lookaround,
+    no backreferences) so a DuckDB ``regexp_extract_all`` twin computes
+    the identical match list and the op is oracle-verifiable. Rows with
+    NULL text or zero matches contribute nothing (SQL unnest
+    semantics). The pattern must not match the empty string (raises:
+    Python and RE2 disagree on empty-match advancement).
+
+    Scale shape: stateless map — the regex compiles ONCE per task, the
+    per-batch loop is one findall per row (regex scanning is inherently
+    sequential per string); output is explode-sized, no shuffle.
+    """
+    import re
+
+    rx = re.compile(pattern)
+    if rx.match("") and rx.match("").group(0) == "":
+        raise ValueError(
+            "regex_extract_all: pattern matches the empty string — "
+            "empty-match advancement is not portable across engines"
+        )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_in = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        ids, idxs, matches = [], [], []
+        for i, t in zip(ids_in, texts):
+            if t is None:
+                continue
+            # finditer + group(0): whole-match extraction even when the
+            # pattern contains groups (findall would return the groups,
+            # diverging from SQL regexp_extract_all's group-0 default)
+            for j, m in enumerate(rx.finditer(t), start=1):
+                ids.append(i)
+                idxs.append(j)
+                matches.append(m.group(0))
+        return pa.Table.from_pydict(
+            {
+                id_col: pa.array(ids, type=batch.schema.field(id_col).type),
+                "idx": pa.array(idxs, type=pa.int64()),
+                "match": pa.array(matches, type=pa.string()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )

@@ -1,0 +1,181 @@
+"""Micro-batch incremental ingestion: poll an input directory for new
+corpus shards, drop rows already ingested, and append the rest to a
+versioned table — one atomic commit per tick.
+
+On a real cluster this is the continuous-crawl intake loop (the
+north_rule ingestion shape): a crawler keeps dropping shard files into
+a bucket; each tick ingests exactly the unseen shards:
+
+    python jobs/stream_job.py --input s3://bucket/incoming/ \
+        --table s3://bucket/corpus_table/ --watch --poll-sec 30
+
+Exactly-once table contents from at-least-once processing: the
+processed-shard ledger is updated only AFTER the table commit, so a
+crash between the two re-processes the shard on the next tick — but
+the per-tick anti-join against the table's existing doc_ids makes the
+replay a no-op. The versioned-table commit itself is atomic
+(``state/tableformat.py``), so readers never see a partial tick and
+every pre-tick version stays time-travel-readable.
+
+In this sandbox the same entrypoint runs standalone over local dirs;
+``--max-ticks`` bounds the watch loop for tests. Input shards may be
+.parquet, .jsonl(.gz), .csv or .avro (per-file auto-detection via the
+shared ``read_corpus_auto``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+_SHARD_EXTS = (".parquet", ".jsonl", ".jsonl.gz", ".csv", ".avro")
+
+
+def _ledger_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "_ingest_ledger.json")
+
+
+def _read_ledger(table_dir: str) -> dict:
+    try:
+        with open(_ledger_path(table_dir)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return {"shards": []}
+
+
+def _write_ledger(table_dir: str, ledger: dict) -> None:
+    tmp = _ledger_path(table_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(ledger, fh, indent=1)
+    os.replace(tmp, _ledger_path(table_dir))
+
+
+def _list_shards(input_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(input_dir, n)
+        for n in os.listdir(input_dir)
+        if n.endswith(_SHARD_EXTS) and not n.startswith(("_", "."))
+    )
+
+
+def run_tick(input_dir: str, table_dir: str, num_partitions: int = 16) -> dict:
+    """Ingest every shard not yet in the ledger; returns tick stats."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.sources.documents import ensure_doc_id
+    from ctinexus_ray.sources.flatfiles import read_corpus_auto
+    from ctinexus_ray.state.tableformat import (
+        commit_version,
+        latest_version,
+        read_version,
+    )
+
+    ledger = _read_ledger(table_dir)
+    done = set(ledger["shards"])
+    new = [s for s in _list_shards(input_dir) if s not in done]
+    if not new:
+        return {"new_shards": 0, "rows_in": 0, "rows_appended": 0,
+                "version": latest_version(table_dir)}
+
+    ds = ensure_doc_id(read_corpus_auto(new[0]))
+    for s in new[1:]:
+        ds = ds.union(ensure_doc_id(read_corpus_auto(s)))
+    rows_in = ds.count()
+
+    # within-tick exact dedup: first occurrence per doc_id (min text is
+    # deterministic under true duplicates — dup rows are identical)
+    agg_cols = [c for c in ds.schema().names if c != "doc_id"]
+    ds = partitioned_agg(
+        ds,
+        keys=["doc_id"],
+        named_aggs={c: (c, "min") for c in agg_cols},
+        num_partitions=num_partitions,
+    )
+
+    def as_arrow(batch):
+        return batch  # pandas-block -> arrow-block normalization only
+
+    # partitioned_agg reduces in pandas, leaving object-dtype block
+    # schemas that hash_join cannot map; one pass-through pyarrow
+    # map_batches restores concrete arrow types
+    ds = ds.map_batches(as_arrow, batch_format="pyarrow")
+
+    # cross-tick dedup: anti-join against everything already committed
+    if latest_version(table_dir) is not None:
+        existing = read_version(table_dir).select_columns(["doc_id"])
+        ds = hash_join(
+            ds, existing, on=["doc_id"], how="left_anti",
+            num_partitions=num_partitions,
+        )
+
+    # a FRESH dir per invocation: deriving the name from ledger length
+    # would collide on crash-replay (ledger lost, dir not) and re-list
+    # the previous tick's files as this tick's output
+    import uuid
+
+    data_dir = os.path.join(table_dir, f"tick-{uuid.uuid4().hex[:12]}")
+    os.makedirs(data_dir)
+    ds.write_parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, n)
+        for n in os.listdir(data_dir)
+        if n.endswith(".parquet")
+    )
+    rows_appended = sum(pq.read_metadata(f).num_rows for f in files)
+    version = commit_version(table_dir, files, mode="append")
+    # ledger LAST: a crash before this line replays the shards next
+    # tick, and the anti-join drops every already-committed row
+    ledger["shards"].extend(new)
+    _write_ledger(table_dir, ledger)
+    return {
+        "new_shards": len(new),
+        "rows_in": rows_in,
+        "rows_appended": rows_appended,
+        "skipped_existing": rows_in - rows_appended,
+        "version": version,
+    }
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", required=True, help="incoming shard dir")
+    parser.add_argument("--table", required=True, help="versioned table dir")
+    parser.add_argument("--num-partitions", type=int, default=16)
+    parser.add_argument("--watch", action="store_true",
+                        help="poll until --max-ticks instead of one pass")
+    parser.add_argument("--poll-sec", type=float, default=5.0)
+    parser.add_argument("--max-ticks", type=int, default=0,
+                        help="with --watch: stop after N ticks (0 = forever)")
+    args = parser.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+    os.makedirs(args.table, exist_ok=True)
+
+    tick = 0
+    while True:
+        stats = run_tick(args.input, args.table, args.num_partitions)
+        stats["tick"] = tick
+        print(json.dumps(stats))
+        tick += 1
+        if not args.watch or (args.max_ticks and tick >= args.max_ticks):
+            break
+        time.sleep(args.poll_sec)
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

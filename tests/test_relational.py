@@ -1490,3 +1490,79 @@ class TestScd2History:
             (5, big, 1, "a", big + 1),
             (5, big + 1, 2, "b", None),
         ]
+
+
+class TestRegexExtractAll:
+    def _ds(self, rows):
+        import pyarrow as pa
+
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(
+                        [r[0] for r in rows], type=pa.int64()
+                    ),
+                    "text": pa.array([r[1] for r in rows], type=pa.string()),
+                }
+            )
+        )
+
+    def _run(self, rows, pattern):
+        from ctinexus_ray.ops.semistruct import regex_extract_all
+
+        out = regex_extract_all(
+            self._ds(rows), "doc_id", "text", pattern
+        ).take_all()
+        return sorted((r["doc_id"], r["idx"], r["match"]) for r in out)
+
+    def test_basic_and_null_and_empty(self, ray_session):
+        rows = [(1, "ab12cd345"), (2, None), (3, "nope"), (4, "9")]
+        assert self._run(rows, r"[0-9]+") == [
+            (1, 1, "12"),
+            (1, 2, "345"),
+            (4, 1, "9"),
+        ]
+
+    def test_groups_return_whole_match(self, ray_session):
+        # a capturing group must NOT change the output (SQL group-0)
+        assert self._run([(1, "a1b2")], r"([a-z])[0-9]") == [
+            (1, 1, "a1"),
+            (1, 2, "b2"),
+        ]
+
+    def test_non_overlapping_leftmost(self, ray_session):
+        assert self._run([(1, "aaaa")], r"aa") == [(1, 1, "aa"), (1, 2, "aa")]
+
+    def test_empty_match_pattern_rejected(self, ray_session):
+        import pytest
+
+        with pytest.raises(ValueError, match="empty"):
+            self._run([(1, "x")], r"[0-9]*")
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        alphabet = "ab1 2-"
+        rows = [
+            (i, "".join(rng.choice(list(alphabet), size=30)))
+            for i in range(60)
+        ]
+        got = self._run(rows, r"[ab]+[0-9]")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE t (doc_id BIGINT, text VARCHAR)"
+        )
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                "SELECT doc_id, CAST(generate_subscripts(m, 1) AS BIGINT), "
+                "unnest(m) FROM (SELECT doc_id, "
+                "regexp_extract_all(text, '[ab]+[0-9]') AS m FROM t)"
+            ).fetchall()
+        )
+        assert got == want

@@ -1,0 +1,125 @@
+"""Incremental micro-batch ingestion (jobs/stream_job.py): per-tick
+shard discovery, within-tick and cross-tick dedup, atomic commits,
+crash-replay idempotence, and the CLI surface."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+
+from stream_job import run_tick  # noqa: E402
+
+
+def _shard(path, ids):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array([f"doc {i}" for i in ids], type=pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+def _table_ids(table_dir):
+    from ctinexus_ray.state.tableformat import read_version
+
+    return sorted(r["doc_id"] for r in read_version(table_dir).take_all())
+
+
+class TestStreamJob:
+    def test_ticks_dedup_and_append(self, ray_session, tmp_path):
+        inp = tmp_path / "in"
+        inp.mkdir()
+        table = str(tmp_path / "tbl")
+        os.makedirs(table)
+
+        _shard(inp / "a.parquet", list(range(1, 11)))
+        _shard(inp / "b.parquet", list(range(8, 16)))  # overlaps a
+        s1 = run_tick(str(inp), table, num_partitions=4)
+        assert s1["new_shards"] == 2
+        assert s1["rows_in"] == 18
+        assert s1["rows_appended"] == 15  # 8..10 deduped within tick
+        assert s1["version"] == 1
+        assert _table_ids(table) == list(range(1, 16))
+
+        # idle tick: nothing new
+        s2 = run_tick(str(inp), table, num_partitions=4)
+        assert s2["new_shards"] == 0
+        assert s2["version"] == 1
+
+        # a later crawl drop, overlapping what's already committed
+        _shard(inp / "c.parquet", list(range(10, 21)))
+        s3 = run_tick(str(inp), table, num_partitions=4)
+        assert s3["rows_appended"] == 5  # only 16..20 are new
+        assert s3["skipped_existing"] == 6
+        assert s3["version"] == 2
+        assert _table_ids(table) == list(range(1, 21))
+
+    def test_crash_replay_is_idempotent(self, ray_session, tmp_path):
+        inp = tmp_path / "in"
+        inp.mkdir()
+        table = str(tmp_path / "tbl")
+        os.makedirs(table)
+        _shard(inp / "a.parquet", [1, 2, 3])
+        run_tick(str(inp), table, num_partitions=4)
+        # simulate a crash BETWEEN commit and ledger write: drop the
+        # ledger so the same shard replays
+        os.remove(os.path.join(table, "_ingest_ledger.json"))
+        s = run_tick(str(inp), table, num_partitions=4)
+        assert s["new_shards"] == 1
+        assert s["rows_appended"] == 0  # anti-join swallowed the replay
+        assert _table_ids(table) == [1, 2, 3]
+        # history preserved: v1 still readable, v2 identical contents
+        from ctinexus_ray.state.tableformat import read_version
+
+        assert read_version(table, 1).count() == 3
+        assert read_version(table, 2).count() == 3
+
+    def test_mixed_format_shards(self, ray_session, tmp_path):
+        from ctinexus_ray.sources.avro import build_avro, CORPUS_SCHEMA
+
+        inp = tmp_path / "in"
+        inp.mkdir()
+        table = str(tmp_path / "tbl")
+        os.makedirs(table)
+        _shard(inp / "a.parquet", [1, 2])
+        (inp / "b.avro").write_bytes(
+            build_avro(
+                [{"doc_id": 3, "text": "three"}, {"doc_id": 1, "text": "doc 1"}],
+                CORPUS_SCHEMA,
+            )
+        )
+        s = run_tick(str(inp), table, num_partitions=4)
+        assert s["rows_appended"] == 3  # doc 1 deduped across formats
+        assert _table_ids(table) == [1, 2, 3]
+
+    def test_cli_single_pass(self, tmp_path):
+        inp = tmp_path / "in"
+        inp.mkdir()
+        table = str(tmp_path / "tbl")
+        _shard(inp / "a.parquet", [7, 8])
+        out = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(__file__), "..", "jobs", "stream_job.py"
+                ),
+                "--input", str(inp), "--table", table,
+                "--num-partitions", "4",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=240,
+            env={**os.environ, "RAY_ADDRESS": ""},
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        stats = json.loads(out.stdout.strip().splitlines()[-1])
+        assert stats["rows_appended"] == 2
+        assert stats["version"] == 1
