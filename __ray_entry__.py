@@ -3666,6 +3666,53 @@ def _q_table_merge(sf_dir: str):
     return read_version(tdir).select_columns(["doc_id", "text"])
 
 
+def _q_lineitem_price_median(sf_dir: str):
+    """Exact median of lineitem extended price (integer cents) over an
+    UNBOUNDED value domain — distributed quickselect by iterative
+    histogram narrowing (<= n_buckets ints reach the driver per pass;
+    2-3 passes in practice), where the value-domain histogram of
+    doc_len_quantiles would blow up. ✓SQL (quantile_disc twin)."""
+    import math
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.relational import exact_kth_element
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "cents": pc.cast(
+                    pc.floor(
+                        pc.add(
+                            pc.multiply(
+                                batch.column("l_extendedprice"),
+                                pa.scalar(100.0),
+                            ),
+                            pa.scalar(0.5),
+                        )
+                    ),
+                    pa.int64(),
+                )
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    ).map_batches(cents, batch_format="pyarrow")
+    n = li.count()
+    k = max(1, math.ceil(0.5 * n))  # quantile_disc(0.5) rank
+    value = exact_kth_element(li, "cents", k)
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "q": pa.array([0.5], type=pa.float64()),
+                "value": pa.array([value], type=pa.int64()),
+            }
+        )
+    )
+
+
 def _q_regex_extract(sf_dir: str):
     """Generic regex extract-all: every non-overlapping '[a-z]+a[a-z]*'
     match per document as (doc_id, idx, match) — the ad-hoc sibling of
@@ -7461,6 +7508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_merge": _q_table_merge,
         "lm_calibration": _q_lm_calibration,
         "regex_extract": _q_regex_extract,
+        "lineitem_price_median": _q_lineitem_price_median,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -8224,6 +8272,11 @@ def oracle_sql() -> dict[str, str]:
                 "FROM f"
                 for q in (0.1, 0.5, 0.9, 0.99)
             )
+        ),
+        "lineitem_price_median": (
+            "SELECT CAST(0.5 AS DOUBLE) AS q, "
+            "CAST(quantile_disc(CAST(FLOOR(l_extendedprice * 100 + 0.5) "
+            "AS BIGINT), 0.5) AS BIGINT) AS value FROM lineitem"
         ),
         "regex_extract": (
             "SELECT doc_id, CAST(generate_subscripts(m, 1) AS BIGINT) "

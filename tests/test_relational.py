@@ -1566,3 +1566,59 @@ class TestRegexExtractAll:
             ).fetchall()
         )
         assert got == want
+
+
+class TestExactKth:
+    def _ds(self, values):
+        import pyarrow as pa
+
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_pydict({"v": pa.array(values, type=pa.int64())})
+        )
+
+    def test_matches_sorted_order_wide_domain(self, ray_session):
+        import numpy as np
+
+        from ctinexus_ray.ops.relational import exact_kth_element
+
+        rng = np.random.RandomState(31)
+        vals = rng.randint(-(10**15), 10**15, 500).tolist()
+        vals += [vals[0]] * 5  # duplicates
+        s = sorted(vals)
+        ds = self._ds(vals)
+        for k in (1, 2, 100, 253, len(vals)):
+            assert exact_kth_element(ds, "v", k, n_buckets=16) == s[k - 1]
+
+    def test_nulls_ignored(self, ray_session):
+        from ctinexus_ray.ops.relational import exact_kth_element
+
+        ds = self._ds([5, None, 1, None, 9])
+        assert exact_kth_element(ds, "v", 2) == 5
+
+    def test_k_out_of_range(self, ray_session):
+        import pytest
+
+        from ctinexus_ray.ops.relational import exact_kth_element
+
+        with pytest.raises(ValueError, match="outside"):
+            exact_kth_element(self._ds([1, 2]), "v", 3)
+
+    def test_matches_duckdb_quantile_disc(self, ray_session):
+        import duckdb
+        import numpy as np
+
+        from ctinexus_ray.ops.relational import exact_kth_element
+
+        rng = np.random.RandomState(7)
+        vals = rng.randint(0, 10**12, 301).tolist()
+        n = len(vals)
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT unnest(?) AS v", [vals])
+        for q in (0.1, 0.5, 0.99):
+            k = max(1, __import__("math").ceil(q * n))
+            want = con.execute(
+                f"SELECT quantile_disc(v, {q}) FROM t"
+            ).fetchone()[0]
+            assert exact_kth_element(self._ds(vals), "v", k) == want
