@@ -3666,6 +3666,39 @@ def _q_table_merge(sf_dir: str):
     return read_version(tdir).select_columns(["doc_id", "text"])
 
 
+def _q_orders_dq_unique(sf_dir: str):
+    """Uniqueness expectations (the cross-row DQ rule per-row predicates
+    can't express): rows beyond the first occurrence of their key — a
+    valid primary key scores 0. One count reduce per rule, O(P) driver
+    ints. ✓SQL (count(*) - count(DISTINCT) twins)."""
+    import ray.data
+
+    from ctinexus_ray.ops.dq import unique_violations
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    n = orders.count()
+    rules = {
+        "o_orderkey:unique": ["o_orderkey"],
+        "o_custkey,o_orderdate:unique": ["o_custkey", "o_orderdate"],
+    }
+    out_rule, out_viol = [], []
+    for name, cols in rules.items():
+        out_rule.append(name)
+        out_viol.append(unique_violations(orders, cols, num_partitions=16))
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "rule": pa.array(out_rule, type=pa.string()),
+                "n_rows": pa.array([n] * len(out_rule), type=pa.int64()),
+                "n_violations": pa.array(out_viol, type=pa.int64()),
+            }
+        )
+    )
+
+
 def _q_lineitem_price_median(sf_dir: str):
     """Exact median of lineitem extended price (integer cents) over an
     UNBOUNDED value domain — distributed quickselect by iterative
@@ -7509,6 +7542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_calibration": _q_lm_calibration,
         "regex_extract": _q_regex_extract,
         "lineitem_price_median": _q_lineitem_price_median,
+        "orders_dq_unique": _q_orders_dq_unique,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -8272,6 +8306,16 @@ def oracle_sql() -> dict[str, str]:
                 "FROM f"
                 for q in (0.1, 0.5, 0.9, 0.99)
             )
+        ),
+        "orders_dq_unique": (
+            "SELECT 'o_orderkey:unique' AS rule, "
+            "CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) "
+            "AS n_violations FROM orders "
+            "UNION ALL SELECT 'o_custkey,o_orderdate:unique', "
+            "CAST(count(*) AS BIGINT), "
+            "CAST(count(*) - count(DISTINCT (o_custkey, o_orderdate)) "
+            "AS BIGINT) FROM orders"
         ),
         "lineitem_price_median": (
             "SELECT CAST(0.5 AS DOUBLE) AS q, "

@@ -318,3 +318,39 @@ def range_checksums(
         .groupby("pkey")
         .map_groups(reduce_partition, batch_format="pandas")
     )
+
+
+def unique_violations(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    num_partitions: int | None = None,
+) -> int:
+    """Count rows violating a uniqueness expectation on ``cols``:
+    ``n_rows - n_distinct`` — i.e. every row beyond the first occurrence
+    of its key counts once (0 = the column set is a valid primary key).
+    The cross-row sibling of ``data_quality_report``'s per-row rules
+    (a uniqueness check cannot be a batch predicate).
+
+    Scale shape: ONE hash-partitioned (cols -> count) reduce with
+    map-side combine, then per-partition ``sum(n - 1)`` partials —
+    O(partitions) ints reach the driver; group cardinality never
+    materializes anywhere. NULL keys group together (SQL
+    ``count(*) - count(DISTINCT ...)`` counts NULL duplicates the same
+    way only under ``DISTINCT`` treating NULLs equal — DuckDB does).
+    """
+    import pandas as pd
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    counts = partitioned_agg(
+        ds.select_columns(cols),
+        keys=cols,
+        named_aggs={"n": (cols[0], "size")},
+        num_partitions=num_partitions,
+    )
+
+    def extra(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"extra": [int((df["n"] - 1).sum())]})
+
+    parts = counts.map_batches(extra, batch_format="pandas").take_all()
+    return sum(int(p["extra"]) for p in parts)

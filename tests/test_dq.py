@@ -219,3 +219,46 @@ class TestRangeChecksums:
         cb = {r["bucket"]: r["checksum"] for r in b}
         diff = [k for k in ca if ca[k] != cb[k]]
         assert diff == [1]  # only the bucket holding row 17
+
+
+class TestUniqueViolations:
+    def _ds(self, rows):
+        import pyarrow as pa
+
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "a": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "b": pa.array([r[1] for r in rows], type=pa.string()),
+                }
+            )
+        )
+
+    def test_counts_rows_beyond_first(self, ray_session):
+        from ctinexus_ray.ops.dq import unique_violations
+
+        ds = self._ds([(1, "x"), (1, "y"), (1, "x"), (2, "x")])
+        assert unique_violations(ds, ["a"], num_partitions=4) == 2
+        assert unique_violations(ds, ["a", "b"], num_partitions=4) == 1
+
+    def test_unique_key_scores_zero(self, ray_session):
+        from ctinexus_ray.ops.dq import unique_violations
+
+        ds = self._ds([(i, str(i)) for i in range(50)])
+        assert unique_violations(ds, ["a"], num_partitions=4) == 0
+
+    def test_null_keys_group_together(self, ray_session):
+        import pyarrow as pa
+
+        import ray.data
+
+        from ctinexus_ray.ops.dq import unique_violations
+
+        ds = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"a": pa.array([None, None, 3], type=pa.int64())}
+            )
+        )
+        assert unique_violations(ds, ["a"], num_partitions=4) == 1
