@@ -3699,6 +3699,56 @@ def _q_orders_dq_unique(sf_dir: str):
     )
 
 
+def _q_events_fk_check(sf_dir: str):
+    """Referential-integrity expectations: orphan child rows per FK rule
+    (distinct-key reduce -> anti-join vs the parent key set; multiplicity
+    rides the reduce so ROWS are counted). orders->customer is a clean
+    FK (0); events.user_id->customer is intentionally leaky in the
+    synthetic data — the rule that actually fires. ✓SQL (NOT IN
+    twins, NULL child keys counted as violations on both sides)."""
+    import ray.data
+
+    from ctinexus_ray.ops.dq import fk_violations
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+
+    def ren(ds, name):
+        def do(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {"key": batch.column(name).cast(pa.int64())}
+            )
+
+        return ds.map_batches(do, batch_format="pyarrow")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id"]
+    )
+    parent = ren(cust, "c_custkey")
+    rules = {
+        "o_custkey->customer": ren(orders, "o_custkey"),
+        "user_id->customer": ren(events, "user_id"),
+    }
+    out_rule, out_viol = [], []
+    for name, child in rules.items():
+        out_rule.append(name)
+        out_viol.append(
+            fk_violations(child, parent, "key", num_partitions=16)
+        )
+    return ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "rule": pa.array(out_rule, type=pa.string()),
+                "n_violations": pa.array(out_viol, type=pa.int64()),
+            }
+        )
+    )
+
+
 def _q_lineitem_price_median(sf_dir: str):
     """Exact median of lineitem extended price (integer cents) over an
     UNBOUNDED value domain — distributed quickselect by iterative
@@ -7543,6 +7593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_extract": _q_regex_extract,
         "lineitem_price_median": _q_lineitem_price_median,
         "orders_dq_unique": _q_orders_dq_unique,
+        "events_fk_check": _q_events_fk_check,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -8306,6 +8357,16 @@ def oracle_sql() -> dict[str, str]:
                 "FROM f"
                 for q in (0.1, 0.5, 0.9, 0.99)
             )
+        ),
+        "events_fk_check": (
+            "SELECT 'o_custkey->customer' AS rule, "
+            "CAST(count(*) AS BIGINT) AS n_violations FROM orders "
+            "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer) "
+            "OR o_custkey IS NULL "
+            "UNION ALL SELECT 'user_id->customer', "
+            "CAST(count(*) AS BIGINT) FROM events "
+            "WHERE user_id NOT IN (SELECT c_custkey FROM customer) "
+            "OR user_id IS NULL"
         ),
         "orders_dq_unique": (
             "SELECT 'o_orderkey:unique' AS rule, "

@@ -354,3 +354,63 @@ def unique_violations(
 
     parts = counts.map_batches(extra, batch_format="pandas").take_all()
     return sum(int(p["extra"]) for p in parts)
+
+
+def fk_violations(
+    child: ray.data.Dataset,
+    parent: ray.data.Dataset,
+    key: str,
+    num_partitions: int | None = None,
+) -> int:
+    """Count referential-integrity violations: child rows whose ``key``
+    has no matching parent row (orphans). NULL child keys count as
+    violations (they reference nothing) — stricter than SQL's FK rule,
+    which ignores NULLs; filter them first for SQL parity, or keep them
+    to catch both problems in one number.
+
+    Scale shape: distinct child keys (one count reduce) anti-joined
+    against distinct parent keys — both sides stream, the per-key
+    multiplicity rides the reduce so orphan ROWS are counted, not just
+    orphan keys. O(P) ints to the driver.
+    """
+    import pandas as pd
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    try:
+        key_type = child.schema().base_schema.field(key).type
+    except Exception:  # pandas-block schema upstream: assume int64 keys
+        key_type = pa.int64()
+
+    def as_arrow(batch: pa.Table) -> pa.Table:
+        # pandas reduces degrade a nullable int64 key to float64;
+        # restore the arrow type so the join keys line up
+        i = batch.schema.names.index(key)
+        return batch.set_column(i, key, batch.column(key).cast(key_type))
+
+    child_counts = partitioned_agg(
+        child.select_columns([key]),
+        keys=[key],
+        named_aggs={"n": (key, "size")},
+        num_partitions=num_partitions,
+    ).map_batches(as_arrow, batch_format="pyarrow")
+    parent_keys = partitioned_agg(
+        parent.select_columns([key]),
+        keys=[key],
+        named_aggs={"_one": (key, "size")},
+        num_partitions=num_partitions,
+    ).select_columns([key]).map_batches(as_arrow, batch_format="pyarrow")
+    orphans = hash_join(
+        child_counts,
+        parent_keys,
+        on=[key],
+        how="left_anti",
+        num_partitions=num_partitions,
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [int(df["n"].sum())]})
+
+    parts = orphans.map_batches(partial, batch_format="pandas").take_all()
+    return sum(int(p["n"]) for p in parts)

@@ -262,3 +262,42 @@ class TestUniqueViolations:
             )
         )
         assert unique_violations(ds, ["a"], num_partitions=4) == 1
+
+
+class TestFkViolations:
+    def _ds(self, ids):
+        import pyarrow as pa
+
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_pydict({"key": pa.array(ids, type=pa.int64())})
+        )
+
+    def test_orphan_rows_counted_with_multiplicity(self, ray_session):
+        from ctinexus_ray.ops.dq import fk_violations
+
+        child = self._ds([1, 2, 9, 9, 9])
+        parent = self._ds([1, 2, 3])
+        assert fk_violations(child, parent, "key", num_partitions=4) == 3
+
+    def test_clean_fk_scores_zero(self, ray_session):
+        from ctinexus_ray.ops.dq import fk_violations
+
+        assert (
+            fk_violations(
+                self._ds([1, 1, 2]), self._ds([1, 2]), "key",
+                num_partitions=4,
+            )
+            == 0
+        )
+
+    def test_null_child_key_is_violation(self, ray_session):
+        from ctinexus_ray.ops.dq import fk_violations
+
+        assert (
+            fk_violations(
+                self._ds([None, 1]), self._ds([1]), "key", num_partitions=4
+            )
+            == 1
+        )
