@@ -1656,6 +1656,7 @@ def lpa_communities(
     edges: ray.data.Dataset,
     rounds: int = 4,
     num_partitions: int | None = None,
+    label_broadcast_rows: int = 4_000_000,
 ) -> ray.data.Dataset:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007) over an undirected canonical (a, b) edge list: every node
@@ -1731,13 +1732,53 @@ def lpa_communities(
         out = top[["dst", "label"]].rename(columns={"dst": "node"})
         return out.astype({"node": "int64", "label": "int64"})
 
+    # node-sized label tables up to ``label_broadcast_rows`` take a
+    # zero-shuffle path: the sorted (node, label) arrays are ray.put
+    # once per round and each edge batch attaches labels with a
+    # vectorized searchsorted — ONE reduce per round instead of a hash
+    # join + reduce (the k_core dead_broadcast_rows pattern). Larger
+    # graphs keep the fully-streaming hash join.
+    broadcast = labels.count() <= label_broadcast_rows
+
+    def collect_labels():
+        blocks = [
+            t
+            for t in ray.get(labels.to_arrow_refs())
+            if t.num_rows
+        ]
+        nodes_arr = np.concatenate(
+            [b.column("node").to_numpy(zero_copy_only=False) for b in blocks]
+        ).astype(np.int64)
+        labels_arr = np.concatenate(
+            [b.column("label").to_numpy(zero_copy_only=False) for b in blocks]
+        ).astype(np.int64)
+        order = np.argsort(nodes_arr, kind="stable")
+        return ray.put((nodes_arr[order], labels_arr[order]))
+
     for _ in range(rounds):
-        joined = hash_join(
-            directed,
-            _rename_cols(labels, ["src", "label"]),
-            on=["src"],
-            num_partitions=num_partitions,
-        )
+        if broadcast:
+            ref = collect_labels()
+
+            def attach(batch: pa.Table, ref=ref) -> pa.Table:
+                node_arr, lab_arr = ray.get(ref)
+                src = batch.column("src").to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(node_arr, src)
+                # every src is a labeled endpoint by construction
+                return pa.Table.from_pydict(
+                    {
+                        "dst": batch.column("dst"),
+                        "label": pa.array(lab_arr[pos], type=pa.int64()),
+                    }
+                )
+
+            joined = directed.map_batches(attach, batch_format="pyarrow")
+        else:
+            joined = hash_join(
+                directed,
+                _rename_cols(labels, ["src", "label"]),
+                on=["src"],
+                num_partitions=num_partitions,
+            )
         labels = (
             joined.map_batches(combine, batch_format="pyarrow")
             .groupby("pkey")

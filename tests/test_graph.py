@@ -729,6 +729,21 @@ class TestLpaCommunities:
 
         assert lpa_communities(self._edges([]), rounds=2).take_all() == []
 
+    def test_hash_join_path_matches_broadcast(self, ray_session):
+        # force the streaming path; results must be identical
+        from ctinexus_ray.ops.graph import lpa_communities
+
+        pairs = [(0, 1), (0, 2), (1, 2), (10, 11), (2, 10)]
+        a = lpa_communities(
+            self._edges(pairs), rounds=3, num_partitions=4
+        ).take_all()
+        b = lpa_communities(
+            self._edges(pairs), rounds=3, num_partitions=4,
+            label_broadcast_rows=0,
+        ).take_all()
+        key = lambda rows: sorted((r["node"], r["label"]) for r in rows)
+        assert key(a) == key(b)
+
 
 class TestPersonalizedPagerank:
     @staticmethod
