@@ -3699,6 +3699,43 @@ def _q_orders_dq_unique(sf_dir: str):
     )
 
 
+def _q_events_user_join_auto(sf_dir: str):
+    """Skew-aware join auto-selection driven end-to-end: events joined
+    to the customer dimension with the strategy (plain vs salted)
+    chosen from a stride-sampled hot-key estimate — both paths produce
+    identical rows, so the oracle pins correctness regardless of which
+    fired. Output: per-(user, name) event counts. ✓SQL."""
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import skew_aware_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id"]
+    ).select_columns(["user_id"])
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch.column("c_custkey").cast(pa.int64()),
+                "c_name": batch.column("c_name"),
+            }
+        )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(ren, batch_format="pyarrow")
+    joined = skew_aware_join(
+        events, cust, on=["user_id"], num_partitions=16
+    )
+    return partitioned_agg(
+        joined,
+        keys=["user_id", "c_name"],
+        named_aggs={"n": ("user_id", "size")},
+        num_partitions=16,
+    )
+
+
 def _q_events_fk_check(sf_dir: str):
     """Referential-integrity expectations: orphan child rows per FK rule
     (distinct-key reduce -> anti-join vs the parent key set; multiplicity
@@ -7594,6 +7631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_price_median": _q_lineitem_price_median,
         "orders_dq_unique": _q_orders_dq_unique,
         "events_fk_check": _q_events_fk_check,
+        "events_user_join_auto": _q_events_user_join_auto,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -8357,6 +8395,11 @@ def oracle_sql() -> dict[str, str]:
                 "FROM f"
                 for q in (0.1, 0.5, 0.9, 0.99)
             )
+        ),
+        "events_user_join_auto": (
+            "SELECT e.user_id, c.c_name, CAST(count(*) AS BIGINT) AS n "
+            "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+            "GROUP BY e.user_id, c.c_name"
         ),
         "events_fk_check": (
             "SELECT 'o_custkey->customer' AS rule, "

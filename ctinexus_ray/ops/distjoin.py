@@ -799,3 +799,80 @@ def snapshot_delta(
         return out.filter(keep)
 
     return joined.map_batches(classify, batch_format="pyarrow")
+
+
+def skew_aware_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    on: list[str],
+    how: str = "inner",
+    num_partitions: int | None = None,
+    sample_stride: int = 20,
+    skew_threshold: float = 0.10,
+    salt: int = 8,
+    left_types: dict[str, pa.DataType] | None = None,
+    right_types: dict[str, pa.DataType] | None = None,
+    return_strategy: bool = False,
+):
+    """``hash_join`` that measures LEFT-side key skew first and switches
+    to ``salted_join`` when one key would melt a reduce task — the
+    auto-wired form of the manual pick (a web corpus's empty-string /
+    boilerplate-checksum key can hold 30% of all rows, and a plain hash
+    join serializes that key into one straggler task).
+
+    Detection: a content-independent every-``sample_stride``-th-row
+    sample of the left key column (content hashing would drop a hot key
+    wholesale — exactly the rows we're looking for), ONE count reduce
+    over the sample, then the hottest key's sample fraction. At or
+    above ``skew_threshold`` — and when ``how`` permits replication
+    (inner/left only) — the join salts; otherwise it runs plain. The
+    estimate is a heuristic (stride sampling, not exact counts): it
+    decides STRATEGY, never results — both paths produce identical
+    output (pinned in tests).
+
+    ``return_strategy=True`` returns ``(dataset, strategy)`` with
+    strategy in {"hash", "salted"}.
+    """
+    import numpy as np
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    def sample(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        idx = np.arange(0, batch.num_rows, sample_stride, dtype=np.int64)
+        yield batch.select(on).take(pa.array(idx))
+
+    counts = partitioned_agg(
+        left.map_batches(sample, batch_format="pyarrow"),
+        keys=on,
+        named_aggs={"n": (on[0], "size")},
+        num_partitions=num_partitions,
+    )
+
+    def fold(df):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"mx": [int(df["n"].max())], "tot": [int(df["n"].sum())]}
+        )
+
+    parts = counts.map_batches(fold, batch_format="pandas").take_all()
+    mx = max((int(p["mx"]) for p in parts), default=0)
+    tot = sum(int(p["tot"]) for p in parts)
+    skewed = tot > 0 and mx / tot >= skew_threshold
+    if skewed and how in ("inner", "left"):
+        out = salted_join(
+            left, right, on=on, how=how, salt=salt,
+            num_partitions=num_partitions,
+            left_types=left_types, right_types=right_types,
+        )
+        strategy = "salted"
+    else:
+        out = hash_join(
+            left, right, on=on, how=how,
+            num_partitions=num_partitions,
+            left_types=left_types, right_types=right_types,
+        )
+        strategy = "hash"
+    return (out, strategy) if return_strategy else out

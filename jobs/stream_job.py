@@ -156,6 +156,9 @@ def main() -> int:
     parser.add_argument("--poll-sec", type=float, default=5.0)
     parser.add_argument("--max-ticks", type=int, default=0,
                         help="with --watch: stop after N ticks (0 = forever)")
+    parser.add_argument("--vacuum-keep", type=int, default=0,
+                        help="after each committing tick, expire all but "
+                             "the newest N table versions (0 = keep all)")
     args = parser.parse_args()
 
     import ray
@@ -168,6 +171,10 @@ def main() -> int:
     while True:
         stats = run_tick(args.input, args.table, args.num_partitions)
         stats["tick"] = tick
+        if args.vacuum_keep and stats["new_shards"]:
+            from ctinexus_ray.state.tableformat import vacuum
+
+            stats["vacuum"] = vacuum(args.table, args.vacuum_keep)
         print(json.dumps(stats))
         tick += 1
         if not args.watch or (args.max_ticks and tick >= args.max_ticks):

@@ -404,3 +404,76 @@ class TestSnapshotDelta:
         )
         rows = snapshot_delta(empty, new, "k", "fp").take_all()
         assert [(r["k"], r["status"]) for r in rows] == [(9, "added")]
+
+
+class TestSkewAwareJoin:
+    def _sides(self, left_keys):
+        import pyarrow as pa
+
+        import ray.data
+
+        left = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "k": pa.array(left_keys, type=pa.int64()),
+                    "lv": pa.array(range(len(left_keys)), type=pa.int64()),
+                }
+            )
+        )
+        right = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "k": pa.array(sorted(set(left_keys)), type=pa.int64()),
+                    "rv": pa.array(
+                        [k * 10 for k in sorted(set(left_keys))],
+                        type=pa.int64(),
+                    ),
+                }
+            )
+        )
+        return left, right
+
+    @staticmethod
+    def _rows(ds):
+        return sorted((r["k"], r["lv"], r["rv"]) for r in ds.take_all())
+
+    def test_skewed_left_picks_salted_same_result(self, ray_session):
+        from ctinexus_ray.ops.distjoin import hash_join, skew_aware_join
+
+        keys = [7] * 500 + list(range(100))  # one key holds ~83%
+        left, right = self._sides(keys)
+        out, strategy = skew_aware_join(
+            left, right, on=["k"], num_partitions=4, sample_stride=5,
+            return_strategy=True,
+        )
+        assert strategy == "salted"
+        want = hash_join(left, right, on=["k"], num_partitions=4)
+        assert self._rows(out) == self._rows(want)
+
+    def test_uniform_left_picks_hash(self, ray_session):
+        from ctinexus_ray.ops.distjoin import skew_aware_join
+
+        keys = list(range(400))
+        left, right = self._sides(keys)
+        out, strategy = skew_aware_join(
+            left, right, on=["k"], num_partitions=4, sample_stride=3,
+            return_strategy=True,
+        )
+        assert strategy == "hash"
+        assert len(self._rows(out)) == 400
+
+    def test_unsupported_how_falls_back_to_hash(self, ray_session):
+        from ctinexus_ray.ops.distjoin import skew_aware_join
+
+        keys = [7] * 300
+        left, right = self._sides(keys)
+        out, strategy = skew_aware_join(
+            left,
+            right.filter(expr="k > 100"),  # empty right
+            on=["k"],
+            how="left_anti",
+            num_partitions=4,
+            return_strategy=True,
+        )
+        assert strategy == "hash"  # anti can't replicate the right side
+        assert out.count() == 300
