@@ -146,10 +146,25 @@ def _field_plan(schema: dict) -> list[tuple[str, str | None, str]]:
     plan: list[tuple[str, str | None, str]] = []
     for field in schema["fields"]:
         name, typ = field["name"], field["type"]
+        if (
+            isinstance(typ, dict)
+            and isinstance(typ.get("type"), str)
+            and typ["type"] in _PRIMITIVE_ARROW
+        ):
+            # annotated primitive ({"type": "long", "logicalType":
+            # "timestamp-micros"}): decode as the base primitive —
+            # logical types are metadata over the same wire encoding
+            typ = typ["type"]
         if isinstance(typ, list):
             if len(typ) != 2 or "null" not in typ:
                 raise ValueError(f"avro: only [null, X] unions supported: {typ}")
             other = typ[0] if typ[1] == "null" else typ[1]
+            if (
+                isinstance(other, dict)
+                and isinstance(other.get("type"), str)
+                and other["type"] in _PRIMITIVE_ARROW
+            ):
+                other = other["type"]  # annotated primitive in a union
             if not isinstance(other, str) or other not in _PRIMITIVE_ARROW:
                 raise ValueError(f"avro: unsupported union branch {other!r}")
             where = "null-first" if typ[0] == "null" else "null-second"
@@ -374,3 +389,77 @@ def write_avro_corpus(
         ]
     )
     return paths
+
+
+_ARROW_TO_AVRO = {
+    pa.bool_(): "boolean",
+    pa.int32(): "int",
+    pa.int64(): "long",
+    pa.float32(): "float",
+    pa.float64(): "double",
+    pa.binary(): "bytes",
+    pa.string(): "string",
+    pa.large_string(): "string",
+}
+
+
+def avro_schema_for(arrow_schema: pa.Schema, name: str = "Row") -> dict:
+    """Derive a nullable-union Avro record schema from an Arrow schema.
+    Every field becomes ``["null", X]`` (Arrow nullability is
+    per-value, not declared, so the union is the faithful mapping);
+    timestamps map to long with ``logicalType: timestamp-micros``.
+    Unsupported arrow types raise."""
+    fields = []
+    for f in arrow_schema:
+        t = f.type
+        if pa.types.is_timestamp(t):
+            avro_t: object = {"type": "long", "logicalType": "timestamp-micros"}
+        elif t in _ARROW_TO_AVRO:
+            avro_t = _ARROW_TO_AVRO[t]
+        else:
+            raise ValueError(f"avro sink: unsupported arrow type {t}")
+        fields.append({"name": f.name, "type": ["null", avro_t]})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def dataset_to_avro(
+    ds: ray.data.Dataset, out_dir: str, codec: str = "deflate"
+) -> list[str]:
+    """EXPORT an arbitrary Dataset as Avro OCF shards — the sink twin of
+    ``read_avro`` (Ray ships json/csv/parquet sinks natively; Avro it
+    does not). One file per input block, written INSIDE the block's own
+    task (atomic rename; nothing corpus-sized moves anywhere), file
+    list + row counts returned from O(#blocks) driver metadata.
+    Timestamps are encoded as timestamp-micros longs; every field is a
+    nullable union (see ``avro_schema_for``)."""
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+    schema = avro_schema_for(ds.schema().base_schema)
+    ts_cols = [
+        f.name
+        for f in ds.schema().base_schema
+        if pa.types.is_timestamp(f.type)
+    ]
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        for c in ts_cols:
+            i = batch.schema.names.index(c)
+            batch = batch.set_column(i, c, batch.column(c).cast(pa.int64()))
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex[:16]}.avro")
+        data = build_avro(batch.to_pylist(), schema, codec=codec)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+        return pa.Table.from_pydict(
+            {
+                "path": pa.array([path], type=pa.string()),
+                "n_rows": pa.array([batch.num_rows], type=pa.int64()),
+            }
+        )
+
+    manifest = ds.map_batches(
+        write_block, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    return sorted(r["path"] for r in manifest)

@@ -187,3 +187,54 @@ class TestRayRoundTrip:
         b = write_avro_corpus(str(src), str(tmp_path / "b"), n_shards=2)
         for pa_, pb in zip(a, b):
             assert open(pa_, "rb").read() == open(pb, "rb").read()
+
+
+class TestDatasetSink:
+    def test_export_roundtrip_with_timestamps_and_nulls(
+        self, ray_session, tmp_path
+    ):
+        import datetime
+
+        import ray.data
+
+        from ctinexus_ray.sources.avro import dataset_to_avro, read_avro
+
+        ts = [
+            datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc),
+            None,
+            datetime.datetime(2026, 6, 15, 12, 30, tzinfo=datetime.timezone.utc),
+        ]
+        table = pa.table(
+            {
+                "id": pa.array([1, 2, None], type=pa.int64()),
+                "name": pa.array(["a", None, "c"], type=pa.string()),
+                "w": pa.array([0.5, None, -1.25], type=pa.float64()),
+                "ts": pa.array(ts, type=pa.timestamp("us", tz="UTC")),
+            }
+        )
+        paths = dataset_to_avro(
+            ray.data.from_arrow(table), str(tmp_path / "out")
+        )
+        assert paths
+        got = sorted(
+            read_avro(paths).take_all(),
+            key=lambda r: (r["id"] is None, r["id"]),
+        )
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        want_ts = [
+            None if t is None else int((t - epoch).total_seconds() * 1e6)
+            for t in ts
+        ]
+        assert [r["id"] for r in got] == [1, 2, None]
+        assert [r["name"] for r in got] == ["a", None, "c"]
+        assert [r["w"] for r in got] == [0.5, None, -1.25]
+        assert [r["ts"] for r in got] == want_ts
+
+    def test_unsupported_type_raises(self, ray_session, tmp_path):
+        import ray.data
+
+        from ctinexus_ray.sources.avro import dataset_to_avro
+
+        table = pa.table({"v": pa.array([[1, 2]], type=pa.list_(pa.int64()))})
+        with pytest.raises(Exception, match="unsupported arrow type"):
+            dataset_to_avro(ray.data.from_arrow(table), str(tmp_path / "o"))
