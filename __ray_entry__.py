@@ -3736,6 +3736,66 @@ def _q_events_user_join_auto(sf_dir: str):
     )
 
 
+def _q_ab_chi2(sf_dir: str):
+    """A/B-test chi-square homogeneity: does the event-type mix differ
+    between the user_id-parity cohorts? Per-cell EXACT integer
+    rationals — (O*N - RT*CT)^2 / (RT*CT*N) — so no float ever crosses
+    a row boundary; the corpus collapses to a (cohort, type) count
+    reduce (cells <= cohorts x types rows by construction). int64 bound:
+    the squared term needs (o*n)^2 < 2^63 (~3e9 events); both sides
+    overflow LOUDLY past it (pa.array raises, DuckDB BIGINT raises) —
+    switch to the micro-quantized double form at that scale. ✓SQL."""
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def cohorted(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.is_valid(batch.column("user_id")))
+        return pa.Table.from_pydict(
+            {
+                "cohort": pc.cast(
+                    pc.bit_wise_and(batch.column("user_id"), 1), pa.int64()
+                ),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    cells = partitioned_agg(
+        events.map_batches(cohorted, batch_format="pyarrow"),
+        keys=["cohort", "event_type"],
+        named_aggs={"o": ("cohort", "size")},
+        num_partitions=16,
+    ).take_all()  # <= cohorts x event types rows by construction
+    n = sum(int(c["o"]) for c in cells)
+    rt: dict = {}
+    ct: dict = {}
+    for c in cells:
+        rt[c["cohort"]] = rt.get(c["cohort"], 0) + int(c["o"])
+        ct[c["event_type"]] = ct.get(c["event_type"], 0) + int(c["o"])
+    out = {"cohort": [], "event_type": [], "chi2_num": [], "chi2_den": []}
+    for c in cells:
+        o, co, ty = int(c["o"]), c["cohort"], c["event_type"]
+        diff = o * n - rt[co] * ct[ty]
+        out["cohort"].append(co)
+        out["event_type"].append(ty)
+        out["chi2_num"].append(diff * diff)
+        out["chi2_den"].append(rt[co] * ct[ty] * n)
+    return pa.Table.from_pydict(
+        {
+            "cohort": pa.array(out["cohort"], type=pa.int64()),
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "chi2_num": pa.array(out["chi2_num"], type=pa.int64()),
+            "chi2_den": pa.array(out["chi2_den"], type=pa.int64()),
+        }
+    )
+
+
 def _q_events_fk_check(sf_dir: str):
     """Referential-integrity expectations: orphan child rows per FK rule
     (distinct-key reduce -> anti-join vs the parent key set; multiplicity
@@ -7632,6 +7692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_dq_unique": _q_orders_dq_unique,
         "events_fk_check": _q_events_fk_check,
         "events_user_join_auto": _q_events_user_join_auto,
+        "ab_chi2": _q_ab_chi2,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -8395,6 +8456,23 @@ def oracle_sql() -> dict[str, str]:
                 "FROM f"
                 for q in (0.1, 0.5, 0.9, 0.99)
             )
+        ),
+        "ab_chi2": (
+            "WITH c AS (SELECT user_id % 2 AS cohort, event_type, "
+            "count(*) AS o FROM events WHERE user_id IS NOT NULL "
+            "GROUP BY 1, 2), "
+            "rt AS (SELECT cohort, CAST(SUM(o) AS BIGINT) AS rt "
+            "FROM c GROUP BY cohort), "
+            "ct AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS ct "
+            "FROM c GROUP BY event_type), "
+            "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events "
+            "WHERE user_id IS NOT NULL) "
+            "SELECT c.cohort, c.event_type, "
+            "CAST((c.o * n.n - rt.rt * ct.ct) * "
+            "(c.o * n.n - rt.rt * ct.ct) AS BIGINT) AS chi2_num, "
+            "CAST(rt.rt * ct.ct * n.n AS BIGINT) AS chi2_den "
+            "FROM c JOIN rt USING (cohort) "
+            "JOIN ct USING (event_type), n"
         ),
         "events_user_join_auto": (
             "SELECT e.user_id, c.c_name, CAST(count(*) AS BIGINT) AS n "
