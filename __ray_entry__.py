@@ -3908,6 +3908,123 @@ def _q_regex_extract(sf_dir: str):
     )
 
 
+def _q_table_version_diff(sf_dir: str):
+    """Version-to-version diff of the versioned table: the table_merge
+    scenario committed as v1 -> merged v2, then 'added'/'removed' rows
+    from two (doc_id, text)-keyed anti-joins across the time-travel
+    reads — the audit view of what a merge actually changed. NULL text
+    joins via a sentinel key so NULL==NULL like SQL set ops. ✓SQL
+    (EXCEPT twins over the same merge expression)."""
+    import hashlib
+    import os as _os
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.state.tableformat import (
+        commit_version,
+        merge_upsert,
+        read_version,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tdir = f"/tmp/table_diff_{tag}"
+    shutil.rmtree(tdir, ignore_errors=True)
+    base_dir = f"{tdir}/base"
+    _docs(sf_dir, ["doc_id", "text"]).write_parquet(base_dir)
+    commit_version(
+        tdir,
+        sorted(
+            f"{base_dir}/{n}"
+            for n in _os.listdir(base_dir)
+            if n.endswith(".parquet")
+        ),
+        mode="overwrite",
+    )
+
+    def make_updates(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id, out_text, out_del = [], [], []
+        for i, t in zip(ids, texts):
+            if i % 3 == 0:
+                out_id.append(i)
+                out_text.append(None if t is None else t + " u")
+                out_del.append(False)
+            if i % 30 == 1:
+                out_id.append(i)
+                out_text.append(None)
+                out_del.append(True)
+            if i % 50 == 0:
+                out_id.append(i + 1_000_000)
+                out_text.append("inserted")
+                out_del.append(False)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "text": pa.array(out_text, type=pa.string()),
+                "is_del": pa.array(out_del, type=pa.bool_()),
+            }
+        )
+
+    merge_upsert(
+        tdir,
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            make_updates, batch_format="pyarrow"
+        ),
+        key_col="doc_id",
+        delete_col="is_del",
+        num_partitions=16,
+    )
+
+    def keyed(ds):
+        def do(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "doc_id": batch.column("doc_id").cast(pa.int64()),
+                    "text": batch.column("text"),
+                    "tkey": pc.fill_null(batch.column("text"), "\x01"),
+                }
+            )
+
+        return ds.select_columns(["doc_id", "text"]).map_batches(
+            do, batch_format="pyarrow"
+        )
+
+    v1 = keyed(read_version(tdir, 1))
+    v2 = keyed(read_version(tdir, 2))
+
+    def tag_op(ds, op):
+        def do(batch: pa.Table) -> pa.Table:
+            return pa.Table.from_pydict(
+                {
+                    "op": pa.array([op] * batch.num_rows, type=pa.string()),
+                    "doc_id": batch.column("doc_id"),
+                    "text": batch.column("text"),
+                }
+            )
+
+        return ds.map_batches(do, batch_format="pyarrow")
+
+    added = hash_join(
+        v2,
+        v1.select_columns(["doc_id", "tkey"]),
+        on=["doc_id", "tkey"],
+        how="left_anti",
+        num_partitions=16,
+    )
+    removed = hash_join(
+        v1,
+        v2.select_columns(["doc_id", "tkey"]),
+        on=["doc_id", "tkey"],
+        how="left_anti",
+        num_partitions=16,
+    )
+    return tag_op(added, "added").union(tag_op(removed, "removed"))
+
+
 def _q_consistent_sample_join(sf_dir: str):
     """Join-consistent sampling: sample the KEY DOMAIN (10% of
     customers by content-addressed md5), then keep every order of a
@@ -7686,6 +7803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_confusion": _q_nb_confusion,
         "consistent_sample_join": _q_consistent_sample_join,
         "table_merge": _q_table_merge,
+        "table_version_diff": _q_table_version_diff,
         "lm_calibration": _q_lm_calibration,
         "regex_extract": _q_regex_extract,
         "lineitem_price_median": _q_lineitem_price_median,
@@ -8509,6 +8627,22 @@ def oracle_sql() -> dict[str, str]:
             "AS idx, unnest(m) AS match FROM (SELECT doc_id, "
             "regexp_extract_all(text, '[a-z]+a[a-z]*') AS m "
             "FROM documents)"
+        ),
+        "table_version_diff": (
+            "WITH upd AS (SELECT doc_id, text || ' u' AS text "
+            "FROM documents WHERE doc_id % 3 = 0), "
+            "del AS (SELECT doc_id FROM documents WHERE doc_id % 30 = 1), "
+            "ins AS (SELECT doc_id + 1000000 AS doc_id, "
+            "'inserted' AS text FROM documents WHERE doc_id % 50 = 0), "
+            "v2 AS (SELECT d.doc_id, COALESCE(u.text, d.text) AS text "
+            "FROM documents d LEFT JOIN upd u USING (doc_id) "
+            "WHERE d.doc_id NOT IN (SELECT doc_id FROM del) "
+            "UNION ALL SELECT doc_id, text FROM ins), "
+            "v1 AS (SELECT doc_id, text FROM documents) "
+            "SELECT 'added' AS op, doc_id, text FROM "
+            "(SELECT * FROM v2 EXCEPT SELECT * FROM v1) "
+            "UNION ALL SELECT 'removed', doc_id, text FROM "
+            "(SELECT * FROM v1 EXCEPT SELECT * FROM v2)"
         ),
         "table_merge": (
             "WITH upd AS (SELECT doc_id, text || ' u' AS text "
