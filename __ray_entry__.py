@@ -3736,6 +3736,60 @@ def _q_events_user_join_auto(sf_dir: str):
     )
 
 
+def _q_streaming_hourly(sf_dir: str):
+    """The events table REPLAYED as an out-of-order micro-batch stream
+    through the watermarked tumbling-window operator (hourly windows
+    keyed by event_type, lateness beyond the replay disorder so nothing
+    drops): with every window finalized, the streaming result must
+    equal the batch GROUP BY — the exact-SQL anchor for the streaming
+    family (finite-lateness drop semantics are pinned in
+    tests/test_streaming.py). ✓SQL."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.streaming import WindowStream
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "key": batch.column("event_type"),
+            }
+        )
+
+    stream = WindowStream(
+        window_sec=3600,
+        allowed_lateness_sec=1 << 40,  # replay disorder spans the file
+        ts_col="ts_us",
+        key_col="key",
+        num_partitions=4,
+    )
+    for batch in events.map_batches(
+        prep, batch_format="pyarrow"
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        stream.feed(batch)
+    out = stream.close()
+    assert stream.late_dropped() == 0
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "hour_ts": pc.divide(
+                    batch.column("window_start"),
+                    pa.scalar(1_000_000, pa.int64()),
+                ),
+                "event_type": batch.column("key"),
+                "n_events": batch.column("n").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_ab_chi2(sf_dir: str):
     """A/B-test chi-square homogeneity: does the event-type mix differ
     between the user_id-parity cohorts? Per-cell EXACT integer
@@ -7811,6 +7865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_fk_check": _q_events_fk_check,
         "events_user_join_auto": _q_events_user_join_auto,
         "ab_chi2": _q_ab_chi2,
+        "streaming_hourly": _q_streaming_hourly,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -8574,6 +8629,11 @@ def oracle_sql() -> dict[str, str]:
                 "FROM f"
                 for q in (0.1, 0.5, 0.9, 0.99)
             )
+        ),
+        "streaming_hourly": (
+            "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) "
+            "AS hour_ts, event_type, count(*) AS n_events "
+            "FROM events GROUP BY 1, 2"
         ),
         "ab_chi2": (
             "WITH c AS (SELECT user_id % 2 AS cohort, event_type, "

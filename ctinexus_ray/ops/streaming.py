@@ -1,0 +1,198 @@
+"""Event-time windowed aggregation with watermarks — the
+Dataflow/Flink-style STREAMING operator family (out-of-order arrival,
+late-data policy, incremental finalization) that the batch Dataset API
+cannot express: a Dataset pipeline sees a complete input, a stream
+must decide when a window is DONE while data is still arriving.
+
+Semantics (the standard model):
+
+* tumbling event-time windows of ``window_sec`` over an int64
+  microsecond timestamp column, optionally keyed;
+* the watermark is ``max(event_time seen) - allowed_lateness``:
+  everything at or before it is assumed to have arrived;
+* a window FINALIZES (emits exactly once, immutable) when the
+  watermark passes its end; rows arriving for an already-finalized
+  window are DROPPED and counted (``late_dropped``) — never silently;
+* ``close()`` finalizes every still-open window (end-of-stream).
+
+Scale shape: raw Ray actors are justified here (the module docstring
+rule from ops/graph.py — "keep this partition resident across
+iterations" has no Dataset spelling). P partition actors each own the
+open-window counts whose ``hash(window) % P`` lands there; a
+micro-batch is ``ray.put`` once and a single split task routes
+sub-tables to actors BY REFERENCE (each byte moves once, nothing
+row-sized stays on the driver). The driver holds only the scalar
+watermark and per-flush emitted-block refs; finalized output
+re-assembles zero-copy via ``from_arrow_refs``. Open-state memory is
+bounded by (#windows inside the lateness horizon) x (#keys), the
+textbook watermark bound.
+
+The reference system has no streaming (single-document tool); this is
+the continuous-crawl monitoring shape next to ``jobs/stream_job.py``'s
+ingestion loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+_US = 1_000_000
+
+
+@ray.remote
+class _WindowPartition:
+    """Owns the open (window_start, key) -> count state for the windows
+    hashing to this partition. Finalization returns an immutable Arrow
+    block; late rows are counted, never silently dropped."""
+
+    def __init__(self, keyed: bool):
+        self.keyed = keyed
+        self.open: dict = {}
+        self.finalized: set = set()
+        self.late = 0
+
+    def ingest(self, tbl: pa.Table) -> None:
+        ws = tbl.column("window_start").to_numpy(zero_copy_only=False)
+        keys = (
+            tbl.column("key").to_pylist() if self.keyed else [None] * len(ws)
+        )
+        for w, k in zip(ws, keys):
+            w = int(w)
+            if w in self.finalized:
+                self.late += 1
+                continue
+            cell = (w, k)
+            self.open[cell] = self.open.get(cell, 0) + 1
+
+    def flush(self, watermark_us: int, window_us: int) -> pa.Table:
+        """Finalize every open window whose END is at or before the
+        watermark; return the emitted rows."""
+        done = [
+            cell for cell in self.open if cell[0] + window_us <= watermark_us
+        ]
+        rows_w, rows_k, rows_n = [], [], []
+        for cell in sorted(done):
+            rows_w.append(cell[0])
+            rows_k.append(cell[1])
+            rows_n.append(self.open.pop(cell))
+            self.finalized.add(cell[0])
+        cols = {"window_start": pa.array(rows_w, type=pa.int64())}
+        if self.keyed:
+            cols["key"] = pa.array(rows_k, type=pa.string())
+        cols["n"] = pa.array(rows_n, type=pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    def late_count(self) -> int:
+        return self.late
+
+
+@ray.remote
+def _route(tbl_ref: pa.Table, ts_col: str, key_col, window_us: int, p: int):
+    """Map side: window-assign rows and slice the batch into P
+    sub-tables by hash(window) % P (one task per micro-batch; each
+    byte moves driver -> here -> owning actor exactly once)."""
+    tbl = tbl_ref
+    ts = tbl.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    ws = (ts // window_us) * window_us
+    cols = {"window_start": pa.array(ws, type=pa.int64())}
+    if key_col is not None:
+        cols["key"] = tbl.column(key_col).cast(pa.string())
+    assigned = pa.Table.from_pydict(cols)
+    part = (ws // window_us) % p
+    out = []
+    for j in range(p):
+        mask = part == j
+        out.append(
+            assigned.filter(pa.array(mask)) if mask.any() else assigned.slice(0, 0)
+        )
+    return out
+
+
+class WindowStream:
+    """Driver-side handle for a watermarked tumbling-window count.
+
+    ``feed(table)`` ingests one micro-batch (any arrival order);
+    ``results()`` / ``close()`` return finalized rows as a Dataset of
+    (window_start us, [key,] n). See module docstring for semantics.
+    """
+
+    def __init__(
+        self,
+        window_sec: int,
+        allowed_lateness_sec: int = 0,
+        ts_col: str = "ts_us",
+        key_col: str | None = None,
+        num_partitions: int = 4,
+    ):
+        if window_sec <= 0:
+            raise ValueError("window_sec must be positive")
+        self.window_us = window_sec * _US
+        self.lateness_us = allowed_lateness_sec * _US
+        self.ts_col = ts_col
+        self.key_col = key_col
+        self.p = num_partitions
+        self.actors = [
+            _WindowPartition.remote(key_col is not None)
+            for _ in range(num_partitions)
+        ]
+        self.max_ts: int | None = None
+        self.emitted: list = []
+        self.closed = False
+
+    def feed(self, table: pa.Table) -> None:
+        if self.closed:
+            raise RuntimeError("stream is closed")
+        if table.num_rows == 0:
+            return
+        ts = table.column(self.ts_col)
+        import pyarrow.compute as pc
+
+        if ts.null_count:
+            raise ValueError("NULL event times have no window")
+        batch_max = int(pc.max(ts).as_py())
+        shards = _route.remote(
+            ray.put(table), self.ts_col, self.key_col, self.window_us, self.p
+        )
+        parts = ray.get(shards)
+        ray.get(
+            [a.ingest.remote(t) for a, t in zip(self.actors, parts)]
+        )
+        self.max_ts = (
+            batch_max if self.max_ts is None else max(self.max_ts, batch_max)
+        )
+        watermark = self.max_ts - self.lateness_us
+        self.emitted.extend(
+            a.flush.remote(watermark, self.window_us) for a in self.actors
+        )
+
+    def close(self):
+        """Finalize every open window and return the full result."""
+        if not self.closed:
+            self.closed = True
+            horizon = (2**62) if self.max_ts is None else self.max_ts
+            self.emitted.extend(
+                a.flush.remote(horizon + self.window_us + self.lateness_us, self.window_us)
+                for a in self.actors
+            )
+        return self.results()
+
+    def results(self):
+        """Dataset over everything finalized so far — zero-copy block
+        re-assembly straight from the actors' emitted refs; nothing
+        row-sized touches the driver."""
+        import ray.data
+
+        if not self.emitted:
+            cols = {"window_start": pa.array([], type=pa.int64())}
+            if self.key_col is not None:
+                cols["key"] = pa.array([], type=pa.string())
+            cols["n"] = pa.array([], type=pa.int64())
+            return ray.data.from_arrow(pa.Table.from_pydict(cols))
+        return ray.data.from_arrow_refs(list(self.emitted))
+
+    def late_dropped(self) -> int:
+        """Rows that arrived after their window finalized (dropped,
+        counted — the no-silent-loss rule)."""
+        return sum(ray.get([a.late_count.remote() for a in self.actors]))
