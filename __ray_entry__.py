@@ -3790,6 +3790,65 @@ def _q_streaming_hourly(sf_dir: str):
     return out.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_streaming_sessions(sf_dir: str):
+    """The events table replayed out-of-order through the watermarked
+    GAP-SESSION window operator (merging windows, 1800 s gap, lateness
+    beyond replay disorder): aggregated per user, the streaming result
+    must equal the batch sessionize — the exact-SQL anchor for the
+    merging-window family (finite-lateness and bridge-merge semantics
+    pinned in tests/test_streaming.py). ✓SQL (event_sessions twin)."""
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.streaming import SessionStream
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "key": batch.column("user_id").cast(pa.int64()).cast(
+                    pa.string()
+                ),
+            }
+        )
+
+    stream = SessionStream(
+        gap_sec=1800,
+        allowed_lateness_sec=1 << 40,
+        num_partitions=4,
+    )
+    for batch in events.map_batches(
+        prep, batch_format="pyarrow"
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        stream.feed(batch)
+    out = stream.close()
+    assert stream.late_dropped() == 0
+
+    def shape(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict(
+            {
+                "user_id": pc.cast(batch.column("key"), pa.int64()),
+                "n_events": batch.column("n_events").cast(pa.int64()),
+            }
+        )
+
+    return partitioned_agg(
+        out.map_batches(shape, batch_format="pyarrow"),
+        keys=["user_id"],
+        named_aggs={
+            "n_sessions": ("n_events", "size"),
+            "n_events": ("n_events", "sum"),
+        },
+        num_partitions=16,
+    )
+
+
 def _q_ab_chi2(sf_dir: str):
     """A/B-test chi-square homogeneity: does the event-type mix differ
     between the user_id-parity cohorts? Per-cell EXACT integer
@@ -7866,6 +7925,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_join_auto": _q_events_user_join_auto,
         "ab_chi2": _q_ab_chi2,
         "streaming_hourly": _q_streaming_hourly,
+        "streaming_sessions": _q_streaming_sessions,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -8634,6 +8694,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) "
             "AS hour_ts, event_type, count(*) AS n_events "
             "FROM events GROUP BY 1, 2"
+        ),
+        "streaming_sessions": (
+            "WITH ordered AS (SELECT user_id, ts, lag(ts) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events) "
+            "SELECT user_id, CAST(count(CASE WHEN prev IS NULL "
+            "OR epoch(ts) - epoch(prev) > 1800 THEN 1 END) AS BIGINT) "
+            "AS n_sessions, count(*) AS n_events "
+            "FROM ordered GROUP BY user_id"
         ),
         "ab_chi2": (
             "WITH c AS (SELECT user_id % 2 AS cohort, event_type, "

@@ -196,3 +196,187 @@ class WindowStream:
         """Rows that arrived after their window finalized (dropped,
         counted — the no-silent-loss rule)."""
         return sum(ray.get([a.late_count.remote() for a in self.actors]))
+
+
+@ray.remote
+class _SessionPartition:
+    """Open gap-sessions for the keys hashing to this partition. A
+    session is (start, last, n); an arriving event merges every open
+    session it bridges (the Dataflow merging-window rule). Events
+    earlier than the watermark at arrival are dropped and counted."""
+
+    def __init__(self, gap_us: int):
+        self.gap = gap_us
+        self.open: dict = {}
+        self.late = 0
+
+    def ingest(self, tbl: pa.Table, watermark_us: int) -> None:
+        ts_arr = tbl.column("ts_us").to_numpy(zero_copy_only=False)
+        keys = tbl.column("key").to_pylist()
+        for k, ts in zip(keys, ts_arr):
+            ts = int(ts)
+            if ts < watermark_us:
+                self.late += 1
+                continue
+            sessions = self.open.setdefault(k, [])
+            hit = [
+                s
+                for s in sessions
+                if s[0] - self.gap <= ts <= s[1] + self.gap
+            ]
+            for s in hit:
+                sessions.remove(s)
+            start = min([ts] + [s[0] for s in hit])
+            last = max([ts] + [s[1] for s in hit])
+            n = 1 + sum(s[2] for s in hit)
+            sessions.append([start, last, n])
+
+    def flush(self, watermark_us: int) -> pa.Table:
+        """Finalize sessions no future in-watermark event can extend
+        (last + gap <= watermark)."""
+        out_k, out_s, out_l, out_n = [], [], [], []
+        for k in sorted(self.open):
+            keep = []
+            for s in self.open[k]:
+                if s[1] + self.gap <= watermark_us:
+                    out_k.append(k)
+                    out_s.append(s[0])
+                    out_l.append(s[1])
+                    out_n.append(s[2])
+                else:
+                    keep.append(s)
+            if keep:
+                self.open[k] = keep
+            else:
+                del self.open[k]
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(out_k, type=pa.string()),
+                "session_start": pa.array(out_s, type=pa.int64()),
+                "session_last": pa.array(out_l, type=pa.int64()),
+                "n_events": pa.array(out_n, type=pa.int64()),
+            }
+        )
+
+    def late_count(self) -> int:
+        return self.late
+
+
+@ray.remote
+def _route_keyed(tbl: pa.Table, ts_col: str, key_col: str, p: int):
+    """Slice one micro-batch into P sub-tables by hash(key) % P —
+    sessions are per-key, so a key's whole history lands on one actor."""
+    keys = tbl.column(key_col).cast(pa.string())
+    h = np.array(
+        [hash(k) & 0x7FFFFFFF for k in keys.to_pylist()], dtype=np.int64
+    ) if tbl.num_rows else np.empty(0, dtype=np.int64)
+    assigned = pa.Table.from_pydict(
+        {"ts_us": tbl.column(ts_col).cast(pa.int64()), "key": keys}
+    )
+    part = h % p
+    return [
+        assigned.filter(pa.array(part == j)) if (part == j).any()
+        else assigned.slice(0, 0)
+        for j in range(p)
+    ]
+
+
+class SessionStream:
+    """Watermarked GAP-SESSION windows per key (the merging-window
+    sibling of ``WindowStream``): events closer than ``gap_sec`` chain
+    into one session; a session finalizes once the watermark proves no
+    in-order event can extend it. Emits (key, session_start,
+    session_last, n_events), exactly once per session.
+
+    NOTE ``_route_keyed`` uses Python ``hash`` on strings, which is
+    process-stable only with PYTHONHASHSEED fixed — irrelevant for
+    correctness (any assignment is valid; a key always routes within
+    ONE driver process) but reshards across runs.
+    """
+
+    def __init__(
+        self,
+        gap_sec: int,
+        allowed_lateness_sec: int = 0,
+        ts_col: str = "ts_us",
+        key_col: str = "key",
+        num_partitions: int = 4,
+    ):
+        if gap_sec <= 0:
+            raise ValueError("gap_sec must be positive")
+        self.gap_us = gap_sec * _US
+        self.lateness_us = allowed_lateness_sec * _US
+        self.ts_col = ts_col
+        self.key_col = key_col
+        self.p = num_partitions
+        self.actors = [
+            _SessionPartition.remote(self.gap_us) for _ in range(num_partitions)
+        ]
+        self.max_ts: int | None = None
+        self.emitted: list = []
+        self.closed = False
+
+    def _watermark(self) -> int:
+        if self.max_ts is None:
+            return -(2**62)
+        return self.max_ts - self.lateness_us
+
+    def feed(self, table: pa.Table) -> None:
+        if self.closed:
+            raise RuntimeError("stream is closed")
+        if table.num_rows == 0:
+            return
+        import pyarrow.compute as pc
+
+        ts = table.column(self.ts_col)
+        if ts.null_count:
+            raise ValueError("NULL event times have no session")
+        pre_watermark = self._watermark()
+        parts = ray.get(
+            _route_keyed.remote(
+                ray.put(table), self.ts_col, self.key_col, self.p
+            )
+        )
+        ray.get(
+            [
+                a.ingest.remote(t, pre_watermark)
+                for a, t in zip(self.actors, parts)
+            ]
+        )
+        batch_max = int(pc.max(ts).as_py())
+        self.max_ts = (
+            batch_max if self.max_ts is None else max(self.max_ts, batch_max)
+        )
+        self.emitted.extend(
+            a.flush.remote(self._watermark()) for a in self.actors
+        )
+
+    def close(self):
+        if not self.closed:
+            self.closed = True
+            horizon = (
+                (2**62)
+                if self.max_ts is None
+                else self.max_ts + self.gap_us + self.lateness_us + 1
+            )
+            self.emitted.extend(a.flush.remote(horizon) for a in self.actors)
+        return self.results()
+
+    def results(self):
+        import ray.data
+
+        if not self.emitted:
+            return ray.data.from_arrow(
+                pa.Table.from_pydict(
+                    {
+                        "key": pa.array([], type=pa.string()),
+                        "session_start": pa.array([], type=pa.int64()),
+                        "session_last": pa.array([], type=pa.int64()),
+                        "n_events": pa.array([], type=pa.int64()),
+                    }
+                )
+            )
+        return ray.data.from_arrow_refs(list(self.emitted))
+
+    def late_dropped(self) -> int:
+        return sum(ray.get([a.late_count.remote() for a in self.actors]))

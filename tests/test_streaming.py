@@ -89,3 +89,97 @@ class TestWindowStream:
         stream.close()
         with pytest.raises(RuntimeError, match="closed"):
             stream.feed(_batch([1]))
+
+
+class TestSessionStream:
+    @staticmethod
+    def _feed(stream, ts_keys):
+        from ctinexus_ray.ops.streaming import SessionStream  # noqa: F401
+
+        tbl = pa.Table.from_pydict(
+            {
+                "ts_us": pa.array([t * US for t, _ in ts_keys], type=pa.int64()),
+                "key": pa.array([k for _, k in ts_keys], type=pa.string()),
+            }
+        )
+        stream.feed(tbl)
+
+    @staticmethod
+    def _rows(ds):
+        return sorted(
+            (r["key"], r["session_start"] // US, r["session_last"] // US,
+             r["n_events"])
+            for r in ds.take_all()
+        )
+
+    def test_brute_force_parity(self, ray_session):
+        from ctinexus_ray.ops.streaming import SessionStream
+
+        rng = np.random.RandomState(23)
+        events = [
+            (int(rng.randint(0, 20000)), f"u{rng.randint(0, 8)}")
+            for _ in range(400)
+        ]
+        stream = SessionStream(gap_sec=300, allowed_lateness_sec=10**9,
+                               num_partitions=3)
+        for i in range(0, len(events), 40):
+            self._feed(stream, events[i : i + 40])
+        got = self._rows(stream.close())
+        # brute force: sort each key's times, chain while gap <= 300
+        want = []
+        by_key: dict = {}
+        for t, k in events:
+            by_key.setdefault(k, []).append(t)
+        for k, ts in by_key.items():
+            ts.sort()
+            start, last, n = ts[0], ts[0], 1
+            for t in ts[1:]:
+                if t - last <= 300:
+                    last, n = t, n + 1
+                else:
+                    want.append((k, start, last, n))
+                    start, last, n = t, t, 1
+            want.append((k, start, last, n))
+        assert got == sorted(want)
+        assert stream.late_dropped() == 0
+
+    def test_bridge_merges_open_sessions(self, ray_session):
+        from ctinexus_ray.ops.streaming import SessionStream
+
+        stream = SessionStream(gap_sec=1000, allowed_lateness_sec=10**9,
+                               num_partitions=2)
+        self._feed(stream, [(0, "u"), (4000, "u")])  # two open sessions
+        self._feed(stream, [(2000, "u")])  # bridges BOTH (gaps 2000 each?)
+        # 0 -> 2000 gap 2000 > 1000: does NOT bridge; 2000 -> 4000 same
+        got = self._rows(stream.close())
+        assert got == [("u", 0, 0, 1), ("u", 2000, 2000, 1),
+                       ("u", 4000, 4000, 1)]
+
+        stream2 = SessionStream(gap_sec=1000, allowed_lateness_sec=10**9,
+                                num_partitions=2)
+        self._feed(stream2, [(0, "u"), (1800, "u")])
+        self._feed(stream2, [(900, "u")])  # within gap of both: ONE session
+        assert self._rows(stream2.close()) == [("u", 0, 1800, 3)]
+
+    def test_late_event_dropped_and_counted(self, ray_session):
+        from ctinexus_ray.ops.streaming import SessionStream
+
+        stream = SessionStream(gap_sec=10, allowed_lateness_sec=0,
+                               num_partitions=2)
+        self._feed(stream, [(0, "u"), (100, "u")])  # watermark 100: s1 final
+        assert self._rows(stream.results()) == [("u", 0, 0, 1)]
+        self._feed(stream, [(1, "u")])  # ts < watermark: late
+        assert stream.late_dropped() == 1
+        assert self._rows(stream.close()) == [
+            ("u", 0, 0, 1), ("u", 100, 100, 1)
+        ]
+
+    def test_feed_after_close_rejected(self, ray_session):
+        import pytest
+
+        from ctinexus_ray.ops.streaming import SessionStream
+
+        stream = SessionStream(gap_sec=10)
+        stream.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            self._feed(stream, [(1, "u")])
