@@ -3790,6 +3790,53 @@ def _q_streaming_hourly(sf_dir: str):
     return out.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_streaming_sliding(sf_dir: str):
+    """Hopping (sliding) event-time windows through the watermarked
+    streaming operator: 1-hour span / 15-minute hop, each event fans
+    out to 4 windows inside the route task; with full lateness the
+    stream must equal the batch fan-out GROUP BY (events_sliding's
+    twin). ✓SQL."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.streaming import WindowStream
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"ts_us": batch.column("ts").cast(pa.int64())}
+        )
+
+    stream = WindowStream(
+        window_sec=3600,
+        hop_sec=900,
+        allowed_lateness_sec=1 << 40,
+        num_partitions=4,
+    )
+    for batch in events.map_batches(
+        prep, batch_format="pyarrow"
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        stream.feed(batch)
+    out = stream.close()
+    assert stream.late_dropped() == 0
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "window_start_s": pc.divide(
+                    batch.column("window_start"),
+                    pa.scalar(1_000_000, pa.int64()),
+                ),
+                "n_events": batch.column("n").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_streaming_sessions(sf_dir: str):
     """The events table replayed out-of-order through the watermarked
     GAP-SESSION window operator (merging windows, 1800 s gap, lateness
@@ -7926,6 +7973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_chi2": _q_ab_chi2,
         "streaming_hourly": _q_streaming_hourly,
         "streaming_sessions": _q_streaming_sessions,
+        "streaming_sliding": _q_streaming_sliding,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -8694,6 +8742,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) "
             "AS hour_ts, event_type, count(*) AS n_events "
             "FROM events GROUP BY 1, 2"
+        ),
+        "streaming_sliding": (
+            "SELECT ((epoch_us(ts) // 1000000) // 900) * 900 - k * 900 "
+            "AS window_start_s, count(*) AS n_events FROM events, "
+            "LATERAL (SELECT unnest(range(4)) AS k) t GROUP BY 1"
         ),
         "streaming_sessions": (
             "WITH ordered AS (SELECT user_id, ts, lag(ts) OVER ("

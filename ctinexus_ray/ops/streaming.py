@@ -89,18 +89,33 @@ class _WindowPartition:
 
 
 @ray.remote
-def _route(tbl_ref: pa.Table, ts_col: str, key_col, window_us: int, p: int):
-    """Map side: window-assign rows and slice the batch into P
-    sub-tables by hash(window) % P (one task per micro-batch; each
-    byte moves driver -> here -> owning actor exactly once)."""
+def _route(
+    tbl_ref: pa.Table,
+    ts_col: str,
+    key_col,
+    window_us: int,
+    hop_us: int,
+    p: int,
+):
+    """Map side: window-assign rows (fanning each event out to
+    window/hop hopping windows when hop < window) and slice the batch
+    into P sub-tables by hash(window) % P (one task per micro-batch;
+    each byte moves driver -> here -> owning actor exactly once)."""
     tbl = tbl_ref
     ts = tbl.column(ts_col).to_numpy(zero_copy_only=False).astype(np.int64)
-    ws = (ts // window_us) * window_us
+    n_k = window_us // hop_us
+    base = (ts // hop_us) * hop_us
+    ws = (
+        base[:, None] - np.arange(n_k, dtype=np.int64) * hop_us
+    ).ravel()
     cols = {"window_start": pa.array(ws, type=pa.int64())}
     if key_col is not None:
-        cols["key"] = tbl.column(key_col).cast(pa.string())
+        keys = tbl.column(key_col).cast(pa.string())
+        cols["key"] = keys.take(
+            pa.array(np.repeat(np.arange(len(ts), dtype=np.int64), n_k))
+        )
     assigned = pa.Table.from_pydict(cols)
-    part = (ws // window_us) % p
+    part = (ws // hop_us) % p
     out = []
     for j in range(p):
         mask = part == j
@@ -125,9 +140,14 @@ class WindowStream:
         ts_col: str = "ts_us",
         key_col: str | None = None,
         num_partitions: int = 4,
+        hop_sec: int | None = None,
     ):
         if window_sec <= 0:
             raise ValueError("window_sec must be positive")
+        hop_sec = window_sec if hop_sec is None else hop_sec
+        if hop_sec <= 0 or window_sec % hop_sec:
+            raise ValueError("hop_sec must divide window_sec")
+        self.hop_us = hop_sec * _US
         self.window_us = window_sec * _US
         self.lateness_us = allowed_lateness_sec * _US
         self.ts_col = ts_col
@@ -153,7 +173,8 @@ class WindowStream:
             raise ValueError("NULL event times have no window")
         batch_max = int(pc.max(ts).as_py())
         shards = _route.remote(
-            ray.put(table), self.ts_col, self.key_col, self.window_us, self.p
+            ray.put(table), self.ts_col, self.key_col, self.window_us,
+            self.hop_us, self.p,
         )
         parts = ray.get(shards)
         ray.get(

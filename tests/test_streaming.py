@@ -183,3 +183,27 @@ class TestSessionStream:
         stream.close()
         with pytest.raises(RuntimeError, match="closed"):
             self._feed(stream, [(1, "u")])
+
+
+class TestHoppingWindows:
+    def test_hopping_matches_batch_fanout(self, ray_session):
+        rng = np.random.RandomState(4)
+        ts = rng.randint(0, 500, 300).tolist()
+        stream = WindowStream(window_sec=60, hop_sec=15,
+                              allowed_lateness_sec=10**6, num_partitions=3)
+        for i in range(0, len(ts), 30):
+            stream.feed(_batch(ts[i : i + 30]))
+        got = _rows(stream.close())
+        want = Counter()
+        for t in ts:
+            base = (t // 15) * 15
+            for k in range(4):
+                want[base - k * 15] += 1
+        assert got == sorted(want.items())
+        assert stream.late_dropped() == 0
+
+    def test_bad_hop_rejected(self, ray_session):
+        import pytest
+
+        with pytest.raises(ValueError, match="divide"):
+            WindowStream(window_sec=60, hop_sec=25)
