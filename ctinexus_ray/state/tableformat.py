@@ -102,18 +102,28 @@ def commit_version(
 
 
 def read_version(
-    table_dir: str, version: int | None = None
+    table_dir: str,
+    version: int | None = None,
+    columns: list[str] | None = None,
+    filter=None,
 ) -> ray.data.Dataset:
     """Dataset over exactly the files of ``version`` (latest when
     None) — a time-travel read; concurrent commits never change what
-    this scan sees because data files are immutable."""
+    this scan sees because data files are immutable. ``columns`` and
+    ``filter`` (a pyarrow dataset expression) push straight into the
+    parquet scan so only needed columns/row-groups leave storage."""
     if version is None:
         version = latest_version(table_dir)
         if version is None:
             raise FileNotFoundError(f"no manifests in {table_dir}")
     with open(_manifest_path(table_dir, version)) as fh:
         manifest = json.load(fh)
-    return ray.data.read_parquet(manifest["files"])
+    kwargs: dict = {}
+    if columns is not None:
+        kwargs["columns"] = columns
+    if filter is not None:
+        kwargs["filter"] = filter
+    return ray.data.read_parquet(manifest["files"], **kwargs)
 
 
 def merge_upsert(
@@ -351,4 +361,86 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> dict:
         "manifests_dropped": dropped,
         "files_deleted": deleted,
         "files_kept": kept,
+    }
+
+
+def compact_table(
+    table_dir: str,
+    target_bytes: int = 256 << 20,
+    min_files: int = 2,
+) -> dict:
+    """Size-tiered small-file compaction as a new table version: files
+    at or above ``target_bytes`` carry over BY REFERENCE; smaller ones
+    are greedily packed into ~``target_bytes`` buckets and each bucket
+    rewritten by one Ray task (row-preserving — same rows, fewer
+    files). The driver holds only paths+sizes; a no-op (fewer than
+    ``min_files`` small files) commits nothing. Completes the
+    merge/vacuum/compact lifecycle (jobs/compact_job.py is the
+    standalone-directory sibling).
+
+    Returns {"version", "files_kept", "files_compacted", "buckets"}
+    (version None when nothing to do).
+    """
+    import uuid
+
+    import ray.data
+
+    parent = latest_version(table_dir)
+    if parent is None:
+        raise FileNotFoundError(f"no manifests in {table_dir}")
+    with open(_manifest_path(table_dir, parent)) as fh:
+        files = json.load(fh)["files"]
+    small = [
+        f for f in files if os.path.getsize(f) < target_bytes
+    ]
+    kept = [f for f in files if f not in set(small)]
+    if len(small) < min_files:
+        return {
+            "version": None,
+            "files_kept": len(files),
+            "files_compacted": 0,
+            "buckets": 0,
+        }
+    # greedy first-fit packing over sorted sizes (compact_job's rule)
+    buckets: list[list[str]] = []
+    sizes: list[int] = []
+    for f in sorted(small, key=os.path.getsize, reverse=True):
+        sz = os.path.getsize(f)
+        for i, total in enumerate(sizes):
+            if total + sz <= target_bytes:
+                buckets[i].append(f)
+                sizes[i] += sz
+                break
+        else:
+            buckets.append([f])
+            sizes.append(sz)
+
+    data_dir = os.path.join(table_dir, f"compact-{uuid.uuid4().hex[:12]}")
+    os.makedirs(data_dir)
+
+    @ray.remote
+    def rewrite(paths: list[str], out: str) -> str:
+        import pyarrow.parquet as pq
+
+        tables = [pq.read_table(p) for p in paths]
+        import pyarrow as _pa
+
+        merged = _pa.concat_tables(tables, promote_options="default")
+        tmp = out + ".tmp"
+        pq.write_table(merged, tmp)
+        os.replace(tmp, out)
+        return out
+
+    outs = ray.get(
+        [
+            rewrite.remote(b, os.path.join(data_dir, f"bucket-{i:05d}.parquet"))
+            for i, b in enumerate(buckets)
+        ]
+    )
+    version = commit_version(table_dir, kept + sorted(outs), mode="overwrite")
+    return {
+        "version": version,
+        "files_kept": len(kept),
+        "files_compacted": len(small),
+        "buckets": len(buckets),
     }

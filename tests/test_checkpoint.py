@@ -645,3 +645,67 @@ class TestVacuum:
 
         with pytest.raises(ValueError, match="keep_versions"):
             vacuum(str(tmp_path), keep_versions=0)
+
+
+class TestCompactTable:
+    def test_small_files_pack_and_carry_large(self, ray_session, tmp_path):
+        from ctinexus_ray.state.tableformat import (
+            compact_table,
+            commit_version,
+            read_version,
+        )
+
+        m = TestMergeUpsert
+        t = str(tmp_path / "tbl")
+        files = [
+            m._write(tmp_path / f"s{i}.parquet", [i * 10 + j for j in range(3)],
+                     [f"t{i}{j}" for j in range(3)])
+            for i in range(5)
+        ]
+        commit_version(t, files, mode="overwrite")
+        before = sorted(
+            (r["doc_id"], r["text"]) for r in read_version(t).take_all()
+        )
+        res = compact_table(t, target_bytes=1 << 30)  # everything is small
+        assert res["version"] == 2
+        assert res["files_compacted"] == 5
+        assert res["buckets"] == 1
+        after = sorted(
+            (r["doc_id"], r["text"]) for r in read_version(t).take_all()
+        )
+        assert after == before  # row-preserving
+        # time travel intact
+        assert read_version(t, 1).count() == 15
+
+    def test_noop_below_min_files(self, ray_session, tmp_path):
+        from ctinexus_ray.state.tableformat import (
+            compact_table,
+            commit_version,
+            latest_version,
+        )
+
+        m = TestMergeUpsert
+        t = str(tmp_path / "tbl")
+        f = m._write(tmp_path / "one.parquet", [1], ["x"])
+        commit_version(t, [f], mode="overwrite")
+        res = compact_table(t, target_bytes=1 << 30)
+        assert res["version"] is None
+        assert latest_version(t) == 1
+
+    def test_pushdown_read(self, ray_session, tmp_path):
+        import pyarrow.dataset as pds
+
+        from ctinexus_ray.state.tableformat import (
+            commit_version,
+            read_version,
+        )
+
+        m = TestMergeUpsert
+        t = str(tmp_path / "tbl")
+        f = m._write(tmp_path / "a.parquet", [1, 2, 3], ["x", "y", "z"])
+        commit_version(t, [f], mode="overwrite")
+        ds = read_version(
+            t, columns=["doc_id"], filter=(pds.field("doc_id") >= 2)
+        )
+        assert sorted(r["doc_id"] for r in ds.take_all()) == [2, 3]
+        assert ds.schema().names == ["doc_id"]
