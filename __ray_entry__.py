@@ -3896,6 +3896,44 @@ def _q_streaming_sessions(sf_dir: str):
     )
 
 
+def _q_corpus_stats_monoid(sf_dir: str):
+    """One-pass corpus stats through the GENERIC monoid-aggregation API
+    (ops/monoid.py): every block lifts to a fixed-size (n, sum, min,
+    max) state inside its own task, states tree-reduce with fan-in 8 —
+    the documented extension point behind the engine's hand-written
+    combiners, exercised on the contract. ✓SQL."""
+    import ray.data
+
+    from ctinexus_ray.ops.monoid import mergeable_aggregate
+
+    def lift(block: pa.Table):
+        a = block.column("n_chars").to_numpy(zero_copy_only=False)
+        return (len(a), int(a.sum()), int(a.min()), int(a.max()))
+
+    def merge(x, y):
+        return (
+            x[0] + y[0],
+            x[1] + y[1],
+            min(x[2], y[2]),
+            max(x[3], y[3]),
+        )
+
+    n, total, lo, hi = mergeable_aggregate(
+        _docs(sf_dir, ["n_chars"]),
+        zero=lambda: (0, 0, 2**62, -(2**62)),
+        lift=lift,
+        merge=merge,
+    )
+    return pa.Table.from_pydict(
+        {
+            "n_docs": pa.array([n], type=pa.int64()),
+            "sum_chars": pa.array([total], type=pa.int64()),
+            "min_chars": pa.array([lo], type=pa.int64()),
+            "max_chars": pa.array([hi], type=pa.int64()),
+        }
+    )
+
+
 def _q_ab_chi2(sf_dir: str):
     """A/B-test chi-square homogeneity: does the event-type mix differ
     between the user_id-parity cohorts? Per-cell EXACT integer
@@ -7974,6 +8012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_hourly": _q_streaming_hourly,
         "streaming_sessions": _q_streaming_sessions,
         "streaming_sliding": _q_streaming_sliding,
+        "corpus_stats_monoid": _q_corpus_stats_monoid,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -8742,6 +8781,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) "
             "AS hour_ts, event_type, count(*) AS n_events "
             "FROM events GROUP BY 1, 2"
+        ),
+        "corpus_stats_monoid": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(MIN(n_chars) AS BIGINT) AS min_chars, "
+            "CAST(MAX(n_chars) AS BIGINT) AS max_chars FROM documents"
         ),
         "streaming_sliding": (
             "SELECT ((epoch_us(ts) // 1000000) // 900) * 900 - k * 900 "

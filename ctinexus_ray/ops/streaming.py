@@ -47,10 +47,15 @@ class _WindowPartition:
     hashing to this partition. Finalization returns an immutable Arrow
     block; late rows are counted, never silently dropped."""
 
-    def __init__(self, keyed: bool):
+    def __init__(self, keyed: bool, window_us: int):
         self.keyed = keyed
+        self.window_us = window_us
         self.open: dict = {}
-        self.finalized: set = set()
+        # the watermark only advances, so "already finalized" is just
+        # "window end <= the last flushed watermark" — tracking a set of
+        # finalized window ids would grow without bound on an infinite
+        # stream, the one thing a streaming operator must never do
+        self.flushed_watermark = -(2**62)
         self.late = 0
 
     def ingest(self, tbl: pa.Table) -> None:
@@ -60,24 +65,26 @@ class _WindowPartition:
         )
         for w, k in zip(ws, keys):
             w = int(w)
-            if w in self.finalized:
+            if w + self.window_us <= self.flushed_watermark:
                 self.late += 1
                 continue
             cell = (w, k)
             self.open[cell] = self.open.get(cell, 0) + 1
 
-    def flush(self, watermark_us: int, window_us: int) -> pa.Table:
+    def flush(self, watermark_us: int) -> pa.Table:
         """Finalize every open window whose END is at or before the
         watermark; return the emitted rows."""
+        self.flushed_watermark = max(self.flushed_watermark, watermark_us)
         done = [
-            cell for cell in self.open if cell[0] + window_us <= watermark_us
+            cell
+            for cell in self.open
+            if cell[0] + self.window_us <= self.flushed_watermark
         ]
         rows_w, rows_k, rows_n = [], [], []
         for cell in sorted(done):
             rows_w.append(cell[0])
             rows_k.append(cell[1])
             rows_n.append(self.open.pop(cell))
-            self.finalized.add(cell[0])
         cols = {"window_start": pa.array(rows_w, type=pa.int64())}
         if self.keyed:
             cols["key"] = pa.array(rows_k, type=pa.string())
@@ -154,7 +161,7 @@ class WindowStream:
         self.key_col = key_col
         self.p = num_partitions
         self.actors = [
-            _WindowPartition.remote(key_col is not None)
+            _WindowPartition.remote(key_col is not None, self.window_us)
             for _ in range(num_partitions)
         ]
         self.max_ts: int | None = None
@@ -185,7 +192,7 @@ class WindowStream:
         )
         watermark = self.max_ts - self.lateness_us
         self.emitted.extend(
-            a.flush.remote(watermark, self.window_us) for a in self.actors
+            a.flush.remote(watermark) for a in self.actors
         )
 
     def close(self):
@@ -194,7 +201,7 @@ class WindowStream:
             self.closed = True
             horizon = (2**62) if self.max_ts is None else self.max_ts
             self.emitted.extend(
-                a.flush.remote(horizon + self.window_us + self.lateness_us, self.window_us)
+                a.flush.remote(horizon + self.window_us + self.lateness_us)
                 for a in self.actors
             )
         return self.results()
