@@ -3896,6 +3896,25 @@ def _q_streaming_sessions(sf_dir: str):
     )
 
 
+def _q_user_active_time(sf_dir: str):
+    """Total ACTIVE time per user: 5-minute activity intervals opened by
+    each event, merged where overlapping (islands-and-gaps), covered
+    length summed — engagement minutes instead of burst-double-counting
+    event counts. One user shuffle, C-level grouped cummax, all-int64
+    microseconds. ✓SQL (running-max window twin)."""
+    import ray.data
+
+    from ctinexus_ray.ops.relational import interval_union_length
+
+    return interval_union_length(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+        ),
+        dur_us=300_000_000,
+        num_partitions=16,
+    )
+
+
 def _q_corpus_stats_monoid(sf_dir: str):
     """One-pass corpus stats through the GENERIC monoid-aggregation API
     (ops/monoid.py): every block lifts to a fixed-size (n, sum, min,
@@ -8013,6 +8032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_sessions": _q_streaming_sessions,
         "streaming_sliding": _q_streaming_sliding,
         "corpus_stats_monoid": _q_corpus_stats_monoid,
+        "user_active_time": _q_user_active_time,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -8781,6 +8801,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) "
             "AS hour_ts, event_type, count(*) AS n_events "
             "FROM events GROUP BY 1, 2"
+        ),
+        "user_active_time": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS s, "
+            "epoch_us(ts) + 300000000 AS e FROM events), "
+            "m AS (SELECT user_id, s, e, MAX(e) OVER ("
+            "PARTITION BY user_id ORDER BY s "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS prev_max FROM e), "
+            "g AS (SELECT user_id, s, e, CASE WHEN prev_max IS NULL "
+            "OR s > prev_max THEN 1 ELSE 0 END AS ni FROM m), "
+            "i AS (SELECT user_id, s, e, SUM(ni) OVER ("
+            "PARTITION BY user_id ORDER BY s "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS isl FROM g), "
+            "p AS (SELECT user_id, isl, MIN(s) AS mn, MAX(e) AS mx "
+            "FROM i GROUP BY user_id, isl) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands, "
+            "CAST(SUM(mx - mn) AS BIGINT) AS active_us "
+            "FROM p GROUP BY user_id"
         ),
         "corpus_stats_monoid": (
             "SELECT CAST(count(*) AS BIGINT) AS n_docs, "

@@ -1663,3 +1663,89 @@ def exact_kth_element(
             raise AssertionError("rank fell off the histogram")
         lo, hi = lo + bucket * width, min(hi, lo + (bucket + 1) * width - 1)
     return lo
+
+
+def interval_union_length(
+    events: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    dur_us: int = 300_000_000,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Total ACTIVE time per user: each event opens a [ts, ts + dur)
+    activity interval, overlapping intervals merge (the islands-and-
+    gaps problem), and the user's covered-time is the summed length of
+    the merged islands — "minutes of real engagement" instead of raw
+    event counts, which double-count bursts. Output: (user, n_islands,
+    active_us), both int64.
+
+    Scale shape: ONE hash shuffle on the user; each partition processes
+    MANY whole users in a single vectorized pass — sort by (user, ts),
+    per-user running max of interval ends (cummax), an island starts
+    where a start exceeds the previous running max, then per-island
+    min-start/max-end via a groupby on the island counter. The
+    sessionize partitioning assumption (one user's events fit a
+    partition). All arithmetic int64 microseconds — bit-exact vs the
+    SQL window twin.
+    """
+    import numpy as np
+
+    from ctinexus_ray.ops.groupagg import add_hash_pkey
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "u": batch.column(user_col).cast(pa.int64()),
+                "s": batch.column(ts_col).cast(pa.int64()),
+            }
+        )
+        return add_hash_pkey(t, ["u"], num_partitions)
+
+    def reduce_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "s"], kind="mergesort")
+        u = g["u"].to_numpy(dtype=np.int64)
+        if len(u) == 0:
+            return pd.DataFrame(
+                {
+                    user_col: pd.Series([], dtype="int64"),
+                    "n_islands": pd.Series([], dtype="int64"),
+                    "active_us": pd.Series([], dtype="int64"),
+                }
+            )
+        s = g["s"].to_numpy(dtype=np.int64)
+        e = s + dur_us
+        first_of_user = np.r_[True, u[1:] != u[:-1]]
+        # per-user running max of interval ends (C-level grouped cummax
+        # — no per-user Python), shifted one row for the island test
+        run_user = (
+            pd.Series(e).groupby(pd.Series(u), sort=False).cummax().to_numpy()
+        )
+        prev_max = np.empty_like(run_user)
+        if len(run_user):
+            prev_max[1:] = run_user[:-1]
+        new_island = first_of_user | (s > prev_max)
+        isl = np.cumsum(new_island)  # global island ids (users disjoint)
+        df = pd.DataFrame({"u": u, "isl": isl, "s": s, "e": run_user})
+        per = df.groupby(["u", "isl"], sort=False).agg(
+            mn=("s", "min"), mx=("e", "max")
+        ).reset_index()
+        out = (
+            per.assign(length=per["mx"] - per["mn"])
+            .groupby("u", sort=False)
+            .agg(n_islands=("isl", "size"), active_us=("length", "sum"))
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                user_col: out["u"].astype("int64"),
+                "n_islands": out["n_islands"].astype("int64"),
+                "active_us": out["active_us"].astype("int64"),
+            }
+        )
+
+    return (
+        events.select_columns([user_col, ts_col])
+        .map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(reduce_partition, batch_format="pandas")
+    )

@@ -1622,3 +1622,69 @@ class TestExactKth:
                 f"SELECT quantile_disc(v, {q}) FROM t"
             ).fetchone()[0]
             assert exact_kth_element(self._ds(vals), "v", k) == want
+
+
+class TestIntervalUnionLength:
+    def _ds(self, rows):
+        import pyarrow as pa
+
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], type=pa.int64()),
+                }
+            )
+        )
+
+    @staticmethod
+    def _brute(rows, dur):
+        out = {}
+        by_user: dict = {}
+        for u, t in rows:
+            by_user.setdefault(u, []).append(t)
+        for u, ts in by_user.items():
+            ts.sort()
+            islands = []
+            start, end = ts[0], ts[0] + dur
+            for t in ts[1:]:
+                if t > end:
+                    islands.append((start, end))
+                    start, end = t, t + dur
+                else:
+                    end = max(end, t + dur)
+            islands.append((start, end))
+            out[u] = (len(islands), sum(e - s for s, e in islands))
+        return out
+
+    def _run(self, rows, dur):
+        from ctinexus_ray.ops.relational import interval_union_length
+
+        got = interval_union_length(
+            self._ds(rows), dur_us=dur, num_partitions=4
+        ).take_all()
+        return {r["user_id"]: (r["n_islands"], r["active_us"]) for r in got}
+
+    def test_matches_brute_force(self, ray_session):
+        import numpy as np
+
+        rng = np.random.RandomState(15)
+        rows = [
+            (int(rng.randint(0, 10)), int(rng.randint(0, 10000)))
+            for _ in range(400)
+        ]
+        assert self._run(rows, 500) == self._brute(rows, 500)
+
+    def test_single_burst_is_one_island(self, ray_session):
+        rows = [(1, 0), (1, 100), (1, 200)]
+        assert self._run(rows, 300) == {1: (1, 500)}
+
+    def test_disjoint_events_separate_islands(self, ray_session):
+        rows = [(1, 0), (1, 1000), (2, 5)]
+        assert self._run(rows, 100) == {1: (2, 200), 2: (1, 100)}
+
+    def test_duplicate_timestamps(self, ray_session):
+        rows = [(1, 50), (1, 50), (1, 50)]
+        assert self._run(rows, 10) == {1: (1, 10)}
