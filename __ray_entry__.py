@@ -3896,6 +3896,28 @@ def _q_streaming_sessions(sf_dir: str):
     )
 
 
+def _q_funnel_windowed(sf_dir: str):
+    """Conversion-window funnel: users with view -> click -> purchase
+    strictly in order AND completed within 1 hour of the view — the
+    Amplitude/Mixpanel semantics where a global greedy pass is wrong
+    (an early view can overrun the window while a later one converts);
+    k-1 simultaneous searchsorted rounds over all step-1 candidates,
+    exhaustive-search-pinned in tests. ✓SQL (EXISTS self-join twin)."""
+    import ray.data
+
+    from ctinexus_ray.ops.relational import funnel_users_windowed
+
+    return funnel_users_windowed(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["user_id", "ts", "event_type"],
+        ),
+        steps=["view", "click", "purchase"],
+        window_s=86400,
+        num_partitions=16,
+    )
+
+
 def _q_user_active_time(sf_dir: str):
     """Total ACTIVE time per user: 5-minute activity intervals opened by
     each event, merged where overlapping (islands-and-gaps), covered
@@ -8033,6 +8055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_sliding": _q_streaming_sliding,
         "corpus_stats_monoid": _q_corpus_stats_monoid,
         "user_active_time": _q_user_active_time,
+        "funnel_windowed": _q_funnel_windowed,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -8801,6 +8824,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) "
             "AS hour_ts, event_type, count(*) AS n_events "
             "FROM events GROUP BY 1, 2"
+        ),
+        "funnel_windowed": (
+            "SELECT DISTINCT v.user_id FROM events v "
+            "JOIN events c ON c.user_id = v.user_id "
+            "AND c.event_type = 'click' "
+            "AND epoch_us(c.ts) > epoch_us(v.ts) "
+            "JOIN events p ON p.user_id = v.user_id "
+            "AND p.event_type = 'purchase' "
+            "AND epoch_us(p.ts) > epoch_us(c.ts) "
+            "AND epoch_us(p.ts) - epoch_us(v.ts) <= 86400000000 "
+            "WHERE v.event_type = 'view'"
         ),
         "user_active_time": (
             "WITH e AS (SELECT user_id, epoch_us(ts) AS s, "

@@ -1749,3 +1749,102 @@ def interval_union_length(
         .groupby("pkey")
         .map_groups(reduce_partition, batch_format="pandas")
     )
+
+
+def funnel_users_windowed(
+    events: ray.data.Dataset,
+    steps: list[str],
+    window_s: int,
+    num_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Time-BOUNDED ordered funnel: user_ids having a strictly
+    time-increasing event-type subsequence matching ``steps`` whose
+    total span fits ``window_s`` (view -> click -> purchase within an
+    hour — the Amplitude/Mixpanel conversion-window semantics).
+
+    Unlike the unbounded ``funnel_users``, one global greedy pass is
+    NOT sufficient (the earliest step-1 start may overrun the window
+    while a later start converts). But for a FIXED start t1, taking the
+    EARLIEST feasible later steps minimizes the completion time, so a
+    user converts iff min over its step-1 events t1 of
+    (completion(t1) - t1) <= window. Every step-1 event of every user
+    therefore advances through k-1 vectorized ``searchsorted`` rounds
+    simultaneously — no per-user, no per-candidate Python.
+
+    The "first event of THIS user strictly after t" search uses a
+    composite key ``dense_user_rank * time_span + (ts - t_min)``
+    (int64; raises loudly if ranks x span would overflow — ~9e6
+    users per partition at a ~30-year microsecond span). One hash
+    shuffle on user_id. Output: (user_id), distinct.
+    """
+    import numpy as np
+
+    from ctinexus_ray.ops.groupagg import add_hash_pkey
+
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "ts_us", batch.column("ts").cast(pa.int64())
+        )
+        return add_hash_pkey(
+            batch.drop_columns(["ts"]), ["user_id"], num_partitions
+        )
+
+    window_us = window_s * 1_000_000
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64")})
+        per_step = []
+        for step in steps:
+            ev = g[g["event_type"] == step].sort_values(
+                ["user_id", "ts_us"], kind="mergesort"
+            )
+            per_step.append(
+                (
+                    ev["user_id"].to_numpy(dtype=np.int64),
+                    ev["ts_us"].to_numpy(dtype=np.int64),
+                )
+            )
+        if any(len(u) == 0 for u, _ in per_step):
+            return empty
+        all_t = np.concatenate([t for _, t in per_step])
+        t_min = int(all_t.min())
+        span = int(all_t.max()) - t_min + 2
+        uniq = np.unique(np.concatenate([u for u, _ in per_step]))
+        if len(uniq) * span >= (1 << 63):
+            raise ValueError(
+                "funnel_users_windowed: user-rank x time-span composite "
+                "key would overflow int64 — raise num_partitions"
+            )
+        step_keys = []
+        for u_j, t_j in per_step:
+            rank = np.searchsorted(uniq, u_j)
+            step_keys.append((rank * span + (t_j - t_min), t_j))
+
+        cand_rank = np.searchsorted(uniq, per_step[0][0])
+        cand_t = per_step[0][1]
+        start_t = cand_t.copy()
+        for key_j, t_j in step_keys[1:]:
+            query = cand_rank * span + (cand_t - t_min)
+            pos = np.searchsorted(key_j, query, side="right")
+            ok = pos < len(key_j)
+            # same user iff the found key stays inside the rank's span
+            same = np.zeros(len(pos), dtype=bool)
+            same[ok] = key_j[pos[ok]] // span == cand_rank[ok]
+            cand_rank = cand_rank[same]
+            cand_t = t_j[pos[same]]
+            start_t = start_t[same]
+            if not len(cand_rank):
+                return empty
+        hit = cand_t - start_t <= window_us
+        users = np.unique(uniq[cand_rank[hit]])
+        return pd.DataFrame({"user_id": pd.Series(users, dtype="int64")})
+
+    return (
+        events.select_columns(["user_id", "ts", "event_type"])
+        .map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(scan, batch_format="pandas")
+    )

@@ -1688,3 +1688,93 @@ class TestIntervalUnionLength:
     def test_duplicate_timestamps(self, ray_session):
         rows = [(1, 50), (1, 50), (1, 50)]
         assert self._run(rows, 10) == {1: (1, 10)}
+
+
+class TestWindowedFunnel:
+    def _ds(self, rows):
+        import pyarrow as pa
+
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "ts": pa.array(
+                        [r[1] * 1_000_000 for r in rows], type=pa.int64()
+                    ),
+                    "event_type": pa.array(
+                        [r[2] for r in rows], type=pa.string()
+                    ),
+                }
+            )
+        )
+
+    @staticmethod
+    def _brute(rows, steps, window_s):
+        from itertools import combinations
+
+        converted = set()
+        by_user: dict = {}
+        for u, t, e in rows:
+            by_user.setdefault(u, []).append((t, e))
+        for u, evs in by_user.items():
+            evs.sort()
+            # exhaustive subsequence search (small inputs only)
+            def ok(idx_start, step_i, t_prev, t0):
+                if step_i == len(steps):
+                    return True
+                for j in range(idx_start, len(evs)):
+                    t, e = evs[j]
+                    if e == steps[step_i] and t > t_prev:
+                        if step_i == 0:
+                            if ok(j + 1, 1, t, t):
+                                return True
+                        elif t - t0 <= window_s:
+                            if ok(j + 1, step_i + 1, t, t0):
+                                return True
+                return False
+
+            if ok(0, 0, -1, 0):
+                converted.add(u)
+        return converted
+
+    def _run(self, rows, steps, window_s):
+        from ctinexus_ray.ops.relational import funnel_users_windowed
+
+        out = funnel_users_windowed(
+            self._ds(rows), steps, window_s, num_partitions=4
+        ).take_all()
+        return {r["user_id"] for r in out}
+
+    def test_early_start_overruns_later_converts(self, ray_session):
+        # user 1: A at 0 -> B at 500 (span 500 > 60) but A at 490 -> B
+        # at 500 fits; the global greedy from t=0 would MISS this user
+        rows = [(1, 0, "A"), (1, 490, "A"), (1, 500, "B")]
+        assert self._run(rows, ["A", "B"], 60) == {1}
+
+    def test_window_excludes(self, ray_session):
+        rows = [(1, 0, "A"), (1, 100, "B"), (2, 0, "A"), (2, 10, "B")]
+        assert self._run(rows, ["A", "B"], 50) == {2}
+
+    def test_matches_exhaustive_search(self, ray_session):
+        import numpy as np
+
+        rng = np.random.RandomState(29)
+        types = ["A", "B", "C", "X"]
+        rows = [
+            (
+                int(rng.randint(0, 12)),
+                int(rng.randint(0, 2000)),
+                types[rng.randint(0, 4)],
+            )
+            for _ in range(500)
+        ]
+        for window in (50, 300, 5000):
+            assert self._run(rows, ["A", "B", "C"], window) == self._brute(
+                rows, ["A", "B", "C"], window
+            )
+
+    def test_strictly_increasing_times_required(self, ray_session):
+        rows = [(1, 100, "A"), (1, 100, "B")]  # tie: B not after A
+        assert self._run(rows, ["A", "B"], 1000) == set()
