@@ -3918,6 +3918,110 @@ def _q_funnel_windowed(sf_dir: str):
     )
 
 
+def _q_event_trigrams(sf_dir: str):
+    """Session-path mining one level past the Markov transition matrix:
+    counts of CONSECUTIVE event-type TRIPLES per user timeline (double
+    LEAD). One user shuffle; triples extracted with boundary-masked
+    numpy shifts inside each partition; output is type^3-bounded. ✓SQL."""
+    import numpy as np
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import add_hash_pkey, partitioned_agg
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id",
+                                             "event_type"]
+    )
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "event_type": batch.column("event_type"),
+            }
+        )
+        return add_hash_pkey(t, ["user_id"], 16)
+
+    def triples(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g = g.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(dtype=np.int64)
+        e = g["event_type"].to_numpy()
+        n = len(u)
+        if n < 3:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="object") for c in ("e1", "e2", "e3")}
+            )
+        same3 = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        return pd.DataFrame(
+            {
+                "e1": e[:-2][same3],
+                "e2": e[1:-1][same3],
+                "e3": e[2:][same3],
+            }
+        )
+
+    exploded = (
+        events.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(triples, batch_format="pandas")
+    )
+    return partitioned_agg(
+        exploded,
+        keys=["e1", "e2", "e3"],
+        named_aggs={"n": ("e1", "size")},
+        num_partitions=16,
+    )
+
+
+def _q_churned_users(sf_dir: str):
+    """Churn slice: users whose LAST event lands in the first half of
+    the first 99% of the observation range (gone quiet in the final
+    tail) — one metadata-cheap global min/max + one
+    per-user max reduce + a broadcast-threshold filter. ✓SQL."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "ts_us": batch.column("ts").cast(pa.int64()),
+            }
+        )
+
+    pe = events.map_batches(prep, batch_format="pyarrow")
+    lo = pe.min("ts_us")
+    hi = pe.max("ts_us")
+    cutoff = lo + (hi - lo) * 99 // 100
+    last = partitioned_agg(
+        pe,
+        keys=["user_id"],
+        named_aggs={"last_us": ("ts_us", "max")},
+        num_partitions=16,
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_pydict(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "last_us": batch.column("last_us").cast(pa.int64()),
+            }
+        )
+        return t.filter(pc.less(t.column("last_us"), pa.scalar(cutoff)))
+
+    return last.map_batches(keep, batch_format="pyarrow")
+
+
 def _q_user_active_time(sf_dir: str):
     """Total ACTIVE time per user: 5-minute activity intervals opened by
     each event, merged where overlapping (islands-and-gaps), covered
@@ -8056,6 +8160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats_monoid": _q_corpus_stats_monoid,
         "user_active_time": _q_user_active_time,
         "funnel_windowed": _q_funnel_windowed,
+        "event_trigrams": _q_event_trigrams,
+        "churned_users": _q_churned_users,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
         "name_random_walks": _q_name_random_walks,
@@ -8824,6 +8930,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) "
             "AS hour_ts, event_type, count(*) AS n_events "
             "FROM events GROUP BY 1, 2"
+        ),
+        "event_trigrams": (
+            "WITH o AS (SELECT user_id, event_type AS e1, "
+            "LEAD(event_type, 1) OVER w AS e2, "
+            "LEAD(event_type, 2) OVER w AS e3 FROM events "
+            "WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id)) "
+            "SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n FROM o "
+            "WHERE e2 IS NOT NULL AND e3 IS NOT NULL GROUP BY 1, 2, 3"
+        ),
+        "churned_users": (
+            "WITH b AS (SELECT MIN(epoch_us(ts)) AS lo, "
+            "MAX(epoch_us(ts)) AS hi FROM events) "
+            "SELECT user_id, CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us "
+            "FROM events, b GROUP BY user_id, b.lo, b.hi "
+            "HAVING MAX(epoch_us(ts)) < b.lo + (b.hi - b.lo) * 99 // 100"
         ),
         "funnel_windowed": (
             "SELECT DISTINCT v.user_id FROM events v "
