@@ -304,3 +304,59 @@ class TestPhraseSearchProperty:
             if n:
                 want[i] = n
         assert got == want
+
+
+class TestAvroWireProperties:
+    """Avro OCF codec invariants (sources/avro.py) — pure functions, no
+    Ray: arbitrary values must round-trip bit-exactly."""
+
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    @settings(max_examples=200, deadline=None)
+    def test_zigzag_varint_roundtrip(self, n):
+        from ctinexus_ray.sources.avro import _Cursor, _encode_long
+
+        cur = _Cursor(_encode_long(n))
+        assert cur.read_long() == n
+        assert cur.pos == len(cur.data)  # consumed exactly
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                st.none() | st.text(max_size=80),
+            ),
+            max_size=30,
+        ),
+        st.sampled_from(["null", "deflate"]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_corpus_rows_roundtrip(self, rows, codec):
+        from ctinexus_ray.sources.avro import (
+            CORPUS_SCHEMA,
+            build_avro,
+            parse_avro_file,
+        )
+
+        recs = [{"doc_id": i, "text": t} for i, t in rows]
+        got = parse_avro_file(
+            build_avro(recs, CORPUS_SCHEMA, codec=codec, block_rows=7)
+        )
+        assert got.to_pylist() == recs
+
+    @given(st.binary(max_size=60), st.floats(allow_nan=False, width=64))
+    @settings(max_examples=60, deadline=None)
+    def test_bytes_and_double_fields_roundtrip(self, payload, x):
+        from ctinexus_ray.sources.avro import build_avro, parse_avro_file
+
+        schema = {
+            "type": "record",
+            "name": "P",
+            "fields": [
+                {"name": "y", "type": "bytes"},
+                {"name": "d", "type": "double"},
+            ],
+        }
+        got = parse_avro_file(build_avro([{"y": payload, "d": x}], schema))
+        row = got.to_pylist()[0]
+        assert row["y"] == payload
+        assert row["d"] == x  # bit-exact (no NaN in strategy)
