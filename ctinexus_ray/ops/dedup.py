@@ -517,6 +517,34 @@ def minhash_dedup_pairs(
         docs, num_perm, bands, shingle_n,
         pair_mode=pair_mode, num_partitions=num_partitions,
     )
+    return verify_jaccard_pairs(
+        candidates, docs, threshold=threshold, shingle_n=shingle_n,
+        num_partitions=num_partitions,
+    )
+
+
+def verify_jaccard_pairs(
+    candidates: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    threshold: float,
+    shingle_n: int = 3,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact-Jaccard verification of candidate (a, b) id pairs against a
+    (doc_id, text) dataset — the verify phase of ``minhash_dedup_pairs``
+    factored out for callers that generate candidates ELSEWHERE (the
+    incremental LSH-index probe in jobs/stream_job.py joins new-tick
+    docs against a persisted bucket table, then verifies here). Both
+    pair endpoints must exist in ``docs``; distribution shape is the
+    two hash-partitioned text joins + vectorized per-partition
+    intersect documented on minhash_dedup_pairs.
+    """
+    from ctinexus_ray.ops.distjoin import hash_join
+
+    if num_partitions is None:
+        from ctinexus_ray.ops.groupagg import derive_num_partitions
+
+        num_partitions = derive_num_partitions(docs)
     i64, s = pa.int64(), pa.string()
     texts = docs.select_columns(["doc_id", "text"])
 

@@ -343,7 +343,16 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> dict:
             dropped += 1
     root = os.path.realpath(table_dir)
     deleted = kept = 0
-    for dirpath, _dirnames, filenames in os.walk(root):
+    for dirpath, dirnames, filenames in os.walk(root):
+        # a nested directory with its own manifests is an INDEPENDENT
+        # table (e.g. stream_job's <table>/lsh index) — its files are
+        # referenced by manifests this vacuum never reads, so never
+        # descend into it
+        dirnames[:] = [
+            d
+            for d in dirnames
+            if not _versions(os.path.join(dirpath, d))
+        ]
         for name in filenames:
             if not name.endswith(".parquet"):
                 continue

@@ -65,8 +65,120 @@ def _list_shards(input_dir: str) -> list[str]:
     )
 
 
-def run_tick(input_dir: str, table_dir: str, num_partitions: int = 16) -> dict:
-    """Ingest every shard not yet in the ledger; returns tick stats."""
+def _near_dup_filter(ds, table_dir: str, threshold: float, num_partitions: int):
+    """Drop near-duplicates from a tick batch: within-tick MinHash-LSH
+    dedup, then a bucket probe of the persisted LSH index verified by
+    exact shingle Jaccard against the committed corpus. Returns
+    (filtered dataset, n dropped)."""
+    import pyarrow as pa
+
+    from ctinexus_ray.ops.dedup import (
+        _minhash_rows,
+        minhash_dedup_keep,
+        verify_jaccard_pairs,
+    )
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.state.tableformat import latest_version, read_version
+
+    def ren(d, old, new):
+        def do(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [new if c == old else c for c in batch.schema.names]
+            )
+
+        return d.map_batches(do, batch_format="pyarrow")
+
+    ds = ds.materialize()  # feeds the keep pass, the probe and the join
+    n_before = ds.count()
+
+    keep_ids = minhash_dedup_keep(
+        ds, threshold=threshold, num_partitions=num_partitions,
+        pair_mode="star",
+    )
+    # explicit projection + declared types: the lazy keep pipeline's
+    # schema probe is unreliable mid-plan, and hash_join would reject a
+    # phantom column overlap
+    left_types = {
+        f.name: f.type for f in ds.schema().base_schema
+    }
+    ds = hash_join(
+        ds,
+        keep_ids.select_columns(["doc_id"]),
+        on=["doc_id"],
+        how="left_semi",
+        num_partitions=num_partitions,
+        left_types=left_types,
+        right_types={"doc_id": pa.int64()},
+    ).materialize()
+
+    lsh_dir = os.path.join(table_dir, "lsh")
+    if latest_version(lsh_dir) is not None:
+        new_bands = ds.select_columns(["doc_id", "text"]).map_batches(
+            lambda b: _minhash_rows(b, 64, 16, 3), batch_format="pyarrow"
+        )
+        band_types = {"band": pa.int32(), "bucket": pa.int64()}
+        cand = hash_join(
+            ren(new_bands, "doc_id", "b"),
+            ren(read_version(lsh_dir), "doc_id", "a"),
+            on=["band", "bucket"],
+            num_partitions=num_partitions,
+            left_types={"b": pa.int64(), **band_types},
+            right_types={"a": pa.int64(), **band_types},
+        )
+        pairs = partitioned_agg(
+            cand.select_columns(["a", "b"]),
+            keys=["a", "b"],
+            named_aggs={"_n": ("a", "size")},
+            num_partitions=num_partitions,
+        ).select_columns(["a", "b"])
+        old_docs = hash_join(
+            read_version(table_dir).select_columns(["doc_id", "text"]),
+            ren(pairs.select_columns(["a"]), "a", "doc_id"),
+            on=["doc_id"],
+            how="left_semi",
+            num_partitions=num_partitions,
+            left_types={"doc_id": pa.int64(), "text": pa.string()},
+            right_types={"doc_id": pa.int64()},
+        )
+        verified = verify_jaccard_pairs(
+            pairs,
+            old_docs.union(ds.select_columns(["doc_id", "text"])),
+            threshold=threshold,
+            num_partitions=num_partitions,
+        )
+        ds = hash_join(
+            ds,
+            ren(verified.select_columns(["b"]), "b", "doc_id"),
+            on=["doc_id"],
+            how="left_anti",
+            num_partitions=num_partitions,
+            left_types={f.name: f.type for f in ds.schema().base_schema},
+            right_types={"doc_id": pa.int64()},
+        ).materialize()
+    n_after = ds.count()
+    return ds, n_before - n_after
+
+
+def run_tick(
+    input_dir: str,
+    table_dir: str,
+    num_partitions: int = 16,
+    near_dup_threshold: float | None = None,
+) -> dict:
+    """Ingest every shard not yet in the ledger; returns tick stats.
+
+    ``near_dup_threshold`` switches on INCREMENTAL NEAR-DUP dedup (the
+    continuous-crawl shape): tick survivors are MinHash-LSH deduped
+    within the tick, then their band buckets PROBE a persisted LSH
+    index table (``<table>/lsh``, itself a versioned table appended
+    per tick) — bucket-colliding (new, old) pairs are verified by
+    exact shingle Jaccard against the committed corpus, and verified
+    re-crawls never enter the table. Crash-replay safe: a replayed
+    shard's rows are removed by the exact anti-join before any band
+    rows are written, so the index never double-counts.
+    """
+    import pyarrow as pa
     import pyarrow.parquet as pq
     import ray.data
 
@@ -118,6 +230,12 @@ def run_tick(input_dir: str, table_dir: str, num_partitions: int = 16) -> dict:
             num_partitions=num_partitions,
         )
 
+    n_near_dropped = 0
+    if near_dup_threshold is not None:
+        ds, n_near_dropped = _near_dup_filter(
+            ds, table_dir, near_dup_threshold, num_partitions
+        )
+
     # a FRESH dir per invocation: deriving the name from ledger length
     # would collide on crash-replay (ledger lost, dir not) and re-list
     # the previous tick's files as this tick's output
@@ -133,6 +251,29 @@ def run_tick(input_dir: str, table_dir: str, num_partitions: int = 16) -> dict:
     )
     rows_appended = sum(pq.read_metadata(f).num_rows for f in files)
     version = commit_version(table_dir, files, mode="append")
+    if near_dup_threshold is not None and files:
+        # index the COMMITTED survivors' band buckets (data first, index
+        # second: a crash between loses only index coverage for this
+        # tick — recoverable by reindexing — never table correctness;
+        # replays contribute zero survivors, so the index never
+        # double-counts)
+        from ctinexus_ray.ops.dedup import _minhash_rows
+
+        lsh_dir = os.path.join(table_dir, "lsh")
+        bands_dir = os.path.join(lsh_dir, f"tick-{os.path.basename(data_dir)}")
+        os.makedirs(bands_dir, exist_ok=True)
+        ray.data.read_parquet(files).select_columns(
+            ["doc_id", "text"]
+        ).map_batches(
+            lambda b: _minhash_rows(b, 64, 16, 3), batch_format="pyarrow"
+        ).write_parquet(bands_dir)
+        band_files = sorted(
+            os.path.join(bands_dir, n)
+            for n in os.listdir(bands_dir)
+            if n.endswith(".parquet")
+        )
+        if band_files:
+            commit_version(lsh_dir, band_files, mode="append")
     # ledger LAST: a crash before this line replays the shards next
     # tick, and the anti-join drops every already-committed row
     ledger["shards"].extend(new)
@@ -142,6 +283,7 @@ def run_tick(input_dir: str, table_dir: str, num_partitions: int = 16) -> dict:
         "rows_in": rows_in,
         "rows_appended": rows_appended,
         "skipped_existing": rows_in - rows_appended,
+        "near_dup_dropped": n_near_dropped,
         "version": version,
     }
 
@@ -156,6 +298,9 @@ def main() -> int:
     parser.add_argument("--poll-sec", type=float, default=5.0)
     parser.add_argument("--max-ticks", type=int, default=0,
                         help="with --watch: stop after N ticks (0 = forever)")
+    parser.add_argument("--near-dup-threshold", type=float, default=None,
+                        help="enable incremental MinHash-LSH near-dup "
+                             "dedup at this Jaccard threshold")
     parser.add_argument("--vacuum-keep", type=int, default=0,
                         help="after each committing tick, expire all but "
                              "the newest N table versions (0 = keep all)")
@@ -169,7 +314,10 @@ def main() -> int:
 
     tick = 0
     while True:
-        stats = run_tick(args.input, args.table, args.num_partitions)
+        stats = run_tick(
+            args.input, args.table, args.num_partitions,
+            near_dup_threshold=args.near_dup_threshold,
+        )
         stats["tick"] = tick
         if args.vacuum_keep and stats["new_shards"]:
             from ctinexus_ray.state.tableformat import vacuum

@@ -123,3 +123,76 @@ class TestStreamJob:
         stats = json.loads(out.stdout.strip().splitlines()[-1])
         assert stats["rows_appended"] == 2
         assert stats["version"] == 1
+
+
+class TestNearDupIngestion:
+    @staticmethod
+    def _shard_texts(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                    "text": pa.array([r[1] for r in rows], type=pa.string()),
+                }
+            ),
+            path,
+        )
+
+    def test_cross_tick_near_dup_dropped(self, ray_session, tmp_path):
+        inp = tmp_path / "in"
+        inp.mkdir()
+        table = str(tmp_path / "tbl")
+        os.makedirs(table)
+        base = "the quick brown fox jumps over the lazy dog again and again"
+        near = base + " extra"  # high-Jaccard re-crawl
+        far = "completely different words that share nothing at all here"
+        self._shard_texts(inp / "a.parquet", [(1, base), (2, far)])
+        s1 = run_tick(str(inp), table, num_partitions=4,
+                      near_dup_threshold=0.5)
+        assert s1["rows_appended"] == 2
+        assert s1["near_dup_dropped"] == 0
+
+        # tick 2: a near-dup of doc 1 (new id) + one genuinely new doc
+        self._shard_texts(
+            inp / "b.parquet",
+            [(10, near), (11, "fresh content with novel vocabulary only")],
+        )
+        s2 = run_tick(str(inp), table, num_partitions=4,
+                      near_dup_threshold=0.5)
+        assert s2["near_dup_dropped"] == 1
+        assert s2["rows_appended"] == 1
+        assert sorted(_table_ids(table)) == [1, 2, 11]
+
+    def test_within_tick_near_dup(self, ray_session, tmp_path):
+        inp = tmp_path / "in"
+        inp.mkdir()
+        table = str(tmp_path / "tbl")
+        os.makedirs(table)
+        t = "one two three four five six seven eight nine ten eleven"
+        self._shard_texts(
+            inp / "a.parquet", [(5, t), (6, t + " twelve"), (7, "unrelated text entirely distinct")]
+        )
+        s = run_tick(str(inp), table, num_partitions=4,
+                     near_dup_threshold=0.5)
+        assert s["near_dup_dropped"] == 1  # 6 folds into 5
+        assert sorted(_table_ids(table)) == [5, 7]
+
+    def test_vacuum_preserves_nested_lsh_index(self, ray_session, tmp_path):
+        from ctinexus_ray.state.tableformat import latest_version, vacuum
+
+        inp = tmp_path / "in"
+        inp.mkdir()
+        table = str(tmp_path / "tbl")
+        os.makedirs(table)
+        self._shard_texts(inp / "a.parquet", [(1, "alpha beta gamma delta")])
+        run_tick(str(inp), table, num_partitions=4, near_dup_threshold=0.5)
+        self._shard_texts(inp / "b.parquet", [(2, "epsilon zeta eta theta")])
+        run_tick(str(inp), table, num_partitions=4, near_dup_threshold=0.5)
+        vacuum(table, keep_versions=1)
+        # the nested lsh table survives vacuum of the parent
+        lsh = os.path.join(table, "lsh")
+        assert latest_version(lsh) is not None
+        from ctinexus_ray.state.tableformat import read_version
+
+        assert read_version(lsh).count() > 0
+        assert sorted(_table_ids(table)) == [1, 2]
