@@ -3918,6 +3918,191 @@ def _q_funnel_windowed(sf_dir: str):
     )
 
 
+def _q_zipf_slope(sf_dir: str):
+    """Zipf fit of the corpus word-frequency distribution: least-squares
+    slope of ln(freq) against ln(rank) — a healthy natural-language
+    corpus sits near -1, template/boilerplate soup does not. Word
+    counts via per-batch combine + one vocab reduce; ranks from the
+    distributed row_number; logs quantized to integer MILLI-nats before
+    the closed-form integer sums, so the slope is an exact (num, den)
+    rational with identical arithmetic on both sides (products stay
+    within int64 to ~1e8 distinct words). ✓SQL."""
+    import math
+
+    import numpy as np
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.shards import global_row_number
+    from ctinexus_ray.ops.textstats import word_explode_batch
+
+    counts = partitioned_agg(
+        _docs(sf_dir, ["text"]).map_batches(
+            word_explode_batch, batch_format="pyarrow"
+        ),
+        keys=["word"],
+        named_aggs={"n": ("n", "sum")},
+        num_partitions=16,
+    )
+
+    def as_arrow(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "word": batch.column("word").cast(pa.string()),
+                "n": batch.column("n").cast(pa.int64()),
+            }
+        )
+
+    ranked = global_row_number(
+        counts.map_batches(as_arrow, batch_format="pyarrow"),
+        sort_keys=["n", "word"],
+        descending=[True, False],
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        # libm ln + FLOOR quantization, identical per-value on both sides
+        x = np.array(
+            [math.floor(math.log(v) * 1e3 + 0.5) for v in r], dtype=np.int64
+        )
+        y = np.array(
+            [math.floor(math.log(v) * 1e3 + 0.5) for v in n], dtype=np.int64
+        )
+        return pa.Table.from_pydict(
+            {
+                "k": pa.array([1] * 1, type=pa.int64()),
+                "cnt": pa.array([len(x)], type=pa.int64()),
+                "sx": pa.array([int(x.sum())], type=pa.int64()),
+                "sy": pa.array([int(y.sum())], type=pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], type=pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], type=pa.int64()),
+            }
+        )
+
+    parts = ranked.map_batches(partials, batch_format="pyarrow").take_all()
+    cnt = sum(int(p["cnt"]) for p in parts)
+    sx = sum(int(p["sx"]) for p in parts)
+    sy = sum(int(p["sy"]) for p in parts)
+    sxx = sum(int(p["sxx"]) for p in parts)
+    sxy = sum(int(p["sxy"]) for p in parts)
+    return pa.Table.from_pydict(
+        {
+            "n_words": pa.array([cnt], type=pa.int64()),
+            "slope_num": pa.array([cnt * sxy - sx * sy], type=pa.int64()),
+            "slope_den": pa.array([cnt * sxx - sx * sx], type=pa.int64()),
+        }
+    )
+
+
+_HEAPS_THRESHOLDS = [100, 1000, 10000, 50000]
+
+
+def _q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth: distinct words seen within the
+    first N tokens of the doc_id-ordered token stream, for a threshold
+    ladder — the sublinearity check that separates natural language
+    from id/boilerplate soup. Global token positions come from the
+    two-phase prefix scan over per-doc token counts (O(ranges) driver
+    ints); each word's FIRST position is one min reduce; the ladder is
+    answered by one vectorized pass over the vocabulary table. ✓SQL."""
+    import numpy as np
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.shards import partitioned_prefix_sum
+    from ctinexus_ray.ops.textstats import _tokens, token_count_batch
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bases = partitioned_prefix_sum(
+        docs.map_batches(token_count_batch, batch_format="pyarrow"),
+        order_key="doc_id",
+        value_col="n_tokens",
+        out_col="base",
+        exclusive=True,
+    ).select_columns(["doc_id", "base"])
+
+    def first_offsets(batch: pa.Table) -> pa.Table:
+        ids, words, offs = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            seen: dict = {}
+            for i, w in enumerate(_tokens(text or "")):
+                if w not in seen:
+                    seen[w] = i
+            for w, i in seen.items():
+                ids.append(doc_id)
+                words.append(w)
+                offs.append(i)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "word": pa.array(words, type=pa.string()),
+                "off": pa.array(offs, type=pa.int64()),
+            }
+        )
+
+    def as_arrow(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "base": batch.column("base").cast(pa.int64()),
+            }
+        )
+
+    joined = hash_join(
+        docs.map_batches(first_offsets, batch_format="pyarrow"),
+        bases.map_batches(as_arrow, batch_format="pyarrow"),
+        on=["doc_id"],
+        num_partitions=16,
+    )
+
+    def global_first(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.Table.from_pydict(
+            {
+                "word": batch.column("word"),
+                "pos": pc.add(batch.column("base"), batch.column("off")),
+            }
+        )
+
+    firsts = partitioned_agg(
+        joined.map_batches(global_first, batch_format="pyarrow"),
+        keys=["word"],
+        named_aggs={"first": ("pos", "min")},
+        num_partitions=16,
+    )
+
+    thresholds = np.array(_HEAPS_THRESHOLDS, dtype=np.int64)
+
+    def ladder(batch: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        f = batch["first"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "n_tokens": thresholds,
+                "vocab": [int((f < t).sum()) for t in thresholds],
+            }
+        )
+
+    parts = firsts.map_batches(ladder, batch_format="pandas").take_all()
+    agg: dict = {int(t): 0 for t in thresholds}
+    for p in parts:
+        agg[int(p["n_tokens"])] += int(p["vocab"])
+    return pa.Table.from_pydict(
+        {
+            "n_tokens": pa.array(sorted(agg), type=pa.int64()),
+            "vocab": pa.array(
+                [agg[k] for k in sorted(agg)], type=pa.int64()
+            ),
+        }
+    )
+
+
 def _q_event_trigrams(sf_dir: str):
     """Session-path mining one level past the Markov transition matrix:
     counts of CONSECUTIVE event-type TRIPLES per user timeline (double
@@ -8161,6 +8346,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_active_time": _q_user_active_time,
         "funnel_windowed": _q_funnel_windowed,
         "event_trigrams": _q_event_trigrams,
+        "zipf_slope": _q_zipf_slope,
+        "vocab_growth": _q_vocab_growth,
         "churned_users": _q_churned_users,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
@@ -8930,6 +9117,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) "
             "AS hour_ts, event_type, count(*) AS n_events "
             "FROM events GROUP BY 1, 2"
+        ),
+        "vocab_growth": (
+            "WITH arr AS (SELECT doc_id, regexp_split_to_array("
+            "trim(text), '\\s+') AS a FROM documents), "
+            "tok AS (SELECT doc_id, unnest(a) AS w, "
+            "generate_subscripts(a, 1) AS pos FROM arr), "
+            "base AS (SELECT doc_id, COALESCE(SUM(len(a)) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS b FROM arr), "
+            "g AS (SELECT t.w, MIN(b.b + t.pos - 1) AS first "
+            "FROM tok t JOIN base b USING (doc_id) GROUP BY t.w) "
+            + " UNION ALL ".join(
+                f"SELECT CAST({t} AS BIGINT) AS n_tokens, "
+                f"CAST(count(*) FILTER (WHERE first < {t}) AS BIGINT) "
+                "AS vocab FROM g"
+                for t in _HEAPS_THRESHOLDS
+            )
+        ),
+        "zipf_slope": (
+            "WITH words AS (SELECT unnest(regexp_split_to_array("
+            "trim(text), '\\s+')) AS word FROM documents), "
+            "cnt AS (SELECT word, CAST(count(*) AS BIGINT) AS n "
+            "FROM words GROUP BY word), "
+            "ranked AS (SELECT n, row_number() OVER ("
+            "ORDER BY n DESC, word ASC) AS r FROM cnt), "
+            "q AS (SELECT CAST(FLOOR(ln(CAST(r AS DOUBLE)) * 1e3 + 0.5) "
+            "AS BIGINT) AS x, "
+            "CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) "
+            "AS y FROM ranked) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_words, "
+            "CAST(count(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) "
+            "AS slope_num, "
+            "CAST(count(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) "
+            "AS slope_den FROM q"
         ),
         "event_trigrams": (
             "WITH o AS (SELECT user_id, event_type AS e1, "
