@@ -642,6 +642,67 @@ def _q_dup_components(sf_dir: str):
     return connected_components(pairs)
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    """Quality-aware near-dup survivor selection: instead of the
+    smallest-id rule, each duplicate cluster (connected components over
+    the exact n-gram-Jaccard graph) keeps its LONGEST document (tie ->
+    smallest id) — the curation policy that preserves the fullest
+    snapshot of a re-crawled page. Components + one quality join + one
+    per-cluster arg-extremum + an anti-join for singletons. ✓SQL
+    (recursive-CTE components + QUALIFY argmax twin)."""
+    import pyarrow.compute as pc
+
+    from ctinexus_ray.ops.distjoin import anti_join_ids, hash_join
+    from ctinexus_ray.ops.groupagg import grouped_arg_extremum
+
+    labels = _q_dup_components(sf_dir)  # (node, label)
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("node").cast(pa.int64()),
+                "label": batch.column("label").cast(pa.int64()),
+            }
+        )
+
+    labeled = hash_join(
+        labels.map_batches(ren, batch_format="pyarrow"),
+        _docs(sf_dir, ["doc_id", "n_chars"]),
+        on=["doc_id"],
+        num_partitions=16,
+        left_types={"doc_id": pa.int64(), "label": pa.int64()},
+        right_types={"doc_id": pa.int64(), "n_chars": pa.int64()},
+    )
+
+    def negate(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "neg", pc.negate(batch.column("n_chars").cast(pa.int64()))
+        )
+
+    best = grouped_arg_extremum(
+        labeled.map_batches(negate, batch_format="pyarrow"),
+        keys=["label"],
+        order_col="neg",
+        tie_col="doc_id",
+        payload_cols=["doc_id"],
+        num_partitions=16,
+    )
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {"doc_id": batch.column("first_doc_id").cast(pa.int64())}
+        )
+
+    singles = anti_join_ids(
+        _docs(sf_dir, ["doc_id"]),
+        "doc_id",
+        labels,
+        drop_key="node",
+        num_partitions=16,
+    )
+    return best.map_batches(pick, batch_format="pyarrow").union(singles)
+
+
 def _q_top_orders_per_customer(sf_dir: str):
     """Distributed row_number() window: top-3 orders per customer by
     (totalprice desc, orderkey asc). One hash shuffle, vectorized rank."""
@@ -3293,6 +3354,34 @@ _LINEITEM_CORR_SQL = (
             ("b", "c", "l_extendedprice", "l_discount"),
         )
     )
+)
+
+
+# the exact n-gram-Jaccard duplicate graph + recursive-CTE components,
+# shared by dup_components and dedup_keep_best
+_DUP_CC_SQL_BODY = (
+    "WITH RECURSIVE "
+    "words AS (SELECT doc_id, "
+    "regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), "
+    "eligible AS (SELECT * FROM words WHERE len(w) >= 3), "
+    "shingles AS (SELECT DISTINCT doc_id, "
+    "w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle "
+    "FROM eligible CROSS JOIN LATERAL "
+    "(SELECT unnest(generate_series(1, len(w) - 2)) AS i) t), "
+    "sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id), "
+    "inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS ix "
+    "FROM shingles s1 JOIN shingles s2 ON s1.shingle = s2.shingle "
+    "AND s1.doc_id < s2.doc_id GROUP BY 1, 2), "
+    "dup_pairs AS (SELECT a, b FROM inter "
+    "JOIN sizes sa ON sa.doc_id = inter.a "
+    "JOIN sizes sb ON sb.doc_id = inter.b "
+    "WHERE CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) >= 0.5), "
+    "edges AS (SELECT a AS src, b AS dst FROM dup_pairs "
+    "UNION ALL SELECT b, a FROM dup_pairs), "
+    "reach(node, label) AS ("
+    "SELECT src, src FROM edges "
+    "UNION "
+    "SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node)"
 )
 
 
@@ -8348,6 +8437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_trigrams": _q_event_trigrams,
         "zipf_slope": _q_zipf_slope,
         "vocab_growth": _q_vocab_growth,
+        "dedup_keep_best": _q_dedup_keep_best,
         "churned_users": _q_churned_users,
         "name_link_prediction": _q_name_link_prediction,
         "name_clustering_coeff": _q_name_clustering_coeff,
@@ -8764,29 +8854,19 @@ def oracle_sql() -> dict[str, str]:
         # connected components of the exact ngram-Jaccard duplicate graph:
         # transitive closure via a recursive CTE, min label per node
         "dup_components": (
-            "WITH RECURSIVE "
-            "words AS (SELECT doc_id, "
-            "regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), "
-            "eligible AS (SELECT * FROM words WHERE len(w) >= 3), "
-            "shingles AS (SELECT DISTINCT doc_id, "
-            "w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle "
-            "FROM eligible CROSS JOIN LATERAL "
-            "(SELECT unnest(generate_series(1, len(w) - 2)) AS i) t), "
-            "sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id), "
-            "inter AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS ix "
-            "FROM shingles s1 JOIN shingles s2 ON s1.shingle = s2.shingle "
-            "AND s1.doc_id < s2.doc_id GROUP BY 1, 2), "
-            "dup_pairs AS (SELECT a, b FROM inter "
-            "JOIN sizes sa ON sa.doc_id = inter.a "
-            "JOIN sizes sb ON sb.doc_id = inter.b "
-            "WHERE CAST(ix AS DOUBLE) / (sa.sz + sb.sz - ix) >= 0.5), "
-            "edges AS (SELECT a AS src, b AS dst FROM dup_pairs "
-            "UNION ALL SELECT b, a FROM dup_pairs), "
-            "reach(node, label) AS ("
-            "SELECT src, src FROM edges "
-            "UNION "
-            "SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node) "
-            "SELECT node, min(label) AS label FROM reach GROUP BY node"
+            _DUP_CC_SQL_BODY
+            + " SELECT node, min(label) AS label FROM reach GROUP BY node"
+        ),
+        "dedup_keep_best": (
+            _DUP_CC_SQL_BODY
+            + ", comp AS (SELECT node, min(label) AS label "
+            "FROM reach GROUP BY node), "
+            "best AS (SELECT d.doc_id, row_number() OVER ("
+            "PARTITION BY c.label ORDER BY d.n_chars DESC, d.doc_id ASC) "
+            "AS rn FROM comp c JOIN documents d ON d.doc_id = c.node) "
+            "SELECT doc_id FROM best WHERE rn = 1 "
+            "UNION ALL SELECT doc_id FROM documents "
+            "WHERE doc_id NOT IN (SELECT node FROM comp)"
         ),
         "top_orders_per_customer": (
             "SELECT o_custkey, rn, o_orderkey, o_totalprice FROM ("
