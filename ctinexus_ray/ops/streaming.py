@@ -293,11 +293,21 @@ class _SessionPartition:
 @ray.remote
 def _route_keyed(tbl: pa.Table, ts_col: str, key_col: str, p: int):
     """Slice one micro-batch into P sub-tables by hash(key) % P —
-    sessions are per-key, so a key's whole history lands on one actor."""
+    sessions are per-key, so a key's whole history MUST land on one
+    actor. The hash is the deterministic vectorized string hash
+    (``ops.dedup.hash64_strings``), NOT Python ``hash``: route tasks
+    run in arbitrary worker processes, and per-process string-hash
+    randomization would scatter one key across actors."""
+    from ctinexus_ray.ops.dedup import hash64_strings
+
     keys = tbl.column(key_col).cast(pa.string())
-    h = np.array(
-        [hash(k) & 0x7FFFFFFF for k in keys.to_pylist()], dtype=np.int64
-    ) if tbl.num_rows else np.empty(0, dtype=np.int64)
+    if tbl.num_rows:
+        h = (
+            hash64_strings(keys.to_pylist()).astype(np.uint64)
+            >> np.uint64(1)
+        ).astype(np.int64)
+    else:
+        h = np.empty(0, dtype=np.int64)
     assigned = pa.Table.from_pydict(
         {"ts_us": tbl.column(ts_col).cast(pa.int64()), "key": keys}
     )
@@ -316,10 +326,10 @@ class SessionStream:
     in-order event can extend it. Emits (key, session_start,
     session_last, n_events), exactly once per session.
 
-    NOTE ``_route_keyed`` uses Python ``hash`` on strings, which is
-    process-stable only with PYTHONHASHSEED fixed — irrelevant for
-    correctness (any assignment is valid; a key always routes within
-    ONE driver process) but reshards across runs.
+    Keys route by the deterministic ``hash64_strings`` (stable across
+    worker processes, runs, and cluster sizes); NULL keys are not
+    supported (a session of nobody is meaningless — cast or filter
+    first).
     """
 
     def __init__(
