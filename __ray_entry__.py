@@ -1190,9 +1190,12 @@ def _ppr_oracle_sql() -> str:
     DECIMAL in DuckDB and (1 - 0.85) would be the exactly-rounded 0.15
     instead, one ULP away)."""
     dd = f"CAST({_PAGERANK_DAMPING} AS DOUBLE)"
-    lo, hi = min(_PPR_SEEDS), max(_PPR_SEEDS)
+    seeds = ", ".join(str(s) for s in _PPR_SEEDS)
     k = len(_PPR_SEEDS)
-    p = f"(CASE WHEN {{n}} BETWEEN {lo} AND {hi} THEN 1.0/{k} ELSE 0.0 END)"
+    # IN over the literal list — a BETWEEN over min/max would silently
+    # leak teleport mass to non-seed nodes if the seed set ever stops
+    # being contiguous
+    p = f"(CASE WHEN {{n}} IN ({seeds}) THEN 1.0/{k} ELSE 0.0 END)"
     sql = (
         "WITH pairs AS (SELECT DISTINCT o_custkey AS c, "
         f"l_suppkey + {_PAGERANK_SUPP_OFFSET} AS s "
@@ -1259,7 +1262,17 @@ def _q_lm_calibration(sf_dir: str):
     from ctinexus_ray.ops.textstats import unigram_lm_scores
 
     k = 10
-    sc = unigram_lm_scores(_docs(sf_dir, ["doc_id", "text"]))
+
+    def drop_null_text(batch: pa.Table) -> pa.Table:
+        # the SQL twin's words CTE silently drops NULL-text docs
+        # (trim(NULL) splits to NULL); mirror that before training
+        return batch.filter(pc.is_valid(batch.column("text")))
+
+    sc = unigram_lm_scores(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            drop_null_text, batch_format="pyarrow"
+        )
+    )
 
     def proj(batch: pa.Table) -> pa.Table:
         s = pc.divide(
@@ -1291,7 +1304,14 @@ def _q_lm_calibration(sf_dir: str):
         on=["doc_id"],
         num_partitions=16,
     )
-    n = _docs(sf_dir, ["doc_id"]).count()
+    ranked = global_row_number(
+        joined, sort_keys=["s", "doc_id"], descending=[False, False]
+    )
+    # NTILE widths derive from the RANKED set's row count, not the raw
+    # doc count: a NULL-text doc tokenizes on the engine side but drops
+    # from the SQL twin's words CTE, and the two must bucket alike
+    # (global_row_number materializes, so .count() is metadata)
+    n = ranked.count()
     q, r = divmod(n, k)
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -1308,10 +1328,6 @@ def _q_lm_calibration(sf_dir: str):
                 "pos": batch.column("pos"),
             }
         )
-
-    ranked = global_row_number(
-        joined, sort_keys=["s", "doc_id"], descending=[False, False]
-    )
     return partitioned_agg(
         ranked.map_batches(bucketize, batch_format="pyarrow"),
         keys=["bucket"],
@@ -9299,7 +9315,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM ordered GROUP BY user_id"
         ),
         "ab_chi2": (
-            "WITH c AS (SELECT user_id % 2 AS cohort, event_type, "
+            # & 1 matches the engine's pc.bit_wise_and for NEGATIVE ids
+            # too (% 2 would emit -1 cohorts and diverge)
+            "WITH c AS (SELECT user_id & 1 AS cohort, event_type, "
             "count(*) AS o FROM events WHERE user_id IS NOT NULL "
             "GROUP BY 1, 2), "
             "rt AS (SELECT cohort, CAST(SUM(o) AS BIGINT) AS rt "

@@ -179,11 +179,16 @@ class WindowStream:
         if ts.null_count:
             raise ValueError("NULL event times have no window")
         batch_max = int(pc.max(ts).as_py())
-        shards = _route.remote(
+        # num_returns=p: each partition's slice is its own ObjectRef,
+        # passed STRAIGHT to its owning actor — the batch never bounces
+        # back through the driver (route worker -> actor is the only
+        # post-route hop)
+        parts = _route.options(num_returns=self.p).remote(
             ray.put(table), self.ts_col, self.key_col, self.window_us,
             self.hop_us, self.p,
         )
-        parts = ray.get(shards)
+        if self.p == 1:
+            parts = [parts]
         ray.get(
             [a.ingest.remote(t) for a, t in zip(self.actors, parts)]
         )
@@ -260,13 +265,17 @@ class _SessionPartition:
             sessions.append([start, last, n])
 
     def flush(self, watermark_us: int) -> pa.Table:
-        """Finalize sessions no future in-watermark event can extend
-        (last + gap <= watermark)."""
+        """Finalize sessions no future in-watermark event can extend:
+        STRICTLY last + gap < watermark — an event AT the watermark is
+        not late (late rule is ts < watermark) and an event exactly
+        gap away still chains (the batch sessionize rule is
+        diff > gap starts a new session), so the <= boundary would
+        split one session in two."""
         out_k, out_s, out_l, out_n = [], [], [], []
         for k in sorted(self.open):
             keep = []
             for s in self.open[k]:
-                if s[1] + self.gap <= watermark_us:
+                if s[1] + self.gap < watermark_us:
                     out_k.append(k)
                     out_s.append(s[0])
                     out_l.append(s[1])
@@ -370,11 +379,13 @@ class SessionStream:
         if ts.null_count:
             raise ValueError("NULL event times have no session")
         pre_watermark = self._watermark()
-        parts = ray.get(
-            _route_keyed.remote(
-                ray.put(table), self.ts_col, self.key_col, self.p
-            )
+        # per-partition ObjectRefs straight to the actors (see
+        # WindowStream.feed)
+        parts = _route_keyed.options(num_returns=self.p).remote(
+            ray.put(table), self.ts_col, self.key_col, self.p
         )
+        if self.p == 1:
+            parts = [parts]
         ray.get(
             [
                 a.ingest.remote(t, pre_watermark)

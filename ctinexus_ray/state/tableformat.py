@@ -84,8 +84,15 @@ def commit_version(
         # (O_EXCL + streaming json.dump had exactly that window — a
         # racing append-mode committer reading its parent crashed with
         # JSONDecodeError under test_optimistic_commit_race)
+        # uuid in the temp name: (version, pid) alone collides for two
+        # same-process committers (threads / async actor), and the
+        # loser's open(tmp, 'w') would truncate the inode the winner
+        # just linked into place
+        import uuid as _uuid
+
         tmp = os.path.join(
-            table_dir, f".manifest-{version}.{os.getpid()}.tmp"
+            table_dir,
+            f".manifest-{version}.{os.getpid()}.{_uuid.uuid4().hex[:8]}.tmp",
         )
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1)

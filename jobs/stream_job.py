@@ -37,6 +37,11 @@ if _REPO_ROOT not in sys.path:
 
 _SHARD_EXTS = (".parquet", ".jsonl", ".jsonl.gz", ".csv", ".avro")
 
+# MinHash-LSH parameters shared by the index-BUILD and index-PROBE
+# paths — they must stay identical or probes silently miss every
+# stored bucket (the persisted index carries no parameter metadata)
+_LSH_PARAMS = (64, 16, 3)  # (num_perm, bands, shingle_n)
+
 
 def _ledger_path(table_dir: str) -> str:
     return os.path.join(table_dir, "_ingest_ledger.json")
@@ -115,7 +120,7 @@ def _near_dup_filter(ds, table_dir: str, threshold: float, num_partitions: int):
     lsh_dir = os.path.join(table_dir, "lsh")
     if latest_version(lsh_dir) is not None:
         new_bands = ds.select_columns(["doc_id", "text"]).map_batches(
-            lambda b: _minhash_rows(b, 64, 16, 3), batch_format="pyarrow"
+            lambda b: _minhash_rows(b, *_LSH_PARAMS), batch_format="pyarrow"
         )
         band_types = {"band": pa.int32(), "bucket": pa.int64()}
         cand = hash_join(
@@ -183,7 +188,6 @@ def run_tick(
     import ray.data
 
     from ctinexus_ray.ops.distjoin import hash_join
-    from ctinexus_ray.ops.groupagg import partitioned_agg
     from ctinexus_ray.sources.documents import ensure_doc_id
     from ctinexus_ray.sources.flatfiles import read_corpus_auto
     from ctinexus_ray.state.tableformat import (
@@ -204,22 +208,34 @@ def run_tick(
         ds = ds.union(ensure_doc_id(read_corpus_auto(s)))
     rows_in = ds.count()
 
-    # within-tick exact dedup: first occurrence per doc_id (min text is
-    # deterministic under true duplicates — dup rows are identical)
-    agg_cols = [c for c in ds.schema().names if c != "doc_id"]
-    ds = partitioned_agg(
-        ds,
-        keys=["doc_id"],
-        named_aggs={c: (c, "min") for c in agg_cols},
-        num_partitions=num_partitions,
+    # within-tick exact dedup: ONE WHOLE ROW per doc_id (the
+    # lexicographically smallest over all columns, NULLs last) — a
+    # per-column min would stitch a chimera row out of two conflicting
+    # re-crawls of the same id; picking a complete row keeps whatever
+    # was actually crawled, deterministically
+    from ctinexus_ray.ops.groupagg import add_hash_pkey
+
+    all_cols = list(ds.schema().names)
+
+    def add_pkey(batch):
+        return add_hash_pkey(batch, ["doc_id"], num_partitions)
+
+    def first_row(g):
+        g = g.sort_values(all_cols, kind="mergesort", na_position="last")
+        return g.groupby("doc_id", sort=False).head(1)[all_cols]
+
+    ds = (
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(first_row, batch_format="pandas")
     )
 
     def as_arrow(batch):
         return batch  # pandas-block -> arrow-block normalization only
 
-    # partitioned_agg reduces in pandas, leaving object-dtype block
-    # schemas that hash_join cannot map; one pass-through pyarrow
-    # map_batches restores concrete arrow types
+    # the pandas reduce leaves object-dtype block schemas that
+    # hash_join cannot map; one pass-through pyarrow map_batches
+    # restores concrete arrow types
     ds = ds.map_batches(as_arrow, batch_format="pyarrow")
 
     # cross-tick dedup: anti-join against everything already committed
@@ -265,7 +281,7 @@ def run_tick(
         ray.data.read_parquet(files).select_columns(
             ["doc_id", "text"]
         ).map_batches(
-            lambda b: _minhash_rows(b, 64, 16, 3), batch_format="pyarrow"
+            lambda b: _minhash_rows(b, *_LSH_PARAMS), batch_format="pyarrow"
         ).write_parquet(bands_dir)
         band_files = sorted(
             os.path.join(bands_dir, n)
