@@ -15,6 +15,7 @@ from collections.abc import Callable
 from typing import Any
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ctinexus_ray  # noqa: F401 — applies engine-wide Ray Data context
 # defaults (empty-shuffle-partition schema unification; rayutil.py) for
@@ -8323,6 +8324,118 @@ def _q_tpch_q22(sf_dir: str):
     )
 
 
+# --- text hygiene: PII redaction / script mix / NFC --------------------------
+#
+# The synthetic corpus is pure-ASCII word salad, so each query first
+# concatenates a DETERMINISTIC doc_id-derived snippet (mirrored
+# expression-for-expression in the SQL twin) to exercise the match
+# paths; the untouched base text exercises the no-match path on the
+# same rows. Both sides run RE2 (Arrow kernels / DuckDB), so the
+# patterns are byte-identical contracts.
+
+
+def _aug_pii(batch: pa.Table) -> pa.Table:
+    import numpy as np
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    call = np.where(ids % 3 == 0, " call 555-867-5309", "")
+    ssn = np.where(ids % 5 == 0, " ssn 219-09-9999", "")
+    aug = pc.binary_join_element_wise(
+        batch.column("text"),
+        " contact user",
+        pa.array(ids.astype(str)),
+        "@example.com from 10.",
+        pa.array((ids % 256).astype(str)),
+        ".0.",
+        pa.array((ids % 100).astype(str)),
+        pa.array(call),
+        pa.array(ssn),
+        "",
+    )
+    return pa.Table.from_pydict({"doc_id": batch.column("doc_id"), "text": aug})
+
+
+def _q_pii_redact(sf_dir: str):
+    """PII redaction with per-type counts (ops/textclean.py): ordered
+    RE2 redaction passes (email -> ipv4 -> ssn -> phone) as Arrow
+    kernel calls — zero shuffle, linear in input bytes."""
+    from ctinexus_ray.ops.textclean import pii_redact_batch
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_aug_pii, batch_format="pyarrow")
+        .map_batches(pii_redact_batch, batch_format="pyarrow")
+    )
+
+
+_SCRIPT_SNIPPETS = (
+    " привет мир",  # Cyrillic
+    " 中文文本",  # Han
+    " αβγδ שלום",  # Greek+Hebrew
+    " مرحبا 한글",  # Arabic+Hangul
+)
+
+
+def _aug_script(batch: pa.Table) -> pa.Table:
+    import numpy as np
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    suffix = np.select(
+        [ids % 4 == 0, ids % 4 == 1, ids % 4 == 2],
+        [_SCRIPT_SNIPPETS[0], _SCRIPT_SNIPPETS[1], _SCRIPT_SNIPPETS[2]],
+        default=_SCRIPT_SNIPPETS[3],
+    )
+    aug = pc.binary_join_element_wise(
+        batch.column("text"), pa.array(suffix), ""
+    )
+    return pa.Table.from_pydict({"doc_id": batch.column("doc_id"), "text": aug})
+
+
+def _q_script_mix(sf_dir: str):
+    """Per-document Unicode script histogram (ops/textclean.py): one
+    RE2 script-class kernel pass per listed script, codepoint counts —
+    the mixed-script / wrong-script-for-declared-lang screen."""
+    from ctinexus_ray.ops.textclean import script_mix_batch
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_aug_script, batch_format="pyarrow")
+        .map_batches(script_mix_batch, batch_format="pyarrow")
+    )
+
+
+# decomposed 'e' + combining acute (U+0301): collapses under NFC
+_NFC_SNIPPET = " cafe\u0301"
+# U+00C3 U+00A9 (utf8-as-latin1 e-acute) + U+00E2 U+20AC U+0153
+# (cp1252 left quote): two MOJIBAKE_PATTERN artifacts
+_MOJI_SNIPPET = " \u00c3\u00a9\u00e2\u20ac\u0153"
+
+
+def _aug_nfc(batch: pa.Table) -> pa.Table:
+    import numpy as np
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    nfc = np.where(ids % 3 == 0, _NFC_SNIPPET, "")
+    moji = np.where(ids % 7 == 0, _MOJI_SNIPPET, "")
+    aug = pc.binary_join_element_wise(
+        batch.column("text"), pa.array(nfc), pa.array(moji), ""
+    )
+    return pa.Table.from_pydict({"doc_id": batch.column("doc_id"), "text": aug})
+
+
+def _q_nfc_stats(sf_dir: str):
+    """NFC normalization + mojibake screen (ops/textclean.py):
+    per-string unicodedata.normalize (no Arrow kernel exists — the
+    string op IS the kernel) + one RE2 artifact-count pass."""
+    from ctinexus_ray.ops.textclean import nfc_stats_batch
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_aug_nfc, batch_format="pyarrow")
+        .map_batches(nfc_stats_batch, batch_format="pyarrow")
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -8554,7 +8667,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frames": _q_multimodal_frames,
         "multimodal_video_frames": _q_multimodal_video_frames,
         "multimodal_video_decode": _q_multimodal_video_decode,
+        "pii_redact": _q_pii_redact,
+        "script_mix": _q_script_mix,
+        "nfc_stats": _q_nfc_stats,
     }
+
+
+def _textclean_oracles() -> dict[str, str]:
+    """SQL twins for the text-hygiene queries. The regex patterns are
+    interpolated FROM the engine's constants (single source of truth —
+    both sides hand the identical pattern text to RE2), and the
+    doc_id-derived augmentation mirrors _aug_pii/_aug_script/_aug_nfc
+    expression-for-expression."""
+    from ctinexus_ray.ops.textclean import (
+        MOJIBAKE_PATTERN,
+        PII_PATTERNS,
+        SCRIPT_CLASSES,
+    )
+
+    pii = (
+        "WITH c0 AS (SELECT doc_id, text || ' contact user' || doc_id "
+        "|| '@example.com from 10.' || (doc_id % 256) || '.0.' "
+        "|| (doc_id % 100) "
+        "|| CASE WHEN doc_id % 3 = 0 THEN ' call 555-867-5309' ELSE '' END "
+        "|| CASE WHEN doc_id % 5 = 0 THEN ' ssn 219-09-9999' ELSE '' END "
+        "AS t FROM documents)"
+    )
+    carry: list[str] = []
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        prev = ", ".join(carry) + (", " if carry else "")
+        pii += (
+            f", c{i + 1} AS (SELECT doc_id, {prev}"
+            f"len(regexp_extract_all(t, '{pat}')) AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '{repl}', 'g') AS t FROM c{i})"
+        )
+        carry.append(f"n_{name}")
+    pii += (
+        f" SELECT doc_id, t AS text, {', '.join(carry)} "
+        f"FROM c{len(PII_PATTERNS)}"
+    )
+
+    script_counts = ", ".join(
+        f"len(regexp_extract_all(t, '\\p{{{s}}}')) AS n_{s.lower()}"
+        for s in SCRIPT_CLASSES
+    )
+    script = (
+        "WITH a AS (SELECT doc_id, text || CASE CAST(doc_id % 4 AS INT) "
+        f"WHEN 0 THEN '{_SCRIPT_SNIPPETS[0]}' "
+        f"WHEN 1 THEN '{_SCRIPT_SNIPPETS[1]}' "
+        f"WHEN 2 THEN '{_SCRIPT_SNIPPETS[2]}' "
+        f"ELSE '{_SCRIPT_SNIPPETS[3]}' END AS t FROM documents) "
+        f"SELECT doc_id, length(t) AS n_chars, {script_counts} FROM a"
+    )
+
+    nfc = (
+        "WITH a AS (SELECT doc_id, text "
+        f"|| CASE WHEN doc_id % 3 = 0 THEN '{_NFC_SNIPPET}' ELSE '' END "
+        f"|| CASE WHEN doc_id % 7 = 0 THEN '{_MOJI_SNIPPET}' ELSE '' END "
+        "AS t FROM documents) "
+        "SELECT doc_id, nfc_normalize(t) AS text, "
+        "t != nfc_normalize(t) AS changed, "
+        "length(t) AS n_chars_before, "
+        "length(nfc_normalize(t)) AS n_chars_after, "
+        f"len(regexp_extract_all(t, '{MOJIBAKE_PATTERN}')) AS n_mojibake "
+        "FROM a"
+    )
+    return {"pii_redact": pii, "script_mix": script, "nfc_stats": nfc}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -10417,4 +10595,5 @@ def oracle_sql() -> dict[str, str]:
         # minhash_pairs / simhash / langid / kg_* / multimodal_features:
         # deterministic but not ANSI-SQL-expressible (stable hashing, mock
         # LLM, heuristic scoring) -> rows-only checks.
+        **_textclean_oracles(),
     }
