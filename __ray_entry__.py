@@ -8324,6 +8324,40 @@ def _q_tpch_q22(sf_dir: str):
     )
 
 
+# --- unigram-LM tokenizer (Kudo 2018 / SentencePiece shape) ------------------
+
+
+def _q_unigram_pieces(sf_dir: str):
+    """Train the unigram subword vocabulary on the corpus
+    (ops/unigram.py): seed substrings -> integer-quantized EM over the
+    distinct-word table -> driver-side likelihood-loss pruning.
+    Iterative EM is not SQL-expressible -> rows-only; bit-exact parity
+    vs a sequential reference is pinned in tests/test_unigram.py."""
+    from ctinexus_ray.ops.unigram import unigram_train
+
+    return unigram_train(
+        _docs(sf_dir, ["doc_id", "text"]),
+        vocab_size=48,
+        seed_size=512,
+        max_piece_len=6,
+    )
+
+
+def _q_token_counts_unigram(sf_dir: str):
+    """Per-document Viterbi subword counts under the trained unigram
+    vocabulary (exact anchor: token_counts / token_counts_bpe)."""
+    from ctinexus_ray.ops.unigram import unigram_encode, unigram_train
+
+    pieces = unigram_train(
+        _docs(sf_dir, ["doc_id", "text"]),
+        vocab_size=48,
+        seed_size=512,
+        max_piece_len=6,
+    ).take_all()  # vocabulary-sized by construction
+    counts = {r["piece"]: int(r["micro"]) for r in pieces}
+    return unigram_encode(_docs(sf_dir, ["doc_id", "text"]), counts)
+
+
 # --- text hygiene: PII redaction / script mix / NFC --------------------------
 #
 # The synthetic corpus is pure-ASCII word salad, so each query first
@@ -8670,6 +8704,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "script_mix": _q_script_mix,
         "nfc_stats": _q_nfc_stats,
+        "unigram_pieces": _q_unigram_pieces,
+        "token_counts_unigram": _q_token_counts_unigram,
     }
 
 
