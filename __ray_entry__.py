@@ -457,6 +457,20 @@ def _q_ann_lsh(sf_dir: str):
     return topk.select_columns(["query_id", "rank", "neighbor_id"])
 
 
+def _q_ann_nsw(sf_dir: str):
+    """Graph-based approximate top-k: per-block navigable-small-world
+    graphs + beam search, exact cross-block merge (approximate ->
+    rows-only; exhaustive-ef == brute force and recall >= 0.8 pinned in
+    tests; exact anchor = similarity_topk ✓SQL)."""
+    from ctinexus_ray.ops.simsearch import nsw_topk
+    from ctinexus_ray.sources.documents import read_testdata_embeddings
+
+    topk = nsw_topk(
+        read_testdata_embeddings(sf_dir), n_queries=10, k=5, m=8, ef=48
+    )
+    return topk.select_columns(["query_id", "rank", "neighbor_id"])
+
+
 def _q_embedding_neardup_lsh(sf_dir: str):
     """Bucketed (hyperplane-LSH) near-dup — sublinear scale path;
     approximate, so rows-only (subset property is pinned by tests)."""
@@ -8516,6 +8530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_topk": _q_mmr_topk,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
+        "ann_nsw": _q_ann_nsw,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,

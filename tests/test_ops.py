@@ -2185,3 +2185,74 @@ class TestTfidfCosinePairs:
             + 0.5
         )
         assert got == {(0, 1): want}
+
+
+class TestNswTopk:
+    """Graph-based ANN (per-block navigable-small-world)."""
+
+    def test_exhaustive_ef_equals_brute_force(self, embeddings):
+        """With ef >= block rows and one block, beam search visits the
+        whole graph -> exactly the brute-force result."""
+        from ctinexus_ray.ops.simsearch import nsw_topk, self_topk
+
+        one_block = embeddings.repartition(1)
+        n = one_block.count()
+        exact = {
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in self_topk(one_block, n_queries=5, k=3).take_all()
+        }
+        full = {
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in nsw_topk(one_block, n_queries=5, k=3, m=8, ef=n).take_all()
+        }
+        assert full == exact
+
+    def test_recall_at_realistic_ef(self, embeddings):
+        from ctinexus_ray.ops.simsearch import nsw_topk, self_topk
+
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in self_topk(embeddings, n_queries=5, k=3).take_all()
+        }
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in nsw_topk(embeddings, n_queries=5, k=3, m=8, ef=48).take_all()
+        }
+        assert len(exact & approx) / len(exact) >= 0.8
+
+    def test_reshard_determinism_per_blocking(self, embeddings):
+        """Same blocking -> identical output across runs (build and
+        search are RNG-free); per the documented partitioning
+        assumption, recall may vary ACROSS blockings but each is
+        deterministic."""
+        from ctinexus_ray.ops.simsearch import nsw_topk
+
+        ds = embeddings.repartition(4).materialize()
+        a = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in nsw_topk(ds, n_queries=5, k=3).take_all()
+        )
+        b = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in nsw_topk(ds, n_queries=5, k=3).take_all()
+        )
+        assert a == b
+
+    def test_degree_cap(self):
+        """Build invariant: no node exceeds the 2m degree cap."""
+        import numpy as np
+
+        from ctinexus_ray.ops.simsearch import _normalize, _nsw_build
+
+        rng = np.random.default_rng(7)
+        mat = _normalize(rng.normal(size=(200, 16)))
+        adj = _nsw_build(mat, m=4, ef=16)
+        assert all(len(nbrs) <= 8 for nbrs in adj)
+        # connectivity: every node reachable from the entry point
+        seen, stack = {0}, [0]
+        while stack:
+            for nb in adj[stack.pop()]:
+                if nb not in seen:
+                    seen.add(nb)
+                    stack.append(nb)
+        assert len(seen) == 200
