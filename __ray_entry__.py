@@ -8338,6 +8338,29 @@ def _q_tpch_q22(sf_dir: str):
     )
 
 
+# --- sampled k-bounded betweenness centrality --------------------------------
+
+_BETWEENNESS_SOURCES = 5
+_BETWEENNESS_HOPS = 3
+
+
+def _q_name_betweenness(sf_dir: str):
+    """Sampled k-bounded betweenness over the name-match graph
+    (ops/graph.py betweenness_sampled): Brandes dependency accumulation
+    from the 5 lowest-custkey sources, truncated at 3 levels; all
+    sources advance together (one edge join + one (src,node) sum + one
+    anti-join per level), dependencies are exact integer floor-division
+    rationals so the unrolled-CTE twin matches bit-for-bit. ✓SQL."""
+    from ctinexus_ray.ops.graph import betweenness_sampled
+
+    return betweenness_sampled(
+        _name_edges(sf_dir),
+        sources=list(range(_BETWEENNESS_SOURCES)),
+        max_hops=_BETWEENNESS_HOPS,
+        num_partitions=16,
+    )
+
+
 # --- unigram-LM tokenizer (Kudo 2018 / SentencePiece shape) ------------------
 
 
@@ -8721,6 +8744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_stats": _q_nfc_stats,
         "unigram_pieces": _q_unigram_pieces,
         "token_counts_unigram": _q_token_counts_unigram,
+        "name_betweenness": _q_name_betweenness,
     }
 
 
@@ -9707,6 +9731,61 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY src, node) "
             "SELECT node, CAST(SUM(FLOOR(1000000.0 / dist)) AS BIGINT) "
             "AS harmonic_u FROM md WHERE dist > 0 GROUP BY node"
+        ),
+        "name_betweenness": (
+            "WITH pairs AS MATERIALIZED ("
+            "SELECT a.c_custkey AS s, b.c_custkey AS d "
+            "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1), "
+            "edges AS MATERIALIZED ("
+            "SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs), "
+            "l0 AS (SELECT c_custkey AS src, c_custkey AS node, "
+            "CAST(1 AS BIGINT) AS sigma FROM customer WHERE c_custkey < 5), "
+            "l1 AS (SELECT p.src, e.d AS node, "
+            "CAST(SUM(p.sigma) AS BIGINT) AS sigma "
+            "FROM l0 p JOIN edges e ON e.s = p.node "
+            "WHERE NOT EXISTS (SELECT 1 FROM l0 v "
+            "WHERE v.src = p.src AND v.node = e.d) "
+            "GROUP BY p.src, e.d), "
+            "l2 AS (SELECT p.src, e.d AS node, "
+            "CAST(SUM(p.sigma) AS BIGINT) AS sigma "
+            "FROM l1 p JOIN edges e ON e.s = p.node "
+            "WHERE NOT EXISTS (SELECT 1 FROM l0 v "
+            "WHERE v.src = p.src AND v.node = e.d) "
+            "AND NOT EXISTS (SELECT 1 FROM l1 v "
+            "WHERE v.src = p.src AND v.node = e.d) "
+            "GROUP BY p.src, e.d), "
+            "l3 AS (SELECT p.src, e.d AS node, "
+            "CAST(SUM(p.sigma) AS BIGINT) AS sigma "
+            "FROM l2 p JOIN edges e ON e.s = p.node "
+            "WHERE NOT EXISTS (SELECT 1 FROM l0 v "
+            "WHERE v.src = p.src AND v.node = e.d) "
+            "AND NOT EXISTS (SELECT 1 FROM l1 v "
+            "WHERE v.src = p.src AND v.node = e.d) "
+            "AND NOT EXISTS (SELECT 1 FROM l2 v "
+            "WHERE v.src = p.src AND v.node = e.d) "
+            "GROUP BY p.src, e.d), "
+            "d2 AS (SELECT v.src, v.node, CAST(SUM("
+            "(v.sigma * (1000000000 + 0)) // w.sigma) AS BIGINT) AS delta "
+            "FROM l2 v JOIN edges e ON e.s = v.node "
+            "JOIN l3 w ON w.src = v.src AND w.node = e.d "
+            "GROUP BY v.src, v.node), "
+            "d1 AS (SELECT v.src, v.node, CAST(SUM("
+            "(v.sigma * (1000000000 + COALESCE(dd.delta, 0))) // w.sigma"
+            ") AS BIGINT) AS delta "
+            "FROM l1 v JOIN edges e ON e.s = v.node "
+            "JOIN l2 w ON w.src = v.src AND w.node = e.d "
+            "LEFT JOIN d2 dd ON dd.src = w.src AND dd.node = w.node "
+            "GROUP BY v.src, v.node), "
+            "alln AS (SELECT src, node FROM l1 "
+            "UNION ALL SELECT src, node FROM l2 "
+            "UNION ALL SELECT src, node FROM l3), "
+            "dd AS (SELECT src, node, delta FROM d1 "
+            "UNION ALL SELECT src, node, delta FROM d2) "
+            "SELECT a.node, CAST(SUM(COALESCE(dd.delta, 0)) AS BIGINT) "
+            "AS betweenness_u FROM alln a "
+            "LEFT JOIN dd ON dd.src = a.src AND dd.node = a.node "
+            "GROUP BY a.node"
         ),
         "name_link_prediction": (
             _NAME_GRAPH_CTE + ", "

@@ -1786,3 +1786,323 @@ def lpa_communities(
             .materialize()
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# sampled k-bounded betweenness centrality (Brandes 2001, truncated)
+# ---------------------------------------------------------------------------
+
+
+def betweenness_sampled(
+    edges: ray.data.Dataset,
+    sources: list[int],
+    max_hops: int = 3,
+    num_partitions: int = 16,
+    scale: int = 1_000_000_000,
+    frontier_broadcast_rows: int = 4_000_000,
+) -> ray.data.Dataset:
+    """Sampled k-bounded betweenness centrality over an undirected
+    canonical (a, b) edge list: Brandes (2001) dependency accumulation
+    from a SAMPLE of source nodes (the standard estimator — Brandes &
+    Pich 2007), truncated at ``max_hops`` shortest-path levels
+    (k-betweenness, Pfeffer & Carley 2012) so every pass is a bounded
+    number of stages AND the SQL twin stays expressible as an unrolled
+    CTE chain.
+
+    ALL sources advance together: level tables carry (src, node, sigma)
+    rows. Levels are frontier-sized (<= reached nodes x sources); while
+    a level fits ``frontier_broadcast_rows`` it ships ONCE via
+    ``ray.put`` and both the edge expansion and the visited-set
+    subtraction run as zero-shuffle vectorized maps over the
+    materialized edge set (the ``bfs_hops`` broadcast pattern), leaving
+    exactly ONE hash-partitioned sum per level — the path-count /
+    dependency reduce. A giant frontier falls back to distributed
+    hash joins, so nothing is driver-bound by construction.
+
+    Dependencies are exact integers:
+    ``delta(v) = sum_w (sigma_v * (scale + delta_w)) // sigma_w`` over
+    successor edges (w one level deeper, same src) — the identical
+    floor-division expression in the oracle, so the distributed sum is
+    order-independent and bit-exact; Python-int contributions overflow
+    LOUDLY at Arrow conversion instead of wrapping. Output:
+    (node, betweenness_u) = sum over sources of delta(node) in
+    ``scale`` units, one row per node reached at dist >= 1 from any
+    sampled source.
+    """
+    from .distjoin import hash_join
+    from .groupagg import partitioned_agg
+
+    i64 = pa.int64()
+    sym = _symmetrize_edges(edges, "node", "dst").materialize()
+
+    def _pairkey(src: np.ndarray, node: np.ndarray) -> np.ndarray:
+        # (src, node) as one int64 probe key: src in the top 20 bits
+        # (sources are a SMALL sample by definition), node in the low 44.
+        # XOR with zeroed top bits == concatenation, so src recovers via
+        # >> 44. Out-of-range ids refuse loudly (the random_walks rule).
+        s = np.asarray(src, dtype=np.int64)
+        n = np.asarray(node, dtype=np.int64)
+        if n.size and (
+            int(n.max(initial=0)) >= 1 << 44 or int(n.min(initial=0)) < 0
+        ):
+            raise ValueError("betweenness_sampled: node ids must be in [0, 2^44)")
+        if s.size and (
+            int(s.max(initial=0)) >= 1 << 19 or int(s.min(initial=0)) < 0
+        ):
+            raise ValueError("betweenness_sampled: source ids must be in [0, 2^19)")
+        return (s << 44) ^ n
+
+    def _rows(level: ray.data.Dataset) -> list[dict]:
+        return level.take_all()
+
+    # src carries the SAMPLE INDEX (0..len(sources)-1), not the node id,
+    # so the 20-bit probe-key prefix never constrains graph node ids
+    seed = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "src": pa.array(range(len(sources)), type=i64),
+                "node": pa.array(list(sources), type=i64),
+                "sigma": pa.array([1] * len(sources), type=i64),
+            }
+        )
+    )
+    levels: list[ray.data.Dataset] = [seed.materialize()]
+    level_counts = [len(sources)]
+    visited = levels[0].select_columns(["src", "node"]).materialize()
+    visited_count = level_counts[0]
+
+    for _d in range(1, max_hops + 1):
+        frontier = levels[-1]
+        small = (
+            level_counts[-1] + visited_count <= frontier_broadcast_rows
+        )
+        if small:
+            fr = _rows(frontier)
+            vis = _rows(visited)
+            fr_ref = ray.put(
+                (
+                    np.array([r["src"] for r in fr], dtype=np.int64),
+                    np.array([r["node"] for r in fr], dtype=np.int64),
+                    np.array([r["sigma"] for r in fr], dtype=np.int64),
+                    _pairkey(
+                        np.array([r["src"] for r in vis], dtype=np.int64),
+                        np.array([r["node"] for r in vis], dtype=np.int64),
+                    ),
+                )
+            )
+
+            def expand(batch: pa.Table, ref=fr_ref):
+                f_src, f_node, f_sigma, vis_keys = ray.get(ref)
+                if batch.num_rows == 0:
+                    return
+                e_s = batch.column("node").to_numpy(zero_copy_only=False)
+                e_d = batch.column("dst").to_numpy(zero_copy_only=False)
+                # order frontier rows by node for searchsorted fan-out
+                order = np.argsort(f_node, kind="stable")
+                fn, fs, fg = f_node[order], f_src[order], f_sigma[order]
+                lo = np.searchsorted(fn, e_s, "left")
+                hi = np.searchsorted(fn, e_s, "right")
+                reps = hi - lo
+                keep = reps > 0
+                if not keep.any():
+                    return
+                e_d = e_d[keep]
+                lo, reps = lo[keep], reps[keep]
+                cum = np.cumsum(reps)
+                offs = np.arange(int(cum[-1]), dtype=np.int64) - np.repeat(
+                    cum - reps, reps
+                )
+                fidx = np.repeat(lo, reps) + offs
+                src = fs[fidx]
+                sigma = fg[fidx]
+                dst = np.repeat(e_d, reps)
+                fresh_mask = ~np.isin(_pairkey(src, dst), vis_keys)
+                if not fresh_mask.any():
+                    return
+                yield pa.Table.from_pydict(
+                    {
+                        "src": pa.array(src[fresh_mask], type=i64),
+                        "node": pa.array(dst[fresh_mask], type=i64),
+                        "sigma": pa.array(sigma[fresh_mask], type=i64),
+                    }
+                )
+
+            fresh = partitioned_agg(
+                sym.map_batches(expand, batch_format="pyarrow"),
+                keys=["src", "node"],
+                named_aggs={"sigma": ("sigma", "sum")},
+                num_partitions=num_partitions,
+            ).materialize()
+        else:  # distributed fallback: join + agg + anti-join
+            hop = hash_join(
+                sym,
+                frontier,
+                on=["node"],
+                num_partitions=num_partitions,
+                left_types={"node": i64, "dst": i64},
+                right_types={"node": i64, "src": i64, "sigma": i64},
+            )
+
+            def to_dst(batch: pa.Table):
+                if batch.num_rows == 0:
+                    return
+                yield pa.Table.from_pydict(
+                    {
+                        "src": batch.column("src"),
+                        "node": batch.column("dst"),
+                        "sigma": batch.column("sigma"),
+                    }
+                )
+
+            summed = partitioned_agg(
+                hop.map_batches(to_dst, batch_format="pyarrow"),
+                keys=["src", "node"],
+                named_aggs={"sigma": ("sigma", "sum")},
+                num_partitions=num_partitions,
+            )
+            fresh = hash_join(
+                summed,
+                visited,
+                on=["src", "node"],
+                how="left_anti",
+                num_partitions=num_partitions,
+                left_types={"src": i64, "node": i64, "sigma": i64},
+                right_types={"src": i64, "node": i64},
+            ).materialize()
+        levels.append(fresh)
+        level_counts.append(fresh.count())
+        visited = visited.union(
+            fresh.select_columns(["src", "node"])
+        ).materialize()
+        visited_count += level_counts[-1]
+
+    # backward: deltas per level, deepest first. Broadcast shape: the
+    # (v-level, w-level [+delta]) dicts ship once; ONE map over the edge
+    # set emits integer contributions; ONE reduce per level.
+    deltas: dict[int, dict[int, int]] = {}
+    delta_ds: dict[int, ray.data.Dataset] = {}
+    for d in range(max_hops - 1, 0, -1):
+        v_rows = _rows(levels[d])
+        w_rows = _rows(levels[d + 1])
+        if (
+            len(v_rows) + len(w_rows) > frontier_broadcast_rows
+        ):  # pragma: no cover - exercised only at cluster scale
+            raise ValueError(
+                "betweenness_sampled: backward level exceeds "
+                f"frontier_broadcast_rows={frontier_broadcast_rows}; "
+                "raise the cap or reduce max_hops/sources"
+            )
+        dmap = deltas.get(d + 1, {})
+        v_keys = _pairkey(
+            np.array([r["src"] for r in v_rows], dtype=np.int64),
+            np.array([r["node"] for r in v_rows], dtype=np.int64),
+        )
+        v_sigma = np.array([r["sigma"] for r in v_rows], dtype=np.int64)
+        v_order = np.argsort(v_keys, kind="stable")
+        v_keys, v_sigma = v_keys[v_order], v_sigma[v_order]
+        w_keys = _pairkey(
+            np.array([r["src"] for r in w_rows], dtype=np.int64),
+            np.array([r["node"] for r in w_rows], dtype=np.int64),
+        )
+        w_sigma = np.array([r["sigma"] for r in w_rows], dtype=np.int64)
+        w_delta = np.array(
+            [dmap.get(int(k), 0) for k in w_keys], dtype=np.int64
+        )
+        w_order = np.argsort(w_keys, kind="stable")
+        w_keys, w_sigma, w_delta = (
+            w_keys[w_order], w_sigma[w_order], w_delta[w_order]
+        )
+        bref = ray.put((v_keys, v_sigma, w_keys, w_sigma, w_delta))
+
+        def back(batch: pa.Table, ref=bref):
+            vk, vs, wk, ws, wd = ray.get(ref)
+            if batch.num_rows == 0 or len(vk) == 0 or len(wk) == 0:
+                return
+            e_s = batch.column("node").to_numpy(zero_copy_only=False)
+            e_d = batch.column("dst").to_numpy(zero_copy_only=False)
+            out_src, out_node, out_delta = [], [], []
+            # every (src) pairing of edge (v, w): v in level d, w in d+1
+            # with the SAME src. Enumerate per-source via the probe keys.
+            n_src_arr = np.unique(vk >> 44)
+            for s in n_src_arr:
+                kv = (np.int64(s) << 44) ^ e_s
+                kw = (np.int64(s) << 44) ^ e_d
+                iv = np.searchsorted(vk, kv)
+                iw = np.searchsorted(wk, kw)
+                okv = (iv < len(vk)) & (vk[np.minimum(iv, len(vk) - 1)] == kv)
+                okw = (iw < len(wk)) & (wk[np.minimum(iw, len(wk) - 1)] == kw)
+                ok = okv & okw
+                if not ok.any():
+                    continue
+                sv = vs[iv[ok]]
+                sw = ws[iw[ok]]
+                dw = wd[iw[ok]]
+                # Python ints: exact; pa.array raises on int64 overflow
+                vals = [
+                    (int(a) * (scale + int(c))) // int(b)
+                    for a, b, c in zip(sv, sw, dw)
+                ]
+                out_src.extend([int(s)] * len(vals))
+                out_node.extend(int(x) for x in e_s[ok])
+                out_delta.extend(vals)
+            if not out_node:
+                return
+            yield pa.Table.from_pydict(
+                {
+                    "src": pa.array(out_src, type=i64),
+                    "node": pa.array(out_node, type=i64),
+                    "delta": pa.array(out_delta, type=i64),
+                }
+            )
+
+        dd = partitioned_agg(
+            sym.map_batches(back, batch_format="pyarrow"),
+            keys=["src", "node"],
+            named_aggs={"delta": ("delta", "sum")},
+            num_partitions=num_partitions,
+        ).materialize()
+        delta_ds[d] = dd
+        deltas[d] = {
+            int(_pairkey(np.int64(r["src"]), np.int64(r["node"]))): int(
+                r["delta"]
+            )
+            for r in _rows(dd)
+        }
+
+    # accumulate: every (src, node) reached at dist >= 1 contributes its
+    # delta (or 0); one reduce sums over sources
+    parts = []
+    for d in range(1, max_hops + 1):
+        dmap_ref = ray.put(deltas.get(d, {}))
+
+        def with_delta(batch: pa.Table, ref=dmap_ref):
+            dmap = ray.get(ref)
+            if batch.num_rows == 0:
+                return
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            node = batch.column("node").to_numpy(zero_copy_only=False)
+            keys = _pairkey(src, node)
+            yield pa.Table.from_pydict(
+                {
+                    "node": pa.array(node, type=i64),
+                    "delta": pa.array(
+                        [dmap.get(int(k), 0) for k in keys], type=i64
+                    ),
+                }
+            )
+
+        parts.append(
+            levels[d]
+            .select_columns(["src", "node"])
+            .map_batches(with_delta, batch_format="pyarrow")
+        )
+
+    uni = parts[0]
+    for ds in parts[1:]:
+        uni = uni.union(ds)
+    return partitioned_agg(
+        uni,
+        keys=["node"],
+        named_aggs={"betweenness_u": ("delta", "sum")},
+        num_partitions=num_partitions,
+    )

@@ -804,3 +804,157 @@ class TestPersonalizedPagerank:
 
         with pytest.raises(ValueError, match="duplicate"):
             pagerank_joins(_edges([0], [1]), seeds=[3, 3])
+
+
+class TestBetweennessSampled:
+    """k-bounded sampled Brandes vs an independent sequential reference
+    with the identical integer floor-division dependency rule."""
+
+    @staticmethod
+    def _naive(pairs, sources, max_hops, scale=1_000_000_000):
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in pairs:
+            adj[a].add(b)
+            adj[b].add(a)
+        out = defaultdict(int)
+        for s in sources:
+            dist = {s: 0}
+            sigma = {s: 1}
+            levels = [[s]]
+            for d in range(1, max_hops + 1):
+                nxt = {}
+                for u in levels[d - 1]:
+                    for w in adj[u]:
+                        if w in dist:
+                            continue
+                        nxt[w] = nxt.get(w, 0) + sigma[u]
+                for w, sg in nxt.items():
+                    dist[w] = d
+                    sigma[w] = sg
+                levels.append(sorted(nxt))
+            delta = {}
+            for d in range(max_hops - 1, 0, -1):
+                for v in levels[d]:
+                    acc = 0
+                    for w in adj[v]:
+                        if dist.get(w) == d + 1:
+                            acc += (sigma[v] * (scale + delta.get(w, 0))) // sigma[w]
+                    if acc:
+                        delta[v] = acc
+            for v, dd in dist.items():
+                if dd >= 1:
+                    out[v] += delta.get(v, 0)
+        return dict(out)
+
+    def _run(self, pairs, sources, max_hops):
+        import pyarrow as pa
+
+        import ray
+
+        from ctinexus_ray.ops.graph import betweenness_sampled
+
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([a for a, _ in pairs], type=pa.int64()),
+                    "b": pa.array([b for _, b in pairs], type=pa.int64()),
+                }
+            )
+        )
+        got = betweenness_sampled(
+            edges, sources, max_hops=max_hops, num_partitions=16
+        ).take_all()
+        return {r["node"]: r["betweenness_u"] for r in got}
+
+    def test_path_graph(self, ray_session):
+        # 0-1-2-3-4: from source 0, node 1 and 2 lie on all deeper paths
+        pairs = [(0, 1), (1, 2), (2, 3), (3, 4)]
+        got = self._run(pairs, [0], 3)
+        assert got == self._naive(pairs, [0], 3)
+        # node 1 carries dependency from levels 2 and 3
+        assert got[1] > got[2] > 0
+
+    def test_diamond_sigma_split(self, ray_session):
+        # 0->{1,2}->3: two shortest paths, each mid node gets half
+        pairs = [(0, 1), (0, 2), (1, 3), (2, 3)]
+        got = self._run(pairs, [0], 3)
+        naive = self._naive(pairs, [0], 3)
+        assert got == naive
+        assert got[1] == got[2] == 500_000_000  # sigma_v/sigma_w = 1/2
+
+    def test_random_graph_multi_source(self, ray_session):
+        import random
+
+        rng = random.Random(11)
+        nodes = list(range(30))
+        pairs = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.choice(nodes), rng.choice(nodes)) for _ in range(60)
+                )
+                if a != b
+            }
+        )
+        sources = [0, 1, 2]
+        got = self._run(pairs, sources, 3)
+        assert got == self._naive(pairs, sources, 3)
+
+    def test_distributed_fallback_matches_broadcast(self, ray_session):
+        """frontier_broadcast_rows=0 forces the forward join path; the
+        result must be identical to the broadcast fast path."""
+        import pyarrow as pa
+
+        import ray
+
+        from ctinexus_ray.ops.graph import betweenness_sampled
+
+        pairs = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (1, 4)]
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([a for a, _ in pairs], type=pa.int64()),
+                    "b": pa.array([b for _, b in pairs], type=pa.int64()),
+                }
+            )
+        )
+        fast = {
+            (r["node"], r["betweenness_u"])
+            for r in betweenness_sampled(edges, [0, 4], max_hops=3).take_all()
+        }
+        # NOTE: backward pass still requires the broadcast (it refuses
+        # loudly above the cap), so only the forward fallback is forced
+        slow = {
+            (r["node"], r["betweenness_u"])
+            for r in betweenness_sampled(
+                edges, [0, 4], max_hops=3, frontier_broadcast_rows=9
+            ).take_all()
+        }
+        assert fast == slow
+
+    def test_large_node_ids(self, ray_session):
+        """Node ids above 2^19 work (src is the sample index); ids
+        above 2^44 refuse loudly."""
+        import pyarrow as pa
+
+        import ray
+
+        from ctinexus_ray.ops.graph import betweenness_sampled
+
+        base = 1 << 30
+        pairs = [(base, base + 1), (base + 1, base + 2)]
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([a for a, _ in pairs], type=pa.int64()),
+                    "b": pa.array([b for _, b in pairs], type=pa.int64()),
+                }
+            )
+        )
+        got = {
+            r["node"]: r["betweenness_u"]
+            for r in betweenness_sampled(edges, [base], max_hops=3).take_all()
+        }
+        assert got[base + 1] == 1_000_000_000  # sole middle node
