@@ -191,3 +191,100 @@ class TestDatasetWrappers:
         assert script_mix(ds).count() == 5
         out = nfc_stats(ds).to_pandas()
         assert len(out) == 5 and out["changed"].sum() == 1
+
+
+class TestPropertyParity:
+    """Hypothesis: engine == DuckDB on arbitrary unicode text for all
+    three hygiene ops (the RE2-pattern-text contract can't drift if it
+    holds on adversarial inputs, not just the curated cases)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    pii_frag = st.sampled_from(
+        ["a@b.co", "1.2.3.4", "123-45-6789", "555-123-4567", "x", " ",
+         "Ã©", "café", "café", "中", "Б", "999.999.999.999", "@", "."]
+    )
+    texts = st.lists(
+        st.one_of(st.text(max_size=30), pii_frag), max_size=8
+    ).map(" ".join)
+
+    @given(st.lists(texts, min_size=1, max_size=10))
+    @settings(max_examples=40, deadline=None)
+    def test_pii_parity(self, rows):
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.textclean import PII_PATTERNS, pii_redact_batch
+
+        t = pa.table({"doc_id": list(range(len(rows))), "text": rows})
+        con = duckdb.connect()
+        con.register("s", t)
+        q = "WITH c0 AS (SELECT doc_id, text AS t FROM s)"
+        carry = []
+        for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+            prev = ", ".join(carry) + (", " if carry else "")
+            q += (
+                f", c{i + 1} AS (SELECT doc_id, {prev}"
+                f"len(regexp_extract_all(t, '{pat}')) AS n_{name}, "
+                f"regexp_replace(t, '{pat}', '{repl}', 'g') AS t FROM c{i})"
+            )
+            carry.append(f"n_{name}")
+        q += f" SELECT doc_id, t AS text, {', '.join(carry)} FROM c4"
+        sql = con.execute(q).df()
+        eng = pii_redact_batch(t).to_pandas()
+        pd.testing.assert_frame_equal(
+            eng, sql[eng.columns], check_dtype=False
+        )
+
+    @given(
+        st.lists(
+            # DuckDB VARCHAR cannot hold NUL — an oracle-side storage
+            # limit, not an engine semantic (crawl text never carries it)
+            st.text(max_size=60).map(lambda s: s.replace("\x00", "")),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_nfc_and_script_parity(self, rows):
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.textclean import (
+            MOJIBAKE_PATTERN,
+            SCRIPT_CLASSES,
+            nfc_stats_batch,
+            script_mix_batch,
+        )
+
+        # DuckDB requires valid UTF-8 without lone surrogates
+        rows = [r.encode("utf-8", "replace").decode("utf-8") for r in rows]
+        t = pa.table({"doc_id": list(range(len(rows))), "text": rows})
+        con = duckdb.connect()
+        con.register("s", t)
+        cols = ", ".join(
+            f"len(regexp_extract_all(text, '\\p{{{s}}}')) AS n_{s.lower()}"
+            for s in SCRIPT_CLASSES
+        )
+        sql = con.execute(
+            f"SELECT doc_id, length(text) AS n_chars, {cols} FROM s"
+        ).df()
+        eng = script_mix_batch(t).to_pandas()
+        pd.testing.assert_frame_equal(
+            eng, sql[eng.columns], check_dtype=False
+        )
+        sql2 = con.execute(
+            "SELECT doc_id, nfc_normalize(text) AS text, "
+            "text != nfc_normalize(text) AS changed, "
+            "length(text) AS n_chars_before, "
+            "length(nfc_normalize(text)) AS n_chars_after, "
+            f"len(regexp_extract_all(text, '{MOJIBAKE_PATTERN}')) "
+            "AS n_mojibake FROM s"
+        ).df()
+        eng2 = nfc_stats_batch(t).to_pandas()
+        pd.testing.assert_frame_equal(
+            eng2, sql2[eng2.columns], check_dtype=False
+        )
