@@ -214,7 +214,10 @@ class _EStage:
 
 
 def _em_step(
-    words: ray.data.Dataset, counts: dict[str, int], max_piece_len: int
+    words: ray.data.Dataset,
+    counts: dict[str, int],
+    max_piece_len: int,
+    concurrency: int = 2,
 ) -> dict[str, int]:
     """One distributed E+M step: expected integer micro-counts per piece.
     Pieces absent from every lattice drop to 0 and are removed (except
@@ -226,7 +229,10 @@ def _em_step(
             _EStage,
             fn_constructor_args=(counts, max_piece_len),
             batch_format="pyarrow",
-            concurrency=2,
+            # the E-step actor pool: size to the word table, not the
+            # corpus — at web scale (billions of distinct words) raise
+            # this with the cluster
+            concurrency=concurrency,
         ),
         keys=["piece"],
         named_aggs={"micro": ("micro", "sum")},
@@ -301,6 +307,7 @@ def unigram_train(
     max_piece_len: int = 8,
     em_iters: int = 2,
     shrink: float = 0.75,
+    em_concurrency: int = 2,
 ) -> ray.data.Dataset:
     """Train a unigram-LM subword vocabulary (Kudo 2018 / SentencePiece
     shape): seed -> [EM x em_iters -> prune to shrink x size] until at
@@ -317,7 +324,9 @@ def unigram_train(
     n_multi = sum(1 for p in counts if len(p) > 1)
     while True:
         for _ in range(em_iters):
-            counts = _em_step(words, counts, max_piece_len)
+            counts = _em_step(
+                words, counts, max_piece_len, concurrency=em_concurrency
+            )
         if n_multi <= vocab_size:
             break
         target = max(vocab_size, int(n_multi * shrink))
