@@ -8361,6 +8361,43 @@ def _q_name_betweenness(sf_dir: str):
     )
 
 
+# --- bounded weighted shortest paths ------------------------------------------
+
+
+def _q_name_sssp(sf_dir: str):
+    """Multi-source weighted shortest paths over the name-match graph
+    (edge weight = levenshtein distance + 1, so identical names are
+    cheaper to cross than off-by-one names): 3 Bellman-Ford relaxation
+    rounds from the 5 lowest-custkey sources — the min-plus sibling of
+    bfs_hops, one broadcast-relax map + one (src,node) MIN per round.
+    ✓SQL (unrolled relax-CTE chain)."""
+    from ctinexus_ray.ops.graph import sssp_bounded
+
+    def with_w(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "a": batch.column("a"),
+                "b": batch.column("b"),
+                "w": pc.add(batch.column("dist").cast(pa.int64()), 1),
+            }
+        )
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["a", "b", "dist"])
+
+    edges = (
+        _q_name_match_pairs(sf_dir)
+        .map_batches(rn, batch_format="pyarrow")
+        .map_batches(with_w, batch_format="pyarrow")
+    )
+    return sssp_bounded(
+        edges,
+        sources=list(range(_BETWEENNESS_SOURCES)),
+        max_rounds=3,
+        num_partitions=16,
+    )
+
+
 # --- unigram-LM tokenizer (Kudo 2018 / SentencePiece shape) ------------------
 
 
@@ -8745,6 +8782,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_pieces": _q_unigram_pieces,
         "token_counts_unigram": _q_token_counts_unigram,
         "name_betweenness": _q_name_betweenness,
+        "name_sssp": _q_name_sssp,
     }
 
 
@@ -9786,6 +9824,31 @@ def oracle_sql() -> dict[str, str]:
             "AS betweenness_u FROM alln a "
             "LEFT JOIN dd ON dd.src = a.src AND dd.node = a.node "
             "GROUP BY a.node"
+        ),
+        "name_sssp": (
+            "WITH pairs AS MATERIALIZED ("
+            "SELECT a.c_custkey AS s, b.c_custkey AS d, "
+            "CAST(levenshtein(a.c_name, b.c_name) + 1 AS BIGINT) AS w "
+            "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1), "
+            "edges AS MATERIALIZED ("
+            "SELECT s, d, w FROM pairs UNION ALL SELECT d, s, w FROM pairs), "
+            "d0 AS (SELECT c_custkey AS src, c_custkey AS node, "
+            "CAST(0 AS BIGINT) AS dist FROM customer WHERE c_custkey < 5), "
+            "d1 AS (SELECT src, node, MIN(dist) AS dist FROM ("
+            "SELECT src, node, dist FROM d0 UNION ALL "
+            "SELECT d0.src, e.d AS node, d0.dist + e.w "
+            "FROM d0 JOIN edges e ON e.s = d0.node) GROUP BY src, node), "
+            "d2 AS (SELECT src, node, MIN(dist) AS dist FROM ("
+            "SELECT src, node, dist FROM d1 UNION ALL "
+            "SELECT d1.src, e.d AS node, d1.dist + e.w "
+            "FROM d1 JOIN edges e ON e.s = d1.node) GROUP BY src, node), "
+            "d3 AS (SELECT src, node, MIN(dist) AS dist FROM ("
+            "SELECT src, node, dist FROM d2 UNION ALL "
+            "SELECT d2.src, e.d AS node, d2.dist + e.w "
+            "FROM d2 JOIN edges e ON e.s = d2.node) GROUP BY src, node) "
+            "SELECT node, CAST(MIN(dist) AS BIGINT) AS best_dist, "
+            "CAST(COUNT(*) AS BIGINT) AS n_sources FROM d3 GROUP BY node"
         ),
         "name_link_prediction": (
             _NAME_GRAPH_CTE + ", "

@@ -2106,3 +2106,139 @@ def betweenness_sampled(
         named_aggs={"betweenness_u": ("delta", "sum")},
         num_partitions=num_partitions,
     )
+
+
+# ---------------------------------------------------------------------------
+# bounded weighted shortest paths (Bellman-Ford rounds, min-plus)
+# ---------------------------------------------------------------------------
+
+
+def sssp_bounded(
+    edges: ray.data.Dataset,
+    sources: list[int],
+    max_rounds: int = 3,
+    num_partitions: int = 16,
+    dist_broadcast_rows: int = 4_000_000,
+) -> ray.data.Dataset:
+    """Multi-source weighted shortest paths over an undirected canonical
+    (a, b, w) edge list, bounded at ``max_rounds`` Bellman-Ford
+    relaxation rounds — the min-plus-semiring sibling of ``bfs_hops``
+    (which is the w==1 special case). A fixed round count keeps the op
+    SQL-expressible (the oracle is an unrolled relax-CTE chain with the
+    identical ``min(dist, dist_u + w)`` expression); extra rounds after
+    convergence are no-ops on both sides because min is idempotent.
+
+    Scale shape: the symmetrized weighted edge set materializes ONCE.
+    Each round the (src, node, dist) table — bounded by reached nodes x
+    sampled sources — ships once via ``ray.put``; ONE zero-shuffle
+    searchsorted map over the edge set emits relax candidates, and ONE
+    hash-partitioned MIN per (src, node) closes the round. Above
+    ``dist_broadcast_rows`` the op REFUSES loudly (the
+    embedding_dup_pairs rule) — the distributed fallback shape is the
+    betweenness forward-join path; weights must be non-negative int64
+    (negative weights refuse: bounded-round Bellman-Ford would silently
+    truncate negative cycles).
+
+    Output: (node, best_dist, n_sources) — per reached node, the min
+    distance over the sampled sources and how many sources reach it
+    within the horizon. ``src`` carries the sample index internally;
+    node ids are unconstrained int64.
+    """
+    from .groupagg import partitioned_agg
+
+    i64 = pa.int64()
+
+    def sym_w(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        a = batch.column("a").cast(i64).combine_chunks()
+        b = batch.column("b").cast(i64).combine_chunks()
+        w = batch.column("w").cast(i64).combine_chunks()
+        import pyarrow.compute as _pc
+
+        if _pc.min(w).as_py() is not None and _pc.min(w).as_py() < 0:
+            raise ValueError("sssp_bounded: negative edge weights refuse")
+        yield pa.Table.from_pydict(
+            {
+                "node": pa.chunked_array([a, b]),
+                "dst": pa.chunked_array([b, a]),
+                "w": pa.chunked_array([w, w]),
+            }
+        )
+
+    sym = edges.map_batches(sym_w, batch_format="pyarrow").materialize()
+
+
+    dist = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {
+                "src": pa.array(range(len(sources)), type=i64),
+                "node": pa.array(list(sources), type=i64),
+                "dist": pa.array([0] * len(sources), type=i64),
+            }
+        )
+    ).materialize()
+    n_rows = len(sources)
+
+    for _r in range(max_rounds):
+        if n_rows > dist_broadcast_rows:
+            raise ValueError(
+                "sssp_bounded: distance table exceeds "
+                f"dist_broadcast_rows={dist_broadcast_rows}; reduce the "
+                "source sample or max_rounds, or raise the cap"
+            )
+        rows = dist.take_all()
+        d_src = np.array([r["src"] for r in rows], dtype=np.int64)
+        d_node = np.array([r["node"] for r in rows], dtype=np.int64)
+        d_dist = np.array([r["dist"] for r in rows], dtype=np.int64)
+        order = np.argsort(d_node, kind="stable")
+        ref = ray.put((d_src[order], d_node[order], d_dist[order]))
+
+        def relax(batch: pa.Table, ref=ref):
+            f_src, f_node, f_dist = ray.get(ref)
+            if batch.num_rows == 0:
+                return
+            e_s = batch.column("node").to_numpy(zero_copy_only=False)
+            e_d = batch.column("dst").to_numpy(zero_copy_only=False)
+            e_w = batch.column("w").to_numpy(zero_copy_only=False)
+            lo = np.searchsorted(f_node, e_s, "left")
+            hi = np.searchsorted(f_node, e_s, "right")
+            reps = hi - lo
+            keep = reps > 0
+            if not keep.any():
+                return
+            e_d, e_w = e_d[keep], e_w[keep]
+            lo, reps = lo[keep], reps[keep]
+            cum = np.cumsum(reps)
+            offs = np.arange(int(cum[-1]), dtype=np.int64) - np.repeat(
+                cum - reps, reps
+            )
+            fidx = np.repeat(lo, reps) + offs
+            yield pa.Table.from_pydict(
+                {
+                    "src": pa.array(f_src[fidx], type=i64),
+                    "node": pa.array(np.repeat(e_d, reps), type=i64),
+                    "dist": pa.array(
+                        f_dist[fidx] + np.repeat(e_w, reps), type=i64
+                    ),
+                }
+            )
+
+        candidates = sym.map_batches(relax, batch_format="pyarrow")
+        dist = partitioned_agg(
+            dist.union(candidates),
+            keys=["src", "node"],
+            named_aggs={"dist": ("dist", "min")},
+            num_partitions=num_partitions,
+        ).materialize()
+        n_rows = dist.count()
+
+    return partitioned_agg(
+        dist,
+        keys=["node"],
+        named_aggs={
+            "best_dist": ("dist", "min"),
+            "n_sources": ("dist", "size"),
+        },
+        num_partitions=num_partitions,
+    )

@@ -958,3 +958,86 @@ class TestBetweennessSampled:
             for r in betweenness_sampled(edges, [base], max_hops=3).take_all()
         }
         assert got[base + 1] == 1_000_000_000  # sole middle node
+
+
+class TestSsspBounded:
+    """Bounded weighted shortest paths vs a sequential Bellman-Ford."""
+
+    @staticmethod
+    def _naive(pairs, sources, rounds):
+        import collections
+
+        adj = collections.defaultdict(list)
+        for a, b, w in pairs:
+            adj[a].append((b, w))
+            adj[b].append((a, w))
+        per_node = {}
+        for si, s in enumerate(sources):
+            dist = {s: 0}
+            for _ in range(rounds):
+                snapshot = dict(dist)
+                for u, du in snapshot.items():
+                    for v, w in adj[u]:
+                        nd = du + w
+                        if nd < dist.get(v, nd + 1):
+                            dist[v] = nd
+            for v, dv in dist.items():
+                best, n = per_node.get(v, (None, 0))
+                per_node[v] = (dv if best is None else min(best, dv), n + 1)
+        return {v: (d, n) for v, (d, n) in per_node.items()}
+
+    def _run(self, pairs, sources, rounds):
+        import pyarrow as pa
+
+        import ray
+
+        from ctinexus_ray.ops.graph import sssp_bounded
+
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([a for a, _, _ in pairs], type=pa.int64()),
+                    "b": pa.array([b for _, b, _ in pairs], type=pa.int64()),
+                    "w": pa.array([w for _, _, w in pairs], type=pa.int64()),
+                }
+            )
+        )
+        got = sssp_bounded(edges, sources, max_rounds=rounds).take_all()
+        return {r["node"]: (r["best_dist"], r["n_sources"]) for r in got}
+
+    def test_weighted_beats_hops(self, ray_session):
+        # 0-1-2 with cheap weights vs a heavy direct 0-2 edge
+        pairs = [(0, 1, 1), (1, 2, 1), (0, 2, 5)]
+        got = self._run(pairs, [0], 3)
+        assert got == self._naive(pairs, [0], 3)
+        assert got[2][0] == 2  # via two hops, not the weight-5 edge
+
+    def test_round_bound_truncates(self, ray_session):
+        # one round cannot see node 2 through 0-1-2
+        pairs = [(0, 1, 1), (1, 2, 1)]
+        got = self._run(pairs, [0], 1)
+        assert 2 not in got
+        assert got[1][0] == 1
+
+    def test_random_multi_source(self, ray_session):
+        import random
+
+        rng = random.Random(5)
+        pairs = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(25), rng.randrange(25)) for _ in range(50)
+                )
+                if a != b
+            }
+        )
+        pairs = [(a, b, (a * 7 + b) % 5 + 1) for a, b in pairs]
+        got = self._run(pairs, [0, 1, 2], 3)
+        assert got == self._naive(pairs, [0, 1, 2], 3)
+
+    def test_negative_weight_refuses(self, ray_session):
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="negative"):
+            self._run([(0, 1, -1)], [0], 2)
