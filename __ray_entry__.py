@@ -8401,35 +8401,55 @@ def _q_name_sssp(sf_dir: str):
 # --- unigram-LM tokenizer (Kudo 2018 / SentencePiece shape) ------------------
 
 
+_UNIGRAM_PIECE_LEN = 6
+_UNIGRAM_CACHE: dict = {}
+
+
+def _unigram_pieces_ds(sf_dir: str):
+    """Trained unigram piece table, memoized per (job, sf_dir) — the
+    _NAME_EDGES_CACHE pattern: both unigram queries in one driver sweep
+    share one training run instead of paying seed+EM+prune twice."""
+    import ray as _ray
+
+    key = (_ray.get_runtime_context().get_job_id(), sf_dir)
+    ds = _UNIGRAM_CACHE.get(key)
+    if ds is None:
+        from ctinexus_ray.ops.unigram import unigram_train
+
+        ds = unigram_train(
+            _docs(sf_dir, ["doc_id", "text"]),
+            vocab_size=48,
+            seed_size=512,
+            max_piece_len=_UNIGRAM_PIECE_LEN,
+        ).materialize()
+        _UNIGRAM_CACHE.clear()
+        _UNIGRAM_CACHE[key] = ds
+    return ds
+
+
 def _q_unigram_pieces(sf_dir: str):
     """Train the unigram subword vocabulary on the corpus
     (ops/unigram.py): seed substrings -> integer-quantized EM over the
     distinct-word table -> driver-side likelihood-loss pruning.
     Iterative EM is not SQL-expressible -> rows-only; bit-exact parity
     vs a sequential reference is pinned in tests/test_unigram.py."""
-    from ctinexus_ray.ops.unigram import unigram_train
-
-    return unigram_train(
-        _docs(sf_dir, ["doc_id", "text"]),
-        vocab_size=48,
-        seed_size=512,
-        max_piece_len=6,
-    )
+    return _unigram_pieces_ds(sf_dir)
 
 
 def _q_token_counts_unigram(sf_dir: str):
     """Per-document Viterbi subword counts under the trained unigram
-    vocabulary (exact anchor: token_counts / token_counts_bpe)."""
-    from ctinexus_ray.ops.unigram import unigram_encode, unigram_train
+    vocabulary (exact anchor: token_counts / token_counts_bpe). The
+    encode window is pinned to the TRAINING max_piece_len so the two
+    sides of the contract cannot drift."""
+    from ctinexus_ray.ops.unigram import unigram_encode
 
-    pieces = unigram_train(
-        _docs(sf_dir, ["doc_id", "text"]),
-        vocab_size=48,
-        seed_size=512,
-        max_piece_len=6,
-    ).take_all()  # vocabulary-sized by construction
+    pieces = _unigram_pieces_ds(sf_dir).take_all()  # vocab-sized
     counts = {r["piece"]: int(r["micro"]) for r in pieces}
-    return unigram_encode(_docs(sf_dir, ["doc_id", "text"]), counts)
+    return unigram_encode(
+        _docs(sf_dir, ["doc_id", "text"]),
+        counts,
+        max_piece_len=_UNIGRAM_PIECE_LEN,
+    )
 
 
 # --- text hygiene: PII redaction / script mix / NFC --------------------------

@@ -45,22 +45,75 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _symmetrize_edges(
-    edges: ray.data.Dataset, out_a: str, out_b: str
+    edges: ray.data.Dataset,
+    out_a: str,
+    out_b: str,
+    carry: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Both directions of a canonical (a, b) edge list as int64
-    (out_a, out_b) — the shared first step of the wedge/walk family."""
+    (out_a, out_b) — the shared first step of the wedge/walk family.
+    ``carry`` names extra int64 columns (e.g. a weight) duplicated onto
+    both directions."""
 
     def do(batch: pa.Table) -> pa.Table:
         a = batch.column("a").combine_chunks()
         b = batch.column("b").combine_chunks()
-        return pa.Table.from_pydict(
-            {
-                out_a: pc.cast(pa.chunked_array([a, b]), pa.int64()),
-                out_b: pc.cast(pa.chunked_array([b, a]), pa.int64()),
-            }
-        )
+        cols = {
+            out_a: pc.cast(pa.chunked_array([a, b]), pa.int64()),
+            out_b: pc.cast(pa.chunked_array([b, a]), pa.int64()),
+        }
+        for name in carry or ():
+            c = batch.column(name).combine_chunks()
+            cols[name] = pc.cast(pa.chunked_array([c, c]), pa.int64())
+        return pa.Table.from_pydict(cols)
 
     return edges.map_batches(do, batch_format="pyarrow")
+
+
+def _coalesce_blocks(d: ray.data.Dataset) -> ray.data.Dataset:
+    """Materialize with block-count hygiene for ITERATIVE frontier ops:
+    a dataset inheriting 64 tiny blocks from an upstream shuffle costs
+    64 sub-second tasks PER STAGE PER ROUND (measured 108 s -> 7 s on
+    the name graph after coalescing in bfs_hops). Target ~250k
+    rows/block; inputs needing more than 64 such blocks are genuinely
+    large — they SKIP coalescing and keep their parallelism (clamping
+    them to 64 giant blocks would be the opposite bug)."""
+    m = d.materialize()
+    need = m.count() // 250_000 + 1
+    if need > 64:
+        return m
+    target = max(1, need)
+    if m.num_blocks() > 4 * target:
+        # identity map pins ARROW block type (upstream map_groups
+        # stages emit pandas blocks; repartition refuses mixed types)
+        m = (
+            m.map_batches(lambda b: b, batch_format="pyarrow")
+            .repartition(target)
+            .materialize()
+        )
+    return m
+
+
+def _frontier_fanout(f_node: "np.ndarray", e_s: "np.ndarray"):
+    """Vectorized frontier fan-out shared by the broadcast-frontier ops
+    (betweenness_sampled.expand, sssp_bounded.relax): for edge sources
+    ``e_s`` against the NODE-SORTED frontier array ``f_node``, return
+    (keep, fidx, reps) — the boolean edge mask, the frontier row index
+    per fan-out row, and the per-kept-edge repeat counts. None when no
+    edge source appears in the frontier."""
+    lo = np.searchsorted(f_node, e_s, "left")
+    hi = np.searchsorted(f_node, e_s, "right")
+    reps = hi - lo
+    keep = reps > 0
+    if not keep.any():
+        return None
+    lo, reps = lo[keep], reps[keep]
+    cum = np.cumsum(reps)
+    offs = np.arange(int(cum[-1]), dtype=np.int64) - np.repeat(
+        cum - reps, reps
+    )
+    fidx = np.repeat(lo, reps) + offs
+    return keep, fidx, reps
 
 
 def _rename_cols(ds: ray.data.Dataset, names: list[str]) -> ray.data.Dataset:
@@ -745,29 +798,7 @@ def bfs_hops(
             }
         )
 
-    def _coalesce(d: ray.data.Dataset) -> ray.data.Dataset:
-        # iterative rounds multiply per-block task overhead: a dataset
-        # inheriting 64 tiny blocks from an upstream shuffle costs 64
-        # sub-second tasks PER STAGE PER ROUND (measured 108 s -> 7 s
-        # on the name graph after coalescing). Target ~250k rows/block;
-        # inputs needing more than 64 such blocks are genuinely large —
-        # they SKIP coalescing entirely and keep their parallelism
-        # (clamping them to 64 giant blocks would be the opposite bug).
-        m = d.materialize()
-        need = m.count() // 250_000 + 1
-        if need > 64:
-            return m
-        target = max(1, need)
-        if m.num_blocks() > 4 * target:
-            # identity map pins ARROW block type (upstream map_groups
-            # stages emit pandas blocks; repartition refuses mixed
-            # types) — only paid when a repartition actually runs
-            m = (
-                m.map_batches(lambda b: b, batch_format="pyarrow")
-                .repartition(target)
-                .materialize()
-            )
-        return m
+    _coalesce = _coalesce_blocks
 
     sym = _coalesce(
         edges.map_batches(symmetrize, batch_format="pyarrow")
@@ -1833,10 +1864,10 @@ def betweenness_sampled(
     from .groupagg import partitioned_agg
 
     i64 = pa.int64()
-    sym = _symmetrize_edges(edges, "node", "dst").materialize()
+    sym = _coalesce_blocks(_symmetrize_edges(edges, "node", "dst"))
 
     def _pairkey(src: np.ndarray, node: np.ndarray) -> np.ndarray:
-        # (src, node) as one int64 probe key: src in the top 20 bits
+        # (src, node) as one int64 probe key: src in 19 bits above 44
         # (sources are a SMALL sample by definition), node in the low 44.
         # XOR with zeroed top bits == concatenation, so src recovers via
         # >> 44. Out-of-range ids refuse loudly (the random_walks rule).
@@ -1900,22 +1931,13 @@ def betweenness_sampled(
                 # order frontier rows by node for searchsorted fan-out
                 order = np.argsort(f_node, kind="stable")
                 fn, fs, fg = f_node[order], f_src[order], f_sigma[order]
-                lo = np.searchsorted(fn, e_s, "left")
-                hi = np.searchsorted(fn, e_s, "right")
-                reps = hi - lo
-                keep = reps > 0
-                if not keep.any():
+                fan = _frontier_fanout(fn, e_s)
+                if fan is None:
                     return
-                e_d = e_d[keep]
-                lo, reps = lo[keep], reps[keep]
-                cum = np.cumsum(reps)
-                offs = np.arange(int(cum[-1]), dtype=np.int64) - np.repeat(
-                    cum - reps, reps
-                )
-                fidx = np.repeat(lo, reps) + offs
+                keep, fidx, reps = fan
                 src = fs[fidx]
                 sigma = fg[fidx]
-                dst = np.repeat(e_d, reps)
+                dst = np.repeat(e_d[keep], reps)
                 fresh_mask = ~np.isin(_pairkey(src, dst), vis_keys)
                 if not fresh_mask.any():
                     return
@@ -1980,7 +2002,6 @@ def betweenness_sampled(
     # (v-level, w-level [+delta]) dicts ship once; ONE map over the edge
     # set emits integer contributions; ONE reduce per level.
     deltas: dict[int, dict[int, int]] = {}
-    delta_ds: dict[int, ray.data.Dataset] = {}
     for d in range(max_hops - 1, 0, -1):
         v_rows = _rows(levels[d])
         w_rows = _rows(levels[d + 1])
@@ -2061,7 +2082,6 @@ def betweenness_sampled(
             named_aggs={"delta": ("delta", "sum")},
             num_partitions=num_partitions,
         ).materialize()
-        delta_ds[d] = dd
         deltas[d] = {
             int(_pairkey(np.int64(r["src"]), np.int64(r["node"]))): int(
                 r["delta"]
@@ -2148,25 +2168,20 @@ def sssp_bounded(
 
     i64 = pa.int64()
 
-    def sym_w(batch: pa.Table):
-        if batch.num_rows == 0:
-            return
-        a = batch.column("a").cast(i64).combine_chunks()
-        b = batch.column("b").cast(i64).combine_chunks()
-        w = batch.column("w").cast(i64).combine_chunks()
-        import pyarrow.compute as _pc
-
-        if _pc.min(w).as_py() is not None and _pc.min(w).as_py() < 0:
+    def check_w(batch: pa.Table) -> pa.Table:
+        wmin = pc.min(batch.column("w")).as_py()
+        if wmin is not None and wmin < 0:
             raise ValueError("sssp_bounded: negative edge weights refuse")
-        yield pa.Table.from_pydict(
-            {
-                "node": pa.chunked_array([a, b]),
-                "dst": pa.chunked_array([b, a]),
-                "w": pa.chunked_array([w, w]),
-            }
-        )
+        return batch
 
-    sym = edges.map_batches(sym_w, batch_format="pyarrow").materialize()
+    sym = _coalesce_blocks(
+        _symmetrize_edges(
+            edges.map_batches(check_w, batch_format="pyarrow"),
+            "node",
+            "dst",
+            carry=["w"],
+        )
+    )
 
 
     dist = ray.data.from_arrow(
@@ -2201,25 +2216,16 @@ def sssp_bounded(
             e_s = batch.column("node").to_numpy(zero_copy_only=False)
             e_d = batch.column("dst").to_numpy(zero_copy_only=False)
             e_w = batch.column("w").to_numpy(zero_copy_only=False)
-            lo = np.searchsorted(f_node, e_s, "left")
-            hi = np.searchsorted(f_node, e_s, "right")
-            reps = hi - lo
-            keep = reps > 0
-            if not keep.any():
+            fan = _frontier_fanout(f_node, e_s)
+            if fan is None:
                 return
-            e_d, e_w = e_d[keep], e_w[keep]
-            lo, reps = lo[keep], reps[keep]
-            cum = np.cumsum(reps)
-            offs = np.arange(int(cum[-1]), dtype=np.int64) - np.repeat(
-                cum - reps, reps
-            )
-            fidx = np.repeat(lo, reps) + offs
+            keep, fidx, reps = fan
             yield pa.Table.from_pydict(
                 {
                     "src": pa.array(f_src[fidx], type=i64),
-                    "node": pa.array(np.repeat(e_d, reps), type=i64),
+                    "node": pa.array(np.repeat(e_d[keep], reps), type=i64),
                     "dist": pa.array(
-                        f_dist[fidx] + np.repeat(e_w, reps), type=i64
+                        f_dist[fidx] + np.repeat(e_w[keep], reps), type=i64
                     ),
                 }
             )

@@ -266,22 +266,45 @@ def _nsw_build(mat: np.ndarray, m: int, ef: int) -> list[list[int]]:
     single-layer ancestor of HNSW) over normalized rows of ``mat`` by
     sequential insertion: each new node links to its ``m`` best
     beam-search hits among the already-inserted nodes (bidirectional),
-    degrees capped at ``2*m`` by keeping the most similar neighbors.
-    Fully deterministic: fixed insertion order (callers pass rows sorted
-    by vec_id), ties broken by node index."""
+    degrees capped at ``2*m`` by keeping the most similar neighbors —
+    EXCEPT each node's best insertion back-edge (its "spine" edge,
+    links[0] -> t), which pruning never drops. The spine edges form a
+    forest rooted at node 0 over strictly-earlier nodes, so every node
+    stays reachable from the entry point BY CONSTRUCTION — that is what
+    makes the "ef >= block rows == exact brute force" guarantee a
+    theorem rather than a property of one fixture. The degree cap is
+    therefore soft: a node that is the spine parent of many later nodes
+    can exceed 2m by its spine count (total spine edges across the
+    block = rows - 1). Fully deterministic: fixed insertion order
+    (callers pass rows sorted by vec_id), ties broken by node index."""
     n = len(mat)
     adj: list[list[int]] = [[] for _ in range(n)]
+    protected: set[tuple[int, int]] = set()
     m_max = 2 * m
     for t in range(1, n):
         cand = _nsw_search(mat, adj, mat[t], max(ef, m), limit=t)
         links = [i for _, i in cand[:m]]
         adj[t] = list(links)
+        if links:
+            protected.add((links[0], t))
         for i in links:
             adj[i].append(t)
             if len(adj[i]) > m_max:
                 sims = mat[adj[i]] @ mat[i]
-                order = np.lexsort((np.asarray(adj[i]), -sims))[:m_max]
-                adj[i] = [adj[i][j] for j in order]
+                order = np.lexsort((np.asarray(adj[i]), -sims))
+                # spine edges always survive; fill the rest by sim
+                spine = [
+                    adj[i][j] for j in order if (i, adj[i][j]) in protected
+                ]
+                budget = max(m_max - len(spine), 0)
+                kept: list[int] = []
+                for j in order:
+                    nb = adj[i][j]
+                    if (i, nb) in protected:
+                        continue
+                    if len(kept) < budget:
+                        kept.append(nb)
+                adj[i] = spine + kept
     return adj
 
 

@@ -93,6 +93,8 @@ def seed_pieces(
         keys=["piece"],
         named_aggs={"n": ("n", "sum")},
     )
+    totals = totals.materialize()  # consumed by two cuts below
+
     # top-k cut: batch-local top-k partials, tiny driver merge — the
     # established no-corpus-sort shape (ops/shards.py samplers)
     def local_cut(batch: pa.Table):
@@ -104,10 +106,27 @@ def seed_pieces(
         )
         yield batch.take(idx)
 
+    # single chars ride their OWN filter, not the top-k survivors: a
+    # rare character must survive even when its partition holds
+    # seed_size higher-count pieces, or words containing it become
+    # unsegmentable (the never-pruned invariant). Alphabet-sized pull.
+    def singles_only(batch: pa.Table):
+        import pyarrow.compute as pc
+
+        mask = pc.equal(pc.utf8_length(batch.column("piece")), 1)
+        t = batch.filter(mask)
+        if t.num_rows:
+            yield t
+
     rows = totals.map_batches(local_cut, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: (-r["n"], r["piece"]))
+    singles = {
+        r["piece"]: int(r["n"])
+        for r in totals.map_batches(
+            singles_only, batch_format="pyarrow"
+        ).take_all()
+    }
     pieces: dict[str, int] = {}
-    singles: dict[str, int] = {r["piece"]: int(r["n"]) for r in rows if len(r["piece"]) == 1}
     for r in rows:
         if len(pieces) >= seed_size:
             break

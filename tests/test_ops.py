@@ -2238,21 +2238,31 @@ class TestNswTopk:
         )
         assert a == b
 
-    def test_degree_cap(self):
-        """Build invariant: no node exceeds the 2m degree cap."""
+    def test_degree_cap_and_connectivity(self):
+        """Build invariants across seeds: the degree cap is SOFT (each
+        node's spine back-edge is pruning-exempt, so total edges are
+        bounded by n*2m + (n-1) spine edges) and — the theorem behind
+        the exhaustive-ef guarantee — every node reachable from entry
+        node 0 via the spine forest, for EVERY seed, including
+        clustered data where naive pruning orphans cluster cores."""
         import numpy as np
 
         from ctinexus_ray.ops.simsearch import _normalize, _nsw_build
 
-        rng = np.random.default_rng(7)
-        mat = _normalize(rng.normal(size=(200, 16)))
-        adj = _nsw_build(mat, m=4, ef=16)
-        assert all(len(nbrs) <= 8 for nbrs in adj)
-        # connectivity: every node reachable from the entry point
-        seen, stack = {0}, [0]
-        while stack:
-            for nb in adj[stack.pop()]:
-                if nb not in seen:
-                    seen.add(nb)
-                    stack.append(nb)
-        assert len(seen) == 200
+        for seed in range(5):
+            rng = np.random.default_rng(seed)
+            # half random, half one tight cluster (the orphaning shape)
+            a = rng.normal(size=(100, 16))
+            b = rng.normal(size=(1, 16)) + rng.normal(size=(100, 16)) * 0.01
+            mat = _normalize(np.vstack([a, b]))
+            n = len(mat)
+            m = 4
+            adj = _nsw_build(mat, m=m, ef=16)
+            assert sum(len(nbrs) for nbrs in adj) <= n * 2 * m + (n - 1)
+            seen, stack = {0}, [0]
+            while stack:
+                for nb in adj[stack.pop()]:
+                    if nb not in seen:
+                        seen.add(nb)
+                        stack.append(nb)
+            assert len(seen) == n, f"seed {seed}: orphaned nodes"

@@ -160,3 +160,24 @@ class TestEncode:
     def test_unseen_chars_count_one_each(self):
         stage = UnigramEncodeStage({"a": 1}, max_piece_len=4)
         assert stage.n_pieces("xyz") == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestSeedSingles:
+    def test_rare_single_char_survives_tiny_seed(self):
+        """The never-pruned single-char invariant must hold even when
+        the top-k cut is smaller than the substring competition: 'q'
+        appears once among high-count multi-char pieces."""
+        import ray
+
+        from ctinexus_ray.ops.bpe import _word_table
+        from ctinexus_ray.ops.unigram import seed_pieces
+
+        docs = ["abab abab abab baba abab"] * 20 + ["q"]
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": list(range(len(docs))), "text": docs})
+        )
+        words = _word_table(ds)
+        pieces = seed_pieces(words, seed_size=3, max_piece_len=4)
+        assert "q" in pieces
+        assert {"a", "b"} <= set(pieces)
