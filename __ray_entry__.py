@@ -8361,6 +8361,60 @@ def _q_name_betweenness(sf_dir: str):
     )
 
 
+# --- incremental view maintenance ---------------------------------------------
+
+
+def _q_ivm_wordcount(sf_dir: str):
+    """Delta-maintained word-count view (state/ivm.py): the corpus
+    arrives as 3 ingestion batches (doc_id mod 3 — deterministic), each
+    contributing a tick-sized delta aggregate folded into a versioned
+    view by monoid combination with copy-on-write file pruning; the
+    applied-batch ledger lives IN the manifest, so replay is
+    exactly-once. The final view must equal a full recompute — which is
+    exactly what the SQL twin does, making delta-maintenance soundness
+    itself the oracle check. ✓SQL."""
+    import tempfile
+
+    import numpy as np
+
+    from ctinexus_ray.ops.dedup import hash64_strings
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.textstats import word_explode_batch
+    from ctinexus_ray.state.ivm import apply_delta
+    from ctinexus_ray.state.tableformat import read_version
+
+    view = tempfile.mkdtemp(prefix="ivm_wc_")
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        words = batch.column("word").to_pylist()
+        keys = hash64_strings(words).astype(np.int64)
+        return batch.append_column("wkey", pa.array(keys, type=pa.int64()))
+
+    for i in range(3):
+
+        def keep_slice(batch: pa.Table, i=i) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 3 == i))
+
+        delta = partitioned_agg(
+            _docs(sf_dir, ["doc_id", "text"])
+            .map_batches(keep_slice, batch_format="pyarrow")
+            .map_batches(word_explode_batch, batch_format="pyarrow"),
+            keys=["word"],
+            named_aggs={"n": ("n", "sum")},
+            num_partitions=16,
+        ).map_batches(add_key, batch_format="pyarrow")
+        apply_delta(
+            view,
+            delta,
+            key_col="wkey",
+            value_cols={"n": "sum"},
+            batch_id=f"slice-{i}",
+            num_partitions=16,
+        )
+    return read_version(view, columns=["word", "n"])
+
+
 # --- bounded weighted shortest paths ------------------------------------------
 
 
@@ -8803,6 +8857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_unigram": _q_token_counts_unigram,
         "name_betweenness": _q_name_betweenness,
         "name_sssp": _q_name_sssp,
+        "ivm_wordcount": _q_ivm_wordcount,
     }
 
 
@@ -9844,6 +9899,11 @@ def oracle_sql() -> dict[str, str]:
             "AS betweenness_u FROM alln a "
             "LEFT JOIN dd ON dd.src = a.src AND dd.node = a.node "
             "GROUP BY a.node"
+        ),
+        "ivm_wordcount": (
+            "SELECT word, CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) "
+            "AS word FROM documents) GROUP BY word"
         ),
         "name_sssp": (
             "WITH pairs AS MATERIALIZED ("

@@ -1,0 +1,166 @@
+"""Incremental view maintenance (IVM) over the versioned table format.
+
+A materialized aggregate (the canonical example: corpus word counts)
+maintained under appends WITHOUT ever recomputing from the full
+corpus: each ingestion batch contributes a DELTA aggregate (tick-sized,
+computed by the caller with ``partitioned_agg``), which merges into the
+view by monoid combination — sound for sum/count/min/max because the
+aggregate is a commutative monoid over row multisets, the classic
+delta-maintenance result (Gupta & Mumick, *Maintenance of Materialized
+Views*, 1995).
+
+Exactly-once across crash/replay — the property that makes IVM usable
+from an at-least-once ingestion loop (jobs/stream_job.py replays ticks
+whose ledger write was lost): the set of applied ``batch_id``s lives IN
+the view's version manifest (``commit_version(extra=...)``), so the
+ledger is ATOMIC with the data commit. A replayed batch is recognized
+and skipped; there is no window where the delta is committed but the
+ledger isn't, or vice versa.
+
+Scale shape: the view is key-domain-sized (vocabulary, not corpus);
+the delta is tick-sized. One hash join delta<->view computes combined
+values for intersecting keys; ``merge_upsert`` then applies
+copy-on-write file pruning, so a delta touching one key range rewrites
+one view file, not the view.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ctinexus_ray.state.tableformat import (
+    latest_version,
+    merge_upsert,
+    read_version,
+    version_extra,
+)
+
+_COMBINE = ("sum", "min", "max")
+
+
+def applied_batches(view_dir: str) -> list[str]:
+    """Batch ids already folded into the view (from the latest
+    manifest's extra — the atomic IVM ledger)."""
+    return list(version_extra(view_dir).get("ivm_applied", []))
+
+
+def apply_delta(
+    view_dir: str,
+    delta: ray.data.Dataset,
+    key_col: str,
+    value_cols: dict[str, str],
+    batch_id: str,
+    num_partitions: int | None = None,
+) -> dict:
+    """Fold one batch's delta aggregate into the materialized view.
+
+    ``delta``: one row per key touched by the batch — ``key_col``
+    (int64; hash string keys with ``ops.dedup.hash64_strings`` and
+    carry the readable column alongside) plus value columns.
+    ``value_cols``: {column: combine} with combine in sum|min|max
+    (count folds in as a sum of partial counts). Any other column in
+    ``delta`` (e.g. the readable string key) passes through, taking the
+    DELTA side's value on key intersections.
+
+    Returns {"applied": False} when ``batch_id`` is already in the
+    view's manifest ledger (the crash-replay path); otherwise commits a
+    new view version whose manifest carries the extended ledger and
+    returns merge stats + {"applied": True}.
+    """
+    for col, comb in value_cols.items():
+        if comb not in _COMBINE:
+            raise ValueError(
+                f"combine for {col!r} must be one of {_COMBINE} "
+                "(monoid-mergeable); non-decomposable aggregates "
+                "cannot be delta-maintained"
+            )
+    applied = applied_batches(view_dir)
+    if batch_id in applied:
+        return {"applied": False, "batch_id": batch_id}
+
+    if latest_version(view_dir) is None:
+        # first batch: the delta IS the view
+        import os
+        import uuid
+
+        from ctinexus_ray.state.tableformat import commit_version
+
+        data_dir = os.path.join(view_dir, f"data-{uuid.uuid4().hex[:8]}")
+        os.makedirs(data_dir, exist_ok=True)
+        delta.write_parquet(data_dir)
+        files = sorted(
+            os.path.join(data_dir, n)
+            for n in os.listdir(data_dir)
+            if n.endswith(".parquet")
+        )
+        version = commit_version(
+            view_dir, files, mode="overwrite",
+            extra={"ivm_applied": [batch_id]},
+        )
+        return {"applied": True, "version": version, "batch_id": batch_id}
+
+    # combine the delta with current view values on intersecting keys:
+    # join the VIEW side restricted to the delta's keys (semi-join by
+    # merge_upsert's own footer pruning discipline would also work, but
+    # one hash join keeps the combine logic exact and typed)
+    from ctinexus_ray.ops.distjoin import hash_join
+
+    i64 = pa.int64()
+    view_cols = [key_col] + list(value_cols)
+    renames = {c: f"_view_{c}" for c in value_cols}
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [renames.get(n, n) for n in batch.column_names]
+        )
+
+    view_side = read_version(view_dir, columns=view_cols).map_batches(
+        rn, batch_format="pyarrow"
+    )
+    joined = hash_join(
+        delta,
+        view_side,
+        on=[key_col],
+        how="left",
+        num_partitions=num_partitions,
+        right_types={key_col: i64, **{renames[c]: i64 for c in value_cols}},
+    )
+
+    def combine(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols: dict = {}
+        for name in batch.column_names:
+            if name.startswith("_view_"):
+                continue
+            if name in value_cols:
+                comb = value_cols[name]
+                old = pc.fill_null(
+                    batch.column(renames[name]),
+                    0 if comb == "sum" else None,
+                )
+                new = batch.column(name)
+                if comb == "sum":
+                    cols[name] = pc.add_checked(new, old)
+                elif comb == "min":
+                    cols[name] = pc.min_element_wise(new, old)
+                else:
+                    cols[name] = pc.max_element_wise(new, old)
+            else:
+                cols[name] = batch.column(name)
+        return pa.Table.from_pydict(cols)
+
+    combined = joined.map_batches(combine, batch_format="pyarrow")
+    stats = merge_upsert(
+        view_dir,
+        combined,
+        key_col=key_col,
+        num_partitions=num_partitions,
+        assume_unique=True,  # delta is a per-key aggregate by contract
+        extra={"ivm_applied": applied + [batch_id]},
+    )
+    stats.update({"applied": True, "batch_id": batch_id})
+    return stats

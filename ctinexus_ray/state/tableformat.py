@@ -55,12 +55,17 @@ def commit_version(
     files: list[str],
     mode: str = "append",
     max_retries: int = 16,
+    extra: dict | None = None,
 ) -> int:
     """Commit ``files`` (immutable parquet paths) as a new table
     version. ``append`` unions the current latest version's files;
     ``overwrite`` replaces the file set. Returns the committed version
     number. Optimistic concurrency: O_EXCL manifest creation — a racing
-    committer retries against the winner's version."""
+    committer retries against the winner's version. ``extra`` is an
+    opaque JSON dict stored IN the manifest — metadata that must be
+    atomic with the data commit (e.g. the IVM applied-batch ledger:
+    state/ivm.py relies on manifest atomicity for exactly-once delta
+    application)."""
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be 'append' or 'overwrite'")
     os.makedirs(table_dir, exist_ok=True)
@@ -78,6 +83,8 @@ def commit_version(
             "mode": mode,
             "files": base + [f for f in files if f not in base],
         }
+        if extra is not None:
+            manifest["extra"] = extra
         # write the FULL manifest to a private temp file first, then
         # os.link() it into place: link is atomic create-if-absent, so
         # a concurrent reader can never observe a half-written manifest
@@ -106,6 +113,17 @@ def commit_version(
     raise RuntimeError(
         f"commit contention: {max_retries} losing races in {table_dir}"
     )
+
+
+def version_extra(table_dir: str, version: int | None = None) -> dict:
+    """The ``extra`` metadata dict of a version's manifest ({} when
+    absent or the table has no versions yet)."""
+    if version is None:
+        version = latest_version(table_dir)
+        if version is None:
+            return {}
+    with open(_manifest_path(table_dir, version)) as fh:
+        return json.load(fh).get("extra", {})
 
 
 def read_version(
@@ -141,6 +159,7 @@ def merge_upsert(
     max_broadcast_keys: int = 4_000_000,
     num_partitions: int | None = None,
     assume_unique: bool = False,
+    extra: dict | None = None,
 ) -> dict:
     """MERGE INTO the table's latest version: update rows replace base
     rows with the same key, rows with new keys are inserted, and rows
@@ -311,7 +330,9 @@ def merge_upsert(
         for n in os.listdir(data_dir)
         if n.endswith(".parquet")
     )
-    version = commit_version(table_dir, kept + new_files, mode="overwrite")
+    version = commit_version(
+        table_dir, kept + new_files, mode="overwrite", extra=extra
+    )
     return {
         "version": version,
         "files_kept": len(kept),

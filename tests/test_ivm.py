@@ -1,0 +1,127 @@
+"""Incremental view maintenance (state/ivm.py): delta-maintained word
+counts equal a full recompute, replayed batches are exactly-once, and
+the applied-batch ledger is atomic with the data commit."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+import pytest
+
+import ray
+
+from ctinexus_ray.state.ivm import applied_batches, apply_delta
+from ctinexus_ray.state.tableformat import read_version
+
+BATCHES = [
+    ["a b b c", "c c d"],
+    ["b d d e e e"],
+    ["a a a f", "f b"],
+]
+
+
+def _delta(texts):
+    from ctinexus_ray.ops.dedup import hash64_strings
+
+    c = Counter()
+    for t in texts:
+        c.update(t.split())
+    words = sorted(c)
+    # hash64_strings is uint64; reinterpret as int64 for the key column
+    keys = hash64_strings(words).astype("int64").tolist()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "wkey": pa.array(keys, type=pa.int64()),
+                "word": pa.array(words, type=pa.string()),
+                "n": pa.array([c[w] for w in words], type=pa.int64()),
+            }
+        )
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestApplyDelta:
+    def test_view_equals_full_recompute(self, tmp_path):
+        view = str(tmp_path / "wc")
+        for i, texts in enumerate(BATCHES):
+            out = apply_delta(
+                view, _delta(texts), key_col="wkey",
+                value_cols={"n": "sum"}, batch_id=f"b{i}",
+                num_partitions=16,
+            )
+            assert out["applied"] is True
+        got = {
+            r["word"]: r["n"] for r in read_version(view).take_all()
+        }
+        want = Counter()
+        for texts in BATCHES:
+            for t in texts:
+                want.update(t.split())
+        assert got == dict(want)
+        assert applied_batches(view) == ["b0", "b1", "b2"]
+
+    def test_replay_is_exactly_once(self, tmp_path):
+        view = str(tmp_path / "wc")
+        for i, texts in enumerate(BATCHES):
+            apply_delta(
+                view, _delta(texts), key_col="wkey",
+                value_cols={"n": "sum"}, batch_id=f"b{i}",
+            )
+        before = sorted(
+            (r["word"], r["n"]) for r in read_version(view).take_all()
+        )
+        out = apply_delta(
+            view, _delta(BATCHES[1]), key_col="wkey",
+            value_cols={"n": "sum"}, batch_id="b1",
+        )
+        assert out["applied"] is False
+        after = sorted(
+            (r["word"], r["n"]) for r in read_version(view).take_all()
+        )
+        assert before == after
+
+    def test_min_max_combines(self, tmp_path):
+        view = str(tmp_path / "mm")
+
+        def d(vals):
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "k": pa.array(list(vals), type=pa.int64()),
+                        "lo": pa.array(
+                            [v * 10 for v in vals], type=pa.int64()
+                        ),
+                        "hi": pa.array(
+                            [v * 10 for v in vals], type=pa.int64()
+                        ),
+                    }
+                )
+            )
+
+        apply_delta(view, d([1, 2]), "k",
+                    {"lo": "min", "hi": "max"}, "t0")
+        apply_delta(view, d([2, 3]), "k",
+                    {"lo": "min", "hi": "max"}, "t1")
+        got = {r["k"]: (r["lo"], r["hi"])
+               for r in read_version(view).take_all()}
+        assert got == {1: (10, 10), 2: (20, 20), 3: (30, 30)}
+
+    def test_non_monoid_combine_refuses(self, tmp_path):
+        with pytest.raises(ValueError, match="monoid"):
+            apply_delta(
+                str(tmp_path / "x"), _delta(["a"]), "wkey",
+                {"n": "avg"}, "t0",
+            )
+
+    def test_time_travel_keeps_old_views(self, tmp_path):
+        view = str(tmp_path / "wc")
+        apply_delta(view, _delta(BATCHES[0]), "wkey", {"n": "sum"}, "b0")
+        apply_delta(view, _delta(BATCHES[1]), "wkey", {"n": "sum"}, "b1")
+        v1 = {r["word"]: r["n"]
+              for r in read_version(view, version=1).take_all()}
+        want = Counter()
+        for t in BATCHES[0]:
+            want.update(t.split())
+        assert v1 == dict(want)
