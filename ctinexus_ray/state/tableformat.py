@@ -115,6 +115,12 @@ def commit_version(
     )
 
 
+def version_files(table_dir: str, version: int) -> list[str]:
+    """The exact immutable file list of a version (from its manifest)."""
+    with open(_manifest_path(table_dir, version)) as fh:
+        return list(json.load(fh)["files"])
+
+
 def version_extra(table_dir: str, version: int | None = None) -> dict:
     """The ``extra`` metadata dict of a version's manifest ({} when
     absent or the table has no versions yet)."""

@@ -165,11 +165,75 @@ def _near_dup_filter(ds, table_dir: str, threshold: float, num_partitions: int):
     return ds, n_before - n_after
 
 
+def _maintain_wordcount_view(
+    table_dir: str, view_dir: str, num_partitions: int
+) -> dict:
+    """Fold every committed-but-unfolded corpus version into the
+    delta-maintained word-count view (state/ivm.py). Reconciliation by
+    VERSION — batch id = "corpus-v{n}", delta built from exactly that
+    version's incremental file set — so a crash anywhere between the
+    corpus commit and the view fold heals on the next tick, and a
+    replayed fold is recognized by the manifest ledger (exactly-once).
+    Runs BEFORE vacuum in the tick loop, so needed manifests are always
+    still present."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from ctinexus_ray.ops.dedup import hash64_strings
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.textstats import word_explode_batch
+    from ctinexus_ray.state.ivm import applied_batches, apply_delta
+    from ctinexus_ray.state.tableformat import latest_version, version_files
+
+    latest = latest_version(table_dir)
+    if latest is None:
+        return {"wordcount_folded": 0}
+    applied = set(applied_batches(view_dir))
+    folded = 0
+    for v in range(1, latest + 1):
+        bid = f"corpus-v{v}"
+        if bid in applied:
+            continue
+        prev = set(version_files(table_dir, v - 1)) if v > 1 else set()
+        new_files = sorted(set(version_files(table_dir, v)) - prev)
+        if not new_files:
+            continue  # nothing appended by this version
+
+        def add_key(batch: pa.Table) -> pa.Table:
+            words = batch.column("word").to_pylist()
+            keys = hash64_strings(words).astype(np.int64)
+            return batch.append_column(
+                "wkey", pa.array(keys, type=pa.int64())
+            )
+
+        delta = partitioned_agg(
+            ray.data.read_parquet(new_files, columns=["text"]).map_batches(
+                word_explode_batch, batch_format="pyarrow"
+            ),
+            keys=["word"],
+            named_aggs={"n": ("n", "sum")},
+            num_partitions=num_partitions,
+        ).map_batches(add_key, batch_format="pyarrow")
+        out = apply_delta(
+            view_dir,
+            delta,
+            key_col="wkey",
+            value_cols={"n": "sum"},
+            batch_id=bid,
+            num_partitions=num_partitions,
+        )
+        if out["applied"]:
+            folded += 1
+    return {"wordcount_folded": folded}
+
+
 def run_tick(
     input_dir: str,
     table_dir: str,
     num_partitions: int = 16,
     near_dup_threshold: float | None = None,
+    wordcount_view: str | None = None,
 ) -> dict:
     """Ingest every shard not yet in the ledger; returns tick stats.
 
@@ -200,8 +264,15 @@ def run_tick(
     done = set(ledger["shards"])
     new = [s for s in _list_shards(input_dir) if s not in done]
     if not new:
+        # still reconcile the view: a crash between a previous tick's
+        # commit and its view fold must heal even if no shards arrive
+        view_stats = (
+            _maintain_wordcount_view(table_dir, wordcount_view,
+                                     num_partitions)
+            if wordcount_view else {}
+        )
         return {"new_shards": 0, "rows_in": 0, "rows_appended": 0,
-                "version": latest_version(table_dir)}
+                "version": latest_version(table_dir), **view_stats}
 
     ds = ensure_doc_id(read_corpus_auto(new[0]))
     for s in new[1:]:
@@ -290,6 +361,12 @@ def run_tick(
         )
         if band_files:
             commit_version(lsh_dir, band_files, mode="append")
+    view_stats = {}
+    if wordcount_view:
+        view_stats = _maintain_wordcount_view(
+            table_dir, wordcount_view, num_partitions
+        )
+
     # ledger LAST: a crash before this line replays the shards next
     # tick, and the anti-join drops every already-committed row
     ledger["shards"].extend(new)
@@ -301,6 +378,7 @@ def run_tick(
         "skipped_existing": rows_in - rows_appended,
         "near_dup_dropped": n_near_dropped,
         "version": version,
+        **view_stats,
     }
 
 
@@ -317,6 +395,9 @@ def main() -> int:
     parser.add_argument("--near-dup-threshold", type=float, default=None,
                         help="enable incremental MinHash-LSH near-dup "
                              "dedup at this Jaccard threshold")
+    parser.add_argument("--wordcount-view", default=None,
+                        help="maintain a delta-folded word-count view "
+                             "(versioned table) at this dir per tick")
     parser.add_argument("--vacuum-keep", type=int, default=0,
                         help="after each committing tick, expire all but "
                              "the newest N table versions (0 = keep all)")
@@ -333,6 +414,7 @@ def main() -> int:
         stats = run_tick(
             args.input, args.table, args.num_partitions,
             near_dup_threshold=args.near_dup_threshold,
+            wordcount_view=args.wordcount_view,
         )
         stats["tick"] = tick
         if args.vacuum_keep and stats["new_shards"]:

@@ -196,3 +196,59 @@ class TestNearDupIngestion:
 
         assert read_version(lsh).count() > 0
         assert sorted(_table_ids(table)) == [1, 2]
+
+
+class TestWordcountView:
+    """Delta-maintained word-count view across ingestion ticks."""
+
+    @staticmethod
+    def _view_counts(view_dir):
+        from ctinexus_ray.state.tableformat import read_version
+
+        return {
+            r["word"]: r["n"] for r in read_version(view_dir).take_all()
+        }
+
+    def test_view_tracks_ticks(self, ray_session, tmp_path):
+        inp = tmp_path / "in"
+        inp.mkdir()
+        table = str(tmp_path / "tbl")
+        view = str(tmp_path / "view")
+        os.makedirs(table)
+
+        _shard(inp / "a.parquet", [1, 2, 3])
+        s1 = run_tick(str(inp), table, 4, wordcount_view=view)
+        assert s1["wordcount_folded"] == 1
+        # texts are "doc {i}": word 'doc' appears once per committed row
+        assert self._view_counts(view)["doc"] == 3
+
+        _shard(inp / "b.parquet", [3, 4])  # 3 dedups away
+        s2 = run_tick(str(inp), table, 4, wordcount_view=view)
+        assert s2["wordcount_folded"] == 1
+        counts = self._view_counts(view)
+        assert counts["doc"] == 4  # only doc_id 4 was new
+        assert counts["4"] == 1 and counts["1"] == 1
+
+    def test_crash_between_commit_and_fold_heals(
+        self, ray_session, tmp_path
+    ):
+        """Simulate the crash window: commit a tick WITHOUT the view,
+        then run a view-maintaining tick — reconciliation folds the
+        stranded version exactly once."""
+        inp = tmp_path / "in"
+        inp.mkdir()
+        table = str(tmp_path / "tbl")
+        view = str(tmp_path / "view")
+        os.makedirs(table)
+
+        _shard(inp / "a.parquet", [1, 2])
+        run_tick(str(inp), table, 4)  # no view: the "crashed" fold
+        _shard(inp / "b.parquet", [3])
+        s2 = run_tick(str(inp), table, 4, wordcount_view=view)
+        assert s2["wordcount_folded"] == 2  # v1 (stranded) + v2
+        assert self._view_counts(view)["doc"] == 3
+        # idle tick: nothing new, nothing double-folded
+        s3 = run_tick(str(inp), table, 4, wordcount_view=view)
+        assert s3["new_shards"] == 0
+        assert s3["wordcount_folded"] == 0
+        assert self._view_counts(view)["doc"] == 3
