@@ -65,26 +65,32 @@ def commit_version(
     opaque JSON dict stored IN the manifest — metadata that must be
     atomic with the data commit (e.g. the IVM applied-batch ledger:
     state/ivm.py relies on manifest atomicity for exactly-once delta
-    application)."""
+    application). ``extra=None`` INHERITS the parent's extra, so
+    ledger-bearing tables survive compaction/merge commits that don't
+    know about the metadata; pass ``{}`` to clear it explicitly."""
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be 'append' or 'overwrite'")
     os.makedirs(table_dir, exist_ok=True)
     for _ in range(max_retries):
         parent = latest_version(table_dir)
         version = 1 if parent is None else parent + 1
-        if mode == "append" and parent is not None:
+        base = []
+        inherited = None
+        if parent is not None:
             with open(_manifest_path(table_dir, parent)) as fh:
-                base = json.load(fh)["files"]
-        else:
-            base = []
+                pman = json.load(fh)
+            if mode == "append":
+                base = pman["files"]
+            inherited = pman.get("extra")
         manifest = {
             "version": version,
             "parent": parent,
             "mode": mode,
             "files": base + [f for f in files if f not in base],
         }
-        if extra is not None:
-            manifest["extra"] = extra
+        chosen = extra if extra is not None else inherited
+        if chosen is not None:
+            manifest["extra"] = chosen
         # write the FULL manifest to a private temp file first, then
         # os.link() it into place: link is atomic create-if-absent, so
         # a concurrent reader can never observe a half-written manifest

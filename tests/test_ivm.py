@@ -125,3 +125,18 @@ class TestApplyDelta:
         for t in BATCHES[0]:
             want.update(t.split())
         assert v1 == dict(want)
+
+    def test_ledger_survives_compaction(self, tmp_path):
+        """compact_table commits without knowing about the IVM ledger;
+        extra inheritance must carry it forward or replays double-fold."""
+        from ctinexus_ray.state.tableformat import compact_table
+
+        view = str(tmp_path / "wc")
+        for i, texts in enumerate(BATCHES):
+            apply_delta(view, _delta(texts), "wkey", {"n": "sum"}, f"b{i}")
+        compact_table(view)
+        assert applied_batches(view) == ["b0", "b1", "b2"]
+        out = apply_delta(
+            view, _delta(BATCHES[0]), "wkey", {"n": "sum"}, "b0"
+        )
+        assert out["applied"] is False
