@@ -8366,7 +8366,7 @@ def _q_name_betweenness(sf_dir: str):
 
 def _q_ivm_wordcount(sf_dir: str):
     """Delta-maintained word-count view (state/ivm.py): the corpus
-    arrives as 3 ingestion batches (doc_id mod 3 — deterministic), each
+    arrives as 2 ingestion batches (doc_id mod 2 — deterministic), each
     contributing a tick-sized delta aggregate folded into a versioned
     view by monoid combination with copy-on-write file pruning; the
     applied-batch ledger lives IN the manifest, so replay is
@@ -8384,17 +8384,18 @@ def _q_ivm_wordcount(sf_dir: str):
     from ctinexus_ray.state.tableformat import read_version
 
     view = tempfile.mkdtemp(prefix="ivm_wc_")
+    n_slices = 2
 
     def add_key(batch: pa.Table) -> pa.Table:
         words = batch.column("word").to_pylist()
         keys = hash64_strings(words).astype(np.int64)
         return batch.append_column("wkey", pa.array(keys, type=pa.int64()))
 
-    for i in range(3):
+    for i in range(n_slices):
 
         def keep_slice(batch: pa.Table, i=i) -> pa.Table:
             ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-            return batch.filter(pa.array(ids % 3 == i))
+            return batch.filter(pa.array(ids % n_slices == i))
 
         delta = partitioned_agg(
             _docs(sf_dir, ["doc_id", "text"])
@@ -8473,8 +8474,9 @@ def _unigram_pieces_ds(sf_dir: str):
         ds = unigram_train(
             _docs(sf_dir, ["doc_id", "text"]),
             vocab_size=48,
-            seed_size=512,
+            seed_size=256,
             max_piece_len=_UNIGRAM_PIECE_LEN,
+            shrink=0.5,
         ).materialize()
         _UNIGRAM_CACHE.clear()
         _UNIGRAM_CACHE[key] = ds
@@ -8486,7 +8488,9 @@ def _q_unigram_pieces(sf_dir: str):
     (ops/unigram.py): seed substrings -> integer-quantized EM over the
     distinct-word table -> driver-side likelihood-loss pruning.
     Iterative EM is not SQL-expressible -> rows-only; bit-exact parity
-    vs a sequential reference is pinned in tests/test_unigram.py."""
+    vs a sequential reference is pinned in tests/test_unigram.py.
+    Query knobs favor sweep latency (seed 256, shrink 0.5 halves the
+    prune rounds); algorithm defaults stay SentencePiece-shaped."""
     return _unigram_pieces_ds(sf_dir)
 
 
