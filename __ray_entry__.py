@@ -6698,6 +6698,27 @@ def _q_kg_nodes_merged(sf_dir: str):
     return apply_mapping_to_nodes(nodes, mapping)
 
 
+def _q_kg_nodes_merged_llm(sf_dir: str):
+    """Coarse-to-fine canonical-entity merging (the north-star EA
+    shape): coarse = embedding-threshold LSH candidates, fine = one
+    LLM YES/NO verification per candidate pair (actor pool, temp 0,
+    per-actor memo) — only confirmed pairs merge. Mock provider ->
+    deterministic; rows-only (LLM stage not SQL-expressible; exact
+    anchor kg_nodes + the unverified twin kg_nodes_merged)."""
+    from ctinexus_ray.config import PipelineConfig
+    from ctinexus_ray.pipelines.nearcanon import (
+        apply_mapping_to_nodes,
+        near_canonical_mapping,
+    )
+
+    config = PipelineConfig()
+    nodes = _kg(sf_dir)["nodes"].materialize()
+    mapping = near_canonical_mapping(
+        nodes, config, threshold=0.8, llm_verify=True
+    )
+    return apply_mapping_to_nodes(nodes, mapping)
+
+
 def _q_url_source(sf_dir: str):
     """URL-source ingestion records (extract + summarize + repair)."""
     from ctinexus_ray.config import PipelineConfig
@@ -8862,6 +8883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_betweenness": _q_name_betweenness,
         "name_sssp": _q_name_sssp,
         "ivm_wordcount": _q_ivm_wordcount,
+        "kg_nodes_merged_llm": _q_kg_nodes_merged_llm,
     }
 
 

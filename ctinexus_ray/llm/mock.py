@@ -184,6 +184,10 @@ def classify_mention(text: str):
 
 _IE_QUERY_RE = re.compile(r'"CTI": ([\s\S]*?)\n\n"""insert your answer here"""')
 _ET_TRIPLES_RE = re.compile(r"Triples:\n([\s\S]*)$")
+_MERGE_RE = re.compile(
+    r'Entity A: "([\s\S]*?)" \(class ([\s\S]*?)\)\n'
+    r'Entity B: "([\s\S]*?)" \(class ([\s\S]*?)\)'
+)
 _LINK_RE = re.compile(
     r'relationship between entity "([\s\S]*?)" and entity "([\s\S]*?)"\?'
 )
@@ -221,6 +225,8 @@ class MockLLM:
     # -- stage dispatch -----------------------------------------------------
 
     def _respond(self, prompt: str):
+        if prompt.startswith("Do these two entity mentions"):
+            return self._respond_merge(prompt)
         link = _LINK_RE.search(prompt)
         if link and "predicted_triple" in prompt:
             return self._respond_link(prompt, link.group(1), link.group(2))
@@ -235,6 +241,22 @@ class MockLLM:
         if prompt.startswith("Rewrite the draft summary"):
             return self._respond_repair(prompt)
         return {"triplets": []}
+
+    @staticmethod
+    def _respond_merge(prompt: str) -> str:
+        """Deterministic canonical-merge judge (the fine pass of
+        coarse-to-fine entity merging): YES iff the two mention texts
+        are equal after casefold + whitespace collapse, or one contains
+        the other (abbreviation/qualifier pattern: "APT28" vs
+        "APT28 group"). Pure function of the prompt — reproducible
+        across workers and runs like every other mock stage."""
+        m = _MERGE_RE.search(prompt)
+        if not m:
+            return "NO"
+        a = " ".join(m.group(1).casefold().split())
+        b = " ".join(m.group(3).casefold().split())
+        same = a == b or (a in b if a else False) or (b in a if b else False)
+        return "YES" if same else "NO"
 
     @staticmethod
     def _summary_of(content: str) -> str:

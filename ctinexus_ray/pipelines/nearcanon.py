@@ -140,9 +140,25 @@ def _bucket_pairs(
     ).head(max_bucket)
     keys = g["entity_key"].to_numpy(dtype=np.int64)
     docs = g["doc_count"].to_numpy(dtype=np.int64)
-    empty = pd.DataFrame(
-        {c: pd.Series([], dtype="int64") for c in ("a", "b", "doc_a", "doc_b")}
-    )
+    texts = g["entity_text"].to_numpy(dtype=object)
+    klasses = g["entity_class"].to_numpy(dtype=object)
+
+    def frame(ai, bi):
+        # texts + class ride along so the optional LLM fine-verify pass
+        # can prompt without a join back to the node table
+        return pd.DataFrame(
+            {
+                "a": pd.Series(keys[ai], dtype="int64"),
+                "b": pd.Series(keys[bi], dtype="int64"),
+                "doc_a": pd.Series(docs[ai], dtype="int64"),
+                "doc_b": pd.Series(docs[bi], dtype="int64"),
+                "text_a": pd.Series(texts[ai], dtype=object),
+                "text_b": pd.Series(texts[bi], dtype=object),
+                "klass": pd.Series(klasses[ai], dtype=object),
+            }
+        )
+
+    empty = frame(np.array([], dtype=int), np.array([], dtype=int))
     if len(keys) < 2:
         return empty
     mat = np.array(g["embedding"].tolist(), dtype=np.float64)
@@ -154,26 +170,12 @@ def _bucket_pairs(
         bi = np.nonzero(sims[1:] >= threshold)[0] + 1
         if not len(bi):
             return empty
-        return pd.DataFrame(
-            {
-                "a": pd.Series(np.full(len(bi), keys[0]), dtype="int64"),
-                "b": pd.Series(keys[bi], dtype="int64"),
-                "doc_a": pd.Series(np.full(len(bi), docs[0]), dtype="int64"),
-                "doc_b": pd.Series(docs[bi], dtype="int64"),
-            }
-        )
+        return frame(np.zeros(len(bi), dtype=int), bi)
     sims = mat @ mat.T
     ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
     if not len(ai):
         return empty
-    return pd.DataFrame(
-        {
-            "a": pd.Series(keys[ai], dtype="int64"),
-            "b": pd.Series(keys[bi], dtype="int64"),
-            "doc_a": pd.Series(docs[ai], dtype="int64"),
-            "doc_b": pd.Series(docs[bi], dtype="int64"),
-        }
-    )
+    return frame(ai, bi)
 
 
 def _partition_pairs(
@@ -192,9 +194,62 @@ def _partition_pairs(
     frames = [f for f in frames if len(f)]
     if not frames:
         return pd.DataFrame(
-            {c: pd.Series([], dtype="int64") for c in ("a", "b", "doc_a", "doc_b")}
+            {
+                **{c: pd.Series([], dtype="int64")
+                   for c in ("a", "b", "doc_a", "doc_b")},
+                **{c: pd.Series([], dtype=object)
+                   for c in ("text_a", "text_b", "klass")},
+            }
         )
     return pd.concat(frames, ignore_index=True).drop_duplicates(["a", "b"])
+
+
+MERGE_VERIFY_PROMPT = (
+    "Do these two entity mentions refer to the same real-world entity?\n"
+    'Entity A: "{a}" (class {ka})\n'
+    'Entity B: "{b}" (class {kb})\n'
+    "Answer strictly YES or NO."
+)
+
+
+class MergeVerifyStage:
+    """Actor-pool LLM fine pass of coarse-to-fine canonical-entity
+    merging (the north-star stage the embedding threshold alone cannot
+    express): the coarse pass proposes embedding-near candidate pairs;
+    each pair is confirmed or rejected by one completion at temperature
+    0. State (client) loads once per actor; a per-actor memo keyed on
+    the (text_a, text_b, class) triple collapses repeat pairs across
+    batches (head entities recur). Only YES pairs survive into the
+    component resolution."""
+
+    def __init__(self, config: PipelineConfig):
+        self.client = get_client(config)
+        self._memo: dict[tuple, bool] = {}
+
+    def _verdict(self, a: str, b: str, klass: str) -> bool:
+        key = (a, b, klass)
+        hit = self._memo.get(key)
+        if hit is None:
+            prompt = MERGE_VERIFY_PROMPT.format(a=a, ka=klass, b=b, kb=klass)
+            text, _ti, _to = self.client.complete(prompt, temperature=0.0)
+            hit = text.strip().upper().startswith("YES")
+            self._memo[key] = hit
+        return hit
+
+    def __call__(self, batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        keep = [
+            self._verdict(a, b, k)
+            for a, b, k in zip(
+                batch.column("text_a").to_pylist(),
+                batch.column("text_b").to_pylist(),
+                batch.column("klass").to_pylist(),
+            )
+        ]
+        kept = batch.filter(pa.array(keep))
+        if kept.num_rows:
+            yield kept
 
 
 def near_canonical_mapping(
@@ -206,10 +261,17 @@ def near_canonical_mapping(
     max_bucket: int = 500,
     pair_mode: str = "star",
     distributed_threshold: int = 2_000_000,
+    llm_verify: bool = False,
+    llm_concurrency: tuple[int, int] = (1, 4),
 ) -> ray.data.Dataset:
     """(entity_key -> canon_key) rows for entities merged into a near
     neighbor; identity rows are omitted. Component representative =
     highest doc_count, ties toward the smallest key.
+
+    ``llm_verify=True`` inserts the LLM FINE pass between the coarse
+    embedding candidates and component resolution (coarse-to-fine
+    merging): only pairs the model confirms merge. Deterministic under
+    the mock provider (equal-after-normalization or containment).
 
     Two resolution paths with IDENTICAL results (property-tested):
       * edge count <= ``distributed_threshold``: driver-side union-find —
@@ -250,6 +312,14 @@ def near_canonical_mapping(
         lambda g: _partition_pairs(g, threshold, max_bucket, star=star),
         batch_format="pandas",
     )
+
+    if llm_verify:
+        pairs = pairs.map_batches(
+            MergeVerifyStage,
+            fn_constructor_args=(config,),
+            batch_format="pyarrow",
+            concurrency=llm_concurrency,
+        )
 
     pairs = pairs.materialize()
     if pairs.count() > distributed_threshold:
