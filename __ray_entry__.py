@@ -8437,6 +8437,61 @@ def _q_ivm_wordcount(sf_dir: str):
     return read_version(view, columns=["word", "n"])
 
 
+def _q_ivm_distinct_users(sf_dir: str):
+    """Delta-maintained DISTINCT-COUNT view: HLL registers are a
+    max-monoid, so each ingestion batch's (reg, rho) rows fold into a
+    persisted register view via the same exactly-once IVM machinery as
+    the word counts — the constant-size approximate sibling. The view's
+    estimate equals the full-corpus hll_distinct exactly (max is
+    order/batching-insensitive; pinned in tests). Rows-only (sketch by
+    design; exact anchor distinct_users-style COUNT(DISTINCT) twins)."""
+    import tempfile
+
+    import ray.data
+
+    from ctinexus_ray.ops.sketch import (
+        hll_estimate_from_rows,
+        hll_register_rows,
+    )
+    from ctinexus_ray.state.ivm import apply_delta
+    from ctinexus_ray.state.tableformat import read_version
+
+    p = 12
+    view = tempfile.mkdtemp(prefix="ivm_hll_")
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id"]
+    )
+
+    def uid_str(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "u": batch.column("user_id").cast(pa.string()),
+                "event_id": batch.column("event_id"),
+            }
+        )
+
+    for i in range(2):
+
+        def keep_slice(batch: pa.Table, i=i) -> pa.Table:
+            ids = batch.column("event_id").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 2 == i))
+
+        delta = hll_register_rows(
+            ev.map_batches(uid_str, batch_format="pyarrow")
+            .map_batches(keep_slice, batch_format="pyarrow"),
+            "u",
+            p=p,
+        )
+        apply_delta(
+            view, delta, key_col="reg", value_cols={"rho": "max"},
+            batch_id=f"slice-{i}", num_partitions=16,
+        )
+    est = hll_estimate_from_rows(read_version(view).take_all(), p=p)
+    return pa.Table.from_pydict(
+        {"approx_distinct_users": pa.array([est], type=pa.int64())}
+    )
+
+
 # --- bounded weighted shortest paths ------------------------------------------
 
 
@@ -8884,6 +8939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_sssp": _q_name_sssp,
         "ivm_wordcount": _q_ivm_wordcount,
         "kg_nodes_merged_llm": _q_kg_nodes_merged_llm,
+        "ivm_distinct_users": _q_ivm_distinct_users,
     }
 
 

@@ -910,3 +910,44 @@ def hll_set_cardinalities(
         )
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def hll_register_rows(
+    ds: ray.data.Dataset, column: str, p: int = 14
+) -> ray.data.Dataset:
+    """HyperLogLog registers as ROWS — (reg:int64, rho:int64), nonzero
+    registers only, max-combined across batches. The row form exists for
+    DELTA-MAINTAINED distinct-count views (state/ivm.py): registers are
+    a max-monoid, so a tick's register rows fold into a persisted view
+    with ``apply_delta(value_cols={"rho": "max"})`` and the view's
+    estimate equals the full-corpus sketch exactly (pinned in tests).
+    At most 2^p rows regardless of corpus size."""
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    def partial(batch: pa.Table):
+        regs = _hll_partial(batch.column(column), p)
+        nz = np.nonzero(regs)[0]
+        if not len(nz):
+            return
+        yield pa.Table.from_pydict(
+            {
+                "reg": pa.array(nz.astype(np.int64), type=pa.int64()),
+                "rho": pa.array(regs[nz].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return partitioned_agg(
+        ds.select_columns([column]).map_batches(partial, batch_format="pyarrow"),
+        keys=["reg"],
+        named_aggs={"rho": ("rho", "max")},
+        num_partitions=16,
+    )
+
+
+def hll_estimate_from_rows(rows: list[dict], p: int = 14) -> int:
+    """Finalize an estimate from (reg, rho) rows (missing registers are
+    zero) — the read side of the delta-maintained distinct view."""
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    for r in rows:
+        regs[int(r["reg"])] = int(r["rho"])
+    return int(round(_hll_estimate(regs)))

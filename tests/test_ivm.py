@@ -140,3 +140,37 @@ class TestApplyDelta:
             view, _delta(BATCHES[0]), "wkey", {"n": "sum"}, "b0"
         )
         assert out["applied"] is False
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHLLView:
+    """Delta-maintained distinct-count view: register max-folding across
+    batches must equal the full-corpus sketch EXACTLY."""
+
+    def test_view_estimate_equals_full_sketch(self, tmp_path):
+        from ctinexus_ray.ops.sketch import (
+            hll_distinct,
+            hll_estimate_from_rows,
+            hll_register_rows,
+        )
+
+        p = 10
+        users = [f"user-{i % 37}" for i in range(500)]
+        t = pa.table({"u": users, "i": list(range(500))})
+        full = ray.data.from_arrow(t)
+        want = full.select_columns(["u"])
+        want_est = hll_distinct(want, "u", p=p).take_all()[0]["approx_distinct"]
+
+        view = str(tmp_path / "hll")
+        for s in range(3):
+            part = ray.data.from_arrow(
+                t.filter(pa.array([i % 3 == s for i in range(500)]))
+            )
+            delta = hll_register_rows(part, "u", p=p)
+            apply_delta(view, delta, key_col="reg",
+                        value_cols={"rho": "max"}, batch_id=f"s{s}")
+        got_est = hll_estimate_from_rows(
+            read_version(view).take_all(), p=p
+        )
+        assert got_est == want_est
+        assert abs(got_est - 37) / 37 < 0.15  # sketch sanity
