@@ -8437,6 +8437,74 @@ def _q_ivm_wordcount(sf_dir: str):
     return read_version(view, columns=["word", "n"])
 
 
+def _q_bloom_pruned_lookup(sf_dir: str):
+    """Point lookup through the per-row-group BLOOM index
+    (sources/pqindex.py): the corpus is re-sharded by doc_id hash so
+    every file's [min, max] fingerprint range spans the whole domain —
+    the zone map cannot prune — and the Bloom filters open only the row
+    groups that may contain the probe fingerprints. A missed row would
+    hash-mismatch the full-scan oracle, so the MATCH is exactly the
+    no-false-negatives guarantee. ✓SQL."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ctinexus_ray.sources.pqindex import (
+        build_bloom_index,
+        prune_bloom,
+        read_pruned,
+    )
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        fps = [
+            hashlib.md5((t or "").strip().lower().encode()).hexdigest()
+            for t in texts
+        ]
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch.column("doc_id"),
+                "fp": pa.array(fps, type=pa.string()),
+            }
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_fp, batch_format="pyarrow"
+    )
+    shard_dir = tempfile.mkdtemp(prefix="bloomidx_")
+    paths = []
+    n_files = 8
+    for f in range(n_files):
+
+        def keep(batch: pa.Table, f=f) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % n_files == f))
+
+        part = docs.map_batches(keep, batch_format="pyarrow").to_arrow_refs()
+        import ray as _ray
+
+        tables = [t for t in _ray.get(part) if t.num_rows]
+        paths.append(os.path.join(shard_dir, f"part-{f}.parquet"))
+        pq.write_table(
+            pa.concat_tables(tables), paths[-1], row_group_size=32
+        )
+
+    probe_rows = docs.filter(expr="doc_id < 3").take_all()
+    probes = sorted({r["fp"] for r in probe_rows})
+    idx = build_bloom_index(paths, "fp")
+    pairs = prune_bloom(idx, probes)
+    hits = read_pruned(pairs)
+    pset = set(probes)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        fps = batch.column("fp").to_pylist()
+        return batch.filter(pa.array([f in pset for f in fps]))
+
+    return hits.map_batches(exact, batch_format="pyarrow")
+
+
 def _q_ivm_distinct_users(sf_dir: str):
     """Delta-maintained DISTINCT-COUNT view: HLL registers are a
     max-monoid, so each ingestion batch's (reg, rho) rows fold into a
@@ -8940,6 +9008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivm_wordcount": _q_ivm_wordcount,
         "kg_nodes_merged_llm": _q_kg_nodes_merged_llm,
         "ivm_distinct_users": _q_ivm_distinct_users,
+        "bloom_pruned_lookup": _q_bloom_pruned_lookup,
     }
 
 
@@ -9981,6 +10050,11 @@ def oracle_sql() -> dict[str, str]:
             "AS betweenness_u FROM alln a "
             "LEFT JOIN dd ON dd.src = a.src AND dd.node = a.node "
             "GROUP BY a.node"
+        ),
+        "bloom_pruned_lookup": (
+            "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents "
+            "WHERE md5(lower(trim(text))) IN ("
+            "SELECT md5(lower(trim(text))) FROM documents WHERE doc_id < 3)"
         ),
         "ivm_wordcount": (
             "SELECT word, CAST(count(*) AS BIGINT) AS n FROM ("

@@ -142,3 +142,93 @@ def read_pruned(
     return ray.data.from_arrow(listing).map_batches(
         read, batch_format="pyarrow", batch_size=16
     )
+
+
+def build_bloom_index(
+    paths: list[str],
+    column: str,
+    m_bits: int = 1 << 17,
+    k: int = 4,
+) -> pa.Table:
+    """Per-row-group BLOOM index over a string key column — the
+    equality-predicate sibling of the min/max zone map. Min/max prunes
+    RANGE predicates and needs a clustered layout (zorder) to bite;
+    hash-distributed keys make every [min, max] span the full domain,
+    and that is exactly where a Bloom filter still prunes: a point
+    lookup opens only row groups whose filter admits the probe key, at
+    a false-POSITIVE rate set by m_bits (never false negatives — a
+    filter miss proves absence).
+
+    Build cost is one column-pruned read of the key column per row
+    group (data pages, unlike the footer-only min/max build) —
+    build once, skip every later scan. Distributed: one task per path
+    batch, the driver never opens a file. Output: (path, row_group,
+    n_rows, bits: binary[m_bits/8]).
+    """
+
+    def read_groups(batch: pa.Table):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from ctinexus_ray.ops.sketch import _bloom_positions
+
+        n_bytes = m_bits // 8
+        out: dict[str, list] = {
+            "path": [], "row_group": [], "n_rows": [], "bits": [],
+        }
+        for path in batch.column("path").to_pylist():
+            pf = pq.ParquetFile(path)
+            for rg in range(pf.metadata.num_row_groups):
+                tbl = pf.read_row_group(rg, columns=[column])
+                pos = _bloom_positions(
+                    tbl.column(column).cast(pa.string()), m_bits, k
+                ).ravel()
+                bits = np.zeros(n_bytes, dtype=np.uint8)
+                np.bitwise_or.at(
+                    bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+                )
+                out["path"].append(path)
+                out["row_group"].append(rg)
+                out["n_rows"].append(tbl.num_rows)
+                out["bits"].append(bits.tobytes())
+        yield pa.Table.from_pydict(
+            {
+                "path": pa.array(out["path"], type=pa.string()),
+                "row_group": pa.array(out["row_group"], type=pa.int32()),
+                "n_rows": pa.array(out["n_rows"], type=pa.int64()),
+                "bits": pa.array(out["bits"], type=pa.binary()),
+            }
+        )
+
+    listing = pa.Table.from_pydict({"path": pa.array(paths, type=pa.string())})
+    parts = (
+        ray.data.from_arrow(listing)
+        .map_batches(read_groups, batch_format="pyarrow", batch_size=4)
+        .take_all()
+    )
+    return pa.Table.from_pylist(
+        sorted(parts, key=lambda r: (r["path"], r["row_group"]))
+    )
+
+
+def prune_bloom(
+    index: pa.Table, values: list[str], m_bits: int = 1 << 17, k: int = 4
+) -> list[tuple[str, int]]:
+    """(path, row_group) pairs whose Bloom filter admits AT LEAST ONE
+    probe value. Bloom property: a dropped row group provably contains
+    none of the probes (false negatives impossible); survivors may
+    still be false positives at the configured rate."""
+    import numpy as np
+
+    from ctinexus_ray.ops.sketch import _bloom_positions
+
+    pos = _bloom_positions(values, m_bits, k)  # (n_probe, k)
+    keep: list[tuple[str, int]] = []
+    for r in index.to_pylist():
+        bits = np.frombuffer(r["bits"], dtype=np.uint8)
+        byte_idx = pos >> 3
+        mask = np.uint8(1) << (pos & 7).astype(np.uint8)
+        hit = ((bits[byte_idx] & mask) != 0).all(axis=1).any()
+        if hit:
+            keep.append((r["path"], r["row_group"]))
+    return keep

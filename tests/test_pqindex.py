@@ -98,3 +98,70 @@ class TestMinMaxIndex:
         ]
         want = int(((t["a"].to_numpy() == 13) & (t["b"].to_numpy() == 27)).sum())
         assert len(rows) == want  # exact hits all found
+
+
+class TestBloomIndex:
+    """Per-row-group Bloom file skipping: no false negatives, real
+    pruning on hash-distributed keys where min/max cannot prune."""
+
+    @pytest.fixture()
+    def hashed_shards(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+
+        # keys hash-distributed across 8 files: every file's [min, max]
+        # spans the whole domain, so the zone map is useless here
+        paths = []
+        for f in range(8):
+            keys = [f"key-{i}" for i in range(f, 800, 8)]
+            paths.append(str(tmp_path / f"part-{f}.parquet"))
+            pq.write_table(
+                pa.table(
+                    {
+                        "k": pa.array(keys, type=pa.string()),
+                        "v": pa.array(list(range(len(keys))), type=pa.int64()),
+                    }
+                ),
+                paths[-1],
+                row_group_size=50,
+            )
+        return paths
+
+    def test_no_false_negatives(self, hashed_shards):
+        from ctinexus_ray.sources.pqindex import (
+            build_bloom_index,
+            prune_bloom,
+            read_pruned,
+        )
+
+        idx = build_bloom_index(hashed_shards, "k")
+        probes = ["key-3", "key-777", "key-123"]
+        pairs = prune_bloom(idx, probes)
+        got = {
+            r["k"]
+            for r in read_pruned(pairs).take_all()
+            if r["k"] in set(probes)
+        }
+        assert got == {"key-3", "key-777", "key-123"}
+
+    def test_prunes_most_groups(self, hashed_shards):
+        from ctinexus_ray.sources.pqindex import (
+            build_bloom_index,
+            prune_bloom,
+        )
+
+        idx = build_bloom_index(hashed_shards, "k")
+        total = idx.num_rows
+        pairs = prune_bloom(idx, ["key-42"])
+        # key-42 lives in exactly one row group of one file; Bloom fp
+        # rate at m=2^17 bits over 100 keys/group is ~0 -> expect ~1
+        assert 1 <= len(pairs) <= 3
+        assert len(pairs) < total / 4
+
+    def test_absent_key_prunes_everything(self, hashed_shards):
+        from ctinexus_ray.sources.pqindex import (
+            build_bloom_index,
+            prune_bloom,
+        )
+
+        idx = build_bloom_index(hashed_shards, "k")
+        assert prune_bloom(idx, ["no-such-key-xyz"]) == []
