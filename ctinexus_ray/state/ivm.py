@@ -81,7 +81,15 @@ def apply_delta(
     if batch_id in applied:
         return {"applied": False, "batch_id": batch_id}
 
-    if latest_version(view_dir) is None:
+    from ctinexus_ray.state.tableformat import version_files
+
+    latest = latest_version(view_dir)
+    if latest is not None and not version_files(view_dir, latest):
+        # a previous batch committed an EMPTY view (empty first delta):
+        # treat this one as the first — reading zero files is an error
+        latest = None
+
+    if latest is None:
         # first batch: the delta IS the view
         import os
         import uuid
@@ -98,7 +106,7 @@ def apply_delta(
         )
         version = commit_version(
             view_dir, files, mode="overwrite",
-            extra={"ivm_applied": [batch_id]},
+            extra={"ivm_applied": applied + [batch_id]},
         )
         return {"applied": True, "version": version, "batch_id": batch_id}
 

@@ -174,3 +174,27 @@ class TestHLLView:
         )
         assert got_est == want_est
         assert abs(got_est - 37) / 37 < 0.15  # sketch sanity
+
+    def test_empty_first_delta(self, tmp_path):
+        """An empty first batch must not wedge the view: the ledger
+        records it and the next non-empty delta initializes the data."""
+        view = str(tmp_path / "e")
+        empty = ray.data.from_arrow(
+            pa.table(
+                {
+                    "wkey": pa.array([], type=pa.int64()),
+                    "word": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        )
+        out0 = apply_delta(view, empty, "wkey", {"n": "sum"}, "b0")
+        assert out0["applied"] is True
+        out1 = apply_delta(view, _delta(BATCHES[0]), "wkey", {"n": "sum"}, "b1")
+        assert out1["applied"] is True
+        got = {r["word"]: r["n"] for r in read_version(view).take_all()}
+        want = Counter()
+        for t in BATCHES[0]:
+            want.update(t.split())
+        assert got == dict(want)
+        assert applied_batches(view) == ["b0", "b1"]
