@@ -8597,6 +8597,44 @@ def _q_name_sssp(sf_dir: str):
     )
 
 
+def _q_name_diameter(sf_dir: str):
+    """Graph diameter LOWER BOUND by the double BFS sweep (Magnien,
+    Latapy & Habib 2009): BFS from a fixed start, re-BFS from the
+    farthest node found; its eccentricity bounds the diameter from
+    below, here within the 6-hop horizon. Pure composition of two
+    bfs_hops passes (the memoized edge set is shared). Output one row:
+    (start_node, peripheral_node, diameter_lb). ✓SQL (two depth-capped
+    recursive CTEs, the second seeded by the first's argmax)."""
+    import ray.data
+
+    from ctinexus_ray.ops.graph import bfs_hops
+
+    edges = _name_edges(sf_dir)
+    hops = 6
+
+    def far(d):
+        rows = d.sort(["dist", "node"], descending=[True, False]).limit(1).take_all()
+        return rows[0]
+
+    seed0 = ray.data.from_arrow(
+        pa.Table.from_pydict({"node": pa.array([0], type=pa.int64())})
+    )
+    first = far(bfs_hops(edges, seed0, max_hops=hops, num_partitions=16))
+    seed1 = ray.data.from_arrow(
+        pa.Table.from_pydict(
+            {"node": pa.array([first["node"]], type=pa.int64())}
+        )
+    )
+    second = far(bfs_hops(edges, seed1, max_hops=hops, num_partitions=16))
+    return pa.Table.from_pydict(
+        {
+            "start_node": pa.array([0], type=pa.int64()),
+            "peripheral_node": pa.array([first["node"]], type=pa.int64()),
+            "diameter_lb": pa.array([second["dist"]], type=pa.int64()),
+        }
+    )
+
+
 # --- unigram-LM tokenizer (Kudo 2018 / SentencePiece shape) ------------------
 
 
@@ -9009,6 +9047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes_merged_llm": _q_kg_nodes_merged_llm,
         "ivm_distinct_users": _q_ivm_distinct_users,
         "bloom_pruned_lookup": _q_bloom_pruned_lookup,
+        "name_diameter": _q_name_diameter,
     }
 
 
@@ -10060,6 +10099,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT word, CAST(count(*) AS BIGINT) AS n FROM ("
             "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) "
             "AS word FROM documents) GROUP BY word"
+        ),
+        "name_diameter": (
+            "WITH RECURSIVE pairs AS MATERIALIZED ("
+            "SELECT a.c_custkey AS s, b.c_custkey AS d "
+            "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1), "
+            "edges AS MATERIALIZED ("
+            "SELECT s, d FROM pairs UNION ALL SELECT d, s FROM pairs), "
+            "w1 AS (SELECT 0 AS node, 0 AS dist "
+            "UNION SELECT e.d, w.dist + 1 FROM w1 w "
+            "JOIN edges e ON e.s = w.node WHERE w.dist < 6), "
+            "m1 AS (SELECT node, min(dist) AS dist FROM w1 GROUP BY node), "
+            "p1 AS (SELECT node FROM m1 ORDER BY dist DESC, node LIMIT 1), "
+            "w2 AS (SELECT node, 0 AS dist FROM p1 "
+            "UNION SELECT e.d, w.dist + 1 FROM w2 w "
+            "JOIN edges e ON e.s = w.node WHERE w.dist < 6), "
+            "m2 AS (SELECT node, min(dist) AS dist FROM w2 GROUP BY node) "
+            "SELECT CAST(0 AS BIGINT) AS start_node, "
+            "CAST((SELECT node FROM p1) AS BIGINT) AS peripheral_node, "
+            "CAST((SELECT max(dist) FROM m2) AS BIGINT) AS diameter_lb"
         ),
         "name_sssp": (
             "WITH pairs AS MATERIALIZED ("
