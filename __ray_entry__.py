@@ -8736,6 +8736,70 @@ def _q_pii_redact(sf_dir: str):
     )
 
 
+def _aug_html(batch: pa.Table) -> pa.Table:
+    """Deterministic doc_id-derived (url, html) augmentation — the
+    testdata documents table has no html column, so synthesize one
+    exercising every link-resolution path (absolute http, absolute
+    https, root-relative, scheme-relative, dropped mailto), mirrored
+    expression-for-expression in the SQL twins (the `pii_redact`
+    precedent)."""
+    import numpy as np
+    import pandas as pd
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    s = lambda a: pd.Series(a.astype(str))  # noqa: E731
+    url = "http://host" + s(ids % 40) + ".example.com/p/" + s(ids)
+    html = (
+        '<html><body><a href="http://host'
+        + s((ids * 7) % 40)
+        + ".example.com/p/"
+        + s((ids * 7) % 997)
+        + '">x</a>'
+    )
+    html = html + ('<a href="/local/' + s(ids) + '">r</a>').where(ids % 3 == 0, "")
+    html = html + (
+        '<a href="mailto:a@b.c">m</a><a href="//host'
+        + s((ids * 11) % 40)
+        + '.example.com/s">p</a>'
+    ).where(ids % 5 == 0, "")
+    html = html + (
+        '<a href="https://host' + s((ids * 13) % 40) + '.example.com/q?k=1">s</a>'
+    ).where(ids % 7 == 0, "")
+    html = html + "</body></html>"
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "url": pa.array(url.tolist(), type=pa.string()),
+            "html": pa.array(html.tolist(), type=pa.string()),
+        }
+    )
+
+
+def _q_html_links(sf_dir: str):
+    """Hyperlink extraction over the CC-shaped html column
+    (ops/weblinks.py): per-page href explode + vectorized resolution
+    (absolute / scheme-relative / root-relative; rest dropped).
+    Stateless map, no shuffle. ✓SQL (regexp_extract_all twin)."""
+    from ctinexus_ray.ops.weblinks import extract_links
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _aug_html, batch_format="pyarrow"
+    )
+    return extract_links(pages).select_columns(["doc_id", "idx", "link"])
+
+
+def _q_host_graph(sf_dir: str):
+    """Host-level link graph (src_host, dst_host, n_links): the crawl
+    ranking / frontier-scheduling edge table. Map-side combined count
+    partials, ONE (src, dst)-keyed sum reduce. ✓SQL."""
+    from ctinexus_ray.ops.weblinks import extract_links, host_link_graph
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _aug_html, batch_format="pyarrow"
+    )
+    return host_link_graph(extract_links(pages))
+
+
 _SCRIPT_SNIPPETS = (
     " привет мир",  # Cyrillic
     " 中文文本",  # Han
@@ -9048,6 +9112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivm_distinct_users": _q_ivm_distinct_users,
         "bloom_pruned_lookup": _q_bloom_pruned_lookup,
         "name_diameter": _q_name_diameter,
+        "html_links": _q_html_links,
+        "host_graph": _q_host_graph,
     }
 
 
@@ -9111,6 +9177,41 @@ def _textclean_oracles() -> dict[str, str]:
         "FROM a"
     )
     return {"pii_redact": pii, "script_mix": script, "nfc_stats": nfc}
+
+
+# Shared CTEs for the weblink twins: the doc_id-derived (url, html)
+# augmentation (mirror of _aug_html expression-for-expression) and the
+# href explode + resolution (mirror of ops/weblinks.py semantics).
+_WEBLINK_PAGES_SQL = (
+    "WITH pages AS (SELECT doc_id, "
+    "'http://host' || (doc_id % 40) || '.example.com/p/' || doc_id AS url, "
+    "'<html><body><a href=\"http://host' || ((doc_id*7) % 40) || "
+    "'.example.com/p/' || ((doc_id*7) % 997) || '\">x</a>' "
+    "|| CASE WHEN doc_id % 3 = 0 THEN "
+    "'<a href=\"/local/' || doc_id || '\">r</a>' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN "
+    "'<a href=\"mailto:a@b.c\">m</a><a href=\"//host' || "
+    "((doc_id*11) % 40) || '.example.com/s\">p</a>' ELSE '' END "
+    "|| CASE WHEN doc_id % 7 = 0 THEN "
+    "'<a href=\"https://host' || ((doc_id*13) % 40) || "
+    "'.example.com/q?k=1\">s</a>' ELSE '' END "
+    "|| '</body></html>' AS html FROM documents), "
+)
+
+_WEBLINK_RES_SQL = (
+    "lst AS (SELECT doc_id, url, "
+    "regexp_extract_all(html, 'href=\"([^\"]*)\"', 1) AS ls FROM pages), "
+    "raw AS (SELECT doc_id, url, i, "
+    "list_extract(ls, CAST(i+1 AS INT)) AS raw FROM lst, "
+    "LATERAL (SELECT unnest(range(0, len(ls))) AS i)), "
+    "res AS (SELECT doc_id, url, i, "
+    "CASE WHEN raw LIKE 'http://%' OR raw LIKE 'https://%' THEN raw "
+    "WHEN raw LIKE '//%' THEN "
+    "regexp_extract(url, '^(https?):', 1) || ':' || raw "
+    "WHEN raw LIKE '/%' THEN "
+    "regexp_extract(url, '^(https?://[^/]+)', 1) || raw "
+    "ELSE NULL END AS link FROM raw) "
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -11083,5 +11184,21 @@ def oracle_sql() -> dict[str, str]:
         # minhash_pairs / simhash / langid / kg_* / multimodal_features:
         # deterministic but not ANSI-SQL-expressible (stable hashing, mock
         # LLM, heuristic scoring) -> rows-only checks.
+        "html_links": (
+            _WEBLINK_PAGES_SQL
+            + _WEBLINK_RES_SQL
+            + "SELECT doc_id, CAST(row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY i) AS BIGINT) AS idx, link "
+            "FROM res WHERE link IS NOT NULL"
+        ),
+        "host_graph": (
+            _WEBLINK_PAGES_SQL
+            + _WEBLINK_RES_SQL
+            + "SELECT regexp_extract(url, '^https?://([^/]+)', 1) "
+            "AS src_host, "
+            "regexp_extract(link, '^https?://([^/]+)', 1) AS dst_host, "
+            "count(*) AS n_links "
+            "FROM res WHERE link IS NOT NULL GROUP BY src_host, dst_host"
+        ),
         **_textclean_oracles(),
     }

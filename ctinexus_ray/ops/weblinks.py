@@ -1,0 +1,186 @@
+"""Hyperlink extraction + host-level link graph over crawled HTML.
+
+The input table is Common-Crawl-shaped (url, html, ...) — see
+BASELINE.json's input_hint. Beside the text path (extraction E1), the
+OTHER thing a 10^12-page crawl yields is the link graph: which page
+links where, aggregated to host->host edges for ranking (PageRank /
+TrustRank over hosts), crawl frontier scheduling, and spam-cluster
+detection. The reference operates on one fetched page at a time
+(`/root/reference/ctinexus/llm_processor.py:865-874` fetches a single
+URL); this module is the corpus-scale sibling: every page's hrefs in
+one stateless pass, then one count reduce.
+
+Link semantics (documented, frozen — the SQL twin replays them):
+
+  * hrefs are ``href="..."`` attributes (double-quoted form; the
+    leftmost non-overlapping matches, RE2-compatible pattern so DuckDB
+    ``regexp_extract_all(html, pattern, 1)`` sees the identical list)
+  * absolute http(s) links pass through unchanged
+  * scheme-relative ``//host/path`` links inherit the page's scheme
+  * root-relative ``/path`` links resolve against the page's
+    ``scheme://host``
+  * everything else (mailto:, javascript:, fragment-only, dotted
+    relative paths, empty) is DROPPED — path-relative resolution needs
+    RFC 3986 dot-segment removal, which no SQL twin can replay; a
+    crawl frontier treats those as same-page noise anyway
+  * ``idx`` numbers the KEPT links 1-based in document order
+
+Scale shape: extraction is a stateless map (regex scanning is
+inherently sequential per string — the per-row finditer mirrors
+``ops/semistruct.py regex_extract_all``); resolution and host parsing
+are vectorized Arrow kernels over the exploded matches; the host graph
+is ONE (src_host, dst_host)-keyed count reduce with map-side combine,
+so the shuffle ships (src, dst, n) partials, never raw link rows.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# Double-quoted href attributes. Group 1 is the link target. The
+# pattern is RE2-compatible (no lookaround/backrefs) so DuckDB's
+# regexp_extract_all computes the identical match list.
+HREF_PATTERN = r'href="([^"]*)"'
+
+# scheme://host of a page or link; used for both resolution and the
+# host graph. Named group for pyarrow's extract_regex.
+_ORIGIN_PATTERN = r"^(?P<scheme>https?)://(?P<host>[^/]+)"
+
+
+def _origins(urls: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """Vectorized (scheme, host) of each url; nulls where not http(s)."""
+    st = pc.extract_regex(urls, _ORIGIN_PATTERN)
+    return pc.struct_field(st, "scheme"), pc.struct_field(st, "host")
+
+
+def resolve_links(raw: pa.Array, page_scheme: pa.Array, page_host: pa.Array) -> pa.Array:
+    """Resolve raw href values against their page's origin per the
+    module contract. Returns null for dropped links. Fully vectorized
+    (three prefix tests + two string assemblies)."""
+    raw = raw.cast(pa.string()) if raw.type != pa.string() else raw
+    is_abs = pc.or_(
+        pc.starts_with(raw, pattern="http://"),
+        pc.starts_with(raw, pattern="https://"),
+    )
+    is_proto_rel = pc.starts_with(raw, pattern="//")
+    is_root_rel = pc.and_(
+        pc.starts_with(raw, pattern="/"), pc.invert(is_proto_rel)
+    )
+    proto_form = pc.binary_join_element_wise(
+        page_scheme, ":", raw, "", null_handling="emit_null"
+    )
+    root_form = pc.binary_join_element_wise(
+        page_scheme, "://", page_host, raw, "", null_handling="emit_null"
+    )
+    out = pc.if_else(
+        is_abs,
+        raw,
+        pc.if_else(
+            is_proto_rel,
+            proto_form,
+            pc.if_else(is_root_rel, root_form, pa.nulls(len(raw), pa.string())),
+        ),
+    )
+    return out
+
+
+def extract_links(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    html_col: str = "html",
+) -> ray.data.Dataset:
+    """Explode each page into its resolved outbound links:
+    (id, url, idx, link), idx 1-based over the KEPT links in document
+    order. Pages with NULL html or zero kept links contribute nothing
+    (SQL unnest semantics). The html column may be string or binary
+    (binary decodes as UTF-8 with replacement — crawl payloads are not
+    always valid UTF-8, and a replacement char can never create a new
+    ``href="`` byte sequence)."""
+    rx = re.compile(HREF_PATTERN)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_in = batch.column(id_col).to_pylist()
+        urls_in = batch.column(url_col).to_pylist()
+        html_in = batch.column(html_col).to_pylist()
+        ids, urls, raws = [], [], []
+        for i, u, h in zip(ids_in, urls_in, html_in):
+            if h is None:
+                continue
+            if isinstance(h, (bytes, bytearray)):
+                h = h.decode("utf-8", errors="replace")
+            for m in rx.finditer(h):
+                ids.append(i)
+                urls.append(u)
+                raws.append(m.group(1))
+        url_arr = pa.array(urls, type=pa.string())
+        scheme, host = _origins(url_arr)
+        link = resolve_links(pa.array(raws, type=pa.string()), scheme, host)
+        t = pa.Table.from_pydict(
+            {
+                id_col: pa.array(ids, type=batch.schema.field(id_col).type),
+                url_col: url_arr,
+                "link": link,
+            }
+        )
+        t = t.filter(pc.is_valid(t.column("link")))
+        # idx: 1-based rank among kept links per doc. Explode order is
+        # document order and one page's matches never split across
+        # batches, so a per-batch grouped cumsum is globally correct.
+        doc_ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        idx = (
+            pd.Series(np.ones(len(doc_ids), dtype=np.int64))
+            .groupby(doc_ids, sort=False)
+            .cumsum()
+            .to_numpy()
+        )
+        return t.append_column("idx", pa.array(idx, type=pa.int64()))
+
+    return ds.select_columns([id_col, url_col, html_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+
+def host_link_graph(
+    links: ray.data.Dataset,
+    url_col: str = "url",
+    link_col: str = "link",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Aggregate resolved links to host->host edges:
+    (src_host, dst_host, n_links). Map-side combine (per-batch pandas
+    value_counts) so the shuffle ships (src, dst, n) partials; one
+    (src, dst)-keyed sum reduce. Self-loops (intra-host links) are
+    kept — dropping them is a one-line filter the caller owns."""
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    def to_hosts(batch: pa.Table) -> pa.Table:
+        _, src_host = _origins(batch.column(url_col).combine_chunks())
+        _, dst_host = _origins(batch.column(link_col).combine_chunks())
+        part = (
+            pd.DataFrame(
+                {
+                    "src_host": src_host.to_pandas(),
+                    "dst_host": dst_host.to_pandas(),
+                }
+            )
+            .groupby(["src_host", "dst_host"], sort=False, dropna=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    partials = links.map_batches(to_hosts, batch_format="pyarrow")
+    agg = partitioned_agg(
+        partials,
+        ["src_host", "dst_host"],
+        {"n_links": ("n", "sum")},
+        num_partitions=num_partitions,
+    )
+    return agg

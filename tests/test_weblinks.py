@@ -1,0 +1,135 @@
+"""Hyperlink extraction + host link-graph tests (ops/weblinks.py)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from ctinexus_ray.ops.weblinks import (
+    extract_links,
+    host_link_graph,
+    resolve_links,
+)
+
+
+def _resolve_one(raw: str, scheme="https", host="ex.com") -> str | None:
+    out = resolve_links(
+        pa.array([raw], type=pa.string()),
+        pa.array([scheme], type=pa.string()),
+        pa.array([host], type=pa.string()),
+    )
+    return out[0].as_py()
+
+
+class TestResolveLinks:
+    @pytest.mark.parametrize(
+        "raw,expected",
+        [
+            # absolute http(s) pass through untouched (incl. case/query)
+            ("http://other.org/a?x=1", "http://other.org/a?x=1"),
+            ("https://other.org/", "https://other.org/"),
+            # scheme-relative inherits the page scheme
+            ("//cdn.ex.com/lib.js", "https://cdn.ex.com/lib.js"),
+            # root-relative resolves against scheme://host
+            ("/about", "https://ex.com/about"),
+            ("/", "https://ex.com/"),
+            # dropped forms
+            ("mailto:a@b.c", None),
+            ("javascript:void(0)", None),
+            ("#frag", None),
+            ("../up/one", None),
+            ("relative/path", None),
+            ("", None),
+        ],
+    )
+    def test_cases(self, raw, expected):
+        assert _resolve_one(raw) == expected
+
+    def test_http_page_scheme_relative(self):
+        assert _resolve_one("//c.d/e", scheme="http") == "http://c.d/e"
+
+    def test_non_http_page_origin_drops_relatives(self):
+        # a page whose url has no http(s) origin can't anchor relatives
+        out = resolve_links(
+            pa.array(["/x", "http://a.b/c"], type=pa.string()),
+            pa.array([None, None], type=pa.string()),
+            pa.array([None, None], type=pa.string()),
+        )
+        assert out.to_pylist() == [None, "http://a.b/c"]
+
+
+class TestExtractLinks:
+    def _pages(self):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                    "url": [
+                        "http://a.com/p/1",
+                        "https://b.com/x",
+                        "http://c.com/",
+                        "http://d.com/",
+                    ],
+                    "html": [
+                        '<a href="http://z.org/1">x</a><a href="/l">y</a>',
+                        '<a href="mailto:m@n.o">m</a><a href="//cdn.b.com/s">c</a>',
+                        "<p>no links</p>",
+                        None,
+                    ],
+                }
+            )
+        )
+
+    def test_explode_resolution_and_idx(self, ray_session):
+        rows = sorted(
+            extract_links(self._pages()).take_all(),
+            key=lambda r: (r["doc_id"], r["idx"]),
+        )
+        assert [(r["doc_id"], r["idx"], r["link"]) for r in rows] == [
+            (1, 1, "http://z.org/1"),
+            (1, 2, "http://a.com/l"),
+            (2, 1, "https://cdn.b.com/s"),
+        ]
+
+    def test_binary_html_decodes(self, ray_session):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([9], type=pa.int64()),
+                    "url": ["http://a.com/"],
+                    "html": pa.array(
+                        [b'\xff\xfe<a href="http://x.y/z">q</a>'],
+                        type=pa.binary(),
+                    ),
+                }
+            )
+        )
+        rows = extract_links(ds).take_all()
+        assert len(rows) == 1 and rows[0]["link"] == "http://x.y/z"
+
+    def test_host_graph_counts(self, ray_session):
+        links = extract_links(self._pages())
+        g = {
+            (r["src_host"], r["dst_host"]): r["n_links"]
+            for r in host_link_graph(links, num_partitions=16).take_all()
+        }
+        assert g == {
+            ("a.com", "z.org"): 1,
+            ("a.com", "a.com"): 1,
+            ("b.com", "cdn.b.com"): 1,
+        }
+
+    def test_single_quoted_href_not_matched(self, ray_session):
+        # the contract is the double-quoted form only (documented);
+        # single-quoted attributes must not produce phantom links
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1], type=pa.int64()),
+                    "url": ["http://a.com/"],
+                    "html": ["<a href='http://x.y/z'>q</a>"],
+                }
+            )
+        )
+        assert extract_links(ds).count() == 0
