@@ -8775,6 +8775,33 @@ def _aug_html(batch: pa.Table) -> pa.Table:
     )
 
 
+def _q_tfrecord_source(sf_dir: str):
+    """TFRecord ingestion round trip (avro/csv/jsonl_source's sibling;
+    the ML-native training-shard format): the documents table sharded
+    into deterministic .tfrecord files (masked-CRC32C framing +
+    hand-rolled tf.Example protobuf, one Ray task per shard), read back
+    through per-file parse tasks. The ✓SQL twin reads the ORIGINAL
+    parquet — a hash MATCH proves the write→read round trip faithful
+    including unicode, NULL text, and the int64 features."""
+    import hashlib
+    import shutil
+
+    from ctinexus_ray.sources.tfrecord import read_tfrecord, write_tfrecord_corpus
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"/tmp/tfrecord_src_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    paths = write_tfrecord_corpus(
+        f"{sf_dir}/documents.parquet",
+        tmp,
+        n_shards=4,
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    return read_tfrecord(paths).select_columns(
+        ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
 def _q_html_links(sf_dir: str):
     """Hyperlink extraction over the CC-shaped html column
     (ops/weblinks.py): per-page href explode + vectorized resolution
@@ -9114,6 +9141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_diameter": _q_name_diameter,
         "html_links": _q_html_links,
         "host_graph": _q_host_graph,
+        "tfrecord_source": _q_tfrecord_source,
     }
 
 
@@ -11184,6 +11212,9 @@ def oracle_sql() -> dict[str, str]:
         # minhash_pairs / simhash / langid / kg_* / multimodal_features:
         # deterministic but not ANSI-SQL-expressible (stable hashing, mock
         # LLM, heuristic scoring) -> rows-only checks.
+        "tfrecord_source": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
         "html_links": (
             _WEBLINK_PAGES_SQL
             + _WEBLINK_RES_SQL
