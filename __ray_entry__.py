@@ -8775,6 +8775,19 @@ def _aug_html(batch: pa.Table) -> pa.Table:
     )
 
 
+def _q_ann_sq(sf_dir: str):
+    """Scalar-quantized (SQ8) ANN: uint8 per dimension — 8x smaller
+    scan traffic than float64 with near-exact recall (higher than PQ
+    at 1 byte/dim); asymmetric affine-folded scoring + exact re-rank.
+    Approximate -> rows-only; recall pinned by tests (TestSQ), exact
+    anchor similarity_topk ✓SQL."""
+    from ctinexus_ray.ops.simsearch import sq_topk
+    from ctinexus_ray.sources.documents import read_testdata_embeddings
+
+    topk = sq_topk(read_testdata_embeddings(sf_dir), n_queries=10, k=5)
+    return topk.select_columns(["query_id", "rank", "neighbor_id"])
+
+
 def _q_tfrecord_source(sf_dir: str):
     """TFRecord ingestion round trip (avro/csv/jsonl_source's sibling;
     the ML-native training-shard format): the documents table sharded
@@ -9142,6 +9155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_links": _q_html_links,
         "host_graph": _q_host_graph,
         "tfrecord_source": _q_tfrecord_source,
+        "ann_sq": _q_ann_sq,
     }
 
 

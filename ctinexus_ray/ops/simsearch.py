@@ -746,6 +746,131 @@ def pq_topk(
     return _merge_topk(partials, k)
 
 
+def sq_train(embeddings: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """Scalar-quantizer training: per-dimension (min, step) over the
+    NORMALIZED corpus, from per-batch d-sized min/max partials folded on
+    the driver (O(blocks) rows move; min/max are order-independent so
+    the result is reshard-stable). step = (max-min)/255; a degenerate
+    dimension (max == min) gets step 0 and always reconstructs min."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _normalize(list_col_to_matrix(batch.column("embedding")))
+        if not mat.shape[0]:
+            return pa.Table.from_pydict(
+                {"mins": pa.array([], pa.list_(pa.float64())),
+                 "maxs": pa.array([], pa.list_(pa.float64()))}
+            )
+        return pa.Table.from_pydict(
+            {
+                "mins": pa.array([mat.min(axis=0).tolist()]),
+                "maxs": pa.array([mat.max(axis=0).tolist()]),
+            }
+        )
+
+    rows = (
+        embeddings.select_columns(["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    mins = np.min([r["mins"] for r in rows], axis=0)
+    maxs = np.max([r["maxs"] for r in rows], axis=0)
+    steps = (maxs - mins) / 255.0
+    return mins, steps
+
+
+def sq_encode(mat: np.ndarray, mins: np.ndarray, steps: np.ndarray) -> np.ndarray:
+    """uint8 codes for (already normalized) rows: round((x-min)/step),
+    clipped to [0, 255]; degenerate dims code 0."""
+    safe = np.where(steps > 0, steps, 1.0)
+    codes = np.rint((mat - mins) / safe)
+    return np.clip(codes, 0, 255).astype(np.uint8)
+
+
+def sq_topk(
+    embeddings: ray.data.Dataset,
+    n_queries: int,
+    k: int = 5,
+    rerank: int = 64,
+) -> ray.data.Dataset:
+    """Scalar-quantized (SQ8) approximate top-k — the BANDWIDTH-scale
+    ANN path beside ``pq_topk``: each dimension compresses to one uint8
+    (8x less scan traffic than float64; higher recall than PQ's m-byte
+    codes at 1 byte/dim). FAISS's IndexScalarQuantizer shape.
+
+    Train: one d-sized min/max reduce (``sq_train``). Search: each
+    corpus batch encodes its vectors to uint8 and scores every query
+    asymmetrically — sims = (q * step) @ codes + q . mins, i.e. the
+    float query against the uint8-RECONSTRUCTED vector, computed as one
+    float matmul over the codes with the per-query affine terms folded
+    out; no per-row Python. The best ``rerank`` quantized candidates
+    per (query, batch) re-score EXACTLY (gathered dot product), so
+    emitted partials carry true cosines and the shared per-query merge
+    ranks across batches correctly.
+
+    Approximate by design (the uint8 shortlist can miss a true
+    neighbor) -> rows-only in the driver contract; recall vs the exact
+    scan is pinned in tests (exact anchor: ``similarity_topk`` ✓SQL)."""
+    q_rows = (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {n_queries}")
+        .take_all()
+    )
+    if not q_rows:
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "rank": pa.array([], type=pa.int64()),
+                    "neighbor_id": pa.array([], type=pa.int64()),
+                    "sim": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    mins, steps = sq_train(embeddings)
+    q_rows.sort(key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = _normalize(np.array([r["embedding"] for r in q_rows], dtype=np.float64))
+    # fold the affine dequantization into the query side:
+    # q . (mins + codes*steps) = (q*steps) @ codes + q . mins
+    shared = ray.put((q_ids, q_mat, q_mat * steps, q_mat @ mins, mins, steps))
+
+    def search(batch: pa.Table):
+        qids, qmat, q_steps, q_base, mn, st = ray.get(shared)
+        v_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(v_ids):
+            return
+        v_mat = _normalize(list_col_to_matrix(batch.column("embedding")))
+        codes = sq_encode(v_mat, mn, st)
+        sims = q_steps @ codes.T.astype(np.float64) + q_base[:, None]
+        shortlist = max(rerank, k)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            row = sims[qi]
+            mask = v_ids != qids[qi]
+            rows = np.nonzero(mask)[0]
+            if len(rows) > shortlist:
+                rows = rows[np.lexsort((v_ids[rows], -row[rows]))[:shortlist]]
+            exact = v_mat[rows] @ qmat[qi]
+            if len(rows) > k:
+                sel = np.lexsort((v_ids[rows], -exact))[:k]
+                rows, exact = rows[sel], exact[sel]
+            out_q.append(np.full(len(rows), qids[qi], dtype=np.int64))
+            out_n.append(v_ids[rows])
+            out_s.append(exact)
+        yield pa.Table.from_pydict(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+            }
+        )
+
+    partials = embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        search, batch_format="pyarrow"
+    )
+    return _merge_topk(partials, k)
+
+
 # ---------------------------------------------------------------------------
 # distributed k-means
 # ---------------------------------------------------------------------------

@@ -658,6 +658,73 @@ class TestPQ:
             _pq_codebooks(np.ones((4, 10)), m=3, n_codes=2)
 
 
+class TestSQ:
+    def test_recall_vs_exact(self, embeddings):
+        from ctinexus_ray.ops.simsearch import self_topk, sq_topk
+
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in self_topk(embeddings, n_queries=10, k=5).take_all()
+        }
+        approx_rows = sq_topk(embeddings, n_queries=10, k=5, rerank=64).take_all()
+        approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+        by_q = {}
+        for r in approx_rows:
+            by_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert set(by_q) == set(range(10))
+        assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+        # uint8/dim on normalized vectors: the shortlist essentially
+        # never misses a true top-5 neighbor on the testdata
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.95, recall
+
+    def test_exact_sims_for_common_pairs(self, embeddings):
+        # re-ranked partials carry TRUE cosines: for every (query,
+        # neighbor) pair both methods return, sims agree to the last
+        # ULPs (BLAS matrix-matrix vs matrix-vector products sum in
+        # different orders, so bit-identity is not guaranteed)
+        from ctinexus_ray.ops.simsearch import self_topk, sq_topk
+
+        exact = {
+            (r["query_id"], r["neighbor_id"]): r["sim"]
+            for r in self_topk(embeddings, n_queries=5, k=5).take_all()
+        }
+        for r in sq_topk(embeddings, n_queries=5, k=5).take_all():
+            key = (r["query_id"], r["neighbor_id"])
+            if key in exact:
+                assert r["sim"] == pytest.approx(exact[key], rel=1e-12)
+
+    def test_encode_bounds_and_degenerate_dim(self, ray_session):
+        from ctinexus_ray.ops.simsearch import sq_encode
+
+        mat = np.array([[0.0, 5.0], [1.0, 5.0], [0.5, 5.0]])
+        mins = mat.min(axis=0)
+        steps = (mat.max(axis=0) - mins) / 255.0
+        codes = sq_encode(mat, mins, steps)
+        assert codes.dtype == np.uint8
+        assert codes[:, 0].tolist() == [0, 255, 128]
+        # degenerate dimension (max == min) codes 0 everywhere
+        assert codes[:, 1].tolist() == [0, 0, 0]
+
+    def test_train_reshard_stable(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.simsearch import sq_train
+
+        rng = np.random.default_rng(7)
+        mat = rng.normal(size=(40, 8))
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(40), type=pa.int64()),
+                "embedding": pa.array(mat.tolist()),
+            }
+        )
+        a = sq_train(ray.data.from_arrow(t))
+        b = sq_train(ray.data.from_arrow(t).repartition(7))
+        assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+
 class TestDupSpans:
     def test_planted_duplicated_span(self, ray_session):
         import pyarrow as pa
