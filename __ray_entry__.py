@@ -8775,6 +8775,50 @@ def _aug_html(batch: pa.Table) -> pa.Table:
     )
 
 
+def _q_table_schema_evolution(sf_dir: str):
+    """Schema evolution on the versioned table (state/tableformat.py):
+    v1 commits even-doc_id rows WITHOUT a lang column, v2 appends odd
+    rows WITH it; the manifest records the per-file schema pool and the
+    union schema, so the evolved read scans each schema group with full
+    pushdown and null-fills lang for the files that predate it. A type
+    CHANGE refuses the commit loudly (pinned in tests). ✓SQL (CASE
+    null-fill twin over the source table)."""
+    import hashlib
+    import shutil
+
+    import ray
+
+    from ctinexus_ray.state.tableformat import commit_version, read_version
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"/tmp/tblevo_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    data_dir = f"{tmp}/data"
+    table_dir = f"{tmp}/table"
+
+    @ray.remote
+    def write_half(parity: int) -> str:
+        import os
+
+        import pyarrow as pa_
+        import pyarrow.parquet as pq_
+
+        os.makedirs(data_dir, exist_ok=True)
+        cols = ["doc_id", "text"] + (["lang"] if parity else [])
+        t = pq_.read_table(f"{sf_dir}/documents.parquet", columns=cols)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        t = t.filter(pa_.array(ids % 2 == parity))
+        path = f"{data_dir}/half-{parity}.parquet"
+        pq_.write_table(t, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        return path
+
+    even, odd = ray.get([write_half.remote(0), write_half.remote(1)])
+    commit_version(table_dir, [even])
+    commit_version(table_dir, [odd], mode="append")
+    return read_version(table_dir, columns=["doc_id", "text", "lang"])
+
+
 def _q_ann_sq(sf_dir: str):
     """Scalar-quantized (SQ8) ANN: uint8 per dimension — 8x smaller
     scan traffic than float64 with near-exact recall (higher than PQ
@@ -9156,6 +9200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_graph": _q_host_graph,
         "tfrecord_source": _q_tfrecord_source,
         "ann_sq": _q_ann_sq,
+        "table_schema_evolution": _q_table_schema_evolution,
     }
 
 
@@ -11228,6 +11273,11 @@ def oracle_sql() -> dict[str, str]:
         # LLM, heuristic scoring) -> rows-only checks.
         "tfrecord_source": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "table_schema_evolution": (
+            "SELECT doc_id, text, "
+            "CASE WHEN doc_id % 2 = 1 THEN lang END AS lang "
+            "FROM documents"
         ),
         "html_links": (
             _WEBLINK_PAGES_SQL

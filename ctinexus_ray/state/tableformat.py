@@ -50,6 +50,43 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(table_dir, f"{_PREFIX}{version}.json")
 
 
+def _schema_to_json(schema) -> str:
+    import base64
+
+    return base64.b64encode(schema.serialize().to_pybytes()).decode("ascii")
+
+
+def _schema_from_json(s: str):
+    import base64
+
+    import pyarrow as pa
+
+    return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(s)))
+
+
+def _unify_schemas(base, file_schemas):
+    """Union of field names across schemas, first-seen order — the
+    table's evolved schema. A name reappearing with a DIFFERENT type is
+    refused loudly (silent casts corrupt downstream readers); a file
+    missing a field null-fills it at read time."""
+    import pyarrow as pa
+
+    fields: list = list(base) if base is not None else []
+    seen = {f.name: f.type for f in fields}
+    for sch in file_schemas:
+        for f in sch:
+            if f.name not in seen:
+                fields.append(pa.field(f.name, f.type))
+                seen[f.name] = f.type
+            elif seen[f.name] != f.type:
+                raise ValueError(
+                    f"schema evolution: column {f.name!r} changes type "
+                    f"{seen[f.name]} -> {f.type}; type changes are "
+                    "refused — add a NEW column or rewrite the table"
+                )
+    return pa.schema(fields)
+
+
 def commit_version(
     table_dir: str,
     files: list[str],
@@ -88,6 +125,42 @@ def commit_version(
             "mode": mode,
             "files": base + [f for f in files if f not in base],
         }
+        # schema evolution (Iceberg-lite): the manifest records the
+        # UNION schema plus, per file, WHICH schema in the pool it was
+        # written with — so a read can scan homogeneous groups with
+        # full column pushdown and null-fill columns a file predates.
+        # Parent pool/map carry forward on append (a legacy schemaless
+        # parent derives them once from its files' footers); overwrite
+        # starts fresh. A column reappearing with a different type
+        # refuses the commit loudly (_unify_schemas).
+        import pyarrow.parquet as _pq
+
+        pool: list = []  # serialized schema pool
+        fmap: dict = {}  # file path -> index into pool
+        if parent is not None and mode == "append":
+            if "schema_pool" in pman:
+                pool = list(pman["schema_pool"])
+                fmap = dict(pman["file_schemas"])
+            elif base:
+                for f in base:
+                    s = _schema_to_json(_pq.read_schema(f))
+                    if s not in pool:
+                        pool.append(s)
+                    fmap[f] = pool.index(s)
+        for f in files:
+            if f in fmap:
+                continue
+            s = _schema_to_json(_pq.read_schema(f))
+            if s not in pool:
+                pool.append(s)
+            fmap[f] = pool.index(s)
+        if pool:
+            union = _unify_schemas(
+                None, [_schema_from_json(s) for s in pool]
+            )
+            manifest["schema"] = _schema_to_json(union)
+            manifest["schema_pool"] = pool
+            manifest["file_schemas"] = fmap
         chosen = extra if extra is not None else inherited
         if chosen is not None:
             manifest["extra"] = chosen
@@ -160,7 +233,56 @@ def read_version(
         kwargs["columns"] = columns
     if filter is not None:
         kwargs["filter"] = filter
-    return ray.data.read_parquet(manifest["files"], **kwargs)
+
+    pool = manifest.get("schema_pool")
+    if not pool or len(pool) == 1:
+        # homogeneous table (or legacy manifest): one pushdown scan
+        return ray.data.read_parquet(manifest["files"], **kwargs)
+
+    # evolved schema: scan each schema group homogeneously (full
+    # column/filter pushdown within the group), align every batch to
+    # the manifest's union schema — files that predate an added column
+    # null-fill it — then union the groups (a metadata-only op).
+    import pyarrow as pa
+
+    union = _schema_from_json(manifest["schema"])
+    wanted = list(columns) if columns is not None else list(union.names)
+    target = pa.schema([union.field(n) for n in wanted])
+    fmap = manifest["file_schemas"]
+    groups: dict[int, list[str]] = {}
+    for f in manifest["files"]:
+        groups.setdefault(fmap[f], []).append(f)
+
+    def align(batch: pa.Table) -> pa.Table:
+        arrays = []
+        for field in target:
+            if field.name in batch.column_names:
+                arrays.append(batch.column(field.name))
+            else:
+                arrays.append(pa.nulls(batch.num_rows, type=field.type))
+        return pa.Table.from_arrays(arrays, schema=target)
+
+    parts = []
+    for idx, paths in sorted(groups.items()):
+        names = set(_schema_from_json(pool[idx]).names)
+        present = [c for c in wanted if c in names]
+        gkw: dict = {}
+        if filter is not None:
+            # pushdown requires the filtered columns to exist in the
+            # group; pyarrow raises a clear error otherwise
+            gkw["filter"] = filter
+        # always read at least one column so row counts survive a
+        # projection that misses this group entirely
+        gkw["columns"] = present or [next(iter(names))]
+        parts.append(
+            ray.data.read_parquet(paths, **gkw).map_batches(
+                align, batch_format="pyarrow"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def merge_upsert(

@@ -404,6 +404,99 @@ class TestTableFormat:
             read_version(str(tmp_path / "nope"))
 
 
+class TestSchemaEvolution:
+    @staticmethod
+    def _write(tmp_path, name, cols):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = str(tmp_path / name)
+        pq.write_table(pa.Table.from_pydict(cols), p)
+        return p
+
+    def test_added_column_null_fills_old_files(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        from ctinexus_ray.state.tableformat import commit_version, read_version
+
+        t = str(tmp_path / "tbl")
+        a = self._write(
+            tmp_path, "a.parquet",
+            {"doc_id": pa.array([1, 2], type=pa.int64()), "text": ["x", "y"]},
+        )
+        b = self._write(
+            tmp_path, "b.parquet",
+            {"doc_id": pa.array([3], type=pa.int64()), "text": ["z"],
+             "lang": ["en"]},
+        )
+        commit_version(t, [a])
+        commit_version(t, [b], mode="append")
+        rows = sorted(read_version(t).take_all(), key=lambda r: r["doc_id"])
+        assert [r["lang"] for r in rows] == [None, None, "en"]
+        # the pre-evolution version still reads with its own schema
+        v1 = read_version(t, 1).take_all()
+        assert "lang" not in v1[0]
+
+    def test_projection_spanning_schema_groups(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        from ctinexus_ray.state.tableformat import commit_version, read_version
+
+        t = str(tmp_path / "tbl")
+        a = self._write(
+            tmp_path, "a.parquet", {"doc_id": pa.array([1], type=pa.int64())}
+        )
+        b = self._write(
+            tmp_path, "b.parquet",
+            {"doc_id": pa.array([2], type=pa.int64()), "lang": ["de"]},
+        )
+        commit_version(t, [a])
+        commit_version(t, [b], mode="append")
+        # projecting ONLY the added column still yields one row per
+        # input row (old files contribute nulls, not dropped rows)
+        rows = read_version(t, columns=["lang"]).take_all()
+        assert sorted(str(r["lang"]) for r in rows) == ["None", "de"]
+
+    def test_type_change_refused(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pytest
+
+        from ctinexus_ray.state.tableformat import commit_version
+
+        t = str(tmp_path / "tbl")
+        a = self._write(
+            tmp_path, "a.parquet", {"k": pa.array([1], type=pa.int64())}
+        )
+        b = self._write(tmp_path, "b.parquet", {"k": ["not an int"]})
+        commit_version(t, [a])
+        with pytest.raises(ValueError, match="changes type"):
+            commit_version(t, [b], mode="append")
+
+    def test_compaction_merges_schema_groups(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        from ctinexus_ray.state.tableformat import (
+            commit_version,
+            compact_table,
+            read_version,
+        )
+
+        t = str(tmp_path / "tbl")
+        a = self._write(
+            tmp_path, "a.parquet", {"doc_id": pa.array([1], type=pa.int64())}
+        )
+        b = self._write(
+            tmp_path, "b.parquet",
+            {"doc_id": pa.array([2], type=pa.int64()), "lang": ["fr"]},
+        )
+        commit_version(t, [a])
+        commit_version(t, [b], mode="append")
+        res = compact_table(t, target_bytes=1 << 20)
+        assert res["files_compacted"] == 2
+        rows = sorted(read_version(t).take_all(), key=lambda r: r["doc_id"])
+        assert [r.get("lang") for r in rows] == [None, "fr"]
+
+
 class TestMergeUpsert:
     """MERGE INTO the versioned table (state/tableformat.py
     merge_upsert): update/insert/delete semantics, footer-stats file
