@@ -8872,6 +8872,39 @@ def _q_html_links(sf_dir: str):
     return extract_links(pages).select_columns(["doc_id", "idx", "link"])
 
 
+def _aug_urls(batch: pa.Table) -> pa.Table:
+    """Deterministic doc_id-derived urls with VARIED path depth (0-4
+    segments) for the path-prefix rollup, mirrored in SQL."""
+    import numpy as np
+    import pandas as pd
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    s = lambda a: pd.Series(a.astype(str))  # noqa: E731
+    tail = ("/a/b/c/" + s(ids)).where(ids % 4 == 0, "/")
+    tail = ("/a/" + s(ids)).where(ids % 4 == 1, tail)
+    tail = pd.Series(np.where(ids % 4 == 2, "/x", tail))
+    url = "http://host" + s(ids % 40) + ".example.com" + tail
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "url": pa.array(url.tolist(), type=pa.string()),
+        }
+    )
+
+
+def _q_url_prefix_counts(sf_dir: str):
+    """Crawl-budget rollup: pages per (host, cumulative path prefix)
+    (ops/weblinks.py path_prefix_counts). Stateless prefix explode +
+    per-batch combine, ONE (host, prefix)-keyed sum reduce. ✓SQL
+    (list_slice prefix twin)."""
+    from ctinexus_ray.ops.weblinks import path_prefix_counts
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _aug_urls, batch_format="pyarrow"
+    )
+    return path_prefix_counts(pages)
+
+
 def _q_host_graph(sf_dir: str):
     """Host-level link graph (src_host, dst_host, n_links): the crawl
     ranking / frontier-scheduling edge table. Map-side combined count
@@ -9201,6 +9234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfrecord_source": _q_tfrecord_source,
         "ann_sq": _q_ann_sq,
         "table_schema_evolution": _q_table_schema_evolution,
+        "url_prefix_counts": _q_url_prefix_counts,
     }
 
 
@@ -11278,6 +11312,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text, "
             "CASE WHEN doc_id % 2 = 1 THEN lang END AS lang "
             "FROM documents"
+        ),
+        "url_prefix_counts": (
+            "WITH pages AS (SELECT 'http://host' || (doc_id % 40) || "
+            "'.example.com' || CASE WHEN doc_id % 4 = 0 THEN "
+            "'/a/b/c/' || doc_id WHEN doc_id % 4 = 1 THEN "
+            "'/a/' || doc_id WHEN doc_id % 4 = 2 THEN '/x' "
+            "ELSE '/' END AS url FROM documents), "
+            "parsed AS (SELECT "
+            "regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
+            "coalesce(nullif(regexp_extract(url, "
+            "'^https?://[^/]+(/[^?#]*)', 1), ''), '/') AS path "
+            "FROM pages), "
+            "seg AS (SELECT host, list_filter("
+            "regexp_split_to_array(path, '/'), x -> x <> '') AS segs "
+            "FROM parsed), "
+            "pref AS (SELECT host, CASE WHEN i = 0 THEN '/' ELSE "
+            "'/' || array_to_string(list_slice(segs, 1, CAST(i AS INT)), "
+            "'/') END AS prefix FROM seg, LATERAL ("
+            "SELECT unnest(range(0, len(segs)+1)) AS i)) "
+            "SELECT host, prefix, count(*) AS n_pages "
+            "FROM pref GROUP BY host, prefix"
         ),
         "html_links": (
             _WEBLINK_PAGES_SQL

@@ -147,6 +147,64 @@ def extract_links(
     )
 
 
+def path_prefix_counts(
+    pages: ray.data.Dataset,
+    url_col: str = "url",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Pages per (host, path-prefix) — the crawl-budget / site-section
+    rollup: every URL contributes one count to each cumulative prefix
+    of its path, root ``'/'`` included (``/a/b/c`` counts under ``/``,
+    ``/a``, ``/a/b``, ``/a/b/c``). Empty path segments collapse
+    (``//`` and trailing slashes do not mint distinct prefixes); query
+    strings and fragments are not part of the path. URLs without an
+    http(s) origin are skipped.
+
+    Scale shape: the prefix explode is a stateless map (per-string
+    split loop, same sequential-per-string stance as ``extract_links``)
+    with a per-batch count combine, then ONE (host, prefix)-keyed sum
+    reduce — the shuffle ships count partials, never raw page rows.
+    Depth is naturally bounded by real URL structure; a hostile
+    million-segment URL explodes only its own row."""
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    rx = re.compile(r"^https?://([^/]+)(/[^?#]*)?")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hosts, prefixes = [], []
+        for u in batch.column(url_col).to_pylist():
+            if u is None:
+                continue
+            m = rx.match(u)
+            if not m:
+                continue
+            host = m.group(1)
+            path = m.group(2) or "/"
+            segs = [s for s in path.split("/") if s]
+            hosts.append(host)
+            prefixes.append("/")
+            for i in range(1, len(segs) + 1):
+                hosts.append(host)
+                prefixes.append("/" + "/".join(segs[:i]))
+        part = (
+            pd.DataFrame({"host": hosts, "prefix": prefixes})
+            .groupby(["host", "prefix"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    partials = pages.select_columns([url_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    return partitioned_agg(
+        partials,
+        ["host", "prefix"],
+        {"n_pages": ("n", "sum")},
+        num_partitions=num_partitions,
+    )
+
+
 def host_link_graph(
     links: ray.data.Dataset,
     url_col: str = "url",

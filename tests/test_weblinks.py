@@ -120,6 +120,36 @@ class TestExtractLinks:
             ("b.com", "cdn.b.com"): 1,
         }
 
+    def test_path_prefix_counts(self, ray_session):
+        from ctinexus_ray.ops.weblinks import path_prefix_counts
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "url": [
+                        "http://a.com/x/y",
+                        "http://a.com/x",
+                        "http://a.com/",
+                        "http://a.com",          # no path -> '/'
+                        "http://b.com//x//?q=1",  # empty segs collapse
+                        "ftp://c.com/skip",       # non-http skipped
+                        None,
+                    ]
+                }
+            )
+        )
+        got = {
+            (r["host"], r["prefix"]): r["n_pages"]
+            for r in path_prefix_counts(ds, num_partitions=16).take_all()
+        }
+        assert got == {
+            ("a.com", "/"): 4,
+            ("a.com", "/x"): 2,
+            ("a.com", "/x/y"): 1,
+            ("b.com", "/"): 1,
+            ("b.com", "/x"): 1,
+        }
+
     def test_single_quoted_href_not_matched(self, ray_session):
         # the contract is the double-quoted form only (documented);
         # single-quoted attributes must not produce phantom links
