@@ -8775,6 +8775,62 @@ def _aug_html(batch: pa.Table) -> pa.Table:
     )
 
 
+def _q_bucketed_join_orders(sf_dir: str):
+    """Storage-aligned bucketed join (ops/distjoin.py bucketed_write /
+    bucketed_join — the Hive/Iceberg bucketing contract): orders and
+    customer both bucketed by custkey at write time, then joined with
+    ZERO shuffle (one task per co-located bucket pair), aggregated per
+    nation. The all-to-all exchange is paid ONCE at ingest and
+    amortized over every later join on that key. ✓SQL (plain join —
+    bucketing must never change results)."""
+    import hashlib
+    import shutil
+
+    import numpy as np
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import bucketed_join, bucketed_write
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"/tmp/bucketed_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    def prep_orders(batch: pa.Table) -> pa.Table:
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100 + 0.5).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "custkey": batch.column("o_custkey"),
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    def prep_cust(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "custkey": batch.column("c_custkey"),
+                "c_nationkey": batch.column("c_nationkey"),
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(prep_orders, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(prep_cust, batch_format="pyarrow")
+    bucketed_write(orders, ["custkey"], f"{tmp}/orders", n_buckets=16)
+    bucketed_write(cust, ["custkey"], f"{tmp}/customer", n_buckets=16)
+    joined = bucketed_join(f"{tmp}/orders", f"{tmp}/customer", on=["custkey"])
+    return partitioned_agg(
+        joined,
+        ["c_nationkey"],
+        {"n_orders": ("cents", "size"), "sum_cents": ("cents", "sum")},
+        num_partitions=16,
+    )
+
+
 def _q_table_schema_evolution(sf_dir: str):
     """Schema evolution on the versioned table (state/tableformat.py):
     v1 commits even-doc_id rows WITHOUT a lang column, v2 appends odd
@@ -9235,6 +9291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_sq": _q_ann_sq,
         "table_schema_evolution": _q_table_schema_evolution,
         "url_prefix_counts": _q_url_prefix_counts,
+        "bucketed_join_orders": _q_bucketed_join_orders,
     }
 
 
@@ -11312,6 +11369,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text, "
             "CASE WHEN doc_id % 2 = 1 THEN lang END AS lang "
             "FROM documents"
+        ),
+        "bucketed_join_orders": (
+            "SELECT c_nationkey, count(*) AS n_orders, "
+            "CAST(sum(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sum_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_nationkey"
         ),
         "url_prefix_counts": (
             "WITH pages AS (SELECT 'http://host' || (doc_id % 40) || "

@@ -29,7 +29,11 @@ litellm tool) — these operators exist for the corpus-scale pipelines.
 
 from __future__ import annotations
 
+import os
+
+import pandas as pd
 import pyarrow as pa
+import ray
 import ray.data
 
 from ctinexus_ray.ops.groupagg import add_hash_pkey
@@ -876,3 +880,150 @@ def skew_aware_join(
         )
         strategy = "hash"
     return (out, strategy) if return_strategy else out
+
+
+# ---------------------------------------------------------------------------
+# bucketed storage-aligned join (Hive/Iceberg bucketing)
+# ---------------------------------------------------------------------------
+
+
+def bucketed_write(
+    ds: ray.data.Dataset,
+    on: list[str],
+    out_dir: str,
+    n_buckets: int | None = None,
+) -> dict:
+    """Write ``ds`` as ``n_buckets`` parquet files bucketed by
+    ``hash(on) mod n_buckets`` — the Hive/Iceberg storage-layout
+    contract that lets two tables bucketed the SAME way join with ZERO
+    shuffle (``bucketed_join``): matching keys are co-located by
+    construction, so the join is n independent file-pair tasks. The
+    bucket spec (keys, count, hash id) lands in ``_BUCKETS.json`` and
+    incompatible joins refuse loudly.
+
+    At 100 TB this moves the join's all-to-all exchange to WRITE time —
+    paid once, amortized over every subsequent join on that key (the
+    fact-table pattern: bucket on the join key at ingest). One task per
+    bucket; size ``n_buckets`` so a bucket pair fits a worker
+    (``derive_num_partitions`` by default)."""
+    import json
+
+    from ctinexus_ray.ops.groupagg import add_hash_pkey, derive_num_partitions
+
+    if n_buckets is None:
+        n_buckets = derive_num_partitions(ds)
+    assert n_buckets & (n_buckets - 1) == 0, "power of two"
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        return add_hash_pkey(batch, on, n_buckets)
+
+    def write_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        bucket = int(g["pkey"].iloc[0])
+        t = pa.Table.from_pandas(g.drop(columns=["pkey"]), preserve_index=False)
+        path = os.path.join(out_dir, f"bucket-{bucket:05d}.parquet")
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame({"bucket": [bucket], "rows": [len(g)]})
+
+    written = (
+        ds.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(write_bucket, batch_format="pandas")
+        .take_all()
+    )
+    spec = {
+        "on": list(on),
+        "n_buckets": n_buckets,
+        "hash": "add_hash_pkey/v1",
+        "rows": int(sum(r["rows"] for r in written)),
+    }
+    with open(os.path.join(out_dir, "_BUCKETS.json"), "w") as fh:
+        json.dump(spec, fh)
+    return spec
+
+
+def bucketed_join(
+    dir_a: str,
+    dir_b: str,
+    on: list[str],
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Zero-shuffle join of two ``bucketed_write`` directories: bucket i
+    of A joins bucket i of B in its own Ray task (matching keys are
+    co-located by the shared bucket spec), results stream back as
+    arrow blocks. Refuses loudly when the specs differ (different
+    keys, bucket counts, or hash versions would silently drop
+    matches). ``how``: inner | left — a bucket file missing on the
+    right is an empty right side; missing on the left contributes
+    nothing."""
+    import json
+
+    with open(os.path.join(dir_a, "_BUCKETS.json")) as fh:
+        sa = json.load(fh)
+    with open(os.path.join(dir_b, "_BUCKETS.json")) as fh:
+        sb = json.load(fh)
+    for spec in (sa, sb):
+        if spec["on"] != list(on) or spec["hash"] != "add_hash_pkey/v1":
+            raise ValueError(
+                f"bucketed_join: directory bucketed by {spec['on']} "
+                f"({spec['hash']}), join asked for {list(on)}"
+            )
+    if sa["n_buckets"] != sb["n_buckets"]:
+        raise ValueError(
+            f"bucketed_join: bucket counts differ "
+            f"({sa['n_buckets']} vs {sb['n_buckets']}) — rebucket one side"
+        )
+    if how not in ("inner", "left"):
+        raise ValueError(f"bucketed_join: unsupported how={how!r}")
+
+    @ray.remote
+    def join_bucket(pa_path: str, pb_path: str):
+        import pyarrow.parquet as pq
+
+        if not os.path.exists(pa_path):
+            return None
+        ta = pq.read_table(pa_path)
+        if os.path.exists(pb_path):
+            tb = pq.read_table(pb_path)
+        elif how == "inner":
+            return None
+        else:
+            return ta  # left join with empty right: nulls appended below
+        joined = ta.join(
+            tb, keys=list(on), join_type=("inner" if how == "inner" else "left outer")
+        )
+        return joined if joined.num_rows else None
+
+    n = sa["n_buckets"]
+    refs = [
+        join_bucket.remote(
+            os.path.join(dir_a, f"bucket-{i:05d}.parquet"),
+            os.path.join(dir_b, f"bucket-{i:05d}.parquet"),
+        )
+        for i in range(n)
+    ]
+    tables = [t for t in ray.get(refs) if t is not None]
+    if not tables:
+        raise ValueError("bucketed_join: empty result — no bucket produced rows")
+    # align possibly-divergent schemas (a left join against a missing
+    # bucket lacks the right-side columns) before handing blocks to Ray
+    names = tables[0].column_names
+    for t in tables[1:]:
+        for c in t.column_names:
+            if c not in names:
+                names.append(c)
+    aligned = []
+    for t in tables:
+        arrays = []
+        for c in names:
+            if c in t.column_names:
+                arrays.append(t.column(c))
+            else:
+                src = next(x for x in tables if c in x.column_names)
+                arrays.append(pa.nulls(t.num_rows, type=src.schema.field(c).type))
+        aligned.append(pa.Table.from_arrays(arrays, names=names))
+    return ray.data.from_arrow(aligned)

@@ -477,3 +477,88 @@ class TestSkewAwareJoin:
         )
         assert strategy == "hash"  # anti can't replicate the right side
         assert out.count() == 300
+
+
+class TestBucketedJoin:
+    """Storage-aligned bucketing: bucketed_write + zero-shuffle
+    bucketed_join vs a plain pandas join reference."""
+
+    @staticmethod
+    def _write(ray_session, tmp_path, name, table, n_buckets=8):
+        import ray.data
+
+        from ctinexus_ray.ops.distjoin import bucketed_write
+
+        d = str(tmp_path / name)
+        spec = bucketed_write(
+            ray.data.from_arrow(table), ["k"], d, n_buckets=n_buckets
+        )
+        return d, spec
+
+    def test_inner_matches_plain_join(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.distjoin import bucketed_join
+
+        left = pa.table(
+            {"k": pa.array([1, 2, 2, 3, 9], type=pa.int64()),
+             "a": ["p", "q", "r", "s", "t"]}
+        )
+        right = pa.table(
+            {"k": pa.array([2, 3, 3, 4], type=pa.int64()),
+             "b": ["x", "y", "z", "w"]}
+        )
+        da, sa = self._write(ray_session, tmp_path, "a", left)
+        db, sb = self._write(ray_session, tmp_path, "b", right)
+        assert sa["rows"] == 5 and sb["rows"] == 4
+        got = sorted(
+            (r["k"], r["a"], r["b"])
+            for r in bucketed_join(da, db, on=["k"]).take_all()
+        )
+        assert got == [
+            (2, "q", "x"), (2, "r", "x"), (3, "s", "y"), (3, "s", "z"),
+        ]
+
+    def test_left_join_null_fills(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.distjoin import bucketed_join
+
+        left = pa.table({"k": pa.array([1, 2], type=pa.int64()), "a": ["p", "q"]})
+        right = pa.table({"k": pa.array([2], type=pa.int64()), "b": ["x"]})
+        da, _ = self._write(ray_session, tmp_path, "a", left)
+        db, _ = self._write(ray_session, tmp_path, "b", right)
+        got = {
+            r["k"]: r.get("b")
+            for r in bucketed_join(da, db, on=["k"], how="left").take_all()
+        }
+        assert got == {1: None, 2: "x"}
+
+    def test_incompatible_specs_refuse(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pytest
+
+        from ctinexus_ray.ops.distjoin import bucketed_join
+
+        t = pa.table({"k": pa.array([1], type=pa.int64()), "a": ["p"]})
+        da, _ = self._write(ray_session, tmp_path, "a", t, n_buckets=8)
+        db, _ = self._write(ray_session, tmp_path, "b", t, n_buckets=4)
+        with pytest.raises(ValueError, match="bucket counts differ"):
+            bucketed_join(da, db, on=["k"])
+        with pytest.raises(ValueError, match="bucketed by"):
+            bucketed_join(da, da, on=["wrong"])
+
+    def test_string_keys(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.distjoin import bucketed_join
+
+        left = pa.table({"k": ["aa", "bb", "cc"], "a": [1, 2, 3]})
+        right = pa.table({"k": ["bb", "cc", "dd"], "b": [20, 30, 40]})
+        da, _ = self._write(ray_session, tmp_path, "a", left)
+        db, _ = self._write(ray_session, tmp_path, "b", right)
+        got = sorted(
+            (r["k"], r["a"], r["b"])
+            for r in bucketed_join(da, db, on=["k"]).take_all()
+        )
+        assert got == [("bb", 2, 20), ("cc", 3, 30)]
