@@ -8775,6 +8775,30 @@ def _aug_html(batch: pa.Table) -> pa.Table:
     )
 
 
+def _q_bitext_mine(sf_dir: str):
+    """Margin-based parallel-text mining (ops/simsearch.py
+    margin_bitext — the CCMatrix/LASER shape): en->de candidate pairs
+    by ratio margin over the embedding table, lang attached from the
+    documents table via partitioned_attach (hash-partitioned pandas
+    merge — acero rejects list payloads). Float-mean margins ->
+    rows-only; numpy-reference parity + reshard determinism pinned in
+    TestMarginBitext; exact anchor similarity_topk ✓SQL."""
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import partitioned_attach
+    from ctinexus_ray.ops.simsearch import margin_bitext
+    from ctinexus_ray.sources.documents import read_testdata_embeddings
+
+    langs = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        lambda b: b.rename_columns(["vec_id", "lang"]), batch_format="pyarrow"
+    )
+    emb = partitioned_attach(
+        read_testdata_embeddings(sf_dir), langs, "vec_id", ["lang"],
+        num_partitions=64,
+    )
+    return margin_bitext(emb, "en", "de", k=4, threshold=1.0)
+
+
 def _q_bucketed_join_orders(sf_dir: str):
     """Storage-aligned bucketed join (ops/distjoin.py bucketed_write /
     bucketed_join — the Hive/Iceberg bucketing contract): orders and
@@ -9292,6 +9316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_schema_evolution": _q_table_schema_evolution,
         "url_prefix_counts": _q_url_prefix_counts,
         "bucketed_join_orders": _q_bucketed_join_orders,
+        "bitext_mine": _q_bitext_mine,
     }
 
 

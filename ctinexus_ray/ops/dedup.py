@@ -114,6 +114,15 @@ def list_col_to_matrix(col, dtype=np.float64) -> np.ndarray:
         return np.zeros((0, 0), dtype=dtype)
     if col.null_count:
         raise ValueError("embedding column contains nulls")
+    if isinstance(col.type, pa.ExtensionType):
+        # Ray re-encodes numpy-array object columns that round-trip
+        # through pandas (e.g. after a map_groups) as its ArrowTensorArray
+        # extension; its to_numpy is already the (n, dim) matrix
+        mat = col.to_numpy(zero_copy_only=False)
+        mat = np.asarray(mat)
+        if mat.ndim != 2:
+            raise ValueError("ragged tensor column; expected uniform dim")
+        return np.ascontiguousarray(mat.astype(dtype, copy=False))
     if pa.types.is_fixed_size_list(col.type):
         dim = col.type.list_size
         flat = col.values.to_numpy(zero_copy_only=False)

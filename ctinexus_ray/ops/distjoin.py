@@ -1027,3 +1027,86 @@ def bucketed_join(
                 arrays.append(pa.nulls(t.num_rows, type=src.schema.field(c).type))
         aligned.append(pa.Table.from_arrays(arrays, names=names))
     return ray.data.from_arrow(aligned)
+
+
+def partitioned_attach(
+    big: ray.data.Dataset,
+    side: ray.data.Dataset,
+    key: str,
+    attach: list[str],
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Attach ``side``'s ``attach`` columns onto ``big`` by ``key`` when
+    BOTH sides are large AND ``big`` carries nested columns
+    (list/struct) that Arrow's acero join rejects as payload — e.g.
+    attaching ``lang`` to an embedding table. Left-join semantics:
+    unmatched keys null-fill; duplicate side keys keep the first by
+    side order (refusing would make reruns fragile; document your key
+    as unique).
+
+    Shuffle shape: ONE hash shuffle of each side on ``key`` (the big
+    side ships its payload once — same cost as any large-two-sides
+    join), then a per-partition vectorized pandas merge (object-dtype
+    columns ride untouched). Prefer ``broadcast_enrich`` when the side
+    is dimension-sized and ``hash_join`` when no nested payload is
+    involved."""
+    from ctinexus_ray.ops.groupagg import add_hash_pkey, derive_num_partitions
+
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(big, side)
+    assert num_partitions & (num_partitions - 1) == 0, "power of two"
+
+    big_cols = big.schema().names
+    if key not in big_cols:
+        raise ValueError(f"partitioned_attach: {key!r} not in big side")
+    overlap = set(attach) & set(big_cols)
+    if overlap:
+        raise ValueError(f"partitioned_attach: columns already exist: {overlap}")
+
+    def tag_big(batch: pa.Table) -> pa.Table:
+        return add_hash_pkey(batch, [key], num_partitions).append_column(
+            "_side", pa.array([0] * batch.num_rows, type=pa.int8())
+        )
+
+    def tag_side(batch: pa.Table) -> pa.Table:
+        return add_hash_pkey(batch, [key], num_partitions).append_column(
+            "_side", pa.array([1] * batch.num_rows, type=pa.int8())
+        )
+
+    big_t = big.map_batches(tag_big, batch_format="pyarrow")
+    side_t = side.select_columns([key, *attach]).map_batches(
+        tag_side, batch_format="pyarrow"
+    )
+
+    def merge_partition(g: pd.DataFrame) -> pd.DataFrame:
+        b = g[g["_side"] == 0]
+        s = g[g["_side"] == 1]
+        s = s[[key, *attach]].drop_duplicates(key, keep="first")
+        return b[big_cols].merge(s, on=key, how="left")
+
+    # union of two differently-shaped sides: project each into the
+    # shared (big ∪ attach) schema with typed nulls
+    btypes = dict(_schema_fields(big, None))
+    stypes = dict(_schema_fields(side.select_columns([key, *attach]), None))
+    shared = pa.schema(
+        [pa.field(c, btypes[c]) for c in big_cols]
+        + [pa.field(c, stypes[c]) for c in attach]
+        + [pa.field("pkey", pa.int64()), pa.field("_side", pa.int8())]
+    )
+
+    def conform(batch: pa.Table) -> pa.Table:
+        arrays = []
+        for f in shared:
+            if f.name in batch.column_names:
+                arrays.append(batch.column(f.name).cast(f.type))
+            else:
+                arrays.append(pa.nulls(batch.num_rows, type=f.type))
+        return pa.Table.from_arrays(arrays, schema=shared)
+
+    unioned = big_t.map_batches(conform, batch_format="pyarrow").union(
+        side_t.map_batches(conform, batch_format="pyarrow")
+    )
+    return (
+        unioned.groupby("pkey")
+        .map_groups(merge_partition, batch_format="pandas")
+    )

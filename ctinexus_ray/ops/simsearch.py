@@ -871,6 +871,156 @@ def sq_topk(
     return _merge_topk(partials, k)
 
 
+def margin_bitext(
+    emb_with_lang: ray.data.Dataset,
+    src_lang: str,
+    dst_lang: str,
+    k: int = 4,
+    threshold: float = 1.05,
+    max_src: int = 100_000,
+) -> ray.data.Dataset:
+    """Margin-based parallel-text mining (Artetxe & Schwenk 2019 — the
+    CCMatrix/LASER shape): for every ``src_lang`` document find its best
+    ``dst_lang`` counterpart by RATIO MARGIN rather than raw cosine —
+    margin(x, y) = cos(x, y) / (mean cos(x, NN_k(x)) / 2 +
+    mean cos(y, NN_k(y)) / 2) — which cancels hubness (a y that is
+    everyone's neighbor gains no margin). Emits
+    (src_id, dst_id, sim, margin) for pairs with margin >= threshold,
+    the mined-bitext candidate table.
+
+    Input: (vec_id, embedding, lang) — attach lang with
+    ``ops.distjoin.partitioned_attach`` when it lives in another table.
+
+    Scale shape: the src side is ONE language's query shard, collected
+    and broadcast once (refuses loudly above ``max_src`` rows — shard
+    the src side and union the outputs at real scale; the same stance
+    as ``self_topk``'s bounded query head). The dst side STREAMS: each
+    batch computes the full src x batch sim matrix, from which BOTH
+    directions' k-NN statistics fall out — the dst row's mean-top-k
+    against src is complete within the batch (src is whole), and the
+    src row's top-k candidates merge across batches exactly (a global
+    top-k member is a batch top-k member). Candidates carry their
+    dst-side mean so the final per-src reduce needs no second pass.
+    Top-k means sum in sorted order -> bit-stable across reshards.
+
+    Approximate-free but float-mean-based -> rows-only in the driver
+    contract; pinned against a sequential numpy reference in tests
+    (exact anchor: ``similarity_topk`` ✓SQL)."""
+    import pyarrow.compute as pc
+
+    src_rows = (
+        emb_with_lang.filter(expr=f"lang == '{src_lang}'")
+        .select_columns(["vec_id", "embedding"])
+        .take_all()
+    )
+    if len(src_rows) > max_src:
+        raise ValueError(
+            f"margin_bitext: {len(src_rows)} src vectors exceed "
+            f"max_src={max_src} — shard the src side and union the "
+            "outputs (the dst side already streams)"
+        )
+    empty = pa.Table.from_pydict(
+        {
+            "src_id": pa.array([], type=pa.int64()),
+            "dst_id": pa.array([], type=pa.int64()),
+            "sim": pa.array([], type=pa.float64()),
+            "margin": pa.array([], type=pa.float64()),
+        }
+    )
+    if not src_rows:
+        return ray.data.from_arrow(empty)
+    src_rows.sort(key=lambda r: r["vec_id"])
+    a_ids = np.array([r["vec_id"] for r in src_rows], dtype=np.int64)
+    a_mat = _normalize(
+        np.array([r["embedding"] for r in src_rows], dtype=np.float64)
+    )
+    shared = ray.put((a_ids, a_mat))
+
+    def scan(batch: pa.Table):
+        aids, amat = ray.get(shared)
+        b_ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if not len(b_ids):
+            return
+        b_mat = _normalize(list_col_to_matrix(batch.column("embedding")))
+        sims = amat @ b_mat.T  # (nA, nB)
+        # dst-side k-NN mean vs the COMPLETE src set, batch-independent;
+        # sort the top-k before the mean so the sum order is pinned
+        kk = min(k, sims.shape[0])
+        top_b = np.sort(np.partition(sims, -kk, axis=0)[-kk:], axis=0)[::-1]
+        avg_b = top_b.mean(axis=0)  # (nB,)
+        out_a, out_b, out_s, out_ab = [], [], [], []
+        cut = min(k, sims.shape[1])
+        for ai in range(len(aids)):
+            row = sims[ai]
+            idx = np.lexsort((b_ids, -row))[:cut]
+            out_a.append(np.full(len(idx), aids[ai], dtype=np.int64))
+            out_b.append(b_ids[idx])
+            out_s.append(row[idx])
+            out_ab.append(avg_b[idx])
+        yield pa.Table.from_pydict(
+            {
+                "src_id": pa.array(np.concatenate(out_a), type=pa.int64()),
+                "dst_id": pa.array(np.concatenate(out_b), type=pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+                "avg_b": pa.array(np.concatenate(out_ab), type=pa.float64()),
+            }
+        )
+
+    partials = (
+        emb_with_lang.filter(expr=f"lang == '{dst_lang}'")
+        .select_columns(["vec_id", "embedding"])
+        .map_batches(scan, batch_format="pyarrow")
+    )
+
+    num_partitions = 64
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        q = batch.column("src_id")
+        mix = pc.bit_wise_xor(pc.shift_left(q, 13), q)
+        return batch.append_column(
+            "pkey", pc.bit_wise_and(mix, num_partitions - 1)
+        )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["src_id", "sim", "dst_id"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        ranks = g.groupby("src_id", sort=False).cumcount()
+        g = g[ranks < k]
+        # src-side k-NN mean over the globally merged top-k (already in
+        # sorted order -> pinned sum order)
+        avg_a = g.groupby("src_id", sort=False)["sim"].transform("mean")
+        margin = g["sim"] / (avg_a / 2.0 + g["avg_b"] / 2.0)
+        g = g.assign(margin=margin)
+        best = (
+            g.sort_values(
+                ["src_id", "margin", "dst_id"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .drop_duplicates("src_id", keep="first")
+        )
+        best = best[best["margin"] >= threshold]
+        return pd.DataFrame(
+            {
+                "src_id": best["src_id"].astype("int64").values,
+                "dst_id": best["dst_id"].astype("int64").values,
+                "sim": best["sim"].values,
+                "margin": best["margin"].values,
+            }
+        )
+
+    return (
+        partials.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # distributed k-means
 # ---------------------------------------------------------------------------

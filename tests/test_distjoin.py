@@ -562,3 +562,55 @@ class TestBucketedJoin:
             for r in bucketed_join(da, db, on=["k"]).take_all()
         )
         assert got == [("bb", 2, 20), ("cc", 3, 30)]
+
+
+class TestPartitionedAttach:
+    def test_attach_with_list_payload(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.distjoin import partitioned_attach
+
+        emb = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([1, 2, 3], type=pa.int64()),
+                    "embedding": pa.array(
+                        [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],
+                        pa.list_(pa.float32()),
+                    ),
+                }
+            )
+        )
+        lang = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([1, 2, 2], type=pa.int64()),
+                    "lang": ["en", "de", "zz"],
+                }
+            )
+        )
+        rows = sorted(
+            partitioned_attach(
+                emb, lang, "vec_id", ["lang"], num_partitions=16
+            ).take_all(),
+            key=lambda r: r["vec_id"],
+        )
+        # left-join semantics, duplicate side keys keep the first,
+        # list payload survives the shuffle
+        assert [r["vec_id"] for r in rows] == [1, 2, 3]
+        assert rows[0]["lang"] == "en" and rows[1]["lang"] == "de"
+        assert rows[2]["lang"] is None or rows[2]["lang"] != rows[2]["lang"]
+        assert list(rows[1]["embedding"]) == [3.0, 4.0]
+
+    def test_overlapping_columns_refused(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        from ctinexus_ray.ops.distjoin import partitioned_attach
+
+        a = ray.data.from_arrow(pa.table({"k": [1], "x": [2]}))
+        b = ray.data.from_arrow(pa.table({"k": [1], "x": [3]}))
+        with pytest.raises(ValueError, match="already exist"):
+            partitioned_attach(a, b, "k", ["x"], num_partitions=16)

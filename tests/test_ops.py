@@ -725,6 +725,116 @@ class TestSQ:
         assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
 
 
+class TestMarginBitext:
+    @staticmethod
+    def _ref(ids, mat, langs, src, dst, k=4, threshold=1.05):
+        """Sequential reference: full sim matrix + ratio margin."""
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        ai = [i for i in range(len(ids)) if langs[i] == src]
+        bi = [i for i in range(len(ids)) if langs[i] == dst]
+        if not ai or not bi:
+            return {}
+        A, B = mat[ai], mat[bi]
+        a_ids = np.array([ids[i] for i in ai])
+        b_ids = np.array([ids[i] for i in bi])
+        sims = A @ B.T
+        kk_b = min(k, len(ai))
+        avg_b = np.sort(sims, axis=0)[::-1][:kk_b].mean(axis=0)
+        out = {}
+        for q in range(len(ai)):
+            row = sims[q]
+            order = np.lexsort((b_ids, -row))[: min(k, len(bi))]
+            avg_a = row[order].mean()
+            margins = row[order] / (avg_a / 2.0 + avg_b[order] / 2.0)
+            best = np.lexsort((b_ids[order], -margins))[0]
+            if margins[best] >= threshold:
+                out[int(a_ids[q])] = (
+                    int(b_ids[order][best]),
+                    float(margins[best]),
+                )
+        return out
+
+    def _dataset(self, ids, mat, langs):
+        import pyarrow as pa
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, type=pa.int64()),
+                    "embedding": pa.array([list(r) for r in mat]),
+                    "lang": langs,
+                }
+            )
+        )
+
+    def test_parity_with_reference(self, ray_session):
+        from ctinexus_ray.ops.simsearch import margin_bitext
+
+        rng = np.random.default_rng(11)
+        n = 60
+        base = rng.normal(size=(n // 2, 16))
+        # dst vectors are noisy translations of their src mate
+        mat = np.vstack([base, base + rng.normal(scale=0.05, size=base.shape)])
+        ids = list(range(n))
+        langs = ["en"] * (n // 2) + ["de"] * (n // 2)
+        got = {
+            r["src_id"]: (r["dst_id"], r["margin"])
+            for r in margin_bitext(
+                self._dataset(ids, mat, langs), "en", "de", k=4, threshold=1.0
+            ).take_all()
+        }
+        want = self._ref(ids, mat, langs, "en", "de", k=4, threshold=1.0)
+        assert set(got) == set(want)
+        for a, (b, m) in want.items():
+            assert got[a][0] == b
+            assert got[a][1] == pytest.approx(m, rel=1e-12)
+        # noisy translations: the mate (id + n//2) should dominate
+        mined = sum(1 for a, (b, _) in got.items() if b == a + n // 2)
+        assert mined >= int(0.9 * len(got)) and len(got) >= int(0.8 * (n // 2))
+
+    def test_reshard_deterministic(self, ray_session):
+        from ctinexus_ray.ops.simsearch import margin_bitext
+
+        rng = np.random.default_rng(3)
+        mat = rng.normal(size=(40, 8))
+        ids = list(range(40))
+        langs = ["en" if i % 2 == 0 else "fr" for i in range(40)]
+        a = sorted(
+            (r["src_id"], r["dst_id"], r["sim"], r["margin"])
+            for r in margin_bitext(
+                self._dataset(ids, mat, langs), "en", "fr", threshold=0.0
+            ).take_all()
+        )
+        b = sorted(
+            (r["src_id"], r["dst_id"], r["sim"], r["margin"])
+            for r in margin_bitext(
+                self._dataset(ids, mat, langs).repartition(9),
+                "en",
+                "fr",
+                threshold=0.0,
+            ).take_all()
+        )
+        assert a == b
+
+    def test_src_cap_refuses(self, ray_session):
+        import pytest
+
+        from ctinexus_ray.ops.simsearch import margin_bitext
+
+        mat = np.eye(4)
+        ds = self._dataset([0, 1, 2, 3], mat, ["en", "en", "de", "de"])
+        with pytest.raises(ValueError, match="max_src"):
+            margin_bitext(ds, "en", "de", max_src=1)
+
+    def test_empty_src_lang(self, ray_session):
+        from ctinexus_ray.ops.simsearch import margin_bitext
+
+        mat = np.eye(3)
+        ds = self._dataset([0, 1, 2], mat, ["de", "de", "de"])
+        assert margin_bitext(ds, "en", "de").count() == 0
+
+
 class TestDupSpans:
     def test_planted_duplicated_span(self, ray_session):
         import pyarrow as pa
