@@ -8775,6 +8775,47 @@ def _aug_html(batch: pa.Table) -> pa.Table:
     )
 
 
+def _aug_c4(batch: pa.Table) -> pa.Table:
+    """Deterministic doc_id-derived multi-line pages for the C4 clean
+    rules (testdata text has no newlines/punctuation), mirrored in SQL:
+    a kept line, an unpunctuated line, and per-mod javascript /
+    lorem-ipsum / brace / second-kept lines."""
+    import numpy as np
+    import pandas as pd
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    text = batch.column("text").to_pandas().fillna("")
+    nl = "\n"
+    raw = text.str.slice(0, 40) + "."
+    raw = raw + nl + text.str.slice(40, 70)
+    raw = raw + (nl + "javascript " + text.str.slice(70, 90) + ".").where(
+        ids % 3 == 0, ""
+    )
+    raw = raw + pd.Series(np.where(ids % 11 == 0, nl + "lorem ipsum", ""))
+    raw = raw + pd.Series(np.where(ids % 13 == 0, nl + "brace { here.", ""))
+    raw = raw + (nl + text.str.slice(90, 140) + "?").where(ids % 2 == 0, "")
+    return pa.Table.from_pydict(
+        {
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array(raw.tolist(), type=pa.string()),
+        }
+    )
+
+
+def _q_c4_clean(sf_dir: str):
+    """C4's public line-level cleaning recipe (Raffel et al. 2020;
+    ops/textclean.py c4_clean): terminal-punctuation + min-words +
+    javascript line filters, lorem-ipsum / brace / min-kept-lines page
+    filters. Stateless vectorized map, zero shuffle. ✓SQL (expression-
+    for-expression twin)."""
+    from ctinexus_ray.ops.textclean import c4_clean
+
+    pages = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _aug_c4, batch_format="pyarrow"
+    )
+    return c4_clean(pages, min_words=5, min_lines=2)
+
+
 def _q_bitext_mine(sf_dir: str):
     """Margin-based parallel-text mining (ops/simsearch.py
     margin_bitext — the CCMatrix/LASER shape): en->de candidate pairs
@@ -9317,6 +9358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_prefix_counts": _q_url_prefix_counts,
         "bucketed_join_orders": _q_bucketed_join_orders,
         "bitext_mine": _q_bitext_mine,
+        "c4_clean": _q_c4_clean,
     }
 
 
@@ -11394,6 +11436,37 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text, "
             "CASE WHEN doc_id % 2 = 1 THEN lang END AS lang "
             "FROM documents"
+        ),
+        "c4_clean": (
+            "WITH pages AS (SELECT doc_id, "
+            "substr(text, 1, 40) || '.' || chr(10) || substr(text, 41, 30) "
+            "|| CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'javascript ' || "
+            "substr(text, 71, 20) || '.' ELSE '' END "
+            "|| CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum' "
+            "ELSE '' END "
+            "|| CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'brace { here.' "
+            "ELSE '' END "
+            "|| CASE WHEN doc_id % 2 = 0 THEN chr(10) || "
+            "substr(text, 91, 50) || '?' ELSE '' END AS raw FROM documents), "
+            "lines AS (SELECT doc_id, i, trim(list_extract("
+            "regexp_split_to_array(raw, chr(10)), CAST(i+1 AS INT))) AS t "
+            "FROM pages, LATERAL (SELECT unnest(range(0, "
+            "len(regexp_split_to_array(raw, chr(10))))) AS i)), "
+            "kept AS (SELECT doc_id, i, t FROM lines WHERE "
+            "(t LIKE '%.' OR t LIKE '%!' OR t LIKE '%?' OR t LIKE '%\"') "
+            "AND len(regexp_split_to_array(t, '\\s+')) >= 5 "
+            "AND NOT contains(lower(t), 'javascript')), "
+            "agg AS (SELECT doc_id, count(*) AS n_kept, "
+            "string_agg(t, chr(10) ORDER BY i) AS joined FROM kept "
+            "GROUP BY doc_id), "
+            "flags AS (SELECT doc_id, NOT (contains(lower(raw), "
+            "'lorem ipsum') OR contains(raw, '{')) AS raw_ok FROM pages) "
+            "SELECT f.doc_id, "
+            "CASE WHEN coalesce(a.n_kept, 0) >= 2 AND f.raw_ok "
+            "THEN coalesce(a.joined, '') ELSE '' END AS clean_text, "
+            "CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept_lines, "
+            "(coalesce(a.n_kept, 0) >= 2 AND f.raw_ok) AS keep "
+            "FROM flags f LEFT JOIN agg a USING (doc_id)"
         ),
         "bucketed_join_orders": (
             "SELECT c_nationkey, count(*) AS n_orders, "

@@ -170,3 +170,80 @@ def nfc_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
         lambda b: nfc_stats_batch(b, text_col, id_col),
         batch_format="pyarrow",
     )
+
+
+def c4_clean_batch(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_lines: int = 2,
+) -> pa.Table:
+    """C4's line-level cleaning rules (Raffel et al. 2020, the public
+    recipe behind the C4 corpus), applied per page:
+
+      * a LINE is kept iff its trimmed text ends in terminal
+        punctuation (``.``, ``!``, ``?``, ``"``), has at least
+        ``min_words`` whitespace-separated words, and does not contain
+        ``javascript`` (case-insensitive);
+      * the PAGE is kept iff at least ``min_lines`` lines survive AND
+        the raw text contains neither ``lorem ipsum``
+        (case-insensitive) nor a ``{`` (code fragment tell);
+      * ``clean_text`` is the surviving lines re-joined with newlines
+        (empty when the page is dropped — dropped pages still emit a
+        row so corpus accounting stays row-stable).
+
+    Vectorized: one pandas line explode + string-kernel predicates +
+    one grouped re-join per batch; zero shuffle, linear in bytes. The
+    rule set is frozen — the SQL twin replays it expression for
+    expression."""
+    import numpy as np
+    import pandas as pd
+
+    ids = batch.column(id_col).to_pandas()
+    text = batch.column(text_col).to_pandas().fillna("")
+    raw_flag_ok = ~(
+        text.str.lower().str.contains("lorem ipsum", regex=False)
+        | text.str.contains("{", regex=False)
+    )
+    df = pd.DataFrame({"i": np.arange(len(ids)), "line": text.str.split("\n")})
+    ex = df.explode("line", ignore_index=True)
+    t = ex["line"].fillna("").str.strip()
+    kept = (
+        t.str.endswith((".", "!", "?", '"'))
+        & (t.str.count(r"\S+") >= min_words)
+        & ~t.str.lower().str.contains("javascript", regex=False)
+    )
+    ex = ex.assign(keep_line=kept, t=t)
+    grouped = ex[ex["keep_line"]].groupby("i", sort=False)["t"]
+    joined = grouped.agg("\n".join)
+    counts = grouped.size()
+    n_kept = pd.Series(0, index=np.arange(len(ids))).add(counts, fill_value=0)
+    clean = pd.Series("", index=np.arange(len(ids))).astype(object)
+    clean.update(joined)
+    keep = raw_flag_ok.to_numpy() & (n_kept.to_numpy() >= min_lines)
+    clean = clean.where(pd.Series(keep), "")
+    return pa.Table.from_pydict(
+        {
+            id_col: batch.column(id_col),
+            "clean_text": pa.array(clean.tolist(), type=pa.string()),
+            "n_kept_lines": pa.array(
+                n_kept.to_numpy().astype("int64"), type=pa.int64()
+            ),
+            "keep": pa.array(keep, type=pa.bool_()),
+        }
+    )
+
+
+def c4_clean(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 5,
+    min_lines: int = 2,
+):
+    """Dataset form of ``c4_clean_batch`` — stateless map, no shuffle."""
+    return ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: c4_clean_batch(b, text_col, id_col, min_words, min_lines),
+        batch_format="pyarrow",
+    )

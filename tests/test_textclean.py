@@ -288,3 +288,65 @@ class TestPropertyParity:
         pd.testing.assert_frame_equal(
             eng2, sql2[eng2.columns], check_dtype=False
         )
+
+
+class TestC4Clean:
+    def _run(self, texts, ids=None, **kw):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.textclean import c4_clean
+
+        ids = ids or list(range(len(texts)))
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string()),
+                }
+            )
+        )
+        return {r["doc_id"]: r for r in c4_clean(ds, **kw).take_all()}
+
+    def test_line_rules(self, ray_session):
+        page = (
+            "one two three four five six.\n"      # kept
+            "no terminal punctuation here\n"       # dropped: no punct
+            "short line.\n"                        # dropped: < 5 words
+            "uses JavaScript one two three four.\n"  # dropped: javascript
+            'quoted line with five words total"'   # kept: ends in quote
+        )
+        r = self._run([page])[0]
+        assert r["keep"] is True or r["keep"] == True  # noqa: E712
+        assert r["n_kept_lines"] == 2
+        assert r["clean_text"] == (
+            "one two three four five six.\n"
+            'quoted line with five words total"'
+        )
+
+    def test_page_rules(self, ray_session):
+        good = "one two three four five.\nsix seven eight nine ten!"
+        r = self._run(
+            [
+                good,
+                good + "\nsome Lorem Ipsum filler",   # lorem -> drop
+                good + "\ncode { fragment }",          # brace -> drop
+                "only one good line here today.",      # < min_lines
+                None,                                   # null text
+            ]
+        )
+        assert [bool(r[i]["keep"]) for i in range(5)] == [
+            True, False, False, False, False,
+        ]
+        # dropped pages still count their kept lines and emit a row
+        assert r[1]["n_kept_lines"] == 2 and r[1]["clean_text"] == ""
+        assert r[4]["n_kept_lines"] == 0
+
+    def test_whitespace_trim(self, ray_session):
+        r = self._run(["   padded line one two three four five.   "])
+        assert bool(r[0]["keep"]) is False  # only 1 kept line (< min_lines)
+        assert r[0]["n_kept_lines"] == 1
+        r2 = self._run(
+            ["  a b c d e.  \n  f g h i j!  "], **{"min_lines": 2}
+        )
+        assert r2[0]["clean_text"] == "a b c d e.\nf g h i j!"
