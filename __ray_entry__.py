@@ -8816,6 +8816,23 @@ def _q_c4_clean(sf_dir: str):
     return c4_clean(pages, min_words=5, min_lines=2)
 
 
+def _q_mixture_sample(sf_dir: str):
+    """Token-budget mixture sampling (ops/shards.py mixture_sample —
+    the DoReMi/Pile training-mixture step): integer weights 4:2:1:1
+    over four sources, 3000-token budget; per-source totals reduce to
+    #sources ints, then a content-addressed md5 threshold filter. The
+    floor-division threshold rule is all-integer. ✓SQL (identical
+    expression twin; the 4x source caps at keep-everything, the 1x
+    sources downsample — both branches exercised)."""
+    from ctinexus_ray.ops.shards import mixture_sample
+
+    return mixture_sample(
+        _docs(sf_dir, ["doc_id", "source", "text"]),
+        weights={"src0": 4, "src1": 2, "src2": 1, "src3": 1},
+        budget_tokens=3000,
+    )
+
+
 def _q_bitext_mine(sf_dir: str):
     """Margin-based parallel-text mining (ops/simsearch.py
     margin_bitext — the CCMatrix/LASER shape): en->de candidate pairs
@@ -9359,6 +9376,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join_orders": _q_bucketed_join_orders,
         "bitext_mine": _q_bitext_mine,
         "c4_clean": _q_c4_clean,
+        "mixture_sample": _q_mixture_sample,
     }
 
 
@@ -11436,6 +11454,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, text, "
             "CASE WHEN doc_id % 2 = 1 THEN lang END AS lang "
             "FROM documents"
+        ),
+        "mixture_sample": (
+            "WITH toks AS (SELECT doc_id, source, "
+            "len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens "
+            "FROM documents), "
+            "tot AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS t "
+            "FROM toks GROUP BY source), "
+            "w(source, w) AS (VALUES ('src0', 4), ('src1', 2), "
+            "('src2', 1), ('src3', 1)), "
+            "th AS (SELECT source, least(1000000, "
+            "CAST(3000 AS BIGINT) * w * 1000000 // (8 * t)) AS thresh "
+            "FROM tot JOIN w USING (source)) "
+            "SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens "
+            "FROM toks JOIN th USING (source) "
+            "WHERE CAST(concat('0x', substr(md5('mix' || doc_id), 1, 8)) "
+            "AS UBIGINT) % 1000000 < thresh"
         ),
         "c4_clean": (
             "WITH pages AS (SELECT doc_id, "

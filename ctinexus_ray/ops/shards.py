@@ -850,3 +850,109 @@ def rendezvous_assign(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def mixture_sample(
+    docs: ray.data.Dataset,
+    weights: dict[str, int],
+    budget_tokens: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "mix",
+) -> ray.data.Dataset:
+    """Token-budget mixture sampling — the training-mixture step (the
+    DoReMi / Pile recipe shape): given integer mixture ``weights`` per
+    source and a total ``budget_tokens``, downsample each source so its
+    EXPECTED token contribution is ``budget * w_s / sum(w)``, by the
+    content-addressed rule
+
+        keep iff  md5(salt || id) first-8-hex  % 1_000_000  <  thresh_s
+        thresh_s = min(1_000_000,
+                       budget * w_s * 1_000_000 // (sum(w) * T_s))
+
+    where ``T_s`` is the source's total token count (whitespace tokens,
+    the same expression as the ✓SQL ``token_counts`` anchor). All
+    integer arithmetic — the floor-division RULE is the frozen
+    contract, so a SQL twin replays it bit-exactly; a source whose
+    target exceeds its inventory keeps everything (thresh caps at 1e6;
+    upsampling/repetition is a separate op's job). Sources absent from
+    ``weights`` drop entirely.
+
+    Scale shape: pass 1 is a per-batch (source, tokens) combine folded
+    to ONE row per source (#sources ints to the driver); pass 2 is a
+    broadcast-threshold filter — no shuffle, reshard-stable,
+    incremental-ingestion-stable (a doc's fate never depends on other
+    docs' arrival order, only on the recomputed per-source totals).
+
+    Returns the kept rows (id, source, n_tokens)."""
+    import hashlib
+
+    from ctinexus_ray.ops.textstats import _tokens
+
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("mixture_sample: weights must be positive integers")
+    if budget_tokens <= 0:
+        raise ValueError("mixture_sample: budget_tokens must be positive")
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        texts = batch.column(text_col).to_pylist()
+        srcs = batch.column(source_col).to_pylist()
+        df = (
+            pd.DataFrame(
+                {
+                    "source": srcs,
+                    "n": [len(_tokens(t or "")) for t in texts],
+                }
+            )
+            .groupby("source", sort=False, dropna=False)["n"]
+            .sum()
+            .reset_index()
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = (
+        docs.select_columns([source_col, text_col])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .take_all()
+    )
+    totals: dict[str, int] = {}
+    for r in parts:
+        totals[r["source"]] = totals.get(r["source"], 0) + int(r["n"])
+    sumw = sum(weights.values())
+    thresh = {
+        s: min(
+            1_000_000,
+            budget_tokens * w * 1_000_000 // (sumw * totals[s]),
+        )
+        for s, w in weights.items()
+        if totals.get(s)
+    }
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        srcs = batch.column(source_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        mask, toks = [], []
+        for i, s in zip(ids, srcs):
+            t = thresh.get(s)
+            h = int(
+                hashlib.md5(f"{salt}{i}".encode("utf-8")).hexdigest()[:8], 16
+            ) % 1_000_000
+            mask.append(t is not None and h < t)
+        out = pa.Table.from_pydict(
+            {
+                id_col: batch.column(id_col),
+                source_col: batch.column(source_col),
+                "n_tokens": pa.array(
+                    [len(_tokens(t or "")) for t in texts], type=pa.int64()
+                ),
+            }
+        ).filter(pa.array(mask, type=pa.bool_()))
+        return out
+
+    return docs.select_columns([id_col, source_col, text_col]).map_batches(
+        keep, batch_format="pyarrow"
+    )

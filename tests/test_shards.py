@@ -513,3 +513,79 @@ class TestRendezvousAssign:
             r["shard"] for r in rendezvous_assign(ds, "doc_id", 4).take_all()
         ]
         assert got == again
+
+
+class TestMixtureSample:
+    def _docs(self, n=200, sources=("a", "b")):
+        import pyarrow as pa
+        import ray.data
+
+        texts = ["w " * 10 + "end" for _ in range(n)]  # 11 tokens each
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n), type=pa.int64()),
+                    "source": [sources[i % len(sources)] for i in range(n)],
+                    "text": texts,
+                }
+            )
+        )
+
+    def test_cap_keeps_everything(self, ray_session):
+        from ctinexus_ray.ops.shards import mixture_sample
+
+        # budget far above inventory -> every weighted doc survives
+        out = mixture_sample(
+            self._docs(), {"a": 1, "b": 1}, budget_tokens=10_000_000
+        ).take_all()
+        assert len(out) == 200
+        assert all(r["n_tokens"] == 11 for r in out)
+
+    def test_downsampling_proportional(self, ray_session):
+        from ctinexus_ray.ops.shards import mixture_sample
+
+        # total per source = 100 docs * 11 tokens = 1100; weights 3:1
+        # over budget 1100 -> targets 825 vs 275 -> rates .75 / .25
+        out = mixture_sample(
+            self._docs(), {"a": 3, "b": 1}, budget_tokens=1100
+        ).take_all()
+        kept = {"a": 0, "b": 0}
+        for r in out:
+            kept[r["source"]] += 1
+        assert 60 <= kept["a"] <= 90   # ~75 expected
+        assert 13 <= kept["b"] <= 38   # ~25 expected
+
+    def test_unweighted_source_dropped(self, ray_session):
+        from ctinexus_ray.ops.shards import mixture_sample
+
+        out = mixture_sample(
+            self._docs(), {"a": 1}, budget_tokens=10_000_000
+        ).take_all()
+        assert {r["source"] for r in out} == {"a"}
+
+    def test_reshard_stable(self, ray_session):
+        from ctinexus_ray.ops.shards import mixture_sample
+
+        ids_a = sorted(
+            r["doc_id"]
+            for r in mixture_sample(
+                self._docs(), {"a": 1, "b": 2}, budget_tokens=900
+            ).take_all()
+        )
+        ids_b = sorted(
+            r["doc_id"]
+            for r in mixture_sample(
+                self._docs().repartition(7), {"a": 1, "b": 2}, budget_tokens=900
+            ).take_all()
+        )
+        assert ids_a == ids_b and ids_a
+
+    def test_validation(self, ray_session):
+        import pytest
+
+        from ctinexus_ray.ops.shards import mixture_sample
+
+        with pytest.raises(ValueError, match="weights"):
+            mixture_sample(self._docs(), {}, budget_tokens=10)
+        with pytest.raises(ValueError, match="budget"):
+            mixture_sample(self._docs(), {"a": 1}, budget_tokens=0)
