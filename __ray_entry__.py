@@ -8816,6 +8816,36 @@ def _q_c4_clean(sf_dir: str):
     return c4_clean(pages, min_words=5, min_lines=2)
 
 
+def _q_ann_ivf_persisted(sf_dir: str):
+    """Persisted IVF index (ops/annindex.py): centroids live in the
+    versioned-table manifest (atomic with the cell files), search
+    pushes a cell filter into the parquet read, appends assign under
+    frozen centroids. Approximate -> rows-only; full-probe exactness,
+    recall, and append-visibility pinned in tests/test_annindex.py;
+    exact anchor similarity_topk ✓SQL."""
+    import hashlib
+    import shutil
+
+    import numpy as np
+    import ray.data
+
+    from ctinexus_ray.ops.annindex import ivf_index_build, ivf_index_search
+    from ctinexus_ray.sources.documents import read_testdata_embeddings
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"/tmp/ivfidx_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    emb = read_testdata_embeddings(sf_dir)
+    ivf_index_build(emb, tmp, n_centroids=16)
+    q_rows = sorted(
+        emb.filter(expr="vec_id < 10").take_all(), key=lambda r: r["vec_id"]
+    )
+    ids = [r["vec_id"] for r in q_rows]
+    mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    topk = ivf_index_search(tmp, ids, mat, k=5, n_probe=4)
+    return topk.select_columns(["query_id", "rank", "neighbor_id"])
+
+
 def _q_mixture_sample(sf_dir: str):
     """Token-budget mixture sampling (ops/shards.py mixture_sample —
     the DoReMi/Pile training-mixture step): integer weights 4:2:1:1
@@ -9377,6 +9407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitext_mine": _q_bitext_mine,
         "c4_clean": _q_c4_clean,
         "mixture_sample": _q_mixture_sample,
+        "ann_ivf_persisted": _q_ann_ivf_persisted,
     }
 
 

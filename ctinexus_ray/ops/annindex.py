@@ -1,0 +1,183 @@
+"""Persisted IVF index over the versioned table format.
+
+``ops/simsearch.py ivf_topk`` trains and probes in one job — right for
+a one-off query batch, wasteful when the corpus is long-lived and
+queries arrive forever. This module makes the index a TABLE:
+
+  * ``ivf_index_build`` — train deterministic k-means centroids on a
+    bounded sample, assign every vector to its cell, write ONE parquet
+    file per cell, and commit as a ``state/tableformat`` version with
+    the centroids stored in the manifest's ``extra`` (atomic with the
+    data: a reader can never see cells without their centroids).
+  * ``ivf_index_append`` — assign NEW vectors under the EXISTING
+    centroids and append-commit. The incremental-ingestion shape:
+    centroids are frozen at build time (the standard IVF contract —
+    retrain by rebuilding), appends cost one assignment pass, and
+    crash-safety/time-travel come from the table format for free.
+  * ``ivf_index_search`` — probe ``n_probe`` cells per query and scan
+    ONLY matching rows via a ``cell IN (...)`` filter pushed into the
+    parquet read; per-cell files make that a file-level skip. The
+    scan itself is the shared ``brute_force_topk`` partial/merge.
+
+Scale notes: nothing corpus-sized touches the driver (the training
+sample and the centroid table are bounded); cell files append per
+commit so a 10^12-vector index is many small per-cell files per
+ingest tick — run ``compact_table`` periodically (correctness is
+filter-based, so compaction only trades file-skip sharpness, never
+results). The reference has no ANN index at all; this is the
+corpus-scale sibling of its per-call embedding cache
+(`/root/reference/ctinexus/llm_processor.py` embeds one report at a
+time).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ctinexus_ray.ops.dedup import list_col_to_matrix
+from ctinexus_ray.ops.simsearch import (
+    _deterministic_kmeans,
+    _normalize,
+    brute_force_topk,
+)
+from ctinexus_ray.state.tableformat import (
+    commit_version,
+    read_version,
+    version_extra,
+)
+
+
+def _assign_and_write(
+    embeddings: ray.data.Dataset, centroids: np.ndarray, table_dir: str
+) -> list[str]:
+    """Assign each vector to its nearest centroid and write one parquet
+    file per cell (inside the cell's own reduce task)."""
+    cent_ref = ray.put(centroids)
+    data_dir = os.path.join(table_dir, f"cells-{uuid.uuid4().hex[:12]}")
+    os.makedirs(data_dir, exist_ok=True)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        mat = _normalize(list_col_to_matrix(batch.column("embedding")))
+        cells = (
+            np.argmax(mat @ cents.T, axis=1)
+            if mat.shape[0]
+            else np.zeros(0, dtype=np.int64)
+        )
+        return pa.Table.from_pydict(
+            {
+                "cell": pa.array(cells.astype(np.int64), type=pa.int64()),
+                "vec_id": batch.column("vec_id"),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    def write_cell(g):
+        import pandas as pd  # noqa: F401 — map_groups hands a DataFrame
+        import pyarrow.parquet as pq
+
+        cell = int(g["cell"].iloc[0])
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in g["embedding"]])
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1), type=pa.float64()), mat.shape[1]
+        )
+        t = pa.Table.from_pydict(
+            {
+                "cell": pa.array(g["cell"].to_numpy(), type=pa.int64()),
+                "vec_id": pa.array(g["vec_id"].to_numpy(), type=pa.int64()),
+                "embedding": emb,
+            }
+        )
+        path = os.path.join(data_dir, f"cell-{cell:05d}.parquet")
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return pa.Table.from_pydict({"path": pa.array([path])}).to_pandas()
+
+    written = (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(write_cell, batch_format="pandas")
+        .take_all()
+    )
+    return sorted(r["path"] for r in written)
+
+
+def ivf_index_build(
+    embeddings: ray.data.Dataset,
+    table_dir: str,
+    n_centroids: int = 16,
+    train_sample: int = 2048,
+) -> int:
+    """Build (or rebuild) the index; returns the committed version."""
+    sample_rows = (
+        embeddings.select_columns(["vec_id", "embedding"])
+        .filter(expr=f"vec_id < {train_sample}")
+        .take_all()
+    )
+    if not sample_rows:
+        raise ValueError("ivf_index_build: no vectors with vec_id < train_sample")
+    sample_rows.sort(key=lambda r: r["vec_id"])
+    sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
+    centroids = _deterministic_kmeans(sample, min(n_centroids, len(sample)))
+    files = _assign_and_write(embeddings, centroids, table_dir)
+    return commit_version(
+        table_dir,
+        files,
+        mode="overwrite",
+        extra={
+            "ivf": {
+                "centroids": [list(map(float, c)) for c in centroids],
+                "dim": int(centroids.shape[1]),
+            }
+        },
+    )
+
+
+def _centroids(table_dir: str) -> np.ndarray:
+    extra = version_extra(table_dir)
+    if "ivf" not in extra:
+        raise FileNotFoundError(
+            f"{table_dir} is not an IVF index table (no centroids in manifest)"
+        )
+    return np.array(extra["ivf"]["centroids"], dtype=np.float64)
+
+
+def ivf_index_append(embeddings: ray.data.Dataset, table_dir: str) -> int:
+    """Assign new vectors under the frozen centroids, append-commit."""
+    centroids = _centroids(table_dir)
+    files = _assign_and_write(embeddings, centroids, table_dir)
+    # extra=None inherits the parent's centroids atomically
+    return commit_version(table_dir, files, mode="append")
+
+
+def ivf_index_search(
+    table_dir: str,
+    query_ids: list[int],
+    query_matrix: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+) -> ray.data.Dataset:
+    """Top-k over the persisted index: probe each query's ``n_probe``
+    nearest cells, scan only rows whose ``cell`` matches (filter pushed
+    into the parquet read — per-cell files skip wholesale), brute-force
+    the survivors. Returns (query_id, rank, neighbor_id, sim)."""
+    import pyarrow.dataset as pads
+
+    centroids = _centroids(table_dir)
+    q_mat = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    order = np.argsort(-(q_mat @ centroids.T), axis=1, kind="stable")
+    probes = order[:, : min(n_probe, centroids.shape[0])]
+    cells = sorted({int(c) for row in probes for c in row})
+    ds = read_version(table_dir, filter=pads.field("cell").isin(cells))
+    return brute_force_topk(
+        ds, list(query_ids), q_mat, k=k, exclude_self=exclude_self
+    )
