@@ -543,22 +543,25 @@ def _q_langid(sf_dir: str):
 # --- relational / temporal ---------------------------------------------------
 
 
-def _events(sf_dir: str):
+def _events(sf_dir: str, columns=None):
+    """Events table read. Always pass ``columns`` from query call sites so
+    the scan prunes at the parquet reader — ``props`` (a JSON string) is by
+    far the widest column and almost no query needs it."""
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
 def _q_events_hourly(sf_dir: str):
     from ctinexus_ray.ops.relational import hourly_event_counts
 
-    return hourly_event_counts(_events(sf_dir))
+    return hourly_event_counts(_events(sf_dir, ["ts", "event_type"]))
 
 
 def _q_event_sessions(sf_dir: str):
     from ctinexus_ray.ops.relational import sessionize
 
-    return sessionize(_events(sf_dir), gap_seconds=1800)
+    return sessionize(_events(sf_dir, ["event_id", "ts", "user_id"]), gap_seconds=1800)
 
 
 def _q_orders_per_customer(sf_dir: str):
@@ -752,8 +755,8 @@ def _q_events_asof_purchase(sf_dir: str):
             }
         )
 
-    ev = _events(sf_dir).select_columns(
-        ["event_id", "user_id", "ts", "event_type", "value"]
+    ev = _events(
+        sf_dir, ["event_id", "user_id", "ts", "event_type", "value"]
     )
     clicks = ev.filter(expr="event_type == 'click'").map_batches(
         to_epoch, batch_format="pyarrow"
@@ -884,7 +887,9 @@ def _q_event_windows(sf_dir: str):
     functions) in exact integer arithmetic."""
     from ctinexus_ray.ops.relational import rolling_user_windows
 
-    return rolling_user_windows(_events(sf_dir), window=3)
+    return rolling_user_windows(
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"]), window=3
+    )
 
 
 def _q_doc_sample(sf_dir: str):
@@ -5141,7 +5146,7 @@ def _q_events_minmax_by_type(sf_dir: str):
             {"event_type": batch.column("event_type"), "epoch_s": secs}
         )
 
-    ds = _events(sf_dir).select_columns(["ts", "event_type"]).map_batches(
+    ds = _events(sf_dir, ["ts", "event_type"]).map_batches(
         to_epoch, batch_format="pyarrow"
     )
     return minmax_count_by_key(
@@ -5208,7 +5213,7 @@ def _q_purchase_click_band(sf_dir: str):
     materializing the joined rows."""
     from ctinexus_ray.ops.relational import band_join_count
 
-    ev = _events(sf_dir)
+    ev = _events(sf_dir, ["event_id", "ts", "event_type"])
     purchases = ev.filter(expr="event_type == 'purchase'")
     clicks = ev.filter(expr="event_type == 'click'")
     return band_join_count(
@@ -5230,7 +5235,7 @@ def _q_events_sliding(sf_dir: str):
     from ctinexus_ray.ops.relational import sliding_window_counts
 
     return sliding_window_counts(
-        _events(sf_dir), ts_col="ts", window_s=3600, slide_s=900
+        _events(sf_dir, ["ts"]), ts_col="ts", window_s=3600, slide_s=900
     )
 
 
@@ -5242,8 +5247,8 @@ def _q_events_sliding_users(sf_dir: str):
     from ctinexus_ray.ops.relational import sliding_window_counts
 
     return sliding_window_counts(
-        _events(sf_dir), ts_col="ts", window_s=3600, slide_s=900,
-        distinct_col="user_id",
+        _events(sf_dir, ["ts", "user_id"]), ts_col="ts", window_s=3600,
+        slide_s=900, distinct_col="user_id",
     )
 
 
@@ -5371,7 +5376,10 @@ def _q_events_dq(sf_dir: str):
 
     from ctinexus_ray.ops.dq import data_quality_report
 
-    events = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["value", "event_type", "ts", "user_id"],
+    )
     enum = ("click", "view", "purchase", "error", "signup")
     lo = datetime.datetime(2024, 1, 1)
     hi = datetime.datetime(2024, 1, 15)
@@ -6228,7 +6236,9 @@ def _q_overlapping_sessions(sf_dir: str):
         session_intervals,
     )
 
-    intervals = session_intervals(_events(sf_dir), gap_seconds=1800)
+    intervals = session_intervals(
+        _events(sf_dir, ["event_id", "user_id", "ts"]), gap_seconds=1800
+    )
     pairs = interval_overlap_pairs(
         intervals, owner_col="user_id", start_col="s_us", end_col="e_us"
     )
@@ -6246,7 +6256,9 @@ def _q_event_transitions(sf_dir: str):
     partition, tiny |types|² final sum)."""
     from ctinexus_ray.ops.relational import event_transition_counts
 
-    out = event_transition_counts(_events(sf_dir))
+    out = event_transition_counts(
+        _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    )
     return _rename(out, {"sum(n)": "n"})
 
 
@@ -6256,7 +6268,10 @@ def _q_funnel_users(sf_dir: str):
     shuffle, one vectorized groupby.min per funnel step."""
     from ctinexus_ray.ops.relational import funnel_users
 
-    return funnel_users(_events(sf_dir), steps=["view", "click", "purchase"])
+    return funnel_users(
+        _events(sf_dir, ["user_id", "ts", "event_type"]),
+        steps=["view", "click", "purchase"],
+    )
 
 
 def _q_lineitem_pending_orders(sf_dir: str):
@@ -6514,7 +6529,7 @@ def _q_distinct_users_by_type(sf_dir: str):
 
     from ctinexus_ray.ops.groupagg import partitioned_agg
 
-    ev = _events(sf_dir).select_columns(["event_type", "user_id"])
+    ev = _events(sf_dir, ["event_type", "user_id"])
     pairs = partitioned_agg(
         ev,
         keys=["event_type", "user_id"],
@@ -6531,7 +6546,7 @@ def _q_distinct_users_hll(sf_dir: str):
     Approximate -> rows-only; exact anchor = distinct_users_by_type."""
     from ctinexus_ray.ops.sketch import grouped_hll_distinct
 
-    ev = _events(sf_dir).select_columns(["event_type", "user_id"])
+    ev = _events(sf_dir, ["event_type", "user_id"])
     return grouped_hll_distinct(ev, "event_type", "user_id", p=12)
 
 

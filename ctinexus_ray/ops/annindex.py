@@ -116,15 +116,37 @@ def ivf_index_build(
     n_centroids: int = 16,
     train_sample: int = 2048,
 ) -> int:
-    """Build (or rebuild) the index; returns the committed version."""
+    """Build (or rebuild) the index; returns the committed version.
+
+    The k-means training sample is the ``train_sample`` rows with the
+    smallest mixed hash of ``vec_id`` — content-addressed, so sparse or
+    offset id spaces (post-dedup tables, appended ranges) sample
+    uniformly instead of biasing toward whatever happens to live below
+    ``train_sample``; each batch cuts locally to its smallest-hash rows
+    before the driver merges, so driver work is O(batches x sample)."""
+
+    def local_sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy().astype(np.uint64)
+        # splitmix64 finalizer — deterministic, uniform over any id space
+        h = (ids + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        h ^= h >> np.uint64(30)
+        h = (h * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        h ^= h >> np.uint64(27)
+        h = (h * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        h ^= h >> np.uint64(31)
+        keep = np.argsort(h, kind="stable")[:train_sample]
+        t = batch.append_column("__h", pa.array(h, type=pa.uint64()))
+        return t.take(pa.array(np.sort(keep)))
+
     sample_rows = (
         embeddings.select_columns(["vec_id", "embedding"])
-        .filter(expr=f"vec_id < {train_sample}")
+        .map_batches(local_sample, batch_format="pyarrow")
         .take_all()
     )
     if not sample_rows:
-        raise ValueError("ivf_index_build: no vectors with vec_id < train_sample")
-    sample_rows.sort(key=lambda r: r["vec_id"])
+        raise ValueError("ivf_index_build: no vectors to train on")
+    sample_rows.sort(key=lambda r: (r["__h"], r["vec_id"]))
+    sample_rows = sample_rows[:train_sample]
     sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
     centroids = _deterministic_kmeans(sample, min(n_centroids, len(sample)))
     files = _assign_and_write(embeddings, centroids, table_dir)

@@ -955,11 +955,16 @@ def bucketed_join(
     """Zero-shuffle join of two ``bucketed_write`` directories: bucket i
     of A joins bucket i of B in its own Ray task (matching keys are
     co-located by the shared bucket spec), results stream back as
-    arrow blocks. Refuses loudly when the specs differ (different
-    keys, bucket counts, or hash versions would silently drop
-    matches). ``how``: inner | left — a bucket file missing on the
-    right is an empty right side; missing on the left contributes
-    nothing."""
+    arrow blocks — the joined tables stay in the object store
+    (``from_arrow_refs``), the driver never materializes them; the
+    output schema is fixed up-front from the two sides' parquet
+    footers so every task aligns to it locally. Refuses loudly when
+    the specs differ (different keys, bucket counts, or hash versions
+    would silently drop matches). ``how``: inner | left — a bucket
+    file missing on the right is an empty right side; missing on the
+    left contributes nothing. An empty join yields an empty Dataset
+    (left-side schema when the right directory has no buckets at
+    all)."""
     import json
 
     with open(os.path.join(dir_a, "_BUCKETS.json")) as fh:
@@ -980,23 +985,56 @@ def bucketed_join(
     if how not in ("inner", "left"):
         raise ValueError(f"bucketed_join: unsupported how={how!r}")
 
+    # fix the output schema up-front from the parquet FOOTERS (no data
+    # read): left columns, then right columns minus the join keys — the
+    # pa.Table.join layout — so each bucket task aligns locally and the
+    # joined blocks never pass through the driver
+    import pyarrow.parquet as _pq
+
+    def _dir_schema(d: str) -> pa.Schema | None:
+        for name in sorted(os.listdir(d)):
+            if name.startswith("bucket-") and name.endswith(".parquet"):
+                return _pq.read_schema(os.path.join(d, name))
+        return None
+
+    schema_a = _dir_schema(dir_a)
+    schema_b = _dir_schema(dir_b)
+    if schema_a is None:
+        return ray.data.from_arrow([])  # no left buckets: empty join
+    fields = list(schema_a)
+    if schema_b is not None:
+        fields += [f for f in schema_b if f.name not in schema_a.names]
+    out_schema = pa.schema(fields)
+
     @ray.remote
-    def join_bucket(pa_path: str, pb_path: str):
+    def join_bucket(pa_path: str, pb_path: str) -> pa.Table:
         import pyarrow.parquet as pq
 
+        empty = out_schema.empty_table()
         if not os.path.exists(pa_path):
-            return None
+            return empty
         ta = pq.read_table(pa_path)
         if os.path.exists(pb_path):
             tb = pq.read_table(pb_path)
         elif how == "inner":
-            return None
+            return empty
         else:
-            return ta  # left join with empty right: nulls appended below
-        joined = ta.join(
-            tb, keys=list(on), join_type=("inner" if how == "inner" else "left outer")
-        )
-        return joined if joined.num_rows else None
+            tb = None  # left join with empty right: null-fill below
+        if tb is None:
+            joined = ta
+        else:
+            joined = ta.join(
+                tb,
+                keys=list(on),
+                join_type=("inner" if how == "inner" else "left outer"),
+            )
+        arrays = [
+            joined.column(f.name)
+            if f.name in joined.column_names
+            else pa.nulls(joined.num_rows, type=f.type)
+            for f in out_schema
+        ]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
 
     n = sa["n_buckets"]
     refs = [
@@ -1006,27 +1044,7 @@ def bucketed_join(
         )
         for i in range(n)
     ]
-    tables = [t for t in ray.get(refs) if t is not None]
-    if not tables:
-        raise ValueError("bucketed_join: empty result — no bucket produced rows")
-    # align possibly-divergent schemas (a left join against a missing
-    # bucket lacks the right-side columns) before handing blocks to Ray
-    names = tables[0].column_names
-    for t in tables[1:]:
-        for c in t.column_names:
-            if c not in names:
-                names.append(c)
-    aligned = []
-    for t in tables:
-        arrays = []
-        for c in names:
-            if c in t.column_names:
-                arrays.append(t.column(c))
-            else:
-                src = next(x for x in tables if c in x.column_names)
-                arrays.append(pa.nulls(t.num_rows, type=src.schema.field(c).type))
-        aligned.append(pa.Table.from_arrays(arrays, names=names))
-    return ray.data.from_arrow(aligned)
+    return ray.data.from_arrow_refs(refs)
 
 
 def partitioned_attach(

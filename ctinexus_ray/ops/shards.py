@@ -790,7 +790,13 @@ def grouped_sample_k(
 
     def local_cut(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
-        digests = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        # md5 IS the cross-engine contract (DuckDB twin uses md5()); one
+        # digest per id per pass, bytes-formatted to skip str+encode churn
+        md5 = hashlib.md5
+        if ids and isinstance(ids[0], int):
+            digests = [md5(b"%d" % i).hexdigest() for i in ids]
+        else:
+            digests = [md5(str(i).encode()).hexdigest() for i in ids]
         t = batch.append_column("__digest", pa.array(digests, type=pa.string()))
         out = cut(t.to_pandas())
         return add_hash_pkey(

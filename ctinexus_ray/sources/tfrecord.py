@@ -310,6 +310,14 @@ def build_tfrecord(table: pa.Table) -> bytes:
                 "string/binary only (float64 would silently become "
                 "float32; quantize or cast upstream)"
             )
+        if pa.types.is_unsigned_integer(typ) and typ.bit_width > 32:
+            # Int64List is SIGNED: values >= 2^63 would round-trip as
+            # negative int64 — refuse instead of silently corrupting
+            raise TypeError(
+                f"tfrecord: column {name!r} has type {typ} — unsigned "
+                "integers wider than 32 bits don't fit Int64List; cast "
+                "to int64 upstream if the range allows"
+            )
         cols[name] = table.column(name).to_pylist()
     out = bytearray()
     for i in range(table.num_rows):
@@ -319,31 +327,65 @@ def build_tfrecord(table: pa.Table) -> bytes:
 
 
 def parse_tfrecord(
-    data: bytes, binary_cols: frozenset[str] = frozenset()
+    data: bytes,
+    binary_cols: frozenset[str] = frozenset(),
+    list_cols: frozenset[str] = frozenset(),
 ) -> pa.Table:
     """Parse one TFRecord file to a table. Columns come out in
     sorted-name order (the union of feature names across records);
     features absent in a record are null. BytesList decodes to string
     (UTF-8) unless the name is in ``binary_cols``; single-valued
-    Int64List to int64."""
+    Int64List to int64. A feature carrying MORE than one value raises
+    (a foreign file's multi-valued feature must not silently lose
+    values) unless its name is in ``list_cols``, which emits the full
+    value list as a list<int64|float64|binary|string> column."""
     rows = [decode_example(rec) for rec in iter_records(data)]
     names = sorted({k for r in rows for k in r})
     arrays, out_names = [], []
     for name in names:
         vals = [r.get(name) for r in rows]
         first = next((v[0] for v in vals if v), None)
+        as_list = name in list_cols
+        if not as_list:
+            bad = next((v for v in vals if v is not None and len(v) > 1), None)
+            if bad is not None:
+                raise ValueError(
+                    f"tfrecord: feature {name!r} carries {len(bad)} values "
+                    "in one Example — taking the first would silently drop "
+                    f"data; pass list_cols={{'{name}'}} to read it as a "
+                    "list column"
+                )
         if isinstance(first, bytes) and name not in binary_cols:
-            col = [None if v is None or not v else v[0].decode("utf-8") for v in vals]
-            arrays.append(pa.array(col, type=pa.string()))
+            if as_list:
+                col = [
+                    None if v is None else [x.decode("utf-8") for x in v]
+                    for v in vals
+                ]
+                arrays.append(pa.array(col, type=pa.list_(pa.string())))
+            else:
+                col = [
+                    None if v is None or not v else v[0].decode("utf-8")
+                    for v in vals
+                ]
+                arrays.append(pa.array(col, type=pa.string()))
         elif isinstance(first, bytes):
-            col = [None if v is None or not v else v[0] for v in vals]
-            arrays.append(pa.array(col, type=pa.binary()))
+            if as_list:
+                arrays.append(pa.array(vals, type=pa.list_(pa.binary())))
+            else:
+                col = [None if v is None or not v else v[0] for v in vals]
+                arrays.append(pa.array(col, type=pa.binary()))
         elif isinstance(first, float):
-            col = [None if v is None or not v else v[0] for v in vals]
-            arrays.append(pa.array(col, type=pa.float64()))
+            if as_list:
+                arrays.append(pa.array(vals, type=pa.list_(pa.float64())))
+            else:
+                col = [None if v is None or not v else v[0] for v in vals]
+                arrays.append(pa.array(col, type=pa.float64()))
         else:
-            col = [None if v is None or not v else v[0] for v in vals]
-            arrays.append(pa.array(col, type=pa.int64()))
+            if as_list:
+                arrays.append(pa.array(vals, type=pa.list_(pa.int64())))
+            else:
+                col = [None if v is None or not v else v[0] for v in vals]
+                arrays.append(pa.array(col, type=pa.int64()))
         out_names.append(name)
     return pa.Table.from_arrays(arrays, names=out_names)
 
@@ -354,14 +396,16 @@ def parse_tfrecord(
 
 
 def read_tfrecord(
-    paths: str | list[str], binary_cols: frozenset[str] = frozenset()
+    paths: str | list[str],
+    binary_cols: frozenset[str] = frozenset(),
+    list_cols: frozenset[str] = frozenset(),
 ) -> ray.data.Dataset:
     """Streaming TFRecord reader — one parse task per file (no sync
     markers, so the file is the split unit; writers shard accordingly)."""
 
     def parse(batch: pa.Table):
         for data in batch.column("bytes").to_pylist():
-            t = parse_tfrecord(data, binary_cols)
+            t = parse_tfrecord(data, binary_cols, list_cols)
             if t.num_rows:
                 yield t
 

@@ -253,32 +253,76 @@ def read_version(
     for f in manifest["files"]:
         groups.setdefault(fmap[f], []).append(f)
 
-    def align(batch: pa.Table) -> pa.Table:
-        arrays = []
-        for field in target:
-            if field.name in batch.column_names:
-                arrays.append(batch.column(field.name))
-            else:
-                arrays.append(pa.nulls(batch.num_rows, type=field.type))
-        return pa.Table.from_arrays(arrays, schema=target)
+    def _align_to(schema: pa.Schema):
+        def align(batch: pa.Table) -> pa.Table:
+            arrays = []
+            for field in schema:
+                if field.name in batch.column_names:
+                    arrays.append(batch.column(field.name))
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, type=field.type))
+            return pa.Table.from_arrays(arrays, schema=schema)
+
+        return align
+
+    def _binds(expr, schema: pa.Schema) -> bool:
+        # does the filter reference only columns this schema has?
+        # binding against an empty in-memory dataset answers without
+        # touching any file
+        import pyarrow.dataset as pads
+
+        try:
+            pads.dataset(schema.empty_table()).to_table(filter=expr)
+            return True
+        except (pa.ArrowInvalid, KeyError):
+            return False
 
     parts = []
     for idx, paths in sorted(groups.items()):
-        names = set(_schema_from_json(pool[idx]).names)
+        gschema = _schema_from_json(pool[idx])
+        names = set(gschema.names)
         present = [c for c in wanted if c in names]
         gkw: dict = {}
+        post_filter = None
         if filter is not None:
-            # pushdown requires the filtered columns to exist in the
-            # group; pyarrow raises a clear error otherwise
-            gkw["filter"] = filter
+            if _binds(filter, gschema):
+                gkw["filter"] = filter
+            else:
+                # Iceberg semantics: files that predate an added column
+                # hold NULL for it — evaluate the filter AFTER aligning
+                # to the union schema (Kleene logic drops null-valued
+                # comparisons, keeps is_null matches) instead of raising
+                if not _binds(filter, union):
+                    raise ValueError(
+                        f"read_version: filter references columns outside "
+                        f"the table schema {union.names}"
+                    )
+                post_filter = filter
         # always read at least one column so row counts survive a
         # projection that misses this group entirely
         gkw["columns"] = present or [next(iter(names))]
-        parts.append(
-            ray.data.read_parquet(paths, **gkw).map_batches(
-                align, batch_format="pyarrow"
+        if post_filter is None:
+            part = ray.data.read_parquet(paths, **gkw).map_batches(
+                _align_to(target), batch_format="pyarrow"
             )
-        )
+        else:
+            # align to the FULL union schema first so the filter sees
+            # the (null) added columns, filter, then project. The filter
+            # may also reference group columns outside the projection —
+            # we can't enumerate an Expression's fields, so read all of
+            # this group's columns (rare path: pre-evolution files under
+            # a filter on an added column)
+            def filter_project(batch: pa.Table, _f=post_filter) -> pa.Table:
+                import pyarrow.dataset as pads
+
+                return pads.dataset(batch).to_table(filter=_f).select(wanted)
+
+            part = (
+                ray.data.read_parquet(paths)
+                .map_batches(_align_to(union), batch_format="pyarrow")
+                .map_batches(filter_project, batch_format="pyarrow")
+            )
+        parts.append(part)
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)

@@ -457,6 +457,42 @@ class TestSchemaEvolution:
         rows = read_version(t, columns=["lang"]).take_all()
         assert sorted(str(r["lang"]) for r in rows) == ["None", "de"]
 
+    def test_filter_on_added_column(self, ray_session, tmp_path):
+        # Iceberg semantics: pre-evolution files hold NULL for an added
+        # column, so a filter on it drops their rows (Kleene logic)
+        # instead of raising — and is_null() matches them
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        from ctinexus_ray.state.tableformat import commit_version, read_version
+
+        t = str(tmp_path / "tbl")
+        a = self._write(
+            tmp_path, "a.parquet",
+            {"doc_id": pa.array([1, 2], type=pa.int64())},
+        )
+        b = self._write(
+            tmp_path, "b.parquet",
+            {"doc_id": pa.array([3, 4], type=pa.int64()),
+             "score": pa.array([0.9, 0.1], type=pa.float64())},
+        )
+        commit_version(t, [a])
+        commit_version(t, [b], mode="append")
+        hits = read_version(t, filter=pads.field("score") > 0.5).take_all()
+        assert [r["doc_id"] for r in hits] == [3]
+        nulls = read_version(t, filter=pads.field("score").is_null()).take_all()
+        assert sorted(r["doc_id"] for r in nulls) == [1, 2]
+        # projection narrower than the filter column still works
+        got = read_version(
+            t, columns=["doc_id"], filter=pads.field("score") > 0.5
+        ).take_all()
+        assert [r["doc_id"] for r in got] == [3] and "score" not in got[0]
+        # a filter on a column NOWHERE in the table is loud
+        import pytest
+
+        with pytest.raises(ValueError, match="outside"):
+            read_version(t, filter=pads.field("nope") == 1).take_all()
+
     def test_type_change_refused(self, ray_session, tmp_path):
         import pyarrow as pa
         import pytest

@@ -168,6 +168,33 @@ class TestTableRoundTrip:
         back = parse_tfrecord(build_tfrecord(t), binary_cols=frozenset({"blob"}))
         assert back.column("blob").to_pylist() == [b"\x00\x01"]
 
+    def test_uint64_refused(self):
+        # Int64List is signed: 2^63 would round-trip negative — loud refusal
+        t = pa.table({"x": pa.array([2**63], type=pa.uint64())})
+        with pytest.raises(TypeError, match="unsigned"):
+            build_tfrecord(t)
+        # uint32 always fits int64 — accepted and exact
+        t32 = pa.table({"x": pa.array([2**32 - 1], type=pa.uint32())})
+        back = parse_tfrecord(build_tfrecord(t32))
+        assert back.column("x").to_pylist() == [2**32 - 1]
+
+    def test_multivalue_feature_loud_or_list(self):
+        # a foreign file's multi-valued feature must not silently drop
+        # values: default raises, list_cols opt-in keeps them all
+        rec = encode_example({"ids": [1, 2, 3], "tag": "a"})
+        data = bytes(frame_record(rec))
+        with pytest.raises(ValueError, match="list_cols"):
+            parse_tfrecord(data)
+        back = parse_tfrecord(data, list_cols=frozenset({"ids"}))
+        assert back.column("ids").to_pylist() == [[1, 2, 3]]
+        assert back.column("tag").to_pylist() == ["a"]
+        # bytes list mode
+        rec2 = encode_example({"toks": ["x", "y"]})
+        back2 = parse_tfrecord(
+            bytes(frame_record(rec2)), list_cols=frozenset({"toks"})
+        )
+        assert back2.column("toks").to_pylist() == [["x", "y"]]
+
 
 class TestRaySurfaces:
     def test_corpus_shard_read(self, ray_session, tmp_path):
