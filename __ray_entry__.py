@@ -320,8 +320,10 @@ def _q_vocab_overlap_hll(sf_dir: str):
     (fixed-size side-tagged partials, elementwise-max merges — neither
     vocabulary ever shuffles), union by register max, intersection by
     inclusion-exclusion. The constant-memory corpus-overlap /
-    contamination-screening shape at 100 TB. Rows-only (approximate by
-    design); accuracy vs the exact twin pinned in tests/test_sketch.py.
+    contamination-screening shape at 100 TB. ✓SQL: the registers are
+    replicated bit-for-bit in DuckDB (_sketch_oracles), so the sketch
+    estimate itself is an exact oracle; accuracy vs the exact twin is
+    still pinned in tests/test_sketch.py.
     """
     from ctinexus_ray.ops.sketch import hll_set_cardinalities
     from ctinexus_ray.ops.textstats import word_explode_batch
@@ -340,8 +342,9 @@ def _q_vocab_overlap_hll(sf_dir: str):
 def _q_distinct_words_approx(sf_dir: str):
     """HyperLogLog distinct-word estimate (p=14, ~0.8% standard error):
     fixed-size register partials, elementwise-max merge — the
-    100 TB-safe replacement for the exact vocabulary shuffle. Rows-only
-    (approximate by design); accuracy pinned in tests/test_sketch.py."""
+    100 TB-safe replacement for the exact vocabulary shuffle. ✓SQL
+    (bit-identical registers via _sketch_oracles); accuracy pinned in
+    tests/test_sketch.py."""
     from ctinexus_ray.ops.sketch import hll_distinct
     from ctinexus_ray.ops.textstats import word_explode_batch
 
@@ -354,8 +357,9 @@ def _q_distinct_words_approx(sf_dir: str):
 def _q_heavy_hitters(sf_dir: str):
     """Misra-Gries heavy hitters over words (k=1024): mergeable
     fixed-size summaries instead of the exact all-vocabulary shuffle;
-    every word with frequency > N/1024 is guaranteed present. Rows-only
-    (approximate counts by design; exact anchor = word_freq_top100)."""
+    every word with frequency > N/1024 is guaranteed present. ✓SQL: k
+    exceeds this corpus's vocabulary, so MG never evicts and the sketch
+    IS the exact count (exact anchor = word_freq_top100)."""
     from ctinexus_ray.ops.sketch import misra_gries_topk
     from ctinexus_ray.ops.textstats import word_explode_batch
 
@@ -1962,8 +1966,9 @@ def _q_cdc_chunk_delta(sf_dir: str):
     the chunks the edit touched, not the whole document. Output: the
     new snapshot's chunk/byte totals and the UNSEEN (to-store) subset —
     the number a content-addressed 100-TB chunk store actually writes.
-    Rows-only (gear hash not SQL-expressible); CDC boundary rule pinned
-    in tests."""
+    ✓SQL: only the low log2(avg) hash bits decide a cut, so the gear
+    test reduces to 6 shifted table lookups and the min/max walk to a
+    recursive CTE (_cdc_chunks_sql); boundary rule also pinned in tests."""
     import functools
 
     from ctinexus_ray.ops.distjoin import hash_join
@@ -2182,8 +2187,8 @@ def _q_cdc_chunk_stats(sf_dir: str):
     """Content-defined chunking (gear-hash CDC, the rsync/LBFS/FastCDC
     primitive) over the document corpus, reduced to chunk-level dedup
     stats: total chunks / distinct chunk fingerprints / bytes a
-    chunk-store would hold vs raw bytes. Rows-only by design (a rolling
-    gear hash is not SQL-expressible); the boundary rule is pinned
+    chunk-store would hold vs raw bytes. ✓SQL (see _cdc_chunks_sql: the
+    cut test needs only the low 6 hash bits); the boundary rule is pinned
     against a per-byte naive reference and a shift-resilience property
     in tests/test_shards.py::TestCdcChunks. Scale shape: stateless
     vectorized chunking map, ONE fp-partitioned reduce, O(P) totals."""
@@ -4954,9 +4959,9 @@ def _q_bloom_incremental(sf_dir: str):
     DEFINITELY-new ones survive. Constant memory where the exact
     anti-join (``dedup_incremental``) ships the whole known index
     through a shuffle; false positives drop some genuinely-new docs (at
-    the filter's fp rate) but never let a dup through. Rows-only by
-    design (fp-rate-dependent); anchored against the exact anti-join in
-    tests."""
+    the filter's fp rate) but never let a dup through. ✓SQL: the Bloom
+    positions are replicated bit-for-bit in DuckDB (_sketch_oracles);
+    also anchored against the exact anti-join in tests."""
     import pyarrow.compute as pc
 
     from ctinexus_ray.ops.sketch import bloom_build, bloom_filter_new
@@ -5684,7 +5689,9 @@ def _q_top_words_by_lang_mg(sf_dir: str):
     """Grouped Misra-Gries heavy hitters (per-language top words from
     fixed-size per-key counter summaries) — the sketch path when the
     exact per-group vocabulary shuffle (top_words_by_lang ✓SQL, the
-    anchor) is too wide. Approximate counts by design -> rows-only."""
+    anchor) is too wide. ✓SQL: k=256 exceeds this corpus's
+    vocabulary, so the summaries never compact and the sketch IS the
+    exact grouped top-5."""
     from collections import Counter
 
     import ray.data
@@ -8526,8 +8533,9 @@ def _q_ivm_distinct_users(sf_dir: str):
     persisted register view via the same exactly-once IVM machinery as
     the word counts — the constant-size approximate sibling. The view's
     estimate equals the full-corpus hll_distinct exactly (max is
-    order/batching-insensitive; pinned in tests). Rows-only (sketch by
-    design; exact anchor distinct_users-style COUNT(DISTINCT) twins)."""
+    order/batching-insensitive; pinned in tests). ✓SQL: the register
+    view's estimate is reproduced bit-for-bit in DuckDB
+    (_sketch_oracles ivm_distinct_users)."""
     import tempfile
 
     import ray.data
@@ -9523,6 +9531,537 @@ _WEBLINK_RES_SQL = (
 )
 
 
+
+# ---------------------------------------------------------------------------
+# Hash/sketch SQL twins: the engine's 64-bit string hash (hash64_strings,
+# ops/dedup.py:64 — positional polynomial + splitmix64 finalizer, mod 2^64)
+# is replicated in DuckDB so the "approximate" sketch queries become EXACT
+# oracles: the same hash bits drive both sides, so SimHash signatures, CMS
+# registers, Bloom positions and HLL registers are bit-identical by
+# construction. Mod-2^64 arithmetic in SQL: HUGEINT for multiplies (operands
+# split into 32-bit halves so products stay < 2^96), UBIGINT for xor/shift.
+# The corpus is ASCII (asserted nowhere cheaper than here: ord(substr()) ==
+# utf-8 byte only for ASCII; the synthetic testdata is ASCII-only).
+# ---------------------------------------------------------------------------
+
+_M64 = 1 << 64
+
+
+def _sql_mul64(col: str, c: int) -> str:
+    """(col * c) mod 2^64 for a HUGEINT column expr and a constant."""
+    bh, bl = c >> 32, c & 0xFFFFFFFF
+    return (
+        f"(({col} * {bl} + (({col} * {bh}) % 4294967296) * 4294967296) "
+        f"% {_M64})"
+    )
+
+
+def _sql_xorshift(col: str, s: int) -> str:
+    return (
+        f"CAST(xor(CAST({col} AS UBIGINT), "
+        f"CAST({col} AS UBIGINT) >> {s}) AS HUGEINT)"
+    )
+
+
+def _sql_splitmix64_ctes(cte_in, key_cols, in_col, out_col, prefix):
+    """Chained CTEs computing out_col = splitmix64(in_col) (the
+    ops/dedup.py:58 mixer, constant-for-constant). Returns
+    (sql_fragment_starting_with_comma, final_cte_name)."""
+    keys = ", ".join(key_cols)
+    steps = [
+        (f"{prefix}1", f"(({in_col} + 11400714819323198485) % {_M64})"),
+        (f"{prefix}2", _sql_xorshift(f"{prefix}x1", 30)),
+        (f"{prefix}3", _sql_mul64(f"{prefix}x2", 0xBF58476D1CE4E5B9)),
+        (f"{prefix}4", _sql_xorshift(f"{prefix}x3", 27)),
+        (f"{prefix}5", _sql_mul64(f"{prefix}x4", 0x94D049BB133111EB)),
+    ]
+    sql, prev, carry = "", cte_in, keys
+    for name, expr in steps:
+        sql += (
+            f", {name} AS (SELECT {carry}, {expr} AS {prefix}x{name[-1]} "
+            f"FROM {prev})"
+        )
+        carry = f"{keys}, {prefix}x{name[-1]}"
+        prev = name
+    final = f"{prefix}f"
+    sql += (
+        f", {final} AS (SELECT {keys}, "
+        f"{_sql_xorshift(f'{prefix}x5', 31)} AS {out_col} FROM {prev})"
+    )
+    return sql, final
+
+
+def _py_splitmix64(x: int) -> int:
+    mask = (1 << 64) - 1
+    x = (x + 0x9E3779B97F4A7C15) & mask
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & mask
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & mask
+    return x ^ (x >> 31)
+
+
+def _hash64_words_sql() -> str:
+    """CTE chain from cte dw(w) to cte wh(w, H): H = hash64_strings(w)
+    (polynomial byte sum with P = 0x100000001B3 + length mix +
+    splitmix64 finalize — ops/dedup.py:64 expression-for-expression)."""
+    ppow, p64 = [1], 0x100000001B3
+    for _ in range(127):
+        ppow.append((ppow[-1] * p64) % _M64)
+    ppow_list = "[" + ", ".join(f"CAST(p AS HUGEINT)".replace("p", str(p)) for p in ppow) + "]"
+    sql = (
+        "psum AS (SELECT w, CAST(length(w) AS HUGEINT) AS L, "
+        f"CAST(sum((CAST(ord(substr(w, i, 1)) AS HUGEINT) + 1) * "
+        f"{ppow_list}[i]) AS HUGEINT) % {_M64} AS ps "
+        "FROM dw, LATERAL (SELECT unnest(generate_series(1, length(w))) AS i) u "
+        "GROUP BY w), "
+        f"lm0 AS (SELECT w, ps, (L * {0xD6E8FEB86659FD93}) % {_M64} AS lraw "
+        "FROM psum)"
+    )
+    part, final = _sql_splitmix64_ctes("lm0", ["w", "ps"], "lraw", "len_mix", "lm")
+    sql += part
+    sql += (
+        f", hx0 AS (SELECT w, CAST(xor(CAST(ps AS UBIGINT), "
+        f"CAST(len_mix AS UBIGINT)) AS HUGEINT) AS hraw FROM {final})"
+    )
+    part, final = _sql_splitmix64_ctes("hx0", ["w"], "hraw", "H", "hh")
+    return sql + part + f", wh AS (SELECT w, H FROM {final})"
+
+
+def _langid_oracle() -> str:
+    """Stopword-profile argmax twin (ops/textstats.py langid_batch):
+    strict-> update in profile order en, es, de, fr means earlier
+    languages win ties — the CASE chain below encodes exactly that."""
+    from ctinexus_ray.ops.textstats import LANG_PROFILES
+
+    def inlist(lang):
+        return ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang]))
+
+    return (
+        "WITH toks AS (SELECT doc_id, "
+        "lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS w "
+        "FROM documents), h AS (SELECT doc_id, "
+        f"count(*) FILTER (WHERE w IN ({inlist('en')})) AS h_en, "
+        f"count(*) FILTER (WHERE w IN ({inlist('es')})) AS h_es, "
+        f"count(*) FILTER (WHERE w IN ({inlist('de')})) AS h_de, "
+        f"count(*) FILTER (WHERE w IN ({inlist('fr')})) AS h_fr "
+        "FROM toks GROUP BY doc_id) "
+        "SELECT doc_id, CASE "
+        "WHEN greatest(h_en, h_es, h_de, h_fr) = 0 THEN 'und' "
+        "WHEN h_en >= h_es AND h_en >= h_de AND h_en >= h_fr THEN 'en' "
+        "WHEN h_es >= h_de AND h_es >= h_fr THEN 'es' "
+        "WHEN h_de >= h_fr THEN 'de' ELSE 'fr' END AS lang_pred, "
+        "CAST(greatest(h_en, h_es, h_de, h_fr) AS BIGINT) AS stopword_hits "
+        "FROM h"
+    )
+
+
+def _winnow_oracle() -> str:
+    """Winnowing twin (ops/textstats.py winnow_fingerprints, k=5, w=4):
+    Karp-Rabin k-gram hashes mod 2^31-1 via 5 shifted char terms, then
+    rightmost-min-per-window with consecutive-pick dedup (lag)."""
+    from ctinexus_ray.ops.textstats import _WINNOW_BASE, _WINNOW_MOD
+
+    pw = [1]
+    for _ in range(4):
+        pw.append((pw[-1] * _WINNOW_BASE) % _WINNOW_MOD)
+    hash_expr = " + ".join(
+        f"CAST(ord(substr(t, i + {j}, 1)) AS BIGINT) * {pw[4 - j]}"
+        for j in range(5)
+    )
+    return (
+        "WITH lowered AS (SELECT doc_id, lower(text) AS t, "
+        "length(text) AS L FROM documents), "
+        "hashes AS (SELECT doc_id, i - 1 AS pos, L, "
+        f"({hash_expr}) % {_WINNOW_MOD} AS h "
+        "FROM lowered, LATERAL (SELECT unnest(generate_series(1, L - 4)) AS i) u "
+        "WHERE L >= 5), "
+        "small AS (SELECT doc_id, pos, h AS fp FROM ("
+        "SELECT doc_id, pos, h, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY h, pos DESC) AS rn "
+        "FROM hashes WHERE L <= 8) WHERE rn = 1), "
+        "wins AS (SELECT h1.doc_id, h1.pos AS s, h2.pos AS p, h2.h "
+        "FROM hashes h1 JOIN hashes h2 ON h2.doc_id = h1.doc_id "
+        "AND h2.pos >= h1.pos AND h2.pos <= h1.pos + 3 "
+        "WHERE h1.L >= 9 AND h1.pos <= h1.L - 8), "
+        "agg AS (SELECT doc_id, s, min(h) AS mh FROM wins GROUP BY doc_id, s), "
+        "picks AS (SELECT w.doc_id, w.s, max(w.p) AS pick, a.mh "
+        "FROM wins w JOIN agg a ON a.doc_id = w.doc_id AND a.s = w.s "
+        "AND w.h = a.mh GROUP BY w.doc_id, w.s, a.mh), "
+        "dedup AS (SELECT doc_id, s, pick, mh, "
+        "lag(pick) OVER (PARTITION BY doc_id ORDER BY s) AS prev FROM picks) "
+        "SELECT doc_id, CAST(pick AS BIGINT) AS pos, CAST(mh AS BIGINT) AS fp "
+        "FROM dedup WHERE prev IS NULL OR pick != prev "
+        "UNION ALL SELECT doc_id, CAST(pos AS BIGINT), CAST(fp AS BIGINT) "
+        "FROM small"
+    )
+
+
+def _simhash_sig_ctes() -> str:
+    """CTE chain ending in 'sig'(doc_id, simhash BIGINT) — the SimHash
+    of ops/dedup.py simhash_batch bit-for-bit: per-word hash64, +/-1
+    bit contributions weighted by occurrence count, sign threshold,
+    top-63-bit signature (sig_u >> 1)."""
+    pow2_list = "[" + ", ".join(f"CAST({1 << s} AS HUGEINT)" for s in range(64)) + "]"
+    sql = (
+        "WITH words AS (SELECT doc_id, "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "
+        "FROM documents WHERE trim(text) != ''), "
+        "wc AS (SELECT doc_id, w, count(*) AS cnt FROM words "
+        "GROUP BY doc_id, w), "
+        "dw AS (SELECT DISTINCT w FROM words), "
+        + _hash64_words_sql()
+        + ", bits AS (SELECT wc.doc_id, s, CASE WHEN "
+        "(CAST(H AS UBIGINT) >> s) & 1 = 1 THEN wc.cnt ELSE -wc.cnt END AS c "
+        "FROM wc JOIN wh USING (w), "
+        "LATERAL (SELECT unnest(generate_series(0, 63)) AS s) u), "
+        "acc AS (SELECT doc_id, s, sum(c) AS a FROM bits GROUP BY doc_id, s), "
+        "sigu AS (SELECT doc_id, CAST(sum(CASE WHEN a > 0 THEN "
+        f"{pow2_list}[s + 1] ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS su "
+        "FROM acc GROUP BY doc_id), "
+        "sig AS (SELECT d.doc_id, CAST(coalesce(su // 2, 0) AS BIGINT) "
+        "AS simhash FROM documents d LEFT JOIN sigu USING (doc_id))"
+    )
+    return sql
+
+
+_SHINGLE_JACCARD_CTES = (
+    # distinct word-3-gram shingles incl. the <3-words whole-text shingle
+    # (ops/dedup.py word_shingles), exact pair intersections
+    "words AS (SELECT doc_id, "
+    "regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents), "
+    "sh AS (SELECT DISTINCT doc_id, CASE WHEN len(ws) < 3 "
+    "THEN array_to_string(ws, ' ') "
+    "ELSE ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] END AS s "
+    "FROM words, LATERAL (SELECT unnest(generate_series(1, "
+    "greatest(len(ws) - 2, 1))) AS i) u), "
+    "cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+    "ipairs AS (SELECT s1.doc_id AS a, s2.doc_id AS b, count(*) AS i "
+    "FROM sh s1 JOIN sh s2 ON s1.s = s2.s AND s1.doc_id < s2.doc_id "
+    "GROUP BY s1.doc_id, s2.doc_id)"
+)
+
+
+def _cdc_chunks_sql(src_cte, min_s=16, avg_s=64, max_s=256) -> str:
+    """CTE chain from src_cte(doc_id, t) to 'chunks'(doc_id, start,
+    length, content) — gear-hash CDC (ops/shards.py cdc_boundaries).
+    The cut test is (rolling_hash & (avg-1)) == 0, so only the low
+    log2(avg) bits matter and shifts >= log2(avg) vanish: the candidate
+    test needs just the last log2(avg) bytes with the gear table
+    pre-reduced mod avg. The stateful min/max-size walk is the
+    recursive CTE. Chunks group by CONTENT where the engine groups by
+    blake2b fingerprint — identical grouping (fp = hash of the bytes).
+    Caller must open WITH RECURSIVE."""
+    from ctinexus_ray.ops.shards import _gear_table
+
+    assert avg_s & (avg_s - 1) == 0
+    shift_n = avg_s.bit_length() - 1
+    g_mod = "[" + ", ".join(str(int(v) % avg_s) for v in _gear_table()) + "]"
+    cand_terms = " + ".join(
+        f"CASE WHEN j >= {k + 1} THEN g6[ord(substr(t, j - {k}, 1)) + 1] "
+        f"* {1 << k} ELSE 0 END"
+        if k
+        else "g6[ord(substr(t, j, 1)) + 1]"
+        for k in range(shift_n)
+    )
+    return (
+        f"lens AS (SELECT doc_id, t, length(t) AS L FROM {src_cte}), "
+        f"g AS (SELECT {g_mod} AS g6), "
+        "cand AS (SELECT doc_id, j AS p FROM lens, g, "
+        "LATERAL (SELECT unnest(generate_series(1, L)) AS j) u "
+        f"WHERE ({cand_terms}) % {avg_s} = 0), "
+        "bounds(doc_id, prev, cut) AS ("
+        "SELECT doc_id, 0, coalesce((SELECT min(p) FROM cand c "
+        f"WHERE c.doc_id = s.doc_id AND c.p >= {min_s} "
+        f"AND c.p <= least({max_s}, s.L)), least({max_s}, s.L)) "
+        "FROM lens s WHERE s.L > 0 "
+        "UNION ALL "
+        "SELECT b.doc_id, b.cut, coalesce((SELECT min(p) FROM cand c "
+        f"WHERE c.doc_id = b.doc_id AND c.p >= b.cut + {min_s} "
+        f"AND c.p <= least(b.cut + {max_s}, s.L)), "
+        f"least(b.cut + {max_s}, s.L)) "
+        "FROM bounds b JOIN lens s ON s.doc_id = b.doc_id "
+        "WHERE b.cut < s.L), "
+        "chunks AS (SELECT b.doc_id, b.prev AS start, "
+        "b.cut - b.prev AS length, "
+        "substr(s.t, b.prev + 1, b.cut - b.prev) AS content "
+        "FROM bounds b JOIN lens s ON s.doc_id = b.doc_id)"
+    )
+
+
+_HLL_P14_M = 1 << 14
+_HLL_P12_M = 1 << 12
+
+
+def _hll_alpha(m: int) -> str:
+    return f"CAST({0.7213 / (1 + 1.079 / m)!r} AS DOUBLE)"
+
+
+def _hll_est_expr(m: int) -> str:
+    """Estimate CASE expr over a stats cte exposing (s, zeros) — the
+    _hll_estimate finalizer (ops/sketch.py:60): bias-corrected harmonic
+    mean with the linear-counting small-range branch. int(round())
+    absorbs summation-order float noise on both sides."""
+    a = _hll_alpha(m)
+    return (
+        f"CASE WHEN ({a} * {m} * {m} / s) <= 2.5 * {m} AND zeros > 0 "
+        f"THEN {m} * ln(CAST({m} AS DOUBLE) / zeros) "
+        f"ELSE {a} * {m} * {m} / s END"
+    )
+
+
+def _hll_slots_sql(p: int, src="wh") -> str:
+    """(w, idx, rank) from hashed words: idx = top p bits, rank =
+    min(leading-zeros-of-remaining + 1, 64 - p + 1); bin() gives the
+    exact bit length (no float log2)."""
+    m = 1 << p
+    cap = 64 - p + 1
+    rest = _sql_mul64("H", m)
+    return (
+        f"slots AS (SELECT w, CAST(CAST(H AS UBIGINT) >> {64 - p} AS BIGINT) "
+        f"AS idx, {rest} AS rest FROM {src}), "
+        f"ranks AS (SELECT w, idx, CASE WHEN rest = 0 THEN {cap} ELSE "
+        f"least(65 - length(bin(CAST(rest AS UBIGINT))), {cap}) END AS rank "
+        "FROM slots)"
+    )
+
+
+def _sketch_oracles() -> dict[str, str]:
+    """Exact SQL twins for the deterministic hash/sketch queries. Each
+    replicates the engine's own hash bits (see the block comment above),
+    so these are real oracles, not luck: SimHash banding is COMPLETE by
+    pigeonhole (4 bands > 3 flipped bits), Misra-Gries with k=1024 over
+    a 31-word vocabulary never evicts (exact by the MG guarantee), CMS /
+    Bloom / HLL registers are reproduced bit-for-bit. minhash twins are
+    brute-force shingle-Jaccard: LSH recall is verified 100% on this
+    corpus (deterministic data -> stable); the exact-verify step already
+    guarantees precision."""
+    from ctinexus_ray.ops.sketch import _CMS_SEED
+
+    oracles: dict[str, str] = {}
+    oracles["langid"] = _langid_oracle()
+    oracles["winnow_fingerprints"] = _winnow_oracle()
+    oracles["simhash"] = _simhash_sig_ctes() + " SELECT doc_id, simhash FROM sig"
+    oracles["simhash_pairs"] = _simhash_sig_ctes() + (
+        " SELECT s1.doc_id AS a, s2.doc_id AS b "
+        "FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id "
+        "WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3"
+    )
+    oracles["minhash_pairs"] = "WITH " + _SHINGLE_JACCARD_CTES + (
+        " SELECT a, b FROM ipairs "
+        "JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b "
+        "WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5"
+    )
+    oracles["minhash_keep"] = "WITH RECURSIVE " + _SHINGLE_JACCARD_CTES + (
+        ", dup_pairs AS (SELECT a, b FROM ipairs "
+        "JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b "
+        "WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.5), "
+        "edges AS (SELECT a AS src, b AS dst FROM dup_pairs "
+        "UNION ALL SELECT b, a FROM dup_pairs), "
+        "reach(node, label) AS (SELECT src, src FROM edges "
+        "UNION SELECT e.dst, r.label FROM reach r "
+        "JOIN edges e ON e.src = r.node), "
+        "comp AS (SELECT node, min(label) AS label FROM reach GROUP BY node) "
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+        "(SELECT node FROM comp WHERE node != label)"
+    )
+    oracles["cdc_chunk_stats"] = (
+        "WITH RECURSIVE src AS (SELECT doc_id, text AS t FROM documents), "
+        + _cdc_chunks_sql("src")
+        + ", per AS (SELECT content, count(*) AS n, "
+        "CAST(sum(length) AS BIGINT) AS raw, min(length) AS stored "
+        "FROM chunks GROUP BY content) "
+        "SELECT CAST(sum(n) AS BIGINT) AS n_chunks, "
+        "count(*) AS n_distinct, CAST(sum(raw) AS BIGINT) AS raw_bytes, "
+        "CAST(sum(stored) AS BIGINT) AS stored_bytes FROM per"
+    )
+    oracles["cdc_chunk_delta"] = (
+        "WITH RECURSIVE oldsrc AS (SELECT doc_id, text AS t FROM documents "
+        "WHERE doc_id % 7 != 0), "
+        "newsrc AS (SELECT doc_id, text || CASE WHEN doc_id % 11 = 0 "
+        "THEN '!' ELSE '' END AS t FROM documents WHERE doc_id % 5 != 0), "
+        "allsrc AS (SELECT doc_id * 2 AS doc_id, t, 1 AS is_old FROM oldsrc "
+        "UNION ALL SELECT doc_id * 2 + 1, t, 0 FROM newsrc), "
+        + _cdc_chunks_sql("allsrc")
+        + ", oldc AS (SELECT DISTINCT content FROM chunks "
+        "WHERE doc_id % 2 = 0), "
+        "newper AS (SELECT content, min(length) AS stored FROM chunks "
+        "WHERE doc_id % 2 = 1 GROUP BY content), "
+        "unseen AS (SELECT * FROM newper WHERE content NOT IN "
+        "(SELECT content FROM oldc)) "
+        "SELECT (SELECT count(*) FROM newper) AS new_distinct, "
+        "(SELECT CAST(coalesce(sum(stored), 0) AS BIGINT) FROM newper) "
+        "AS new_bytes, "
+        "(SELECT count(*) FROM unseen) AS unseen_distinct, "
+        "(SELECT CAST(coalesce(sum(stored), 0) AS BIGINT) FROM unseen) "
+        "AS unseen_bytes"
+    )
+    oracles["top_words_by_lang_mg"] = (
+        # grouped MG with k=256 >> this corpus's 31-word vocabulary:
+        # summaries never compact, so per-group counts are exact
+        "SELECT lang, value, n_est FROM ("
+        "SELECT lang, w AS value, CAST(count(*) AS BIGINT) AS n_est, "
+        "row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, w) "
+        "AS rn FROM (SELECT lang, "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "
+        "FROM documents WHERE text IS NOT NULL) GROUP BY lang, w) "
+        "WHERE rn <= 5"
+    )
+    oracles["heavy_hitters"] = (
+        # MG k=1024 >> 31 distinct words: summaries never compact, so the
+        # sketch IS the exact count at this corpus's vocabulary size
+        "SELECT word AS value, CAST(count(*) AS BIGINT) AS n FROM ("
+        "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word "
+        "FROM documents) GROUP BY word ORDER BY n DESC, value LIMIT 50"
+    )
+    # CMS: registers reproduced bit-for-bit (width 4096, depth 4, seeds
+    # splitmix64(d + _CMS_SEED)), estimate = min across depth rows
+    cms_seeds = [_py_splitmix64(d + int(_CMS_SEED)) for d in range(4)]
+    cms_body = (
+        "WITH words AS (SELECT "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "
+        "FROM documents), "
+        "wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM words "
+        "GROUP BY w), "
+        "dw AS (SELECT DISTINCT w FROM wc), "
+        + _hash64_words_sql()
+        + ", dseed AS (SELECT unnest([0, 1, 2, 3]) AS d, "
+        f"unnest({cms_seeds}) AS sd), "
+        "hx2 AS (SELECT w, d, CAST(xor(CAST(H AS UBIGINT), "
+        "CAST(sd AS UBIGINT)) AS HUGEINT) AS xr FROM wh, dseed)"
+    )
+    part, final = _sql_splitmix64_ctes("hx2", ["w", "d"], "xr", "y", "cm")
+    oracles["cms_word_counts"] = (
+        cms_body + part
+        + f", idx AS (SELECT w, d, CAST(y % 4096 AS BIGINT) AS i "
+        f"FROM {final}), "
+        "reg AS (SELECT idx.d, idx.i, CAST(sum(wc.n) AS BIGINT) AS v "
+        "FROM idx JOIN wc USING (w) GROUP BY idx.d, idx.i), "
+        "probes AS (SELECT w FROM wc ORDER BY n DESC, w LIMIT 20) "
+        "SELECT p.w AS value, CAST(min(r.v) AS BIGINT) AS n_est "
+        "FROM probes p JOIN idx ON idx.w = p.w "
+        "JOIN reg r ON r.d = idx.d AND r.i = idx.i GROUP BY p.w"
+    )
+    # Bloom (m=2^23, k=4, Kirsch-Mitzenmacher double hashing — the
+    # _bloom_positions constants, ops/sketch.py:198)
+    bloom_body = (
+        "WITH fps AS (SELECT doc_id, md5(lower(trim(text))) AS fp "
+        "FROM documents), "
+        "dw AS (SELECT DISTINCT fp AS w FROM fps), "
+        + _hash64_words_sql()
+        + ", h2x AS (SELECT w, H, CAST(xor(CAST(H AS UBIGINT), "
+        f"CAST({0xA0761D6478BD642F} AS UBIGINT)) AS HUGEINT) AS h2raw "
+        "FROM wh)"
+    )
+    part, final = _sql_splitmix64_ctes("h2x", ["w", "H"], "h2raw", "h2pre", "bl")
+    oracles["bloom_incremental"] = (
+        bloom_body + part
+        + f", bsec AS (SELECT w, H, CAST(CAST(h2pre AS UBIGINT) | 1 "
+        f"AS HUGEINT) AS h2 FROM {final}), "
+        f"posn AS (SELECT w, CAST(((H + i * h2) % {_M64}) % {1 << 23} "
+        "AS BIGINT) AS pos "
+        "FROM bsec, LATERAL (SELECT unnest([0, 1, 2, 3]) AS i) u), "
+        "evenpos AS (SELECT DISTINCT pos FROM posn "
+        "JOIN fps ON fps.fp = posn.w WHERE fps.doc_id % 2 = 0) "
+        "SELECT f.doc_id, f.fp FROM fps f WHERE f.doc_id % 2 = 1 "
+        "AND EXISTS (SELECT 1 FROM posn p WHERE p.w = f.fp "
+        "AND p.pos NOT IN (SELECT pos FROM evenpos))"
+    )
+    # HLL twins: registers bit-identical; int(round()) on both sides
+    # absorbs summation-order float noise in the harmonic mean
+    oracles["distinct_words_approx"] = (
+        "WITH words AS (SELECT "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "
+        "FROM documents), "
+        "dw AS (SELECT DISTINCT w FROM words), "
+        + _hash64_words_sql()
+        + ", " + _hll_slots_sql(14)
+        + ", regmax AS (SELECT idx, max(rank) AS r FROM ranks GROUP BY idx), "
+        f"allreg AS (SELECT g.idx, coalesce(m.r, 0) AS r FROM "
+        f"(SELECT unnest(generate_series(0, {_HLL_P14_M - 1})) AS idx) g "
+        "LEFT JOIN regmax m ON m.idx = g.idx), "
+        "stats AS (SELECT sum(power(2.0, -r)) AS s, "
+        "count(*) FILTER (r = 0) AS zeros FROM allreg) "
+        f"SELECT CAST(round({_hll_est_expr(_HLL_P14_M)}) AS BIGINT) "
+        "AS approx_distinct FROM stats"
+    )
+
+    def overlap_side(tag, member):
+        return (
+            f", regmax_{tag} AS (SELECT idx, max(rank) AS r FROM ranks "
+            f"JOIN {member} USING (w) GROUP BY idx), "
+            f"allreg_{tag} AS (SELECT g.idx, coalesce(m.r, 0) AS r FROM "
+            f"(SELECT unnest(generate_series(0, {_HLL_P14_M - 1})) AS idx) g "
+            f"LEFT JOIN regmax_{tag} m ON m.idx = g.idx), "
+            f"stats_{tag} AS (SELECT sum(power(2.0, -r)) AS s, "
+            f"count(*) FILTER (r = 0) AS zeros FROM allreg_{tag}), "
+            f"est_{tag} AS (SELECT {_hll_est_expr(_HLL_P14_M)} AS est "
+            f"FROM stats_{tag})"
+        )
+
+    oracles["vocab_overlap_hll"] = (
+        "WITH wa AS (SELECT DISTINCT "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "
+        "FROM documents WHERE lang = 'en'), "
+        "wb AS (SELECT DISTINCT "
+        "unnest(regexp_split_to_array(trim(text), '\\s+')) AS w "
+        "FROM documents WHERE lang = 'de'), "
+        "dw AS (SELECT w FROM wa UNION SELECT w FROM wb), "
+        "wu AS (SELECT w FROM dw), "
+        + _hash64_words_sql()
+        + ", " + _hll_slots_sql(14)
+        + overlap_side("a", "wa")
+        + overlap_side("b", "wb")
+        + overlap_side("u", "wu")
+        + ", ests AS (SELECT ea.est AS a, eb.est AS b, eu.est AS u "
+        "FROM est_a ea, est_b eb, est_u eu) "
+        "SELECT 'distinct_left' AS op, CAST(round(a) AS BIGINT) AS approx "
+        "FROM ests "
+        "UNION ALL SELECT 'distinct_right', CAST(round(b) AS BIGINT) FROM ests "
+        "UNION ALL SELECT 'union', CAST(round(u) AS BIGINT) FROM ests "
+        "UNION ALL SELECT 'intersect', "
+        "CAST(round(greatest(0.0, a + b - u)) AS BIGINT) FROM ests "
+        "UNION ALL SELECT 'except_left', "
+        "CAST(round(greatest(0.0, u - b)) AS BIGINT) FROM ests "
+        "UNION ALL SELECT 'except_right', "
+        "CAST(round(greatest(0.0, u - a)) AS BIGINT) FROM ests"
+    )
+    grouped_est = _hll_est_expr(_HLL_P12_M)
+    oracles["distinct_users_hll"] = (
+        "WITH pairs AS (SELECT DISTINCT event_type, "
+        "CAST(user_id AS VARCHAR) AS w FROM events), "
+        "dw AS (SELECT DISTINCT w FROM pairs), "
+        + _hash64_words_sql()
+        + ", " + _hll_slots_sql(12)
+        + ", regmax3 AS (SELECT p.event_type, r.idx, max(r.rank) AS r "
+        "FROM ranks r JOIN pairs p USING (w) GROUP BY p.event_type, r.idx), "
+        "types AS (SELECT DISTINCT event_type FROM events), "
+        f"allreg3 AS (SELECT t.event_type, g.idx, coalesce(m.r, 0) AS r "
+        f"FROM types t CROSS JOIN "
+        f"(SELECT unnest(generate_series(0, {_HLL_P12_M - 1})) AS idx) g "
+        "LEFT JOIN regmax3 m ON m.event_type = t.event_type "
+        "AND m.idx = g.idx), "
+        "stats3 AS (SELECT event_type, sum(power(2.0, -r)) AS s, "
+        "count(*) FILTER (r = 0) AS zeros FROM allreg3 GROUP BY event_type) "
+        f"SELECT event_type, CAST(round({grouped_est.replace('FROM stats', '')}) "
+        "AS BIGINT) AS approx_distinct FROM stats3"
+    )
+    oracles["ivm_distinct_users"] = (
+        "WITH dw AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS w "
+        "FROM events), "
+        + _hash64_words_sql()
+        + ", " + _hll_slots_sql(12)
+        + ", regmax3 AS (SELECT idx, max(rank) AS r FROM ranks "
+        "GROUP BY idx), "
+        f"allreg3 AS (SELECT g.idx, coalesce(m.r, 0) AS r FROM "
+        f"(SELECT unnest(generate_series(0, {_HLL_P12_M - 1})) AS idx) g "
+        "LEFT JOIN regmax3 m ON m.idx = g.idx), "
+        "stats AS (SELECT sum(power(2.0, -r)) AS s, "
+        "count(*) FILTER (r = 0) AS zeros FROM allreg3) "
+        f"SELECT CAST(round({_hll_est_expr(_HLL_P12_M)}) AS BIGINT) "
+        "AS approx_distinct_users FROM stats"
+    )
+    return oracles
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_stats_by_lang": (
@@ -9545,9 +10084,6 @@ def oracle_sql() -> dict[str, str]:
             "'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
             "')) AS n_bpe_tokens FROM documents"
         ),
-        # winnow_fingerprints: rolling-hash winnowing is deterministic but
-        # not ANSI-SQL-expressible -> rows-only check (pinned by unit
-        # tests against a naive reference implementation).
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, count(*) AS n_dups "
             "FROM documents GROUP BY text"
@@ -11593,4 +12129,5 @@ def oracle_sql() -> dict[str, str]:
             "FROM res WHERE link IS NOT NULL GROUP BY src_host, dst_host"
         ),
         **_textclean_oracles(),
+        **_sketch_oracles(),
     }
