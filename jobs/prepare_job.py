@@ -41,9 +41,16 @@ if _REPO_ROOT not in sys.path:
 
 
 def dedup_phase(input_path: str, deduped_dir: str, threshold: float,
-                num_partitions: int) -> dict:
+                num_partitions: int, c4: bool = False,
+                c4_min_words: int = 5, c4_min_lines: int = 2) -> dict:
     """Global near-dedup -> partitioned parquet + marker. Skipped when the
-    marker exists (all-or-nothing resume at phase granularity)."""
+    marker exists (all-or-nothing resume at phase granularity).
+    ``c4`` prepends the C4 line-level cleaning recipe
+    (ops/textclean.py c4_clean): pages keep only terminal-punctuated
+    >=5-word lines, pages without >=2 surviving lines drop, and dedup
+    then runs over the CLEANED text — the standard order (cleaning
+    first makes near-dup signatures boilerplate-free). Cleaning is part
+    of this phase's atomic commit, so resume semantics are unchanged."""
     import ray.data
 
     from ctinexus_ray.ops.dedup import minhash_dedup_keep
@@ -71,7 +78,32 @@ def dedup_phase(input_path: str, deduped_dir: str, threshold: float,
     from ctinexus_ray.rayutil import select_shuffle_strategy
 
     select_shuffle_strategy(docs)
+    n_raw = None
+    if c4:
+        import pyarrow as pa
+
+        from ctinexus_ray.ops.textclean import c4_clean_batch
+
+        n_raw = docs.count()
+
+        def clean(batch: pa.Table) -> pa.Table:
+            out = c4_clean_batch(
+                batch, min_words=c4_min_words, min_lines=c4_min_lines
+            )
+            kept = batch.filter(out.column("keep"))
+            clean_kept = out.filter(out.column("keep"))
+            return kept.drop_columns(["text"]).append_column(
+                "text", clean_kept.column("clean_text")
+            )
+
+        docs = docs.map_batches(clean, batch_format="pyarrow")
     n_in = docs.count()
+    if n_in == 0:
+        raise ValueError(
+            "dedup_phase: corpus is empty after cleaning — for "
+            "single-line documents pass --c4-min-lines 1 (the line-level "
+            "C4 recipe needs >= min_lines surviving lines per page)"
+        )
     survivors = minhash_dedup_keep(
         docs, threshold=threshold, num_partitions=num_partitions,
         pair_mode="star",
@@ -88,6 +120,9 @@ def dedup_phase(input_path: str, deduped_dir: str, threshold: float,
         "sec": round(time.perf_counter() - start, 2),
         "skipped": False,
     }
+    if n_raw is not None:
+        stats["c4_input_docs"] = n_raw
+        stats["c4_dropped"] = n_raw - n_in
     tmp = marker.with_suffix(".tmp")
     tmp.write_text(json.dumps(stats, indent=2))
     tmp.rename(marker)
@@ -137,6 +172,116 @@ def lm_filter_phase(deduped_dir: str, filtered_dir: str, tail_drop: float,
         "surviving_docs": keep_n,
         "dropped": n_in - keep_n,
         "tail_drop": tail_drop,
+        "sec": round(time.perf_counter() - start, 2),
+        "skipped": False,
+    }
+    tmp = marker.with_suffix(".tmp")
+    tmp.write_text(json.dumps(stats, indent=2))
+    tmp.rename(marker)
+    return stats
+
+
+def mixture_phase(src_dir: str, mixture_dir: str, weights: dict[str, int],
+                  budget_tokens: int, num_partitions: int) -> dict:
+    """Token-budget mixture sampling (ops/shards.py mixture_sample — the
+    DoReMi/Pile training-mixture step) over the cleaned, deduped corpus:
+    each source is downsampled by the content-addressed md5 threshold so
+    its expected token contribution is budget * w_s / sum(w). Global
+    (needs per-source token totals), so it commits atomically behind a
+    marker like the dedup phase."""
+    import shutil
+
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.shards import mixture_sample
+
+    marker = Path(mixture_dir) / "_MIXTURE_SUCCESS.json"
+    if marker.exists():
+        stats = json.loads(marker.read_text())
+        stats["skipped"] = True
+        return stats
+    shutil.rmtree(mixture_dir, ignore_errors=True)
+    start = time.perf_counter()
+    docs = ray.data.read_parquet(src_dir)
+    if "source" not in docs.schema().names:
+        raise ValueError(
+            "mixture_phase: corpus has no 'source' column — mixture "
+            "weights are keyed by source; drop --mixture-weights or add "
+            "the column at ingest"
+        )
+    n_in = docs.count()
+    import pyarrow as pa
+
+    # batch-level projection: select_columns here gets pushed upstream
+    # of mixture_sample's filter stage by the optimizer and the source
+    # column leaks through into the join
+    kept_ids = mixture_sample(docs, weights, budget_tokens).map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    )
+    kept = hash_join(
+        docs, kept_ids, on=["doc_id"], how="left_semi",
+        num_partitions=num_partitions,
+        right_types={"doc_id": pa.int64()},
+    )
+    kept.write_parquet(mixture_dir)
+    # sources absent from the weight map drop entirely; an all-dropped
+    # corpus writes no files at all
+    n_out = (
+        ray.data.read_parquet(mixture_dir).count()
+        if glob.glob(os.path.join(mixture_dir, "*.parquet"))
+        else 0
+    )
+    stats = {
+        "input_docs": n_in,
+        "surviving_docs": n_out,
+        "dropped": n_in - n_out,
+        "budget_tokens": budget_tokens,
+        "weights": weights,
+        "sec": round(time.perf_counter() - start, 2),
+        "skipped": False,
+    }
+    tmp = marker.with_suffix(".tmp")
+    tmp.write_text(json.dumps(stats, indent=2))
+    tmp.rename(marker)
+    return stats
+
+
+def tokenizer_phase(src_dir: str, tok_dir: str, kind: str,
+                    n_merges: int, vocab_size: int) -> dict:
+    """Train a subword tokenizer on the FINAL corpus (the text the packs
+    will carry) and persist the model table as parquet: BPE merge rules
+    (ops/bpe.py bpe_train, Sennrich 2016) or a unigram-LM vocabulary
+    (ops/unigram.py unigram_train, Kudo 2018). Marker-gated like the
+    other global phases."""
+    import shutil
+
+    import ray.data
+
+    marker = Path(tok_dir) / "_TOKENIZER_SUCCESS.json"
+    if marker.exists():
+        stats = json.loads(marker.read_text())
+        stats["skipped"] = True
+        return stats
+    shutil.rmtree(tok_dir, ignore_errors=True)
+    start = time.perf_counter()
+    docs = ray.data.read_parquet(src_dir).select_columns(["doc_id", "text"])
+    if kind == "bpe":
+        from ctinexus_ray.ops.bpe import bpe_train
+
+        model = bpe_train(docs, n_merges=n_merges)
+        out_rows = model.count()
+    elif kind == "unigram":
+        from ctinexus_ray.ops.unigram import unigram_train
+
+        model = unigram_train(docs, vocab_size=vocab_size)
+        out_rows = model.count()
+    else:
+        raise ValueError(f"tokenizer_phase: unknown kind {kind!r}")
+    model.write_parquet(os.path.join(tok_dir, "model"))
+    stats = {
+        "kind": kind,
+        "rows": out_rows,
         "sec": round(time.perf_counter() - start, 2),
         "skipped": False,
     }
@@ -217,8 +362,37 @@ def main() -> int:
                         help="drop this fraction of docs with the worst "
                              "per-token unigram-LM score (0 disables the "
                              "CCNet-style perplexity filter phase)")
+    parser.add_argument("--c4-clean", action="store_true",
+                        help="apply the C4 line-level cleaning recipe "
+                             "before dedup (pages without enough "
+                             "surviving terminal-punctuated lines drop)")
+    parser.add_argument("--c4-min-words", type=int, default=5)
+    parser.add_argument("--c4-min-lines", type=int, default=2,
+                        help="use 1 for single-line documents")
+    parser.add_argument("--mixture-weights", default="",
+                        help="source:weight[,source:weight...] — enables "
+                             "token-budget mixture sampling after dedup/"
+                             "LM-filter (requires --mixture-budget)")
+    parser.add_argument("--mixture-budget", type=int, default=0,
+                        help="total token budget for --mixture-weights")
+    parser.add_argument("--train-tokenizer", choices=["bpe", "unigram"],
+                        default=None,
+                        help="train a subword tokenizer on the final "
+                             "corpus and persist the model table")
+    parser.add_argument("--n-merges", type=int, default=30,
+                        help="BPE merge count for --train-tokenizer bpe")
+    parser.add_argument("--vocab-size", type=int, default=512,
+                        help="vocab size for --train-tokenizer unigram")
     parser.add_argument("--num-partitions", type=int, default=64)
     args = parser.parse_args()
+
+    mixture_weights: dict[str, int] = {}
+    if args.mixture_weights:
+        for part in args.mixture_weights.split(","):
+            name, _, w = part.partition(":")
+            mixture_weights[name.strip()] = int(w)
+        if args.mixture_budget <= 0:
+            parser.error("--mixture-weights requires --mixture-budget > 0")
 
     import ray
 
@@ -231,7 +405,9 @@ def main() -> int:
     shards_dir = os.path.join(args.output, "shards")
 
     dedup_stats = dedup_phase(
-        args.input, deduped_dir, args.threshold, args.num_partitions
+        args.input, deduped_dir, args.threshold, args.num_partitions,
+        c4=args.c4_clean, c4_min_words=args.c4_min_words,
+        c4_min_lines=args.c4_min_lines,
     )
     shard_src = deduped_dir
     lm_stats = None
@@ -241,6 +417,14 @@ def main() -> int:
             deduped_dir, filtered_dir, args.lm_tail_drop, args.num_partitions
         )
         shard_src = filtered_dir
+    mixture_stats = None
+    if mixture_weights:
+        mixture_dir = os.path.join(args.output, "mixture")
+        mixture_stats = mixture_phase(
+            shard_src, mixture_dir, mixture_weights, args.mixture_budget,
+            args.num_partitions,
+        )
+        shard_src = mixture_dir
     shard_files = sorted(glob.glob(os.path.join(shard_src, "*.parquet")))
     summary = run_resumable(
         shard_files,
@@ -254,6 +438,13 @@ def main() -> int:
     report = {"dedup": dedup_stats, "shards": summary}
     if lm_stats is not None:
         report["lm_filter"] = lm_stats
+    if mixture_stats is not None:
+        report["mixture"] = mixture_stats
+    if args.train_tokenizer:
+        report["tokenizer"] = tokenizer_phase(
+            shard_src, os.path.join(args.output, "tokenizer"),
+            args.train_tokenizer, args.n_merges, args.vocab_size,
+        )
     print(json.dumps(report, indent=2))
     ray.shutdown()
     return 0
