@@ -6932,29 +6932,37 @@ def _q_multimodal_decode(sf_dir: str):
 
 
 def _q_multimodal_features(sf_dir: str):
+    """REAL decode feature extraction at a 4x4 grayscale grid (vs
+    multimodal_decode's 2x2): same real codec path (P6 PPM / PNG / BMP /
+    JPEG / GIF pixels, WAV PCM16, MP4 sample tables), different feature
+    resolution — the target_size knob a real embedding stage tunes.
+    Rows-only (binary pipeline); decode pinned in tests."""
     import ray.data
 
-    from ctinexus_ray.ops.multimodal import decode_features, make_fake_media_table
+    from ctinexus_ray.ops.multimodal import (
+        decode_real_features,
+        make_real_media_table,
+    )
 
-    media = ray.data.from_arrow(make_fake_media_table(200)).repartition(4)
-    return decode_features(media, fake=True)
+    media = ray.data.from_arrow(make_real_media_table(200)).repartition(4)
+    return decode_real_features(media, target_size=(4, 4))
 
 
 def _q_multimodal_frames(sf_dir: str):
-    """Video frame-sampling plumbing (actor-pool flat-map; codec stubbed,
-    schema/batching real)."""
+    """REAL video frame-offset sampling: each MP4 payload's ISO-BMFF
+    sample tables are walked (ops/mp4.py) and one row emitted per 1 s
+    tick with the covering frame's offset — the cheap probe between
+    header-only probe_media and pixel-decoding multimodal_video_decode.
+    Rows-only (binary pipeline); table walk pinned in tests/test_mp4.py."""
     import ray.data
 
-    from ctinexus_ray.ops.multimodal import FrameSampleStage, make_fake_media_table
-
-    media = ray.data.from_arrow(make_fake_media_table(200)).repartition(4)
-    return media.map_batches(
-        FrameSampleStage,
-        fn_constructor_kwargs={"fake": True, "every_ms": 1000},
-        batch_format="pyarrow",
-        batch_size=16,
-        concurrency=(1, 4),
+    from ctinexus_ray.ops.multimodal import (
+        make_real_video_table,
+        sample_frame_offsets,
     )
+
+    media = ray.data.from_arrow(make_real_video_table(200)).repartition(4)
+    return sample_frame_offsets(media, every_ms=1000)
 
 
 def _q_multimodal_video_frames(sf_dir: str):

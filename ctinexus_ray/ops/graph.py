@@ -2150,14 +2150,15 @@ def sssp_bounded(
 
     Scale shape: the symmetrized weighted edge set materializes ONCE.
     Each round the (src, node, dist) table — bounded by reached nodes x
-    sampled sources — ships once via ``ray.put``; ONE zero-shuffle
-    searchsorted map over the edge set emits relax candidates, and ONE
-    hash-partitioned MIN per (src, node) closes the round. Above
-    ``dist_broadcast_rows`` the op REFUSES loudly (the
-    embedding_dup_pairs rule) — the distributed fallback shape is the
-    betweenness forward-join path; weights must be non-negative int64
-    (negative weights refuse: bounded-round Bellman-Ford would silently
-    truncate negative cycles).
+    sampled sources — ships once via ``ray.put`` while it fits
+    ``dist_broadcast_rows``; ONE zero-shuffle searchsorted map over the
+    edge set emits relax candidates, and ONE hash-partitioned MIN per
+    (src, node) closes the round. A distance table past the cap falls
+    back to a distributed hash join on ``node`` (the betweenness
+    giant-frontier pattern) — identical candidates, one extra shuffle,
+    nothing driver-bound. Weights must be non-negative int64 (negative
+    weights refuse: bounded-round Bellman-Ford would silently truncate
+    negative cycles).
 
     Output: (node, best_dist, n_sources) — per reached node, the min
     distance over the sampled sources and how many sources reach it
@@ -2195,42 +2196,64 @@ def sssp_bounded(
     ).materialize()
     n_rows = len(sources)
 
+    from ctinexus_ray.ops.distjoin import hash_join
+
     for _r in range(max_rounds):
-        if n_rows > dist_broadcast_rows:
-            raise ValueError(
-                "sssp_bounded: distance table exceeds "
-                f"dist_broadcast_rows={dist_broadcast_rows}; reduce the "
-                "source sample or max_rounds, or raise the cap"
-            )
-        rows = dist.take_all()
-        d_src = np.array([r["src"] for r in rows], dtype=np.int64)
-        d_node = np.array([r["node"] for r in rows], dtype=np.int64)
-        d_dist = np.array([r["dist"] for r in rows], dtype=np.int64)
-        order = np.argsort(d_node, kind="stable")
-        ref = ray.put((d_src[order], d_node[order], d_dist[order]))
+        if n_rows <= dist_broadcast_rows:
+            rows = dist.take_all()
+            d_src = np.array([r["src"] for r in rows], dtype=np.int64)
+            d_node = np.array([r["node"] for r in rows], dtype=np.int64)
+            d_dist = np.array([r["dist"] for r in rows], dtype=np.int64)
+            order = np.argsort(d_node, kind="stable")
+            ref = ray.put((d_src[order], d_node[order], d_dist[order]))
 
-        def relax(batch: pa.Table, ref=ref):
-            f_src, f_node, f_dist = ray.get(ref)
-            if batch.num_rows == 0:
-                return
-            e_s = batch.column("node").to_numpy(zero_copy_only=False)
-            e_d = batch.column("dst").to_numpy(zero_copy_only=False)
-            e_w = batch.column("w").to_numpy(zero_copy_only=False)
-            fan = _frontier_fanout(f_node, e_s)
-            if fan is None:
-                return
-            keep, fidx, reps = fan
-            yield pa.Table.from_pydict(
-                {
-                    "src": pa.array(f_src[fidx], type=i64),
-                    "node": pa.array(np.repeat(e_d[keep], reps), type=i64),
-                    "dist": pa.array(
-                        f_dist[fidx] + np.repeat(e_w[keep], reps), type=i64
-                    ),
-                }
-            )
+            def relax(batch: pa.Table, ref=ref):
+                f_src, f_node, f_dist = ray.get(ref)
+                if batch.num_rows == 0:
+                    return
+                e_s = batch.column("node").to_numpy(zero_copy_only=False)
+                e_d = batch.column("dst").to_numpy(zero_copy_only=False)
+                e_w = batch.column("w").to_numpy(zero_copy_only=False)
+                fan = _frontier_fanout(f_node, e_s)
+                if fan is None:
+                    return
+                keep, fidx, reps = fan
+                yield pa.Table.from_pydict(
+                    {
+                        "src": pa.array(f_src[fidx], type=i64),
+                        "node": pa.array(np.repeat(e_d[keep], reps), type=i64),
+                        "dist": pa.array(
+                            f_dist[fidx] + np.repeat(e_w[keep], reps), type=i64
+                        ),
+                    }
+                )
 
-        candidates = sym.map_batches(relax, batch_format="pyarrow")
+            candidates = sym.map_batches(relax, batch_format="pyarrow")
+        else:
+            # giant distance table: distributed relax — ONE hash join on
+            # node co-locates each node's distances with its out-edges
+            # (same candidates as the broadcast path, one extra shuffle)
+            def join_relax(batch: pa.Table):
+                if batch.num_rows == 0:
+                    return
+                yield pa.Table.from_pydict(
+                    {
+                        "src": batch.column("src"),
+                        "node": batch.column("dst"),
+                        "dist": pc.add(
+                            batch.column("dist"), batch.column("w")
+                        ),
+                    }
+                )
+
+            candidates = hash_join(
+                dist,
+                sym,
+                on=["node"],
+                num_partitions=num_partitions,
+                left_types={"src": i64, "node": i64, "dist": i64},
+                right_types={"node": i64, "dst": i64, "w": i64},
+            ).map_batches(join_relax, batch_format="pyarrow")
         dist = partitioned_agg(
             dist.union(candidates),
             keys=["src", "node"],

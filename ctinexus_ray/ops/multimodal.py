@@ -59,11 +59,10 @@ def make_fake_media_table(n: int) -> pa.Table:
 
 
 class DecodeImageStage:
-    """Actor-pool decode + feature-extract stage.
-
-    Real deployment: ``__init__`` loads the codec/model once per actor;
-    ``__call__`` decodes a batch of payloads. Here the codec is stubbed.
-    """
+    """TEST FIXTURE ONLY (not reachable from the driver contract): the
+    deterministic fake decoder kept for plumbing tests. The real codec
+    path is ``DecodeMediaStage`` / ``decode_real_features`` (backing
+    multimodal_decode AND multimodal_features)."""
 
     def __init__(self, fake: bool = False, target_size: tuple[int, int] = (32, 32)):
         self.fake = fake
@@ -97,8 +96,10 @@ class DecodeImageStage:
 
 
 class FrameSampleStage:
-    """Video frame-sampling plumbing: emits one row per sampled frame
-    offset (real decoder would attach the frame payload)."""
+    """TEST FIXTURE ONLY (not reachable from the driver contract): fake
+    frame-offset plumbing kept for tests. The real path is
+    ``FrameOffsetsStage`` / ``sample_frame_offsets`` (backing
+    multimodal_frames from the real MP4 sample tables)."""
 
     def __init__(self, every_ms: int = 1000, fake: bool = False):
         self.every_ms = every_ms
@@ -665,13 +666,64 @@ class DecodeMediaStage:
 
 
 def decode_real_features(
-    media: ray.data.Dataset, batch_size: int = 16
+    media: ray.data.Dataset,
+    batch_size: int = 16,
+    target_size: tuple[int, int] = (2, 2),
 ) -> ray.data.Dataset:
     """REAL decode feature extraction (PPM/WAV) as an actor pool — small
     batches on purpose (payload bytes × batch × concurrency must fit the
     worker heap)."""
     return media.map_batches(
         DecodeMediaStage,
+        fn_constructor_kwargs={"target_size": target_size},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 4),
+    )
+
+
+class FrameOffsetsStage:
+    """REAL frame-offset sampling: walks each MP4 payload's ISO-BMFF
+    sample tables (``ops/mp4.py``, no pixel decode) and emits one row
+    per ``every_ms`` tick with the covering frame's offset — the cheap
+    real-codec probe path between ``probe_media`` (header only) and
+    ``DecodeVideoStage`` (pixel decode). Replaces the fake
+    ``FrameSampleStage`` in the driver contract; the fake remains a test
+    fixture only."""
+
+    def __init__(self, every_ms: int = 1000):
+        from ctinexus_ray.ops.mp4 import sample_frames_every
+
+        self._sample = sample_frames_every
+        self.every_ms = int(every_ms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_off = [], []
+        for media_id, mime, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("mime").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            if mime != "video/mp4":
+                continue
+            for f in self._sample(payload or b"", self.every_ms):
+                out_id.append(media_id)
+                out_off.append(int(f["tick_ms"]))
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(out_id, type=pa.int64()),
+                "frame_offset_ms": pa.array(out_off, type=pa.int32()),
+            }
+        )
+
+
+def sample_frame_offsets(
+    media: ray.data.Dataset, every_ms: int = 1000, batch_size: int = 16
+) -> ray.data.Dataset:
+    """Real MP4 tick-offset sampling as an actor pool."""
+    return media.map_batches(
+        FrameOffsetsStage,
+        fn_constructor_kwargs={"every_ms": every_ms},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, 4),

@@ -1041,3 +1041,49 @@ class TestSsspBounded:
 
         with _pytest.raises(Exception, match="negative"):
             self._run([(0, 1, -1)], [0], 2)
+
+    def test_join_fallback_matches_broadcast(self, ray_session):
+        # drive the distance table past dist_broadcast_rows so every
+        # round after the first relaxes via the distributed hash join,
+        # and require distances identical to the broadcast path
+        import random
+
+        import pyarrow as pa
+        import ray
+
+        from ctinexus_ray.ops.graph import sssp_bounded
+
+        rng = random.Random(11)
+        pairs = sorted(
+            {
+                (min(a, b), max(a, b))
+                for a, b in (
+                    (rng.randrange(30), rng.randrange(30)) for _ in range(70)
+                )
+                if a != b
+            }
+        )
+        pairs = [(a, b, (a * 3 + b) % 4 + 1) for a, b in pairs]
+        edges = ray.data.from_arrow(
+            pa.table(
+                {
+                    "a": pa.array([a for a, _, _ in pairs], type=pa.int64()),
+                    "b": pa.array([b for _, b, _ in pairs], type=pa.int64()),
+                    "w": pa.array([w for _, _, w in pairs], type=pa.int64()),
+                }
+            )
+        )
+        sources = [0, 1, 2, 3]
+
+        def run(cap):
+            got = sssp_bounded(
+                edges, sources, max_rounds=3, dist_broadcast_rows=cap
+            ).take_all()
+            return {
+                r["node"]: (r["best_dist"], r["n_sources"]) for r in got
+            }
+
+        broadcast = run(4_000_000)
+        joined = run(2)  # past the cap from round 2 onward
+        assert joined == broadcast
+        assert joined == self._naive(pairs, sources, 3)
