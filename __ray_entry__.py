@@ -463,9 +463,9 @@ def _q_ann_lsh(sf_dir: str):
 
 def _q_ann_nsw(sf_dir: str):
     """Graph-based approximate top-k: per-block navigable-small-world
-    graphs + beam search, exact cross-block merge (approximate ->
-    rows-only; exhaustive-ef == brute force and recall >= 0.8 pinned in
-    tests; exact anchor = similarity_topk ✓SQL)."""
+    graphs + beam search, exact cross-block merge. ✓SQL: exhaustive-ef
+    == brute force by construction at this corpus (recall >= 0.8 pinned
+    in tests for the beam regime)."""
     from ctinexus_ray.ops.simsearch import nsw_topk
     from ctinexus_ray.sources.documents import read_testdata_embeddings
 
@@ -6559,8 +6559,9 @@ def _q_distinct_users_hll(sf_dir: str):
 
 def _q_ann_pq(sf_dir: str):
     """Product-quantization ANN (ADC over m=16 uint8 codes per vector —
-    32x smaller scan footprint at dim-64 float64; approximate ->
-    rows-only, recall pinned by tests)."""
+    32x smaller scan footprint at dim-64 float64). ✓SQL: the ADC
+    candidate pool contains the true top-5 at this corpus and the exact
+    re-rank shares the oracle's tie-break (recall pinned by tests)."""
     from ctinexus_ray.ops.simsearch import pq_topk
     from ctinexus_ray.sources.documents import read_testdata_embeddings
 
@@ -9022,8 +9023,9 @@ def _q_ann_sq(sf_dir: str):
     """Scalar-quantized (SQ8) ANN: uint8 per dimension — 8x smaller
     scan traffic than float64 with near-exact recall (higher than PQ
     at 1 byte/dim); asymmetric affine-folded scoring + exact re-rank.
-    Approximate -> rows-only; recall pinned by tests (TestSQ), exact
-    anchor similarity_topk ✓SQL."""
+    ✓SQL: the re-rank pool contains the true top-5 at this corpus and
+    the exact re-rank shares the oracle's tie-break, so the output IS
+    the exact top-k (recall also pinned by TestSQ)."""
     from ctinexus_ray.ops.simsearch import sq_topk
     from ctinexus_ray.sources.documents import read_testdata_embeddings
 
@@ -9845,6 +9847,28 @@ def _sketch_oracles() -> dict[str, str]:
     from ctinexus_ray.ops.sketch import _CMS_SEED
 
     oracles: dict[str, str] = {}
+    exact_topk = (
+        # identical to the similarity_topk twin: at this corpus the
+        # candidate pool provably contains the true top-5 (SQ8/PQ exact
+        # re-rank; NSW exhaustive-ef == brute force by construction) and
+        # the final ranking is an exact-similarity re-rank with the same
+        # (sim desc, neighbor_id) tie-break, so the approximate variants
+        # ARE the exact answer here. ann_lsh stays rows-only: its bucket
+        # recall is genuinely < 1.
+        "WITH q AS (SELECT vec_id, embedding FROM embeddings "
+        "WHERE vec_id < 10), "
+        "pairs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+        "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+        "CAST(e.embedding AS DOUBLE[])) AS sim "
+        "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id) "
+        "SELECT query_id, rank, neighbor_id FROM ("
+        "SELECT query_id, neighbor_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
+        "FROM pairs) WHERE rank <= 5"
+    )
+    oracles["ann_sq"] = exact_topk
+    oracles["ann_nsw"] = exact_topk
+    oracles["ann_pq"] = exact_topk
     oracles["langid"] = _langid_oracle()
     oracles["winnow_fingerprints"] = _winnow_oracle()
     oracles["simhash"] = _simhash_sig_ctes() + " SELECT doc_id, simhash FROM sig"
