@@ -196,13 +196,12 @@ frame();
 """
 
 
-def write_interactive_graph_html(
+def interactive_graph_html(
     nodes: list[dict],
     edges: list[dict],
-    out_path: str | Path,
     max_nodes: int = 300,
     title: str = "ctinexus-ray knowledge graph",
-) -> Path:
+) -> str:
     """Interactive single-file HTML graph (operator S5, pyvis-parity path).
 
     The reference renders vis-network via pyvis with a physics layout,
@@ -276,8 +275,22 @@ def write_interactive_graph_html(
 <script id="graph-data" type="application/json">{json.dumps(data)}</script>
 <script>{_INTERACTIVE_JS}</script>
 </body></html>"""
+    return doc
+
+
+def write_interactive_graph_html(
+    nodes: list[dict],
+    edges: list[dict],
+    out_path: str | Path,
+    max_nodes: int = 300,
+    title: str = "ctinexus-ray knowledge graph",
+) -> Path:
+    """File form of ``interactive_graph_html`` (the original S5 sink)."""
     out_path = Path(out_path)
-    out_path.write_text(doc, encoding="utf-8")
+    out_path.write_text(
+        interactive_graph_html(nodes, edges, max_nodes=max_nodes, title=title),
+        encoding="utf-8",
+    )
     return out_path
 
 

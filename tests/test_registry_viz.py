@@ -164,3 +164,97 @@ console.log(JSON.stringify({frames, arc: calls.arc, labels: calls.fillText}));
             taken = s.getsockname()[1]
             port = find_free_port(default=taken)
             assert port != taken
+
+
+class TestWebApp:
+    """The dependency-free Gradio-app counterpart (ctinexus_ray/webapp.py):
+    form -> pipeline -> triples table + graph; /api/run JSON surface."""
+
+    @staticmethod
+    def _serve():
+        import threading
+
+        from ctinexus_ray.webapp import serve
+
+        server, port = serve(port=0)
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        return server, port
+
+    def test_form_run_and_api(self):
+        import json
+        import urllib.parse
+        import urllib.request
+
+        server, port = self._serve()
+        try:
+            base = f"http://127.0.0.1:{port}"
+            with urllib.request.urlopen(base + "/") as resp:
+                page = resp.read().decode()
+            assert "Extract knowledge graph" in page
+
+            text = ("In March 2024 the threat actor APT99 exploited "
+                    "CVE-2024-1234 to deploy the LockBit ransomware "
+                    "against the healthcare sector.")
+            body = urllib.parse.urlencode(
+                {"text": text, "provider": "mock", "model": "mock-1",
+                 "similarity_threshold": "0.6", "shot": "3"}
+            ).encode()
+            with urllib.request.urlopen(base + "/run", data=body) as resp:
+                result = resp.read().decode()
+            assert "entities" in result and "raw envelope JSON" in result
+            assert "graph-data" in result  # embedded interactive graph
+
+            req = urllib.request.Request(
+                base + "/api/run",
+                data=json.dumps({"text": text}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as resp:
+                envelope = json.loads(resp.read())
+            assert {"IE", "ET", "EA", "LP"} <= set(envelope)
+            assert envelope["EA"]["aligned_triplets"]
+        finally:
+            server.shutdown()
+            server.server_close()
+
+    def test_error_paths(self):
+        import json
+        import urllib.error
+        import urllib.parse
+        import urllib.request
+
+        server, port = self._serve()
+        try:
+            base = f"http://127.0.0.1:{port}"
+            # empty form re-renders with an error, not a 500
+            with urllib.request.urlopen(
+                base + "/run", data=urllib.parse.urlencode({"text": ""}).encode()
+            ) as resp:
+                page = resp.read().decode()
+            assert "provide report text" in page
+            # API surfaces the error as JSON 400
+            req = urllib.request.Request(
+                base + "/api/run", data=b"{}",
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                urllib.request.urlopen(req)
+                raise AssertionError("expected 400")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
+                assert "error" in json.loads(e.read())
+        finally:
+            server.shutdown()
+            server.server_close()
+
+    def test_envelope_graph_shapes(self):
+        from ctinexus_ray.webapp import build_envelope, envelope_graph
+
+        envelope = build_envelope(
+            "APT99 exploited CVE-2024-1234 to deploy LockBit.", None
+        )
+        nodes, edges = envelope_graph(envelope)
+        assert nodes and edges
+        keys = {n["entity_key"] for n in nodes}
+        assert all(e["subj_key"] in keys and e["obj_key"] in keys for e in edges)
