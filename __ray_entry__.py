@@ -6395,6 +6395,18 @@ def _q_quantity_stats_by_flag(sf_dir: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def _q_dedup_spans_removed(sf_dir: str):
+    """ExactSubstr duplicated-span REMOVAL with document rebuild (Lee et
+    al. 2021, the rewrite half of the substring-dedup pair): word
+    positions covered by any word-10-gram occurring at >= 2 positions
+    corpus-wide are dropped and eligible docs are rebuilt from the
+    survivors. Posting-partitioned dup marking + per-doc start list +
+    one attach shuffle + a numpy interval-coverage rewrite. ✓SQL."""
+    from ctinexus_ray.ops.dedup import remove_dup_spans
+
+    return remove_dup_spans(_docs(sf_dir, ["doc_id", "text"]), n=10)
+
+
 def _q_dup_span_stats(sf_dir: str):
     """Cross-document duplicated word-10-gram counts per doc (the
     substring-dedup signal): posting-partitioned dup marking + one
@@ -9361,6 +9373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_orders_salted": _q_lineitem_orders_salted,
         "tpch_q1": _q_tpch_q1,
         "tpch_q2": _q_tpch_q2,
+        "dedup_spans_removed": _q_dedup_spans_removed,
         "dup_span_stats": _q_dup_span_stats,
         "doc_percent_rank": _q_doc_percent_rank,
         "tpch_q4": _q_tpch_q4,
@@ -11729,6 +11742,35 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": (
             "SELECT event_type, count(DISTINCT user_id) AS n_users "
             "FROM events GROUP BY event_type"
+        ),
+        "dedup_spans_removed": (
+            "WITH words AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), "
+            "eligible AS (SELECT doc_id, w FROM words WHERE len(w) >= 10), "
+            "grams AS (SELECT doc_id, i, array_to_string(list_slice(w, "
+            "CAST(i AS INT), CAST(i + 9 AS INT)), ' ') AS g "
+            "FROM eligible CROSS JOIN LATERAL "
+            "(SELECT unnest(generate_series(1, len(w) - 9)) AS i) t), "
+            "dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2), "
+            "starts AS (SELECT doc_id, i, 1 AS d FROM grams "
+            "WHERE g IN (SELECT g FROM dup)), "
+            "wordpos AS (SELECT doc_id, i AS p, w[CAST(i AS INT)] AS word "
+            "FROM eligible CROSS JOIN LATERAL "
+            "(SELECT unnest(generate_series(1, len(w))) AS i) t), "
+            "flags AS (SELECT wp.doc_id, wp.p, wp.word, COALESCE(s.d, 0) AS d "
+            "FROM wordpos wp LEFT JOIN starts s "
+            "ON s.doc_id = wp.doc_id AND s.i = wp.p), "
+            "cover AS (SELECT doc_id, p, word, MAX(d) OVER "
+            "(PARTITION BY doc_id ORDER BY p "
+            "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS rm FROM flags), "
+            "rebuilt AS (SELECT doc_id, COALESCE(string_agg(word, ' ' "
+            "ORDER BY p) FILTER (WHERE rm = 0), '') AS text, "
+            "CAST(count(*) FILTER (WHERE rm = 1) AS BIGINT) AS n_removed "
+            "FROM cover GROUP BY doc_id) "
+            "SELECT doc_id, text, n_removed FROM rebuilt "
+            "UNION ALL SELECT doc_id, text, CAST(0 AS BIGINT) AS n_removed "
+            "FROM documents WHERE doc_id NOT IN "
+            "(SELECT doc_id FROM eligible)"
         ),
         "dup_span_stats": (
             "WITH words AS (SELECT doc_id, "

@@ -1565,3 +1565,154 @@ def sorted_neighborhood_pairs(
     else:
         cross = empty
     return inner.union(ray.data.from_arrow(cross))
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-span REMOVAL with document rebuild (ExactSubstr)
+# ---------------------------------------------------------------------------
+
+
+def remove_dup_spans(
+    docs: ray.data.Dataset,
+    n: int = 10,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Exact duplicated-span REMOVAL with document rebuild — the rewrite
+    half of Lee et al. 2021's ExactSubstr dedup (``dup_span_stats`` is
+    the detection half): every word position covered by a word n-gram
+    that occurs at >= 2 positions corpus-wide (other documents OR a
+    repeat within the same document — the ExactSubstr rule, stricter
+    than ``dup_span_stats``'s >= 2 *documents* rule) is dropped, and
+    each eligible document is rebuilt from its surviving words.
+
+    Semantics (mirrored expression-for-expression by the SQL twin):
+
+      * words = whitespace split of ``trim(text)``; docs with < ``n``
+        words (or NULL text) are ineligible and pass through VERBATIM;
+      * a gram starting at word position ``s`` is duplicated iff its
+        space-joined text equals >= 2 gram positions corpus-wide;
+      * word position ``p`` is removed iff some duplicated gram start
+        ``s`` satisfies ``s <= p <= s + n - 1``;
+      * eligible docs are ALWAYS rebuilt as surviving words joined by
+        single spaces (whitespace-normalized even when nothing was
+        removed — keeps the rule a pure function of the word stream).
+
+    Returns (doc_id, text, n_removed) for every input document.
+
+    Scale shape (nothing doc-count-sized on the driver):
+
+      1. explode ALL gram positions (multiplicity kept — same-doc
+         repeats must count) keyed by ``hash(gram) % P`` — one shuffle
+         of corpus-token-sized rows, the same cost class as
+         ``dup_span_stats``;
+      2. per posting partition, a vectorized size-transform emits
+         (doc_id, start) rows ONLY for duplicated grams;
+      3. duplicated starts collapse to one comma-joined string per doc
+         (``grouped_string_agg`` — bounded by the doc's own length);
+      4. ONE hash shuffle of each side attaches the starts string onto
+         the documents (``partitioned_attach``); the rewrite itself is
+         a per-batch numpy interval-coverage pass (+1 at ``s``, -1 at
+         ``s+n`` difference array, prefix sum > 0 = covered).
+    """
+    from ctinexus_ray.ops.distjoin import partitioned_attach
+    from ctinexus_ray.ops.groupagg import (
+        derive_num_partitions,
+        grouped_string_agg,
+    )
+
+    if num_partitions is None:
+        num_partitions = derive_num_partitions(docs)
+
+    def explode(batch: pa.Table):
+        out_doc, out_pos, out_sh = [], [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            words = (text or "").strip().split()
+            if len(words) < n:
+                continue
+            for i in range(len(words) - n + 1):
+                out_doc.append(doc_id)
+                out_pos.append(i)
+                out_sh.append(" ".join(words[i : i + n]))
+        if not out_doc:
+            return
+        pkeys = (hash64_strings(out_sh) % np.uint64(num_partitions)).astype(
+            np.int64
+        )
+        yield pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(out_doc, type=pa.int64()),
+                "start": pa.array(out_pos, type=pa.int64()),
+                "shingle": pa.array(out_sh, type=pa.string()),
+                "pkey": pa.array(pkeys, type=pa.int64()),
+            }
+        )
+
+    grams = docs.select_columns(["doc_id", "text"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    def dup_starts(g: pd.DataFrame) -> pd.DataFrame:
+        sizes = g.groupby("shingle")["doc_id"].transform("size")
+        kept = g[sizes >= 2]
+        return pd.DataFrame(
+            {
+                "doc_id": kept["doc_id"].astype("int64").values,
+                "start": kept["start"].astype("int64").values,
+            }
+        )
+
+    starts = grams.groupby("pkey").map_groups(dup_starts, batch_format="pandas")
+    per_doc = grouped_string_agg(
+        starts,
+        key="doc_id",
+        value_col="start",
+        order_col="start",
+        sep=",",
+        out="dup_starts",
+        num_partitions=num_partitions,
+    )
+    attached = partitioned_attach(
+        docs.select_columns(["doc_id", "text"]),
+        per_doc,
+        key="doc_id",
+        attach=["dup_starts"],
+        num_partitions=num_partitions,
+        # declared, not probed: the side is EMPTY when no gram repeats
+        side_types={"doc_id": pa.int64(), "dup_starts": pa.string()},
+    )
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        starts_col = batch.column("dup_starts").to_pylist()
+        out_text, out_removed = [], []
+        for text, s in zip(texts, starts_col):
+            words = (text or "").strip().split()
+            if len(words) < n:  # ineligible: verbatim pass-through
+                out_text.append(text)
+                out_removed.append(0)
+                continue
+            if not s:  # eligible, nothing duplicated: rebuild only
+                out_text.append(" ".join(words))
+                out_removed.append(0)
+                continue
+            st = np.array([int(x) for x in s.split(",")], dtype=np.int64)
+            diff = np.zeros(len(words) + 1, dtype=np.int64)
+            np.add.at(diff, st, 1)
+            ends = np.minimum(st + n, len(words))
+            np.add.at(diff, ends, -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            kept = [w for w, c in zip(words, covered) if not c]
+            out_text.append(" ".join(kept))
+            out_removed.append(int(covered.sum()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(out_text, type=pa.string()),
+                "n_removed": pa.array(out_removed, type=pa.int64()),
+            }
+        )
+
+    return attached.map_batches(rewrite, batch_format="pyarrow")

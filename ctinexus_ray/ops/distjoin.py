@@ -1053,6 +1053,7 @@ def partitioned_attach(
     key: str,
     attach: list[str],
     num_partitions: int | None = None,
+    side_types: dict[str, pa.DataType] | None = None,
 ) -> ray.data.Dataset:
     """Attach ``side``'s ``attach`` columns onto ``big`` by ``key`` when
     BOTH sides are large AND ``big`` carries nested columns
@@ -1067,7 +1068,13 @@ def partitioned_attach(
     join), then a per-partition vectorized pandas merge (object-dtype
     columns ride untouched). Prefer ``broadcast_enrich`` when the side
     is dimension-sized and ``hash_join`` when no nested payload is
-    involved."""
+    involved.
+
+    ``side_types`` (column -> pyarrow type, covering ``key`` and every
+    ``attach`` column) skips the side's ``ds.schema()`` probe — required
+    when the side can legitimately be EMPTY (a schemaless dataset, e.g.
+    "no duplicate spans anywhere"): unmatched big rows then null-fill
+    under the declared types instead of failing the probe."""
     from ctinexus_ray.ops.groupagg import add_hash_pkey, derive_num_partitions
 
     if num_partitions is None:
@@ -1105,7 +1112,11 @@ def partitioned_attach(
     # union of two differently-shaped sides: project each into the
     # shared (big ∪ attach) schema with typed nulls
     btypes = dict(_schema_fields(big, None))
-    stypes = dict(_schema_fields(side.select_columns([key, *attach]), None))
+    stypes = (
+        dict(side_types)
+        if side_types is not None
+        else dict(_schema_fields(side.select_columns([key, *attach]), None))
+    )
     shared = pa.schema(
         [pa.field(c, btypes[c]) for c in big_cols]
         + [pa.field(c, stypes[c]) for c in attach]

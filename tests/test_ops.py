@@ -879,6 +879,85 @@ class TestDupSpans:
         assert dup_span_stats(ds, n=10).take_all() == []
 
 
+class TestRemoveDupSpans:
+    def _ds(self, texts):
+        import pyarrow as pa
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"doc_id": list(range(len(texts))), "text": texts}
+            )
+        ).repartition(3)
+
+    def test_cross_doc_span_removed(self, ray_session):
+        from ctinexus_ray.ops.dedup import remove_dup_spans
+
+        span = "one two three four five six seven eight nine ten"
+        texts = [
+            f"{span} tailA fillerA padA moreA",
+            f"prefixB {span} tailB",
+            "u1 u2  u3 u4 u5 u6 u7 u8 u9 u10  u11 u12",
+        ]
+        got = {
+            r["doc_id"]: r
+            for r in remove_dup_spans(self._ds(texts), n=10).take_all()
+        }
+        assert got[0]["text"] == "tailA fillerA padA moreA"
+        assert got[0]["n_removed"] == 10
+        assert got[1]["text"] == "prefixB tailB"
+        assert got[1]["n_removed"] == 10
+        # eligible doc with no dup grams: whitespace-normalized rebuild
+        assert got[2]["n_removed"] == 0
+        assert "  " not in got[2]["text"]
+
+    def test_same_doc_repeat_counts(self, ray_session):
+        # ExactSubstr rule: a 10-gram repeated WITHIN one doc is dup
+        # (dup_span_stats' >=2-docs rule would not fire here)
+        from ctinexus_ray.ops.dedup import remove_dup_spans
+
+        span = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+        texts = [f"{span} mid1 mid2 {span} end1"]
+        (row,) = remove_dup_spans(self._ds(texts), n=10).take_all()
+        assert row["text"] == "mid1 mid2 end1"
+        assert row["n_removed"] == 20
+
+    def test_overlapping_spans_merge(self, ray_session):
+        from ctinexus_ray.ops.dedup import remove_dup_spans
+
+        # 11 shared words -> two overlapping dup 10-grams; coverage is
+        # the union (11 words), not 20
+        span11 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11"
+        texts = [f"{span11} uniqX", f"{span11} uniqY"]
+        rows = {
+            r["doc_id"]: r
+            for r in remove_dup_spans(self._ds(texts), n=10).take_all()
+        }
+        assert rows[0]["text"] == "uniqX"
+        assert rows[0]["n_removed"] == 11
+
+    def test_short_and_null_verbatim(self, ray_session):
+        from ctinexus_ray.ops.dedup import remove_dup_spans
+
+        texts = ["short  doc   spaces", None]
+        rows = {
+            r["doc_id"]: r
+            for r in remove_dup_spans(self._ds(texts), n=10).take_all()
+        }
+        # ineligible docs keep their ORIGINAL text (incl. whitespace/NULL)
+        assert rows[0]["text"] == "short  doc   spaces"
+        assert rows[1]["text"] is None
+        assert rows[0]["n_removed"] == 0
+
+    def test_full_removal_empty_string(self, ray_session):
+        from ctinexus_ray.ops.dedup import remove_dup_spans
+
+        span = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+        texts = [span, span]
+        rows = remove_dup_spans(self._ds(texts), n=10).take_all()
+        assert all(r["text"] == "" and r["n_removed"] == 10 for r in rows)
+
+
 class TestRealMultimodal:
     def test_ppm_roundtrip_exact(self, ray_session):
         from ctinexus_ray.ops.multimodal import _encode_ppm, decode_ppm
