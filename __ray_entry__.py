@@ -3866,6 +3866,63 @@ def _q_events_user_join_auto(sf_dir: str):
     )
 
 
+def _q_streaming_join(sf_dir: str):
+    """The events table replayed as TWO out-of-order streams (views
+    left, purchases right, keyed by user_id) through the watermarked
+    stream-stream INTERVAL JOIN: purchase within 24h at or after the
+    view. Lateness covers the replay disorder, so nothing drops and the
+    streamed pairs must equal the batch band join — the exact-SQL
+    anchor; finite-lateness drop/evict semantics are pinned in
+    tests/test_streaming.py. ✓SQL."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.streaming import JoinStream
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "user_id", "event_type"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "key": batch.column("user_id"),
+                "ts": batch.column("ts").cast(pa.int64()),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    stream = JoinStream(
+        lower_sec=0,
+        upper_sec=86400,
+        allowed_lateness_sec=1 << 40,  # replay disorder spans the file
+        num_partitions=4,
+        key_type="int64",
+    )
+    for batch in events.map_batches(
+        prep, batch_format="pyarrow"
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        is_l = pc.equal(batch.column("event_type"), "view")
+        is_r = pc.equal(batch.column("event_type"), "purchase")
+        stream.feed(
+            left=batch.filter(is_l).select(["key", "ts"]),
+            right=batch.filter(is_r).select(["key", "ts"]),
+        )
+    out = stream.close()
+    assert stream.late_dropped() == 0
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "user_id": batch.column("key"),
+                "view_ts": batch.column("l_ts"),
+                "purchase_ts": batch.column("r_ts"),
+            }
+        )
+
+    return out.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_streaming_hourly(sf_dir: str):
     """The events table REPLAYED as an out-of-order micro-batch stream
     through the watermarked tumbling-window operator (hourly windows
@@ -9321,6 +9378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_join_auto": _q_events_user_join_auto,
         "ab_chi2": _q_ab_chi2,
         "streaming_hourly": _q_streaming_hourly,
+        "streaming_join": _q_streaming_join,
         "streaming_sessions": _q_streaming_sessions,
         "streaming_sliding": _q_streaming_sliding,
         "corpus_stats_monoid": _q_corpus_stats_monoid,
@@ -10755,6 +10813,14 @@ def oracle_sql() -> dict[str, str]:
                 "FROM f"
                 for q in (0.1, 0.5, 0.9, 0.99)
             )
+        ),
+        "streaming_join": (
+            "SELECT l.user_id AS user_id, epoch_us(l.ts) AS view_ts, "
+            "epoch_us(r.ts) AS purchase_ts "
+            "FROM events l JOIN events r ON l.user_id = r.user_id "
+            "AND l.event_type = 'view' AND r.event_type = 'purchase' "
+            "AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) "
+            "AND epoch_us(l.ts) + CAST(86400 AS BIGINT) * 1000000"
         ),
         "streaming_hourly": (
             "SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) "

@@ -429,3 +429,279 @@ class SessionStream:
 
     def late_dropped(self) -> int:
         return sum(ray.get([a.late_count.remote() for a in self.actors]))
+
+
+# ---------------------------------------------------------------------------
+# watermarked stream-stream interval join
+# ---------------------------------------------------------------------------
+
+
+@ray.remote
+class _JoinPartition:
+    """Owns the left/right event buffers for the keys hashing to this
+    partition. Matches emit EAGERLY on arrival of the later side (each
+    pair exactly once); state is bounded by the lateness horizon via
+    the watermark eviction guards (see JoinStream docstring)."""
+
+    def __init__(self, lower_us: int, upper_us: int):
+        self.lo = lower_us
+        self.hi = upper_us
+        self.buf_l: dict = {}  # key -> np.ndarray[int64] event times
+        self.buf_r: dict = {}
+        self.flushed_wm = -(2**62)
+        self.late = 0
+
+    @staticmethod
+    def _group(tbl: pa.Table):
+        keys = tbl.column("key").to_pylist()
+        ts = tbl.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+        by_key: dict = {}
+        for k, t in zip(keys, ts):
+            by_key.setdefault(k, []).append(t)
+        return {k: np.array(v, dtype=np.int64) for k, v in by_key.items()}
+
+    def _probe(self, arriving: dict, buf: dict, arriving_is_left: bool):
+        """All (arriving x buffered-opposite) pairs inside the interval
+        — one O(m x n) vectorized window test per key."""
+        out_k, out_l, out_r = [], [], []
+        for k, a_ts in arriving.items():
+            b_ts = buf.get(k)
+            if b_ts is None or not len(b_ts):
+                continue
+            if arriving_is_left:  # match: r.ts in [l.ts+lo, l.ts+hi]
+                hit = (b_ts[None, :] >= a_ts[:, None] + self.lo) & (
+                    b_ts[None, :] <= a_ts[:, None] + self.hi
+                )
+                li, ri = np.nonzero(hit)
+                out_l.extend(a_ts[li].tolist())
+                out_r.extend(b_ts[ri].tolist())
+            else:  # arriving right: l.ts in [r.ts-hi, r.ts-lo]
+                hit = (b_ts[None, :] + self.lo <= a_ts[:, None]) & (
+                    b_ts[None, :] + self.hi >= a_ts[:, None]
+                )
+                ri, li = np.nonzero(hit)
+                out_l.extend(b_ts[li].tolist())
+                out_r.extend(a_ts[ri].tolist())
+            out_k.extend([k] * len(li))
+        return out_k, out_l, out_r
+
+    @staticmethod
+    def _drop_late(groups: dict, wm: int):
+        kept, n_late = {}, 0
+        for k, ts in groups.items():
+            ok = ts > wm
+            n_late += int((~ok).sum())
+            if ok.any():
+                kept[k] = ts[ok]
+        return kept, n_late
+
+    @staticmethod
+    def _append(buf: dict, groups: dict):
+        for k, ts in groups.items():
+            prev = buf.get(k)
+            buf[k] = ts if prev is None else np.concatenate([prev, ts])
+
+    def ingest(self, pair, key_type: str):
+        """One micro-batch for each side (either may be empty — the
+        route task ships one (left, right) sub-table pair per
+        partition). Returns the pairs emitted by this tick as
+        (key, l_ts, r_ts)."""
+        l_tbl, r_tbl = pair
+        l_new = self._group(l_tbl) if l_tbl.num_rows else {}
+        r_new = self._group(r_tbl) if r_tbl.num_rows else {}
+        # the completeness rule: ts <= flushed watermark means some of
+        # the row's matches may already be evicted -> drop + count
+        l_new, n1 = self._drop_late(l_new, self.flushed_wm)
+        r_new, n2 = self._drop_late(r_new, self.flushed_wm)
+        self.late += n1 + n2
+        # (L_new x R_old) BEFORE this tick's R lands, then append L,
+        # then (L_any x R_new) — every pair exactly once, incl. both-
+        # sides-same-tick pairs (emitted by the second probe)
+        k1, l1, r1 = self._probe(l_new, self.buf_r, True)
+        self._append(self.buf_l, l_new)
+        k2, l2, r2 = self._probe(r_new, self.buf_l, False)
+        self._append(self.buf_r, r_new)
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(k1 + k2, type=getattr(pa, key_type)()),
+                "l_ts": pa.array(l1 + l2, type=pa.int64()),
+                "r_ts": pa.array(r1 + r2, type=pa.int64()),
+            }
+        )
+
+    def evict(self, watermark_us: int) -> None:
+        """Drop state no FUTURE non-late row can match: a non-late left
+        arrival has l.ts > wm so its matches satisfy r.ts > wm + lo;
+        a non-late right arrival has r.ts > wm so its matches satisfy
+        l.ts > wm - hi. Anything at or below those bounds is dead."""
+        self.flushed_wm = max(self.flushed_wm, watermark_us)
+        wm = self.flushed_wm
+        for buf, bound in ((self.buf_l, wm - self.hi), (self.buf_r, wm + self.lo)):
+            dead = []
+            for k, ts in buf.items():
+                keep = ts > bound
+                if keep.all():
+                    continue
+                if keep.any():
+                    buf[k] = ts[keep]
+                else:
+                    dead.append(k)
+            for k in dead:
+                del buf[k]
+
+    def state_rows(self) -> int:
+        return sum(len(v) for v in self.buf_l.values()) + sum(
+            len(v) for v in self.buf_r.values()
+        )
+
+    def late_count(self) -> int:
+        return self.late
+
+
+@ray.remote
+def _route_join(l_tbl: pa.Table, r_tbl: pa.Table, p: int):
+    """Slice both sides' micro-batches into P (left, right) sub-table
+    pairs by the SAME content hash of the key — co-locating each key's
+    two streams on one partition actor."""
+    from ctinexus_ray.ops.dedup import hash64_strings
+
+    out = []
+    parts = {}
+    for side, tbl in (("l", l_tbl), ("r", r_tbl)):
+        if tbl.num_rows:
+            keys = [str(k) for k in tbl.column("key").to_pylist()]
+            parts[side] = (
+                hash64_strings(keys) % np.uint64(p)
+            ).astype(np.int64)
+    for j in range(p):
+        pair = []
+        for side, tbl in (("l", l_tbl), ("r", r_tbl)):
+            if tbl.num_rows:
+                mask = parts[side] == j
+                pair.append(
+                    tbl.filter(pa.array(mask)) if mask.any() else tbl.slice(0, 0)
+                )
+            else:
+                pair.append(tbl)
+        out.append(tuple(pair))
+    # num_returns=1 means "one value", not "a 1-list of values"
+    return out[0] if p == 1 else out
+
+
+class JoinStream:
+    """Watermarked stream-stream INTERVAL JOIN (the Flink/Dataflow
+    two-input shape): left row l matches right row r of the same key
+    when ``r.ts in [l.ts + lower_sec, l.ts + upper_sec]``; pairs emit
+    exactly once, on arrival of the later side.
+
+    Dataflow semantics, mirrored from WindowStream:
+
+      * each side's watermark is ``max(event ts seen) - lateness``; the
+        JOIN watermark is the MIN over the two sides (a pair is only
+        provably complete when BOTH inputs have passed it);
+      * arriving rows at or below the flushed watermark are DROPPED and
+        counted (``late_dropped``) — their match set may already be
+        evicted, so emitting a partial pair list would make the output
+        arrival-order-dependent;
+      * buffered state is evicted once no future non-late arrival can
+        match it (left: ``l.ts + upper <= wm``; right:
+        ``r.ts <= wm + lower``) — state is bounded by key-rate x
+        (interval span + lateness horizon), the textbook bound.
+
+    With lateness covering the replay disorder nothing drops and the
+    result equals the batch band join — the exact-SQL anchor
+    (``streaming_join``); finite-lateness drop/evict semantics are
+    pinned in tests/test_streaming.py. Emits (key, l_ts, r_ts); join
+    payloads back by (key, ts) if needed — buffering timestamps only
+    keeps the actor state minimal."""
+
+    def __init__(
+        self,
+        lower_sec: int,
+        upper_sec: int,
+        allowed_lateness_sec: int = 0,
+        num_partitions: int = 4,
+        key_type: str = "string",
+    ):
+        if upper_sec < lower_sec:
+            raise ValueError("upper_sec must be >= lower_sec")
+        self.lo_us = lower_sec * _US
+        self.hi_us = upper_sec * _US
+        self.lateness_us = allowed_lateness_sec * _US
+        self.p = num_partitions
+        self.key_type = key_type
+        self.actors = [
+            _JoinPartition.remote(self.lo_us, self.hi_us)
+            for _ in range(num_partitions)
+        ]
+        self.max_l: int | None = None
+        self.max_r: int | None = None
+        self.emitted: list = []
+        self.closed = False
+
+    def _empty(self) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array([], type=getattr(pa, self.key_type)()),
+                "ts": pa.array([], type=pa.int64()),
+            }
+        )
+
+    def feed(self, left: pa.Table | None = None, right: pa.Table | None = None):
+        """Ingest one micro-batch per side — (key, ts us) tables, any
+        arrival order. Advances the join watermark and evicts."""
+        import pyarrow.compute as pc
+
+        if self.closed:
+            raise RuntimeError("stream is closed")
+        left = self._empty() if left is None or not left.num_rows else left
+        right = self._empty() if right is None or not right.num_rows else right
+        if left.num_rows == 0 and right.num_rows == 0:
+            return
+        for tbl in (left, right):
+            if tbl.num_rows and tbl.column("ts").null_count:
+                raise ValueError("NULL event times have no interval")
+        parts = _route_join.options(num_returns=self.p).remote(
+            left, right, self.p
+        )
+        if self.p == 1:
+            parts = [parts]
+        self.emitted.extend(
+            a.ingest.remote(pair_ref, self.key_type)
+            for a, pair_ref in zip(self.actors, parts)
+        )
+        if left.num_rows:
+            m = int(pc.max(left.column("ts")).as_py())
+            self.max_l = m if self.max_l is None else max(self.max_l, m)
+        if right.num_rows:
+            m = int(pc.max(right.column("ts")).as_py())
+            self.max_r = m if self.max_r is None else max(self.max_r, m)
+        if self.max_l is not None and self.max_r is not None:
+            wm = min(self.max_l, self.max_r) - self.lateness_us
+            ray.get([a.evict.remote(wm) for a in self.actors])
+
+    def close(self):
+        self.closed = True
+        return self.results()
+
+    def results(self):
+        import ray.data
+
+        if not self.emitted:
+            return ray.data.from_arrow(
+                pa.Table.from_pydict(
+                    {
+                        "key": pa.array([], type=getattr(pa, self.key_type)()),
+                        "l_ts": pa.array([], type=pa.int64()),
+                        "r_ts": pa.array([], type=pa.int64()),
+                    }
+                )
+            )
+        return ray.data.from_arrow_refs(list(self.emitted))
+
+    def state_rows(self) -> int:
+        """Buffered rows across partitions (the bounded-state probe)."""
+        return sum(ray.get([a.state_rows.remote() for a in self.actors]))
+
+    def late_dropped(self) -> int:
+        return sum(ray.get([a.late_count.remote() for a in self.actors]))

@@ -207,3 +207,106 @@ class TestHoppingWindows:
 
         with pytest.raises(ValueError, match="divide"):
             WindowStream(window_sec=60, hop_sec=25)
+
+
+class TestJoinStream:
+    @staticmethod
+    def _tbl(keys, ts):
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(keys, type=pa.string()),
+                "ts": pa.array(ts, type=pa.int64()),
+            }
+        )
+
+    @staticmethod
+    def _brute(l_rows, r_rows, lo_us, hi_us):
+        out = set()
+        pairs = []
+        for lk, lt in l_rows:
+            for rk, rt in r_rows:
+                if lk == rk and lt + lo_us <= rt <= lt + hi_us:
+                    pairs.append((lk, lt, rt))
+        return sorted(pairs)
+
+    def test_full_lateness_equals_batch_join(self, ray_session):
+        from ctinexus_ray.ops.streaming import JoinStream
+
+        rng = np.random.RandomState(7)
+        US = 1_000_000
+        l_rows = [
+            (f"k{rng.randint(4)}", int(rng.randint(0, 2000)) * US)
+            for _ in range(60)
+        ]
+        r_rows = [
+            (f"k{rng.randint(4)}", int(rng.randint(0, 2000)) * US)
+            for _ in range(60)
+        ]
+        s = JoinStream(
+            lower_sec=0, upper_sec=100, allowed_lateness_sec=1 << 30,
+            num_partitions=3,
+        )
+        # shuffled arrival, uneven tick sizes, sides interleaved
+        for i in range(0, 60, 7):
+            s.feed(
+                left=self._tbl(*zip(*l_rows[i : i + 7])),
+                right=None if i % 2 else self._tbl(*zip(*r_rows[i : i + 7])),
+            )
+        for i in range(0, 60, 7):
+            if i % 2:
+                s.feed(right=self._tbl(*zip(*r_rows[i : i + 7])))
+        got = sorted(
+            (r["key"], r["l_ts"], r["r_ts"]) for r in s.close().take_all()
+        )
+        assert got == self._brute(l_rows, r_rows, 0, 100 * US)
+        assert s.late_dropped() == 0
+
+    def test_same_tick_pair_once(self, ray_session):
+        from ctinexus_ray.ops.streaming import JoinStream
+
+        s = JoinStream(lower_sec=0, upper_sec=10, num_partitions=2)
+        s.feed(left=self._tbl(["a"], [5_000_000]),
+               right=self._tbl(["a"], [7_000_000]))
+        rows = s.close().take_all()
+        assert len(rows) == 1
+        assert rows[0]["l_ts"] == 5_000_000 and rows[0]["r_ts"] == 7_000_000
+
+    def test_negative_lower_bound(self, ray_session):
+        from ctinexus_ray.ops.streaming import JoinStream
+
+        # right may precede left by up to 10s
+        s = JoinStream(lower_sec=-10, upper_sec=0, num_partitions=1,
+                       allowed_lateness_sec=1 << 30)
+        s.feed(right=self._tbl(["a"], [3_000_000]))
+        s.feed(left=self._tbl(["a"], [8_000_000]))
+        rows = s.close().take_all()
+        assert [(r["l_ts"], r["r_ts"]) for r in rows] == [(8_000_000, 3_000_000)]
+
+    def test_late_rows_dropped_and_counted(self, ray_session):
+        from ctinexus_ray.ops.streaming import JoinStream
+
+        US = 1_000_000
+        s = JoinStream(lower_sec=0, upper_sec=1, allowed_lateness_sec=0,
+                       num_partitions=2)
+        # both sides advance to t=1000s -> wm = 1000s
+        s.feed(left=self._tbl(["a"], [1000 * US]),
+               right=self._tbl(["a"], [1000 * US]))
+        # a left row at t=10s is below the watermark: dropped, counted
+        s.feed(left=self._tbl(["a"], [10 * US]))
+        out = s.close().take_all()
+        assert s.late_dropped() == 1
+        assert all(r["l_ts"] != 10 * US for r in out)
+
+    def test_state_bounded_by_horizon(self, ray_session):
+        from ctinexus_ray.ops.streaming import JoinStream
+
+        US = 1_000_000
+        s = JoinStream(lower_sec=0, upper_sec=5, allowed_lateness_sec=5,
+                       num_partitions=2)
+        for t in range(0, 500, 10):
+            s.feed(left=self._tbl(["a", "b"], [t * US, t * US]),
+                   right=self._tbl(["a"], [t * US]))
+        # horizon = span(5) + lateness(5) = 10s -> ~1 tick of rows per
+        # side stays buffered, not the 150 fed
+        assert s.state_rows() <= 12
+        s.close()
