@@ -3224,6 +3224,37 @@ def _q_table_time_travel(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _q_text_index_bm25(sf_dir: str):
+    """BM25 top-20 for ('hash','join','vector') answered from the
+    PERSISTED inverted index (ops/textindex.py): one tokenize pass
+    builds term-bucketed posting files committed as a versioned table
+    (corpus stats atomic in the manifest extra), then the search scans
+    ONLY the query terms' buckets (file-level skip via the pushed
+    bucket IN (...) filter) and ranks via the shared
+    bm25_rank_postings. Buckets are term-complete, so the pruned scan
+    is EXACT — the oracle is the full-scan BM25 SQL twin and a missed
+    posting row would hash-mismatch (the bloom_pruned_lookup
+    argument). Same one-scratch-dir-per-sf rebuild discipline as
+    warc_source. ✓SQL."""
+    import hashlib
+    import shutil
+
+    import ray.data
+
+    from ctinexus_ray.ops.textindex import text_index_build, text_index_search
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"/tmp/text_index_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    text_index_build(docs, tmp, num_buckets=64)
+    return ray.data.from_arrow(
+        text_index_search(tmp, ["hash", "join", "vector"], k=20)
+    )
+
+
 def _q_jsonl_source(sf_dir: str):
     """JSONL(.gz) ingestion round trip: the documents table is sharded
     into deterministic .jsonl.gz files (one Ray task per shard, atomic
@@ -9338,6 +9369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_checksum": _q_corpus_checksum,
         "corpus_checksum_ranges": _q_corpus_checksum_ranges,
         "jsonl_source": _q_jsonl_source,
+        "text_index_bm25": _q_text_index_bm25,
         "table_time_travel": _q_table_time_travel,
         "csv_source": _q_csv_source,
         "avro_source": _q_avro_source,
@@ -10277,6 +10309,36 @@ def oracle_sql() -> dict[str, str]:
             "FROM ranked WHERE rn <= 5"
         ),
         "bm25_topk": (
+            # expression order mirrors ops/textstats.py bm25_topk_docs
+            # exactly (micro-quantized per-term scores -> BIGINT sum)
+            "WITH words AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS word "
+            "FROM documents), "
+            "dl AS (SELECT doc_id, "
+            "len(regexp_split_to_array(trim(text), '\\s+')) AS dl "
+            "FROM documents), "
+            "n AS (SELECT count(*) AS n, "
+            "CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) "
+            "AS DOUBLE) / count(*) AS avgdl FROM documents), "
+            "tf AS (SELECT doc_id, word, count(*) AS tf FROM words "
+            "WHERE word IN ('hash', 'join', 'vector') "
+            "GROUP BY doc_id, word), "
+            "df AS (SELECT word, count(*) AS df FROM tf GROUP BY word), "
+            "scored AS (SELECT tf.doc_id, CAST(FLOOR("
+            "ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)) "
+            "* (tf.tf * (1.5 + 1.0)) "
+            "/ (tf.tf + 1.5 * ((1.0 - 0.75) + (0.75 * dl.dl) / n.avgdl)) "
+            "* 1000000.0 + 0.5) AS BIGINT) AS micro "
+            "FROM tf, df, dl, n "
+            "WHERE tf.word = df.word AND tf.doc_id = dl.doc_id), "
+            "per_doc AS (SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS "
+            "score_micro FROM scored GROUP BY doc_id), "
+            "ranked AS (SELECT doc_id, score_micro, row_number() OVER "
+            "(ORDER BY score_micro DESC, doc_id) AS rn FROM per_doc) "
+            "SELECT CAST(rn AS BIGINT) AS rn, doc_id, score_micro "
+            "FROM ranked WHERE rn <= 20"
+        ),
+        "text_index_bm25": (
             # expression order mirrors ops/textstats.py bm25_topk_docs
             # exactly (micro-quantized per-term scores -> BIGINT sum)
             "WITH words AS (SELECT doc_id, "

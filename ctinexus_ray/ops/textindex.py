@@ -1,0 +1,263 @@
+"""Persisted inverted text index over the versioned table format.
+
+``ops/textstats.py bm25_topk_docs`` re-reads and re-tokenizes the whole
+corpus per query — right for a one-off ranking, wasteful when the
+corpus is long-lived and queries arrive forever. This module makes the
+postings a TABLE (the lexical sibling of ``ops/annindex.py``'s
+persisted IVF index):
+
+  * ``text_index_build`` — ONE tokenization pass explodes every doc to
+    (term, doc_id, tf, dl) posting rows, buckets them by
+    ``hash64(term) % num_buckets`` (a bucket holds ALL postings of its
+    terms — term-complete by construction), writes one parquet file
+    per bucket inside the bucket's own reduce task, and commits as a
+    ``state/tableformat`` version with the corpus stats (n_docs,
+    total_len) in the manifest's ``extra`` — atomic with the data, so
+    a reader can never see postings without the N/avgdl they were
+    built for.
+  * ``text_index_append`` — tokenize NEW docs under the same bucket
+    rule and append-commit, folding the doc/length totals into the
+    manifest extra. Incremental ingestion: appends cost one tokenize
+    pass over the new docs only; crash-safety and time travel come
+    from the table format.
+  * ``text_index_search`` — for a query's terms, read ONLY their
+    buckets (``bucket IN (...)`` pushed into the parquet scan; one
+    file per bucket makes that a file-level skip) and rank via the
+    SHARED ``bm25_rank_postings``. Because buckets are term-complete,
+    per-term df computed from the scanned rows equals the full-corpus
+    df — the pruned search is EXACT, not approximate: its result must
+    hash-match the full-scan BM25 (``bm25_topk``'s SQL twin), the same
+    a-missed-row-would-mismatch argument as ``bloom_pruned_lookup``.
+
+Scale notes: nothing corpus-sized touches the driver (df/idf are
+|query|-sized; top-k merges block partials). Posting rows are
+corpus-token-sized ONCE at build; a query scans ~|query|/num_buckets
+of the index. Appends add one file per touched bucket per tick — run
+``state/tableformat compact_table`` periodically (correctness is
+filter-based, so compaction only trades file-skip sharpness, never
+results). The reference has no retrieval index; its TF-IDF demo
+retriever (`/root/reference/ctinexus/demo_retriever.py`) re-vectorizes
+the demo corpus per process — this is that idea made persistent and
+corpus-scale.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ctinexus_ray.ops.dedup import hash64_strings
+from ctinexus_ray.ops.textstats import _tokens, bm25_rank_postings
+from ctinexus_ray.state.tableformat import (
+    commit_version,
+    read_version,
+    version_extra,
+)
+
+
+def _posting_batches(batch: pa.Table, num_buckets: int):
+    """(bucket, term, doc_id, tf, dl) posting rows for one doc batch,
+    plus the batch's (n_docs, total_len) combiner row (doc_id = -1,
+    term NULL) so build/append learn corpus stats in the same pass."""
+    from collections import Counter
+
+    buckets, terms, ids, tfs, dls = [], [], [], [], []
+    stat_docs, stat_len = 0, 0
+    for doc_id, t in zip(
+        batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+    ):
+        toks = _tokens(t or "")
+        stat_docs += 1
+        stat_len += len(toks)
+        for w, tf in Counter(toks).items():
+            terms.append(w)
+            ids.append(doc_id)
+            tfs.append(tf)
+            dls.append(len(toks))
+    b = (
+        (hash64_strings(terms) % np.uint64(num_buckets)).astype(np.int64)
+        if terms
+        else np.zeros(0, dtype=np.int64)
+    )
+    buckets = b.tolist() + [-1]
+    terms.append(None)
+    ids.append(-1)
+    tfs.append(stat_docs)
+    dls.append(stat_len)
+    return pa.Table.from_pydict(
+        {
+            "bucket": pa.array(buckets, type=pa.int64()),
+            "term": pa.array(terms, type=pa.string()),
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "tf": pa.array(tfs, type=pa.int64()),
+            "dl": pa.array(dls, type=pa.int64()),
+        }
+    )
+
+
+def _write_buckets(
+    docs: ray.data.Dataset, table_dir: str, num_buckets: int
+) -> tuple[list[str], int, int]:
+    """Explode postings, write one parquet file per bucket (inside the
+    bucket's own reduce task), and return (paths, n_docs, total_len)."""
+    data_dir = os.path.join(table_dir, f"buckets-{uuid.uuid4().hex[:12]}")
+    os.makedirs(data_dir, exist_ok=True)
+
+    posted = (
+        docs.select_columns(["doc_id", "text"])
+        .map_batches(
+            lambda t: _posting_batches(t, num_buckets), batch_format="pyarrow"
+        )
+        .materialize()  # consumed twice: stats row + bucket writes
+    )
+
+    import pyarrow.compute as pc
+
+    stats = (
+        posted.map_batches(
+            lambda t: t.filter(pc.equal(t.column("bucket"), -1)),
+            batch_format="pyarrow",
+        )
+        .aggregate(
+            ray.data.aggregate.Sum("tf", alias_name="n_docs"),
+            ray.data.aggregate.Sum("dl", alias_name="total_len"),
+        )
+    )
+    n_docs = int(stats["n_docs"] or 0)
+    total_len = int(stats["total_len"] or 0)
+
+    def write_bucket(g):
+        import pyarrow.parquet as pq
+
+        bucket = int(g["bucket"].iloc[0])
+        t = pa.Table.from_pydict(
+            {
+                "bucket": pa.array(g["bucket"].to_numpy(), type=pa.int64()),
+                "term": pa.array(g["term"].tolist(), type=pa.string()),
+                "doc_id": pa.array(g["doc_id"].to_numpy(), type=pa.int64()),
+                "tf": pa.array(g["tf"].to_numpy(), type=pa.int64()),
+                "dl": pa.array(g["dl"].to_numpy(), type=pa.int64()),
+            }
+        )
+        path = os.path.join(data_dir, f"bucket-{bucket:05d}.parquet")
+        tmp = path + f".tmp.{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        import pandas as pd
+
+        return pd.DataFrame({"path": [path]})
+
+    written = (
+        posted.map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("bucket"), -1)),
+            batch_format="pyarrow",
+        )
+        .groupby("bucket")
+        .map_groups(write_bucket, batch_format="pandas")
+        .take_all()
+    )
+    return sorted(r["path"] for r in written), n_docs, total_len
+
+
+def text_index_build(
+    docs: ray.data.Dataset, table_dir: str, num_buckets: int = 64
+) -> int:
+    """Build (or rebuild) the inverted index; returns the committed
+    version. Overwrite semantics: a rebuild replaces the file set."""
+    paths, n_docs, total_len = _write_buckets(docs, table_dir, num_buckets)
+    return commit_version(
+        table_dir,
+        paths,
+        mode="overwrite",
+        extra={
+            "text_index": {
+                "num_buckets": num_buckets,
+                "n_docs": n_docs,
+                "total_len": total_len,
+            }
+        },
+    )
+
+
+def text_index_append(docs: ray.data.Dataset, table_dir: str) -> int:
+    """Tokenize NEW docs under the existing bucket rule and
+    append-commit, folding the corpus totals into the manifest extra.
+    Callers own doc_id uniqueness across appends (duplicate ids would
+    double-count postings, like any append-only ingest)."""
+    meta = version_extra(table_dir).get("text_index")
+    if not meta:
+        raise FileNotFoundError(
+            f"{table_dir} has no text_index metadata — build first"
+        )
+    paths, n_docs, total_len = _write_buckets(
+        docs, table_dir, int(meta["num_buckets"])
+    )
+    return commit_version(
+        table_dir,
+        paths,
+        mode="append",
+        extra={
+            "text_index": {
+                "num_buckets": int(meta["num_buckets"]),
+                "n_docs": int(meta["n_docs"]) + n_docs,
+                "total_len": int(meta["total_len"]) + total_len,
+            }
+        },
+    )
+
+
+def text_index_search(
+    table_dir: str,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.5,
+    b: float = 0.75,
+    version: int | None = None,
+) -> pa.Table:
+    """BM25 top-k over the PERSISTED index: scan only the query terms'
+    buckets (file-level skip via the pushed ``bucket IN (...)`` filter)
+    and rank with the shared ``bm25_rank_postings``. Exact by
+    construction — buckets are term-complete, so df from the scanned
+    rows equals full-corpus df and the result hash-matches the
+    full-scan ``bm25_topk_docs`` on the same corpus."""
+    import pyarrow.dataset as pads
+
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("query_terms must be non-empty")
+    meta = version_extra(table_dir, version).get("text_index")
+    if not meta:
+        raise FileNotFoundError(
+            f"{table_dir} has no text_index metadata — build first"
+        )
+    n_docs = int(meta["n_docs"])
+    if n_docs == 0:
+        return pa.Table.from_pydict(
+            {
+                "rn": pa.array([], type=pa.int64()),
+                "doc_id": pa.array([], type=pa.int64()),
+                "score_micro": pa.array([], type=pa.int64()),
+            }
+        )
+    avgdl = float(meta["total_len"]) / n_docs  # same division as build path
+    want = sorted(
+        {
+            int(h % np.uint64(int(meta["num_buckets"])))
+            for h in hash64_strings(terms)
+        }
+    )
+    matches = read_version(
+        table_dir,
+        version=version,
+        columns=["term", "doc_id", "tf", "dl"],
+        filter=pads.field("bucket").isin(want) & pads.field("term").isin(terms),
+    ).map_batches(
+        lambda t: t.rename_columns(["word", "doc_id", "tf", "dl"]),
+        batch_format="pyarrow",
+    )
+    return bm25_rank_postings(matches, n_docs, avgdl, k=k, k1=k1, b=b)

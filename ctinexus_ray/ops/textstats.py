@@ -864,6 +864,30 @@ def bm25_topk_docs(
         lambda t: t.filter(pc.is_valid(t.column("word"))),
         batch_format="pyarrow",
     )
+    return bm25_rank_postings(matches, n_docs, avgdl, k=k, k1=k1, b=b)
+
+
+def bm25_rank_postings(
+    matches: "ray.data.Dataset",
+    n_docs: int,
+    avgdl: float,
+    k: int = 20,
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> "pa.Table":
+    """The ranking half of ``bm25_topk_docs``, shared with the persisted
+    inverted index (``ops/textindex.py``): rank (doc_id, word, tf, dl)
+    posting rows under given corpus stats. df per word is computed FROM
+    the postings (one row per (word, doc) by construction), so an index
+    scan that pruned correctly produces identical scores to the full
+    corpus pass — the exactness argument ``text_index_search`` pins.
+    Returns (rn, doc_id, score_micro) exactly like ``bm25_topk_docs``."""
+    import math
+
+    import numpy as np
+    import ray.data  # noqa: F401
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
 
     df_rows = partitioned_agg(
         matches.select_columns(["word"]),

@@ -1,0 +1,114 @@
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+def _docs_tbl(texts, start_id=0):
+    return pa.Table.from_pydict(
+        {
+            "doc_id": pa.array(
+                range(start_id, start_id + len(texts)), type=pa.int64()
+            ),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+
+
+TEXTS = [
+    "hash join beats sort merge join when the build side fits",
+    "vector search over a hash bucketed index",
+    "the quick brown fox jumps over the lazy dog",
+    "join the vector hash club for hash lovers",
+    "unrelated filler words only here",
+    "",
+]
+
+
+class TestTextIndex:
+    def _build(self, tmpdir, texts=TEXTS):
+        from ctinexus_ray.ops.textindex import text_index_build
+
+        ds = ray.data.from_arrow(_docs_tbl(texts)).repartition(3)
+        v = text_index_build(ds, tmpdir, num_buckets=8)
+        return ds, v
+
+    def test_search_equals_full_scan(self, ray_session, tmp_path):
+        from ctinexus_ray.ops.textindex import text_index_search
+        from ctinexus_ray.ops.textstats import bm25_topk_docs
+
+        d = str(tmp_path / "ti")
+        ds, _ = self._build(d)
+        terms = ["hash", "join", "vector"]
+        got = text_index_search(d, terms, k=10).to_pydict()
+        want = bm25_topk_docs(ds, terms, k=10).to_pydict()
+        assert got == want
+
+    def test_append_then_search_sees_union(self, ray_session, tmp_path):
+        from ctinexus_ray.ops.textindex import (
+            text_index_append,
+            text_index_search,
+        )
+        from ctinexus_ray.ops.textstats import bm25_topk_docs
+
+        d = str(tmp_path / "ti")
+        first, rest = TEXTS[:3], TEXTS[3:]
+        self._build(d, first)
+        v2 = text_index_append(
+            ray.data.from_arrow(_docs_tbl(rest, start_id=3)), d
+        )
+        assert v2 == 2
+        full = ray.data.from_arrow(_docs_tbl(TEXTS))
+        terms = ["hash", "join", "vector"]
+        got = text_index_search(d, terms, k=10).to_pydict()
+        want = bm25_topk_docs(full, terms, k=10).to_pydict()
+        assert got == want
+
+    def test_time_travel_search(self, ray_session, tmp_path):
+        from ctinexus_ray.ops.textindex import (
+            text_index_append,
+            text_index_search,
+        )
+        from ctinexus_ray.ops.textstats import bm25_topk_docs
+
+        d = str(tmp_path / "ti")
+        first = TEXTS[:3]
+        ds1, v1 = self._build(d, first)
+        text_index_append(ray.data.from_arrow(_docs_tbl(TEXTS[3:], 3)), d)
+        got = text_index_search(d, ["hash", "join"], k=10, version=v1)
+        want = bm25_topk_docs(ds1, ["hash", "join"], k=10)
+        # version=1's manifest extra carries version-1 stats
+        assert got.to_pydict() == want.to_pydict()
+
+    def test_one_file_per_bucket_and_pruned_read(self, ray_session, tmp_path):
+        import glob
+        import os
+
+        from ctinexus_ray.ops.textindex import text_index_search
+
+        d = str(tmp_path / "ti")
+        self._build(d)
+        files = glob.glob(os.path.join(d, "buckets-*", "*.parquet"))
+        # <= num_buckets files, named by bucket
+        assert 0 < len(files) <= 8
+        assert all(os.path.basename(f).startswith("bucket-") for f in files)
+        # a query over one rare term still ranks correctly
+        got = text_index_search(d, ["fox"], k=5)
+        assert got.column("doc_id").to_pylist() == [2]
+
+    def test_refusals(self, ray_session, tmp_path):
+        from ctinexus_ray.ops.textindex import (
+            text_index_append,
+            text_index_search,
+        )
+
+        d = str(tmp_path / "ti")
+        with pytest.raises(FileNotFoundError):
+            text_index_search(d, ["hash"])
+        with pytest.raises(FileNotFoundError):
+            text_index_append(ray.data.from_arrow(_docs_tbl(["x"])), d)
+        self._build(d)
+        with pytest.raises(ValueError):
+            text_index_search(d, [])
