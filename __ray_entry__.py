@@ -7014,6 +7014,24 @@ def _q_hybrid_retrieval(sf_dir: str):
     )
 
 
+def _q_image_phash_dups(sf_dir: str):
+    """Image near-duplicate pairs by 63-bit perceptual hash (classic
+    pHash: 32x32 gray -> DCT-II -> 8x8 low block -> median threshold)
+    over a deterministic planted corpus — each base image appears as
+    PNG, BMP (identical pixels, different container) and a lossy
+    quality-90 JPEG re-encode, all through the REAL codecs. Banding +
+    exact popcount verify via the shared hamming_dup_pairs (exact-SQL
+    anchor: simhash_pairs runs the identical machinery). Rows-only
+    (binary codec path); distances/pairs pinned in
+    tests/test_ops.py TestImagePhash."""
+    import ray.data
+
+    from ctinexus_ray.ops.multimodal import image_phash_dups, make_phash_corpus
+
+    media = ray.data.from_arrow(make_phash_corpus(100)).repartition(4)
+    return image_phash_dups(media, max_hamming=6)
+
+
 def _q_multimodal_decode(sf_dir: str):
     """REAL media decode (no stub): P6 PPM / PNG / BMP / baseline JPEG
     images (4:4:4 and 4:2:0), PCM16 WAV audio — every payload parsed
@@ -9516,6 +9534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_graph_degrees": _q_dup_graph_degrees,
         "perplexity_buckets": _q_perplexity_buckets,
         "warc_source": _q_warc_source,
+        "image_phash_dups": _q_image_phash_dups,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,

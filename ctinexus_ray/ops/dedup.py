@@ -772,16 +772,40 @@ def simhash_dup_pairs(
     band buckets — a cluster of B exact dups would otherwise build a
     B²-row merge frame in one task).
     """
+    sigs = simhash_signatures(docs)
+    return hamming_dup_pairs(
+        sigs,
+        hash_col="simhash",
+        max_hamming=max_hamming,
+        chunks=chunks,
+        max_bucket=max_bucket,
+        pair_mode=pair_mode,
+    )
+
+
+def hamming_dup_pairs(
+    sigs: ray.data.Dataset,
+    hash_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    max_bucket: int = 200,
+    pair_mode: str = "all",
+) -> ray.data.Dataset:
+    """Near-dup (a, b) pairs among 64-bit signatures by Hamming distance
+    <= ``max_hamming`` — the banding+verify core of ``simhash_dup_pairs``
+    factored over ANY (doc_id, <hash_col>) dataset so other signature
+    families (e.g. image perceptual hashes, ops/multimodal.py
+    ``image_phash_dups``) share the identical shuffle shape, hot-bucket
+    cap and exact popcount verify."""
     assert max_hamming < chunks, "pigeonhole guarantee needs max_hamming < chunks"
     from ctinexus_ray.ops.groupagg import derive_num_partitions
 
-    num_partitions = derive_num_partitions(docs)
-    sigs = simhash_signatures(docs)
+    num_partitions = derive_num_partitions(sigs)
     bits_per_chunk = 64 // chunks
 
     def to_bands(batch: pa.Table) -> pa.Table:
         doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        hashes = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64)
+        hashes = batch.column(hash_col).to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(doc_ids)
         mask = (1 << bits_per_chunk) - 1
         out_doc = np.repeat(doc_ids, chunks)
@@ -793,7 +817,7 @@ def simhash_dup_pairs(
                 "doc_id": pa.array(out_doc, type=pa.int64()),
                 "band": pa.array(out_band, type=pa.int32()),
                 "val": pa.array(out_val, type=pa.int64()),
-                "simhash": pa.array(out_sig, type=pa.int64()),
+                hash_col: pa.array(out_sig, type=pa.int64()),
                 "pkey": pa.array(
                     (out_val + out_band.astype(np.int64) * 1_000_003)
                     % num_partitions,
@@ -812,8 +836,8 @@ def simhash_dup_pairs(
     def hamming_verify(m: pd.DataFrame) -> np.ndarray:
         # exact vectorized Hamming verify (XOR + popcount via unpackbits)
         xor = np.bitwise_xor(
-            m["simhash_a"].to_numpy(dtype=np.int64),
-            m["simhash_b"].to_numpy(dtype=np.int64),
+            m[f"{hash_col}_a"].to_numpy(dtype=np.int64),
+            m[f"{hash_col}_b"].to_numpy(dtype=np.int64),
         )
         return _popcount64(xor) <= max_hamming
 
@@ -822,7 +846,7 @@ def simhash_dup_pairs(
             bucket_pairs_partition,
             key_cols=["band", "val"],
             max_bucket=max_bucket,
-            carry_cols=["simhash"],
+            carry_cols=[hash_col],
             verify=hamming_verify,
             star=(pair_mode == "star"),
         ),

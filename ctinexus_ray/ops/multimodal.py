@@ -548,6 +548,195 @@ def make_real_media_table(n: int) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+_IMAGE_MIMES = (
+    "image/x-portable-pixmap",
+    "image/png",
+    "image/bmp",
+    "image/jpeg",
+    "image/gif",
+)
+
+
+def decode_image_any(mime: str, payload: bytes) -> np.ndarray:
+    """(h, w, 3) uint8 pixels from any stdlib-decodable image container
+    — the shared dispatch behind DecodeMediaStage and PhashStage."""
+    if mime == "image/png":
+        return _to_rgb(decode_png(payload))
+    if mime == "image/bmp":
+        return decode_bmp(payload)
+    if mime == "image/jpeg":
+        from ctinexus_ray.ops.jpeg import decode_jpeg
+
+        return _to_rgb(decode_jpeg(payload))
+    if mime == "image/gif":
+        from ctinexus_ray.ops.gif import decode_gif
+
+        return decode_gif(payload)
+    if mime == "image/x-portable-pixmap":
+        return decode_ppm(payload)
+    raise ValueError(f"unsupported image mime {mime!r}; known: {_IMAGE_MIMES}")
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (pHash) + image near-dup pairs
+# ---------------------------------------------------------------------------
+
+_PHASH_N = 32  # DCT input grid
+_PHASH_K = 8  # low-frequency block kept
+_phash_dct: np.ndarray | None = None
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the JPEG transform, here as one
+    matmul): row k, col x = c(k) * cos(pi*(2x+1)*k / (2n))."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    x = np.arange(n)[None, :].astype(np.float64)
+    m = np.cos(np.pi * (2.0 * x + 1.0) * k / (2.0 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+def _resize_nearest_gray(img: np.ndarray, n: int) -> np.ndarray:
+    """(n, n) float64 grayscale via nearest-neighbor resample — unlike
+    ``area_resize_gray`` it also UPSAMPLES (the synthetic corpus has
+    images below 32 px), and nearest keeps the map deterministic."""
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ri = (np.arange(n, dtype=np.int64) * h) // n
+    ci = (np.arange(n, dtype=np.int64) * w) // n
+    return gray[ri][:, ci]
+
+
+def phash64_image(img: np.ndarray) -> int:
+    """63-bit perceptual hash (classic pHash): 32x32 grayscale -> 2D
+    DCT-II -> top-left 8x8 low-frequency block -> drop the DC term ->
+    bit i set iff coefficient i exceeds the MEDIAN of the 63. Identical
+    pixels hash identically regardless of container; small perceptual
+    edits (lossy re-encode, light noise) flip few bits. 63 bits keeps
+    the value int64-positive, like the simhash signatures."""
+    global _phash_dct
+    if _phash_dct is None:
+        _phash_dct = _dct_matrix(_PHASH_N)
+    g = _resize_nearest_gray(img, _PHASH_N)
+    coeffs = _phash_dct @ g @ _phash_dct.T
+    low = coeffs[:_PHASH_K, :_PHASH_K].ravel()[1:]  # 63, DC dropped
+    bits = low > float(np.median(low))
+    return int(np.packbits(bits, bitorder="little").view(np.uint64)[0])
+
+
+class PhashStage:
+    """Actor-pool stage: decode each image payload with the real codecs
+    and emit its 63-bit perceptual hash. DCT basis built once per actor."""
+
+    def __init__(self):
+        global _phash_dct
+        if _phash_dct is None:  # once per actor, shared by every batch
+            _phash_dct = _dct_matrix(_PHASH_N)
+
+    def _one(self, mime: str, payload: bytes) -> int:
+        return phash64_image(decode_image_any(mime, payload))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = [
+            self._one(m, p or b"")
+            for m, p in zip(
+                batch.column("mime").to_pylist(),
+                batch.column("payload").to_pylist(),
+            )
+        ]
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch.column("media_id"),
+                "phash": pa.array(hashes, type=pa.int64()),
+            }
+        )
+
+
+def image_phash_signatures(
+    media: "ray.data.Dataset", batch_size: int = 16, concurrency: int = 4
+) -> "ray.data.Dataset":
+    """(media_id, phash) for every IMAGE row — decode is the expensive
+    part, so small batches through an actor pool (binary payloads stay
+    off the driver)."""
+    import pyarrow.compute as pc
+
+    imgs = media.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "image")),
+        batch_format="pyarrow",
+    )
+    # autoscaling (1, N) pool: a FIXED pool of N pre-reserves every CPU
+    # on a small cluster and starves the upstream all-to-all (deadlock
+    # observed at num_cpus=4); min=1 keeps the pipeline always runnable
+    return imgs.map_batches(
+        PhashStage,
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        batch_format="pyarrow",
+    )
+
+
+def image_phash_dups(
+    media: "ray.data.Dataset",
+    max_hamming: int = 6,
+    chunks: int = 8,
+    max_bucket: int = 200,
+) -> "ray.data.Dataset":
+    """Image near-dup pairs (a, b) by perceptual-hash Hamming distance
+    <= ``max_hamming`` — the multimodal sibling of ``simhash_dup_pairs``:
+    same pixels in a different container collide exactly; a lossy
+    re-encode lands within a few bits. Banding + exact popcount verify
+    via the shared ``hamming_dup_pairs`` (pigeonhole needs
+    ``max_hamming < chunks``; 8 bands of 8 bits cover distance <= 7)."""
+    from ctinexus_ray.ops.dedup import hamming_dup_pairs
+
+    sigs = image_phash_signatures(media).map_batches(
+        lambda t: t.rename_columns(["doc_id", "phash"]),
+        batch_format="pyarrow",
+    )
+    return hamming_dup_pairs(
+        sigs,
+        hash_col="phash",
+        max_hamming=max_hamming,
+        chunks=chunks,
+        max_bucket=max_bucket,
+    )
+
+
+def make_phash_corpus(n_base: int) -> pa.Table:
+    """Deterministic image corpus with PLANTED container/near-dup
+    triples for the pHash family: base image i appears as PNG (3i),
+    BMP (3i+1 — identical pixels, different container) and a lossy
+    quality-90 JPEG re-encode (3i+2). The dedup story a 100-TB image
+    crawl actually has: exact pixel dups across containers plus lossy
+    re-encodes."""
+    from ctinexus_ray.ops.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n_base):
+        digest = hashlib.blake2b(f"phash:{i}".encode(), digest_size=8).digest()
+        w, h = 16 + digest[0] % 17, 16 + digest[1] % 17
+        img = decode_ppm(_encode_ppm(w, h, digest[2]))
+        for j, (payload, mime) in enumerate(
+            (
+                (encode_png(img), "image/png"),
+                (encode_bmp(img), "image/bmp"),
+                (encode_jpeg(img, quality=90), "image/jpeg"),
+            )
+        ):
+            rows.append(
+                {
+                    "media_id": 3 * i + j,
+                    "kind": "image",
+                    "payload": payload,
+                    "mime": mime,
+                    "width": w,
+                    "height": h,
+                    "duration_ms": 0,
+                }
+            )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
 class DecodeMediaStage:
     """REAL decode + feature-extract actor stage for the stdlib-decodable
     formats (P6 PPM / PNG / BMP images, PCM16 WAV audio). Per-row output
@@ -581,22 +770,8 @@ class DecodeMediaStage:
         self.target_size = target_size
 
     def _features(self, mime: str, payload: bytes) -> list[float]:
-        if mime in ("image/x-portable-pixmap", "image/png", "image/bmp",
-                    "image/jpeg", "image/gif"):
-            if mime == "image/png":
-                img = _to_rgb(decode_png(payload))
-            elif mime == "image/bmp":
-                img = decode_bmp(payload)
-            elif mime == "image/jpeg":
-                from ctinexus_ray.ops.jpeg import decode_jpeg
-
-                img = _to_rgb(decode_jpeg(payload))
-            elif mime == "image/gif":
-                from ctinexus_ray.ops.gif import decode_gif
-
-                img = decode_gif(payload)
-            else:
-                img = decode_ppm(payload)
+        if mime in _IMAGE_MIMES:
+            img = decode_image_any(mime, payload)
             grid = area_resize_gray(img, *self.target_size)
             means = img.astype(np.float64).mean(axis=(0, 1))
             return [

@@ -2522,3 +2522,68 @@ class TestNswTopk:
                         seen.add(nb)
                         stack.append(nb)
             assert len(seen) == n, f"seed {seed}: orphaned nodes"
+
+
+class TestImagePhash:
+    def test_same_pixels_any_container_collide(self, ray_session):
+        from ctinexus_ray.ops.multimodal import (
+            _encode_ppm,
+            decode_image_any,
+            decode_ppm,
+            encode_bmp,
+            encode_png,
+            phash64_image,
+        )
+
+        img = decode_ppm(_encode_ppm(24, 20, 3))
+        h0 = phash64_image(img)
+        assert 0 <= h0 < 2**63
+        assert phash64_image(decode_image_any("image/png", encode_png(img))) == h0
+        assert phash64_image(decode_image_any("image/bmp", encode_bmp(img))) == h0
+
+    def test_lossy_reencode_is_near(self, ray_session):
+        from ctinexus_ray.ops.jpeg import encode_jpeg
+        from ctinexus_ray.ops.multimodal import (
+            _encode_ppm,
+            decode_image_any,
+            decode_ppm,
+            phash64_image,
+        )
+
+        img = decode_ppm(_encode_ppm(24, 20, 1))
+        other = decode_ppm(_encode_ppm(24, 20, 101))
+        h = phash64_image(img)
+        hj = phash64_image(decode_image_any("image/jpeg", encode_jpeg(img, quality=90)))
+        ho = phash64_image(other)
+        assert bin(h ^ hj).count("1") <= 6
+        assert bin(h ^ ho).count("1") > 6
+
+    def test_planted_corpus_pairs(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.multimodal import image_phash_dups, make_phash_corpus
+
+        media = ray.data.from_arrow(make_phash_corpus(12)).repartition(3)
+        pairs = {
+            (r["a"], r["b"])
+            for r in image_phash_dups(media, max_hamming=6).take_all()
+        }
+        # every planted (png, bmp) twin collides at distance 0
+        for i in range(12):
+            assert (3 * i, 3 * i + 1) in pairs
+        # no cross-base pair survives the verify
+        for a, b in pairs:
+            assert a // 3 == b // 3
+
+    def test_audio_rows_ignored(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.multimodal import (
+            image_phash_signatures,
+            make_real_media_table,
+        )
+
+        media = ray.data.from_arrow(make_real_media_table(32)).repartition(2)
+        sigs = image_phash_signatures(media).take_all()
+        n_images = sum(1 for r in make_real_media_table(32).to_pylist() if r["kind"] == "image")
+        assert len(sigs) == n_images
