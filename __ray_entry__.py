@@ -9211,6 +9211,54 @@ def _aug_urls(batch: pa.Table) -> pa.Table:
     )
 
 
+def _aug_robots() -> "pa.Table":
+    """Deterministic per-host robots.txt corpus for the politeness
+    filter (hosts host0..host39.example.com, matching _aug_urls): a
+    decoy 'special' agent group that must be skipped, then a * group
+    whose rules rotate by host index K%3 — prefix+longer-Allow
+    override, $-anchored Disallow, and empty-Disallow allow-all. The
+    SQL twin re-derives the VERDICTS from K directly, so a parser or
+    longest-match bug hash-mismatches."""
+    hosts, txts = [], []
+    for k in range(40):
+        hosts.append(f"host{k}.example.com")
+        if k % 3 == 0:
+            rules = "User-agent: *\nDisallow: /a\nAllow: /a/b\n"
+        elif k % 3 == 1:
+            rules = "User-agent: *\nDisallow: /x$\nCrawl-delay: 2\n"
+        else:
+            rules = "User-agent: *\nDisallow:\n"
+        txts.append(
+            "# synthetic robots\nUser-agent: special\nDisallow: /\n\n"
+            + rules
+        )
+    return pa.Table.from_pydict(
+        {
+            "host": pa.array(hosts, type=pa.string()),
+            "robots_txt": pa.array(txts, type=pa.string()),
+        }
+    )
+
+
+def _q_robots_allowed(sf_dir: str):
+    """RFC 9309 crawl-politeness filter (ops/weblinks.py): per-host
+    robots.txt parsed+compiled once and broadcast (ray.put once, read
+    per task — the host-cardinality small side never reships per
+    batch), pages marked allowed/blocked by longest-match with Allow
+    winning ties and $ anchors honored; the decoy 'special' group must
+    be skipped for agent='*'. ✓SQL (verdicts re-derived from the host
+    index; parse/group/match bugs hash-mismatch)."""
+    import ray.data
+
+    from ctinexus_ray.ops.weblinks import robots_allowed
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _aug_urls, batch_format="pyarrow"
+    )
+    robots = ray.data.from_arrow(_aug_robots())
+    return robots_allowed(pages, robots)
+
+
 def _q_url_prefix_counts(sf_dir: str):
     """Crawl-budget rollup: pages per (host, cumulative path prefix)
     (ops/weblinks.py path_prefix_counts). Stateless prefix explode +
@@ -9557,6 +9605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfrecord_source": _q_tfrecord_source,
         "ann_sq": _q_ann_sq,
         "table_schema_evolution": _q_table_schema_evolution,
+        "robots_allowed": _q_robots_allowed,
         "url_prefix_counts": _q_url_prefix_counts,
         "bucketed_join_orders": _q_bucketed_join_orders,
         "bitext_mine": _q_bitext_mine,
@@ -12311,6 +12360,22 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS sum_cents "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_nationkey"
+        ),
+        "robots_allowed": (
+            "WITH pages AS (SELECT doc_id, 'http://host' || (doc_id % 40) || "
+            "'.example.com' || CASE WHEN doc_id % 4 = 0 THEN "
+            "'/a/b/c/' || doc_id WHEN doc_id % 4 = 1 THEN "
+            "'/a/' || doc_id WHEN doc_id % 4 = 2 THEN '/x' "
+            "ELSE '/' END AS url FROM documents), "
+            "parsed AS (SELECT doc_id, url, (doc_id % 40) AS k, "
+            "coalesce(nullif(regexp_extract(url, "
+            "'^https?://[^/]+(/[^?#]*)', 1), ''), '/') AS path "
+            "FROM pages) "
+            "SELECT doc_id, url, CASE "
+            "WHEN k % 3 = 0 THEN (starts_with(path, '/a/b') "
+            "OR NOT starts_with(path, '/a')) "
+            "WHEN k % 3 = 1 THEN path <> '/x' "
+            "ELSE TRUE END AS allowed FROM parsed"
         ),
         "url_prefix_counts": (
             "WITH pages AS (SELECT 'http://host' || (doc_id % 40) || "

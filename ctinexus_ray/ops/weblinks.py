@@ -242,3 +242,143 @@ def host_link_graph(
         num_partitions=num_partitions,
     )
     return agg
+
+
+# ---------------------------------------------------------------------------
+# robots.txt politeness (RFC 9309)
+# ---------------------------------------------------------------------------
+
+
+def parse_robots(robots_txt: str, agent: str = "*") -> dict:
+    """Parse one robots.txt into the matched user-agent group's rules.
+
+    RFC 9309 subset (the crawl-politeness contract):
+      * groups = consecutive ``User-agent:`` lines + their rules; the
+        group whose agent token equals ``agent`` wins, else the ``*``
+        group; comments (#) stripped; field names case-insensitive;
+      * ``Allow`` / ``Disallow`` values are path patterns with ``*``
+        wildcards and an optional ``$`` end anchor; an EMPTY Disallow
+        means "allow all" (no rule);
+      * ``Crawl-delay`` (non-standard but ubiquitous) is captured.
+
+    Returns ``{"rules": [(allow: bool, pattern: str)], "crawl_delay":
+    float | None}``.
+    """
+    groups: list = []  # {"agents": set, "rules": [(allow, pat)], "delay"}
+    cur = None
+    last_was_agent = False
+    for raw in robots_txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not last_was_agent or cur is None:
+                cur = {"agents": set(), "rules": [], "delay": None}
+                groups.append(cur)
+            cur["agents"].add(value.lower())
+            last_was_agent = True
+            continue
+        last_was_agent = False
+        if cur is None:  # rules before any User-agent line: ignored
+            continue
+        if field in ("allow", "disallow"):
+            if value:  # empty Disallow == allow all: no rule
+                cur["rules"].append((field == "allow", value))
+        elif field == "crawl-delay":
+            try:
+                cur["delay"] = float(value)
+            except ValueError:
+                pass
+    a = agent.lower()
+    sel = [g for g in groups if a in g["agents"]]
+    if not sel:  # no specific group: fall back to the * group(s)
+        sel = [g for g in groups if "*" in g["agents"]]
+    rules = [r for g in sel for r in g["rules"]]
+    delay = next((g["delay"] for g in sel if g["delay"] is not None), None)
+    return {"rules": rules, "crawl_delay": delay}
+
+
+def _rule_regex(pattern: str):
+    """Compile a robots path pattern: ``*`` matches anything, a single
+    trailing ``$`` anchors the end; everything else is literal."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "".join(".*" if ch == "*" else _re.escape(ch) for ch in body)
+    return _re.compile(rx + ("$" if anchored else ""))
+
+
+class _RobotsIndex:
+    """Per-host compiled rule sets, built once and broadcast."""
+
+    def __init__(self, per_host: dict):
+        self.per_host = {
+            h: (
+                [
+                    (allow, len(pat), _rule_regex(pat))
+                    for allow, pat in parsed["rules"]
+                ],
+                parsed["crawl_delay"],
+            )
+            for h, parsed in per_host.items()
+        }
+
+    def allowed(self, host: str, path: str) -> bool:
+        entry = self.per_host.get(host)
+        if entry is None:
+            return True  # no robots.txt: everything allowed
+        best_len, best_allow = -1, True
+        for allow, plen, rx in entry[0]:
+            if rx.match(path) and (
+                plen > best_len or (plen == best_len and allow)
+            ):
+                # longest pattern wins; Allow wins exact-length ties
+                best_len, best_allow = plen, allow
+        return best_allow
+
+
+def robots_allowed(
+    pages: "ray.data.Dataset",
+    robots: "ray.data.Dataset",
+    agent: str = "*",
+    max_hosts: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Crawl-politeness filter: attach ``allowed`` (RFC 9309 longest-
+    match verdict for ``agent``) to every page row by (host, path) of
+    its ``url`` column. ``robots`` is (host, robots_txt) —
+    host-cardinality, so it BROADCASTS: parsed+compiled once on the
+    driver, ``ray.put`` once, read per task; above ``max_hosts`` this
+    refuses loudly (shard the crawl by host range upstream, or port to
+    ``partitioned_attach`` keyed on host — the pages side never
+    shuffles either way).
+
+    Pages with unparseable urls (no host) and hosts with no robots row
+    are allowed — the crawl default."""
+    n_hosts = robots.count()
+    if n_hosts > max_hosts:
+        raise ValueError(
+            f"robots side has {n_hosts} hosts > max_hosts={max_hosts}; "
+            "shard by host range or raise the cap explicitly"
+        )
+    per_host = {
+        r["host"]: parse_robots(r["robots_txt"] or "", agent)
+        for r in robots.take_all()
+    }
+    idx_ref = ray.put(_RobotsIndex(per_host))
+
+    def mark(batch: pa.Table) -> pa.Table:
+        idx = ray.get(idx_ref)
+        urls = batch.column("url").to_pylist()
+        out = np.empty(len(urls), dtype=bool)
+        for i, u in enumerate(urls):
+            u = u or ""
+            rest = u.split("://", 1)[1] if "://" in u else ""
+            host, _, path = rest.partition("/")
+            out[i] = idx.allowed(host, "/" + path)
+        return batch.append_column("allowed", pa.array(out, type=pa.bool_()))
+
+    return pages.map_batches(mark, batch_format="pyarrow")

@@ -163,3 +163,100 @@ class TestExtractLinks:
             )
         )
         assert extract_links(ds).count() == 0
+
+
+class TestRobots:
+    TXT = (
+        "# comment\n"
+        "User-agent: googlebot\n"
+        "Disallow: /private\n"
+        "Crawl-delay: 2\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /a\n"
+        "Allow: /a/b\n"
+        "Disallow: /x$\n"
+        "Disallow:\n"
+        "Crawl-delay: 1.5\n"
+    )
+
+    def test_group_selection(self):
+        from ctinexus_ray.ops.weblinks import parse_robots
+
+        star = parse_robots(self.TXT)
+        assert star["rules"] == [(False, "/a"), (True, "/a/b"), (False, "/x$")]
+        assert star["crawl_delay"] == 1.5
+        goog = parse_robots(self.TXT, agent="googlebot")
+        assert goog["rules"] == [(False, "/private")]
+        assert goog["crawl_delay"] == 2.0
+        # unknown agent falls back to the * group
+        other = parse_robots(self.TXT, agent="bingbot")
+        assert other["rules"] == star["rules"]
+
+    def test_longest_match_and_anchor(self):
+        from ctinexus_ray.ops.weblinks import _RobotsIndex, parse_robots
+
+        idx = _RobotsIndex({"h": parse_robots(self.TXT)})
+        assert not idx.allowed("h", "/a/5")
+        assert idx.allowed("h", "/a/b/c")  # longer Allow overrides
+        assert not idx.allowed("h", "/x")  # $ anchor hits
+        assert idx.allowed("h", "/xy")  # $ anchor misses
+        assert idx.allowed("nothost", "/anything")  # no robots: allowed
+
+    def test_wildcard_rules(self):
+        from ctinexus_ray.ops.weblinks import _RobotsIndex, parse_robots
+
+        idx = _RobotsIndex(
+            {"h": parse_robots("User-agent: *\nDisallow: /*/c\nAllow: /a/c$\n")}
+        )
+        assert not idx.allowed("h", "/b/c")
+        assert idx.allowed("h", "/a/c")  # longer anchored Allow wins
+        assert not idx.allowed("h", "/a/cd")  # Allow anchor misses
+        assert idx.allowed("h", "/c")  # /*/c needs a middle segment
+
+    def test_multi_agent_group_header(self):
+        from ctinexus_ray.ops.weblinks import parse_robots
+
+        txt = "User-agent: a\nUser-agent: b\nDisallow: /z\n"
+        assert parse_robots(txt, agent="b")["rules"] == [(False, "/z")]
+        # consecutive User-agent lines form ONE group
+        assert parse_robots(txt, agent="a")["rules"] == [(False, "/z")]
+        # no * group at all: unknown agent gets no rules (allow all)
+        assert parse_robots(txt, agent="zz")["rules"] == []
+
+    def test_dataset_filter_and_refusal(self, ray_session):
+        import pyarrow as pa
+        import pytest
+        import ray.data
+
+        from ctinexus_ray.ops.weblinks import robots_allowed
+
+        pages = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "url": [
+                        "http://h.example.com/a/1",
+                        "http://h.example.com/a/b/2",
+                        "http://other.com/a/1",
+                        "garbage-no-scheme",
+                    ]
+                }
+            )
+        )
+        robots = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "host": ["h.example.com"],
+                    "robots_txt": ["User-agent: *\nDisallow: /a\nAllow: /a/b\n"],
+                }
+            )
+        )
+        rows = {r["url"]: r["allowed"] for r in robots_allowed(pages, robots).take_all()}
+        assert rows == {
+            "http://h.example.com/a/1": False,
+            "http://h.example.com/a/b/2": True,
+            "http://other.com/a/1": True,
+            "garbage-no-scheme": True,
+        }
+        with pytest.raises(ValueError, match="max_hosts"):
+            robots_allowed(pages, robots, max_hosts=0)
