@@ -7173,6 +7173,103 @@ def _q_tpch_q6(sf_dir: str):
     )
 
 
+def _q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 (shipping priority, top 10 unshipped-order revenue):
+    customer scan-filtered to the BUILDING segment, orders/lineitem
+    date-filtered at the scan, two two-large-sides hash joins, one
+    hash-partitioned (orderkey, orderdate, priority) sum in integer
+    cents, driver-side top-10 with (revenue desc, orderdate, orderkey)
+    order. Orderdate rides the shuffle as epoch-us int64 (hash keys are
+    int/string) and is restored to timestamp at the end."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import ray.data
+
+    from ctinexus_ray.ops.distjoin import hash_join
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    cutoff = datetime.datetime(1996, 6, 1)
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"],
+        filter=(pds.field("c_mktsegment") == "BUILDING"),
+    ).rename_columns({"c_custkey": "ckey"})
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=(pds.field("o_orderdate") < cutoff),
+    )
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "okey": batch.column("o_orderkey").cast(pa.int64()),
+                "ckey": batch.column("o_custkey").cast(pa.int64()),
+                "odate_us": batch.column("o_orderdate").cast(pa.int64()),
+                "o_orderpriority": batch.column("o_orderpriority"),
+            }
+        )
+
+    bld_orders = hash_join(
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        cust,
+        on=["ckey"],
+    ).select_columns(["okey", "odate_us", "o_orderpriority"])
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pds.field("l_shipdate") > cutoff),
+    )
+
+    def li_cents(batch: pa.Table):
+        if batch.num_rows == 0:
+            return
+        c = pc.floor(
+            pc.add(
+                pc.multiply(
+                    pc.multiply(
+                        batch.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+                    ),
+                    pa.scalar(100.0),
+                ),
+                pa.scalar(0.5),
+            )
+        ).cast(pa.int64())
+        yield pa.Table.from_pydict(
+            {"okey": batch.column("l_orderkey").cast(pa.int64()), "c": c}
+        )
+
+    j = hash_join(
+        li.map_batches(li_cents, batch_format="pyarrow"), bld_orders, on=["okey"]
+    )
+    agg = partitioned_agg(
+        j,
+        keys=["okey", "odate_us", "o_orderpriority"],
+        named_aggs={"revenue_cents": ("c", "sum")},
+    )
+    top = agg.sort(
+        ["revenue_cents", "odate_us", "okey"], descending=[True, False, False]
+    ).limit(10)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "l_orderkey": batch.column("okey"),
+                "revenue_cents": batch.column("revenue_cents"),
+                "o_orderdate": batch.column("odate_us").cast(
+                    pa.timestamp("us")
+                ),
+                "o_orderpriority": batch.column("o_orderpriority"),
+            }
+        )
+
+    return top.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_tpch_q10(sf_dir: str):
     """TPC-H Q10 (returned-item revenue by customer, top 20): orders
     window-filtered at the scan, lineitem pre-filtered to returnflag='R'
@@ -9538,6 +9635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q7": _q_tpch_q7,
         "tpch_q8": _q_tpch_q8,
         "tpch_q9": _q_tpch_q9,
+        "tpch_q3": _q_tpch_q3,
         "tpch_q10": _q_tpch_q10,
         "tpch_q11": _q_tpch_q11,
         "tpch_q12": _q_tpch_q12,
@@ -11985,6 +12083,20 @@ def oracle_sql() -> dict[str, str]:
         "doc_percent_rank": (
             "SELECT doc_id, n_chars, PERCENT_RANK() OVER "
             "(ORDER BY n_chars DESC, doc_id ASC) AS prank FROM documents"
+        ),
+        "tpch_q3": (
+            "WITH j AS (SELECT l_orderkey, o_orderdate, o_orderpriority, "
+            "CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 "
+            "+ 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1996-06-01' "
+            "AND l_shipdate > TIMESTAMP '1996-06-01' "
+            "GROUP BY l_orderkey, o_orderdate, o_orderpriority) "
+            "SELECT l_orderkey, revenue_cents, o_orderdate, "
+            "o_orderpriority FROM j "
+            "ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10"
         ),
         "tpch_q11": (
             "WITH pr AS (SELECT l_partkey AS p_partkey, "
