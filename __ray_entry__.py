@@ -3255,6 +3255,49 @@ def _q_text_index_bm25(sf_dir: str):
     )
 
 
+def _q_sitemap_source(sf_dir: str):
+    """Sitemap XML ingestion round trip (sources/sitemap.py): a
+    deterministic <sitemapindex> + child <urlset> shards (urls from the
+    _aug_urls rule, lastmod/changefreq/priority doc_id-derived) is
+    written one-task-per-file and read back one-parse-task-per-file.
+    The ✓SQL twin recomputes every field from documents directly — a
+    writer or parser bug (entity handling, namespace, field order)
+    hash-mismatches. Same one-scratch-dir-per-sf rebuild discipline as
+    warc_source. ✓SQL."""
+    import hashlib
+    import shutil
+
+    import ray.data
+
+    from ctinexus_ray.sources.sitemap import read_sitemaps, write_sitemap_corpus
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"/tmp/sitemap_src_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # synthesis scaffolding: the id list is row-count-bounded (500 at
+    # sf0.01) and exists only to build the fixture corpus
+    ids = sorted(
+        r["doc_id"] for r in _docs(sf_dir, ["doc_id"]).take_all()
+    )
+    freqs = ["daily", "weekly", "monthly"]
+    rows = []
+    for i in ids:
+        k = i % 4
+        tail = {0: f"/a/b/c/{i}", 1: f"/a/{i}", 2: "/x", 3: "/"}[k]
+        rows.append(
+            {
+                "url": f"http://host{i % 40}.example.com{tail}",
+                "lastmod": f"2024-01-{1 + i % 28:02d}",
+                "changefreq": freqs[i % 3],
+                "priority": (i % 10) / 10.0,
+            }
+        )
+    index = write_sitemap_corpus(tmp, rows, urls_per_file=200, gz=True)
+    return read_sitemaps(index).select_columns(
+        ["url", "lastmod", "changefreq", "priority"]
+    )
+
+
 def _q_jsonl_source(sf_dir: str):
     """JSONL(.gz) ingestion round trip: the documents table is sharded
     into deterministic .jsonl.gz files (one Ray task per shard, atomic
@@ -9532,6 +9575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_checksum": _q_corpus_checksum,
         "corpus_checksum_ranges": _q_corpus_checksum_ranges,
         "jsonl_source": _q_jsonl_source,
+        "sitemap_source": _q_sitemap_source,
         "text_index_bm25": _q_text_index_bm25,
         "table_time_travel": _q_table_time_travel,
         "csv_source": _q_csv_source,
@@ -12083,6 +12127,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_percent_rank": (
             "SELECT doc_id, n_chars, PERCENT_RANK() OVER "
             "(ORDER BY n_chars DESC, doc_id ASC) AS prank FROM documents"
+        ),
+        "sitemap_source": (
+            "SELECT 'http://host' || (doc_id % 40) || '.example.com' || "
+            "CASE WHEN doc_id % 4 = 0 THEN '/a/b/c/' || doc_id "
+            "WHEN doc_id % 4 = 1 THEN '/a/' || doc_id "
+            "WHEN doc_id % 4 = 2 THEN '/x' ELSE '/' END AS url, "
+            "strftime(DATE '2024-01-01' + to_days(CAST(doc_id % 28 AS INT)), "
+            "'%Y-%m-%d') AS lastmod, "
+            "['daily', 'weekly', 'monthly'][CAST(doc_id % 3 AS INT) + 1] "
+            "AS changefreq, "
+            "(doc_id % 10) / 10.0 AS priority FROM documents"
         ),
         "tpch_q3": (
             "WITH j AS (SELECT l_orderkey, o_orderdate, o_orderpriority, "

@@ -122,3 +122,60 @@ class TestCsvSource:
             (r["doc_id"], r["text"]) for r in read_csv_corpus(paths).take_all()
         )
         assert got == sorted(rows)
+import gzip
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+class TestSitemapSource:
+    ROWS = [
+        {"url": "http://h.example.com/a", "lastmod": "2024-01-02",
+         "changefreq": "daily", "priority": 0.5},
+        {"url": "http://h.example.com/b?x=1&y=2", "lastmod": None,
+         "changefreq": None, "priority": None},
+        {"url": "http://h.example.com/c", "lastmod": "2024-02-03",
+         "changefreq": "weekly", "priority": 1.0},
+    ]
+
+    def test_round_trip_plain_and_gz(self, ray_session, tmp_path):
+        from ctinexus_ray.sources.sitemap import read_sitemaps, write_sitemap_corpus
+
+        for gz in (False, True):
+            d = str(tmp_path / ("gz" if gz else "plain"))
+            index = write_sitemap_corpus(d, self.ROWS, urls_per_file=2, gz=gz)
+            got = sorted(
+                read_sitemaps(index).take_all(), key=lambda r: r["url"]
+            )
+            assert [r["url"] for r in got] == [r["url"] for r in self.ROWS]
+            assert got[0]["priority"] == 0.5
+            assert got[1]["lastmod"] is None
+            assert got[1]["changefreq"] is None
+            # two files of 2 + 1 rows
+            assert {r["sitemap_file"] for r in got} == {
+                f"sitemap-00000.xml{'.gz' if gz else ''}",
+                f"sitemap-00001.xml{'.gz' if gz else ''}",
+            }
+
+    def test_empty_corpus(self, ray_session, tmp_path):
+        from ctinexus_ray.sources.sitemap import read_sitemaps, write_sitemap_corpus
+
+        index = write_sitemap_corpus(str(tmp_path / "e"), [], urls_per_file=2)
+        assert read_sitemaps(index).count() == 0
+
+    def test_malformed_loud(self, ray_session, tmp_path):
+        from ctinexus_ray.sources.sitemap import parse_sitemapindex, parse_urlset
+
+        with pytest.raises(ValueError, match="urlset"):
+            parse_urlset(
+                b'<?xml version="1.0"?><sitemapindex xmlns='
+                b'"http://www.sitemaps.org/schemas/sitemap/0.9"/>'
+            )
+        with pytest.raises(ValueError, match="sitemapindex"):
+            parse_sitemapindex(
+                b'<?xml version="1.0"?><urlset xmlns='
+                b'"http://www.sitemaps.org/schemas/sitemap/0.9"/>'
+            )
+        with pytest.raises(Exception):
+            parse_urlset(b"this is not xml at all")
