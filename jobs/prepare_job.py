@@ -129,6 +129,65 @@ def dedup_phase(input_path: str, deduped_dir: str, threshold: float,
     return stats
 
 
+def exact_substr_phase(src_dir: str, out_dir: str, n: int,
+                       num_partitions: int) -> dict:
+    """ExactSubstr duplicated-span REMOVAL (Lee et al. 2021,
+    ops/dedup.py remove_dup_spans) over the near-dedup survivors — the
+    standard order: document-level near-dedup first (cheap kills), then
+    span-level surgery on what remains. Word positions covered by a
+    word-``n``-gram occurring at >= 2 positions corpus-wide are dropped
+    and documents rebuilt; non-text payload columns ride back via one
+    attach shuffle. All-or-nothing phase resume like dedup_phase."""
+    import pyarrow as pa
+    import ray.data
+
+    from ctinexus_ray.ops.dedup import remove_dup_spans
+    from ctinexus_ray.ops.distjoin import partitioned_attach
+
+    marker = Path(out_dir) / "_SPANS_SUCCESS.json"
+    if marker.exists():
+        stats = json.loads(marker.read_text())
+        stats["skipped"] = True
+        return stats
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    start = time.perf_counter()
+    docs = ray.data.read_parquet(src_dir)
+    payload_cols = [c for c in docs.schema().names if c != "text"]
+    rewritten = remove_dup_spans(
+        docs.select_columns(["doc_id", "text"]), n=n,
+        num_partitions=num_partitions,
+    )
+    import pyarrow.compute as pc
+
+    agg = rewritten.aggregate(
+        ray.data.aggregate.Sum("n_removed", alias_name="words_removed"),
+        ray.data.aggregate.Count(alias_name="docs"),
+    )
+    # attach the untouched payload columns back onto the rewritten text
+    out = partitioned_attach(
+        docs.select_columns(payload_cols),
+        rewritten.select_columns(["doc_id", "text"]),
+        key="doc_id",
+        attach=["text"],
+        num_partitions=num_partitions,
+        side_types={"doc_id": pa.int64(), "text": pa.string()},
+    )
+    out.write_parquet(out_dir)
+    stats = {
+        "docs": int(agg["docs"] or 0),
+        "words_removed": int(agg["words_removed"] or 0),
+        "ngram_n": n,
+        "sec": round(time.perf_counter() - start, 2),
+        "skipped": False,
+    }
+    tmp = marker.with_suffix(".tmp")
+    tmp.write_text(json.dumps(stats, indent=2))
+    tmp.rename(marker)
+    return stats
+
+
 def lm_filter_phase(deduped_dir: str, filtered_dir: str, tail_drop: float,
                     num_partitions: int) -> dict:
     """CCNet-style global LM quality filter: score every document with
@@ -369,6 +428,9 @@ def main() -> int:
     parser.add_argument("--c4-min-words", type=int, default=5)
     parser.add_argument("--c4-min-lines", type=int, default=2,
                         help="use 1 for single-line documents")
+    parser.add_argument("--exact-substr-n", type=int, default=0,
+                        help="remove word n-gram duplicated spans "
+                             "(ExactSubstr) after dedup; 0 = off")
     parser.add_argument("--mixture-weights", default="",
                         help="source:weight[,source:weight...] — enables "
                              "token-budget mixture sampling after dedup/"
@@ -410,11 +472,19 @@ def main() -> int:
         c4_min_lines=args.c4_min_lines,
     )
     shard_src = deduped_dir
+    spans_stats = None
+    if args.exact_substr_n > 0:
+        despanned_dir = os.path.join(args.output, "despanned")
+        spans_stats = exact_substr_phase(
+            shard_src, despanned_dir, args.exact_substr_n,
+            args.num_partitions,
+        )
+        shard_src = despanned_dir
     lm_stats = None
     if args.lm_tail_drop > 0:
         filtered_dir = os.path.join(args.output, "lm_filtered")
         lm_stats = lm_filter_phase(
-            deduped_dir, filtered_dir, args.lm_tail_drop, args.num_partitions
+            shard_src, filtered_dir, args.lm_tail_drop, args.num_partitions
         )
         shard_src = filtered_dir
     mixture_stats = None
@@ -436,6 +506,8 @@ def main() -> int:
         },
     )
     report = {"dedup": dedup_stats, "shards": summary}
+    if spans_stats is not None:
+        report["exact_substr"] = spans_stats
     if lm_stats is not None:
         report["lm_filter"] = lm_stats
     if mixture_stats is not None:

@@ -977,3 +977,52 @@ class TestCompactTable:
         )
         assert sorted(r["doc_id"] for r in ds.take_all()) == [2, 3]
         assert ds.schema().names == ["doc_id"]
+
+
+class TestExactSubstrPhase:
+    def test_span_removal_payload_and_resume(self, ray_session, tmp_path):
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        import jobs.prepare_job as pj
+
+        span = " ".join(f"w{i}" for i in range(10))
+        texts = [
+            f"{span} uniqueA tailA endingA",
+            f"{span} uniqueB tailB endingB",
+            "totally distinct words for doc three here now indeed ok",
+        ]
+        src = tmp_path / "deduped"
+        src.mkdir()
+        pq.write_table(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string()),
+                    "source": pa.array(["s1", "s2", "s3"], type=pa.string()),
+                }
+            ),
+            src / "part0.parquet",
+        )
+        out = tmp_path / "despanned"
+        stats = pj.exact_substr_phase(str(src), str(out), n=10,
+                                      num_partitions=8)
+        assert stats["docs"] == 3
+        assert stats["words_removed"] == 20  # the 10-word span, twice
+        rows = {
+            r["doc_id"]: r
+            for r in ray.data.read_parquet(str(out)).take_all()
+        }
+        assert rows[1]["text"] == "uniqueA tailA endingA"
+        assert rows[1]["source"] == "s1"  # payload column survived
+        assert rows[2]["text"] == "uniqueB tailB endingB"
+        assert "distinct" in rows[3]["text"]
+
+        stats2 = pj.exact_substr_phase(str(src), str(out), n=10,
+                                       num_partitions=8)
+        assert stats2["skipped"] is True
+        marker = json.loads((out / "_SPANS_SUCCESS.json").read_text())
+        assert marker["words_removed"] == 20
