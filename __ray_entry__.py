@@ -3298,6 +3298,34 @@ def _q_sitemap_source(sf_dir: str):
     )
 
 
+def _q_crawl_gap(sf_dir: str):
+    """Discovery-vs-capture reconciliation: urls the sitemap advertises
+    (every doc) that the crawl has NOT captured (even doc_ids only) —
+    ONE two-large-sides left-anti hash join on url; both sides are
+    corpus-sized at 10^12 urls, so no broadcast. ✓SQL (EXCEPT-style
+    anti twin)."""
+    from ctinexus_ray.ops.distjoin import hash_join
+
+    advertised = _docs(sf_dir, ["doc_id"]).map_batches(
+        _aug_urls, batch_format="pyarrow"
+    )
+
+    def even_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(pc.bit_wise_and(batch.column("doc_id"), 1), 0)
+        return batch.filter(keep)
+
+    captured = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(even_only, batch_format="pyarrow")
+        .map_batches(_aug_urls, batch_format="pyarrow")
+        .select_columns(["url"])
+    )
+    gap = hash_join(advertised, captured, on=["url"], how="left_anti")
+    return gap.select_columns(["doc_id", "url"])
+
+
 def _q_jsonl_source(sf_dir: str):
     """JSONL(.gz) ingestion round trip: the documents table is sharded
     into deterministic .jsonl.gz files (one Ray task per shard, atomic
@@ -9576,6 +9604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_checksum_ranges": _q_corpus_checksum_ranges,
         "jsonl_source": _q_jsonl_source,
         "sitemap_source": _q_sitemap_source,
+        "crawl_gap": _q_crawl_gap,
         "text_index_bm25": _q_text_index_bm25,
         "table_time_travel": _q_table_time_travel,
         "csv_source": _q_csv_source,
@@ -12127,6 +12156,16 @@ def oracle_sql() -> dict[str, str]:
         "doc_percent_rank": (
             "SELECT doc_id, n_chars, PERCENT_RANK() OVER "
             "(ORDER BY n_chars DESC, doc_id ASC) AS prank FROM documents"
+        ),
+        "crawl_gap": (
+            "WITH urls AS (SELECT doc_id, 'http://host' || (doc_id % 40) || "
+            "'.example.com' || CASE WHEN doc_id % 4 = 0 THEN "
+            "'/a/b/c/' || doc_id WHEN doc_id % 4 = 1 THEN "
+            "'/a/' || doc_id WHEN doc_id % 4 = 2 THEN '/x' "
+            "ELSE '/' END AS url FROM documents), "
+            "captured AS (SELECT url FROM urls WHERE doc_id % 2 = 0) "
+            "SELECT doc_id, url FROM urls "
+            "WHERE url NOT IN (SELECT url FROM captured)"
         ),
         "sitemap_source": (
             "SELECT 'http://host' || (doc_id % 40) || '.example.com' || "
