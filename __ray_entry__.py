@@ -7085,6 +7085,25 @@ def _q_hybrid_retrieval(sf_dir: str):
     )
 
 
+def _q_audio_fingerprint_dups(sf_dir: str):
+    """Audio near-duplicate pairs by 63-bit spectral fingerprint
+    (Haitsma-Kalker band-comparison bits over total-normalized,
+    noise-floored linear band energies — amplitude-invariant) over a
+    deterministic planted corpus: each base tone appears as the
+    original, a half-amplitude re-level (collides) and a two-tone
+    different mix (distant). Real WAV decode; banding + popcount
+    verify via the shared hamming_dup_pairs (anchor: simhash_pairs
+    ✓SQL runs the identical machinery). Rows-only (binary codec
+    path); the full 30-signature pairwise-distance matrix is pinned
+    in tests/test_ops.py TestAudioFingerprint."""
+    import ray.data
+
+    from ctinexus_ray.ops.multimodal import audio_hash_dups, make_audio_dup_corpus
+
+    media = ray.data.from_arrow(make_audio_dup_corpus(10)).repartition(3)
+    return audio_hash_dups(media, max_hamming=3)
+
+
 def _q_image_phash_dups(sf_dir: str):
     """Image near-duplicate pairs by 63-bit perceptual hash (classic
     pHash: 32x32 gray -> DCT-II -> 8x8 low block -> median threshold)
@@ -9753,6 +9772,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_graph_degrees": _q_dup_graph_degrees,
         "perplexity_buckets": _q_perplexity_buckets,
         "warc_source": _q_warc_source,
+        "audio_fingerprint_dups": _q_audio_fingerprint_dups,
         "image_phash_dups": _q_image_phash_dups,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_features": _q_multimodal_features,

@@ -702,6 +702,169 @@ def image_phash_dups(
     )
 
 
+def _wav_from_samples(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """RIFF/WAVE PCM16 mono from raw int16 samples (the variant writer
+    behind make_audio_dup_corpus — _encode_wav only does sines)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+def audio_spectral_hash(samples: np.ndarray, n_t: int = 4, n_f: int = 17) -> int:
+    """63-bit audio fingerprint: the clip splits into ``n_t`` equal
+    time slices, each slice's spectrum (rFFT, DC dropped) folds into
+    ``n_f`` linear band ENERGIES normalized by total energy and
+    clamped to a 1e-6 noise floor, and bit (t, f) is the adjacent-band
+    comparison ``E[t,f] > E[t,f+1]`` — the Haitsma-Kalker 2002
+    fingerprint bit WITHOUT its temporal difference (stationary audio
+    makes d/dt ~ 0 everywhere, turning temporal-diff bits into
+    numerical coin flips) and with the noise floor making empty-band
+    comparisons a stable 0 instead of re-quantization flips.
+    Normalization makes the hash amplitude-invariant: a re-levelled
+    copy collides exactly up to int16 quantization in the occupied
+    bands (pinned in tests); a bit-exact copy collides exactly. Clips
+    shorter than ``n_t`` samples (or all-zero) hash to 0."""
+    x = samples.astype(np.float64)
+    L = len(x) - (len(x) % n_t)
+    if L < n_t:
+        return 0
+    slices = x[:L].reshape(n_t, -1)
+    mags = np.abs(np.fft.rfft(slices, axis=1))[:, 1:]
+    F = mags.shape[1]
+    starts = (np.arange(n_f) * F) // n_f  # linear bands: narrowband
+    # content (tones) lands in DIFFERENT bands for different pitches,
+    # which log spacing squashes together at the low end
+    energies = np.add.reduceat(mags * mags, starts, axis=1)
+    total = energies.sum()
+    if total <= 0:
+        return 0
+    # normalize (scale-invariance by construction) and clamp to a noise
+    # floor: bands holding only quantization noise (narrowband audio
+    # leaves most bands ~empty) clamp to the SAME floor, making their
+    # difference bits a stable 0 instead of re-quantization coin flips
+    norm = np.maximum(energies / total, 1e-6)
+    # per-slice adjacent-band comparison (the HK bit WITHOUT the
+    # temporal difference: stationary audio — tones, hums — makes
+    # d/dt ~ 0 everywhere, turning temporal-diff bits into numerical
+    # coin flips; the spatial comparison stays stable)
+    bits = (norm[:, :-1] > norm[:, 1:]).ravel()[:63]  # int64-positive
+    padded = np.zeros(64, dtype=bool)
+    padded[: bits.size] = bits
+    return int(np.packbits(padded, bitorder="little").view(np.uint64)[0])
+
+
+class AudioHashStage:
+    """Actor-pool stage: decode each WAV payload and emit its spectral
+    fingerprint."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = []
+        for mime, payload in zip(
+            batch.column("mime").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            if mime != "audio/wav":
+                raise ValueError(f"audio fingerprint needs audio/wav, got {mime!r}")
+            _, samples = decode_wav(payload or b"")
+            hashes.append(audio_spectral_hash(samples))
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch.column("media_id"),
+                "ahash": pa.array(hashes, type=pa.int64()),
+            }
+        )
+
+
+def audio_hash_signatures(
+    media: "ray.data.Dataset", batch_size: int = 16, concurrency: int = 4
+) -> "ray.data.Dataset":
+    """(media_id, ahash) for every AUDIO row — autoscaling (1, N) actor
+    pool like PhashStage (a fixed pool starves small clusters)."""
+    import pyarrow.compute as pc
+
+    clips = media.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "audio")),
+        batch_format="pyarrow",
+    )
+    return clips.map_batches(
+        AudioHashStage,
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        batch_format="pyarrow",
+    )
+
+
+def audio_hash_dups(
+    media: "ray.data.Dataset",
+    max_hamming: int = 3,
+    chunks: int = 8,
+    max_bucket: int = 200,
+) -> "ray.data.Dataset":
+    """Audio near-dup pairs (a, b) by fingerprint Hamming distance —
+    the audio sibling of ``image_phash_dups``: identical clips collide
+    exactly, re-levelled clips within the quantization-noise margin;
+    banding + popcount verify via the shared ``hamming_dup_pairs``."""
+    from ctinexus_ray.ops.dedup import hamming_dup_pairs
+
+    sigs = audio_hash_signatures(media).map_batches(
+        lambda t: t.rename_columns(["doc_id", "ahash"]),
+        batch_format="pyarrow",
+    )
+    return hamming_dup_pairs(
+        sigs,
+        hash_col="ahash",
+        max_hamming=max_hamming,
+        chunks=chunks,
+        max_bucket=max_bucket,
+    )
+
+
+def make_audio_dup_corpus(n_base: int) -> pa.Table:
+    """Deterministic audio corpus with PLANTED near-dup triples: base
+    tone i appears as the original (3i), a half-amplitude re-level
+    (3i+1 — collides under the amplitude-invariant fingerprint) and a
+    two-tone DIFFERENT mix (3i+2). ``n_base`` is capped at 10 — beyond
+    that the tone grid would wrap past Nyquist into colliding bands."""
+    if n_base > 10:
+        raise ValueError("make_audio_dup_corpus: n_base is capped at 10")
+    rows = []
+    for i in range(n_base):
+        # one tone per base, spread ~1.5 linear bands apart so distinct
+        # contents occupy distinct bands; "different" adds a second
+        # tone (Nyquist-guarded) -> extra occupied band, distance >> 3.
+        # The full 30-signature pairwise-distance matrix is validated
+        # in TestAudioFingerprint (no twin beyond 3, no non-twin within)
+        f = 200.0 + i * 350
+        f2 = f + 1000.0 if f + 1000.0 < 3800.0 else f - 1700.0
+        dur = 300 + 17 * (i % 11)
+        _, s1 = decode_wav(_encode_wav(f, dur))
+        _, s2 = decode_wav(_encode_wav(f2, dur))
+        n = min(len(s1), len(s2))
+        base = s1[:n]
+        other = (s1[:n] * 0.5 + s2[:n] * 0.5).astype(np.int16)
+        for j, samples in enumerate(
+            (base, (base * 0.5).astype(np.int16), other)
+        ):
+            rows.append(
+                {
+                    "media_id": 3 * i + j,
+                    "kind": "audio",
+                    "payload": _wav_from_samples(samples),
+                    "mime": "audio/wav",
+                    "width": 0,
+                    "height": 0,
+                    "duration_ms": dur,
+                }
+            )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
 def make_phash_corpus(n_base: int) -> pa.Table:
     """Deterministic image corpus with PLANTED container/near-dup
     triples for the pHash family: base image i appears as PNG (3i),

@@ -2587,3 +2587,60 @@ class TestImagePhash:
         sigs = image_phash_signatures(media).take_all()
         n_images = sum(1 for r in make_real_media_table(32).to_pylist() if r["kind"] == "image")
         assert len(sigs) == n_images
+
+
+class TestAudioFingerprint:
+    def test_scale_invariance_and_separation(self, ray_session):
+        import numpy as np
+
+        from ctinexus_ray.ops.multimodal import (
+            _encode_wav,
+            audio_spectral_hash,
+            decode_wav,
+        )
+
+        _, s1 = decode_wav(_encode_wav(320.0, 400))
+        _, s2 = decode_wav(_encode_wav(730.0, 400))
+        n = min(len(s1), len(s2))
+        base = (s1[:n] * 0.6 + s2[:n] * 0.4).astype(np.int16)
+        h = audio_spectral_hash(base)
+        assert 0 <= h < 2**63
+        # a bit-exact copy collides exactly
+        assert audio_spectral_hash(base.copy()) == h
+        # amplitude re-level: signs hold up to int16 re-quantization
+        # noise in near-zero cells — within the pairing threshold
+        for scale in (0.5, 0.13):
+            hs = audio_spectral_hash((base * scale).astype(np.int16))
+            assert bin(h ^ hs).count("1") <= 3
+        # different pitches occupy different linear bands
+        _, o1 = decode_wav(_encode_wav(320.0 + 95, 400))
+        _, o2 = decode_wav(_encode_wav(730.0 + 268, 400))
+        m = min(len(o1), len(o2))
+        other = (o1[:m] * 0.6 + o2[:m] * 0.4).astype(np.int16)
+        d = bin(h ^ audio_spectral_hash(other)).count("1")
+        assert d > 3
+
+    def test_short_clip_hashes_zero(self, ray_session):
+        import numpy as np
+
+        from ctinexus_ray.ops.multimodal import audio_spectral_hash
+
+        assert audio_spectral_hash(np.zeros(3, dtype=np.int16)) == 0
+
+    def test_planted_corpus_pairs(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.multimodal import (
+            audio_hash_dups,
+            make_audio_dup_corpus,
+        )
+
+        media = ray.data.from_arrow(make_audio_dup_corpus(10)).repartition(3)
+        pairs = {
+            (r["a"], r["b"])
+            for r in audio_hash_dups(media, max_hamming=3).take_all()
+        }
+        for i in range(10):
+            assert (3 * i, 3 * i + 1) in pairs  # re-levelled twin
+        for a, b in pairs:
+            assert a // 3 == b // 3  # no cross-base pair
