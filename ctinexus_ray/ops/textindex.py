@@ -165,10 +165,13 @@ def _write_buckets(
 
 
 def text_index_build(
-    docs: ray.data.Dataset, table_dir: str, num_buckets: int = 64
+    docs: ray.data.Dataset, table_dir: str, num_buckets: int = 64,
+    batch_id: str | None = None,
 ) -> int:
     """Build (or rebuild) the inverted index; returns the committed
-    version. Overwrite semantics: a rebuild replaces the file set."""
+    version. Overwrite semantics: a rebuild replaces the file set.
+    ``batch_id`` seeds the applied-batch ledger (see
+    ``text_index_append``) for callers folding an ingestion stream."""
     paths, n_docs, total_len = _write_buckets(docs, table_dir, num_buckets)
     return commit_version(
         table_dir,
@@ -179,21 +182,38 @@ def text_index_build(
                 "num_buckets": num_buckets,
                 "n_docs": n_docs,
                 "total_len": total_len,
+                "applied": [batch_id] if batch_id else [],
             }
         },
     )
 
 
-def text_index_append(docs: ray.data.Dataset, table_dir: str) -> int:
+def text_index_applied(table_dir: str) -> list[str]:
+    """Batch ids already folded into the index (the manifest-atomic
+    ledger — same exactly-once contract as ``state/ivm.py``)."""
+    return list(version_extra(table_dir).get("text_index", {}).get("applied", []))
+
+
+def text_index_append(
+    docs: ray.data.Dataset, table_dir: str, batch_id: str | None = None
+) -> int | None:
     """Tokenize NEW docs under the existing bucket rule and
     append-commit, folding the corpus totals into the manifest extra.
     Callers own doc_id uniqueness across appends (duplicate ids would
-    double-count postings, like any append-only ingest)."""
+    double-count postings, like any append-only ingest).
+
+    ``batch_id`` makes the append EXACTLY-ONCE across crash/replay:
+    the ledger of applied ids lives IN the manifest extra (atomic with
+    the posting files); a replayed id returns None without touching
+    the index. Returns the committed version otherwise."""
     meta = version_extra(table_dir).get("text_index")
     if not meta:
         raise FileNotFoundError(
             f"{table_dir} has no text_index metadata — build first"
         )
+    applied = list(meta.get("applied", []))
+    if batch_id is not None and batch_id in applied:
+        return None
     paths, n_docs, total_len = _write_buckets(
         docs, table_dir, int(meta["num_buckets"])
     )
@@ -206,6 +226,7 @@ def text_index_append(docs: ray.data.Dataset, table_dir: str) -> int:
                 "num_buckets": int(meta["num_buckets"]),
                 "n_docs": int(meta["n_docs"]) + n_docs,
                 "total_len": int(meta["total_len"]) + total_len,
+                "applied": applied + ([batch_id] if batch_id else []),
             }
         },
     )

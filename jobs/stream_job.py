@@ -228,12 +228,55 @@ def _maintain_wordcount_view(
     return {"wordcount_folded": folded}
 
 
+def _maintain_text_index(
+    table_dir: str, index_dir: str, num_partitions: int
+) -> dict:
+    """Fold every committed-but-unfolded corpus version into the
+    persisted inverted text index (ops/textindex.py) — the searchable
+    sibling of the word-count IVM view. Reconciliation by VERSION
+    (batch id = "corpus-v{n}", postings built from exactly that
+    version's incremental file set) with the applied-batch ledger
+    living IN the index manifest — exactly-once across crash/replay.
+    Runs BEFORE vacuum so needed corpus manifests still exist."""
+    import ray.data
+
+    from ctinexus_ray.ops.textindex import (
+        text_index_append,
+        text_index_applied,
+        text_index_build,
+    )
+    from ctinexus_ray.state.tableformat import latest_version, version_files
+
+    latest = latest_version(table_dir)
+    if latest is None:
+        return {"text_index_folded": 0}
+    applied = set(text_index_applied(index_dir))
+    folded = 0
+    for v in range(1, latest + 1):
+        bid = f"corpus-v{v}"
+        if bid in applied:
+            continue
+        prev = set(version_files(table_dir, v - 1)) if v > 1 else set()
+        new_files = sorted(set(version_files(table_dir, v)) - prev)
+        if not new_files:
+            continue
+        docs = ray.data.read_parquet(new_files, columns=["doc_id", "text"])
+        if latest_version(index_dir) is None:
+            text_index_build(docs, index_dir, batch_id=bid)
+        else:
+            text_index_append(docs, index_dir, batch_id=bid)
+        applied.add(bid)
+        folded += 1
+    return {"text_index_folded": folded}
+
+
 def run_tick(
     input_dir: str,
     table_dir: str,
     num_partitions: int = 16,
     near_dup_threshold: float | None = None,
     wordcount_view: str | None = None,
+    text_index: str | None = None,
 ) -> dict:
     """Ingest every shard not yet in the ledger; returns tick stats.
 
@@ -271,6 +314,10 @@ def run_tick(
                                      num_partitions)
             if wordcount_view else {}
         )
+        if text_index:
+            view_stats.update(
+                _maintain_text_index(table_dir, text_index, num_partitions)
+            )
         return {"new_shards": 0, "rows_in": 0, "rows_appended": 0,
                 "version": latest_version(table_dir), **view_stats}
 
@@ -366,6 +413,10 @@ def run_tick(
         view_stats = _maintain_wordcount_view(
             table_dir, wordcount_view, num_partitions
         )
+    if text_index:
+        view_stats.update(
+            _maintain_text_index(table_dir, text_index, num_partitions)
+        )
 
     # ledger LAST: a crash before this line replays the shards next
     # tick, and the anti-join drops every already-committed row
@@ -398,6 +449,10 @@ def main() -> int:
     parser.add_argument("--wordcount-view", default=None,
                         help="maintain a delta-folded word-count view "
                              "(versioned table) at this dir per tick")
+    parser.add_argument("--text-index", default=None,
+                        help="maintain the persisted inverted BM25 "
+                             "index (ops/textindex.py) at this dir per "
+                             "tick, exactly-once across replays")
     parser.add_argument("--vacuum-keep", type=int, default=0,
                         help="after each committing tick, expire all but "
                              "the newest N table versions (0 = keep all)")
@@ -415,6 +470,7 @@ def main() -> int:
             args.input, args.table, args.num_partitions,
             near_dup_threshold=args.near_dup_threshold,
             wordcount_view=args.wordcount_view,
+            text_index=args.text_index,
         )
         stats["tick"] = tick
         if args.vacuum_keep and stats["new_shards"]:

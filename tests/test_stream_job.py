@@ -252,3 +252,75 @@ class TestWordcountView:
         assert s3["new_shards"] == 0
         assert s3["wordcount_folded"] == 0
         assert self._view_counts(view)["doc"] == 3
+
+
+class TestTextIndexMaintenance:
+    @staticmethod
+    def _shard(path, ids, texts):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string()),
+                }
+            ),
+            path,
+        )
+
+    def test_incremental_index_equals_full_scan(self, ray_session, tmp_path):
+        import ray.data
+
+        from ctinexus_ray.ops.textindex import (
+            text_index_applied,
+            text_index_search,
+        )
+        from ctinexus_ray.ops.textstats import bm25_topk_docs
+        from jobs.stream_job import run_tick
+
+        inp = tmp_path / "in"
+        inp.mkdir()
+        table = str(tmp_path / "table")
+        index = str(tmp_path / "tindex")
+        t1 = ["hash join wins again", "vector search with a hash index"]
+        t2 = ["the quick brown fox", "join the hash club today"]
+        self._shard(inp / "s1.parquet", [1, 2], t1)
+        s1 = run_tick(str(inp), table, num_partitions=4, text_index=index)
+        assert s1["text_index_folded"] == 1
+        self._shard(inp / "s2.parquet", [3, 4], t2)
+        s2 = run_tick(str(inp), table, num_partitions=4, text_index=index)
+        assert s2["text_index_folded"] == 1
+        assert text_index_applied(index) == ["corpus-v1", "corpus-v2"]
+
+        full = ray.data.from_items(
+            [
+                {"doc_id": i + 1, "text": t}
+                for i, t in enumerate(t1 + t2)
+            ]
+        )
+        terms = ["hash", "join"]
+        got = text_index_search(index, terms, k=10).to_pydict()
+        want = bm25_topk_docs(full, terms, k=10).to_pydict()
+        assert got == want
+
+    def test_replayed_fold_is_skipped(self, ray_session, tmp_path):
+        from ctinexus_ray.ops.textindex import (
+            text_index_applied,
+            text_index_search,
+        )
+        from jobs.stream_job import _maintain_text_index, run_tick
+
+        inp = tmp_path / "in"
+        inp.mkdir()
+        table = str(tmp_path / "table")
+        index = str(tmp_path / "tindex")
+        self._shard(inp / "s1.parquet", [1], ["hash join hash join now"])
+        run_tick(str(inp), table, num_partitions=4, text_index=index)
+        before = text_index_search(index, ["hash"], k=5).to_pydict()
+        # replaying the fold (crash-after-commit path) must be a no-op
+        out = _maintain_text_index(table, index, 4)
+        assert out["text_index_folded"] == 0
+        assert text_index_applied(index) == ["corpus-v1"]
+        assert text_index_search(index, ["hash"], k=5).to_pydict() == before
