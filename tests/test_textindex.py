@@ -112,3 +112,37 @@ class TestTextIndex:
         self._build(d)
         with pytest.raises(ValueError):
             text_index_search(d, [])
+
+
+class TestTextIndexCompaction:
+    def test_compaction_preserves_ledger_and_results(self, ray_session, tmp_path):
+        from ctinexus_ray.ops.textindex import (
+            text_index_append,
+            text_index_applied,
+            text_index_build,
+            text_index_search,
+        )
+        from ctinexus_ray.ops.textstats import bm25_topk_docs
+        from ctinexus_ray.state.tableformat import compact_table
+
+        d = str(tmp_path / "ti")
+        ds1 = ray.data.from_arrow(_docs_tbl(TEXTS[:3]))
+        text_index_build(ds1, d, num_buckets=8, batch_id="b1")
+        text_index_append(
+            ray.data.from_arrow(_docs_tbl(TEXTS[3:], start_id=3)), d,
+            batch_id="b2",
+        )
+        before = text_index_search(d, ["hash", "join"], k=10).to_pydict()
+        out = compact_table(d, target_bytes=1 << 30, min_files=2)
+        assert out.get("version") is not None  # a compaction happened
+        # manifest-extra inheritance: the ledger survives the compaction
+        assert text_index_applied(d) == ["b1", "b2"]
+        # replayed append after compaction is still a no-op
+        assert text_index_append(
+            ray.data.from_arrow(_docs_tbl(["x y z"])), d, batch_id="b2"
+        ) is None
+        # pruned search over the compacted file set is still EXACT
+        after = text_index_search(d, ["hash", "join"], k=10).to_pydict()
+        assert after == before
+        full = ray.data.from_arrow(_docs_tbl(TEXTS))
+        assert after == bm25_topk_docs(full, ["hash", "join"], k=10).to_pydict()
