@@ -3326,6 +3326,29 @@ def _q_crawl_gap(sf_dir: str):
     return gap.select_columns(["doc_id", "url"])
 
 
+def _q_text_index_and(sf_dir: str):
+    """Boolean AND retrieval from the persisted inverted index: doc_ids
+    containing ALL of ('hash','join','vector') — bucket-pruned posting
+    scan + one distinct-term count per doc vs |q| (postings are one row
+    per (term, doc) by construction). Own scratch dir, rebuilt fresh —
+    a stale index from a prior session must never be trusted. ✓SQL."""
+    import hashlib
+    import shutil
+
+    import ray.data
+
+    from ctinexus_ray.ops.textindex import text_index_boolean, text_index_build
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"/tmp/text_index_and_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    text_index_build(docs, tmp, num_buckets=64)
+    return text_index_boolean(tmp, ["hash", "join", "vector"], mode="and")
+
+
 def _q_jsonl_source(sf_dir: str):
     """JSONL(.gz) ingestion round trip: the documents table is sharded
     into deterministic .jsonl.gz files (one Ray task per shard, atomic
@@ -9625,6 +9648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_source": _q_sitemap_source,
         "crawl_gap": _q_crawl_gap,
         "text_index_bm25": _q_text_index_bm25,
+        "text_index_and": _q_text_index_and,
         "table_time_travel": _q_table_time_travel,
         "csv_source": _q_csv_source,
         "avro_source": _q_avro_source,
@@ -10596,6 +10620,14 @@ def oracle_sql() -> dict[str, str]:
             "(ORDER BY score_micro DESC, doc_id) AS rn FROM per_doc) "
             "SELECT CAST(rn AS BIGINT) AS rn, doc_id, score_micro "
             "FROM ranked WHERE rn <= 20"
+        ),
+        "text_index_and": (
+            "WITH words AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS word "
+            "FROM documents) "
+            "SELECT doc_id FROM words "
+            "WHERE word IN ('hash', 'join', 'vector') "
+            "GROUP BY doc_id HAVING count(DISTINCT word) = 3"
         ),
         "text_index_bm25": (
             # expression order mirrors ops/textstats.py bm25_topk_docs

@@ -282,3 +282,61 @@ def text_index_search(
         batch_format="pyarrow",
     )
     return bm25_rank_postings(matches, n_docs, avgdl, k=k, k1=k1, b=b)
+
+
+def text_index_boolean(
+    table_dir: str,
+    terms: list[str],
+    mode: str = "and",
+    version: int | None = None,
+) -> ray.data.Dataset:
+    """Boolean retrieval over the persisted index: doc_ids containing
+    ALL query terms (``mode="and"``, posting intersection) or ANY
+    (``mode="or"``, posting union) — the unranked sibling of
+    ``text_index_search``, same bucket-pruned scan. AND = one
+    hash-partitioned distinct-term count per doc compared to |terms|
+    (postings are one row per (term, doc), so the count IS the distinct
+    count); OR = one distinct-doc reduce. Exact by the same
+    term-complete-bucket argument."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    tset = sorted(set(terms))
+    if not tset:
+        raise ValueError("terms must be non-empty")
+    if mode not in ("and", "or"):
+        raise ValueError("mode must be 'and' or 'or'")
+    meta = version_extra(table_dir, version).get("text_index")
+    if not meta:
+        raise FileNotFoundError(
+            f"{table_dir} has no text_index metadata — build first"
+        )
+    want = sorted(
+        {
+            int(h % np.uint64(int(meta["num_buckets"])))
+            for h in hash64_strings(tset)
+        }
+    )
+    postings = read_version(
+        table_dir,
+        version=version,
+        columns=["doc_id"],
+        filter=pads.field("bucket").isin(want) & pads.field("term").isin(tset),
+    )
+    hits = partitioned_agg(
+        postings,
+        keys=["doc_id"],
+        named_aggs={"n_terms": ("doc_id", "size")},
+        num_partitions=16,
+    )
+    if mode == "or":
+        return hits.select_columns(["doc_id"])
+    k = len(tset)
+    return hits.map_batches(
+        lambda t: t.filter(pc.equal(t.column("n_terms"), k)).select(
+            ["doc_id"]
+        ),
+        batch_format="pyarrow",
+    )

@@ -146,3 +146,40 @@ class TestTextIndexCompaction:
         assert after == before
         full = ray.data.from_arrow(_docs_tbl(TEXTS))
         assert after == bm25_topk_docs(full, ["hash", "join"], k=10).to_pydict()
+
+
+class TestTextIndexBoolean:
+    def test_and_or_modes(self, ray_session, tmp_path):
+        from ctinexus_ray.ops.textindex import (
+            text_index_boolean,
+            text_index_build,
+        )
+
+        d = str(tmp_path / "ti")
+        text_index_build(ray.data.from_arrow(_docs_tbl(TEXTS)), d, num_buckets=8)
+        got_and = sorted(
+            r["doc_id"]
+            for r in text_index_boolean(d, ["hash", "join"], mode="and").take_all()
+        )
+        # docs 0 and 3 contain both terms
+        assert got_and == [0, 3]
+        got_or = sorted(
+            r["doc_id"]
+            for r in text_index_boolean(d, ["hash", "join"], mode="or").take_all()
+        )
+        assert got_or == [0, 1, 3]
+
+    def test_refusals(self, ray_session, tmp_path):
+        from ctinexus_ray.ops.textindex import (
+            text_index_boolean,
+            text_index_build,
+        )
+
+        d = str(tmp_path / "ti")
+        with pytest.raises(FileNotFoundError):
+            text_index_boolean(d, ["x"])
+        text_index_build(ray.data.from_arrow(_docs_tbl(TEXTS)), d, num_buckets=8)
+        with pytest.raises(ValueError):
+            text_index_boolean(d, [])
+        with pytest.raises(ValueError):
+            text_index_boolean(d, ["x"], mode="xor")
