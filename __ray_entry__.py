@@ -7127,6 +7127,39 @@ def _q_audio_fingerprint_dups(sf_dir: str):
     return audio_hash_dups(media, max_hamming=3)
 
 
+def _q_media_dedup_keep(sf_dir: str):
+    """End-to-end image dedup KEEP path: pHash pairs -> distributed
+    connected components -> drop non-minimal cluster members -> one
+    anti-join returns the survivors' FULL rows (payload included) —
+    the minhash_dedup_keep shape for binary media. Rows-only (binary);
+    cluster collapse + payload survival pinned in TestMediaDedupKeep."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from ctinexus_ray.ops.multimodal import (
+        image_phash_dups,
+        make_phash_corpus,
+        media_dedup_keep,
+    )
+
+    media = ray.data.from_arrow(make_phash_corpus(100)).repartition(4)
+    pairs = image_phash_dups(media, max_hamming=6)
+    kept = media_dedup_keep(media, pairs)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch.column("media_id"),
+                "mime": batch.column("mime"),
+                "n_bytes": pc.cast(
+                    pc.binary_length(batch.column("payload")), pa.int64()
+                ),
+            }
+        )
+
+    return kept.map_batches(shape, batch_format="pyarrow")
+
+
 def _q_image_phash_dups(sf_dir: str):
     """Image near-duplicate pairs by 63-bit perceptual hash (classic
     pHash: 32x32 gray -> DCT-II -> 8x8 low block -> median threshold)
@@ -9798,6 +9831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_source": _q_warc_source,
         "audio_fingerprint_dups": _q_audio_fingerprint_dups,
         "image_phash_dups": _q_image_phash_dups,
+        "media_dedup_keep": _q_media_dedup_keep,
         "multimodal_decode": _q_multimodal_decode,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frames": _q_multimodal_frames,

@@ -865,6 +865,34 @@ def make_audio_dup_corpus(n_base: int) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+def media_dedup_keep(
+    media: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    id_col: str = "media_id",
+) -> "ray.data.Dataset":
+    """End-to-end media dedup KEEP path: near-dup (a, b) pairs (from
+    ``image_phash_dups`` / ``audio_hash_dups``) collapse to clusters
+    via distributed connected components, every non-minimal cluster
+    member drops, and the survivors' FULL rows (payload included) come
+    back by one anti-join — the ``minhash_dedup_keep`` shape for
+    binary media. Returns the surviving media rows."""
+    import pyarrow.compute as pc
+
+    from ctinexus_ray.ops.distjoin import connected_components, hash_join
+
+    comps = connected_components(pairs)
+
+    def losers(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch.column("node"), batch.column("label"))
+        t = batch.filter(keep)
+        return pa.Table.from_pydict(
+            {id_col: t.column("node").cast(pa.int64())}
+        )
+
+    drop = comps.map_batches(losers, batch_format="pyarrow")
+    return hash_join(media, drop, on=[id_col], how="left_anti")
+
+
 def make_phash_corpus(n_base: int) -> pa.Table:
     """Deterministic image corpus with PLANTED container/near-dup
     triples for the pHash family: base image i appears as PNG (3i),

@@ -2644,3 +2644,43 @@ class TestAudioFingerprint:
             assert (3 * i, 3 * i + 1) in pairs  # re-levelled twin
         for a, b in pairs:
             assert a // 3 == b // 3  # no cross-base pair
+
+
+class TestMediaDedupKeep:
+    def test_image_keep_path(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.multimodal import (
+            image_phash_dups,
+            make_phash_corpus,
+            media_dedup_keep,
+        )
+
+        media = ray.data.from_arrow(make_phash_corpus(8)).repartition(3)
+        pairs = image_phash_dups(media, max_hamming=6)
+        kept = media_dedup_keep(media, pairs)
+        ids = sorted(r["media_id"] for r in kept.select_columns(["media_id"]).take_all())
+        # each planted triple collapses to its smallest id (3i); any
+        # jpeg falling outside the threshold survives alone
+        assert all(3 * i in ids for i in range(8))
+        assert all(i % 3 != 1 for i in ids)  # the bmp twin always drops
+        # survivors keep their payload column
+        row = kept.take(1)[0]
+        assert isinstance(row["payload"], bytes) and len(row["payload"]) > 0
+
+    def test_audio_keep_path(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.multimodal import (
+            audio_hash_dups,
+            make_audio_dup_corpus,
+            media_dedup_keep,
+        )
+
+        media = ray.data.from_arrow(make_audio_dup_corpus(6)).repartition(2)
+        pairs = audio_hash_dups(media, max_hamming=3)
+        kept = media_dedup_keep(media, pairs)
+        ids = sorted(r["media_id"] for r in kept.select_columns(["media_id"]).take_all())
+        # re-levelled twins (3i+1) always collapse into 3i; the
+        # different-mix rows (3i+2) always survive
+        assert ids == sorted([3 * i for i in range(6)] + [3 * i + 2 for i in range(6)])
