@@ -7160,6 +7160,24 @@ def _q_media_dedup_keep(sf_dir: str):
     return kept.map_batches(shape, batch_format="pyarrow")
 
 
+def _q_video_fingerprint_dups(sf_dir: str):
+    """Video near-duplicate pairs by the 60-bit luma-grid fingerprint
+    (per-frame 6x6 grid gradient-SIGN bits — robust where pHash's
+    near-median DCT thresholds flip under re-encoding — majority-voted
+    across evenly-strided frames) over a planted MJPEG corpus: each
+    base appears at quality 85, re-encoded at quality 70 (pairs) and
+    as a different video (distant). Real ISO-BMFF walk + T.81 frame
+    decode end to end. Rows-only (binary); distances pinned in
+    TestVideoFingerprint (anchor: simhash_pairs ✓SQL, same pair
+    machinery)."""
+    import ray.data
+
+    from ctinexus_ray.ops.multimodal import make_video_dup_corpus, video_hash_dups
+
+    media = ray.data.from_arrow(make_video_dup_corpus(8)).repartition(3)
+    return video_hash_dups(media, max_hamming=6)
+
+
 def _q_image_phash_dups(sf_dir: str):
     """Image near-duplicate pairs by 63-bit perceptual hash (classic
     pHash: 32x32 gray -> DCT-II -> 8x8 low block -> median threshold)
@@ -9830,6 +9848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets": _q_perplexity_buckets,
         "warc_source": _q_warc_source,
         "audio_fingerprint_dups": _q_audio_fingerprint_dups,
+        "video_fingerprint_dups": _q_video_fingerprint_dups,
         "image_phash_dups": _q_image_phash_dups,
         "media_dedup_keep": _q_media_dedup_keep,
         "multimodal_decode": _q_multimodal_decode,

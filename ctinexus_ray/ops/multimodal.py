@@ -865,6 +865,174 @@ def make_audio_dup_corpus(n_base: int) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
 
+def video_grid_signature(payload: bytes, max_frames: int = 32) -> int:
+    """60-bit video fingerprint from REAL motion-JPEG decode: every
+    sampled frame's 6x6 luma grid contributes adjacent-cell gradient
+    SIGN bits (30 horizontal + 30 vertical — the audio fingerprint's
+    comparison-bit idea applied spatially; sign bits survive lossy
+    re-encoding where pHash's near-median DCT thresholds flip), and the
+    video bit is the MAJORITY over frames (ties -> 1), making the
+    signature stable under re-encoding and mild frame-set changes.
+    Reads at most ``max_frames`` frames, evenly strided — a 2-hour
+    video costs the same as a clip. Non-MJPEG codecs raise (the honest
+    env boundary, as DecodeVideoStage)."""
+    from ctinexus_ray.ops.jpeg import decode_jpeg
+    from ctinexus_ray.ops.mp4 import parse_mp4_samples
+
+    info = parse_mp4_samples(payload)
+    if info["codec"] != "jpeg":
+        raise NotImplementedError(
+            f"no {info['codec']!r} bitstream decoder in this environment "
+            "(motion-JPEG only)"
+        )
+    offsets, sizes = info["offsets"], info["sizes"]
+    n = len(offsets)
+    if n == 0:
+        return 0
+    idx = np.unique(
+        (np.arange(min(n, max_frames)) * n) // min(n, max_frames)
+    )
+    bits = np.zeros(60, dtype=np.int64)
+    for i in idx:
+        frame = payload[int(offsets[i]) : int(offsets[i]) + int(sizes[i])]
+        g = area_resize_gray(_to_rgb(decode_jpeg(frame)), 6, 6)
+        fb = np.concatenate(
+            [(g[:, :-1] > g[:, 1:]).ravel(), (g[:-1, :] > g[1:, :]).ravel()]
+        )
+        bits += fb
+    maj = bits * 2 >= len(idx)
+    padded = np.zeros(64, dtype=bool)
+    padded[:60] = maj
+    return int(np.packbits(padded, bitorder="little").view(np.uint64)[0])
+
+
+class VideoHashStage:
+    """Actor-pool stage: fingerprint each MJPEG payload."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = []
+        for mime, payload in zip(
+            batch.column("mime").to_pylist(), batch.column("payload").to_pylist()
+        ):
+            if mime != "video/mp4":
+                raise ValueError(f"video fingerprint needs video/mp4, got {mime!r}")
+            hashes.append(video_grid_signature(payload or b""))
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch.column("media_id"),
+                "vhash": pa.array(hashes, type=pa.int64()),
+            }
+        )
+
+
+def video_hash_signatures(
+    media: "ray.data.Dataset", batch_size: int = 8, concurrency: int = 4
+) -> "ray.data.Dataset":
+    """(media_id, vhash) for every VIDEO row — small batches (a video
+    payload is the widest media), autoscaling (1, N) pool."""
+    import pyarrow.compute as pc
+
+    vids = media.map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "video")),
+        batch_format="pyarrow",
+    )
+    return vids.map_batches(
+        VideoHashStage,
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        batch_format="pyarrow",
+    )
+
+
+def video_hash_dups(
+    media: "ray.data.Dataset",
+    max_hamming: int = 6,
+    chunks: int = 8,
+    max_bucket: int = 200,
+) -> "ray.data.Dataset":
+    """Video near-dup pairs (a, b) — the third fingerprint family
+    beside image pHash and the audio spectral hash: a quality-70
+    re-encode of the same frames lands within a few bits (measured
+    worst 4 on the planted corpus), different videos ~20+ apart."""
+    from ctinexus_ray.ops.dedup import hamming_dup_pairs
+
+    sigs = video_hash_signatures(media).map_batches(
+        lambda t: t.rename_columns(["doc_id", "vhash"]),
+        batch_format="pyarrow",
+    )
+    return hamming_dup_pairs(
+        sigs,
+        hash_col="vhash",
+        max_hamming=max_hamming,
+        chunks=chunks,
+        max_bucket=max_bucket,
+    )
+
+
+def make_video_dup_corpus(n_base: int) -> pa.Table:
+    """Deterministic MJPEG corpus with PLANTED near-dup triples: base
+    video i (smooth per-seed sinusoid frames — high-frequency sawtooth
+    patterns are fingerprint-hostile under lossy re-encode) appears at
+    quality 85 (3i), re-encoded at quality 70 (3i+1 — lands within the
+    pairing threshold) and as a DIFFERENT seed's video (3i+2)."""
+    from ctinexus_ray.ops.jpeg import encode_jpeg
+    from ctinexus_ray.ops.mp4 import build_mp4, parse_mp4_samples
+
+    size = 32
+    y, x = np.mgrid[0:size, 0:size].astype(np.float64)
+
+    def frames(seed: int, q: int) -> list[bytes]:
+        a = 1 + seed % 5
+        b = 1 + (2 * seed) % 7
+        c = 1 + (3 * seed) % 5
+        out = []
+        for f in range(5):
+            ph = 2 * np.pi * (f * 0.13 + seed * 0.71)
+            img = np.stack(
+                [
+                    128 + 100 * np.sin(2 * np.pi * (a * x + 0.5 * b * y) / size + ph),
+                    128 + 100 * np.sin(2 * np.pi * (b * y - 0.3 * a * x) / size - ph + seed),
+                    128 + 80 * np.sin(2 * np.pi * (x + y) * c / size + 2 * seed),
+                ],
+                axis=-1,
+            ).clip(0, 255).astype(np.uint8)
+            out.append(encode_jpeg(img, quality=q))
+        return out
+
+    rows = []
+    for i in range(n_base):
+        variants = (
+            frames(i, 85),
+            frames(i, 70),
+            frames(i + 1000, 85),
+        )
+        for j, fr in enumerate(variants):
+            payload = build_mp4(
+                0,
+                timescale=1000,
+                frame_delta=200,
+                frames=fr,
+                codec=b"jpeg",
+                width=size,
+                height=size,
+                frames_per_chunk=2,
+                variable_rate=(j == 1),
+            )
+            dur_ms = int(parse_mp4_samples(payload)["duration_ms"])
+            rows.append(
+                {
+                    "media_id": 3 * i + j,
+                    "kind": "video",
+                    "payload": payload,
+                    "mime": "video/mp4",
+                    "width": size,
+                    "height": size,
+                    "duration_ms": dur_ms,
+                }
+            )
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+
 def media_dedup_keep(
     media: "ray.data.Dataset",
     pairs: "ray.data.Dataset",

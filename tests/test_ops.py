@@ -2684,3 +2684,52 @@ class TestMediaDedupKeep:
         # re-levelled twins (3i+1) always collapse into 3i; the
         # different-mix rows (3i+2) always survive
         assert ids == sorted([3 * i for i in range(6)] + [3 * i + 2 for i in range(6)])
+
+
+class TestVideoFingerprint:
+    def test_reencode_near_different_far(self, ray_session):
+        from ctinexus_ray.ops.multimodal import (
+            make_video_dup_corpus,
+            video_grid_signature,
+        )
+
+        rows = make_video_dup_corpus(4).to_pylist()
+        sigs = [video_grid_signature(r["payload"]) for r in rows]
+        for i in range(4):
+            assert 0 <= sigs[3 * i] < 2**63
+            # q70 re-encode of the same frames: within the threshold
+            assert bin(sigs[3 * i] ^ sigs[3 * i + 1]).count("1") <= 6
+            # a different video: far outside it
+            assert bin(sigs[3 * i] ^ sigs[3 * i + 2]).count("1") > 6
+
+    def test_non_mjpeg_refuses(self, ray_session):
+        import numpy as np
+        import pytest
+
+        from ctinexus_ray.ops.mp4 import build_mp4
+        from ctinexus_ray.ops.multimodal import video_grid_signature
+
+        payload = build_mp4(
+            0, timescale=1000, frame_delta=100,
+            frames=[b"\x00" * 64], codec=b"avc1", width=8, height=8,
+        )
+        with pytest.raises(NotImplementedError, match="avc1"):
+            video_grid_signature(payload)
+
+    def test_planted_corpus_pairs(self, ray_session):
+        import ray.data
+
+        from ctinexus_ray.ops.multimodal import (
+            make_video_dup_corpus,
+            video_hash_dups,
+        )
+
+        media = ray.data.from_arrow(make_video_dup_corpus(6)).repartition(2)
+        pairs = {
+            (r["a"], r["b"])
+            for r in video_hash_dups(media, max_hamming=6).take_all()
+        }
+        for i in range(6):
+            assert (3 * i, 3 * i + 1) in pairs  # the re-encoded twin
+        for a, b in pairs:
+            assert a // 3 == b // 3  # no cross-video pair
