@@ -9520,6 +9520,59 @@ def _q_robots_allowed(sf_dir: str):
     return robots_allowed(pages, robots)
 
 
+def _q_crawl_budget(sf_dir: str):
+    """Per-host crawl-time budget: pages-per-host (one count reduce)
+    x the host's Crawl-delay PARSED from its robots.txt by the real
+    RFC 9309 parser (default 1000 ms where the file sets none) — the
+    politeness-aware scheduling estimate. Integer millisecond
+    arithmetic end to end. ✓SQL (delay re-derived from the host index;
+    a Crawl-delay parse bug hash-mismatches)."""
+    import ray.data
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+    from ctinexus_ray.ops.weblinks import parse_robots
+
+    delays = {
+        r["host"]: int(
+            (parse_robots(r["robots_txt"])["crawl_delay"] or 1.0) * 1000
+        )
+        for r in _aug_robots().to_pylist()
+    }
+    def to_host(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        hosts = [
+            (u.split("://", 1)[1].split("/", 1)[0] if "://" in u else "")
+            for u in urls
+        ]
+        return pa.Table.from_pydict(
+            {"host": pa.array(hosts, type=pa.string())}
+        )
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _aug_urls, batch_format="pyarrow"
+    ).map_batches(to_host, batch_format="pyarrow")
+    per_host = partitioned_agg(
+        pages, keys=["host"], named_aggs={"n_pages": ("host", "size")}
+    )
+
+    def budget(batch: pa.Table) -> pa.Table:
+        hosts = batch.column("host").to_pylist()
+        n = batch.column("n_pages").to_numpy(zero_copy_only=False)
+        dms = [delays.get(h, 1000) for h in hosts]
+        return pa.Table.from_pydict(
+            {
+                "host": batch.column("host"),
+                "n_pages": pa.array(n, type=pa.int64()),
+                "delay_ms": pa.array(dms, type=pa.int64()),
+                "budget_ms": pa.array(
+                    [int(a) * b for a, b in zip(n, dms)], type=pa.int64()
+                ),
+            }
+        )
+
+    return per_host.map_batches(budget, batch_format="pyarrow")
+
+
 def _q_url_prefix_counts(sf_dir: str):
     """Crawl-budget rollup: pages per (host, cumulative path prefix)
     (ops/weblinks.py path_prefix_counts). Stateless prefix explode +
@@ -9874,6 +9927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_sq": _q_ann_sq,
         "table_schema_evolution": _q_table_schema_evolution,
         "robots_allowed": _q_robots_allowed,
+        "crawl_budget": _q_crawl_budget,
         "url_prefix_counts": _q_url_prefix_counts,
         "bucketed_join_orders": _q_bucketed_join_orders,
         "bitext_mine": _q_bitext_mine,
@@ -12671,6 +12725,18 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS sum_cents "
             "FROM orders JOIN customer ON o_custkey = c_custkey "
             "GROUP BY c_nationkey"
+        ),
+        "crawl_budget": (
+            "WITH pages AS (SELECT 'host' || (doc_id % 40) || "
+            "'.example.com' AS host FROM documents), "
+            "per_host AS (SELECT host, CAST(count(*) AS BIGINT) AS "
+            "n_pages, CAST(regexp_extract(host, '^host([0-9]+)', 1) "
+            "AS BIGINT) AS k FROM pages GROUP BY host) "
+            "SELECT host, n_pages, "
+            "CAST(CASE WHEN k % 3 = 1 THEN 2000 ELSE 1000 END AS BIGINT) "
+            "AS delay_ms, "
+            "CAST(n_pages * (CASE WHEN k % 3 = 1 THEN 2000 ELSE 1000 END) "
+            "AS BIGINT) AS budget_ms FROM per_host"
         ),
         "robots_allowed": (
             "WITH pages AS (SELECT doc_id, 'http://host' || (doc_id % 40) || "

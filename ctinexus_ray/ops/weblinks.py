@@ -262,9 +262,13 @@ def parse_robots(robots_txt: str, agent: str = "*") -> dict:
       * ``Crawl-delay`` (non-standard but ubiquitous) is captured.
 
     Returns ``{"rules": [(allow: bool, pattern: str)], "crawl_delay":
-    float | None}``.
+    float | None, "sitemaps": [str]}`` — ``Sitemap:`` directives are
+    collected from the WHOLE file regardless of groups (RFC 9309 §2.3:
+    the sitemap line is not group-scoped), linking the politeness file
+    to crawl discovery (``sources/sitemap.py``).
     """
     groups: list = []  # {"agents": set, "rules": [(allow, pat)], "delay"}
+    sitemaps: list = []
     cur = None
     last_was_agent = False
     for raw in robots_txt.splitlines():
@@ -274,6 +278,10 @@ def parse_robots(robots_txt: str, agent: str = "*") -> dict:
         field, _, value = line.partition(":")
         field = field.strip().lower()
         value = value.strip()
+        if field == "sitemap":
+            if value:
+                sitemaps.append(value)
+            continue
         if field == "user-agent":
             if not last_was_agent or cur is None:
                 cur = {"agents": set(), "rules": [], "delay": None}
@@ -298,7 +306,7 @@ def parse_robots(robots_txt: str, agent: str = "*") -> dict:
         sel = [g for g in groups if "*" in g["agents"]]
     rules = [r for g in sel for r in g["rules"]]
     delay = next((g["delay"] for g in sel if g["delay"] is not None), None)
-    return {"rules": rules, "crawl_delay": delay}
+    return {"rules": rules, "crawl_delay": delay, "sitemaps": sitemaps}
 
 
 def _rule_regex(pattern: str):

@@ -214,6 +214,23 @@ class TestRobots:
         assert not idx.allowed("h", "/a/cd")  # Allow anchor misses
         assert idx.allowed("h", "/c")  # /*/c needs a middle segment
 
+    def test_sitemap_directives_collected(self):
+        from ctinexus_ray.ops.weblinks import parse_robots
+
+        txt = (
+            "Sitemap: http://h/a.xml\n"
+            "User-agent: special\nDisallow: /\n"
+            "Sitemap: http://h/b.xml\n"
+            "User-agent: *\nDisallow: /x\n"
+        )
+        # sitemap lines are NOT group-scoped (RFC 9309 2.3): both
+        # collected for every agent
+        for agent in ("*", "special", "unknown"):
+            assert parse_robots(txt, agent=agent)["sitemaps"] == [
+                "http://h/a.xml",
+                "http://h/b.xml",
+            ]
+
     def test_multi_agent_group_header(self):
         from ctinexus_ray.ops.weblinks import parse_robots
 
