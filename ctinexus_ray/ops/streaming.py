@@ -460,29 +460,37 @@ class _JoinPartition:
             by_key.setdefault(k, []).append(t)
         return {k: np.array(v, dtype=np.int64) for k, v in by_key.items()}
 
+    _PROBE_CELLS = 1 << 20  # max boolean-matrix cells per chunk
+
     def _probe(self, arriving: dict, buf: dict, arriving_is_left: bool):
         """All (arriving x buffered-opposite) pairs inside the interval
-        — one O(m x n) vectorized window test per key."""
+        — a vectorized window test per key, CHUNKED over the arriving
+        side so a hot key never allocates one giant m x n matrix (the
+        pair OUTPUT is inherently m-x-n-sized when everything matches;
+        the transient mask need not be)."""
         out_k, out_l, out_r = [], [], []
-        for k, a_ts in arriving.items():
+        for k, a_all in arriving.items():
             b_ts = buf.get(k)
             if b_ts is None or not len(b_ts):
                 continue
-            if arriving_is_left:  # match: r.ts in [l.ts+lo, l.ts+hi]
-                hit = (b_ts[None, :] >= a_ts[:, None] + self.lo) & (
-                    b_ts[None, :] <= a_ts[:, None] + self.hi
-                )
-                li, ri = np.nonzero(hit)
-                out_l.extend(a_ts[li].tolist())
-                out_r.extend(b_ts[ri].tolist())
-            else:  # arriving right: l.ts in [r.ts-hi, r.ts-lo]
-                hit = (b_ts[None, :] + self.lo <= a_ts[:, None]) & (
-                    b_ts[None, :] + self.hi >= a_ts[:, None]
-                )
-                ri, li = np.nonzero(hit)
-                out_l.extend(b_ts[li].tolist())
-                out_r.extend(a_ts[ri].tolist())
-            out_k.extend([k] * len(li))
+            step = max(1, self._PROBE_CELLS // max(1, len(b_ts)))
+            for s0 in range(0, len(a_all), step):
+                a_ts = a_all[s0 : s0 + step]
+                if arriving_is_left:  # match: r.ts in [l.ts+lo, l.ts+hi]
+                    hit = (b_ts[None, :] >= a_ts[:, None] + self.lo) & (
+                        b_ts[None, :] <= a_ts[:, None] + self.hi
+                    )
+                    li, ri = np.nonzero(hit)
+                    out_l.extend(a_ts[li].tolist())
+                    out_r.extend(b_ts[ri].tolist())
+                else:  # arriving right: l.ts in [r.ts-hi, r.ts-lo]
+                    hit = (b_ts[None, :] + self.lo <= a_ts[:, None]) & (
+                        b_ts[None, :] + self.hi >= a_ts[:, None]
+                    )
+                    ri, li = np.nonzero(hit)
+                    out_l.extend(b_ts[li].tolist())
+                    out_r.extend(a_ts[ri].tolist())
+                out_k.extend([k] * len(li))
         return out_k, out_l, out_r
 
     @staticmethod

@@ -310,3 +310,36 @@ class TestJoinStream:
         # side stays buffered, not the 150 fed
         assert s.state_rows() <= 12
         s.close()
+
+    def test_hot_key_chunked_probe(self, ray_session):
+        # one key holding a large buffer: the chunked probe, forced to
+        # 1-row chunks on a LOCAL (non-actor) instance so the patch
+        # provably applies, must emit the identical pair set
+        import numpy as np
+
+        from ctinexus_ray.ops.streaming import _JoinPartition
+
+        cls = _JoinPartition.__ray_metadata__.modified_class
+        US = 1_000_000
+        n = 300
+        l_rows = [("hot", t * US) for t in range(n)]
+        r_rows = [("hot", (t + 50) * US) for t in range(n)]
+        want = self._brute(l_rows, r_rows, 0, 100 * US)
+
+        part = cls(0, 100 * US)
+        part._PROBE_CELLS = 64  # instance override: ~1-row chunks
+        out1 = part.ingest((self._tbl(*zip(*[(k, t) for k, t in r_rows])).slice(0, 0),
+                            self._tbl(*zip(*r_rows))), "string")
+        assert out1.num_rows == 0  # right arrives first: nothing to probe
+        out2 = part.ingest(
+            (self._tbl(*zip(*l_rows)), self._tbl(*zip(*l_rows)).slice(0, 0)),
+            "string",
+        )
+        got = sorted(
+            zip(
+                out2.column("key").to_pylist(),
+                out2.column("l_ts").to_pylist(),
+                out2.column("r_ts").to_pylist(),
+            )
+        )
+        assert got == want and len(got) > 10_000
