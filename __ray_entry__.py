@@ -1167,6 +1167,46 @@ def _hits_oracle_sql() -> str:
     )
 
 
+def _host_pagerank_oracle_sql() -> str:
+    """Unrolled-iteration twin of _q_host_pagerank: identical weblink
+    edge derivation (the html_links/host_graph CTEs), identical rank
+    recurrence as _pagerank_oracle_sql."""
+    d = _PAGERANK_DAMPING
+    sql = (
+        _WEBLINK_PAGES_SQL
+        + _WEBLINK_RES_SQL.rstrip() + ", "
+        + "edges AS (SELECT DISTINCT "
+        "CAST(regexp_extract(url, '^http://host([0-9]+)', 1) AS BIGINT) "
+        "AS src, "
+        "CAST(regexp_extract(link, '^https?://host([0-9]+)', 1) AS BIGINT) "
+        "AS dst FROM res WHERE link IS NOT NULL), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges), "
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), "
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src), "
+        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn)"
+    )
+    prev = "r0"
+    for i in range(1, _PAGERANK_ITERS + 1):
+        sql += (
+            f", c{i} AS (SELECT e.dst AS node, "
+            f"sum(r.rank / g.outdeg) AS contrib "
+            f"FROM edges e JOIN {prev} r ON e.src = r.node "
+            "JOIN deg g ON e.src = g.src GROUP BY e.dst), "
+            f"t{i} AS (SELECT coalesce(sum(contrib), 0.0) AS tot FROM c{i}), "
+            f"r{i} AS (SELECT n.node, "
+            f"(1 - {d}) / nn.n + {d} * coalesce(c.contrib, 0) "
+            f"+ {d} * (1.0 - t{i}.tot) / nn.n AS rank "
+            f"FROM nodes n LEFT JOIN c{i} c ON n.node = c.node, t{i}, nn)"
+        )
+        prev = f"r{i}"
+    return (
+        sql
+        + " SELECT node, CAST(FLOOR(rank * 1e9 + 0.5) AS BIGINT) AS rank_e9"
+        + f" FROM {prev}"
+    )
+
+
 def _pagerank_oracle_sql() -> str:
     """Unrolled-iteration SQL twin of _q_pagerank (recursive CTEs cannot
     aggregate in the recursive term, so each iteration is its own CTE)."""
@@ -9586,6 +9626,51 @@ def _q_url_prefix_counts(sf_dir: str):
     return path_prefix_counts(pages)
 
 
+def _q_host_pagerank(sf_dir: str):
+    """PageRank over the CRAWL'S HOST LINK GRAPH (the webtext flagship
+    graph: which hosts does the web point at) — hyperlinks extracted
+    and resolved from the CC html column (ops/weblinks.py), distinct
+    (src_host, dst_host) edges mapped to int host indices, then the
+    shared Pregel pagerank (5 iterations, d=0.85), ranks emitted as
+    exact 1e-9-rounded BIGINTs like the trade-graph query. ✓SQL
+    (unrolled-CTE twin over the identical weblink edge derivation)."""
+    import re
+
+    from ctinexus_ray.ops.graph import pagerank
+    from ctinexus_ray.ops.weblinks import extract_links, host_link_graph
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _aug_html, batch_format="pyarrow"
+    )
+    hosts = host_link_graph(extract_links(pages))
+    host_re = re.compile(r"^host(\d+)\.")
+
+    def to_int_edges(batch: pa.Table):
+        srcs, dsts = [], []
+        for a, b in zip(
+            batch.column("src_host").to_pylist(),
+            batch.column("dst_host").to_pylist(),
+        ):
+            ma, mb = host_re.match(a or ""), host_re.match(b or "")
+            if ma and mb:
+                srcs.append(int(ma.group(1)))
+                dsts.append(int(mb.group(1)))
+        if not srcs:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "src": pa.array(srcs, type=pa.int64()),
+                "dst": pa.array(dsts, type=pa.int64()),
+            }
+        )
+
+    edges = hosts.map_batches(to_int_edges, batch_format="pyarrow")
+    ranks = pagerank(
+        edges, damping=_PAGERANK_DAMPING, iterations=_PAGERANK_ITERS
+    )
+    return _ranks_to_e9(ranks)
+
+
 def _q_host_graph(sf_dir: str):
     """Host-level link graph (src_host, dst_host, n_links): the crawl
     ranking / frontier-scheduling edge table. Map-side combined count
@@ -9923,6 +10008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_diameter": _q_name_diameter,
         "html_links": _q_html_links,
         "host_graph": _q_host_graph,
+        "host_pagerank": _q_host_pagerank,
         "tfrecord_source": _q_tfrecord_source,
         "ann_sq": _q_ann_sq,
         "table_schema_evolution": _q_table_schema_evolution,
@@ -12782,6 +12868,7 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY doc_id ORDER BY i) AS BIGINT) AS idx, link "
             "FROM res WHERE link IS NOT NULL"
         ),
+        "host_pagerank": _host_pagerank_oracle_sql(),
         "host_graph": (
             _WEBLINK_PAGES_SQL
             + _WEBLINK_RES_SQL
