@@ -1167,6 +1167,49 @@ def _hits_oracle_sql() -> str:
     )
 
 
+def _host_hits_oracle_sql() -> str:
+    """Unrolled twin of _q_host_hits: weblink edge CTEs + the identical
+    integer-mass/renormalization recurrence as _hits_oracle_sql."""
+    sql = (
+        _WEBLINK_PAGES_SQL
+        + _WEBLINK_RES_SQL.rstrip() + ", "
+        + "edges AS (SELECT DISTINCT "
+        "CAST(regexp_extract(url, '^http://host([0-9]+)', 1) AS BIGINT) "
+        "AS src, "
+        "CAST(regexp_extract(link, '^https?://host([0-9]+)', 1) AS BIGINT) "
+        "AS dst FROM res WHERE link IS NOT NULL), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges "
+        "UNION SELECT DISTINCT dst FROM edges), "
+        "h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS hub FROM nodes)"
+    )
+    prev = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        sql += (
+            f", ar{i} AS (SELECT e.dst AS node, "
+            f"CAST(sum(h.hub) AS BIGINT) AS mass "
+            f"FROM edges e JOIN {prev} h ON e.src = h.node GROUP BY e.dst), "
+            f"at{i} AS (SELECT CAST(sum(mass) AS DOUBLE) AS t FROM ar{i}), "
+            f"a{i} AS (SELECT n.node, CAST(FLOOR("
+            f"CAST(coalesce(m.mass, 0) AS DOUBLE) * 1000000000.0 / t.t "
+            f"+ 0.5) AS BIGINT) AS auth "
+            f"FROM nodes n LEFT JOIN ar{i} m ON n.node = m.node, at{i} t), "
+            f"hr{i} AS (SELECT e.src AS node, "
+            f"CAST(sum(a.auth) AS BIGINT) AS mass "
+            f"FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src), "
+            f"ht{i} AS (SELECT CAST(sum(mass) AS DOUBLE) AS t FROM hr{i}), "
+            f"h{i} AS (SELECT n.node, CAST(FLOOR("
+            f"CAST(coalesce(m.mass, 0) AS DOUBLE) * 1000000000.0 / t.t "
+            f"+ 0.5) AS BIGINT) AS hub "
+            f"FROM nodes n LEFT JOIN hr{i} m ON n.node = m.node, ht{i} t)"
+        )
+        prev = f"h{i}"
+    return (
+        sql
+        + f" SELECT a.node, a.auth AS auth_e9, h.hub AS hub_e9 "
+        f"FROM a{_HITS_ITERS} a JOIN h{_HITS_ITERS} h ON a.node = h.node"
+    )
+
+
 def _host_pagerank_oracle_sql() -> str:
     """Unrolled-iteration twin of _q_host_pagerank: identical weblink
     edge derivation (the html_links/host_graph CTEs), identical rank
@@ -9671,6 +9714,48 @@ def _q_host_pagerank(sf_dir: str):
     return _ranks_to_e9(ranks)
 
 
+def _q_host_hits(sf_dir: str):
+    """HITS hubs/authorities over the crawl's DIRECTED host link graph
+    (Kleinberg's original use case: hub hosts point at authority
+    hosts). Same weblink edge derivation as host_pagerank (distinct
+    src->dst host-index edges — direction KEPT, unlike pagerank's
+    already-directed walk this is the two-sided mutual reinforcement),
+    then the shared hits_scores with exact int64 mass sums and
+    pinned-order e9 renormalization. ✓SQL (unrolled twin)."""
+    import re
+
+    from ctinexus_ray.ops.graph import hits_scores
+    from ctinexus_ray.ops.weblinks import extract_links, host_link_graph
+
+    pages = _docs(sf_dir, ["doc_id"]).map_batches(
+        _aug_html, batch_format="pyarrow"
+    )
+    hosts = host_link_graph(extract_links(pages))
+    host_re = re.compile(r"^host(\d+)\.")
+
+    def to_int_edges(batch: pa.Table):
+        srcs, dsts = [], []
+        for a, b in zip(
+            batch.column("src_host").to_pylist(),
+            batch.column("dst_host").to_pylist(),
+        ):
+            ma, mb = host_re.match(a or ""), host_re.match(b or "")
+            if ma and mb:
+                srcs.append(int(ma.group(1)))
+                dsts.append(int(mb.group(1)))
+        if not srcs:
+            return
+        yield pa.Table.from_pydict(
+            {
+                "src": pa.array(srcs, type=pa.int64()),
+                "dst": pa.array(dsts, type=pa.int64()),
+            }
+        )
+
+    edges = hosts.map_batches(to_int_edges, batch_format="pyarrow")
+    return hits_scores(edges, iterations=_HITS_ITERS)
+
+
 def _q_host_graph(sf_dir: str):
     """Host-level link graph (src_host, dst_host, n_links): the crawl
     ranking / frontier-scheduling edge table. Map-side combined count
@@ -10009,6 +10094,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_links": _q_html_links,
         "host_graph": _q_host_graph,
         "host_pagerank": _q_host_pagerank,
+        "host_hits": _q_host_hits,
         "tfrecord_source": _q_tfrecord_source,
         "ann_sq": _q_ann_sq,
         "table_schema_evolution": _q_table_schema_evolution,
@@ -12869,6 +12955,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM res WHERE link IS NOT NULL"
         ),
         "host_pagerank": _host_pagerank_oracle_sql(),
+        "host_hits": _host_hits_oracle_sql(),
         "host_graph": (
             _WEBLINK_PAGES_SQL
             + _WEBLINK_RES_SQL
