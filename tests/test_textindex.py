@@ -183,3 +183,28 @@ class TestTextIndexBoolean:
             text_index_boolean(d, [])
         with pytest.raises(ValueError):
             text_index_boolean(d, ["x"], mode="xor")
+
+
+class TestAbsentTerms:
+    def test_search_and_boolean_with_absent_terms(self, ray_session, tmp_path):
+        from ctinexus_ray.ops.textindex import (
+            text_index_boolean,
+            text_index_build,
+            text_index_search,
+        )
+
+        d = str(tmp_path / "ti")
+        text_index_build(ray.data.from_arrow(_docs_tbl(TEXTS)), d, num_buckets=8)
+        # a query of terms the corpus never saw: empty ranking, not a crash
+        out = text_index_search(d, ["zzz", "qqq"], k=5)
+        assert out.num_rows == 0
+        assert text_index_boolean(d, ["zzz"], mode="and").count() == 0
+        assert text_index_boolean(d, ["zzz"], mode="or").count() == 0
+        # mixed present/absent under AND: the absent term empties the set
+        assert text_index_boolean(d, ["hash", "zzz"], mode="and").count() == 0
+        # ...but OR still returns the present term's docs
+        got = sorted(
+            r["doc_id"]
+            for r in text_index_boolean(d, ["hash", "zzz"], mode="or").take_all()
+        )
+        assert got == [0, 1, 3]
