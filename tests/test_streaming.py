@@ -343,3 +343,25 @@ class TestJoinStream:
             )
         )
         assert got == want and len(got) > 10_000
+
+    def test_buffered_row_below_watermark_still_matches(self, ray_session):
+        # eviction (r.ts > wm + lo) is deliberately LAZIER than the
+        # late-drop rule (arriving ts <= wm): with lo = -10 a right row
+        # buffered at t=95 survives the watermark reaching 100 and must
+        # still pair with a later left at t=101
+        from ctinexus_ray.ops.streaming import JoinStream
+
+        US = 1_000_000
+        s = JoinStream(lower_sec=-10, upper_sec=0, allowed_lateness_sec=0,
+                       num_partitions=1)
+        s.feed(right=self._tbl(["a"], [95 * US]))
+        # advance BOTH sides to t=100 -> wm = 100s; the t=95 right row
+        # stays buffered (bound wm + lo = 90s)
+        s.feed(left=self._tbl(["b"], [100 * US]),
+               right=self._tbl(["b"], [100 * US]))
+        s.feed(left=self._tbl(["a"], [101 * US]))
+        rows = [
+            (r["key"], r["l_ts"], r["r_ts"]) for r in s.close().take_all()
+        ]
+        assert ("a", 101 * US, 95 * US) in rows
+        assert s.late_dropped() == 0
