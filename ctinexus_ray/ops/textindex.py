@@ -166,13 +166,22 @@ def _write_buckets(
 
 def text_index_build(
     docs: ray.data.Dataset, table_dir: str, num_buckets: int = 64,
-    batch_id: str | None = None,
+    batch_id: str | list[str] | None = None,
 ) -> int:
     """Build (or rebuild) the inverted index; returns the committed
     version. Overwrite semantics: a rebuild replaces the file set.
     ``batch_id`` seeds the applied-batch ledger (see
-    ``text_index_append``) for callers folding an ingestion stream."""
+    ``text_index_append``) for callers folding an ingestion stream; a
+    LIST marks several batches applied in the one atomic commit — the
+    rebuild-from-latest path, where the fresh index already covers
+    every corpus version."""
     paths, n_docs, total_len = _write_buckets(docs, table_dir, num_buckets)
+    if batch_id is None:
+        seed: list[str] = []
+    elif isinstance(batch_id, str):
+        seed = [batch_id]
+    else:
+        seed = list(batch_id)
     return commit_version(
         table_dir,
         paths,
@@ -182,7 +191,7 @@ def text_index_build(
                 "num_buckets": num_buckets,
                 "n_docs": n_docs,
                 "total_len": total_len,
-                "applied": [batch_id] if batch_id else [],
+                "applied": seed,
             }
         },
     )
@@ -192,6 +201,33 @@ def text_index_applied(table_dir: str) -> list[str]:
     """Batch ids already folded into the index (the manifest-atomic
     ledger — same exactly-once contract as ``state/ivm.py``)."""
     return list(version_extra(table_dir).get("text_index", {}).get("applied", []))
+
+
+def text_index_mark_applied(
+    table_dir: str, batch_ids: list[str]
+) -> int | None:
+    """Extend the applied-batch ledger WITHOUT touching postings — a
+    zero-file append commit. The no-logical-delta path: a row-preserving
+    corpus compaction (``mode="compact"``) rewrites files but adds no
+    docs, so the fold records the version as applied and moves on
+    instead of re-indexing rewritten files (which would double-count
+    df/n_docs). Returns the committed version, or None when every id is
+    already applied."""
+    meta = version_extra(table_dir).get("text_index")
+    if not meta:
+        raise FileNotFoundError(
+            f"{table_dir} has no text_index metadata — build first"
+        )
+    applied = list(meta.get("applied", []))
+    fresh = [b for b in batch_ids if b not in applied]
+    if not fresh:
+        return None
+    return commit_version(
+        table_dir,
+        [],
+        mode="append",
+        extra={"text_index": {**meta, "applied": applied + fresh}},
+    )
 
 
 def text_index_append(
@@ -278,7 +314,17 @@ def text_index_search(
         columns=["term", "doc_id", "tf", "dl"],
         filter=pads.field("bucket").isin(want) & pads.field("term").isin(terms),
     ).map_batches(
-        lambda t: t.rename_columns(["word", "doc_id", "tf", "dl"]),
+        # relabel BY NAME (term->word): positional rename_columns would
+        # silently mislabel columns if the table-format read path ever
+        # reordered its projection
+        lambda t: pa.table(
+            {
+                "word": t.column("term"),
+                "doc_id": t.column("doc_id"),
+                "tf": t.column("tf"),
+                "dl": t.column("dl"),
+            }
+        ),
         batch_format="pyarrow",
     )
     return bm25_rank_postings(matches, n_docs, avgdl, k=k, k1=k1, b=b)

@@ -254,8 +254,12 @@ def parse_robots(robots_txt: str, agent: str = "*") -> dict:
 
     RFC 9309 subset (the crawl-politeness contract):
       * groups = consecutive ``User-agent:`` lines + their rules; the
-        group whose agent token equals ``agent`` wins, else the ``*``
-        group; comments (#) stripped; field names case-insensitive;
+        group whose agent PRODUCT TOKEN matches ``agent``'s product
+        token wins, else the ``*`` group — RFC 9309 §2.2.1 matches on
+        the product token, so a caller passing ``"FooBot/1.0"`` (and a
+        robots file writing ``User-agent: FooBot/2.1``) both resolve
+        to ``foobot``; comments (#) stripped; field names
+        case-insensitive;
       * ``Allow`` / ``Disallow`` values are path patterns with ``*``
         wildcards and an optional ``$`` end anchor; an EMPTY Disallow
         means "allow all" (no rule);
@@ -286,7 +290,7 @@ def parse_robots(robots_txt: str, agent: str = "*") -> dict:
             if not last_was_agent or cur is None:
                 cur = {"agents": set(), "rules": [], "delay": None}
                 groups.append(cur)
-            cur["agents"].add(value.lower())
+            cur["agents"].add(value.split("/", 1)[0].strip().lower())
             last_was_agent = True
             continue
         last_was_agent = False
@@ -300,13 +304,29 @@ def parse_robots(robots_txt: str, agent: str = "*") -> dict:
                 cur["delay"] = float(value)
             except ValueError:
                 pass
-    a = agent.lower()
+    a = agent.split("/", 1)[0].strip().lower()
     sel = [g for g in groups if a in g["agents"]]
     if not sel:  # no specific group: fall back to the * group(s)
         sel = [g for g in groups if "*" in g["agents"]]
     rules = [r for g in sel for r in g["rules"]]
     delay = next((g["delay"] for g in sel if g["delay"] is not None), None)
     return {"rules": rules, "crawl_delay": delay, "sitemaps": sitemaps}
+
+
+def normalize_host(netloc: str) -> str:
+    """Canonicalize a URL authority for robots-index lookups: strip
+    userinfo (``user:pw@``) and the ``:port`` suffix, lowercase (DNS
+    names are case-insensitive). ``[::1]:8080`` keeps its brackets so
+    IPv6 literals stay intact. Both sides of the robots lookup — the
+    index keys and the per-URL probe — go through this, so
+    ``Host3.example.com`` / ``host3.example.com:8080`` hit the same
+    politeness rules instead of silently defaulting to allowed."""
+    host = netloc.rsplit("@", 1)[-1]
+    if host.startswith("["):  # IPv6 literal: port follows the bracket
+        host = host.split("]", 1)[0] + "]"
+    else:
+        host = host.split(":", 1)[0]
+    return host.strip().lower()
 
 
 def _rule_regex(pattern: str):
@@ -325,7 +345,7 @@ class _RobotsIndex:
 
     def __init__(self, per_host: dict):
         self.per_host = {
-            h: (
+            normalize_host(h): (
                 [
                     (allow, len(pat), _rule_regex(pat))
                     for allow, pat in parsed["rules"]
@@ -336,7 +356,7 @@ class _RobotsIndex:
         }
 
     def allowed(self, host: str, path: str) -> bool:
-        entry = self.per_host.get(host)
+        entry = self.per_host.get(normalize_host(host))
         if entry is None:
             return True  # no robots.txt: everything allowed
         best_len, best_allow = -1, True

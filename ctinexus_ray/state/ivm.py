@@ -47,6 +47,29 @@ def applied_batches(view_dir: str) -> list[str]:
     return list(version_extra(view_dir).get("ivm_applied", []))
 
 
+def mark_applied(view_dir: str, batch_ids: list[str]) -> int | None:
+    """Extend the applied-batch ledger WITHOUT a data delta — a
+    zero-file append commit. Used when a corpus version carries no
+    logical rows for the view (a row-preserving compaction, or an
+    append whose file diff is empty), so the fold loop stops
+    re-examining it every tick. Returns the committed version, or None
+    when nothing is new or the view has no versions yet (nothing to
+    anchor a ledger to — the caller just skips)."""
+    latest = latest_version(view_dir)
+    if latest is None:
+        return None
+    applied = applied_batches(view_dir)
+    fresh = [b for b in batch_ids if b not in applied]
+    if not fresh:
+        return None
+    from ctinexus_ray.state.tableformat import commit_version
+
+    return commit_version(
+        view_dir, [], mode="append",
+        extra={"ivm_applied": applied + fresh},
+    )
+
+
 def apply_delta(
     view_dir: str,
     delta: ray.data.Dataset,

@@ -96,7 +96,11 @@ def commit_version(
 ) -> int:
     """Commit ``files`` (immutable parquet paths) as a new table
     version. ``append`` unions the current latest version's files;
-    ``overwrite`` replaces the file set. Returns the committed version
+    ``overwrite`` replaces the file set; ``compact`` is overwrite's
+    ROW-PRESERVING twin (same logical rows, rewritten files) — the
+    distinct mode lets incremental consumers (IVM views, the text
+    index fold) know a version carries no logical delta instead of
+    re-counting rewritten files. Returns the committed version
     number. Optimistic concurrency: O_EXCL manifest creation — a racing
     committer retries against the winner's version. ``extra`` is an
     opaque JSON dict stored IN the manifest — metadata that must be
@@ -105,8 +109,8 @@ def commit_version(
     application). ``extra=None`` INHERITS the parent's extra, so
     ledger-bearing tables survive compaction/merge commits that don't
     know about the metadata; pass ``{}`` to clear it explicitly."""
-    if mode not in ("append", "overwrite"):
-        raise ValueError("mode must be 'append' or 'overwrite'")
+    if mode not in ("append", "overwrite", "compact"):
+        raise ValueError("mode must be 'append', 'overwrite' or 'compact'")
     os.makedirs(table_dir, exist_ok=True)
     for _ in range(max_retries):
         parent = latest_version(table_dir)
@@ -198,6 +202,14 @@ def version_files(table_dir: str, version: int) -> list[str]:
     """The exact immutable file list of a version (from its manifest)."""
     with open(_manifest_path(table_dir, version)) as fh:
         return list(json.load(fh)["files"])
+
+
+def version_mode(table_dir: str, version: int) -> str:
+    """The commit mode recorded in a version's manifest — ``append``,
+    ``overwrite`` or ``compact`` (row-preserving rewrite). Legacy
+    manifests without the field read as ``append``."""
+    with open(_manifest_path(table_dir, version)) as fh:
+        return str(json.load(fh).get("mode", "append"))
 
 
 def version_extra(table_dir: str, version: int | None = None) -> dict:
@@ -652,7 +664,7 @@ def compact_table(
             for i, b in enumerate(buckets)
         ]
     )
-    version = commit_version(table_dir, kept + sorted(outs), mode="overwrite")
+    version = commit_version(table_dir, kept + sorted(outs), mode="compact")
     return {
         "version": version,
         "files_kept": len(kept),

@@ -165,6 +165,53 @@ def _near_dup_filter(ds, table_dir: str, threshold: float, num_partitions: int):
     return ds, n_before - n_after
 
 
+def _scan_unapplied_versions(
+    table_dir: str, latest: int, applied: set
+) -> tuple[list[tuple[str, str, list[str]]], str | None]:
+    """Walk corpus versions 1..latest and classify every UNAPPLIED one
+    for incremental folding. Returns ``(work, rebuild_reason)``:
+
+    * ``work`` — ``[(batch_id, kind, new_files)]`` in version order;
+      ``kind`` is ``"append"`` (fold ``new_files``, the version's file
+      diff) or ``"noop"`` (a row-preserving ``compact`` rewrite, or an
+      empty diff — mark applied, fold nothing: diffing a compaction's
+      file set would re-index rewritten docs and double-count).
+    * ``rebuild_reason`` — non-None when incremental folding is
+      IMPOSSIBLE and the caller must rebuild from the latest version:
+      a manifest needed for the diff was vacuumed before the fold
+      caught up, or a version is a genuine logical ``overwrite``
+      (rows replaced — the file diff under-describes the delta).
+    """
+    from ctinexus_ray.state.tableformat import version_files, version_mode
+
+    work: list[tuple[str, str, list[str]]] = []
+    for v in range(1, latest + 1):
+        bid = f"corpus-v{v}"
+        if bid in applied:
+            continue
+        try:
+            mode = version_mode(table_dir, v)
+            cur = set(version_files(table_dir, v))
+            prev = set(version_files(table_dir, v - 1)) if v > 1 else set()
+        except FileNotFoundError:
+            return [], (
+                f"manifest for unapplied corpus version {v} (or its "
+                "parent) was vacuumed before the fold caught up"
+            )
+        if mode == "compact":
+            work.append((bid, "noop", []))
+            continue
+        if mode == "overwrite" and v > 1:
+            # v1 overwrite == first commit from nothing: plain append
+            return [], (
+                f"corpus version {v} is a logical overwrite — its "
+                "rewritten files contain already-folded rows"
+            )
+        new_files = sorted(cur - prev)
+        work.append((bid, "append" if new_files else "noop", new_files))
+    return work, None
+
+
 def _maintain_wordcount_view(
     table_dir: str, view_dir: str, num_partitions: int
 ) -> dict:
@@ -174,8 +221,14 @@ def _maintain_wordcount_view(
     version's incremental file set — so a crash anywhere between the
     corpus commit and the view fold heals on the next tick, and a
     replayed fold is recognized by the manifest ledger (exactly-once).
-    Runs BEFORE vacuum in the tick loop, so needed manifests are always
-    still present."""
+    Runs BEFORE vacuum in the tick loop, so needed manifests are
+    normally still present; when history was vacuumed under the fold
+    (--text-index/--wordcount-view enabled after --vacuum-keep ticks)
+    or a version is a logical overwrite, the fold falls back to a FULL
+    REBUILD from the latest version instead of dying every tick.
+    Row-preserving compactions are recognized by their ``compact``
+    commit mode and marked applied without re-counting rewritten
+    files."""
     import numpy as np
     import pyarrow as pa
     import ray.data
@@ -183,41 +236,72 @@ def _maintain_wordcount_view(
     from ctinexus_ray.ops.dedup import hash64_strings
     from ctinexus_ray.ops.groupagg import partitioned_agg
     from ctinexus_ray.ops.textstats import word_explode_batch
-    from ctinexus_ray.state.ivm import applied_batches, apply_delta
-    from ctinexus_ray.state.tableformat import latest_version, version_files
+    from ctinexus_ray.state.ivm import (
+        applied_batches,
+        apply_delta,
+        mark_applied,
+    )
+    from ctinexus_ray.state.tableformat import latest_version, read_version
 
     latest = latest_version(table_dir)
     if latest is None:
         return {"wordcount_folded": 0}
     applied = set(applied_batches(view_dir))
-    folded = 0
-    for v in range(1, latest + 1):
-        bid = f"corpus-v{v}"
-        if bid in applied:
-            continue
-        prev = set(version_files(table_dir, v - 1)) if v > 1 else set()
-        new_files = sorted(set(version_files(table_dir, v)) - prev)
-        if not new_files:
-            continue  # nothing appended by this version
 
-        def add_key(batch: pa.Table) -> pa.Table:
-            words = batch.column("word").to_pylist()
-            keys = hash64_strings(words).astype(np.int64)
-            return batch.append_column(
-                "wkey", pa.array(keys, type=pa.int64())
-            )
+    def add_key(batch: pa.Table) -> pa.Table:
+        words = batch.column("word").to_pylist()
+        keys = hash64_strings(words).astype(np.int64)
+        return batch.append_column("wkey", pa.array(keys, type=pa.int64()))
 
-        delta = partitioned_agg(
-            ray.data.read_parquet(new_files, columns=["text"]).map_batches(
-                word_explode_batch, batch_format="pyarrow"
-            ),
+    def wordcount_of(docs: ray.data.Dataset) -> ray.data.Dataset:
+        return partitioned_agg(
+            docs.map_batches(word_explode_batch, batch_format="pyarrow"),
             keys=["word"],
             named_aggs={"n": ("n", "sum")},
             num_partitions=num_partitions,
         ).map_batches(add_key, batch_format="pyarrow")
+
+    work, rebuild_reason = _scan_unapplied_versions(
+        table_dir, latest, applied
+    )
+    if rebuild_reason is not None:
+        import logging
+        import os
+        import uuid
+
+        from ctinexus_ray.state.tableformat import commit_version
+
+        logging.getLogger(__name__).warning(
+            "wordcount view %s: full rebuild from corpus v%d (%s)",
+            view_dir, latest, rebuild_reason,
+        )
+        full = wordcount_of(read_version(table_dir, columns=["text"]))
+        data_dir = os.path.join(view_dir, f"data-{uuid.uuid4().hex[:8]}")
+        os.makedirs(data_dir, exist_ok=True)
+        full.write_parquet(data_dir)
+        files = sorted(
+            os.path.join(data_dir, n)
+            for n in os.listdir(data_dir)
+            if n.endswith(".parquet")
+        )
+        commit_version(
+            view_dir, files, mode="overwrite",
+            extra={
+                "ivm_applied": [f"corpus-v{i}" for i in range(1, latest + 1)]
+            },
+        )
+        return {"wordcount_folded": 1, "rebuilt": rebuild_reason}
+
+    folded = 0
+    for bid, kind, new_files in work:
+        if kind == "noop":
+            mark_applied(view_dir, [bid])
+            continue
         out = apply_delta(
             view_dir,
-            delta,
+            wordcount_of(
+                ray.data.read_parquet(new_files, columns=["text"])
+            ),
             key_col="wkey",
             value_cols={"n": "sum"},
             batch_id=bid,
@@ -237,35 +321,54 @@ def _maintain_text_index(
     (batch id = "corpus-v{n}", postings built from exactly that
     version's incremental file set) with the applied-batch ledger
     living IN the index manifest — exactly-once across crash/replay.
-    Runs BEFORE vacuum so needed corpus manifests still exist."""
+    Runs BEFORE vacuum so needed corpus manifests normally still
+    exist; a vacuumed-under-us history or a logical overwrite version
+    triggers a FULL REBUILD from the latest corpus version (one atomic
+    build commit whose ledger marks every version applied), and
+    row-preserving ``compact`` versions are marked applied without
+    re-indexing their rewritten files."""
     import ray.data
 
     from ctinexus_ray.ops.textindex import (
         text_index_append,
         text_index_applied,
         text_index_build,
+        text_index_mark_applied,
     )
-    from ctinexus_ray.state.tableformat import latest_version, version_files
+    from ctinexus_ray.state.tableformat import latest_version, read_version
 
     latest = latest_version(table_dir)
     if latest is None:
         return {"text_index_folded": 0}
     applied = set(text_index_applied(index_dir))
+    work, rebuild_reason = _scan_unapplied_versions(
+        table_dir, latest, applied
+    )
+    if rebuild_reason is not None:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "text index %s: full rebuild from corpus v%d (%s)",
+            index_dir, latest, rebuild_reason,
+        )
+        docs = read_version(table_dir, columns=["doc_id", "text"])
+        text_index_build(
+            docs, index_dir,
+            batch_id=[f"corpus-v{i}" for i in range(1, latest + 1)],
+        )
+        return {"text_index_folded": 1, "rebuilt": rebuild_reason}
+
     folded = 0
-    for v in range(1, latest + 1):
-        bid = f"corpus-v{v}"
-        if bid in applied:
-            continue
-        prev = set(version_files(table_dir, v - 1)) if v > 1 else set()
-        new_files = sorted(set(version_files(table_dir, v)) - prev)
-        if not new_files:
+    for bid, kind, new_files in work:
+        if kind == "noop":
+            if latest_version(index_dir) is not None:
+                text_index_mark_applied(index_dir, [bid])
             continue
         docs = ray.data.read_parquet(new_files, columns=["doc_id", "text"])
         if latest_version(index_dir) is None:
             text_index_build(docs, index_dir, batch_id=bid)
         else:
             text_index_append(docs, index_dir, batch_id=bid)
-        applied.add(bid)
         folded += 1
     return {"text_index_folded": folded}
 

@@ -324,3 +324,159 @@ class TestTextIndexMaintenance:
         assert out["text_index_folded"] == 0
         assert text_index_applied(index) == ["corpus-v1"]
         assert text_index_search(index, ["hash"], k=5).to_pydict() == before
+
+
+class TestFoldVsTableLifecycle:
+    """Corpus compaction / vacuum / overwrite vs the incremental folds
+    (the failure modes: double-counted rewritten files, a fold loop
+    dying forever on a vacuumed manifest)."""
+
+    @staticmethod
+    def _shard(path, ids, texts):
+        pq.write_table(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string()),
+                }
+            ),
+            path,
+        )
+
+    def test_compaction_is_not_double_counted(self, ray_session, tmp_path):
+        """A row-preserving compact_table version between ticks must
+        fold as a no-op (marked applied), not re-index its rewritten
+        files — index stats and search results stay equal to the
+        full-scan twin."""
+        import ray.data
+
+        from ctinexus_ray.ops.textindex import (
+            text_index_applied,
+            text_index_search,
+        )
+        from ctinexus_ray.ops.textstats import bm25_topk_docs
+        from ctinexus_ray.state.ivm import applied_batches
+        from ctinexus_ray.state.tableformat import (
+            compact_table,
+            version_extra,
+            version_mode,
+        )
+        from jobs.stream_job import run_tick
+
+        inp = tmp_path / "in"
+        inp.mkdir()
+        table = str(tmp_path / "tbl")
+        index = str(tmp_path / "tindex")
+        view = str(tmp_path / "view")
+        t1 = ["hash join wins", "vector hash index"]
+        t2 = ["join the hash club"]
+        self._shard(inp / "s1.parquet", [1, 2], t1)
+        run_tick(str(inp), table, 4, text_index=index, wordcount_view=view)
+        self._shard(inp / "s2.parquet", [3], t2)
+        run_tick(str(inp), table, 4, text_index=index, wordcount_view=view)
+
+        out = compact_table(str(table), target_bytes=1 << 30, min_files=2)
+        assert out["version"] is not None
+        assert version_mode(str(table), out["version"]) == "compact"
+        before = version_extra(index).get("text_index")
+
+        s = run_tick(str(inp), table, 4, text_index=index, wordcount_view=view)
+        assert s["text_index_folded"] == 0
+        assert s["wordcount_folded"] == 0
+        bid = f"corpus-v{out['version']}"
+        assert bid in text_index_applied(index)
+        assert bid in applied_batches(view)
+        after = version_extra(index).get("text_index")
+        assert after["n_docs"] == before["n_docs"] == 3
+        assert after["total_len"] == before["total_len"]
+
+        full = ray.data.from_items(
+            [{"doc_id": i + 1, "text": t} for i, t in enumerate(t1 + t2)]
+        )
+        terms = ["hash", "join"]
+        got = text_index_search(index, terms, k=10).to_pydict()
+        want = bm25_topk_docs(full, terms, k=10).to_pydict()
+        assert got == want
+
+    def test_vacuumed_history_falls_back_to_rebuild(
+        self, ray_session, tmp_path
+    ):
+        """Enabling --text-index/--wordcount-view AFTER --vacuum-keep
+        ticks expired early manifests: the fold must full-rebuild from
+        the latest version (with every bid marked applied) instead of
+        raising on every tick forever."""
+        import ray.data
+
+        from ctinexus_ray.ops.textindex import (
+            text_index_applied,
+            text_index_search,
+        )
+        from ctinexus_ray.ops.textstats import bm25_topk_docs
+        from ctinexus_ray.state.ivm import applied_batches
+        from ctinexus_ray.state.tableformat import vacuum
+        from jobs.stream_job import run_tick
+
+        inp = tmp_path / "in"
+        inp.mkdir()
+        table = str(tmp_path / "tbl")
+        index = str(tmp_path / "tindex")
+        view = str(tmp_path / "view")
+        t1 = ["hash join wins", "vector hash index"]
+        t2 = ["join the hash club"]
+        self._shard(inp / "s1.parquet", [1, 2], t1)
+        run_tick(str(inp), table, 4)  # no index yet
+        self._shard(inp / "s2.parquet", [3], t2)
+        run_tick(str(inp), table, 4)
+        vacuum(table, keep_versions=1)  # v1 manifest gone
+
+        s = run_tick(str(inp), table, 4, text_index=index, wordcount_view=view)
+        assert s["text_index_folded"] == 1 and "rebuilt" in s
+        assert s["wordcount_folded"] == 1
+        assert text_index_applied(index) == ["corpus-v1", "corpus-v2"]
+        assert set(applied_batches(view)) == {"corpus-v1", "corpus-v2"}
+
+        full = ray.data.from_items(
+            [{"doc_id": i + 1, "text": t} for i, t in enumerate(t1 + t2)]
+        )
+        terms = ["hash", "join"]
+        got = text_index_search(index, terms, k=10).to_pydict()
+        want = bm25_topk_docs(full, terms, k=10).to_pydict()
+        assert got == want
+
+        # next tick with a fresh shard folds incrementally again
+        self._shard(inp / "s3.parquet", [4], ["brown fox hash"])
+        s2 = run_tick(str(inp), table, 4, text_index=index, wordcount_view=view)
+        assert s2["text_index_folded"] == 1 and "rebuilt" not in s2
+
+    def test_logical_overwrite_triggers_rebuild(self, ray_session, tmp_path):
+        """A genuine overwrite corpus version (rows replaced) makes the
+        incremental ledger unsound — the fold must rebuild, and the
+        rebuilt index must match a full scan of the NEW corpus."""
+        import ray.data
+
+        from ctinexus_ray.ops.textindex import text_index_search
+        from ctinexus_ray.ops.textstats import bm25_topk_docs
+        from ctinexus_ray.state.tableformat import commit_version
+        from jobs.stream_job import _maintain_text_index, run_tick
+
+        inp = tmp_path / "in"
+        inp.mkdir()
+        table = str(tmp_path / "tbl")
+        index = str(tmp_path / "tindex")
+        self._shard(inp / "s1.parquet", [1, 2], ["hash join", "old junk row"])
+        run_tick(str(inp), table, 4, text_index=index)
+
+        # replace the corpus wholesale (doc 2 rewritten)
+        new_texts = ["hash join", "fresh hash content"]
+        repl = tmp_path / "repl.parquet"
+        self._shard(repl, [1, 2], new_texts)
+        commit_version(table, [str(repl)], mode="overwrite")
+
+        out = _maintain_text_index(table, index, 4)
+        assert out.get("rebuilt")
+        full = ray.data.from_items(
+            [{"doc_id": i + 1, "text": t} for i, t in enumerate(new_texts)]
+        )
+        got = text_index_search(index, ["hash"], k=10).to_pydict()
+        want = bm25_topk_docs(full, ["hash"], k=10).to_pydict()
+        assert got == want

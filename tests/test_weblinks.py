@@ -277,3 +277,72 @@ class TestRobots:
         }
         with pytest.raises(ValueError, match="max_hosts"):
             robots_allowed(pages, robots, max_hosts=0)
+
+
+class TestRobotsHostAndAgentNormalization:
+    """ADVICE round-4 items: case/port/userinfo host matching and RFC
+    9309 product-token agent matching must not silently default."""
+
+    ROBOTS = "User-agent: *\nDisallow: /private\n"
+
+    def test_normalize_host(self):
+        from ctinexus_ray.ops.weblinks import normalize_host
+
+        assert normalize_host("Host3.Example.COM") == "host3.example.com"
+        assert normalize_host("host3.example.com:8080") == "host3.example.com"
+        assert normalize_host("user:pw@Host.example.com:443") == "host.example.com"
+        assert normalize_host("[::1]:8080") == "[::1]"
+        assert normalize_host("[2001:DB8::1]") == "[2001:db8::1]"
+
+    def test_index_matches_cased_and_ported_hosts(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.weblinks import robots_allowed
+
+        pages = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "url": [
+                        "http://Host3.example.com/private/x",
+                        "http://host3.example.com:8080/private/x",
+                        "http://u:p@host3.example.com/private/x",
+                        "http://host3.example.com/public",
+                    ]
+                }
+            )
+        )
+        robots = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {"host": ["HOST3.Example.com"], "robots_txt": [self.ROBOTS]}
+            )
+        )
+        rows = {
+            r["url"]: r["allowed"]
+            for r in robots_allowed(pages, robots).take_all()
+        }
+        assert rows == {
+            "http://Host3.example.com/private/x": False,
+            "http://host3.example.com:8080/private/x": False,
+            "http://u:p@host3.example.com/private/x": False,
+            "http://host3.example.com/public": True,
+        }
+
+    def test_product_token_agent_matching(self):
+        from ctinexus_ray.ops.weblinks import parse_robots
+
+        txt = (
+            "User-agent: FooBot\nDisallow: /foo\n\n"
+            "User-agent: *\nDisallow: /all\n"
+        )
+        # versioned caller UA matches the bare product-token group
+        for agent in ("FooBot/1.0", "foobot", "FOOBOT/2.3-beta"):
+            got = parse_robots(txt, agent=agent)
+            assert got["rules"] == [(False, "/foo")], agent
+        # robots side carrying a version still groups by product token
+        txt2 = "User-agent: FooBot/2.1\nDisallow: /foo\n"
+        assert parse_robots(txt2, agent="FooBot")["rules"] == [(False, "/foo")]
+        # non-matching agent falls back to *
+        assert parse_robots(txt, agent="BarBot/1.0")["rules"] == [
+            (False, "/all")
+        ]
