@@ -6983,6 +6983,38 @@ def _q_kg_degrees(sf_dir: str):
     )
 
 
+def _q_kg_nodes_incremental(sf_dir: str):
+    """Incremental cross-doc canonicalization (pipelines/kg_incr.py):
+    the corpus ingests in TWO ticks into a persisted versioned nodes
+    view — tick 2 folds only the new shards' entity partials via one
+    Sum/Max monoid merge (state/ivm.py exactly-once manifest ledger)
+    instead of re-shuffling the full checkpoint. The returned view
+    equals the kg_nodes full recompute by the delta-maintenance monoid
+    argument (pinned frame-equal in tests/test_kg_incr.py on 3 ticks).
+    Rows-only in the driver (mock-LLM stage, not SQL-expressible);
+    kg_nodes is the exact-anchor twin."""
+    import glob
+    import hashlib
+    import shutil
+
+    from ctinexus_ray.config import PipelineConfig
+    from ctinexus_ray.pipelines.kg_incr import (
+        read_kg_nodes_view,
+        run_kg_incremental,
+    )
+    from ctinexus_ray.sources.documents import read_testdata_as_cc
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"/tmp/kg_incr_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    read_testdata_as_cc(sf_dir).write_parquet(f"{tmp}/in")
+    files = sorted(glob.glob(f"{tmp}/in/*.parquet"))
+    config = PipelineConfig()
+    run_kg_incremental(files[: max(1, len(files) // 2)], f"{tmp}/kg", config)
+    run_kg_incremental(files, f"{tmp}/kg", config)
+    return read_kg_nodes_view(f"{tmp}/kg/nodes_view")
+
+
 def _q_kg_nodes_merged(sf_dir: str):
     """Exact canonical nodes + embedding-threshold near canonicalization
     (multi-table hyperplane LSH -> verified pairs -> union-find merge)."""
@@ -10106,6 +10138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean": _q_c4_clean,
         "mixture_sample": _q_mixture_sample,
         "ann_ivf_persisted": _q_ann_ivf_persisted,
+        "kg_nodes_incremental": _q_kg_nodes_incremental,
     }
 
 

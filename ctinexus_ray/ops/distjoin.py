@@ -58,6 +58,10 @@ def _arrow_type(t) -> pa.DataType:
         if t == object:  # pandas object blocks: strings in this codebase
             return pa.string()
         return pa.from_numpy_dtype(t)
+    if t is object:
+        # pandas-block-backed datasets (map_groups output) report plain
+        # ``object`` for string columns, not np.dtype('O')
+        return pa.string()
     raise TypeError(f"cannot map schema type {t!r} to pyarrow")
 
 

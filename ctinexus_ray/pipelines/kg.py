@@ -88,7 +88,7 @@ def triples_dataset(kg_ds: ray.data.Dataset, config: PipelineConfig) -> ray.data
     )
 
 
-def canonicalize_nodes(
+def canonicalize_node_partials(
     docs_kg_ds: ray.data.Dataset, config: PipelineConfig
 ) -> ray.data.Dataset:
     """Cross-document entity canonicalization — the one wide shuffle.
@@ -151,7 +151,7 @@ def canonicalize_nodes(
             {
                 "entity_key": out["entity_key"].astype("int64").values,
                 "entity_text": out["entity_text"].values,
-                "entity_class": out["class_rank"].str.split("|", n=1).str[1].values,
+                "class_rank": out["class_rank"].values,
                 "doc_count": out["doc_count"].astype("int64").values,
                 "mention_count": out["mention_count"].astype("int64").values,
             }
@@ -161,6 +161,38 @@ def canonicalize_nodes(
         partials.map_batches(add_pkey, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(reduce_partition, batch_format="pandas")
+    )
+
+
+def strip_class_rank_batch(batch: pa.Table) -> pa.Table:
+    """Final presentation map: decode ``class_rank``
+    ("<zero-padded count>|<class>") into ``entity_class`` — applied
+    AFTER all folding, because class_rank is the Max-monoid encoding
+    the incremental view keeps foldable across ticks."""
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "entity_key": batch.column("entity_key"),
+            "entity_text": batch.column("entity_text"),
+            "entity_class": pc.replace_substring_regex(
+                batch.column("class_rank"), r"^[^|]*\|", ""
+            ),
+            "doc_count": batch.column("doc_count"),
+            "mention_count": batch.column("mention_count"),
+        }
+    )
+
+
+def canonicalize_nodes(
+    docs_kg_ds: ray.data.Dataset, config: PipelineConfig
+) -> ray.data.Dataset:
+    """Canonical nodes table — ``canonicalize_node_partials`` (the
+    foldable Sum/Max shape, shared with the incremental view in
+    ``pipelines/kg_incr.py``) plus the class_rank -> entity_class
+    presentation map."""
+    return canonicalize_node_partials(docs_kg_ds, config).map_batches(
+        strip_class_rank_batch, batch_format="pyarrow"
     )
 
 
@@ -345,6 +377,44 @@ KG_DOC_COLUMNS = [
 ]
 
 
+def checkpoint_docs_kg(
+    input_files: list[str],
+    docs_kg_dir,
+    config: PipelineConfig,
+    demos: list[dict] | None = None,
+    reader=None,
+) -> dict:
+    """The expensive per-doc stages, run per INPUT SHARD with
+    per-partition commits + lineage sidecars (extract -> fused LLM
+    actor pool -> KG_DOC_COLUMNS). Shared by the full-rederive runner
+    (``run_kg_resumable``) and the incremental one
+    (``pipelines/kg_incr.py``)."""
+    from ctinexus_ray.sources.documents import read_cc
+    from ctinexus_ray.state.checkpoint import run_resumable
+
+    def pipeline(ds: ray.data.Dataset) -> ray.data.Dataset:
+        return run_kg_stage(
+            extract_documents(ds, config), config, demos
+        ).select_columns(KG_DOC_COLUMNS)
+
+    def lineage_fn(table: pa.Table) -> dict:
+        def s(col):
+            return int(pa.compute.sum(table.column(col)).as_py() or 0)
+
+        return {
+            "docs": table.num_rows,
+            "triples": s("triples_count"),
+            "llm_input_tokens": s("llm_input_tokens"),
+            "llm_output_tokens": s("llm_output_tokens"),
+            "embed_tokens": s("embed_tokens"),
+        }
+
+    return run_resumable(
+        input_files, docs_kg_dir, pipeline, reader=reader or read_cc,
+        lineage_fn=lineage_fn,
+    )
+
+
 def run_kg_resumable(
     input_files: list[str],
     out_dir: str,
@@ -365,33 +435,11 @@ def run_kg_resumable(
     """
     from pathlib import Path
 
-    from ctinexus_ray.sources.documents import read_cc
-    from ctinexus_ray.state.checkpoint import run_resumable
-
     config = config or PipelineConfig()
     out = Path(out_dir)
     docs_kg_dir = out / "docs_kg"
-
-    def pipeline(ds: ray.data.Dataset) -> ray.data.Dataset:
-        return run_kg_stage(
-            extract_documents(ds, config), config, demos
-        ).select_columns(KG_DOC_COLUMNS)
-
-    def lineage_fn(table: pa.Table) -> dict:
-        def s(col):
-            return int(pa.compute.sum(table.column(col)).as_py() or 0)
-
-        return {
-            "docs": table.num_rows,
-            "triples": s("triples_count"),
-            "llm_input_tokens": s("llm_input_tokens"),
-            "llm_output_tokens": s("llm_output_tokens"),
-            "embed_tokens": s("embed_tokens"),
-        }
-
-    summary = run_resumable(
-        input_files, docs_kg_dir, pipeline, reader=reader or read_cc,
-        lineage_fn=lineage_fn,
+    summary = checkpoint_docs_kg(
+        input_files, docs_kg_dir, config, demos, reader
     )
 
     # derived outputs are idempotent re-computations over the docs_kg

@@ -75,8 +75,9 @@ def apply_delta(
     delta: ray.data.Dataset,
     key_col: str,
     value_cols: dict[str, str],
-    batch_id: str,
+    batch_id: str | list[str],
     num_partitions: int | None = None,
+    value_types: dict[str, pa.DataType] | None = None,
 ) -> dict:
     """Fold one batch's delta aggregate into the materialized view.
 
@@ -84,9 +85,19 @@ def apply_delta(
     (int64; hash string keys with ``ops.dedup.hash64_strings`` and
     carry the readable column alongside) plus value columns.
     ``value_cols``: {column: combine} with combine in sum|min|max
-    (count folds in as a sum of partial counts). Any other column in
-    ``delta`` (e.g. the readable string key) passes through, taking the
-    DELTA side's value on key intersections.
+    (count folds in as a sum of partial counts; min/max also combine
+    string columns — the deterministic canonical-pick monoid). Any
+    other column in ``delta`` (e.g. the readable string key) passes
+    through, taking the DELTA side's value on key intersections.
+    ``value_types``: per-column Arrow type for non-int64 value columns
+    (the join needs typed nulls when a partition of the view side is
+    empty); unlisted columns default to int64.
+
+    ``batch_id`` may be a LIST — one delta covering several source
+    batches (e.g. all shards that arrived in a tick), recorded in the
+    ledger individually but committed atomically. All-or-nothing: a
+    mix of applied and unapplied ids means the caller's bookkeeping
+    diverged from the ledger and raises.
 
     Returns {"applied": False} when ``batch_id`` is already in the
     view's manifest ledger (the crash-replay path); otherwise commits a
@@ -100,8 +111,17 @@ def apply_delta(
                 "(monoid-mergeable); non-decomposable aggregates "
                 "cannot be delta-maintained"
             )
+    bids = [batch_id] if isinstance(batch_id, str) else list(batch_id)
+    if not bids:
+        raise ValueError("batch_id must name at least one batch")
     applied = applied_batches(view_dir)
-    if batch_id in applied:
+    done = [b for b in bids if b in applied]
+    if done:
+        if len(done) != len(bids):
+            raise ValueError(
+                f"batch ids {done} already applied but {sorted(set(bids) - set(done))} "
+                "are not — a multi-batch delta must be all-or-nothing"
+            )
         return {"applied": False, "batch_id": batch_id}
 
     from ctinexus_ray.state.tableformat import version_files
@@ -129,7 +149,7 @@ def apply_delta(
         )
         version = commit_version(
             view_dir, files, mode="overwrite",
-            extra={"ivm_applied": applied + [batch_id]},
+            extra={"ivm_applied": applied + bids},
         )
         return {"applied": True, "version": version, "batch_id": batch_id}
 
@@ -140,6 +160,7 @@ def apply_delta(
     from ctinexus_ray.ops.distjoin import hash_join
 
     i64 = pa.int64()
+    vtypes = {c: (value_types or {}).get(c, i64) for c in value_cols}
     view_cols = [key_col] + list(value_cols)
     renames = {c: f"_view_{c}" for c in value_cols}
 
@@ -157,7 +178,7 @@ def apply_delta(
         on=[key_col],
         how="left",
         num_partitions=num_partitions,
-        right_types={key_col: i64, **{renames[c]: i64 for c in value_cols}},
+        right_types={key_col: i64, **{renames[c]: vtypes[c] for c in value_cols}},
     )
 
     def combine(batch: pa.Table) -> pa.Table:
@@ -191,7 +212,7 @@ def apply_delta(
         key_col=key_col,
         num_partitions=num_partitions,
         assume_unique=True,  # delta is a per-key aggregate by contract
-        extra={"ivm_applied": applied + [batch_id]},
+        extra={"ivm_applied": applied + bids},
     )
     stats.update({"applied": True, "batch_id": batch_id})
     return stats

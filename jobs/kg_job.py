@@ -40,6 +40,11 @@ def main() -> int:
                         help="default: auto-detect from the shard suffix")
     parser.add_argument("--similarity-threshold", type=float, default=0.6)
     parser.add_argument("--pool", type=int, default=0, help="KG actor pool size (0 = auto)")
+    parser.add_argument("--incremental", action="store_true",
+                        help="maintain the derived layer as persisted "
+                             "versioned tables, folding only NEW shards "
+                             "(IVM) instead of re-deriving from the full "
+                             "docs_kg checkpoint each run")
     args = parser.parse_args()
 
     import ray
@@ -93,7 +98,12 @@ def main() -> int:
         similarity_threshold=args.similarity_threshold,
         llm_concurrency=(pool, pool),
     )
-    result = run_kg_resumable(files, args.output, config, reader=reader)
+    if args.incremental:
+        from ctinexus_ray.pipelines.kg_incr import run_kg_incremental
+
+        result = run_kg_incremental(files, args.output, config, reader=reader)
+    else:
+        result = run_kg_resumable(files, args.output, config, reader=reader)
     print(json.dumps(result, indent=2))
     ray.shutdown()
     return 0
