@@ -3338,6 +3338,55 @@ def _q_text_index_bm25(sf_dir: str):
     )
 
 
+def _q_text_index_phrase(sf_dir: str):
+    """Exact phrase search ("table hash") served FROM the persisted
+    positional index (ops/textindex.py text_index_phrase): the index is
+    built over HALF the corpus and the other half arrives as an append
+    tick (positions inherit from the manifest), then the query scans
+    only the two phrase words' buckets and runs the anchor-bitmask plan
+    on the STORED position lists — no corpus re-tokenization. Exact by
+    bucket term-completeness; the oracle is the same positional
+    self-join SQL as phrase_search, so a stale or double-counted
+    posting after the append tick would hash-mismatch. ✓SQL."""
+    import hashlib
+    import shutil
+
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from ctinexus_ray.ops.textindex import (
+        text_index_append,
+        text_index_build,
+        text_index_phrase,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"/tmp/text_index_phrase_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def half(parity):
+        def f(t):
+            return t.filter(
+                pc.equal(pc.bit_wise_and(t.column("doc_id"), 1), parity)
+            )
+
+        return f
+
+    text_index_build(
+        docs.map_batches(half(0), batch_format="pyarrow"), tmp,
+        num_buckets=64, positions=True,
+    )
+    text_index_append(
+        docs.map_batches(half(1), batch_format="pyarrow"), tmp,
+        batch_id="tick2",
+    )
+    return text_index_phrase(tmp, ["table", "hash"], num_partitions=16)
+
+
 def _q_sitemap_source(sf_dir: str):
     """Sitemap XML ingestion round trip (sources/sitemap.py): a
     deterministic <sitemapindex> + child <urlset> shards (urls from the
@@ -10139,6 +10188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample": _q_mixture_sample,
         "ann_ivf_persisted": _q_ann_ivf_persisted,
         "kg_nodes_incremental": _q_kg_nodes_incremental,
+        "text_index_phrase": _q_text_index_phrase,
     }
 
 
@@ -12001,6 +12051,20 @@ def oracle_sql() -> dict[str, str]:
             "JOIN (SELECT * FROM r WHERE rl = 1) l USING (user_id)"
         ),
         "phrase_search": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), "
+            "p AS (SELECT doc_id, unnest(w) AS word, "
+            "unnest(range(1, len(w) + 1)) AS pos FROM t) "
+            "SELECT p1.doc_id, CAST(count(*) AS BIGINT) AS n_matches "
+            "FROM p p1 JOIN p p2 ON p1.doc_id = p2.doc_id "
+            "AND p2.pos = p1.pos + 1 "
+            "WHERE p1.word = 'table' AND p2.word = 'hash' "
+            "GROUP BY p1.doc_id"
+        ),
+        # same positional self-join twin: the index-served phrase plan
+        # must reproduce the full-scan result exactly (term-complete
+        # buckets + stored positions), including after the append tick
+        "text_index_phrase": (
             "WITH t AS (SELECT doc_id, "
             "regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), "
             "p AS (SELECT doc_id, unnest(w) AS word, "

@@ -60,13 +60,15 @@ from ctinexus_ray.state.tableformat import (
 )
 
 
-def _posting_batches(batch: pa.Table, num_buckets: int):
-    """(bucket, term, doc_id, tf, dl) posting rows for one doc batch,
-    plus the batch's (n_docs, total_len) combiner row (doc_id = -1,
-    term NULL) so build/append learn corpus stats in the same pass."""
-    from collections import Counter
-
+def _posting_batches(batch: pa.Table, num_buckets: int, positions: bool):
+    """(bucket, term, doc_id, tf, dl[, pos]) posting rows for one doc
+    batch, plus the batch's (n_docs, total_len) combiner row (doc_id =
+    -1, term NULL) so build/append learn corpus stats in the same pass.
+    ``positions`` adds each posting's 0-based token-position list
+    (list<int32>) — the phrase-query payload; tf == len(pos) by
+    construction."""
     buckets, terms, ids, tfs, dls = [], [], [], [], []
+    poss: list = []
     stat_docs, stat_len = 0, 0
     for doc_id, t in zip(
         batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
@@ -74,11 +76,16 @@ def _posting_batches(batch: pa.Table, num_buckets: int):
         toks = _tokens(t or "")
         stat_docs += 1
         stat_len += len(toks)
-        for w, tf in Counter(toks).items():
+        per_term: dict[str, list[int]] = {}
+        for i, w in enumerate(toks):
+            per_term.setdefault(w, []).append(i)
+        for w, plist in per_term.items():
             terms.append(w)
             ids.append(doc_id)
-            tfs.append(tf)
+            tfs.append(len(plist))
             dls.append(len(toks))
+            if positions:
+                poss.append(plist)
     b = (
         (hash64_strings(terms) % np.uint64(num_buckets)).astype(np.int64)
         if terms
@@ -89,19 +96,22 @@ def _posting_batches(batch: pa.Table, num_buckets: int):
     ids.append(-1)
     tfs.append(stat_docs)
     dls.append(stat_len)
-    return pa.Table.from_pydict(
-        {
-            "bucket": pa.array(buckets, type=pa.int64()),
-            "term": pa.array(terms, type=pa.string()),
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "tf": pa.array(tfs, type=pa.int64()),
-            "dl": pa.array(dls, type=pa.int64()),
-        }
-    )
+    cols = {
+        "bucket": pa.array(buckets, type=pa.int64()),
+        "term": pa.array(terms, type=pa.string()),
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "tf": pa.array(tfs, type=pa.int64()),
+        "dl": pa.array(dls, type=pa.int64()),
+    }
+    if positions:
+        poss.append(None)  # stats row
+        cols["pos"] = pa.array(poss, type=pa.list_(pa.int32()))
+    return pa.Table.from_pydict(cols)
 
 
 def _write_buckets(
-    docs: ray.data.Dataset, table_dir: str, num_buckets: int
+    docs: ray.data.Dataset, table_dir: str, num_buckets: int,
+    positions: bool = False,
 ) -> tuple[list[str], int, int]:
     """Explode postings, write one parquet file per bucket (inside the
     bucket's own reduce task), and return (paths, n_docs, total_len)."""
@@ -111,7 +121,8 @@ def _write_buckets(
     posted = (
         docs.select_columns(["doc_id", "text"])
         .map_batches(
-            lambda t: _posting_batches(t, num_buckets), batch_format="pyarrow"
+            lambda t: _posting_batches(t, num_buckets, positions),
+            batch_format="pyarrow",
         )
         .materialize()  # consumed twice: stats row + bucket writes
     )
@@ -135,15 +146,18 @@ def _write_buckets(
         import pyarrow.parquet as pq
 
         bucket = int(g["bucket"].iloc[0])
-        t = pa.Table.from_pydict(
-            {
-                "bucket": pa.array(g["bucket"].to_numpy(), type=pa.int64()),
-                "term": pa.array(g["term"].tolist(), type=pa.string()),
-                "doc_id": pa.array(g["doc_id"].to_numpy(), type=pa.int64()),
-                "tf": pa.array(g["tf"].to_numpy(), type=pa.int64()),
-                "dl": pa.array(g["dl"].to_numpy(), type=pa.int64()),
-            }
-        )
+        cols = {
+            "bucket": pa.array(g["bucket"].to_numpy(), type=pa.int64()),
+            "term": pa.array(g["term"].tolist(), type=pa.string()),
+            "doc_id": pa.array(g["doc_id"].to_numpy(), type=pa.int64()),
+            "tf": pa.array(g["tf"].to_numpy(), type=pa.int64()),
+            "dl": pa.array(g["dl"].to_numpy(), type=pa.int64()),
+        }
+        if "pos" in g.columns:
+            cols["pos"] = pa.array(
+                [list(v) for v in g["pos"]], type=pa.list_(pa.int32())
+            )
+        t = pa.Table.from_pydict(cols)
         path = os.path.join(data_dir, f"bucket-{bucket:05d}.parquet")
         tmp = path + f".tmp.{os.getpid()}"
         pq.write_table(t, tmp)
@@ -167,6 +181,7 @@ def _write_buckets(
 def text_index_build(
     docs: ray.data.Dataset, table_dir: str, num_buckets: int = 64,
     batch_id: str | list[str] | None = None,
+    positions: bool = False,
 ) -> int:
     """Build (or rebuild) the inverted index; returns the committed
     version. Overwrite semantics: a rebuild replaces the file set.
@@ -174,8 +189,12 @@ def text_index_build(
     ``text_index_append``) for callers folding an ingestion stream; a
     LIST marks several batches applied in the one atomic commit — the
     rebuild-from-latest path, where the fresh index already covers
-    every corpus version."""
-    paths, n_docs, total_len = _write_buckets(docs, table_dir, num_buckets)
+    every corpus version. ``positions=True`` stores each posting's
+    token-position list so ``text_index_phrase`` serves phrase queries
+    index-pruned (appends inherit the flag from the manifest)."""
+    paths, n_docs, total_len = _write_buckets(
+        docs, table_dir, num_buckets, positions
+    )
     if batch_id is None:
         seed: list[str] = []
     elif isinstance(batch_id, str):
@@ -191,6 +210,7 @@ def text_index_build(
                 "num_buckets": num_buckets,
                 "n_docs": n_docs,
                 "total_len": total_len,
+                "positions": positions,
                 "applied": seed,
             }
         },
@@ -251,7 +271,8 @@ def text_index_append(
     if batch_id is not None and batch_id in applied:
         return None
     paths, n_docs, total_len = _write_buckets(
-        docs, table_dir, int(meta["num_buckets"])
+        docs, table_dir, int(meta["num_buckets"]),
+        positions=bool(meta.get("positions", False)),
     )
     return commit_version(
         table_dir,
@@ -262,6 +283,7 @@ def text_index_append(
                 "num_buckets": int(meta["num_buckets"]),
                 "n_docs": int(meta["n_docs"]) + n_docs,
                 "total_len": int(meta["total_len"]) + total_len,
+                "positions": bool(meta.get("positions", False)),
                 "applied": applied + ([batch_id] if batch_id else []),
             }
         },
@@ -385,4 +407,116 @@ def text_index_boolean(
             ["doc_id"]
         ),
         batch_format="pyarrow",
+    )
+
+
+def text_index_phrase(
+    table_dir: str,
+    words: list[str],
+    num_partitions: int | None = None,
+    version: int | None = None,
+) -> ray.data.Dataset:
+    """Exact phrase search served FROM the persisted index — the
+    index-pruned sibling of ``ops/textstats.py phrase_match_counts``
+    (whose per-query corpus re-tokenization this retires): documents
+    containing the K-word phrase as consecutive whitespace tokens, with
+    per-document match counts — (doc_id, n_matches).
+
+    Plan: scan ONLY the phrase words' buckets (``bucket IN (...)`` +
+    ``term IN (...)`` pushed into the parquet read — requires an index
+    built with ``positions=True``), explode each posting's stored
+    position list to (doc_id, anchor = pos - k, 1 << k) per slot k of
+    the word, then the same ONE hash-partitioned bitmask sum: an anchor
+    summing to 2^K - 1 has every slot occupied. Exact by
+    term-completeness — every posting of every phrase word lives in a
+    scanned bucket, so the anchor sums equal the full-scan plan's
+    (pinned ✓SQL against the positional self-join twin, including after
+    an append tick). Repeated phrase words work verbatim (a word
+    occupies several slots).
+
+    At 100 TB: the scan is |phrase words|/num_buckets of the index;
+    exploded volume is occurrences-of-phrase-words; both reduces
+    hash-partitioned — nothing corpus-sized moves."""
+    import pyarrow.dataset as pads
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    if not words or any(not w or w != w.strip() or " " in w for w in words):
+        raise ValueError("words must be non-empty single tokens")
+    K = len(words)
+    if K > 62:
+        raise ValueError("phrase too long for the int64 bitmask plan")
+    full = (1 << K) - 1
+    meta = version_extra(table_dir, version).get("text_index")
+    if not meta:
+        raise FileNotFoundError(
+            f"{table_dir} has no text_index metadata — build first"
+        )
+    if not meta.get("positions"):
+        raise ValueError(
+            f"{table_dir} was built without positions=True — phrase "
+            "queries need positional postings (rebuild with "
+            "text_index_build(..., positions=True))"
+        )
+    slots: dict[str, list[int]] = {}
+    for k, w in enumerate(words):
+        slots.setdefault(w, []).append(k)
+    tset = sorted(slots)
+    want = sorted(
+        {
+            int(h % np.uint64(int(meta["num_buckets"])))
+            for h in hash64_strings(tset)
+        }
+    )
+    postings = read_version(
+        table_dir,
+        version=version,
+        columns=["term", "doc_id", "dl", "pos"],
+        filter=pads.field("bucket").isin(want) & pads.field("term").isin(tset),
+    )
+
+    def to_anchors(batch: pa.Table) -> pa.Table:
+        docs_, anchors_, bits_ = [], [], []
+        for term, doc_id, dl, plist in zip(
+            batch.column("term").to_pylist(),
+            batch.column("doc_id").to_pylist(),
+            batch.column("dl").to_pylist(),
+            batch.column("pos").to_pylist(),
+        ):
+            pos = np.asarray(plist, dtype=np.int64)
+            for k in slots[term]:
+                a = pos - k
+                a = a[(a >= 0) & (a <= dl - K)]
+                if len(a):
+                    docs_.append(np.full(len(a), doc_id, dtype=np.int64))
+                    anchors_.append(a)
+                    bits_.append(np.full(len(a), 1 << k, dtype=np.int64))
+        i64 = pa.int64()
+        empty = np.zeros(0, dtype=np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(docs_) if docs_ else empty, type=i64
+                ),
+                "anchor": pa.array(
+                    np.concatenate(anchors_) if anchors_ else empty, type=i64
+                ),
+                "bit": pa.array(
+                    np.concatenate(bits_) if bits_ else empty, type=i64
+                ),
+            }
+        )
+
+    anchors = partitioned_agg(
+        postings.map_batches(to_anchors, batch_format="pyarrow"),
+        keys=["doc_id", "anchor"],
+        named_aggs={"mask": ("bit", "sum")},
+        num_partitions=num_partitions,
+    )
+    hits = anchors.filter(expr=f"mask == {full}")
+    return partitioned_agg(
+        hits.select_columns(["doc_id"]),
+        keys=["doc_id"],
+        named_aggs={"n_matches": ("doc_id", "size")},
+        num_partitions=num_partitions,
     )

@@ -207,23 +207,37 @@ def fold_kg_derived(
             batch_size=config.cpu_batch_size,
         )
 
-    nodes = _fold_nodes(
-        shards, os.path.join(out_dir, "nodes_view"), config
-    )
-    triples = _append_shard_map(
-        shards, os.path.join(out_dir, "triples_view"), explode
-    )
-    edges = _append_shard_map(
-        shards,
-        os.path.join(out_dir, "edges_view"),
-        lambda ds: explode(ds).map_batches(
-            edges_batch, batch_format="pyarrow",
-            batch_size=config.cpu_batch_size,
-        ),
-    )
-    metrics = _fold_metrics(
-        shards, os.path.join(out_dir, "metrics_view"), config
-    )
+    # the four folds touch DISJOINT tables and are independent — run
+    # them in driver threads so each tick pays max(fold) wall, not the
+    # sum of four fixed per-execution latencies (plans are built inside
+    # each fold; the fsspec import race is settled first, see kg.py)
+    import concurrent.futures as cf
+
+    from ctinexus_ray.pipelines.kg import _settle_fsspec_http_import
+
+    _settle_fsspec_http_import()
+    with cf.ThreadPoolExecutor(max_workers=4) as ex:
+        f_nodes = ex.submit(
+            _fold_nodes, shards, os.path.join(out_dir, "nodes_view"), config
+        )
+        f_triples = ex.submit(
+            _append_shard_map, shards,
+            os.path.join(out_dir, "triples_view"), explode,
+        )
+        f_edges = ex.submit(
+            _append_shard_map, shards,
+            os.path.join(out_dir, "edges_view"),
+            lambda ds: explode(ds).map_batches(
+                edges_batch, batch_format="pyarrow",
+                batch_size=config.cpu_batch_size,
+            ),
+        )
+        f_metrics = ex.submit(
+            _fold_metrics, shards, os.path.join(out_dir, "metrics_view"),
+            config,
+        )
+        nodes, triples = f_nodes.result(), f_triples.result()
+        edges, metrics = f_edges.result(), f_metrics.result()
     return {
         "kg_shards": len(shards),
         "nodes_folded": nodes,

@@ -169,6 +169,9 @@ def apply_delta(
             [renames.get(n, n) for n in batch.column_names]
         )
 
+    # pin the delta so the schema probe + join don't recompute the
+    # caller's aggregation pipeline (delta is tick-sized by contract)
+    delta = delta.materialize()
     view_side = read_version(view_dir, columns=view_cols).map_batches(
         rn, batch_format="pyarrow"
     )
@@ -205,7 +208,12 @@ def apply_delta(
                 cols[name] = batch.column(name)
         return pa.Table.from_pydict(cols)
 
-    combined = joined.map_batches(combine, batch_format="pyarrow")
+    # materialize the combined delta ONCE: it is tick-sized (one row per
+    # key the batch touched) by the delta contract, and merge_upsert
+    # consumes its input three times (count, key broadcast, write) —
+    # without pinning, the join+combine pipeline (including the view
+    # scan) re-executes per consumption (measured 3-4x the fold wall)
+    combined = joined.map_batches(combine, batch_format="pyarrow").materialize()
     stats = merge_upsert(
         view_dir,
         combined,

@@ -208,3 +208,95 @@ class TestAbsentTerms:
             for r in text_index_boolean(d, ["hash", "zzz"], mode="or").take_all()
         )
         assert got == [0, 1, 3]
+
+
+class TestPositionalPhrase:
+    PHRASE_TEXTS = [
+        "hash join hash join hash",          # overlapping matches
+        "the hash join is a hash join",      # two matches
+        "join hash",                         # reversed: no match
+        "hash join",                         # exact doc == phrase
+        "hash", "join", "",                  # too short / empty
+        "a hash  join b",                    # double space: still adjacent tokens
+    ]
+
+    def _build_pos(self, tmpdir, texts, append_half=False):
+        from ctinexus_ray.ops.textindex import (
+            text_index_append,
+            text_index_build,
+        )
+
+        if append_half:
+            mid = len(texts) // 2
+            text_index_build(
+                ray.data.from_arrow(_docs_tbl(texts[:mid])).repartition(2),
+                tmpdir, num_buckets=8, positions=True,
+            )
+            text_index_append(
+                ray.data.from_arrow(_docs_tbl(texts[mid:], start_id=mid)),
+                tmpdir, batch_id="tick2",
+            )
+        else:
+            text_index_build(
+                ray.data.from_arrow(_docs_tbl(texts)).repartition(3),
+                tmpdir, num_buckets=8, positions=True,
+            )
+        return ray.data.from_arrow(_docs_tbl(texts))
+
+    def _assert_matches_scan(self, idx_dir, docs, words):
+        from ctinexus_ray.ops.textindex import text_index_phrase
+        from ctinexus_ray.ops.textstats import phrase_match_counts
+
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in text_index_phrase(idx_dir, words).take_all()
+        }
+        want = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_match_counts(docs, words).take_all()
+        }
+        assert got == want
+
+    def test_phrase_equals_corpus_scan(self, ray_session, tmp_path):
+        idx = str(tmp_path / "t")
+        docs = self._build_pos(idx, self.PHRASE_TEXTS)
+        self._assert_matches_scan(idx, docs, ["hash", "join"])
+
+    def test_repeated_word_phrase(self, ray_session, tmp_path):
+        idx = str(tmp_path / "t")
+        docs = self._build_pos(idx, self.PHRASE_TEXTS)
+        self._assert_matches_scan(idx, docs, ["hash", "join", "hash"])
+
+    def test_append_tick_preserves_exactness(self, ray_session, tmp_path):
+        """Positions survive an append tick (the flag inherits from the
+        manifest) and the pruned phrase result still equals the
+        full-corpus scan."""
+        idx = str(tmp_path / "t")
+        docs = self._build_pos(idx, self.PHRASE_TEXTS, append_half=True)
+        self._assert_matches_scan(idx, docs, ["hash", "join"])
+
+    def test_bm25_unaffected_by_positions(self, ray_session, tmp_path):
+        from ctinexus_ray.ops.textindex import text_index_search
+        from ctinexus_ray.ops.textstats import bm25_topk_docs
+
+        idx = str(tmp_path / "t")
+        docs = self._build_pos(idx, self.PHRASE_TEXTS)
+        got = text_index_search(idx, ["hash", "join"], k=5).to_pydict()
+        want = bm25_topk_docs(docs, ["hash", "join"], k=5).to_pydict()
+        assert got == want
+
+    def test_refuses_positionless_index(self, ray_session, tmp_path):
+        from ctinexus_ray.ops.textindex import (
+            text_index_build,
+            text_index_phrase,
+        )
+
+        idx = str(tmp_path / "t")
+        text_index_build(
+            ray.data.from_arrow(_docs_tbl(self.PHRASE_TEXTS)), idx,
+            num_buckets=8,
+        )
+        with pytest.raises(ValueError, match="positions"):
+            text_index_phrase(idx, ["hash", "join"])
+        with pytest.raises(ValueError, match="single tokens"):
+            text_index_phrase(idx, ["two words"])
