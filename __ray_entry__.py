@@ -3387,6 +3387,60 @@ def _q_text_index_phrase(sf_dir: str):
     return text_index_phrase(tmp, ["table", "hash"], num_partitions=16)
 
 
+def _q_text_index_delete(sf_dir: str):
+    """Index delete tick (ops/textindex.py text_index_delete): the
+    exact-dedup drop set (every doc that is NOT its text group's
+    min-doc_id survivor) retires its postings copy-on-write — broadcast
+    sorted ids, one searchsorted rewrite task per file, corpus stats
+    folded down atomically in the manifest — then BM25 over the pruned
+    index must equal a full-scan BM25 over the SURVIVING corpus (the
+    oracle recomputes keep-first dedup + BM25 in SQL; a stale posting
+    or unadjusted n_docs/avgdl would hash-mismatch). ✓SQL."""
+    import hashlib
+    import shutil
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from ctinexus_ray.ops.dedup import exact_dedup_keep
+    from ctinexus_ray.ops.textindex import (
+        text_index_build,
+        text_index_delete,
+        text_index_search,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"/tmp/text_index_del_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    text_index_build(docs, tmp, num_buckets=64)
+    keep = np.sort(
+        np.array(
+            [r["doc_id"] for r in exact_dedup_keep(docs).take_all()],
+            dtype=np.int64,
+        )
+    )  # distinct-text-sized, broadcastable
+
+    def drops(t):
+        col = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keep, col)
+        pos[pos == len(keep)] = 0
+        hit = keep[pos] == col
+        return t.filter(pc.invert(pa.array(hit))).select(["doc_id"])
+
+    text_index_delete(
+        tmp, docs.map_batches(drops, batch_format="pyarrow"),
+        batch_id="dedup-1",
+    )
+    return ray.data.from_arrow(
+        text_index_search(tmp, ["hash", "join", "vector"], k=20)
+    )
+
+
 def _q_sitemap_source(sf_dir: str):
     """Sitemap XML ingestion round trip (sources/sitemap.py): a
     deterministic <sitemapindex> + child <urlset> shards (urls from the
@@ -10189,6 +10243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_persisted": _q_ann_ivf_persisted,
         "kg_nodes_incremental": _q_kg_nodes_incremental,
         "text_index_phrase": _q_text_index_phrase,
+        "text_index_delete": _q_text_index_delete,
     }
 
 
@@ -11003,6 +11058,39 @@ def oracle_sql() -> dict[str, str]:
             "n AS (SELECT count(*) AS n, "
             "CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) "
             "AS DOUBLE) / count(*) AS avgdl FROM documents), "
+            "tf AS (SELECT doc_id, word, count(*) AS tf FROM words "
+            "WHERE word IN ('hash', 'join', 'vector') "
+            "GROUP BY doc_id, word), "
+            "df AS (SELECT word, count(*) AS df FROM tf GROUP BY word), "
+            "scored AS (SELECT tf.doc_id, CAST(FLOOR("
+            "ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5)) "
+            "* (tf.tf * (1.5 + 1.0)) "
+            "/ (tf.tf + 1.5 * ((1.0 - 0.75) + (0.75 * dl.dl) / n.avgdl)) "
+            "* 1000000.0 + 0.5) AS BIGINT) AS micro "
+            "FROM tf, df, dl, n "
+            "WHERE tf.word = df.word AND tf.doc_id = dl.doc_id), "
+            "per_doc AS (SELECT doc_id, CAST(SUM(micro) AS BIGINT) AS "
+            "score_micro FROM scored GROUP BY doc_id), "
+            "ranked AS (SELECT doc_id, score_micro, row_number() OVER "
+            "(ORDER BY score_micro DESC, doc_id) AS rn FROM per_doc) "
+            "SELECT CAST(rn AS BIGINT) AS rn, doc_id, score_micro "
+            "FROM ranked WHERE rn <= 20"
+        ),
+        # the bm25 pipeline verbatim, over the keep-first dedup
+        # SURVIVORS — what the index must equal after the delete tick
+        "text_index_delete": (
+            "WITH surv AS (SELECT doc_id, text FROM documents "
+            "WHERE doc_id IN "
+            "(SELECT min(doc_id) FROM documents GROUP BY text)), "
+            "words AS (SELECT doc_id, "
+            "unnest(regexp_split_to_array(trim(text), '\\s+')) AS word "
+            "FROM surv), "
+            "dl AS (SELECT doc_id, "
+            "len(regexp_split_to_array(trim(text), '\\s+')) AS dl "
+            "FROM surv), "
+            "n AS (SELECT count(*) AS n, "
+            "CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) "
+            "AS DOUBLE) / count(*) AS avgdl FROM surv), "
             "tf AS (SELECT doc_id, word, count(*) AS tf FROM words "
             "WHERE word IN ('hash', 'join', 'vector') "
             "GROUP BY doc_id, word), "

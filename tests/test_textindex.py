@@ -300,3 +300,141 @@ class TestPositionalPhrase:
             text_index_phrase(idx, ["hash", "join"])
         with pytest.raises(ValueError, match="single tokens"):
             text_index_phrase(idx, ["two words"])
+
+
+class TestTextIndexDelete:
+    TEXTS = [
+        "hash join beats sort merge join",
+        "hash join beats sort merge join",        # exact dup of 0
+        "vector search over a hash bucketed index",
+        "the quick brown fox",
+        "join the vector hash club",
+        "",
+    ]
+
+    def _survivor_equal(self, idx_dir, surviving_texts, surviving_ids):
+        from ctinexus_ray.ops.textindex import text_index_search
+        from ctinexus_ray.ops.textstats import bm25_topk_docs
+
+        surv = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(surviving_ids, type=pa.int64()),
+                    "text": pa.array(surviving_texts, type=pa.string()),
+                }
+            )
+        )
+        got = text_index_search(
+            idx_dir, ["hash", "join", "vector"], k=10
+        ).to_pydict()
+        want = bm25_topk_docs(
+            surv, ["hash", "join", "vector"], k=10
+        ).to_pydict()
+        assert got == want
+
+    def test_delete_equals_fresh_build_over_survivors(
+        self, ray_session, tmp_path
+    ):
+        from ctinexus_ray.ops.textindex import (
+            text_index_build,
+            text_index_delete,
+        )
+        from ctinexus_ray.state.tableformat import version_extra
+
+        idx = str(tmp_path / "t")
+        text_index_build(
+            ray.data.from_arrow(_docs_tbl(self.TEXTS)), idx, num_buckets=8
+        )
+        v = text_index_delete(idx, [1, 5], batch_id="drop-1")
+        assert v == 2
+        meta = version_extra(idx)["text_index"]
+        assert meta["n_docs"] == 4  # 6 - 2 dropped
+        keep_ids = [0, 2, 3, 4]
+        self._survivor_equal(
+            idx, [self.TEXTS[i] for i in keep_ids], keep_ids
+        )
+
+    def test_delete_is_exactly_once_and_absent_ids_noop(
+        self, ray_session, tmp_path
+    ):
+        from ctinexus_ray.ops.textindex import (
+            text_index_build,
+            text_index_delete,
+        )
+        from ctinexus_ray.state.tableformat import version_extra
+
+        idx = str(tmp_path / "t")
+        text_index_build(
+            ray.data.from_arrow(_docs_tbl(self.TEXTS)), idx, num_buckets=8
+        )
+        text_index_delete(idx, [1, 999], batch_id="drop-1")
+        before = version_extra(idx)["text_index"]
+        assert before["n_docs"] == 5  # 999 absent: no-op per id
+        # replay (crash-after-commit path): None, nothing changes
+        assert text_index_delete(idx, [1, 999], batch_id="drop-1") is None
+        assert version_extra(idx)["text_index"] == before
+
+    def test_delete_then_append_and_phrase_stay_exact(
+        self, ray_session, tmp_path
+    ):
+        from ctinexus_ray.ops.textindex import (
+            text_index_append,
+            text_index_build,
+            text_index_delete,
+            text_index_phrase,
+        )
+        from ctinexus_ray.ops.textstats import phrase_match_counts
+
+        idx = str(tmp_path / "t")
+        text_index_build(
+            ray.data.from_arrow(_docs_tbl(self.TEXTS)), idx, num_buckets=8,
+            positions=True,
+        )
+        text_index_delete(idx, [0], batch_id="drop-1")
+        text_index_append(
+            ray.data.from_arrow(
+                _docs_tbl(["fresh hash join arrival"], start_id=6)
+            ),
+            idx, batch_id="tick-2",
+        )
+        surv_ids = [1, 2, 3, 4, 5, 6]
+        surv = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(surv_ids, type=pa.int64()),
+                    "text": pa.array(
+                        [self.TEXTS[i] for i in surv_ids[:-1]]
+                        + ["fresh hash join arrival"],
+                        type=pa.string(),
+                    ),
+                }
+            )
+        )
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in text_index_phrase(idx, ["hash", "join"]).take_all()
+        }
+        want = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_match_counts(surv, ["hash", "join"]).take_all()
+        }
+        assert got == want
+
+    def test_delete_dataset_input_and_refusal(self, ray_session, tmp_path):
+        from ctinexus_ray.ops.textindex import (
+            text_index_build,
+            text_index_delete,
+        )
+        from ctinexus_ray.state.tableformat import version_extra
+
+        idx = str(tmp_path / "t")
+        text_index_build(
+            ray.data.from_arrow(_docs_tbl(self.TEXTS)), idx, num_buckets=8
+        )
+        drops = ray.data.from_arrow(
+            pa.Table.from_pydict({"doc_id": pa.array([2, 3], type=pa.int64())})
+        )
+        text_index_delete(idx, drops)
+        assert version_extra(idx)["text_index"]["n_docs"] == 4
+        with pytest.raises(ValueError, match="max_broadcast_ids"):
+            text_index_delete(idx, [1, 4], max_broadcast_ids=1)
