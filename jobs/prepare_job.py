@@ -40,7 +40,8 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 
-def dedup_phase(input_path: str, deduped_dir: str, threshold: float,
+def dedup_phase(input_path: str | list[str], deduped_dir: str,
+                threshold: float,
                 num_partitions: int, c4: bool = False,
                 c4_min_words: int = 5, c4_min_lines: int = 2) -> dict:
     """Global near-dedup -> partitioned parquet + marker. Skipped when the
@@ -74,7 +75,12 @@ def dedup_phase(input_path: str, deduped_dir: str, threshold: float,
     # phase reads the deduped parquet, which then carries it
     from ctinexus_ray.sources.flatfiles import read_corpus_auto
 
-    docs = ensure_doc_id(read_corpus_auto(input_path))
+    # a LIST is an exact parquet file set — the versioned-table handoff
+    # (webtext_job passes version_files() of the committed corpus)
+    if isinstance(input_path, (list, tuple)):
+        docs = ensure_doc_id(ray.data.read_parquet(list(input_path)))
+    else:
+        docs = ensure_doc_id(read_corpus_auto(input_path))
     from ctinexus_ray.rayutil import select_shuffle_strategy
 
     select_shuffle_strategy(docs)
@@ -500,9 +506,17 @@ def main() -> int:
         shard_files,
         shards_dir,
         prep_pipeline(args.capacity, args.min_words),
+        # a shard whose every doc failed the quality gate commits an
+        # EMPTY (schemaless) table — record zeros, don't crash
         lineage_fn=lambda t: {
-            "n_packs": len(set(t.column("pack_id").to_pylist())),
-            "n_tokens": sum(t.column("n_tokens").to_pylist()),
+            "n_packs": (
+                len(set(t.column("pack_id").to_pylist()))
+                if "pack_id" in t.column_names else 0
+            ),
+            "n_tokens": (
+                sum(t.column("n_tokens").to_pylist())
+                if "n_tokens" in t.column_names else 0
+            ),
         },
     )
     report = {"dedup": dedup_stats, "shards": summary}
