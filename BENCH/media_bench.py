@@ -85,12 +85,23 @@ def generate(corpus_dir: str, image_bases: int) -> None:
     )
     import pyarrow.parquet as pq
 
+    def with_id_offset(tbl: pa.Table, offset: int) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # the small generators both number from 0 — disjoint id ranges
+        # or the job's unique-media_id guard refuses (correctly)
+        return tbl.set_column(
+            tbl.schema.get_field_index("media_id"),
+            "media_id",
+            pc.add(tbl.column("media_id"), offset),
+        )
+
     pq.write_table(
-        make_audio_dup_corpus(10),
+        with_id_offset(make_audio_dup_corpus(10), 5_000_000),
         os.path.join(corpus_dir, "audio.parquet"),
     )
     pq.write_table(
-        make_video_dup_corpus(10),
+        with_id_offset(make_video_dup_corpus(10), 7_000_000),
         os.path.join(corpus_dir, "video.parquet"),
     )
 

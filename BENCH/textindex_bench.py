@@ -78,17 +78,21 @@ def main() -> int:
     text_index_append(docs_of([extra_shard]), args.index, batch_id="tick2")
     append_sec = time.time() - t0
 
+    # words chosen FROM the synthetic vocabulary so the queries do real
+    # posting work (absent terms would measure an empty scan)
     t0 = time.time()
-    n_bm25 = len(text_index_search(args.index, ["the", "of", "and"], k=20))
+    n_bm25 = len(
+        text_index_search(args.index, ["the", "and", "ransomware"], k=20)
+    )
     bm25_sec = time.time() - t0
     t0 = time.time()
     n_bool = text_index_boolean(
-        args.index, ["the", "of"], mode="and"
+        args.index, ["the", "and"], mode="and"
     ).count()
     bool_sec = time.time() - t0
     t0 = time.time()
     n_phrase = text_index_phrase(
-        args.index, ["of", "the"], num_partitions=16
+        args.index, ["ransomware", "campaign"], num_partitions=16
     ).count()
     phrase_sec = time.time() - t0
 

@@ -3387,6 +3387,37 @@ def _q_text_index_phrase(sf_dir: str):
     return text_index_phrase(tmp, ["table", "hash"], num_partitions=16)
 
 
+def _q_text_index_proximity(sf_dir: str):
+    """Proximity search ("table" within 5 tokens of "hash") from the
+    persisted positional index (ops/textindex.py text_index_proximity)
+    — the "near" operator of classic IR engines, the third query
+    family the stored positions serve beside BM25 and phrase: scan
+    only the two words' buckets, pair each doc's two sorted position
+    lists with a vectorized searchsorted window count. Exact by bucket
+    term-completeness; the oracle is the positional self-join with the
+    same |Δpos| <= 5 predicate. ✓SQL."""
+    import hashlib
+    import shutil
+
+    import ray.data
+
+    from ctinexus_ray.ops.textindex import (
+        text_index_build,
+        text_index_proximity,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"/tmp/text_index_prox_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    text_index_build(docs, tmp, num_buckets=64, positions=True)
+    return text_index_proximity(
+        tmp, "table", "hash", window=5, num_partitions=16
+    )
+
+
 def _q_text_index_delete(sf_dir: str):
     """Index delete tick (ops/textindex.py text_index_delete): the
     exact-dedup drop set (every doc that is NOT its text group's
@@ -10244,6 +10275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes_incremental": _q_kg_nodes_incremental,
         "text_index_phrase": _q_text_index_phrase,
         "text_index_delete": _q_text_index_delete,
+        "text_index_proximity": _q_text_index_proximity,
     }
 
 
@@ -12146,6 +12178,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p1.doc_id, CAST(count(*) AS BIGINT) AS n_matches "
             "FROM p p1 JOIN p p2 ON p1.doc_id = p2.doc_id "
             "AND p2.pos = p1.pos + 1 "
+            "WHERE p1.word = 'table' AND p2.word = 'hash' "
+            "GROUP BY p1.doc_id"
+        ),
+        "text_index_proximity": (
+            "WITH t AS (SELECT doc_id, "
+            "regexp_split_to_array(trim(text), '\\s+') AS w FROM documents), "
+            "p AS (SELECT doc_id, unnest(w) AS word, "
+            "unnest(range(1, len(w) + 1)) AS pos FROM t) "
+            "SELECT p1.doc_id, CAST(count(*) AS BIGINT) AS n_pairs "
+            "FROM p p1 JOIN p p2 ON p1.doc_id = p2.doc_id "
+            "AND abs(p1.pos - p2.pos) <= 5 "
             "WHERE p1.word = 'table' AND p2.word = 'hash' "
             "GROUP BY p1.doc_id"
         ),

@@ -688,3 +688,123 @@ def text_index_delete(
             }
         },
     )
+
+
+def text_index_proximity(
+    table_dir: str,
+    word_a: str,
+    word_b: str,
+    window: int,
+    num_partitions: int | None = None,
+    version: int | None = None,
+) -> ray.data.Dataset:
+    """Proximity search from the positional index: documents where
+    ``word_a`` and ``word_b`` co-occur within ``window`` tokens
+    (|pos_a - pos_b| <= window, either order), with per-document
+    co-occurrence counts — (doc_id, n_pairs). The third query family
+    the stored positions serve (BM25 ranks, phrase = adjacency,
+    proximity = windowed co-occurrence — the "near" operator of
+    classic IR engines).
+
+    Plan: scan ONLY the two words' buckets, then per (doc) pair the two
+    sorted position lists with a two-pointer-free vectorized
+    searchsorted count: for each a-position, matches = #b in
+    [a-window, a+window]. Exact by term-completeness. Both words equal
+    counts ordered pairs of DISTINCT positions. Volume is
+    occurrences-of-the-two-words; one hash-partitioned reduce."""
+    import pyarrow.dataset as pads
+
+    from ctinexus_ray.ops.groupagg import partitioned_agg
+
+    for w in (word_a, word_b):
+        if not w or w != w.strip() or " " in w:
+            raise ValueError("words must be non-empty single tokens")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    meta = version_extra(table_dir, version).get("text_index")
+    if not meta:
+        raise FileNotFoundError(
+            f"{table_dir} has no text_index metadata — build first"
+        )
+    if not meta.get("positions"):
+        raise ValueError(
+            f"{table_dir} was built without positions=True — proximity "
+            "queries need positional postings"
+        )
+    tset = sorted({word_a, word_b})
+    want = sorted(
+        {
+            int(h % np.uint64(int(meta["num_buckets"])))
+            for h in hash64_strings(tset)
+        }
+    )
+    postings = read_version(
+        table_dir,
+        version=version,
+        columns=["term", "doc_id", "pos"],
+        filter=pads.field("bucket").isin(want) & pads.field("term").isin(tset),
+    )
+
+    same = word_a == word_b
+
+    # reduce: group postings by doc, pair the (<=2) position lists
+    def count_pairs(batch: pa.Table) -> pa.Table:
+        import collections
+
+        per_doc: dict[int, dict[str, np.ndarray]] = collections.defaultdict(
+            dict
+        )
+        for term, doc_id, plist in zip(
+            batch.column("term").to_pylist(),
+            batch.column("doc_id").to_pylist(),
+            batch.column("pos").to_pylist(),
+        ):
+            per_doc[doc_id][term] = np.asarray(plist, dtype=np.int64)
+        ids, ns = [], []
+        for doc_id, terms in per_doc.items():
+            if same:
+                a = terms.get(word_a)
+                if a is None or len(a) < 2:
+                    continue
+                lo = np.searchsorted(a, a - window, side="left")
+                hi = np.searchsorted(a, a + window, side="right")
+                n = int((hi - lo - 1).sum())  # exclude self-pairs
+            else:
+                a, bp = terms.get(word_a), terms.get(word_b)
+                if a is None or bp is None:
+                    continue
+                lo = np.searchsorted(bp, a - window, side="left")
+                hi = np.searchsorted(bp, a + window, side="right")
+                n = int((hi - lo).sum())
+            if n:
+                ids.append(doc_id)
+                ns.append(n)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_pairs": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+    # hash-partition by doc so both words' postings of a doc co-locate
+    import pyarrow.compute as pc
+
+    P = num_partitions or 16
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "pkey",
+            pc.cast(
+                pc.bit_wise_and(batch.column("doc_id"), P - 1), pa.int64()
+            ),
+        )
+
+    assert P & (P - 1) == 0, "num_partitions must be a power of two"
+    return (
+        postings.map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(
+            lambda df: count_pairs(pa.Table.from_pandas(df.drop(columns=["pkey"]), preserve_index=False)).to_pandas(),
+            batch_format="pandas",
+        )
+    )

@@ -438,3 +438,113 @@ class TestTextIndexDelete:
         assert version_extra(idx)["text_index"]["n_docs"] == 4
         with pytest.raises(ValueError, match="max_broadcast_ids"):
             text_index_delete(idx, [1, 4], max_broadcast_ids=1)
+
+
+class TestProximity:
+    TEXTS = [
+        "hash x x x join",            # dist 4
+        "hash join",                  # dist 1
+        "join x hash x hash",         # b at 0; a at 2,4 -> dists 2,4
+        "hash only here",             # no pair
+        "join alone",                 # no pair
+        "hash hash hash",             # same-word case
+        "",
+    ]
+
+    def _build(self, tmp_path):
+        from ctinexus_ray.ops.textindex import text_index_build
+
+        idx = str(tmp_path / "t")
+        text_index_build(
+            ray.data.from_arrow(_docs_tbl(self.TEXTS)), idx, num_buckets=8,
+            positions=True,
+        )
+        return idx
+
+    def test_window_counts(self, ray_session, tmp_path):
+        from ctinexus_ray.ops.textindex import text_index_proximity
+
+        idx = self._build(tmp_path)
+        got = {
+            r["doc_id"]: r["n_pairs"]
+            for r in text_index_proximity(
+                idx, "hash", "join", window=4, num_partitions=4
+            ).take_all()
+        }
+        assert got == {0: 1, 1: 1, 2: 2}
+        tight = {
+            r["doc_id"]: r["n_pairs"]
+            for r in text_index_proximity(
+                idx, "hash", "join", window=2, num_partitions=4
+            ).take_all()
+        }
+        assert tight == {1: 1, 2: 1}
+
+    def test_same_word_excludes_self_pairs(self, ray_session, tmp_path):
+        from ctinexus_ray.ops.textindex import text_index_proximity
+
+        idx = self._build(tmp_path)
+        got = {
+            r["doc_id"]: r["n_pairs"]
+            for r in text_index_proximity(
+                idx, "hash", "hash", window=2, num_partitions=4
+            ).take_all()
+        }
+        # doc 5 "hash hash hash": ordered pairs within 2 = 6 minus 0
+        # self-pairs; doc 2 has hash at 2,4 -> 2 ordered pairs
+        assert got == {2: 2, 5: 6}
+
+    def test_matches_sql_semantics(self, ray_session, tmp_path):
+        """Engine == DuckDB positional self-join on the same corpus."""
+        import duckdb
+
+        from ctinexus_ray.ops.textindex import text_index_proximity
+
+        idx = self._build(tmp_path)
+        con = duckdb.connect()
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {"doc_id": range(len(self.TEXTS)), "text": self.TEXTS}
+        )
+        con.register("documents", df)
+        want = {
+            int(r[0]): int(r[1])
+            for r in con.execute(
+                "WITH t AS (SELECT doc_id, "
+                "regexp_split_to_array(trim(text), '\\s+') AS w "
+                "FROM documents), "
+                "p AS (SELECT doc_id, unnest(w) AS word, "
+                "unnest(range(1, len(w) + 1)) AS pos FROM t) "
+                "SELECT p1.doc_id, count(*) FROM p p1 JOIN p p2 "
+                "ON p1.doc_id = p2.doc_id "
+                "AND abs(p1.pos - p2.pos) <= 3 "
+                "WHERE p1.word = 'hash' AND p2.word = 'join' "
+                "GROUP BY p1.doc_id"
+            ).fetchall()
+        }
+        got = {
+            r["doc_id"]: r["n_pairs"]
+            for r in text_index_proximity(
+                idx, "hash", "join", window=3, num_partitions=4
+            ).take_all()
+        }
+        assert got == want
+
+    def test_refusals(self, ray_session, tmp_path):
+        from ctinexus_ray.ops.textindex import (
+            text_index_build,
+            text_index_proximity,
+        )
+
+        idx = self._build(tmp_path)
+        with pytest.raises(ValueError, match="window"):
+            text_index_proximity(idx, "a", "b", window=0)
+        with pytest.raises(ValueError, match="single tokens"):
+            text_index_proximity(idx, "two words", "b", window=2)
+        bare = str(tmp_path / "bare")
+        text_index_build(
+            ray.data.from_arrow(_docs_tbl(self.TEXTS)), bare, num_buckets=8
+        )
+        with pytest.raises(ValueError, match="positions"):
+            text_index_proximity(bare, "hash", "join", window=2)
