@@ -47,12 +47,9 @@ def generate(corpus_dir: str, image_bases: int) -> None:
     def render(batch: pa.Table) -> pa.Table:
         import hashlib
 
-        from ctinexus_ray.ops.multimodal import (
-            _encode_ppm,
-            decode_ppm,
-            encode_bmp,
-            encode_png,
-        )
+        import numpy as np
+
+        from ctinexus_ray.ops.multimodal import encode_bmp, encode_png
 
         rows = []
         for i in batch.column("id").to_pylist():
@@ -60,7 +57,12 @@ def generate(corpus_dir: str, image_bases: int) -> None:
                 f"mediabench:{i}".encode(), digest_size=8
             ).digest()
             w, h = 16 + digest[0] % 17, 16 + digest[1] % 17
-            img = decode_ppm(_encode_ppm(w, h, digest[2]))
+            # per-id NOISE content: the synthetic gradient generator has
+            # only ~77 distinct slopes, so unrelated gradients collide
+            # under pHash; iid noise gives each base an independent
+            # signature (accidental <=6-bit pairs ~0 at 50k items)
+            rng = np.random.default_rng(int.from_bytes(digest, "little"))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
             for j, (payload, mime) in enumerate(
                 ((encode_png(img), "image/png"), (encode_bmp(img), "image/bmp"))
             ):

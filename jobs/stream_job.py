@@ -373,6 +373,94 @@ def _maintain_text_index(
     return {"text_index_folded": folded}
 
 
+def _maintain_kg_view(
+    table_dir: str, kg_dir: str, num_partitions: int
+) -> dict:
+    """Fold every committed-but-unfolded corpus version through the KG
+    pipeline into the INCREMENTAL derived layer (pipelines/kg_incr.py)
+    — the it's-all-connected surface of SURVEY §2.4's north_rule
+    addition: streaming ingestion keeps canonical entity nodes / triples
+    / edges / metrics current by folding only each version's NEW file
+    set through the per-shard checkpoint + monoid merges, never
+    re-shuffling the corpus.
+
+    Reconciliation: a version-cursor JSON under ``kg_dir`` records
+    applied versions; it is only an optimization — every underlying
+    step is idempotent (docs_kg shard sidecars skip completed shards,
+    the fold tables' own ledgers skip folded shards), so a crash
+    anywhere replays into no-ops. Compaction versions mark applied
+    without work (their rewritten files would otherwise look like new
+    shards and double-fold); a vacuumed manifest or logical overwrite
+    wipes and rebuilds from the latest version."""
+    import shutil
+
+    from ctinexus_ray.config import PipelineConfig
+    from ctinexus_ray.pipelines.kg import checkpoint_docs_kg
+    from ctinexus_ray.pipelines.kg_incr import fold_kg_derived
+    from ctinexus_ray.state.tableformat import latest_version, version_files
+
+    latest = latest_version(table_dir)
+    if latest is None:
+        return {"kg_folded": 0}
+    ledger_path = os.path.join(kg_dir, "_KG_VIEW_LEDGER.json")
+    applied: set = set()
+    if os.path.exists(ledger_path):
+        with open(ledger_path) as fh:
+            applied = set(json.load(fh)["applied"])
+
+    def save_ledger() -> None:
+        os.makedirs(kg_dir, exist_ok=True)
+        tmp = ledger_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"applied": sorted(applied)}, fh)
+        os.replace(tmp, ledger_path)
+
+    import ray.data
+
+    from ctinexus_ray.sources.documents import _adapt_batch, conform_schema
+
+    def reader(path):
+        # stream corpora are (doc_id, text); CC-shaped shards pass
+        # through conform_schema — same dual-shape rule as kg_job
+        ds = ray.data.read_parquet(path)
+        names = ds.schema().names
+        if "url" in names or "html" in names:
+            return conform_schema(ds)
+        return ds.map_batches(_adapt_batch, batch_format="pyarrow")
+
+    config = PipelineConfig()
+    docs_kg = os.path.join(kg_dir, "docs_kg")
+    work, rebuild_reason = _scan_unapplied_versions(
+        table_dir, latest, applied
+    )
+    if rebuild_reason is not None:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "kg view %s: full rebuild from corpus v%d (%s)",
+            kg_dir, latest, rebuild_reason,
+        )
+        shutil.rmtree(kg_dir, ignore_errors=True)
+        checkpoint_docs_kg(
+            version_files(table_dir, latest), docs_kg, config,
+            reader=reader,
+        )
+        fold_kg_derived(kg_dir, config)
+        applied = {f"corpus-v{v}" for v in range(1, latest + 1)}
+        save_ledger()
+        return {"kg_folded": 1, "kg_rebuilt": rebuild_reason}
+
+    folded = 0
+    for bid, kind, new_files in work:
+        if kind != "noop":
+            checkpoint_docs_kg(new_files, docs_kg, config, reader=reader)
+            fold_kg_derived(kg_dir, config)
+            folded += 1
+        applied.add(bid)
+        save_ledger()
+    return {"kg_folded": folded}
+
+
 def run_tick(
     input_dir: str,
     table_dir: str,
@@ -380,6 +468,7 @@ def run_tick(
     near_dup_threshold: float | None = None,
     wordcount_view: str | None = None,
     text_index: str | None = None,
+    kg_view: str | None = None,
 ) -> dict:
     """Ingest every shard not yet in the ledger; returns tick stats.
 
@@ -420,6 +509,10 @@ def run_tick(
         if text_index:
             view_stats.update(
                 _maintain_text_index(table_dir, text_index, num_partitions)
+            )
+        if kg_view:
+            view_stats.update(
+                _maintain_kg_view(table_dir, kg_view, num_partitions)
             )
         return {"new_shards": 0, "rows_in": 0, "rows_appended": 0,
                 "version": latest_version(table_dir), **view_stats}
@@ -520,6 +613,10 @@ def run_tick(
         view_stats.update(
             _maintain_text_index(table_dir, text_index, num_partitions)
         )
+    if kg_view:
+        view_stats.update(
+            _maintain_kg_view(table_dir, kg_view, num_partitions)
+        )
 
     # ledger LAST: a crash before this line replays the shards next
     # tick, and the anti-join drops every already-committed row
@@ -552,6 +649,11 @@ def main() -> int:
     parser.add_argument("--wordcount-view", default=None,
                         help="maintain a delta-folded word-count view "
                              "(versioned table) at this dir per tick")
+    parser.add_argument("--kg-view", default=None,
+                        help="maintain the incremental KG derived layer "
+                             "(canonical nodes/triples/edges/metrics "
+                             "views, pipelines/kg_incr.py) under this "
+                             "dir, folding only new corpus versions")
     parser.add_argument("--text-index", default=None,
                         help="maintain the persisted inverted BM25 "
                              "index (ops/textindex.py) at this dir per "
@@ -574,6 +676,7 @@ def main() -> int:
             near_dup_threshold=args.near_dup_threshold,
             wordcount_view=args.wordcount_view,
             text_index=args.text_index,
+            kg_view=args.kg_view,
         )
         stats["tick"] = tick
         if args.vacuum_keep and stats["new_shards"]:

@@ -480,3 +480,82 @@ class TestFoldVsTableLifecycle:
         got = text_index_search(index, ["hash"], k=10).to_pydict()
         want = bm25_topk_docs(full, ["hash"], k=10).to_pydict()
         assert got == want
+
+
+class TestKgView:
+    """stream_job --kg-view: the incremental KG derived layer tracks
+    streaming ingestion, folding only new corpus versions."""
+
+    @staticmethod
+    def _shard(path, ids, texts):
+        pq.write_table(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string()),
+                }
+            ),
+            path,
+        )
+
+    def _nodes_equal_full(self, kg_dir):
+        import pandas as pd
+        import ray.data
+
+        from ctinexus_ray.config import PipelineConfig
+        from ctinexus_ray.pipelines.kg import canonicalize_nodes
+        from ctinexus_ray.pipelines.kg_incr import read_kg_nodes_view
+
+        got = read_kg_nodes_view(f"{kg_dir}/nodes_view").to_pandas()
+        full = ray.data.read_parquet(
+            f"{kg_dir}/docs_kg",
+            columns=["url", "kg_aligned_json", "kg_links_json"],
+        )
+        want = canonicalize_nodes(full, PipelineConfig()).to_pandas()
+        cols = sorted(got.columns)
+        got = got[cols].sort_values(by=cols).reset_index(drop=True)
+        want = want[cols].sort_values(by=cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_two_ticks_and_replay(self, ray_session, tmp_path):
+        from jobs.stream_job import run_tick
+
+        inp = tmp_path / "in"
+        inp.mkdir()
+        table = str(tmp_path / "tbl")
+        kg = str(tmp_path / "kg")
+        t1 = ["APT29 used Cobalt Strike against the ministry",
+              "The dropper contacted evil.example.com over https"]
+        t2 = ["APT29 deployed a new loader on the ministry network"]
+        self._shard(inp / "s1.parquet", [1, 2], t1)
+        s1 = run_tick(str(inp), table, 4, kg_view=kg)
+        assert s1["kg_folded"] == 1
+        self._nodes_equal_full(kg)
+
+        self._shard(inp / "s2.parquet", [3], t2)
+        s2 = run_tick(str(inp), table, 4, kg_view=kg)
+        assert s2["kg_folded"] == 1
+        self._nodes_equal_full(kg)
+
+        # idle tick: nothing new, nothing double-folded
+        s3 = run_tick(str(inp), table, 4, kg_view=kg)
+        assert s3["new_shards"] == 0 and s3["kg_folded"] == 0
+        self._nodes_equal_full(kg)
+
+    def test_compaction_is_noop_for_kg_view(self, ray_session, tmp_path):
+        from ctinexus_ray.state.tableformat import compact_table
+        from jobs.stream_job import run_tick
+
+        inp = tmp_path / "in"
+        inp.mkdir()
+        table = str(tmp_path / "tbl")
+        kg = str(tmp_path / "kg")
+        self._shard(inp / "s1.parquet", [1], ["APT29 used Cobalt Strike"])
+        run_tick(str(inp), table, 4, kg_view=kg)
+        self._shard(inp / "s2.parquet", [2], ["the loader beaconed out"])
+        run_tick(str(inp), table, 4, kg_view=kg)
+        out = compact_table(table, target_bytes=1 << 30, min_files=2)
+        assert out["version"] is not None
+        s = run_tick(str(inp), table, 4, kg_view=kg)
+        assert s["kg_folded"] == 0  # rewritten files are NOT new docs
+        self._nodes_equal_full(kg)
