@@ -9506,6 +9506,53 @@ def _q_ann_ivf_persisted(sf_dir: str):
     return topk.select_columns(["query_id", "rank", "neighbor_id"])
 
 
+def _q_ann_ivf_delete(sf_dir: str):
+    """Delete tick on the persisted IVF index (ops/annindex.py
+    ivf_index_delete): every vec_id % 3 == 0 vector retires
+    copy-on-write (broadcast sorted ids, one searchsorted rewrite task
+    per cell file, untouched cells by reference, centroids frozen in
+    the manifest), then a FULL-PROBE search is exactly brute-force
+    cosine top-k over the SURVIVORS — a stale vector or a lost cell
+    would hash-mismatch the SQL twin. ✓SQL."""
+    import hashlib
+    import shutil
+
+    import numpy as np
+    import ray.data
+
+    from ctinexus_ray.ops.annindex import (
+        ivf_index_build,
+        ivf_index_delete,
+        ivf_index_search,
+    )
+    from ctinexus_ray.sources.documents import read_testdata_embeddings
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tmp = f"/tmp/ivfdel_{tag}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    emb = read_testdata_embeddings(sf_dir)
+    ivf_index_build(emb, tmp, n_centroids=16)
+    def mod3_zero(t):
+        import pyarrow as _pa
+
+        v = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return t.filter(_pa.array(v % 3 == 0))
+
+    ivf_index_delete(
+        tmp,
+        emb.map_batches(mod3_zero, batch_format="pyarrow").select_columns(
+            ["vec_id"]
+        ),
+    )
+    q_rows = sorted(
+        emb.filter(expr="vec_id < 10").take_all(), key=lambda r: r["vec_id"]
+    )
+    ids = [r["vec_id"] for r in q_rows]
+    mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    topk = ivf_index_search(tmp, ids, mat, k=5, n_probe=16)
+    return topk.select_columns(["query_id", "rank", "neighbor_id"])
+
+
 def _q_mixture_sample(sf_dir: str):
     """Token-budget mixture sampling (ops/shards.py mixture_sample —
     the DoReMi/Pile training-mixture step): integer weights 4:2:1:1
@@ -10276,6 +10323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_index_phrase": _q_text_index_phrase,
         "text_index_delete": _q_text_index_delete,
         "text_index_proximity": _q_text_index_proximity,
+        "ann_ivf_delete": _q_ann_ivf_delete,
     }
 
 
@@ -11239,6 +11287,20 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
             "CAST(e.embedding AS DOUBLE[])) AS sim "
             "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.vec_id) "
+            "SELECT query_id, rank, neighbor_id FROM ("
+            "SELECT query_id, neighbor_id, row_number() OVER ("
+            "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "
+            "FROM pairs) WHERE rank <= 5"
+        ),
+        # full-probe over the post-delete index == brute force over the
+        # survivors (vec_id % 3 <> 0); queries stay the external vectors
+        "ann_ivf_delete": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), "
+            "pairs AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+            "list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) AS sim "
+            "FROM q CROSS JOIN embeddings e "
+            "WHERE e.vec_id % 3 <> 0 AND e.vec_id <> q.vec_id) "
             "SELECT query_id, rank, neighbor_id FROM ("
             "SELECT query_id, neighbor_id, row_number() OVER ("
             "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank "

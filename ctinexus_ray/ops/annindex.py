@@ -203,3 +203,83 @@ def ivf_index_search(
     return brute_force_topk(
         ds, list(query_ids), q_mat, k=k, exclude_self=exclude_self
     )
+
+
+def ivf_index_delete(
+    table_dir: str,
+    vec_ids,
+    max_broadcast_ids: int = 4_000_000,
+) -> int:
+    """Retire vectors from the index — the delete half of the IVF
+    lifecycle (embedding tables shed rows when their documents are
+    deduped or erased), the ANN sibling of
+    ``ops/textindex.py text_index_delete``. Copy-on-write: the sorted
+    drop set broadcasts once, one Ray task per cell file drops its rows
+    via a vectorized ``searchsorted`` filter, untouched files carry into
+    the new version by reference, emptied files leave the file set.
+    Centroids stay frozen (the standard IVF contract — they are a
+    quantizer, not statistics of the live rows; retrain by rebuilding).
+    Pruned search over the survivors equals a brute-force scan of the
+    surviving vectors restricted to the probed cells — deleting absent
+    ids is a no-op. Returns the committed version."""
+    from ctinexus_ray.state.tableformat import latest_version, version_files
+
+    _centroids(table_dir)  # loud refusal on a non-index table
+    if isinstance(vec_ids, ray.data.Dataset):
+        n = vec_ids.count()
+        if n > max_broadcast_ids:
+            raise ValueError(
+                f"{n} vec_ids > max_broadcast_ids={max_broadcast_ids}; "
+                "shard the delete into multiple ticks"
+            )
+        blocks = [
+            t.column("vec_id").to_numpy(zero_copy_only=False)
+            for t in ray.get(
+                vec_ids.select_columns(["vec_id"]).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        ids = (
+            np.concatenate(blocks).astype(np.int64)
+            if blocks
+            else np.empty(0, dtype=np.int64)
+        )
+    else:
+        ids = np.asarray(list(vec_ids), dtype=np.int64)
+        if len(ids) > max_broadcast_ids:
+            raise ValueError(
+                f"{len(ids)} vec_ids > max_broadcast_ids="
+                f"{max_broadcast_ids}; shard the delete into ticks"
+            )
+    ids = np.unique(ids)
+    latest = latest_version(table_dir)
+    files = version_files(table_dir, latest)
+    data_dir = os.path.join(table_dir, f"cells-{uuid.uuid4().hex[:12]}")
+    os.makedirs(data_dir, exist_ok=True)
+    ids_ref = ray.put(ids)
+
+    @ray.remote
+    def rewrite(path: str, out_dir: str):
+        import pyarrow.parquet as pq
+
+        keys = ray.get(ids_ref)
+        t = pq.read_table(path)
+        col = t.column("vec_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, col)
+        pos[pos == len(keys)] = 0
+        hit = keys[pos] == col if len(keys) else np.zeros(len(col), bool)
+        if not hit.any():
+            return path
+        kept = t.filter(pa.array(~hit))
+        if kept.num_rows == 0:
+            return None
+        out = os.path.join(out_dir, os.path.basename(path))
+        tmp = out + f".tmp.{os.getpid()}"
+        pq.write_table(kept, tmp)
+        os.replace(tmp, out)
+        return out
+
+    results = ray.get([rewrite.remote(f, data_dir) for f in files])
+    new_files = sorted(p for p in results if p is not None)
+    # extra=None inherits the parent's centroids atomically
+    return commit_version(table_dir, new_files, mode="overwrite")

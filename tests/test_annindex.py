@@ -115,3 +115,61 @@ class TestIvfIndex:
         # the cell filter actually restricts the scan
         one_cell = read_version(d, filter=pads.field("cell") == 0).count()
         assert 0 < one_cell < embeddings.count()
+
+
+class TestIvfDelete:
+    def test_delete_equals_brute_force_over_survivors(
+        self, embeddings, queries, tmp_path_factory
+    ):
+        from ctinexus_ray.ops.annindex import ivf_index_delete
+        from ctinexus_ray.ops.simsearch import brute_force_topk
+
+        d = str(tmp_path_factory.mktemp("ivfdel") / "idx")
+        ivf_index_build(embeddings, d, n_centroids=8)
+        def mod3(t, eq):
+            import numpy as np
+            import pyarrow as pa
+
+            v = t.column("vec_id").to_numpy(zero_copy_only=False)
+            mask = (v % 3 == 0) if eq else (v % 3 != 0)
+            return t.filter(pa.array(mask))
+
+        drops = embeddings.map_batches(
+            lambda t: mod3(t, True), batch_format="pyarrow"
+        ).select_columns(["vec_id"])
+        v = ivf_index_delete(d, drops)
+        assert v == 2
+        ids, mat = queries
+        got = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ivf_index_search(d, ids, mat, k=5, n_probe=8).take_all()
+        }
+        surv = embeddings.map_batches(
+            lambda t: mod3(t, False), batch_format="pyarrow"
+        )
+        want = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in brute_force_topk(
+                surv, ids, mat, k=5, exclude_self=True
+            ).take_all()
+        }
+        assert got == want
+        # no dropped vector survives anywhere in the index
+        from ctinexus_ray.state.tableformat import read_version
+
+        left = {r["vec_id"] for r in read_version(d).take_all()}
+        assert all(v % 3 != 0 for v in left)
+
+    def test_absent_ids_and_refusal(
+        self, embeddings, ray_session, tmp_path_factory
+    ):
+        from ctinexus_ray.ops.annindex import ivf_index_delete
+        from ctinexus_ray.state.tableformat import read_version
+
+        d = str(tmp_path_factory.mktemp("ivfdel") / "idx")
+        ivf_index_build(embeddings, d, n_centroids=8)
+        before = read_version(d).count()
+        ivf_index_delete(d, [10_000_000, 10_000_001])
+        assert read_version(d).count() == before
+        with pytest.raises(ValueError, match="max_broadcast_ids"):
+            ivf_index_delete(d, [1, 2, 3], max_broadcast_ids=1)
