@@ -352,9 +352,17 @@ def _maintain_text_index(
             index_dir, latest, rebuild_reason,
         )
         docs = read_version(table_dir, columns=["doc_id", "text"])
+        # a rebuild must preserve the prior index's shape — silently
+        # dropping positions would make later phrase queries refuse,
+        # and changing num_buckets would re-bucket for no reason
+        from ctinexus_ray.state.tableformat import version_extra
+
+        prior = version_extra(index_dir).get("text_index", {})
         text_index_build(
             docs, index_dir,
+            num_buckets=int(prior.get("num_buckets", 64)),
             batch_id=[f"corpus-v{i}" for i in range(1, latest + 1)],
+            positions=bool(prior.get("positions", False)),
         )
         return {"text_index_folded": 1, "rebuilt": rebuild_reason}
 

@@ -559,3 +559,70 @@ class TestKgView:
         s = run_tick(str(inp), table, 4, kg_view=kg)
         assert s["kg_folded"] == 0  # rewritten files are NOT new docs
         self._nodes_equal_full(kg)
+
+
+class TestRebuildPreservesIndexShape:
+    def test_positions_and_buckets_survive_rebuild(
+        self, ray_session, tmp_path
+    ):
+        """A vacuum-triggered index rebuild must keep the prior index's
+        positions flag and bucket count — otherwise phrase queries
+        refuse after the rebuild."""
+        from ctinexus_ray.ops.textindex import (
+            text_index_build,
+            text_index_phrase,
+        )
+        from ctinexus_ray.state.tableformat import (
+            commit_version,
+            vacuum,
+            version_extra,
+        )
+        from jobs.stream_job import _maintain_text_index, run_tick
+
+        inp = tmp_path / "in"
+        inp.mkdir()
+        table = str(tmp_path / "tbl")
+        index = str(tmp_path / "tindex")
+        pq.write_table(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([1, 2], type=pa.int64()),
+                    "text": pa.array(
+                        ["hash join now", "vector hash"], type=pa.string()
+                    ),
+                }
+            ),
+            inp / "s1.parquet",
+        )
+        run_tick(str(inp), table, 4)
+        # positional index built out-of-band over v1
+        from ctinexus_ray.state.tableformat import version_files
+
+        import ray.data
+
+        text_index_build(
+            ray.data.read_parquet(version_files(table, 1)), index,
+            num_buckets=16, positions=True, batch_id="corpus-v1",
+        )
+        # corpus gains an unfoldable history: v2 appended, then v1's
+        # manifest vacuumed away before the fold sees it
+        pq.write_table(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([3], type=pa.int64()),
+                    "text": pa.array(["hash join again"], type=pa.string()),
+                }
+            ),
+            inp / "s2.parquet",
+        )
+        run_tick(str(inp), table, 4)
+        vacuum(table, keep_versions=1)
+        out = _maintain_text_index(table, index, 4)
+        assert out.get("rebuilt")
+        meta = version_extra(index)["text_index"]
+        assert meta["positions"] is True and meta["num_buckets"] == 16
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in text_index_phrase(index, ["hash", "join"]).take_all()
+        }
+        assert got == {1: 1, 3: 1}
