@@ -213,73 +213,29 @@ def ivf_index_delete(
     """Retire vectors from the index — the delete half of the IVF
     lifecycle (embedding tables shed rows when their documents are
     deduped or erased), the ANN sibling of
-    ``ops/textindex.py text_index_delete``. Copy-on-write: the sorted
-    drop set broadcasts once, one Ray task per cell file drops its rows
-    via a vectorized ``searchsorted`` filter, untouched files carry into
-    the new version by reference, emptied files leave the file set.
-    Centroids stay frozen (the standard IVF contract — they are a
-    quantizer, not statistics of the live rows; retrain by rebuilding).
-    Pruned search over the survivors equals a brute-force scan of the
-    surviving vectors restricted to the probed cells — deleting absent
-    ids is a no-op. Returns the committed version."""
-    from ctinexus_ray.state.tableformat import latest_version, version_files
+    ``ops/textindex.py text_index_delete`` — both ride the SHARED
+    ``state/tableformat.cow_delete_rows`` (one ``np.isin`` rewrite task
+    per cell file, untouched cells by reference, collision-proof output
+    names: a cell touched by both a build and an append commit has two
+    files with the SAME basename, which a basename-keyed rewrite would
+    silently weld). Centroids stay frozen (the standard IVF contract —
+    they are a quantizer, not statistics of the live rows; retrain by
+    rebuilding). Pruned search over the survivors equals a brute-force
+    scan of the surviving vectors restricted to the probed cells —
+    deleting absent ids is a no-op. Dataset drop sets are materialized
+    once. Returns the committed version."""
+    from ctinexus_ray.state.tableformat import (
+        collect_delete_ids,
+        cow_delete_rows,
+        latest_version,
+        version_files,
+    )
 
     _centroids(table_dir)  # loud refusal on a non-index table
-    if isinstance(vec_ids, ray.data.Dataset):
-        n = vec_ids.count()
-        if n > max_broadcast_ids:
-            raise ValueError(
-                f"{n} vec_ids > max_broadcast_ids={max_broadcast_ids}; "
-                "shard the delete into multiple ticks"
-            )
-        blocks = [
-            t.column("vec_id").to_numpy(zero_copy_only=False)
-            for t in ray.get(
-                vec_ids.select_columns(["vec_id"]).to_arrow_refs()
-            )
-            if t.num_rows
-        ]
-        ids = (
-            np.concatenate(blocks).astype(np.int64)
-            if blocks
-            else np.empty(0, dtype=np.int64)
-        )
-    else:
-        ids = np.asarray(list(vec_ids), dtype=np.int64)
-        if len(ids) > max_broadcast_ids:
-            raise ValueError(
-                f"{len(ids)} vec_ids > max_broadcast_ids="
-                f"{max_broadcast_ids}; shard the delete into ticks"
-            )
-    ids = np.unique(ids)
-    latest = latest_version(table_dir)
-    files = version_files(table_dir, latest)
+    ids = collect_delete_ids(vec_ids, "vec_id", max_broadcast_ids)
+    files = version_files(table_dir, latest_version(table_dir))
     data_dir = os.path.join(table_dir, f"cells-{uuid.uuid4().hex[:12]}")
     os.makedirs(data_dir, exist_ok=True)
-    ids_ref = ray.put(ids)
-
-    @ray.remote
-    def rewrite(path: str, out_dir: str):
-        import pyarrow.parquet as pq
-
-        keys = ray.get(ids_ref)
-        t = pq.read_table(path)
-        col = t.column("vec_id").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, col)
-        pos[pos == len(keys)] = 0
-        hit = keys[pos] == col if len(keys) else np.zeros(len(col), bool)
-        if not hit.any():
-            return path
-        kept = t.filter(pa.array(~hit))
-        if kept.num_rows == 0:
-            return None
-        out = os.path.join(out_dir, os.path.basename(path))
-        tmp = out + f".tmp.{os.getpid()}"
-        pq.write_table(kept, tmp)
-        os.replace(tmp, out)
-        return out
-
-    results = ray.get([rewrite.remote(f, data_dir) for f in files])
-    new_files = sorted(p for p in results if p is not None)
+    new_files, _ = cow_delete_rows(files, "vec_id", ids, data_dir)
     # extra=None inherits the parent's centroids atomically
     return commit_version(table_dir, new_files, mode="overwrite")

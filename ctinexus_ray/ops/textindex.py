@@ -577,24 +577,31 @@ def text_index_delete(
 ) -> int | None:
     """Retire every posting of the given documents — the delete half of
     the index lifecycle (dedup keep-paths and GDPR-style erasure both
-    produce doc-id drop sets). Copy-on-write: the sorted drop set is
-    broadcast ONCE (``ray.put``); one Ray task per index file drops its
-    rows via a vectorized ``searchsorted`` filter, files containing no
-    dropped doc carry into the new version untouched (rewritten files
-    that keep zero rows disappear from the file set). Corpus stats
-    (n_docs / total_len, and so avgdl) fold DOWN by the dropped docs'
-    exact counts — computed per-file with row-group ``doc_id IN``
-    pushdown and deduplicated across files (every file sees a doc's dl
-    identically) — atomically with the commit, so pruned BM25 over the
-    survivors equals a fresh build over the surviving corpus (the ✓SQL
-    contract).
+    produce doc-id drop sets). Copy-on-write via the SHARED
+    ``state/tableformat.cow_delete_rows`` (one ``np.isin`` rewrite task
+    per file, untouched files by reference, collision-proof output
+    names — a bucket touched by both a build and an append commit has
+    two files with the SAME basename, which a basename-keyed rewrite
+    would silently weld). Corpus stats (n_docs / total_len, and so
+    avgdl) fold DOWN by the dropped docs' exact counts — deduplicated
+    across files (every file sees a doc's dl identically) — atomically
+    with the commit, so pruned BM25 over the survivors equals a fresh
+    build over the surviving corpus (the ✓SQL contract).
 
     ``doc_ids``: int list / numpy array, or a Dataset with a
-    ``doc_id`` column (capped at ``max_broadcast_ids`` with a loud
-    refusal — shard the deletion upstream above that). ``batch_id``
-    gives the delete the same manifest-ledger exactly-once as appends.
-    Deleting absent ids is a no-op per id. Returns the committed
-    version, or None when the batch was already applied."""
+    ``doc_id`` column (materialized ONCE, capped at
+    ``max_broadcast_ids`` with a loud refusal — shard the deletion
+    upstream above that). ``batch_id`` gives the delete the same
+    manifest-ledger exactly-once as appends. Deleting absent ids is a
+    no-op per id. Returns the committed version, or None when the
+    batch was already applied."""
+    from ctinexus_ray.state.tableformat import (
+        collect_delete_ids,
+        cow_delete_rows,
+        latest_version,
+        version_files,
+    )
+
     meta = version_extra(table_dir).get("text_index")
     if not meta:
         raise FileNotFoundError(
@@ -603,75 +610,18 @@ def text_index_delete(
     applied = list(meta.get("applied", []))
     if batch_id is not None and batch_id in applied:
         return None
-    if isinstance(doc_ids, ray.data.Dataset):
-        n = doc_ids.count()
-        if n > max_broadcast_ids:
-            raise ValueError(
-                f"{n} doc_ids > max_broadcast_ids={max_broadcast_ids}; "
-                "shard the delete into multiple ticks"
-            )
-        blocks = [
-            t.column("doc_id").to_numpy(zero_copy_only=False)
-            for t in ray.get(doc_ids.select_columns(["doc_id"]).to_arrow_refs())
-            if t.num_rows
-        ]
-        ids = (
-            np.concatenate(blocks).astype(np.int64)
-            if blocks
-            else np.empty(0, dtype=np.int64)
-        )
-    else:
-        ids = np.asarray(list(doc_ids), dtype=np.int64)
-        if len(ids) > max_broadcast_ids:
-            raise ValueError(
-                f"{len(ids)} doc_ids > max_broadcast_ids="
-                f"{max_broadcast_ids}; shard the delete into ticks"
-            )
-    ids = np.unique(ids)
-    from ctinexus_ray.state.tableformat import latest_version, version_files
-
-    latest = latest_version(table_dir)
-    files = version_files(table_dir, latest)
+    ids = collect_delete_ids(doc_ids, "doc_id", max_broadcast_ids)
+    files = version_files(table_dir, latest_version(table_dir))
     data_dir = os.path.join(table_dir, f"buckets-{uuid.uuid4().hex[:12]}")
     os.makedirs(data_dir, exist_ok=True)
-    ids_ref = ray.put(ids)
-
-    @ray.remote
-    def rewrite(path: str, out_dir: str):
-        """-> (surviving path | None, [(doc_id, dl)] dropped in file)"""
-        import pyarrow.parquet as pq
-
-        keys = ray.get(ids_ref)
-        t = pq.read_table(path)
-        col = t.column("doc_id").to_numpy(zero_copy_only=False)
-        posn = np.searchsorted(keys, col)
-        posn[posn == len(keys)] = 0
-        hit = keys[posn] == col if len(keys) else np.zeros(len(col), bool)
-        if not hit.any():
-            return path, []
-        dropped = t.filter(pa.array(hit))
-        pairs = sorted(
-            set(
-                zip(
-                    dropped.column("doc_id").to_pylist(),
-                    dropped.column("dl").to_pylist(),
-                )
-            )
-        )
-        kept = t.filter(pa.array(~hit))
-        if kept.num_rows == 0:
-            return None, pairs
-        out = os.path.join(out_dir, os.path.basename(path))
-        tmp = out + f".tmp.{os.getpid()}"
-        pq.write_table(kept, tmp)
-        os.replace(tmp, out)
-        return out, pairs
-
-    results = ray.get([rewrite.remote(f, data_dir) for f in files])
-    new_files = sorted(p for p, _ in results if p is not None)
+    new_files, captured = cow_delete_rows(
+        files, "doc_id", ids, data_dir, capture_cols=["doc_id", "dl"]
+    )
     seen: dict[int, int] = {}
-    for _, pairs in results:
-        for d, dl in pairs:
+    for cap in captured:
+        for d, dl in zip(
+            cap.column("doc_id").to_pylist(), cap.column("dl").to_pylist()
+        ):
             seen[d] = dl  # dl identical across a doc's postings
     n_docs = int(meta["n_docs"]) - len(seen)
     total_len = int(meta["total_len"]) - sum(seen.values())
@@ -786,20 +736,19 @@ def text_index_proximity(
             }
         )
 
-    # hash-partition by doc so both words' postings of a doc co-locate
-    import pyarrow.compute as pc
-
+    # hash-partition by doc so both words' postings of a doc co-locate;
+    # plain modulo — correctness holds for ANY partition count (the
+    # groupby keeps a doc's rows together regardless of the mapping)
     P = num_partitions or 16
+    if P < 1:
+        raise ValueError("num_partitions must be >= 1")
 
     def add_pkey(batch: pa.Table) -> pa.Table:
+        v = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return batch.append_column(
-            "pkey",
-            pc.cast(
-                pc.bit_wise_and(batch.column("doc_id"), P - 1), pa.int64()
-            ),
+            "pkey", pa.array((v % P).astype(np.int64), type=pa.int64())
         )
 
-    assert P & (P - 1) == 0, "num_partitions must be a power of two"
     return (
         postings.map_batches(add_pkey, batch_format="pyarrow")
         .groupby("pkey")

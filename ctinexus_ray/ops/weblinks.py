@@ -313,20 +313,25 @@ def parse_robots(robots_txt: str, agent: str = "*") -> dict:
     return {"rules": rules, "crawl_delay": delay, "sitemaps": sitemaps}
 
 
+def normalize_authority(netloc: str) -> str:
+    """Canonicalize a URL authority for robots-index keys: strip
+    userinfo (``user:pw@``), lowercase (DNS names are case-insensitive)
+    — but KEEP the ``:port``: RFC 9309 scopes robots.txt per authority
+    including the port, so ``example.com`` and ``example.com:8443`` may
+    legitimately carry different policies and must not collapse."""
+    return netloc.rsplit("@", 1)[-1].strip().lower()
+
+
 def normalize_host(netloc: str) -> str:
-    """Canonicalize a URL authority for robots-index lookups: strip
-    userinfo (``user:pw@``) and the ``:port`` suffix, lowercase (DNS
-    names are case-insensitive). ``[::1]:8080`` keeps its brackets so
-    IPv6 literals stay intact. Both sides of the robots lookup — the
-    index keys and the per-URL probe — go through this, so
-    ``Host3.example.com`` / ``host3.example.com:8080`` hit the same
-    politeness rules instead of silently defaulting to allowed."""
-    host = netloc.rsplit("@", 1)[-1]
+    """``normalize_authority`` with the ``:port`` stripped — the
+    FALLBACK lookup key: a page on ``host3.example.com:8080`` whose
+    crawl fetched only ``host3.example.com``'s robots.txt should hit
+    those rules rather than silently defaulting to allowed.
+    ``[::1]:8080`` keeps its brackets so IPv6 literals stay intact."""
+    host = normalize_authority(netloc)
     if host.startswith("["):  # IPv6 literal: port follows the bracket
-        host = host.split("]", 1)[0] + "]"
-    else:
-        host = host.split(":", 1)[0]
-    return host.strip().lower()
+        return host.split("]", 1)[0] + "]"
+    return host.split(":", 1)[0]
 
 
 def _rule_regex(pattern: str):
@@ -344,19 +349,32 @@ class _RobotsIndex:
     """Per-host compiled rule sets, built once and broadcast."""
 
     def __init__(self, per_host: dict):
-        self.per_host = {
-            normalize_host(h): (
+        self.per_host: dict = {}
+        for h, parsed in per_host.items():
+            key = normalize_authority(h)
+            if key in self.per_host:
+                # two robots rows collapsing to one authority would be
+                # last-writer-wins politeness — refuse loudly instead
+                raise ValueError(
+                    f"robots index: host {h!r} normalizes to {key!r}, "
+                    "which another row already claimed — dedupe the "
+                    "robots side by authority first"
+                )
+            self.per_host[key] = (
                 [
                     (allow, len(pat), _rule_regex(pat))
                     for allow, pat in parsed["rules"]
                 ],
                 parsed["crawl_delay"],
             )
-            for h, parsed in per_host.items()
-        }
 
     def allowed(self, host: str, path: str) -> bool:
-        entry = self.per_host.get(normalize_host(host))
+        # exact authority (incl. port) first — RFC 9309 scope — then
+        # the bare-host fallback for pages on a port whose crawl only
+        # fetched the default-port robots.txt
+        entry = self.per_host.get(normalize_authority(host))
+        if entry is None:
+            entry = self.per_host.get(normalize_host(host))
         if entry is None:
             return True  # no robots.txt: everything allowed
         best_len, best_allow = -1, True

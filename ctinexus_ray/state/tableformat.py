@@ -671,3 +671,109 @@ def compact_table(
         "files_compacted": len(small),
         "buckets": len(buckets),
     }
+
+
+def cow_delete_rows(
+    files: list[str],
+    key_col: str,
+    ids,
+    data_dir: str,
+    capture_cols: list[str] | None = None,
+):
+    """Copy-on-write row deletion across a version's immutable files —
+    the shared machinery of ``ops/textindex.py text_index_delete`` and
+    ``ops/annindex.py ivf_index_delete``: the sorted-unique int64 drop
+    set broadcasts ONCE (``ray.put``), one Ray task per file drops its
+    matching rows via ``np.isin`` (sorted keys take the fast path),
+    untouched files return themselves BY REFERENCE, emptied files
+    return None. Rewritten files are named ``<input-index>-<basename>``
+    — two source files sharing a basename (a bucket/cell touched by
+    both a build and an append commit) must NOT collide in the one
+    output dir, and tmp suffixes are uuid-unique (two tasks on one
+    worker share a pid).
+
+    Returns ``(new_files, captured)``: the surviving file list, plus —
+    when ``capture_cols`` is given — one pyarrow table per file of the
+    DROPPED rows' requested columns (stat adjustments, e.g. the text
+    index's per-doc dl)."""
+    import uuid as _uuid
+
+    import numpy as np
+
+    import ray
+
+    ids = np.unique(np.asarray(ids, dtype=np.int64))
+    ids_ref = ray.put(ids)
+
+    @ray.remote
+    def rewrite(i: int, path: str):
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        keys = ray.get(ids_ref)
+        t = _pq.read_table(path)
+        col = t.column(key_col).to_numpy(zero_copy_only=False)
+        hit = np.isin(col, keys)
+        if not hit.any():
+            return path, None
+        cap = (
+            t.filter(_pa.array(hit)).select(capture_cols)
+            if capture_cols
+            else None
+        )
+        kept = t.filter(_pa.array(~hit))
+        if kept.num_rows == 0:
+            return None, cap
+        out = os.path.join(
+            data_dir, f"{i:05d}-{os.path.basename(path)}"
+        )
+        tmp = out + f".tmp.{_uuid.uuid4().hex[:8]}"
+        _pq.write_table(kept, tmp)
+        os.replace(tmp, out)
+        return out, cap
+
+    results = ray.get(
+        [rewrite.remote(i, f) for i, f in enumerate(files)]
+    )
+    new_files = sorted(p for p, _ in results if p is not None)
+    captured = [c for _, c in results if c is not None]
+    return new_files, captured
+
+
+def collect_delete_ids(ids, key_col: str, max_broadcast_ids: int):
+    """Normalize a delete-id input (int iterable, numpy array, or a
+    Dataset with ``key_col``) to a sorted-unique int64 array, refusing
+    loudly above ``max_broadcast_ids``. A Dataset is MATERIALIZED once
+    — counting and collecting on the lazy pipeline would execute the
+    caller's (possibly expensive) drop-set computation twice."""
+    import numpy as np
+
+    import ray
+    import ray.data
+
+    if isinstance(ids, ray.data.Dataset):
+        ds = ids.select_columns([key_col]).materialize()
+        n = ds.count()
+        if n > max_broadcast_ids:
+            raise ValueError(
+                f"{n} {key_col}s > max_broadcast_ids={max_broadcast_ids}; "
+                "shard the delete into multiple ticks"
+            )
+        blocks = [
+            t.column(key_col).to_numpy(zero_copy_only=False)
+            for t in ray.get(ds.to_arrow_refs())
+            if t.num_rows
+        ]
+        arr = (
+            np.concatenate(blocks).astype(np.int64)
+            if blocks
+            else np.empty(0, dtype=np.int64)
+        )
+    else:
+        arr = np.asarray(list(ids), dtype=np.int64)
+        if len(arr) > max_broadcast_ids:
+            raise ValueError(
+                f"{len(arr)} {key_col}s > max_broadcast_ids="
+                f"{max_broadcast_ids}; shard the delete into ticks"
+            )
+    return np.unique(arr)

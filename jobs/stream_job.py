@@ -436,7 +436,10 @@ def _maintain_kg_view(
             return conform_schema(ds)
         return ds.map_batches(_adapt_batch, batch_format="pyarrow")
 
-    config = PipelineConfig()
+    # wire the tick's partition count into the canonicalization merge
+    # (rounded up to the power of two canonicalize_node_partials needs)
+    canon = 1 << max(0, num_partitions - 1).bit_length()
+    config = PipelineConfig(canon_num_partitions=canon)
     docs_kg = os.path.join(kg_dir, "docs_kg")
     work, rebuild_reason = _scan_unapplied_versions(
         table_dir, latest, applied

@@ -173,3 +173,43 @@ class TestIvfDelete:
         assert read_version(d).count() == before
         with pytest.raises(ValueError, match="max_broadcast_ids"):
             ivf_index_delete(d, [1, 2, 3], max_broadcast_ids=1)
+
+
+class TestIvfDeleteAfterAppend:
+    def test_delete_spanning_build_and_append_cells(
+        self, embeddings, queries, tmp_path_factory
+    ):
+        """Regression twin of the text-index basename-collision bug:
+        cells written by both build and append share basenames."""
+        from ctinexus_ray.ops.annindex import (
+            ivf_index_append,
+            ivf_index_delete,
+        )
+        from ctinexus_ray.ops.simsearch import brute_force_topk
+        from ctinexus_ray.state.tableformat import version_files
+
+        d = str(tmp_path_factory.mktemp("ivfdel2") / "idx")
+        # ONE centroid: every vector lands in cell-00000.parquet
+        half_a = embeddings.filter(expr="vec_id < 72")
+        half_b = embeddings.filter(expr="vec_id >= 72")
+        ivf_index_build(half_a, d, n_centroids=1)
+        ivf_index_append(half_b, d)
+        # drop one vector from each commit's file
+        ivf_index_delete(d, [11, 100])
+        files = version_files(d, 3)
+        assert len(files) == len(set(files)), "duplicate path committed"
+        ids, mat = queries
+        got = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in ivf_index_search(d, ids, mat, k=5, n_probe=1).take_all()
+        }
+        surv = embeddings.filter(expr="vec_id != 11").filter(
+            expr="vec_id != 100"
+        )
+        want = {
+            (r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in brute_force_topk(
+                surv, ids, mat, k=5, exclude_self=True
+            ).take_all()
+        }
+        assert got == want

@@ -548,3 +548,55 @@ class TestProximity:
         )
         with pytest.raises(ValueError, match="positions"):
             text_index_proximity(bare, "hash", "join", window=2)
+
+
+class TestDeleteAfterAppend:
+    """Regression: a bucket touched by BOTH the build and an append has
+    two files with the same basename; the delete rewrite must not weld
+    them (one file's survivors silently vanished and the duplicate
+    output path was committed twice)."""
+
+    def test_delete_spanning_build_and_append_files(
+        self, ray_session, tmp_path
+    ):
+        from ctinexus_ray.ops.textindex import (
+            text_index_append,
+            text_index_build,
+            text_index_delete,
+            text_index_search,
+        )
+        from ctinexus_ray.ops.textstats import bm25_topk_docs
+        from ctinexus_ray.state.tableformat import (
+            version_extra,
+            version_files,
+        )
+
+        idx = str(tmp_path / "t")
+        # ONE bucket -> build and append each write bucket-00000.parquet
+        texts1 = ["hash join alpha", "hash join beta"]
+        texts2 = ["hash join gamma", "hash join delta"]
+        text_index_build(
+            ray.data.from_arrow(_docs_tbl(texts1)), idx, num_buckets=1
+        )
+        text_index_append(
+            ray.data.from_arrow(_docs_tbl(texts2, start_id=2)), idx,
+            batch_id="t2",
+        )
+        # drop one doc from EACH commit's file
+        text_index_delete(idx, [0, 2], batch_id="d1")
+        files = version_files(idx, 3)
+        assert len(files) == len(set(files)), "duplicate path committed"
+        surv = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "doc_id": pa.array([1, 3], type=pa.int64()),
+                    "text": pa.array(
+                        [texts1[1], texts2[1]], type=pa.string()
+                    ),
+                }
+            )
+        )
+        got = text_index_search(idx, ["hash", "join"], k=10).to_pydict()
+        want = bm25_topk_docs(surv, ["hash", "join"], k=10).to_pydict()
+        assert got == want
+        assert version_extra(idx)["text_index"]["n_docs"] == 2

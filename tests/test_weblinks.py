@@ -346,3 +346,56 @@ class TestRobotsHostAndAgentNormalization:
         assert parse_robots(txt, agent="BarBot/1.0")["rules"] == [
             (False, "/all")
         ]
+
+
+class TestRobotsAuthorityScope:
+    def test_distinct_ports_keep_distinct_policies(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from ctinexus_ray.ops.weblinks import robots_allowed
+
+        pages = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "url": [
+                        "http://example.com/x",
+                        "http://example.com:8443/x",
+                        "http://example.com:9999/x",  # no row: bare fallback
+                    ]
+                }
+            )
+        )
+        robots = ray.data.from_arrow(
+            pa.Table.from_pydict(
+                {
+                    "host": ["example.com", "example.com:8443"],
+                    "robots_txt": [
+                        "User-agent: *\nDisallow: /\n",
+                        "User-agent: *\nAllow: /\n",
+                    ],
+                }
+            )
+        )
+        rows = {
+            r["url"]: r["allowed"]
+            for r in robots_allowed(pages, robots).take_all()
+        }
+        assert rows == {
+            "http://example.com/x": False,
+            "http://example.com:8443/x": True,
+            "http://example.com:9999/x": False,  # falls back to bare host
+        }
+
+    def test_colliding_authorities_refuse(self):
+        import pytest as _pytest
+
+        from ctinexus_ray.ops.weblinks import _RobotsIndex, parse_robots
+
+        with _pytest.raises(ValueError, match="normalizes to"):
+            _RobotsIndex(
+                {
+                    "Example.com": parse_robots("User-agent: *\nDisallow: /"),
+                    "example.com": parse_robots("User-agent: *\nAllow: /"),
+                }
+            )
