@@ -37,6 +37,13 @@ def main() -> int:
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--workdir", default="/tmp/kg_incr_bench")
+    ap.add_argument("--entity-mod", type=int, default=0,
+                    help="cycle document TEXTS modulo N distinct reports "
+                         "(urls stay unique) — bounds the entity "
+                         "vocabulary the way real webtext does (Heaps-"
+                         "sublinear), so the nodes view is key-domain-"
+                         "sized instead of corpus-sized; 0 = every doc "
+                         "its own text (the worst case for IVM)")
     args = ap.parse_args()
 
     import ray
@@ -57,10 +64,36 @@ def main() -> int:
     corpus = os.path.join(args.workdir, "cc")
     if len(glob.glob(f"{corpus}/*.parquet")) < args.shards + 1:
         shutil.rmtree(corpus, ignore_errors=True)
-        write_cc_corpus(
-            corpus, n_docs + args.docs_per_shard,
-            rows_per_file=args.docs_per_shard,
-        )
+        if args.entity_mod:
+            import pyarrow.parquet as pq
+
+            from ctinexus_ray.sources.synth import (
+                CC_SCHEMA,
+                make_cc_row,
+                make_report_text,
+            )
+
+            os.makedirs(corpus)
+            total = n_docs + args.docs_per_shard
+            for s in range(0, total, args.docs_per_shard):
+                rows = [
+                    make_cc_row(i, make_report_text(i % args.entity_mod))
+                    for i in range(s, min(s + args.docs_per_shard, total))
+                ]
+                import pyarrow as pa
+
+                pq.write_table(
+                    pa.Table.from_pylist(rows, schema=CC_SCHEMA),
+                    os.path.join(
+                        corpus,
+                        f"part-{s // args.docs_per_shard:05d}.parquet",
+                    ),
+                )
+        else:
+            write_cc_corpus(
+                corpus, n_docs + args.docs_per_shard,
+                rows_per_file=args.docs_per_shard,
+            )
     files = sorted(glob.glob(f"{corpus}/*.parquet"))
     base, extra = files[: args.shards], files[args.shards]
 

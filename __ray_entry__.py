@@ -3458,9 +3458,7 @@ def _q_text_index_delete(sf_dir: str):
 
     def drops(t):
         col = t.column("doc_id").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keep, col)
-        pos[pos == len(keep)] = 0
-        hit = keep[pos] == col
+        hit = np.isin(col, keep)  # sorted keys take the fast path
         return t.filter(pc.invert(pa.array(hit))).select(["doc_id"])
 
     text_index_delete(
