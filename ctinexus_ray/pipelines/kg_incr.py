@@ -144,8 +144,17 @@ def _fold_metrics(
             "stage_key", pa.array(keys, type=pa.int64())
         )
 
+    # prune to the counter columns — the shards' kg json payloads are
+    # the bulk of their bytes and the metrics fold never reads them
     delta = metrics_dataset(
-        ray.data.read_parquet([f for _, f in todo])
+        ray.data.read_parquet(
+            [f for _, f in todo],
+            columns=[
+                "triples_count", "mentions_num", "entity_num",
+                "subgraph_num", "dropped_triplets", "llm_input_tokens",
+                "llm_output_tokens", "embed_tokens",
+            ],
+        )
     ).map_batches(add_key, batch_format="pyarrow")
     apply_delta(
         view_dir,

@@ -125,7 +125,15 @@ def commit_corpus(refined_dir: str, corpus_dir: str) -> dict:
 
     shutil.rmtree(data_dir, ignore_errors=True)  # crashed prior attempt
     os.makedirs(data_dir)
-    ensure_doc_id(ray.data.read_parquet(files)).map_batches(
+    # prune the read to what normalize consumes — refined shards carry
+    # the raw crawl text/title columns this commit never touches
+    import pyarrow.parquet as pq_mod
+
+    names = set(pq_mod.read_schema(files[0]).names)
+    cols = ["url", "warc_ts", "lang_pred"] + (
+        ["clean_text"] if "clean_text" in names else ["extracted_text"]
+    )
+    ensure_doc_id(ray.data.read_parquet(files, columns=cols)).map_batches(
         normalize, batch_format="pyarrow"
     ).write_parquet(data_dir)
     out_files = sorted(
