@@ -237,5 +237,10 @@ def ivf_index_delete(
     data_dir = os.path.join(table_dir, f"cells-{uuid.uuid4().hex[:12]}")
     os.makedirs(data_dir, exist_ok=True)
     new_files, _ = cow_delete_rows(files, "vec_id", ids, data_dir)
+    if set(new_files) == set(files):
+        # nothing matched: don't grow version history for a no-change
+        # tick (the IVF path has no batch ledger to record)
+        os.rmdir(data_dir)
+        return latest_version(table_dir)
     # extra=None inherits the parent's centroids atomically
     return commit_version(table_dir, new_files, mode="overwrite")

@@ -617,6 +617,14 @@ def text_index_delete(
     new_files, captured = cow_delete_rows(
         files, "doc_id", ids, data_dir, capture_cols=["doc_id", "dl"]
     )
+    if not captured:
+        # nothing matched: no new version for a no-change delete tick —
+        # record the batch id (exactly-once) via a ledger-only commit,
+        # or return None when there is nothing to record
+        os.rmdir(data_dir)
+        if batch_id is not None:
+            return text_index_mark_applied(table_dir, [batch_id])
+        return None
     seen: dict[int, int] = {}
     for cap in captured:
         for d, dl in zip(
@@ -663,8 +671,6 @@ def text_index_proximity(
     counts ordered pairs of DISTINCT positions. Volume is
     occurrences-of-the-two-words; one hash-partitioned reduce."""
     import pyarrow.dataset as pads
-
-    from ctinexus_ray.ops.groupagg import partitioned_agg
 
     for w in (word_a, word_b):
         if not w or w != w.strip() or " " in w:

@@ -44,7 +44,6 @@ state to maintain.
 from __future__ import annotations
 
 import os
-import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -62,7 +61,6 @@ from ctinexus_ray.stages.triples import edges_batch, explode_triples_batch
 from ctinexus_ray.state.checkpoint import completed_partitions
 from ctinexus_ray.state.ivm import applied_batches, apply_delta
 from ctinexus_ray.state.tableformat import (
-    commit_version,
     read_version,
     version_extra,
 )
@@ -180,18 +178,14 @@ def _append_shard_map(
     todo = [(p, f) for p, f in shards if _bid(p) not in applied]
     if not todo:
         return 0
-    ds = build(_read_shards([f for _, f in todo]))
-    data_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:12]}")
-    os.makedirs(data_dir, exist_ok=True)
-    ds.write_parquet(data_dir)
-    files = sorted(
-        os.path.join(data_dir, n)
-        for n in os.listdir(data_dir)
-        if n.endswith(".parquet")
-    )
+    from ctinexus_ray.state.tableformat import write_dataset_version
+
     extra = dict(version_extra(table_dir))
     extra[_LEDGER] = list(extra.get(_LEDGER, [])) + [_bid(p) for p, _ in todo]
-    commit_version(table_dir, files, mode="append", extra=extra)
+    write_dataset_version(
+        table_dir, build(_read_shards([f for _, f in todo])),
+        mode="append", extra=extra,
+    )
     return len(todo)
 
 

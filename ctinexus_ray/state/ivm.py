@@ -134,21 +134,10 @@ def apply_delta(
 
     if latest is None:
         # first batch: the delta IS the view
-        import os
-        import uuid
+        from ctinexus_ray.state.tableformat import write_dataset_version
 
-        from ctinexus_ray.state.tableformat import commit_version
-
-        data_dir = os.path.join(view_dir, f"data-{uuid.uuid4().hex[:8]}")
-        os.makedirs(data_dir, exist_ok=True)
-        delta.write_parquet(data_dir)
-        files = sorted(
-            os.path.join(data_dir, n)
-            for n in os.listdir(data_dir)
-            if n.endswith(".parquet")
-        )
-        version = commit_version(
-            view_dir, files, mode="overwrite",
+        version, _ = write_dataset_version(
+            view_dir, delta, mode="overwrite",
             extra={"ivm_applied": applied + bids},
         )
         return {"applied": True, "version": version, "batch_id": batch_id}

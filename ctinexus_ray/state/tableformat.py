@@ -777,3 +777,32 @@ def collect_delete_ids(ids, key_col: str, max_broadcast_ids: int):
                 f"{max_broadcast_ids}; shard the delete into ticks"
             )
     return np.unique(arr)
+
+
+def write_dataset_version(
+    table_dir: str,
+    ds,
+    mode: str = "append",
+    extra: dict | None = None,
+    prefix: str = "data",
+):
+    """Execute a Dataset into a fresh immutable file set under the
+    table dir and commit it as ONE version — the write-then-commit
+    idiom shared by the IVM first-batch path, the wordcount rebuild,
+    the incremental-KG shard appends and the webtext corpus commit
+    (previously four hand-rolled copies). A crash between the write
+    and the commit leaves only an orphaned data dir (vacuumable);
+    an empty dataset commits an empty file list (ledger-only when
+    ``extra`` carries one). Returns ``(version, files)``."""
+    import uuid as _uuid
+
+    data_dir = os.path.join(table_dir, f"{prefix}-{_uuid.uuid4().hex[:12]}")
+    os.makedirs(data_dir, exist_ok=True)
+    ds.write_parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, n)
+        for n in os.listdir(data_dir)
+        if n.endswith(".parquet")
+    )
+    version = commit_version(table_dir, files, mode=mode, extra=extra)
+    return version, files

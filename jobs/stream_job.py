@@ -266,26 +266,17 @@ def _maintain_wordcount_view(
     )
     if rebuild_reason is not None:
         import logging
-        import os
-        import uuid
 
-        from ctinexus_ray.state.tableformat import commit_version
+        from ctinexus_ray.state.tableformat import write_dataset_version
 
         logging.getLogger(__name__).warning(
             "wordcount view %s: full rebuild from corpus v%d (%s)",
             view_dir, latest, rebuild_reason,
         )
-        full = wordcount_of(read_version(table_dir, columns=["text"]))
-        data_dir = os.path.join(view_dir, f"data-{uuid.uuid4().hex[:8]}")
-        os.makedirs(data_dir, exist_ok=True)
-        full.write_parquet(data_dir)
-        files = sorted(
-            os.path.join(data_dir, n)
-            for n in os.listdir(data_dir)
-            if n.endswith(".parquet")
-        )
-        commit_version(
-            view_dir, files, mode="overwrite",
+        write_dataset_version(
+            view_dir,
+            wordcount_of(read_version(table_dir, columns=["text"])),
+            mode="overwrite",
             extra={
                 "ivm_applied": [f"corpus-v{i}" for i in range(1, latest + 1)]
             },
@@ -461,13 +452,21 @@ def _maintain_kg_view(
         save_ledger()
         return {"kg_folded": 1, "kg_rebuilt": rebuild_reason}
 
+    # checkpoint EVERY backlogged version's new shards first, then fold
+    # ONCE — fold_kg_derived already folds all committed-but-unfolded
+    # shards via its per-shard ledgers, so per-version folding would
+    # pay N x (merge + fixed execution latency) for an N-version
+    # backlog and commit N view versions for the same end state
     folded = 0
     for bid, kind, new_files in work:
         if kind != "noop":
             checkpoint_docs_kg(new_files, docs_kg, config, reader=reader)
-            fold_kg_derived(kg_dir, config)
             folded += 1
+    if folded:
+        fold_kg_derived(kg_dir, config)
+    for bid, _, _ in work:
         applied.add(bid)
+    if work:
         save_ledger()
     return {"kg_folded": folded}
 

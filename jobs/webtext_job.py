@@ -74,8 +74,12 @@ def commit_corpus(refined_dir: str, corpus_dir: str) -> dict:
     shape — (doc_id [stable url hash], url, warc_ts, lang, text =
     clean_text if C4 ran else extracted_text) — and commit as a
     corpus-table version. Batch id = blake2b over the sorted
-    (path, size) refined set, recorded in the manifest ledger: a rerun
-    with an unchanged refined set skips before any write.
+    (path, size, mtime_ns) refined FILE STATE, recorded in the manifest
+    ledger: a rerun with literally untouched refined files skips before
+    any write, while any crawl re-run rewrites refined/ wholesale (new
+    mtimes even for byte-identical content) and commits a fresh
+    snapshot — same-size content changes can never silently skip
+    (size-only hashing had exactly that stale-data hole).
 
     SNAPSHOT semantics: crawl_job's derived phase rewrites ``refined/``
     wholesale every run (keep-latest-by-canonical-url is global — a
@@ -97,7 +101,8 @@ def commit_corpus(refined_dir: str, corpus_dir: str) -> dict:
         raise FileNotFoundError(f"no refined shards under {refined_dir}")
     h = hashlib.blake2b(digest_size=8)
     for f in files:
-        h.update(f"{f}:{os.path.getsize(f)};".encode())
+        st = os.stat(f)
+        h.update(f"{f}:{st.st_size}:{st.st_mtime_ns};".encode())
     bid = f"crawl-{h.hexdigest()}"
     extra = dict(version_extra(corpus_dir))
     applied = list(extra.get("webtext_applied", []))
