@@ -233,7 +233,8 @@ def ivf_index_delete(
 
     _centroids(table_dir)  # loud refusal on a non-index table
     ids = collect_delete_ids(vec_ids, "vec_id", max_broadcast_ids)
-    files = version_files(table_dir, latest_version(table_dir))
+    snapshot_v = latest_version(table_dir)
+    files = version_files(table_dir, snapshot_v)
     data_dir = os.path.join(table_dir, f"cells-{uuid.uuid4().hex[:12]}")
     os.makedirs(data_dir, exist_ok=True)
     new_files, _ = cow_delete_rows(files, "vec_id", ids, data_dir)
@@ -243,4 +244,6 @@ def ivf_index_delete(
         os.rmdir(data_dir)
         return latest_version(table_dir)
     # extra=None inherits the parent's centroids atomically
-    return commit_version(table_dir, new_files, mode="overwrite")
+    return commit_version(
+        table_dir, new_files, mode="overwrite", expected_parent=snapshot_v
+    )

@@ -611,7 +611,8 @@ def text_index_delete(
     if batch_id is not None and batch_id in applied:
         return None
     ids = collect_delete_ids(doc_ids, "doc_id", max_broadcast_ids)
-    files = version_files(table_dir, latest_version(table_dir))
+    snapshot_v = latest_version(table_dir)
+    files = version_files(table_dir, snapshot_v)
     data_dir = os.path.join(table_dir, f"buckets-{uuid.uuid4().hex[:12]}")
     os.makedirs(data_dir, exist_ok=True)
     new_files, captured = cow_delete_rows(
@@ -637,6 +638,7 @@ def text_index_delete(
         table_dir,
         new_files,
         mode="overwrite",
+        expected_parent=snapshot_v,
         extra={
             "text_index": {
                 **meta,

@@ -133,12 +133,15 @@ def apply_delta(
         latest = None
 
     if latest is None:
-        # first batch: the delta IS the view
+        # first batch: the delta IS the view. expected_parent pins the
+        # overwrite to the state this branch decided on — a concurrent
+        # first delta landing in between must not be silently replaced
         from ctinexus_ray.state.tableformat import write_dataset_version
 
         version, _ = write_dataset_version(
             view_dir, delta, mode="overwrite",
             extra={"ivm_applied": applied + bids},
+            expected_parent=latest_version(view_dir),
         )
         return {"applied": True, "version": version, "batch_id": batch_id}
 

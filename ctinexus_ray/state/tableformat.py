@@ -26,6 +26,12 @@ import ray.data
 _PREFIX = "manifest-v"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A snapshot-derived commit (merge / compact / delete) found the
+    table advanced past the version it was computed from — committing
+    would silently drop the concurrent writer's rows."""
+
+
 def _versions(table_dir: str) -> list[int]:
     try:
         names = os.listdir(table_dir)
@@ -87,12 +93,16 @@ def _unify_schemas(base, file_schemas):
     return pa.schema(fields)
 
 
+_UNSET = object()
+
+
 def commit_version(
     table_dir: str,
     files: list[str],
     mode: str = "append",
     max_retries: int = 16,
     extra: dict | None = None,
+    expected_parent=_UNSET,
 ) -> int:
     """Commit ``files`` (immutable parquet paths) as a new table
     version. ``append`` unions the current latest version's files;
@@ -108,12 +118,28 @@ def commit_version(
     state/ivm.py relies on manifest atomicity for exactly-once delta
     application). ``extra=None`` INHERITS the parent's extra, so
     ledger-bearing tables survive compaction/merge commits that don't
-    know about the metadata; pass ``{}`` to clear it explicitly."""
+    know about the metadata; pass ``{}`` to clear it explicitly.
+
+    ``expected_parent`` is the SNAPSHOT-ISOLATION guard for commits
+    whose file set was COMPUTED FROM a specific version (merge_upsert,
+    compaction, copy-on-write deletes): pass the version the snapshot
+    was read from (or None for "the table must still be empty"), and
+    the commit ABORTS with ConcurrentWriteError instead of retrying
+    when the table has advanced — a blind optimistic retry would
+    commit the stale snapshot over a concurrent append and silently
+    drop its rows. Plain appends (file sets independent of the current
+    state) leave it unset and keep the lock-free retry behavior."""
     if mode not in ("append", "overwrite", "compact"):
         raise ValueError("mode must be 'append', 'overwrite' or 'compact'")
     os.makedirs(table_dir, exist_ok=True)
     for _ in range(max_retries):
         parent = latest_version(table_dir)
+        if expected_parent is not _UNSET and parent != expected_parent:
+            raise ConcurrentWriteError(
+                f"{table_dir}: snapshot computed from version "
+                f"{expected_parent} but the table is now at {parent} — "
+                "recompute from the new latest version"
+            )
         version = 1 if parent is None else parent + 1
         base = []
         inherited = None
@@ -141,11 +167,27 @@ def commit_version(
 
         pool: list = []  # serialized schema pool
         fmap: dict = {}  # file path -> index into pool
-        if parent is not None and mode == "append":
+        if parent is not None:
+            # reuse the parent's schema map for EVERY mode — data files
+            # are immutable, so a file the parent already mapped never
+            # needs its footer re-read (an overwrite/compact carrying
+            # thousands of kept files by reference previously paid one
+            # driver footer read per file per commit attempt); on
+            # non-append modes only entries for files still present
+            # carry over, keeping the manifest map exact
             if "schema_pool" in pman:
-                pool = list(pman["schema_pool"])
-                fmap = dict(pman["file_schemas"])
-            elif base:
+                ppool = list(pman["schema_pool"])
+                pmap = dict(pman["file_schemas"])
+                if mode == "append":
+                    pool, fmap = ppool, pmap
+                else:
+                    for f in files:
+                        if f in pmap:
+                            s = ppool[pmap[f]]
+                            if s not in pool:
+                                pool.append(s)
+                            fmap[f] = pool.index(s)
+            elif mode == "append" and base:
                 for f in base:
                     s = _schema_to_json(_pq.read_schema(f))
                     if s not in pool:
@@ -435,11 +477,20 @@ def merge_upsert(
 
         inserts = updates.map_batches(not_deleted, batch_format="pyarrow")
 
+    union_schema = None
     if base_files:
-        # align insert columns to the base file order so the union (and
-        # the committed table) has ONE schema; extra/missing columns are
-        # a caller error, surfaced loudly
-        base_names = list(pq.read_schema(base_files[0]).names)
+        # align insert columns to the TABLE's schema — the manifest's
+        # evolved UNION schema when present (a schema-evolved table's
+        # base_files[0] may predate newer columns and would wrongly
+        # reject union-shaped updates), else the first file's schema;
+        # extra/missing columns are a caller error, surfaced loudly
+        with open(_manifest_path(table_dir, parent)) as fh:
+            _pman = json.load(fh)
+        if "schema" in _pman:
+            union_schema = _schema_from_json(_pman["schema"])
+            base_names = list(union_schema.names)
+        else:
+            base_names = list(pq.read_schema(base_files[0]).names)
 
         def align(batch: pa.Table) -> pa.Table:
             if sorted(batch.schema.names) != sorted(base_names):
@@ -460,11 +511,22 @@ def merge_upsert(
             for t in ray.get(updates.select_columns([key_col]).to_arrow_refs())
             if t.num_rows
         ]
-        keys = np.sort(
-            np.concatenate(key_blocks).astype(np.int64)
+        raw_keys = (
+            np.concatenate(key_blocks)
             if key_blocks
             else np.empty(0, dtype=np.int64)
         )
+        # NULL keys surface as float64 NaN and astype(int64) would turn
+        # them into arbitrary phantom keys in the drop set — refuse
+        if (
+            np.issubdtype(raw_keys.dtype, np.floating)
+            and np.isnan(raw_keys).any()
+        ):
+            raise ValueError(
+                f"merge_upsert: update rows contain NULL {key_col} "
+                "values — key every update row before merging"
+            )
+        keys = np.sort(raw_keys.astype(np.int64))
         keys_ref = ray.put(keys)
         touched: list[str] = []
         for f in base_files:
@@ -494,8 +556,31 @@ def merge_upsert(
             (touched if i1 > i0 else kept).append(f)
         to_write = inserts
         if touched:
+            base_read = ray.data.read_parquet(touched)
+            if union_schema is not None:
+                # a touched file may predate evolved columns: null-fill
+                # and reorder to the union schema (read_version's rule)
+                # so the union with the aligned inserts is one schema
+                import pyarrow as _pa
+
+                target = union_schema
+
+                def conform(batch: _pa.Table, _t=target) -> _pa.Table:
+                    cols = {}
+                    for f in _t:
+                        if f.name in batch.column_names:
+                            cols[f.name] = batch.column(f.name)
+                        else:
+                            cols[f.name] = _pa.nulls(
+                                batch.num_rows, type=f.type
+                            )
+                    return _pa.table(cols)
+
+                base_read = base_read.map_batches(
+                    conform, batch_format="pyarrow"
+                )
             to_write = (
-                ray.data.read_parquet(touched)
+                base_read
                 .map_batches(survivors_filter(keys_ref), batch_format="pyarrow")
                 .union(inserts)
             )
@@ -505,8 +590,28 @@ def merge_upsert(
 
         to_write = inserts
         if base_files:
+            big_base = ray.data.read_parquet(base_files)
+            if union_schema is not None:
+                import pyarrow as _pa
+
+                target2 = union_schema
+
+                def conform2(batch: _pa.Table, _t=target2) -> _pa.Table:
+                    cols = {}
+                    for f in _t:
+                        if f.name in batch.column_names:
+                            cols[f.name] = batch.column(f.name)
+                        else:
+                            cols[f.name] = _pa.nulls(
+                                batch.num_rows, type=f.type
+                            )
+                    return _pa.table(cols)
+
+                big_base = big_base.map_batches(
+                    conform2, batch_format="pyarrow"
+                )
             to_write = hash_join(
-                ray.data.read_parquet(base_files),
+                big_base,
                 updates.select_columns([key_col]),
                 on=[key_col],
                 how="left_anti",
@@ -521,7 +626,8 @@ def merge_upsert(
         if n.endswith(".parquet")
     )
     version = commit_version(
-        table_dir, kept + new_files, mode="overwrite", extra=extra
+        table_dir, kept + new_files, mode="overwrite", extra=extra,
+        expected_parent=parent,  # snapshot guard: abort on concurrent commits
     )
     return {
         "version": version,
@@ -531,12 +637,25 @@ def merge_upsert(
     }
 
 
-def vacuum(table_dir: str, keep_versions: int = 1) -> dict:
+def vacuum(
+    table_dir: str, keep_versions: int = 1, older_than_sec: float = 600.0
+) -> dict:
     """Garbage-collect table history: drop all but the newest
     ``keep_versions`` manifests, then delete every parquet file UNDER
     ``table_dir`` that no surviving manifest references (merge/commit
     never deletes, so history accumulates until an explicit vacuum —
     the Iceberg ``expire_snapshots`` + ``remove_orphan_files`` pair).
+
+    ``older_than_sec`` is the orphan GRACE PERIOD (Iceberg's
+    remove_orphan_files ``older-than`` rule): a committer writes data
+    files BEFORE its manifest exists, so an unreferenced-but-recent
+    file may belong to an in-flight commit — deleting it would leave
+    the about-to-land version referencing vanished files. Only
+    unreferenced files older than the threshold are removed; newly
+    landed manifests are ALSO re-read after the file scan so a commit
+    racing the vacuum keeps its files regardless of age. Pass 0.0 only
+    when the caller owns the table exclusively (tests, single-writer
+    maintenance windows).
 
     SAFETY: only files physically inside ``table_dir`` are ever
     deleted. Externally committed paths (e.g. a shared input parquet
@@ -544,6 +663,8 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> dict:
     someone else's data. Returns {"manifests_dropped",
     "files_deleted", "files_kept"}.
     """
+    import time as _time
+
     if keep_versions < 1:
         raise ValueError("vacuum: keep_versions must be >= 1")
     vs = _versions(table_dir)
@@ -560,7 +681,9 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> dict:
             os.remove(_manifest_path(table_dir, v))
             dropped += 1
     root = os.path.realpath(table_dir)
-    deleted = kept = 0
+    now = _time.time()
+    candidates: list[str] = []
+    kept = 0
     for dirpath, dirnames, filenames in os.walk(root):
         # a nested directory with its own manifests is an INDEPENDENT
         # table (e.g. stream_job's <table>/lsh index) — its files are
@@ -577,9 +700,31 @@ def vacuum(table_dir: str, keep_versions: int = 1) -> dict:
             path = os.path.realpath(os.path.join(dirpath, name))
             if path in referenced:
                 kept += 1
-            else:
-                os.remove(path)
-                deleted += 1
+                continue
+            try:
+                age = now - os.stat(path).st_mtime
+            except FileNotFoundError:
+                continue
+            if age < older_than_sec:
+                kept += 1  # grace: possibly an in-flight commit's file
+                continue
+            candidates.append(path)
+    # re-read any manifests that landed DURING the scan: a commit that
+    # raced the walk keeps its files even past the age threshold
+    for v in _versions(table_dir):
+        if v in keep:
+            continue
+        with open(_manifest_path(table_dir, v)) as fh:
+            referenced.update(
+                os.path.realpath(f) for f in json.load(fh)["files"]
+            )
+    deleted = 0
+    for path in candidates:
+        if path in referenced:
+            kept += 1
+            continue
+        os.remove(path)
+        deleted += 1
     # prune now-empty data dirs so vacuumed tables stay tidy
     for dirpath, dirnames, filenames in os.walk(root, topdown=False):
         if dirpath != root and not dirnames and not filenames:
@@ -664,7 +809,10 @@ def compact_table(
             for i, b in enumerate(buckets)
         ]
     )
-    version = commit_version(table_dir, kept + sorted(outs), mode="compact")
+    version = commit_version(
+        table_dir, kept + sorted(outs), mode="compact",
+        expected_parent=parent,  # snapshot guard: abort on concurrent commits
+    )
     return {
         "version": version,
         "files_kept": len(kept),
@@ -764,11 +912,20 @@ def collect_delete_ids(ids, key_col: str, max_broadcast_ids: int):
             for t in ray.get(ds.to_arrow_refs())
             if t.num_rows
         ]
-        arr = (
-            np.concatenate(blocks).astype(np.int64)
+        raw = (
+            np.concatenate(blocks)
             if blocks
             else np.empty(0, dtype=np.int64)
         )
+        # an int64 column with NULLs surfaces as float64-with-NaN here;
+        # astype would silently turn each NaN into an arbitrary key
+        # (typically INT64_MIN) and corrupt the drop set — refuse
+        if np.issubdtype(raw.dtype, np.floating) and np.isnan(raw).any():
+            raise ValueError(
+                f"delete ids contain NULL {key_col} values — filter "
+                "nulls out (or key the rows) before deleting"
+            )
+        arr = raw.astype(np.int64)
     else:
         arr = np.asarray(list(ids), dtype=np.int64)
         if len(arr) > max_broadcast_ids:
@@ -785,6 +942,7 @@ def write_dataset_version(
     mode: str = "append",
     extra: dict | None = None,
     prefix: str = "data",
+    expected_parent=_UNSET,
 ):
     """Execute a Dataset into a fresh immutable file set under the
     table dir and commit it as ONE version — the write-then-commit
@@ -804,5 +962,8 @@ def write_dataset_version(
         for n in os.listdir(data_dir)
         if n.endswith(".parquet")
     )
-    version = commit_version(table_dir, files, mode=mode, extra=extra)
+    version = commit_version(
+        table_dir, files, mode=mode, extra=extra,
+        expected_parent=expected_parent,
+    )
     return version, files

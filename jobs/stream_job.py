@@ -668,6 +668,11 @@ def main() -> int:
                         help="maintain the persisted inverted BM25 "
                              "index (ops/textindex.py) at this dir per "
                              "tick, exactly-once across replays")
+    parser.add_argument("--vacuum-grace-sec", type=float, default=600.0,
+                        help="orphan grace period for --vacuum-keep "
+                             "(unreferenced files younger than this "
+                             "survive — they may belong to an in-flight "
+                             "commit)")
     parser.add_argument("--vacuum-keep", type=int, default=0,
                         help="after each committing tick, expire all but "
                              "the newest N table versions (0 = keep all)")
@@ -692,7 +697,8 @@ def main() -> int:
         if args.vacuum_keep and stats["new_shards"]:
             from ctinexus_ray.state.tableformat import vacuum
 
-            stats["vacuum"] = vacuum(args.table, args.vacuum_keep)
+            stats["vacuum"] = vacuum(args.table, args.vacuum_keep,
+                                     older_than_sec=args.vacuum_grace_sec)
         print(json.dumps(stats))
         tick += 1
         if not args.watch or (args.max_ticks and tick >= args.max_ticks):

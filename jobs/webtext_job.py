@@ -149,9 +149,11 @@ def commit_corpus(refined_dir: str, corpus_dir: str) -> dict:
     extra["webtext_applied"] = applied + [bid]
     from ctinexus_ray.state.tableformat import latest_version
 
-    mode = "append" if latest_version(corpus_dir) is None else "overwrite"
+    snapshot_v = latest_version(corpus_dir)
+    mode = "append" if snapshot_v is None else "overwrite"
     version = commit_version(
-        corpus_dir, out_files, mode=mode, extra=extra
+        corpus_dir, out_files, mode=mode, extra=extra,
+        expected_parent=snapshot_v,
     )
     return {
         "batch_id": bid, "skipped": False, "files": len(out_files),

@@ -873,7 +873,7 @@ class TestVacuum:
             t, m._updates([(0, "W", False)]), key_col="doc_id",
             delete_col="is_del", num_partitions=4,
         )
-        res = vacuum(t, keep_versions=1)
+        res = vacuum(t, keep_versions=1, older_than_sec=0.0)
         assert res["manifests_dropped"] == 2
         assert res["files_deleted"] > 0
         assert latest_version(t) == 3
@@ -902,7 +902,7 @@ class TestVacuum:
             t, m._updates([(5, "mine", False)]), key_col="doc_id",
             delete_col="is_del", num_partitions=4,
         )
-        vacuum(t, keep_versions=1)
+        vacuum(t, keep_versions=1, older_than_sec=0.0)
         # the external input (referenced only by the EXPIRED v1) survives
         assert os.path.exists(ext)
 
@@ -912,7 +912,7 @@ class TestVacuum:
         from ctinexus_ray.state.tableformat import vacuum
 
         with pytest.raises(ValueError, match="keep_versions"):
-            vacuum(str(tmp_path), keep_versions=0)
+            vacuum(str(tmp_path), keep_versions=0, older_than_sec=0.0)
 
 
 class TestCompactTable:
@@ -1026,3 +1026,193 @@ class TestExactSubstrPhase:
         assert stats2["skipped"] is True
         marker = json.loads((out / "_SPANS_SUCCESS.json").read_text())
         assert marker["words_removed"] == 20
+
+
+class TestSnapshotIsolation:
+    """Round-5 substrate hardening: snapshot-derived commits must abort
+    (not silently win) when the table advanced underneath them, vacuum
+    must not eat an in-flight commit's young files, merge_upsert must
+    work on schema-evolved tables, and NULL keys refuse loudly."""
+
+    @staticmethod
+    def _mk_table(tmp_path, name, rows):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ctinexus_ray.state.tableformat import commit_version
+
+        t = tmp_path / name
+        t.mkdir()
+        f = t / "f1.parquet"
+        pq.write_table(
+            pa.table({"k": pa.array(rows, type=pa.int64()),
+                      "v": pa.array([f"v{r}" for r in rows])}), f
+        )
+        commit_version(str(t), [str(f)])
+        return str(t), str(f)
+
+    def test_concurrent_append_aborts_stale_compact(
+        self, ray_session, tmp_path
+    ):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest as _pytest
+
+        from ctinexus_ray.state.tableformat import (
+            ConcurrentWriteError,
+            commit_version,
+            latest_version,
+            read_version,
+        )
+
+        t, _ = self._mk_table(tmp_path, "t", [1, 2])
+        # a snapshot-derived commit computed from v1...
+        snapshot_v = latest_version(t)
+        # ...races a concurrent append (v2 with new rows)
+        f2 = tmp_path / "t" / "f2.parquet"
+        pq.write_table(
+            pa.table({"k": pa.array([3], type=pa.int64()),
+                      "v": pa.array(["v3"])}), f2
+        )
+        commit_version(t, [str(f2)], mode="append")
+        with _pytest.raises(ConcurrentWriteError, match="advanced|now at"):
+            commit_version(
+                t, [], mode="overwrite", expected_parent=snapshot_v
+            )
+        # the concurrent append's rows are still there
+        assert read_version(t).count() == 3
+
+    def test_delete_aborts_on_concurrent_append(
+        self, ray_session, tmp_path
+    ):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pytest as _pytest
+        import ray.data
+
+        from ctinexus_ray.ops.textindex import (
+            text_index_append,
+            text_index_build,
+            text_index_delete,
+        )
+        from ctinexus_ray.state.tableformat import ConcurrentWriteError
+
+        idx = str(tmp_path / "idx")
+        docs = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                      "text": pa.array(["hash join", "vector hash"])})
+        )
+        text_index_build(docs, idx, num_buckets=2)
+
+        # simulate the race: delete computes its snapshot, then an
+        # append lands before its commit — monkeypatch the rewrite to
+        # interleave deterministically
+        import ctinexus_ray.state.tableformat as tf
+
+        orig = tf.cow_delete_rows
+        appended = {"done": False}
+
+        def racing(files, key_col, ids, data_dir, capture_cols=None):
+            out = orig(files, key_col, ids, data_dir,
+                       capture_cols=capture_cols)
+            if not appended["done"]:
+                appended["done"] = True
+                text_index_append(
+                    ray.data.from_arrow(
+                        pa.table({
+                            "doc_id": pa.array([2], type=pa.int64()),
+                            "text": pa.array(["late arrival hash"]),
+                        })
+                    ),
+                    idx, batch_id="race",
+                )
+            return out
+
+        import ctinexus_ray.ops.textindex as ti
+
+        # text_index_delete imports cow_delete_rows inside the function
+        # body from tableformat, so patch it there
+        tf_orig = tf.cow_delete_rows
+        tf.cow_delete_rows = racing
+        try:
+            with _pytest.raises(ConcurrentWriteError):
+                text_index_delete(idx, [0], batch_id="drop")
+        finally:
+            tf.cow_delete_rows = tf_orig
+
+    def test_vacuum_grace_keeps_young_orphans(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ctinexus_ray.state.tableformat import vacuum
+
+        t, _ = self._mk_table(tmp_path, "t", [1])
+        # an in-flight commit's freshly written, not-yet-referenced file
+        orphan = tmp_path / "t" / "data-inflight" 
+        orphan.mkdir()
+        f = orphan / "part.parquet"
+        pq.write_table(pa.table({"k": pa.array([9], type=pa.int64()),
+                                 "v": pa.array(["x"])}), f)
+        res = vacuum(t, keep_versions=1)  # default grace 600s
+        assert f.exists(), "young orphan must survive the grace period"
+        assert res["files_deleted"] == 0
+        res2 = vacuum(t, keep_versions=1, older_than_sec=0.0)
+        assert not f.exists() and res2["files_deleted"] == 1
+
+    def test_merge_upsert_on_evolved_schema(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from ctinexus_ray.state.tableformat import (
+            commit_version,
+            merge_upsert,
+            read_version,
+        )
+
+        t, _ = self._mk_table(tmp_path, "t", [1, 2])
+        # evolve: v2 appends a file with an extra column b
+        f2 = tmp_path / "t" / "f2.parquet"
+        pq.write_table(
+            pa.table({"k": pa.array([3], type=pa.int64()),
+                      "v": pa.array(["v3"]),
+                      "b": pa.array([30], type=pa.int64())}), f2
+        )
+        commit_version(t, [str(f2)], mode="append")
+        # union-shaped upsert touching BOTH the old and the new file
+        updates = ray.data.from_arrow(
+            pa.table({"k": pa.array([2, 3, 4], type=pa.int64()),
+                      "v": pa.array(["V2", "V3", "V4"]),
+                      "b": pa.array([20, 31, 40], type=pa.int64())})
+        )
+        merge_upsert(t, updates, key_col="k")
+        rows = {r["k"]: (r["v"], r["b"]) for r in read_version(t).take_all()}
+        assert rows == {
+            1: ("v1", None),   # untouched old-file row, null-filled b
+            2: ("V2", 20),
+            3: ("V3", 31),
+            4: ("V4", 40),
+        }
+
+    def test_null_keys_refuse(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pytest as _pytest
+        import ray.data
+
+        from ctinexus_ray.state.tableformat import (
+            collect_delete_ids,
+            merge_upsert,
+        )
+
+        t, _ = self._mk_table(tmp_path, "t", [1, 2])
+        bad = ray.data.from_arrow(
+            pa.table({"k": pa.array([1, None], type=pa.int64()),
+                      "v": pa.array(["a", "b"])})
+        )
+        with _pytest.raises(ValueError, match="NULL"):
+            merge_upsert(t, bad, key_col="k", assume_unique=True)
+        with _pytest.raises(ValueError, match="NULL"):
+            collect_delete_ids(
+                bad.select_columns(["k"]).rename_columns({"k": "doc_id"}),
+                "doc_id", 1000,
+            )

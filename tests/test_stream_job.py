@@ -188,7 +188,7 @@ class TestNearDupIngestion:
         run_tick(str(inp), table, num_partitions=4, near_dup_threshold=0.5)
         self._shard_texts(inp / "b.parquet", [(2, "epsilon zeta eta theta")])
         run_tick(str(inp), table, num_partitions=4, near_dup_threshold=0.5)
-        vacuum(table, keep_versions=1)
+        vacuum(table, keep_versions=1, older_than_sec=0.0)
         # the nested lsh table survives vacuum of the parent
         lsh = os.path.join(table, "lsh")
         assert latest_version(lsh) is not None
@@ -427,7 +427,7 @@ class TestFoldVsTableLifecycle:
         run_tick(str(inp), table, 4)  # no index yet
         self._shard(inp / "s2.parquet", [3], t2)
         run_tick(str(inp), table, 4)
-        vacuum(table, keep_versions=1)  # v1 manifest gone
+        vacuum(table, keep_versions=1, older_than_sec=0.0)  # v1 manifest gone
 
         s = run_tick(str(inp), table, 4, text_index=index, wordcount_view=view)
         assert s["text_index_folded"] == 1 and "rebuilt" in s
@@ -616,7 +616,7 @@ class TestRebuildPreservesIndexShape:
             inp / "s2.parquet",
         )
         run_tick(str(inp), table, 4)
-        vacuum(table, keep_versions=1)
+        vacuum(table, keep_versions=1, older_than_sec=0.0)
         out = _maintain_text_index(table, index, 4)
         assert out.get("rebuilt")
         meta = version_extra(index)["text_index"]
